@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Path-addressed table loading, mirroring the reference's catalog-free
+  * model: every table is a parquet directory/file addressed by path
+  * (reference: examples/create_deltalake_hdfs.py:90-112,
+  * examples/read_deltalake_hdfs.py:20-28). Temp views are the only
+  * "catalog" surface (examples/read_deltalake_hdfs.py:95-96).
+  *
+  * Scale note: `spark.read.parquet` resolves to Spark's vectorized
+  * columnar scan (`FileSourceScanExec`); on a real cluster the same call
+  * takes `hdfs://` / `s3a://` URIs unchanged — no code here assumes a
+  * local filesystem.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
+    * raw long (legacy conf), then rebuild a microsecond timestamp with
+    * integer arithmetic (`div`, not `/` — int64 nanos exceed a double's
+    * 2^53 exact range).
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` works the
+    * way the reference's scripts do (createOrReplaceTempView + SQL string,
+    * examples/read_deltalake_hdfs.py:95-118). Lazy: registering a view
+    * costs nothing until an action runs.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,395 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.Exact._
+
+/** The reference's full relational parity surface (SURVEY.md §2.2-§2.6),
+  * re-expressed Spark-first on the driver fixtures. Mapping
+  * (FIXTURES.md §2): employees→customer, transactions→orders
+  * (c_custkey = o_custkey), department→c_mktsegment, salary→c_acctbal,
+  * amount→o_totalprice.
+  *
+  * Every query is a declarative DataFrame/SQL plan: Catalyst handles
+  * predicate pushdown, column pruning, partial aggregation and join
+  * strategy selection. Scale posture per query is noted inline; the
+  * common rules:
+  *   - dimension tables (region/nation/customer at small SF of a join)
+  *     are broadcast; fact-fact joins shuffle on the join key;
+  *   - aggregates are hash aggregates with map-side partial combine;
+  *   - every ORDER BY carries a unique tie-break key so output order is
+  *     deterministic for the oracle diff (SURVEY.md §5.2).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01 — flagship: the reference's employee-transaction analysis
+    * (examples/read_deltalake_hdfs.py:100-118): LEFT JOIN preserving
+    * customers with no orders, per-customer COUNT + COALESCE'd SUM, and
+    * a guarded CASE-WHEN ratio. Scale: customer×orders equi-join
+    * shuffles on custkey (both sides large at 100 TB); AQE picks
+    * broadcast if the build side turns out small. Catalyst must NOT
+    * rewrite left→inner (COUNT/COALESCE absorb the nulls) — SURVEY §4.
+    */
+  val q01Flagship: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"), c("c_name"), c("c_mktsegment"), c("c_acctbal"))
+      .agg(
+        count(o("o_orderkey")).as("order_count"),
+        moneySum0(o("o_totalprice")).as("total_spent"))
+      .withColumn("spend_ratio",
+        when(col("order_count") > 0 && col("c_acctbal") > 0,
+          round(col("total_spent") / col("c_acctbal") * 100, 2))
+          .otherwise(lit(0.0)))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+  }
+
+  val q01Oracle: String =
+    """SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+      |  COUNT(o.o_orderkey) AS order_count,
+      |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent,
+      |  CASE WHEN COUNT(o.o_orderkey) > 0 AND c.c_acctbal > 0
+      |    THEN ROUND(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) / c.c_acctbal * 100, 2)
+      |    ELSE 0.0 END AS spend_ratio
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+      |ORDER BY total_spent DESC, c.c_custkey""".stripMargin
+
+  /** q02 — literal arithmetic SELECT (constant folding), reference
+    * `SELECT 1 + 1 as result` examples/create_deltalake_hdfs.py:30. */
+  val q02LitArith: Q = (spark, _) =>
+    spark.sql("SELECT 1 + 1 AS result, 'Graft engine OK' AS message")
+
+  val q02Oracle: String = "SELECT 1 + 1 AS result, 'Graft engine OK' AS message"
+
+  /** q03 — expression projection: id, id*2, concat/cast
+    * (examples/verify_sail_connection.py:46-50). Narrow, no shuffle
+    * except the final deterministic sort. */
+  val q03ProjectExpr: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .selectExpr(
+        "o_orderkey",
+        "o_orderkey * 2 AS doubled",
+        "concat('order_', cast(o_orderkey AS string)) AS tag")
+      .orderBy("o_orderkey")
+
+  val q03Oracle: String =
+    """SELECT o_orderkey, o_orderkey * 2 AS doubled,
+      |  concat('order_', CAST(o_orderkey AS VARCHAR)) AS tag
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q04 — DataFrame equality filter, the partition-pruning demo shape
+    * (examples/read_deltalake_hdfs.py:83). The predicate reaches the
+    * parquet scan (PushedFilters); on a mktsegment-partitioned layout it
+    * prunes directories (verified in PartitionedWriteSpec). */
+  val q04FilterEq: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  val q04Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+
+  /** q05 — SQL WHERE comparison (`WHERE salary > 80000`,
+    * examples/example_lakesail_kerberos.py:135-140). */
+  val q05WhereGt: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_acctbal > 8000 ORDER BY c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
+  val q05Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+      |WHERE c_acctbal > 8000 ORDER BY c_acctbal DESC, c_custkey""".stripMargin
+
+  /** q06 — CASE WHEN banding (salary bands,
+    * examples/test_hdfs_inside_container.py:71-75). */
+  val q06CaseBand: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        when(col("c_acctbal") > 8000, "High")
+          .when(col("c_acctbal") > 3000, "Medium")
+          .otherwise("Standard").as("bal_band"))
+      .orderBy("c_custkey")
+
+  val q06Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |  CASE WHEN c_acctbal > 8000 THEN 'High'
+      |       WHEN c_acctbal > 3000 THEN 'Medium'
+      |       ELSE 'Standard' END AS bal_band
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q07 — single-key GROUP BY summary (department summary,
+    * examples/read_deltalake_hdfs.py:129-143): COUNT/SUM/AVG/MAX/MIN.
+    * Hash aggregate with map-side partial combine; output cardinality =
+    * |segments| (tiny), so the shuffle moves only partial states. */
+  val q07SegmentSummary: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("total_bal"),
+        moneyAvg(col("c_acctbal")).as("avg_bal"),
+        max("c_acctbal").as("max_bal"),
+        min("c_acctbal").as("min_bal"))
+      .orderBy("c_mktsegment")
+
+  val q07Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+      |  MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q08 — transaction-type summary ordered by aggregate
+    * (examples/read_deltalake_hdfs.py:146-161). */
+  val q08StatusSummary: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_amount"),
+        moneyAvg(col("o_totalprice")).as("avg_amount"),
+        max("o_totalprice").as("max_amount"),
+        min("o_totalprice").as("min_amount"))
+      .orderBy(col("total_amount").desc, col("o_orderstatus"))
+
+  val q08Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_amount,
+      |  MAX(o_totalprice) AS max_amount, MIN(o_totalprice) AS min_amount
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY total_amount DESC, o_orderstatus""".stripMargin
+
+  /** q09 — INNER join + multi-key GROUP BY + two-key ORDER BY
+    * (cross-department pattern, examples/read_deltalake_hdfs.py:164-178).
+    * Scale: equi-join shuffles on custkey; the group-by keys have tiny
+    * cardinality (5 segments × 3 statuses) so the final agg is cheap. */
+  val q09CrossAgg: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneyAvg(o("o_totalprice")).as("avg_amount"))
+      .orderBy(col("c_mktsegment"), col("avg_amount").desc, col("o_orderstatus"))
+  }
+
+  val q09Oracle: String =
+    """SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o.o_totalprice) AS avg_amount
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_mktsegment, o.o_orderstatus
+      |ORDER BY c.c_mktsegment, avg_amount DESC, o.o_orderstatus""".stripMargin
+
+  /** q10 — global (no-key) aggregate: `SELECT AVG(salary)`
+    * (verify_complete_setup.py:256). Partial agg per partition → single
+    * final merge; no wide shuffle. */
+  val q10GlobalAvg: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .agg(
+        moneyAvg(col("c_acctbal")).as("avg_bal"),
+        count(lit(1)).as("n"))
+
+  val q10Oracle: String =
+    """SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+      |  COUNT(*) AS n FROM customer""".stripMargin
+
+  /** q11 — STDDEV + exact median + HAVING (analytics query,
+    * examples/example_lakesail_kerberos.py:215-228). stddev/percentile
+    * are rounded to 2dp: their float low-bits are merge-order dependent,
+    * and 2dp is far coarser than the ~1e-10 relative wobble. */
+  val q11HavingStats: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal), 2) AS avg_bal,
+        |  ROUND(STDDEV(c_acctbal), 2) AS stddev_bal,
+        |  ROUND(PERCENTILE(c_acctbal, 0.5), 2) AS median_bal
+        |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val q11Oracle: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal), 2) AS avg_bal,
+      |  ROUND(STDDEV_SAMP(c_acctbal), 2) AS stddev_bal,
+      |  ROUND(QUANTILE_CONT(c_acctbal, 0.5), 2) AS median_bal
+      |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** q12 — aggregates inside arithmetic (projected payroll,
+    * examples/read_deltalake_hdfs.py:183-195): COUNT(*)*1000,
+    * SUM(salary)*12, AVG(salary)*1.1. */
+  val q12AggArith: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        (count(lit(1)) * 1000).as("headcount_scaled"),
+        (moneySum(col("c_acctbal")) * 12).as("annual_total"),
+        (moneyAvg(col("c_acctbal")) * 1.1).as("raised_avg"))
+      .orderBy("c_mktsegment")
+
+  val q12Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) * 1000 AS headcount_scaled,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 12 AS annual_total,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) * 1.1 AS raised_avg
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q13 — top-k: ORDER BY … DESC LIMIT k. Spark plans
+    * TakeOrderedAndProject: per-partition heaps, no global sort —
+    * exactly what you want at 100 TB (the reference only previews via
+    * show(n), examples/read_deltalake_hdfs.py:122). */
+  val q13TopK: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+
+  val q13Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin
+
+  /** q14 — filtered COUNT(*) (the partition-prune + count demo,
+    * examples/read_deltalake_hdfs.py:77-84). */
+  val q14CountFilter: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .agg(count(lit(1)).as("n_building"))
+
+  val q14Oracle: String =
+    "SELECT COUNT(*) AS n_building FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+  /** q15 — TPC-H Q1-shaped pricing summary over the fact table: the
+    * heavy-agg benchmark anchor. Scans lineitem once; predicate + column
+    * pruning reach the parquet scan; 6 aggregates in one hash-agg pass.
+    */
+  val q15Pricing: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        productSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q15Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q16 — TPC-H Q3-shaped 3-way join (the benchmark join anchor):
+    * customer ⋈ orders ⋈ lineitem with selective filters, revenue agg,
+    * top-10. Scale: customer side is filtered then broadcast-joined by
+    * AQE when small enough; orders⋈lineitem shuffles on orderkey. The
+    * limit avoids a global sort (TakeOrderedAndProject). */
+  val q16ShippingPriority: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(productSum(l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q16Oracle: String =
+    """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
+
+  /** q17 — dimension chain join with broadcast: region ⋈ nation ⋈
+    * customer. Both dims are tiny → explicit broadcast() keeps the big
+    * side shuffle-free: the canonical star-schema pattern at scale. */
+  val q17NationRollup: Q = (spark, dir) => {
+    val r = Tables.load(spark, dir, "region")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"), n("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q17Oracle: String =
+    """SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin
+
+  /** All parity queries + oracles, keyed for SparkEntry. */
+  val queries: Map[String, Q] = Map(
+    "q01_flagship_left_join" -> q01Flagship,
+    "q02_lit_arith" -> q02LitArith,
+    "q03_project_expr" -> q03ProjectExpr,
+    "q04_filter_eq" -> q04FilterEq,
+    "q05_where_gt" -> q05WhereGt,
+    "q06_case_band" -> q06CaseBand,
+    "q07_segment_summary" -> q07SegmentSummary,
+    "q08_status_summary" -> q08StatusSummary,
+    "q09_cross_agg" -> q09CrossAgg,
+    "q10_global_avg" -> q10GlobalAvg,
+    "q11_having_stats" -> q11HavingStats,
+    "q12_agg_arith" -> q12AggArith,
+    "q13_topk" -> q13TopK,
+    "q14_count_filter" -> q14CountFilter,
+    "q15_pricing_summary" -> q15Pricing,
+    "q16_shipping_priority" -> q16ShippingPriority,
+    "q17_nation_rollup" -> q17NationRollup)
+
+  val oracles: Map[String, String] = Map(
+    "q01_flagship_left_join" -> q01Oracle,
+    "q02_lit_arith" -> q02Oracle,
+    "q03_project_expr" -> q03Oracle,
+    "q04_filter_eq" -> q04Oracle,
+    "q05_where_gt" -> q05Oracle,
+    "q06_case_band" -> q06Oracle,
+    "q07_segment_summary" -> q07Oracle,
+    "q08_status_summary" -> q08Oracle,
+    "q09_cross_agg" -> q09Oracle,
+    "q10_global_avg" -> q10Oracle,
+    "q11_having_stats" -> q11Oracle,
+    "q12_agg_arith" -> q12Oracle,
+    "q13_topk" -> q13Oracle,
+    "q14_count_filter" -> q14Oracle,
+    "q15_pricing_summary" -> q15Oracle,
+    "q16_shipping_priority" -> q16Oracle,
+    "q17_nation_rollup" -> q17Oracle)
+}

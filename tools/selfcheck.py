@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-only self-check: mimic the driver's DuckDB-oracle comparison.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Reads <verifyOutDir>/<query>/ parquet (written by graft.Verify) and
+<verifyOutDir>/oracle_sql.json, runs each oracle against DuckDB views over
+<sfDir>/*.parquet, and compares: column names, row count, exact values
+(columns sorted by name), both in given row order and sorted-row order.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        got_cols = sorted(got.columns)
+        got_rows = got.fetchall()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(got_rows)} rows, cols={got_cols}")
+            continue
+        exp = con.sql(oracle[name])
+        exp_cols = sorted(exp.columns)
+        exp_rows = exp.fetchall()
+        status, detail = "PASS", ""
+        if got_cols != exp_cols:
+            status, detail = "FAIL", f"cols got={got_cols} exp={exp_cols}"
+        elif len(got_rows) != len(exp_rows):
+            status, detail = "FAIL", f"rowcount got={len(got_rows)} exp={len(exp_rows)}"
+        else:
+            gi = [got.columns.index(c) for c in got_cols]
+            ei = [exp.columns.index(c) for c in exp_cols]
+            g = [tuple(norm(r[i]) for i in gi) for r in got_rows]
+            e = [tuple(norm(r[i]) for i in ei) for r in exp_rows]
+            if g == e:
+                pass
+            elif sorted(map(repr, g)) == sorted(map(repr, e)):
+                status, detail = "PASS*", "values match only after row sort"
+            else:
+                # find first diff for diagnostics
+                gs, es = sorted(map(repr, g)), sorted(map(repr, e))
+                diff = next((i for i, (a, b) in enumerate(zip(gs, es)) if a != b),
+                            min(len(gs), len(es)) - 1)
+                status = "FAIL"
+                detail = f"first value diff @sorted-row {diff}:\n    got {gs[diff][:200]}\n    exp {es[diff][:200]}"
+        if status.startswith("PASS"):
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"  [{status}] {name} ({len(got_rows)} rows) {detail}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
