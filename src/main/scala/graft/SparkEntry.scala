@@ -20,10 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ EventOps.queries ++ StorageOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
+      SimilarityOps.oracles ++ EventOps.oracles ++ StorageOps.oracles ++
+      MultimodalOps.oracles
 }

@@ -26,13 +26,18 @@ object Tables {
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
     * raw long (legacy conf), then rebuild a microsecond timestamp with
     * integer arithmetic (`div`, not `/` — int64 nanos exceed a double's
-    * 2^53 exact range).
+    * 2^53 exact range). Tables whose `ts` is already a real timestamp
+    * (micros/millis — e.g. test-crafted fixtures) pass through as-is.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
 
   /** Register every fixture table as a temp view so `spark.sql` works the

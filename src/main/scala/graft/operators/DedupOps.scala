@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps.normText
+
+/** [EXT] Deduplication operators over `documents` (SURVEY.md §2.10
+  * E1/E2): exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * 100 TB design notes (the whole point of these shapes):
+  *   - NO all-pairs comparison anywhere. Candidate pairs come from
+  *     equi-joins on derived keys (fingerprint, shared shingle, LSH
+  *     band bucket, SimHash chunk) — each is a shuffle hash join that
+  *     scales linearly in candidates, not quadratically in documents.
+  *   - Every hash is a deterministic built-in (md5) so results are
+  *     identical across executor counts AND reproducible by the
+  *     DuckDB oracle — no JVM-private hash seeds in the data path.
+  *   - Skew: a hyper-common shingle/band would fan out; production
+  *     would drop top-frequency buckets (stopword shingles) — noted
+  *     inline where the cap would go.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingle set per document: (doc_id, shingle), distinct.
+    * Guarded so docs with <3 tokens yield no shingles (sequence() with
+    * a negative bound would blow up). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(
+          |  CASE WHEN size(t) >= 3
+          |    THEN transform(sequence(0, size(t)-3),
+          |                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+          |    ELSE array() END)""".stripMargin)).as("shingle"))
+
+  /** Exact per-pair Jaccard for the given candidate pairs, via a
+    * shingle equi-join (no arrays shipped across the shuffle — only
+    * (doc_id, shingle) rows). */
+  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 4)
+          .as("jaccard"))
+  }
+
+  /** q30 — exact dedup by content hash. The input is documents with
+    * every even-doc_id row duplicated (so the operator has real work);
+    * dedup key = md5(normalized text); keeper = lowest doc_id. This is
+    * the hash-groupBy shape: one shuffle on the 16-byte hash, perfectly
+    * scalable and skew-free for unique-ish content. */
+  val q30ExactDedup: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val withDups = docs.unionByName(docs.filter(col("doc_id") % 2 === 0))
+    withDups
+      .groupBy(md5(normText(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+  }
+
+  val q30Oracle: String =
+    """SELECT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM (SELECT * FROM documents
+      |      UNION ALL SELECT * FROM documents WHERE doc_id % 2 = 0)
+      |GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
+  /** q31 — n-gram Jaccard near-dup (exact): candidates = pairs sharing
+    * >= 1 shingle (a superset of every pair with jaccard > 0), then
+    * exact Jaccard >= 0.5. At 100 TB the shared-shingle join is the
+    * scaling risk (common shingles fan out quadratically) — production
+    * adds a frequency cap on shingles before the join; the synthetic
+    * corpus has no such hot shingles. */
+  val q31NgramJaccard: Q = (spark, dir) => {
+    val sh = shingles(Tables.load(spark, dir, "documents"))
+    val cand = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFor(cand, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val oracleShingleCtes =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle
+      |  FROM tok, UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  val q31Oracle: String =
+    oracleShingleCtes +
+    """,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b,
+      |  ROUND(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+      |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q32 — MinHash + LSH near-dup: 12 md5-based min-hashes per doc,
+    * banded 4×3; candidates = pairs colliding in >= 1 band bucket;
+    * confirmed by exact Jaccard >= 0.5 on candidates only. This is the
+    * scale path: at 100 TB the band-bucket join touches ~|docs|×4 rows
+    * instead of the shared-shingle join's shingle fan-out. The oracle
+    * replays the *identical* deterministic LSH in DuckDB, so this is a
+    * full hash-equality check, not a probabilistic one. */
+  val q32MinHashLsh: Q = (spark, dir) => {
+    val sh = shingles(Tables.load(spark, dir, "documents"))
+    // 12 seeds per shingle → min per (doc, seed): the minhash signature.
+    val mh = sh
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 11),
+          |  s -> named_struct('s', s, 'h', md5(concat(cast(s AS string), ':', shingle))))"""
+          .stripMargin)).as("x"))
+      .groupBy(col("doc_id"), col("x.s").as("seed"))
+      .agg(min(col("x.h")).as("mh"))
+    // 4 bands of 3 rows; band hash = md5 of the 3 minhashes in seed order.
+    val bands = mh
+      .groupBy(col("doc_id"), expr("seed div 3").as("band"))
+      .agg(md5(concat(
+        max(when(col("seed") % 3 === 0, col("mh"))),
+        max(when(col("seed") % 3 === 1, col("mh"))),
+        max(when(col("seed") % 3 === 2, col("mh"))))).as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFor(cand, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q32Oracle: String =
+    oracleShingleCtes +
+    """,
+      |mh AS (
+      |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle)) AS mh
+      |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
+      |bands AS (
+      |  SELECT doc_id, s // 3 AS band,
+      |    md5(MAX(CASE WHEN s % 3 = 0 THEN mh END)
+      |     || MAX(CASE WHEN s % 3 = 1 THEN mh END)
+      |     || MAX(CASE WHEN s % 3 = 2 THEN mh END)) AS bh
+      |  FROM mh GROUP BY doc_id, s // 3),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b,
+      |  ROUND(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+      |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 60-bit token hash: first 15 hex chars of md5 → bigint. Identical
+    * arithmetic exists in DuckDB (('0x'||substr(md5(t),1,15))::BIGINT),
+    * so the whole SimHash pipeline is oracle-checkable. */
+  private def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** q33 — SimHash near-dup: 60-bit fingerprint per doc (sign of the
+    * per-bit sum of ±1 token-hash bits), candidates via the pigeonhole
+    * trick — hamming <= 3 implies >= 1 of 4 15-bit chunks equal — then
+    * exact hamming filter. Chunk-equality join keys scale like LSH
+    * bands; no all-pairs pass. */
+  val q33SimHash: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
+    // per-(doc, bit) vote: +1 if bit set else -1, summed over tokens
+    val votes = toks
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 59),
+          |  j -> named_struct('j', j,
+          |        'v', CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))"""
+          .stripMargin)).as("x"))
+      .groupBy(col("doc_id"), col("x.j").as("j"))
+      .agg(sum(col("x.v")).as("v"))
+    val fp = votes
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(cast(1 AS bigint), j) ELSE 0 END"))
+        .as("simhash"))
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  k -> named_struct('k', k, 'c', (simhash >> (k * 15)) & 32767))"""
+          .stripMargin)).as("x"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.x.k") === col("b.x.k") && col("a.x.c") === col("b.x.c") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q33Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id,
+      |          UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+      |        FROM documents)),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM toks, UNNEST(range(60)) g(j) GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, simhash, k, (simhash >> (k * 15)) & 32767 AS c
+      |  FROM fp, UNNEST(range(4)) g(k)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+      |                  b.doc_id AS doc_b, b.simhash AS sh_b
+      |  FROM chunks a JOIN chunks b
+      |    ON a.k = b.k AND a.c = b.c AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+      |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_exact_dedup" -> q30ExactDedup,
+    "q31_ngram_jaccard" -> q31NgramJaccard,
+    "q32_minhash_lsh" -> q32MinHashLsh,
+    "q33_simhash" -> q33SimHash)
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" -> q30Oracle,
+    "q31_ngram_jaccard" -> q31Oracle,
+    "q32_minhash_lsh" -> q32Oracle,
+    "q33_simhash" -> q33Oracle)
+}

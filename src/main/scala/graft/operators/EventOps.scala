@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** [EXT] Time-bucketed analytics over the `events` table. The
+  * reference has no temporal surface at all (its dates are inert
+  * strings — SURVEY.md §1.2), so these model the batch side of a
+  * streaming pipeline: tumbling-window rollups and gap-based
+  * sessionization. The Structured Streaming twins of these plans live
+  * in graft.streaming (same logical shapes via readStream).
+  *
+  * Timestamps: events.ts is parquet TIMESTAMP(NANOS); Tables.loadEvents
+  * rebuilds a microsecond timestamp. Oracles CAST to TIMESTAMP (micros)
+  * so both engines truncate identically. Bucket keys are exported as
+  * epoch seconds (long) — engine-neutral, no tz/format drift.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q50 — hourly tumbling rollup per event type: the canonical
+    * pre-aggregation shape. Narrow truncation + hash aggregate; output
+    * cardinality = hours × types, so the shuffle carries partial
+    * states only. At 100 TB this is the query that motivates
+    * date-partitioned storage (scan prunes to the queried window). */
+  val q50HourlyRollup: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.Exact.moneySum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour_epoch", "event_type")
+
+  val q50Oracle: String =
+    """SELECT CAST(FLOOR(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_epoch,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+
+  /** q51 — gap-based sessionization: a new session starts when a user
+    * is idle > 30 min; emits per-session bounds and stats. Classic
+    * lag + running-sum window pair; the only shuffle is the
+    * partitionBy(user_id), which is exactly the key a real pipeline
+    * would already be bucketed on. */
+  val q51Sessionize: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("start_epoch"),
+        unix_timestamp(max(col("ts"))).as("end_epoch"),
+        graft.functions.Exact.moneySum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val q51Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+      |  CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** q52 — per-type daily top spender: windowed rank over a grouped
+    * aggregate (two-level: day×type×user rollup, then rank within
+    * day×type). Exercises agg → window → filter chaining. */
+  val q52DailyTopUser: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"), col("user_id"))
+      .agg(graft.functions.Exact.moneySum(col("value")).as("user_value"))
+    val w = Window.partitionBy("day_epoch", "event_type")
+      .orderBy(col("user_value").desc, col("user_id"))
+    daily.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .orderBy("day_epoch", "event_type")
+  }
+
+  val q52Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS day_epoch,
+      |    event_type, user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_value
+      |  FROM events GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY day_epoch, event_type
+      |    ORDER BY user_value DESC, user_id) AS rnk
+      |  FROM daily)
+      |SELECT day_epoch, event_type, user_id, user_value, rnk FROM ranked
+      |WHERE rnk = 1 ORDER BY day_epoch, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q50_hourly_rollup" -> q50HourlyRollup,
+    "q51_sessionize" -> q51Sessionize,
+    "q52_daily_top_user" -> q52DailyTopUser)
+
+  val oracles: Map[String, String] = Map(
+    "q50_hourly_rollup" -> q50Oracle,
+    "q51_sessionize" -> q51Oracle,
+    "q52_daily_top_user" -> q52Oracle)
+}

@@ -212,7 +212,7 @@ object Relational {
     Tables.registerAll(spark, dir)
     spark.sql(
       """SELECT c_nationkey, COUNT(*) AS n_customers,
-        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal), 2) AS avg_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
         |  ROUND(STDDEV(c_acctbal), 2) AS stddev_bal,
         |  ROUND(PERCENTILE(c_acctbal, 0.5), 2) AS median_bal
         |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3
@@ -221,7 +221,7 @@ object Relational {
 
   val q11Oracle: String =
     """SELECT c_nationkey, COUNT(*) AS n_customers,
-      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal), 2) AS avg_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
       |  ROUND(STDDEV_SAMP(c_acctbal), 2) AS stddev_bal,
       |  ROUND(QUANTILE_CONT(c_acctbal, 0.5), 2) AS median_bal
       |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** [EXT] Similarity search over the `embeddings` table (SURVEY.md
+  * §2.10 E3): brute-force cosine top-k as the exactness baseline, an
+  * IVF-style partition-pruned variant as the scale path, and a
+  * cosine-threshold near-dup pass.
+  *
+  * The cosine kernel is graft.functions.CosineSimilarity — a native
+  * Catalyst Expression with whole-stage codegen (the built-in
+  * `aggregate(zip_with(…))` formulation is CodegenFallback, i.e. an
+  * interpreted per-element lambda — untenable in an O(|Q|·|corpus|·dim)
+  * loop). Its arithmetic (double casts, left-to-right folds,
+  * dot/(√na·√nb)) is replicated exactly by the DuckDB oracles via
+  * ordered SUMs, so results match bit-for-bit; outputs are ROUNDed so
+  * row ordering never depends on sub-ulp noise.
+  *
+  * 100 TB posture: queries are a small set → broadcast to every
+  * executor; the corpus never moves. Brute force is O(|Q|·|corpus|)
+  * per-row work with a top-k window — fine when |Q| is small. The IVF
+  * variant prunes the corpus to the probed cells *before* the distance
+  * math, which is the standard trade at billion-vector scale.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cosine(a: String, b: String): Column =
+    expr(s"graft_cosine($a, $b)")
+
+  /** q40 — brute-force cosine top-k: queries = vec_id < 5, k = 10
+    * nearest corpus neighbors each (self excluded). The query side is
+    * tiny → `broadcast`; ranking via a per-query window. Ties broken
+    * by neighbor id on the ROUNDED similarity so the cut is stable. */
+  val q40AnnBruteForce: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val sims = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine("qv", "embedding"), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // NOTE: DuckDB aggregates have no guaranteed order; `SUM(... ORDER BY i)`
+  // pins the fold order to match the Expression's loop exactly.
+  val q40Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |nd AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
+      |    sqrt(SUM(q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE ORDER BY i)) AS qn,
+      |    sqrt(SUM(c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE ORDER BY i)) AS cn
+      |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id,
+      |       UNNEST(range(LEN(q.embedding))) g(i)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, ROUND(dot / (qn * cn), 4) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, neighbor_id) AS rank
+      |  FROM nd)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q41 — cosine-threshold near-dup over embeddings (the E2 embedding
+    * variant): all pairs with cosine >= 0.45. Exactness baseline is a
+    * triangular self-join; at real scale the q42 IVF cells (or an LSH
+    * bucketing) bound the candidate set first. */
+  val q41EmbedNearDup: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine("va", "vb"), 4).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q41Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
+      |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
+      |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id,
+      |       UNNEST(range(LEN(a.embedding))) g(i)
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM p
+      |WHERE ROUND(dot / (na * nb), 4) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q42 — IVF-style ANN: cells = the `label` column (stand-in for a
+    * k-means assignment); per-cell centroids; each query probes its 5
+    * nearest cells and searches only those (the synthetic embeddings
+    * are quasi-uniform in 64-dim, where distance concentration caps any
+    * ANN index's pruning power — real clustered corpora probe fewer).
+    * Not SQL-oracled (the centroid averaging fold is engine-internal) —
+    * correctness is the recall-vs-brute-force bound asserted in
+    * SimilaritySpec; the driver records a rows-only check. */
+  val q42AnnIvf: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    // centroid per cell: element-wise mean via posexplode + re-assemble
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label").as("cell"),
+        expr("transform(ps, x -> cast(x.m AS float))").as("centroid"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // probe: 5 nearest cells per query by centroid cosine
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = broadcast(q).crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine("qv", "centroid").as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(wProbe))
+      .filter(col("cell_rank") <= 5)
+      .select("query_id", "qv", "cell")
+    // search only the probed cells
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(e, probed("cell") === e("label") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine("qv", "embedding"), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_ann_bruteforce" -> q40AnnBruteForce,
+    "q41_embed_neardup" -> q41EmbedNearDup,
+    "q42_ann_ivf" -> q42AnnIvf)
+
+  /** q42 is deliberately absent: approximate op, verified by recall
+    * bound in SimilaritySpec instead of SQL equality. */
+  val oracles: Map[String, String] = Map(
+    "q40_ann_bruteforce" -> q40Oracle,
+    "q41_embed_neardup" -> q41Oracle)
+}

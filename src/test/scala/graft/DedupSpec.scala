@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+
+/** Crafted-corpus checks for the dedup family: known dup/near-dup/
+  * distinct documents must land on the right side of each operator's
+  * threshold, and the operators must agree with each other where their
+  * semantics overlap. Runs the production queries end-to-end against a
+  * temp parquet dir shaped like the driver fixtures. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** doc 0 == doc 1 (exact dup); doc 2 ~ doc 0 (one word changed);
+    * doc 3 unrelated; doc 4 short. */
+  private lazy val corpusDir: String = {
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while morning light filters through tall green trees onto the quiet path"
+    val near = base.replace("quiet", "narrow")
+    val docs = Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base, "en", "srcB", base.length.toLong),
+      (2L, near, "en", "srcC", near.length.toLong),
+      (3L, "completely different words about spark catalyst optimizer plans and shuffles here",
+        "en", "srcD", 80L),
+      (4L, "tiny doc", "en", "srcE", 8L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-spec").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups identical texts under one fingerprint") {
+    // q30 duplicates even doc_ids internally; doc 0 == doc 1 on top of that
+    val rows = DedupOps.q30ExactDedup(spark, corpusDir).collect()
+    val byKeeper = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // keeper 0 absorbs: doc0, doc0-dup(evens), doc1 => 3 copies
+    assert(byKeeper(0L) === 3L)
+    assert(!byKeeper.contains(1L)) // doc 1 deduped into keeper 0
+    assert(byKeeper(3L) === 1L)    // odd, distinct: single copy
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near-dup high, distinct absent") {
+    val pairs = DedupOps.q31NgramJaccard(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((0L, 2L)) > 0.7 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as the exact pass") {
+    val exact = DedupOps.q31NgramJaccard(spark, corpusDir).collect()
+      .filter(_.getDouble(5) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.q32MinHashLsh(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs collide in every band — guaranteed recall at j=1.0;
+    // the 0.97-jaccard near-dup is expected (not guaranteed) to collide
+    assert(exact.filter(p => p == (0L, 1L)).subsetOf(lsh))
+    assert(lsh.subsetOf(
+      DedupOps.q31NgramJaccard(spark, corpusDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("simhash: identical docs have identical fingerprints (hamming 0)") {
+    val rows = DedupOps.q33SimHash(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    assert(rows((0L, 1L)) === 0L)
+    // near-dup doc 2 within the hamming<=3 net of doc 0 or absent — but
+    // never reported against the unrelated doc 3
+    assert(!rows.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("fingerprint is whitespace-insensitive but content-sensitive") {
+    val docs = Seq(
+      (0L, "hello   world", "en", "s", 13L),
+      (1L, " hello world ", "en", "s", 13L),
+      (2L, "hello worlds", "en", "s", 12L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val fps = TextOps.q24Fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(2L))
+  }
+}

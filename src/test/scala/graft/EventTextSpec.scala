@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{EventOps, TextOps}
+
+/** Sessionization on crafted event streams with known gaps, plus
+  * text-analysis edge cases. */
+class EventTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionization splits on >30min gaps, per user") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    Seq(
+      // user 1: two sessions (gap of 45 min between event 2 and 3)
+      (0L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 3.0, "{}"),
+      (3L, ts("2024-01-01 11:05:00"), 1L, "click", 4.0, "{}"),
+      // user 2: one session, exactly-30min gap must NOT split (> not >=)
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 5.0, "{}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view", 6.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = EventOps.q51Sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((1L, 1L)) === 3L) // first session: 3 events
+    assert(rows((1L, 2L)) === 1L) // second session: 1 event
+    assert(rows((2L, 1L)) === 2L) // exactly 30min stays one session
+    assert(!rows.contains((2L, 2L)))
+  }
+
+  test("hourly rollup buckets on hour boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev2").toString
+    Seq(
+      (0L, ts("2024-01-01 10:59:59"), 1L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 11:00:00"), 1L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 11:30:00"), 2L, "click", 3.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = EventOps.q50HourlyRollup(spark, dir).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(2)).toSeq === Seq(1L, 2L)) // n_events per hour
+    assert(rows(1).getLong(4) === 2L) // distinct users in hour 11
+  }
+
+  test("token stats handle multi-space and mixed case") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx").toString
+    Seq((0L, "The  QUICK   brown fox", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.q21TokenStats(spark, dir).head()
+    assert(r.getInt(2) === 4) // 4 tokens despite repeated spaces
+  }
+
+  test("langid picks the language with the most marker hits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lid").toString
+    Seq(
+      (0L, "the cat and the dog of the house is big", "en", "s", 39L),
+      (1L, "el perro de la casa que los gatos", "es", "s", 33L),
+      (2L, "der hund und die katze das haus ein baum", "de", "s", 40L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val det = TextOps.q23LangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(det(0L) === "en")
+    assert(det(1L) === "es")
+    assert(det(2L) === "de")
+  }
+}
