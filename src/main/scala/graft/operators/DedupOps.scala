@@ -77,20 +77,42 @@ object DedupOps {
       |      UNION ALL SELECT * FROM documents WHERE doc_id % 2 = 0)
       |GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
-  /** q31 — n-gram Jaccard near-dup (exact): candidates = pairs sharing
-    * >= 1 shingle (a superset of every pair with jaccard > 0), then
-    * exact Jaccard >= 0.5. At 100 TB the shared-shingle join is the
-    * scaling risk (common shingles fan out quadratically) — production
-    * adds a frequency cap on shingles before the join; the synthetic
-    * corpus has no such hot shingles. */
+  /** q31 — n-gram Jaccard near-dup, EXACT, via prefix filtering
+    * (AllPairs/PPJoin): a naive shared-shingle join fans out
+    * quadratically on frequent shingles (measured: 80 s of an
+    * sf0.1 bench run, 58% of total). Prefix filter keeps the result
+    * set *identical* — for J(A,B) >= τ the overlap is >= ⌈τ·|A|⌉, so
+    * by pigeonhole the pair must share one of each doc's first
+    * n - ⌈τ·n⌉ + 1 shingles under any global total order. Ordering
+    * rarest-first makes those prefix shingles the LOW-frequency ones,
+    * so the candidate join fans out on rare keys only. The oracle
+    * stays the naive exact formulation — equality proves the filter
+    * is lossless.
+    *
+    * Measured dead ends (sf0.1, local[4], do not retry blindly):
+    * .cache() on sh/prefix REGRESSED 43s→70-101s (cached relations
+    * lose size stats → worse join strategies); generating candidate
+    * pairs with higher-order lambdas inside shingle groups regressed
+    * to 345s (interpreted fan-out before distinct vs codegen'd hash
+    * join). */
   val q31NgramJaccard: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.5
     val sh = shingles(Tables.load(spark, dir, "documents"))
-    val cand = sh.as("a").join(sh.as("b"),
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("n") - ceil(col("n") * tau) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardFor(cand, sh)
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
   }
 
