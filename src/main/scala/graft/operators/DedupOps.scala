@@ -89,12 +89,16 @@ object DedupOps {
     * stays the naive exact formulation — equality proves the filter
     * is lossless.
     *
-    * Measured dead ends (sf0.1, local[4], do not retry blindly):
+    * Measured dead ends (sf0.1, do not retry blindly):
     * .cache() on sh/prefix REGRESSED 43s→70-101s (cached relations
     * lose size stats → worse join strategies); generating candidate
     * pairs with higher-order lambdas inside shingle groups regressed
     * to 345s (interpreted fan-out before distinct vs codegen'd hash
-    * join). */
+    * join); repartition()-spreading the 1-partition documents scan
+    * before the hash stages regressed q31 11→27s and q32 8→46s —
+    * the narrow pre-shuffle stages are not the bottleneck (downstream
+    * groupBy/join shuffles already run 32-wide) and the extra
+    * exchange starves AQE of scan statistics. */
   val q31NgramJaccard: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.5
