@@ -102,13 +102,41 @@ object StorageOps {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer""".stripMargin
 
+  /** q64 — the reference's exact format("delta") call shapes through
+    * our registered graft-delta source (write overwrite → write append
+    * → read → time-travel read), reduced to an oracle-checkable
+    * aggregate. Uses the public DataFrameReader/Writer API end-to-end
+    * — nothing calls DeltaTable directly. */
+  val q64DeltaFormatApi: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-delta-fmt")
+    c.write.format("graft-delta").mode("overwrite").save(t)
+    c.filter(col("c_custkey") <= 10)
+      .write.format("graft-delta").mode("append").save(t)
+    val latest = spark.read.format("graft-delta").load(t)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_latest"))
+    val v0 = spark.read.format("graft-delta").option("versionAsOf", 0).load(t)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_v0"))
+    latest.join(v0, "c_mktsegment")
+      .select("c_mktsegment", "n_latest", "n_v0")
+      .orderBy("c_mktsegment")
+  }
+
+  val q64Oracle: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) + SUM(CASE WHEN c_custkey <= 10 THEN 1 ELSE 0 END) AS n_latest,
+      |  COUNT(*) AS n_v0
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q64_delta_format_api" -> q64DeltaFormatApi,
     "q60_delta_roundtrip" -> q60DeltaRoundtrip,
     "q61_delta_timetravel" -> q61DeltaTimeTravel,
     "q62_partitioned_write" -> q62PartitionedWrite,
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q64_delta_format_api" -> q64Oracle,
     "q60_delta_roundtrip" -> q60Oracle,
     "q61_delta_timetravel" -> q61Oracle,
     "q62_partitioned_write" -> q62Oracle,

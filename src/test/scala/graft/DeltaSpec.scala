@@ -92,6 +92,23 @@ class DeltaSpec extends SparkSpec {
     }
   }
 
+  test("format(\"graft-delta\") write/read/time-travel via public API") {
+    val t = freshTable()
+    employees3.write.format("graft-delta").mode("overwrite").save(t)
+    employee1.write.format("graft-delta").mode("append").save(t)
+    val latest = spark.read.format("graft-delta").load(t)
+    assert(latest.count() === 4)
+    assert(latest.schema.fieldNames.toSeq === Seq("id", "name", "salary", "date"))
+    val v0 = spark.read.format("graft-delta").option("versionAsOf", "0").load(t)
+    assert(v0.count() === 3)
+    // column pruning path (PrunedScan)
+    assert(latest.select("id").as[Int].collect().sorted === Array(1, 2, 3, 4))
+    // errorifexists honors existing table
+    intercept[IllegalStateException] {
+      employees3.write.format("graft-delta").mode("error").save(t)
+    }
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
