@@ -41,7 +41,13 @@ import scala.util.control.NonFatal
 object DeltaLog {
   private val V = "%020d"
 
-  final case class AddFile(path: String, size: Long)
+  /** stats: flat map with keys `n` (row count), `min.<col>`,
+    * `max.<col>` — values stringified with toString, which for
+    * numerics is the shortest round-trip form, so ordering of the
+    * parsed values matches the original ordering (data-skipping per
+    * the Delta paper's per-file min/max design). */
+  final case class AddFile(path: String, size: Long,
+      stats: Map[String, String] = Map.empty)
   final case class Snapshot(version: Long, schemaJson: Option[String],
       files: Seq[AddFile])
 
@@ -78,8 +84,11 @@ object DeltaLog {
         .asScala if line.nonEmpty) {
       Json.parse(line) match {
         case ("add", fields) =>
-          val p = fields("path"); live(p) = AddFile(p,
-            fields.get("size").map(_.toLong).getOrElse(0L))
+          val p = fields("path")
+          val stats = fields.get("stats")
+            .map(s => Json.parseFlat(s)).getOrElse(Map.empty[String, String])
+          live(p) = AddFile(p,
+            fields.get("size").map(_.toLong).getOrElse(0L), stats)
         case ("remove", fields) => live.remove(fields("path"))
         case ("metaData", fields) => schema = fields.get("schemaString")
         case _ => ()
@@ -112,8 +121,18 @@ object DeltaLog {
 
   // -- action builders ------------------------------------------------
 
-  def addAction(path: String, size: Long): String =
-    s"""{"add":{"path":${Json.str(path)},"size":$size,"dataChange":true}}"""
+  def addAction(path: String, size: Long,
+      stats: Map[String, String] = Map.empty): String = {
+    val statsField =
+      if (stats.isEmpty) ""
+      else {
+        val flat = stats.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+          .mkString("{", ",", "}")
+        s""","stats":${Json.str(flat)}"""
+      }
+    s"""{"add":{"path":${Json.str(path)},"size":$size$statsField,"dataChange":true}}"""
+  }
 
   def removeAction(path: String): String =
     s"""{"remove":{"path":${Json.str(path)},"dataChange":true}}"""
@@ -148,7 +167,7 @@ object DeltaLog {
       (name, parseFlat(inner))
     }
 
-    private def parseFlat(obj: String): Map[String, String] = {
+    private[sources] def parseFlat(obj: String): Map[String, String] = {
       var i = obj.indexOf('{') + 1
       val out = Map.newBuilder[String, String]
       while (i < obj.length) {

@@ -4,7 +4,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
 
 /** Spark-facing Delta-equivalent table API (SURVEY.md §7-D): versioned
   * ACID overwrite/append/read + time travel over local/HDFS-style
@@ -36,13 +38,17 @@ object DeltaTable {
     df.write.parquet(staging.toString)
     // 2. move data files in under commit-unique names
     val commitTag = UUID.randomUUID().toString.take(8)
+    // per-file min/max stats (Delta-paper data skipping): ONE job over
+    // the staged files, grouped by physical file — not a per-file pass
+    val statsByFile = collectStats(spark, staging.toString, df.schema)
     val staged = Files.list(staging).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     val added = staged.zipWithIndex.map { case (p, i) =>
       val name = f"part-$i%05d-$commitTag.parquet"
       val dest = tableDir.resolve(name)
+      val stats = statsByFile.getOrElse(p.getFileName.toString, Map.empty)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      DeltaLog.AddFile(name, Files.size(dest))
+      DeltaLog.AddFile(name, Files.size(dest), stats)
     }
     deleteRecursively(staging)
     // 3. atomic log commit
@@ -57,21 +63,26 @@ object DeltaTable {
       Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
         Seq(DeltaLog.metaDataAction(df.schema.json)) ++
         removes ++
-        added.map(f => DeltaLog.addAction(f.path, f.size))
+        added.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
     val v = DeltaLog.commit(table, readVersion, actions)
     // overwrite leaves removed files on disk (old versions still need
     // them for time travel — same as real Delta until VACUUM)
     v
   }
 
-  /** Read the table at the latest (or a past) version. An empty live
-    * set yields an empty DataFrame with the committed schema. */
+  /** Read the table at the latest (or a past) version, optionally
+    * skipping files whose min/max stats prove they cannot satisfy
+    * `filters` (conjunctive). An empty live set yields an empty
+    * DataFrame with the committed schema. */
   def read(spark: SparkSession, table: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      filters: Seq[Filter] = Seq.empty): DataFrame = {
     val snap = DeltaLog.snapshot(table, versionAsOf)
     val schema = snap.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType])
-    val paths = snap.files.map(f => Paths.get(table).resolve(f.path).toString)
+    val live = liveFilesAfterSkipping(snap, filters,
+      schema.getOrElse(new StructType()))
+    val paths = live.map(f => Paths.get(table).resolve(f.path).toString)
     (schema, paths) match {
       case (Some(s), Nil) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -81,6 +92,72 @@ object DeltaTable {
   }
 
   def latestVersion(table: String): Long = DeltaLog.snapshot(table).version
+
+  // -- data skipping ---------------------------------------------------
+
+  /** One Spark job computing per-staged-file row counts and min/max of
+    * every numeric/string column, keyed by file basename. */
+  private def collectStats(spark: SparkSession, staging: String,
+      schema: StructType): Map[String, Map[String, String]] = {
+    val statCols = schema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType => true
+      case _ => false
+    })
+    val aggs = count(lit(1)).as("n") +: statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"min.${f.name}"),
+      max(col(f.name)).as(s"max.${f.name}")))
+    val rows =
+      try spark.read.parquet(staging)
+        .groupBy(input_file_name().as("_file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      catch { case _: Throwable => return Map.empty } // stats are best-effort
+    rows.map { r =>
+      val file = r.getString(0).split('/').last
+      val kv = (1 until r.length).flatMap { i =>
+        Option(r.get(i)).map(v => r.schema(i).name -> v.toString)
+      }.toMap
+      file -> kv
+    }.toMap
+  }
+
+  /** Files that MAY satisfy the conjunction of `filters` given their
+    * min/max stats; a file without stats for a referenced column is
+    * always kept (skipping must be conservative). */
+  private[graft] def liveFilesAfterSkipping(snap: DeltaLog.Snapshot,
+      filters: Seq[Filter], schema: StructType): Seq[DeltaLog.AddFile] = {
+    if (filters.isEmpty) return snap.files
+    val numeric: String => Boolean = c =>
+      schema.fields.find(_.name == c).exists(_.dataType.isInstanceOf[NumericType])
+    snap.files.filter(f => filters.forall(mayMatch(f.stats, _, numeric)))
+  }
+
+  /** Ordering on stringified stats. Numeric columns were stringified
+    * with toString (shortest round-trip), so BigDecimal parses recover
+    * exact ordering; string columns compare lexicographically — the
+    * column's declared type decides which, never the value's shape. */
+  private def cmp(a: String, b: String, isNumeric: Boolean): Option[Int] =
+    if (!isNumeric) Some(a.compareTo(b))
+    else
+      try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      catch { case _: NumberFormatException => None } // NaN/Inf ⇒ unknown
+
+  private def mayMatch(stats: Map[String, String], filter: Filter,
+      numeric: String => Boolean): Boolean = {
+    def mn(c: String) = stats.get(s"min.$c")
+    def mx(c: String) = stats.get(s"max.$c")
+    def c2(c: String, v: Any, s: Option[String]) =
+      s.flatMap(cmp(v.toString, _, numeric(c)))
+    filter match {
+      case EqualTo(c, v) =>
+        c2(c, v, mn(c)).forall(_ >= 0) && c2(c, v, mx(c)).forall(_ <= 0)
+      case GreaterThan(c, v) => c2(c, v, mx(c)).forall(_ < 0)
+      case GreaterThanOrEqual(c, v) => c2(c, v, mx(c)).forall(_ <= 0)
+      case LessThan(c, v) => c2(c, v, mn(c)).forall(_ > 0)
+      case LessThanOrEqual(c, v) => c2(c, v, mn(c)).forall(_ >= 0)
+      case And(l, r) => mayMatch(stats, l, numeric) && mayMatch(stats, r, numeric)
+      case _ => true // unsupported shapes never prune
+    }
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

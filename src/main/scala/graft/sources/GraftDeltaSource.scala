@@ -61,15 +61,21 @@ class GraftDeltaSource extends RelationProvider
 }
 
 case class GraftDeltaRelation(sqlContext: SQLContext, tablePath: String,
-    versionAsOf: Option[Long]) extends BaseRelation with PrunedScan {
+    versionAsOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
 
-  private def snapshotDf: DataFrame =
-    DeltaTable.read(sqlContext.sparkSession, tablePath, versionAsOf)
+  override lazy val schema: StructType =
+    DeltaTable.read(sqlContext.sparkSession, tablePath, versionAsOf).schema
 
-  override lazy val schema: StructType = snapshotDf.schema
+  /** Filters are used ONLY for stats-based file skipping (min/max in
+    * the log's add actions); declaring them all unhandled makes Spark
+    * re-evaluate every predicate above this scan, so skipping can stay
+    * approximate while results stay exact. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
-    val df = snapshotDf
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val df = DeltaTable.read(sqlContext.sparkSession, tablePath, versionAsOf,
+      filters.toSeq)
     val pruned =
       if (requiredColumns.isEmpty)
         // COUNT(*)-style scan: no columns needed, keep cardinality

@@ -109,6 +109,37 @@ class DeltaSpec extends SparkSpec {
     }
   }
 
+  test("data skipping: range filters prune files by min/max stats") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan, EqualTo, StringStartsWith}
+    val t = freshTable()
+    // 4 range-partitioned files → disjoint id ranges per file
+    DeltaTable.write(
+      spark.range(1000).toDF("id")
+        .withColumn("bucket", $"id" % 10)
+        .repartitionByRange(4, $"id"),
+      t, "overwrite")
+    val snap = graft.sources.DeltaLog.snapshot(t)
+    assert(snap.files.length === 4)
+    assert(snap.files.forall(_.stats.contains("min.id")))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(snap.schemaJson.get).asInstanceOf[org.apache.spark.sql.types.StructType]
+    // a selective range must keep fewer files than the table has
+    val hi = DeltaTable.liveFilesAfterSkipping(snap, Seq(GreaterThan("id", 900L)), schema)
+    assert(hi.length < 4 && hi.nonEmpty, s"expected pruning, kept ${hi.length}")
+    val lo = DeltaTable.liveFilesAfterSkipping(snap, Seq(LessThan("id", 10L)), schema)
+    assert(lo.length === 1)
+    val point = DeltaTable.liveFilesAfterSkipping(snap, Seq(EqualTo("id", 500L)), schema)
+    assert(point.length === 1)
+    // unsupported filter shapes never prune
+    val unk = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(StringStartsWith("id", "5")), schema)
+    assert(unk.length === 4)
+    // end-to-end through the format API: results identical to full scan
+    val full = spark.read.format("graft-delta").load(t)
+      .filter($"id" > 900).count()
+    assert(full === 99)
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
