@@ -90,6 +90,10 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      },
       "built-in")
 }
