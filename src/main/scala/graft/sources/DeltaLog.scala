@@ -99,7 +99,16 @@ object DeltaLog {
 
   /** Atomically commit `actions` as the next version after
     * `readVersion` (-1 for a fresh table). Returns the committed
-    * version. Fails if another writer got there first. */
+    * version. Fails if another writer got there first.
+    *
+    * The commit point is `Files.createLink(target, tmp)`: hard-link
+    * creation is atomic AND fails with FileAlreadyExistsException if
+    * the version exists. A rename (`Files.move` + ATOMIC_MOVE) would
+    * NOT work — Linux rename(2) silently REPLACES an existing target,
+    * so two racing writers could both "win" the same version and one
+    * commit would vanish (observed: 6 racing appends → 4 rows before
+    * this was a link). On HDFS/S3 the equivalent is create-with-
+    * overwrite=false / put-if-absent. */
   def commit(table: String, readVersion: Long, actions: Seq[String]): Long = {
     val next = readVersion + 1
     val dir = logDir(table)
@@ -108,11 +117,12 @@ object DeltaLog {
     try {
       Files.write(tmp, actions.mkString("\n").getBytes(StandardCharsets.UTF_8))
       val target = dir.resolve(V.format(next) + ".json")
-      if (Files.exists(target))
-        throw new IllegalStateException(
-          s"concurrent commit: version $next already exists in $table")
-      // ATOMIC_MOVE onto a fresh name = the commit point.
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"concurrent commit: version $next already exists in $table")
+      }
       next
     } finally {
       try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }

@@ -27,7 +27,15 @@ import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType
   */
 object DeltaTable {
 
-  /** Write `df` to `table` with the given mode ("overwrite"|"append"). */
+  /** Write `df` to `table` with the given mode ("overwrite"|"append").
+    *
+    * Concurrency: optimistic. The data files are staged and moved in
+    * unconditionally (they are invisible until committed); if another
+    * writer claims our target log version first, we re-read the log
+    * and retry the commit — appends always re-apply cleanly
+    * (add-only), overwrites recompute their remove set against the
+    * new latest snapshot. Bounded retries, then surface the conflict.
+    */
   def write(df: DataFrame, table: String, mode: String): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val spark = df.sparkSession
@@ -51,23 +59,76 @@ object DeltaTable {
       DeltaLog.AddFile(name, Files.size(dest), stats)
     }
     deleteRecursively(staging)
-    // 3. atomic log commit
-    val prior =
-      if (DeltaLog.versions(table).isEmpty) None else Some(DeltaLog.snapshot(table))
-    val readVersion = prior.map(_.version).getOrElse(-1L)
-    val removes =
-      if (mode == "overwrite")
-        prior.toSeq.flatMap(_.files).map(f => DeltaLog.removeAction(f.path))
-      else Seq.empty
-    val actions =
-      Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
-        Seq(DeltaLog.metaDataAction(df.schema.json)) ++
-        removes ++
-        added.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
-    val v = DeltaLog.commit(table, readVersion, actions)
+    // 3. atomic log commit, with optimistic retry on version conflicts
+    val maxAttempts = 16
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prior =
+        if (DeltaLog.versions(table).isEmpty) None else Some(DeltaLog.snapshot(table))
+      val readVersion = prior.map(_.version).getOrElse(-1L)
+      val removes =
+        if (mode == "overwrite")
+          prior.toSeq.flatMap(_.files).map(f => DeltaLog.removeAction(f.path))
+        else Seq.empty
+      val actions =
+        Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
+          Seq(DeltaLog.metaDataAction(df.schema.json)) ++
+          removes ++
+          added.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
+      try return DeltaLog.commit(table, readVersion, actions)
+      catch {
+        case _: IllegalStateException if attempt < maxAttempts =>
+          // lost the race — re-read the log and re-derive the commit
+          Thread.sleep(5L * attempt)
+      }
+    }
     // overwrite leaves removed files on disk (old versions still need
-    // them for time travel — same as real Delta until VACUUM)
-    v
+    // them for time travel — same as real Delta until vacuum())
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Garbage-collect data files that no retained version references:
+    * keep the last `keepVersions` versions readable, drop every data
+    * file only older versions need, and erase the pruned log entries
+    * so time travel past the horizon fails loudly instead of reading
+    * missing files. Because log versions are incremental, the horizon
+    * (oldest retained) version is first rewritten as a self-contained
+    * checkpoint — full metaData + every live add with its stats — so
+    * replay no longer needs the dropped prefix (the role Delta's
+    * parquet checkpoints play). Returns the deleted file names. */
+  def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val vs = DeltaLog.versions(table)
+    if (vs.length <= keepVersions) return Seq.empty
+    val keep = vs.takeRight(keepVersions)
+    val referenced = keep.flatMap(v =>
+      DeltaLog.snapshot(table, Some(v)).files.map(_.path)).toSet
+    // 1. checkpoint the horizon version (crash-safe: atomic replace)
+    val horizon = keep.head
+    val hSnap = DeltaLog.snapshot(table, Some(horizon))
+    val checkpoint =
+      Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT")) ++
+        hSnap.schemaJson.map(DeltaLog.metaDataAction) ++
+        hSnap.files.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
+    val logDir = DeltaLog.logDir(table)
+    val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
+    Files.write(tmp, checkpoint.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, logDir.resolve(f"$horizon%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // 2. drop the log prefix (reads past the horizon now fail loudly)
+    vs.dropRight(keepVersions).foreach { v =>
+      Files.deleteIfExists(logDir.resolve(f"$v%020d.json"))
+    }
+    // 3. delete unreferenced data files
+    val tableDir = Paths.get(table)
+    val onDisk = Files.list(tableDir).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.getFileName.toString).toSeq
+    val doomed = onDisk.filterNot(referenced)
+    doomed.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
+    doomed
   }
 
   /** Read the table at the latest (or a past) version, optionally

@@ -140,6 +140,47 @@ class DeltaSpec extends SparkSpec {
     assert(full === 99)
   }
 
+  test("concurrent appends: optimistic retry lands every batch exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable()
+    DeltaTable.write(spark.range(0).toDF("id"), t, "overwrite") // v0
+    val writers = (1 to 4).map { i =>
+      Future { DeltaTable.write(spark.range(i * 100, i * 100 + 10).toDF("id"), t, "append") }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val ids = DeltaTable.read(spark, t).select("id").as[Long].collect().sorted
+    assert(ids.length === 40) // 4 writers × 10 rows, none lost or doubled
+    assert(ids.toSet === (1 to 4).flatMap(i => i * 100 until i * 100 + 10).map(_.toLong).toSet)
+    assert(DeltaTable.latestVersion(t) === 4L) // v0 + 4 serialized commits
+  }
+
+  test("vacuum drops unreferenced files, keeps retained versions readable") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")  // v0: 3 rows
+    DeltaTable.write(employee1, t, "overwrite")   // v1: 1 row (v0 files orphaned)
+    DeltaTable.write(employees3, t, "append")     // v2: 4 rows
+    val dataFilesBefore = new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val deleted = DeltaTable.vacuum(t, keepVersions = 2)
+    assert(deleted.nonEmpty, "expected v0's files to be vacuumed")
+    val dataFilesAfter = new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFilesAfter === dataFilesBefore - deleted.length)
+    // retained versions replay through the checkpoint
+    assert(DeltaTable.read(spark, t).count() === 4)            // v2
+    assert(DeltaTable.read(spark, t, Some(1L)).count() === 1)  // v1 (checkpointed)
+    // pruned history fails loudly, not with missing-file reads
+    val ex = intercept[IllegalArgumentException] {
+      DeltaTable.read(spark, t, Some(0L)).count()
+    }
+    assert(ex.getMessage.contains("version 0 not in"))
+    // table still writable after vacuum
+    DeltaTable.write(employee1, t, "append")
+    assert(DeltaTable.read(spark, t).count() === 5)
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
