@@ -354,8 +354,69 @@ object Relational {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin
 
+  /** q18 — ROLLUP hierarchy totals (segment → nation → grand total):
+    * the multi-level aggregate shape (SURVEY §2.4 listed grouping sets
+    * as available-if-needed; this exercises them). One pass, Spark
+    * expands grouping sets inside the hash aggregate. NULLS FIRST is
+    * pinned explicitly — Spark defaults ASC to nulls-first, DuckDB to
+    * nulls-last, and rollup subtotal rows are NULL-keyed. */
+  val q18Rollup: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .rollup("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("c_nationkey").asc_nulls_first)
+
+  val q18Oracle: String =
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  /** q19 — sliding-frame window aggregate: per-customer running order
+    * total and a 3-row moving average over order history. The frame
+    * (`ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`) is the shape
+    * time-series features at scale are built from; one shuffle on the
+    * partition key. */
+  val q19RunningWindow: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      .withColumn("running_total",
+        sum(col("price")).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("avg3",
+        sum(col("price")).over(byCust.rowsBetween(-2, 0)).cast("double")
+          / count(lit(1)).over(byCust.rowsBetween(-2, 0)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("price").cast("double").as("price"),
+        col("running_total"), col("avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q19Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+      |    / (COUNT(*) OVER w3) AS avg3
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS UNBOUNDED PRECEDING),
+      |       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** All parity queries + oracles, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
+    "q18_rollup" -> q18Rollup,
+    "q19_running_window" -> q19RunningWindow,
     "q01_flagship_left_join" -> q01Flagship,
     "q02_lit_arith" -> q02LitArith,
     "q03_project_expr" -> q03ProjectExpr,
@@ -375,6 +436,8 @@ object Relational {
     "q17_nation_rollup" -> q17NationRollup)
 
   val oracles: Map[String, String] = Map(
+    "q18_rollup" -> q18Oracle,
+    "q19_running_window" -> q19Oracle,
     "q01_flagship_left_join" -> q01Oracle,
     "q02_lit_arith" -> q02Oracle,
     "q03_project_expr" -> q03Oracle,
