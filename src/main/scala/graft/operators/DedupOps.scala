@@ -23,38 +23,74 @@ import graft.operators.TextOps.normText
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Word 3-gram shingle set per document: (doc_id, shingle), distinct.
-    * Guarded so docs with <3 tokens yield no shingles (sequence() with
-    * a negative bound would blow up). */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Word 3-gram shingle set per document as (doc_id, n, shingle)
+    * rows, where `n` = the doc's distinct-shingle count. Carrying `n`
+    * on every row costs ~nothing in parquet (RLE on a repeated value)
+    * and removes two whole groupBy-count + join passes downstream:
+    * Jaccard's |A|/|B| terms and the prefix filter's per-doc window
+    * count both read it straight off the row. Docs with <3 tokens
+    * yield no rows (no complete trigram exists).
+    *
+    * Formulated as posexplode + lead() windows, NOT a
+    * transform(sequence, i -> …) lambda over the token array: Spark
+    * evaluates higher-order functions via CodegenFallback — an
+    * interpreted closure per element — which measured 20 s for sf0.1's
+    * 260k shingles on the single-file scan task. The window version is
+    * whole-stage-codegen'd end to end and runs 32-wide after the
+    * doc_id shuffle: 3.5 s INCLUDING the staging write, same rows. */
+  private def shingles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("t"))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(
-          |  CASE WHEN size(t) >= 3
-          |    THEN transform(sequence(0, size(t)-3),
-          |                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-          |    ELSE array() END)""".stripMargin)).as("shingle"))
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "n", "shingle")
+  }
+
+  /** Shingle relation computed ONCE and staged to temp parquet, then
+    * re-read: q31/q32 consume it 3-5× (frequency, prefix, candidate
+    * join, intersection x/y). Round 1 re-derived the regex-split +
+    * explode pipeline at every use — the dominant CPU of the dedup trio
+    * under bench memory pressure. `.cache()` is NOT the fix (measured:
+    * cached relations lose size stats → worse join strategies,
+    * 43s→70-101s); a parquet round-trip keeps file-level stats so AQE
+    * and join planning see real sizes. Same staged-pipeline shape a
+    * 100 TB run would use (write shingles, then join against them). */
+  private def stagedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft-shingles")
+      .resolve("sh").toString
+    // NOTE: do NOT repartition() the documents scan before shingling —
+    // measured q31 37s → 106s at sf0.1 (same regression as round 1's
+    // repartition-before-the-hash-stages). The narrow single-file scan
+    // is not the bottleneck.
+    shingles(Tables.load(spark, dir, "documents")).write.parquet(t)
+    spark.read.parquet(t)
+  }
 
   /** Exact per-pair Jaccard for the given candidate pairs, via a
     * shingle equi-join (no arrays shipped across the shuffle — only
-    * (doc_id, shingle) rows). */
-  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    * (doc_id, n, shingle) rows). |A| and |B| ride along as max(n) in
+    * the same aggregate — n is functionally dependent on the doc key,
+    * so no separate sizes join is needed. */
+  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sh.as("y"),
         col("doc_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        max(col("x.n")).as("n_a"), max(col("y.n")).as("n_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
-        round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 4)
+        col("n_a"), col("n_b"),
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4)
           .as("jaccard"))
-  }
 
   /** q30 — exact dedup by content hash. The input is documents with
     * every even-doc_id row duplicated (so the operator has real work);
@@ -102,13 +138,12 @@ object DedupOps {
   val q31NgramJaccard: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.5
-    val sh = shingles(Tables.load(spark, dir, "documents"))
+    val sh = stagedShingles(spark, dir)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
     val prefix = sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <= col("n") - ceil(col("n") * tau) + 1)
       .select("doc_id", "shingle")
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -156,15 +191,19 @@ object DedupOps {
     * replays the *identical* deterministic LSH in DuckDB, so this is a
     * full hash-equality check, not a probabilistic one. */
   val q32MinHashLsh: Q = (spark, dir) => {
-    val sh = shingles(Tables.load(spark, dir, "documents"))
-    // 12 seeds per shingle → min per (doc, seed): the minhash signature.
+    val sh = stagedShingles(spark, dir)
+    // 12 seeds per shingle → min per (doc, seed): the minhash
+    // signature. Seed fan-out is a plain explode(sequence) followed by
+    // codegen'd md5/concat — NOT a transform(…) lambda, which would be
+    // an interpreted closure per (shingle × seed) (CodegenFallback;
+    // 3.1M evals at sf0.1 — the bulk of round 1's q32 time).
     val mh = sh
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 11),
-          |  s -> named_struct('s', s, 'h', md5(concat(cast(s AS string), ':', shingle))))"""
-          .stripMargin)).as("x"))
-      .groupBy(col("doc_id"), col("x.s").as("seed"))
-      .agg(min(col("x.h")).as("mh"))
+      .select(col("doc_id"), col("shingle"),
+        explode(expr("sequence(0, 11)")).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("h")).as("mh"))
     // 4 bands of 3 rows; band hash = md5 of the 3 minhashes in seed order.
     val bands = mh
       .groupBy(col("doc_id"), expr("seed div 3").as("band"))
@@ -221,33 +260,38 @@ object DedupOps {
     * per-bit sum of ±1 token-hash bits), candidates via the pigeonhole
     * trick — hamming <= 3 implies >= 1 of 4 15-bit chunks equal — then
     * exact hamming filter. Chunk-equality join keys scale like LSH
-    * bands; no all-pairs pass. */
+    * bands; no all-pairs pass.
+    *
+    * Fingerprint stage: ONE groupBy(doc_id) carrying 60 conditional-sum
+    * columns (+ a count). The round-1 shape exploded every token into
+    * 60 (doc, bit, ±1) rows and shuffled them — a 60× row blowup on the
+    * biggest intermediate in the repo (586 s of the driver bench). Here
+    * the shuffle moves one 61-column partial-agg state per (doc ×
+    * map-partition): per-bit vote v = 2·popcount_j − n, so bit j is set
+    * iff 2·sum((h>>j)&1) > n. The oracle keeps the ±1-vote formulation
+    * — algebraically identical. */
   val q33SimHash: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"), tokenHash(col("tok")).as("h"))
-    // per-(doc, bit) vote: +1 if bit set else -1, summed over tokens
-    val votes = toks
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 59),
-          |  j -> named_struct('j', j,
-          |        'v', CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))"""
-          .stripMargin)).as("x"))
-      .groupBy(col("doc_id"), col("x.j").as("j"))
-      .agg(sum(col("x.v")).as("v"))
-    val fp = votes
+    val bitSums = (0 until 60).map(j =>
+      sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
+    val aggs = count(lit(1)).as("n") +: bitSums
+    val fp = toks
       .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(cast(1 AS bigint), j) ELSE 0 END"))
-        .as("simhash"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j))
+            .otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val chunks = fp.select(col("doc_id"), col("simhash"),
-      explode(expr(
-        """transform(sequence(0, 3),
-          |  k -> named_struct('k', k, 'c', (simhash >> (k * 15)) & 32767))"""
-          .stripMargin)).as("x"))
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("c", expr("(simhash >> (k * 15)) & 32767"))
     val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.x.k") === col("b.x.k") && col("a.x.c") === col("b.x.c") &&
+        col("a.k") === col("b.k") && col("a.c") === col("b.c") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
         col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))

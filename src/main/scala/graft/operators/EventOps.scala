@@ -77,8 +77,8 @@ object EventOps {
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
-      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq, COUNT(*) AS n_events,
       |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,

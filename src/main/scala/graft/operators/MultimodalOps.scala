@@ -114,7 +114,7 @@ object MultimodalOps {
 
   val q72Oracle: String =
     """SELECT lang, COUNT(*) AS n_items,
-      |  SUM(octet_length(encode(text))) AS total_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  MAX(octet_length(encode(text))) AS max_bytes
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -124,7 +124,7 @@ object StorageOps {
 
   val q64Oracle: String =
     """SELECT c_mktsegment,
-      |  COUNT(*) + SUM(CASE WHEN c_custkey <= 10 THEN 1 ELSE 0 END) AS n_latest,
+      |  CAST(COUNT(*) + SUM(CASE WHEN c_custkey <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_latest,
       |  COUNT(*) AS n_v0
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 

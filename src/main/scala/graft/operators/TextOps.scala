@@ -43,7 +43,7 @@ object TextOps {
       .orderBy("lang")
 
   val q20Oracle: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  ROUND(AVG(n_chars), 2) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -41,9 +41,26 @@ def main(sf_dir, out_dir):
         exp = con.sql(oracle[name])
         exp_cols = sorted(exp.columns)
         exp_rows = exp.fetchall()
+        # Compare logical types too: Python fetchall() collapses DuckDB
+        # HUGEINT to int, masking Spark-BIGINT-vs-oracle-HUGEINT hash
+        # mismatches the driver WILL flag (bit us in round 1: q20/q51/
+        # q64/q72). Keyed by column name, same sort the driver uses.
+        # ≤64-bit ints are equivalent (q21's Spark INT32 vs DuckDB
+        # BIGINT hash-matched in round 1); HUGEINT is NOT — it arrives
+        # as Decimal on the arrow path and breaks the value hash.
+        def nt(t):
+            s = str(t)
+            return "int" if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                                  "UTINYINT", "USMALLINT", "UINTEGER") else s
+        got_types = {c: nt(t) for c, t in zip(got.columns, got.types)}
+        exp_types = {c: nt(t) for c, t in zip(exp.columns, exp.types)}
         status, detail = "PASS", ""
         if got_cols != exp_cols:
             status, detail = "FAIL", f"cols got={got_cols} exp={exp_cols}"
+        elif got_types != exp_types:
+            mism = {c: (got_types.get(c), exp_types.get(c))
+                    for c in got_cols if got_types.get(c) != exp_types.get(c)}
+            status, detail = "FAIL", f"types differ (got, exp): {mism}"
         elif len(got_rows) != len(exp_rows):
             status, detail = "FAIL", f"rowcount got={len(got_rows)} exp={len(exp_rows)}"
         else:
