@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * results or oracle comparisons — bit-for-bit.
   *
   * Null semantics: null if either array is null (BinaryExpression
-  * default); mismatched / empty vectors yield NaN via 0-division,
+  * default) OR if any compared element is null (matching the built-in
+  * zip_with/aggregate fold, which goes null — not 0.0 — on a null
+  * element); mismatched / empty vectors yield NaN via 0-division,
   * matching the built-in fold on empty arrays.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -43,6 +45,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  /** Beyond the input columns being null, a null ELEMENT also nulls
+    * the result — so the expression is nullable whenever either array
+    * type admits null elements. Without this, codegen would emit
+    * `ev.isNull` as a constant false and the element-null branch could
+    * not compile. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      Seq(left, right).exists(_.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => false
+      })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -50,6 +64,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null element nulls the whole result — matching the built-in
+      // zip_with/aggregate formulation (whose fold goes null) instead
+      // of silently reading 0.0f from the null slot
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -67,15 +85,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; break; }
          |  double $xi = (double) $x.getFloat($i);
          |  double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -128,8 +128,31 @@ object StorageOps {
       |  COUNT(*) AS n_v0
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q65 — the reference's literal `format("delta")` spelling
+    * (examples/example_lakesail_kerberos.py:166-184) through the
+    * registered short-name alias: overwrite, append, read back. */
+  val q65DeltaShortName: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-name")
+    n.write.format("delta").mode("overwrite").save(t)
+    n.filter(col("n_regionkey") === 0)
+      .write.format("delta").mode("append").save(t)
+    spark.read.format("delta").load(t)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("n_name")).as("n_names"))
+      .orderBy("n_regionkey")
+  }
+
+  val q65Oracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT n_name) AS n_names
+      |FROM (SELECT * FROM nation
+      |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q64_delta_format_api" -> q64DeltaFormatApi,
+    "q65_delta_short_name" -> q65DeltaShortName,
     "q60_delta_roundtrip" -> q60DeltaRoundtrip,
     "q61_delta_timetravel" -> q61DeltaTimeTravel,
     "q62_partitioned_write" -> q62PartitionedWrite,
@@ -137,6 +160,7 @@ object StorageOps {
 
   val oracles: Map[String, String] = Map(
     "q64_delta_format_api" -> q64Oracle,
+    "q65_delta_short_name" -> q65Oracle,
     "q60_delta_roundtrip" -> q60Oracle,
     "q61_delta_timetravel" -> q61Oracle,
     "q62_partitioned_write" -> q62Oracle,

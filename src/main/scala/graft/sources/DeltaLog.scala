@@ -62,7 +62,14 @@ object DeltaLog {
   def versions(table: String): Seq[Long] = {
     val d = logDir(table)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator.asScala.flatMap(versionOf).toSeq.sorted
+    else {
+      // Files.list holds a directory fd until closed; versions() runs
+      // multiple times per commit, so leaking it until GC can exhaust
+      // fds on a long-lived driver.
+      val s = Files.list(d)
+      try s.iterator.asScala.flatMap(versionOf).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Replay the log up to `versionAsOf` (inclusive; latest if None):
@@ -201,10 +208,17 @@ object DeltaLog {
       out.result()
     }
 
+    /** Index of the string's closing quote. Scans forward consuming
+      * escape pairs, so a value ending in an escaped backslash (…\\")
+      * terminates correctly — the old look-behind check miscounted
+      * any quote preceded by a backslash as escaped, even when that
+      * backslash was itself escaped, and stats min/max are user data
+      * that can legally end in '\'. */
     private def unescapedEnd(s: String, from: Int): Int = {
       var i = from
-      while (i < s.length && (s(i) != '"' || s(i - 1) == '\\')) i += 1
-      i
+      while (i < s.length && s(i) != '"')
+        i += (if (s(i) == '\\') 2 else 1)
+      math.min(i, s.length)
     }
 
     private def unescape(s: String): String = {

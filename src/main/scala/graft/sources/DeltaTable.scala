@@ -36,7 +36,8 @@ object DeltaTable {
     * (add-only), overwrites recompute their remove set against the
     * new latest snapshot. Bounded retries, then surface the conflict.
     */
-  def write(df: DataFrame, table: String, mode: String): Long = {
+  def write(df: DataFrame, table: String, mode: String,
+      mergeSchema: Boolean = false): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val spark = df.sparkSession
     val tableDir = Paths.get(table)
@@ -49,8 +50,11 @@ object DeltaTable {
     // per-file min/max stats (Delta-paper data skipping): ONE job over
     // the staged files, grouped by physical file — not a per-file pass
     val statsByFile = collectStats(spark, staging.toString, df.schema)
-    val staged = Files.list(staging).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val stagedStream = Files.list(staging)
+    val staged =
+      try stagedStream.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      finally stagedStream.close()
     val added = staged.zipWithIndex.map { case (p, i) =>
       val name = f"part-$i%05d-$commitTag.parquet"
       val dest = tableDir.resolve(name)
@@ -71,9 +75,27 @@ object DeltaTable {
         if (mode == "overwrite")
           prior.toSeq.flatMap(_.files).map(f => DeltaLog.removeAction(f.path))
         else Seq.empty
+      // Schema enforcement (README.md:302's "schema evolution" claim,
+      // done safely): an append whose schema differs from the table's
+      // current metaData is REJECTED loudly unless mergeSchema, in
+      // which case compatible fields must type-match and new fields
+      // are appended (additive evolution; old files read the added
+      // columns as null). Round 1 committed the incoming schema
+      // unconditionally — a mismatched append silently reinterpreted
+      // old files. Checked inside the retry loop: the table schema can
+      // change under us between attempts. Overwrite replaces the
+      // schema outright (it replaces the data too).
+      val tableSchema =
+        if (mode == "overwrite") df.schema
+        else prior.flatMap(_.schemaJson) match {
+          case None => df.schema
+          case Some(j) =>
+            val old = DataType.fromJson(j).asInstanceOf[StructType]
+            resolveAppendSchema(old, df.schema, mergeSchema, table)
+        }
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
-          Seq(DeltaLog.metaDataAction(df.schema.json)) ++
+          Seq(DeltaLog.metaDataAction(tableSchema.json)) ++
           removes ++
           added.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
       try return DeltaLog.commit(table, readVersion, actions)
@@ -86,6 +108,35 @@ object DeltaTable {
     // overwrite leaves removed files on disk (old versions still need
     // them for time travel — same as real Delta until vacuum())
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Append-time schema resolution. Same fields (by name+type, order
+    * and nullability insensitive — parquet reads by name) → keep the
+    * table's canonical schema. Otherwise: without mergeSchema, fail
+    * loudly; with it, verify every shared field type-matches and
+    * append the new fields (nullable — existing files lack them). A
+    * shared field with a different type always fails: silently casting
+    * data at read time is how tables rot. */
+  private[graft] def resolveAppendSchema(old: StructType, incoming: StructType,
+      mergeSchema: Boolean, table: String): StructType = {
+    val oldByName = old.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = incoming.fields.filter(f =>
+      oldByName.get(f.name).exists(_ != f.dataType))
+    if (conflicts.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft-delta append to $table: incompatible types for " +
+          conflicts.map(f =>
+            s"${f.name} (table: ${oldByName(f.name).simpleString}, " +
+              s"append: ${f.dataType.simpleString})").mkString(", "))
+    val newFields = incoming.fields.filterNot(f => oldByName.contains(f.name))
+    val sameFieldSet = newFields.isEmpty && incoming.fields.length == old.fields.length
+    if (sameFieldSet) old
+    else if (!mergeSchema)
+      throw new IllegalArgumentException(
+        s"graft-delta append to $table: schema mismatch " +
+          s"(table: ${old.simpleString}, append: ${incoming.simpleString}); " +
+          "set option mergeSchema=true for additive evolution")
+    else StructType(old.fields ++ newFields.map(_.copy(nullable = true)))
   }
 
   /** Garbage-collect data files that no retained version references:
@@ -104,14 +155,32 @@ object DeltaTable {
     val keep = vs.takeRight(keepVersions)
     val referenced = keep.flatMap(v =>
       DeltaLog.snapshot(table, Some(v)).files.map(_.path)).toSet
-    // 1. checkpoint the horizon version (crash-safe: atomic replace)
+    // 1. checkpoint the horizon version (crash-safe: atomic replace).
+    // The checkpoint must be SELF-DEFENDING: if we die after this step
+    // but before step 2 deletes the log prefix, replay walks surviving
+    // prefix versions THEN this checkpoint — an add-only checkpoint
+    // would resurrect files the horizon had already removed (prefix
+    // adds A, checkpoint only adds B ⇒ snapshot {A,B}: stale rows).
+    // So it also carries an explicit remove for every file the pruned
+    // prefix ever added that is not live at the horizon.
     val horizon = keep.head
     val hSnap = DeltaLog.snapshot(table, Some(horizon))
+    val logDir = DeltaLog.logDir(table)
+    val hLive = hSnap.files.map(_.path).toSet
+    val prunedAdds = vs.dropRight(keepVersions).flatMap { v =>
+      Files.readAllLines(logDir.resolve(f"$v%020d.json"),
+          java.nio.charset.StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty)
+        .flatMap(line => DeltaLog.Json.parse(line) match {
+          case ("add", fields) => fields.get("path")
+          case _ => None
+        })
+    }.toSet
     val checkpoint =
       Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT")) ++
         hSnap.schemaJson.map(DeltaLog.metaDataAction) ++
+        (prunedAdds -- hLive).toSeq.sorted.map(DeltaLog.removeAction) ++
         hSnap.files.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
-    val logDir = DeltaLog.logDir(table)
     val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
     Files.write(tmp, checkpoint.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -123,9 +192,12 @@ object DeltaTable {
     }
     // 3. delete unreferenced data files
     val tableDir = Paths.get(table)
-    val onDisk = Files.list(tableDir).iterator.asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.getFileName.toString).toSeq
+    val onDiskStream = Files.list(tableDir)
+    val onDisk =
+      try onDiskStream.iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.getFileName.toString).toSeq
+      finally onDiskStream.close()
     val doomed = onDisk.filterNot(referenced)
     doomed.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
     doomed
@@ -171,7 +243,11 @@ object DeltaTable {
       try spark.read.parquet(staging)
         .groupBy(input_file_name().as("_file"))
         .agg(aggs.head, aggs.tail: _*).collect()
-      catch { case _: Throwable => return Map.empty } // stats are best-effort
+      catch { // stats are best-effort, but only for ANALYSIS failures
+        // (e.g. a column type min/max can't handle); don't swallow
+        // fatal errors or interrupts that signal a real problem.
+        case scala.util.control.NonFatal(_) => return Map.empty
+      }
     rows.map { r =>
       val file = r.getString(0).split('/').last
       val kv = (1 until r.length).flatMap { i =>
@@ -194,10 +270,17 @@ object DeltaTable {
 
   /** Ordering on stringified stats. Numeric columns were stringified
     * with toString (shortest round-trip), so BigDecimal parses recover
-    * exact ordering; string columns compare lexicographically — the
-    * column's declared type decides which, never the value's shape. */
+    * exact ordering; string columns compare by UTF-8 BYTES — Spark's
+    * min/max on strings uses UTF8String's binary order, and
+    * String.compareTo (UTF-16 code units) disagrees with it for
+    * supplementary-plane characters (emoji, CJK extensions), which
+    * would make skipping wrongly prune files. The column's declared
+    * type decides which comparison, never the value's shape. */
   private def cmp(a: String, b: String, isNumeric: Boolean): Option[Int] =
-    if (!isNumeric) Some(a.compareTo(b))
+    if (!isNumeric)
+      Some(java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     else
       try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
       catch { case _: NumberFormatException => None } // NaN/Inf ⇒ unknown
@@ -221,6 +304,9 @@ object DeltaTable {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
 }

@@ -181,6 +181,106 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 5)
   }
 
+  test("append with mismatched schema is rejected loudly") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    // extra column, no mergeSchema → reject
+    val extra = Seq((5, "Eve", 90000L, "2024-01-19", "NL"))
+      .toDF("id", "name", "salary", "date", "country")
+    val ex = intercept[IllegalArgumentException] {
+      DeltaTable.write(extra, t, "append")
+    }
+    assert(ex.getMessage.contains("schema mismatch"))
+    // incompatible type for a shared column → always rejected
+    val wrongType = Seq((6, "Frank", "not-a-number", "2024-01-20"))
+      .toDF("id", "name", "salary", "date")
+    val ex2 = intercept[IllegalArgumentException] {
+      DeltaTable.write(wrongType, t, "append", mergeSchema = true)
+    }
+    assert(ex2.getMessage.contains("incompatible types"))
+    assert(DeltaTable.read(spark, t).count() === 3) // table unharmed
+  }
+
+  test("mergeSchema append evolves additively; old rows read null") {
+    val t = freshTable()
+    employees3.write.format("graft-delta").mode("overwrite").save(t)
+    val extra = Seq((5, "Eve", 90000L, "2024-01-19", "NL"))
+      .toDF("id", "name", "salary", "date", "country")
+    extra.write.format("graft-delta").mode("append")
+      .option("mergeSchema", "true").save(t)
+    val df = spark.read.format("graft-delta").load(t)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("id", "name", "salary", "date", "country"))
+    assert(df.count() === 4)
+    assert(df.filter($"country".isNull).count() === 3)
+    assert(df.filter($"country" === "NL").select("id").as[Int].head() === 5)
+    // appending the OLD shape (missing the new column) still works
+    // under mergeSchema: the merged schema is unchanged, rows read null
+    DeltaTable.write(employee1, t, "append", mergeSchema = true)
+    assert(spark.read.format("graft-delta").load(t)
+      .filter($"country".isNull).count() === 4)
+  }
+
+  test("vacuum checkpoint self-defends against a surviving log prefix") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite") // v0: 3 rows
+    DeltaTable.write(employee1, t, "overwrite")  // v1: 1 row, removes v0 files
+    val v0File = java.nio.file.Paths.get(t, "_delta_log",
+      "%020d.json".format(0L))
+    val v0Content = Files.readAllBytes(v0File)
+    assert(DeltaTable.vacuum(t, keepVersions = 1).nonEmpty)
+    // simulate a crash between checkpoint write and prefix delete:
+    // the pruned v0 survives and gets replayed BEFORE the checkpoint
+    Files.write(v0File, v0Content)
+    val snap = DeltaLog.snapshot(t)
+    // v0's adds must NOT resurrect — the checkpoint carries removes
+    assert(snap.files.length === 1)
+    assert(DeltaTable.read(spark, t).count() === 1)
+  }
+
+  test("format(\"delta\") short-name alias works verbatim") {
+    val t = freshTable()
+    employees3.write.format("delta").mode("overwrite").save(t)
+    employee1.write.format("delta").mode("append").save(t)
+    assert(spark.read.format("delta").load(t).count() === 4)
+    assert(spark.read.format("delta").option("versionAsOf", "0")
+      .load(t).count() === 3)
+  }
+
+  test("stats JSON survives values with trailing backslashes and quotes") {
+    val t = freshTable()
+    val tricky = Seq(
+      (1, "ends-in-backslash\\"),
+      (2, "quote\"inside"),
+      (3, "back\\slash\"quote\\"),
+    ).toDF("id", "label")
+    DeltaTable.write(tricky, t, "overwrite")
+    val snap = DeltaLog.snapshot(t)
+    // every stats map must have parsed back cleanly (n + min/max pairs)
+    assert(snap.files.forall(_.stats.get("n").exists(_.toLong > 0)))
+    val byFilter = spark.read.format("graft-delta").load(t)
+      .filter($"label" === "ends-in-backslash\\")
+    assert(byFilter.count() === 1)
+    assert(spark.read.format("graft-delta").load(t).count() === 3)
+  }
+
+  test("graft-delta read plans as a vectorized parquet FileSourceScanExec") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    employees3.write.format("graft-delta").mode("overwrite").save(t)
+    val df = spark.read.format("graft-delta").load(t).filter($"id" > 1)
+    // AQE wraps shuffling plans; this one is scan+filter, but use
+    // sparkPlan (pre-AQE) as the stable place to find the scan node
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }
+    assert(scan.isDefined, s"no FileSourceScanExec in:\n${df.queryExecution.sparkPlan}")
+    assert(scan.get.supportsColumnar, "parquet scan should be columnar")
+    val pushed = scan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(id,1)"), s"filter not pushed: $pushed")
+    assert(df.count() === 2)
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
