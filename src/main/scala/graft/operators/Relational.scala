@@ -413,8 +413,63 @@ object Relational {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q90 — range source (S4): `spark.range(n)` + arithmetic + agg, the
+    * shape of verify_sail_connection.py:46 / verify_complete_setup.py:
+    * 201-212. The driver-side oracle proves the generated sequence and
+    * its fold, not just a row count. */
+  val q90RangeSource: Q = (spark, dir) =>
+    spark.range(1, 1001)
+      .select(col("id"), (col("id") % 7).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("total"))
+      .orderBy("bucket")
+
+  val q90Oracle: String =
+    """SELECT id % 7 AS bucket, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS total
+      |FROM (SELECT UNNEST(range(1, 1001)) AS id)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q91 — in-memory source (S3): createDataFrame/toDF from local rows
+    * (verify_complete_setup.py:201's spark.createDataFrame shape),
+    * then a filter+projection so the oracle checks values, not just
+    * arrival. */
+  val q91InMemorySource: Q = (spark, dir) => {
+    import spark.implicits._
+    Seq((1, "alpha", 10.5), (2, "beta", 20.25), (3, "gamma", 30.75),
+      (4, "delta", 40.0))
+      .toDF("k", "name", "score")
+      .filter(col("k") >= 2)
+      .select(col("k"), upper(col("name")).as("name_uc"),
+        (col("score") * 2).as("doubled"))
+      .orderBy("k")
+  }
+
+  val q91Oracle: String =
+    """SELECT k, UPPER(name) AS name_uc, CAST(score AS DOUBLE) * 2 AS doubled
+      |FROM (VALUES (1, 'alpha', 10.5), (2, 'beta', 20.25),
+      |             (3, 'gamma', 30.75), (4, 'delta', 40.0)) t(k, name, score)
+      |WHERE k >= 2 ORDER BY k""".stripMargin
+
+  /** q92 — the reference's literal PERCENTILE_APPROX call
+    * (examples/example_lakesail_kerberos.py:223). Approximate by
+    * design (GK sketch, merge-order sensitive) → no SQL-equality
+    * oracle; the driver records rows-only and RelationalSpec bounds it
+    * against the exact percentile. q11 keeps the exact-PERCENTILE
+    * variant for hash equality. */
+  val q92PercentileApprox: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  PERCENTILE_APPROX(c_acctbal, 0.5) AS approx_median,
+        |  PERCENTILE_APPROX(c_acctbal, 0.95) AS approx_p95
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** All parity queries + oracles, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
+    "q90_range_source" -> q90RangeSource,
+    "q91_inmem_source" -> q91InMemorySource,
+    "q92_percentile_approx" -> q92PercentileApprox,
     "q18_rollup" -> q18Rollup,
     "q19_running_window" -> q19RunningWindow,
     "q01_flagship_left_join" -> q01Flagship,
@@ -436,6 +491,9 @@ object Relational {
     "q17_nation_rollup" -> q17NationRollup)
 
   val oracles: Map[String, String] = Map(
+    "q90_range_source" -> q90Oracle,
+    "q91_inmem_source" -> q91Oracle,
+    // q92 deliberately absent: approximate op, bounded in RelationalSpec
     "q18_rollup" -> q18Oracle,
     "q19_running_window" -> q19Oracle,
     "q01_flagship_left_join" -> q01Oracle,

@@ -101,26 +101,77 @@ object SimilarityOps {
       |WHERE ROUND(dot / (na * nb), 4) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** q42 — IVF-style ANN: cells = the `label` column (stand-in for a
-    * k-means assignment); per-cell centroids; each query probes its 5
-    * nearest cells and searches only those (the synthetic embeddings
+  /** DataFrame-native k-means over an embedding column (Lloyd
+    * iterations), the index builder behind q42/q43. Deterministic:
+    * seeds = the k lowest vec_ids' vectors; assignment ties break by
+    * cell id. Each iteration is two hash-agg passes over the corpus —
+    * a broadcast-centroid argmax (no shuffle of vectors beyond the
+    * posexplode partial states) and an element-wise mean. Centroids
+    * (k × dim doubles) are collected driver-side between iterations —
+    * bounded by k, never by data, so the loop is cluster-legal.
+    *
+    * Returns (assign: (vec_id, cell), centroids: (cell, centroid)). */
+  private[graft] def kmeans(e: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    var centroids: Seq[(Int, Array[Float])] = e.orderBy("vec_id").limit(k)
+      .select("embedding").as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    var assign: DataFrame = null
+    for (it <- 1 to iters) {
+      val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+      assign = e
+        .crossJoin(broadcast(centDf))
+        .select(col("vec_id"),
+          struct(cosine("embedding", "centroid").as("sim"),
+            col("cell").as("cell")).as("sc"))
+        .groupBy("vec_id").agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), col("best.cell").as("cell"))
+      if (it < iters) {
+        // element-wise mean per cell; empty cells keep their centroid
+        val updated = assign.join(e, "vec_id")
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+          .select(col("cell"),
+            expr("transform(ps, x -> cast(x.m AS float))").as("centroid"))
+          .as[(Int, Array[Float])].collect().toMap
+        centroids = centroids.map { case (c, old) =>
+          (c, updated.getOrElse(c, old)) }
+      }
+    }
+    val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+    (assign, centDf)
+  }
+
+  private val IvfK = 16
+  private val IvfIters = 3
+
+  /** Multi-probe width for q43. 4 probes of 16 cells recovers every
+    * exact near-dup pair on both the clustered fixture AND the
+    * quasi-uniform driver data (the adversarial case — at 3 probes one
+    * sf0.01 pair's probe sets were disjoint). Clustered corpora need
+    * fewer; the knob trades duplication factor for recall. */
+  private val NearDupProbes = 4
+
+  /** q42 — IVF ANN: cells = k-means(16, 3 Lloyd iterations) built with
+    * [[kmeans]]; per-cell centroids; each query probes its 5 nearest
+    * cells and searches only those (the synthetic driver embeddings
     * are quasi-uniform in 64-dim, where distance concentration caps any
-    * ANN index's pruning power — real clustered corpora probe fewer).
-    * Not SQL-oracled (the centroid averaging fold is engine-internal) —
+    * ANN index's pruning power — clustered corpora do far better, see
+    * the >=0.8 recall bound on the clustered fixture in SimilaritySpec).
+    * Not SQL-oracled (the k-means fold is engine-internal) —
     * correctness is the recall-vs-brute-force bound asserted in
     * SimilaritySpec; the driver records a rows-only check. */
   val q42AnnIvf: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    // centroid per cell: element-wise mean via posexplode + re-assemble
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("label").as("cell"),
-        expr("transform(ps, x -> cast(x.m AS float))").as("centroid"))
+    val (assign, cent) = kmeans(e, IvfK, IvfIters)
+    val corpus = e.join(assign, "vec_id")
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // probe: 5 nearest cells per query by centroid cosine
@@ -135,7 +186,7 @@ object SimilarityOps {
     // search only the probed cells
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    probed.join(e, probed("cell") === e("label") &&
+    probed.join(corpus, probed("cell") === corpus("cell") &&
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine("qv", "embedding"), 4).as("cosine"))
@@ -144,13 +195,50 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q43 — cell-bucketed cosine near-dup: the PRODUCTION path for q41's
+    * semantics. Every vector is assigned to its top-3 nearest k-means
+    * cells (multi-probe); candidate pairs must share a cell; exact
+    * cosine >= 0.45 filters candidates. The shuffle joins on cell ids
+    * — O(sum of cell sizes squared) work instead of q41's O(n^2)
+    * triangular join, the standard trade at billion-vector scale
+    * (near-dup pairs are close, so they land in overlapping probe
+    * sets). SimilaritySpec asserts output EQUALITY with exact q41 on
+    * the fixtures; driver records a rows-only check (no SQL oracle —
+    * k-means is engine-internal). */
+  val q43CellNearDup: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val (_, cent) = kmeans(e, IvfK, IvfIters)
+    val wCells = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cell"))
+    val buckets = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine("embedding", "centroid").as("sim"))
+      .withColumn("r", row_number().over(wCells))
+      .filter(col("r") <= NearDupProbes)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val a = buckets.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("cell"))
+    val b = buckets.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("cell"))
+    a.join(b, a("cell") === b("cell") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine("va", "vb"), 4).as("cosine"))
+      .distinct() // a pair can share up to 3 cells
+      .filter(col("cosine") >= 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_ann_bruteforce" -> q40AnnBruteForce,
     "q41_embed_neardup" -> q41EmbedNearDup,
-    "q42_ann_ivf" -> q42AnnIvf)
+    "q42_ann_ivf" -> q42AnnIvf,
+    "q43_cell_neardup" -> q43CellNearDup)
 
-  /** q42 is deliberately absent: approximate op, verified by recall
-    * bound in SimilaritySpec instead of SQL equality. */
+  /** q42/q43 are deliberately absent: approximate/index-backed ops,
+    * verified by recall + equality-vs-exact bounds in SimilaritySpec
+    * instead of SQL equality. */
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q41_embed_neardup" -> q41Oracle)

@@ -89,6 +89,31 @@ class RelationalSpec extends SparkSpec {
     assert(depts.map(_.getString(0)).toSet === Set("Engineering"))
   }
 
+  test("percentile_approx tracks the exact percentile (q92 bound)") {
+    // The approx sketch must land within the data's spread of the
+    // exact percentile — the operator is wired correctly if so (the
+    // reference uses PERCENTILE_APPROX(salary, 0.5),
+    // examples/example_lakesail_kerberos.py:223).
+    Tables.registerAll(spark, sf)
+    val rows = spark.sql(
+      """SELECT c_mktsegment,
+        |  PERCENTILE_APPROX(c_acctbal, 0.5) AS approx,
+        |  PERCENTILE(c_acctbal, 0.5) AS exact,
+        |  STDDEV(c_acctbal) AS sd, COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact, sd) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(approx - exact) <= sd,
+        s"${r.getString(0)}: approx=$approx exact=$exact sd=$sd")
+    }
+    // default accuracy on small groups is in fact exact-or-adjacent:
+    // approx must be an actual data value
+    val vals = Tables.load(spark, sf, "customer")
+      .select("c_acctbal").collect().map(_.getDouble(0)).toSet
+    rows.foreach(r => assert(vals.contains(r.getDouble(1))))
+  }
+
   test("left join NOT rewritten to inner despite COUNT over right column") {
     val joined = employees.as("e")
       .join(transactions.as("t"), $"e.id" === $"t.employee_id", "left_outer")

@@ -51,6 +51,45 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  /** Deterministic clustered corpus: 8 well-separated gaussian
+    * clusters × 40 vectors in 64-dim — the regime ANN indexes are for
+    * (the driver's quasi-uniform fixture is the adversarial case). */
+  private lazy val clusteredDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+    val rnd = new scala.util.Random(7)
+    val dims = 64; val kC = 8; val perC = 40
+    val centers = Array.fill(kC, dims)(rnd.nextGaussian().toFloat)
+    val rows = for (c <- 0 until kC; i <- 0 until perC) yield {
+      val v = centers(c).zipWithIndex.map { case (x, _) =>
+        x + 0.25f * rnd.nextGaussian().toFloat }
+      ((c * perC + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("IVF on clustered data recovers brute-force top-10 (recall >= 0.8)") {
+    val brute = SimilarityOps.q40AnnBruteForce(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.q42AnnIvf(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall on clustered corpus too low: $recall")
+  }
+
+  test("cell-bucketed near-dup (q43) == exact all-pairs near-dup (q41)") {
+    for (dir <- Seq(sf, clusteredDir)) {
+      val exact = SimilarityOps.q41EmbedNearDup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val bucketed = SimilarityOps.q43CellNearDup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(bucketed === exact,
+        s"dir=$dir: bucketed-only=${(bucketed -- exact).take(5)} " +
+          s"missed=${(exact -- bucketed).take(5)}")
+    }
+  }
+
   test("native codegen cosine == built-in higher-order formulation, bit-for-bit") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sf, "embeddings").limit(50)
