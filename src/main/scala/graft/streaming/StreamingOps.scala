@@ -72,6 +72,47 @@ object StreamingOps {
       }
   }
 
+  /** End-to-end filesystem pipeline, stateless: watch `srcDir` for
+    * parquet event files, filter + enrich, append to a parquet sink
+    * with a checkpoint. This is the exact production shape for
+    * continuous ingest into a training-data lake: the checkpoint makes
+    * delivery exactly-once across restarts (file source tracks
+    * processed files; file sink commits atomically via its log), and
+    * every transform is the same codegen'd expression a batch run
+    * would use. */
+  def fileEnrichPipeline(spark: SparkSession, srcDir: String,
+      outDir: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col("value") > 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        when(col("value") >= 5, "high").otherwise("low").as("value_band"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** End-to-end filesystem pipeline, stateful: the hourly rollup over
+    * a parquet file source, appended to a parquet sink. Append mode +
+    * watermark means a window's row is emitted exactly once, when the
+    * watermark passes its end — the contract a downstream consumer of
+    * finalized hourly partitions relies on. */
+  def fileRollupPipeline(spark: SparkSession, srcDir: String,
+      outDir: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    hourlyRollup(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Convenience: run `hourlyRollup` over a bounded events DataFrame
     * through an in-memory sink and return the completed result — used
     * by tests to prove batch/stream agreement on the same input. */

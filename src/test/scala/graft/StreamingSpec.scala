@@ -33,6 +33,55 @@ class StreamingSpec extends SparkSpec {
     assert(out((h11, "click")) === ((2L, 10.5)))
   }
 
+  test("file source -> file sink e2e: exactly-once across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-e2e")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def drop(id: Long, value: Double): Unit =
+      Seq(Event(id, ts("2024-01-01 10:00:00"), 1, "click", value))
+        .toDF().write.mode("append").parquet(src)
+    drop(0, 1.0); drop(1, -3.0) // -3.0 must be filtered out
+    val q1 = StreamingOps.fileEnrichPipeline(spark, src, out, ckpt)
+    q1.processAllAvailable()
+    drop(2, 9.0)
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = spark.read.parquet(out)
+    assert(afterFirst.count() === 2) // id 0 + id 2; id 1 filtered
+    assert(afterFirst.filter($"value_band" === "high").count() === 1)
+    // restart from the same checkpoint: only NEW files are processed
+    drop(3, 2.0)
+    val q2 = StreamingOps.fileEnrichPipeline(spark, src, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(out).select("event_id").as[Long]
+      .collect().sorted
+    assert(ids === Array(0L, 2L, 3L)) // no replays, no losses
+  }
+
+  test("file-sink windowed rollup emits finalized windows (watermark e2e)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-wm")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    Seq(
+      Event(0, ts("2024-01-01 10:15:00"), 1, "click", 1.5),
+      Event(1, ts("2024-01-01 10:59:00"), 2, "click", 2.5),
+    ).toDF().write.mode("append").parquet(src)
+    val q = StreamingOps.fileRollupPipeline(spark, src, out, ckpt)
+    q.processAllAvailable()
+    // hour-10 window not finalized yet: watermark = 10:59 - 2h
+    // a later event advances the watermark past 11:00 → hour 10 emits
+    Seq(Event(2, ts("2024-01-01 14:00:00"), 1, "view", 1.0))
+      .toDF().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+    assert(rows((h10, "click")) === ((2L, 4.0)))
+    // the unfinalized hour-14 window must NOT have been emitted
+    assert(!rows.keySet.exists(_._1 === ts("2024-01-01 14:00:00").getTime / 1000))
+  }
+
   test("typed sessionization state machine: gap starts a new session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
