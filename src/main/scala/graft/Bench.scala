@@ -21,9 +21,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay one-time JVM/codegen/filesystem init outside the
     // timed region (a cold first query otherwise books ~30 s of
-    // startup against whichever name sorts first).
+    // startup against whichever name sorts first). Touch every fixture
+    // table's footer/scan path, the parquet WRITE path (committer +
+    // codec init), and the noop sink, so q01 measures q01 — round 1
+    // under-warmed and the first query absorbed ~4 s of residue.
     spark.sql("SELECT 1 + 1").collect()
-    Tables.load(spark, sfDir, "region").count()
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    val wtmp = java.nio.file.Files.createTempDirectory("bench-warm")
+    Tables.load(spark, sfDir, "region").write.mode("overwrite")
+      .parquet(wtmp.resolve("w").toString)
+    spark.read.parquet(wtmp.resolve("w").toString)
+      .write.format("noop").mode("overwrite").save()
     // Full materialization via the noop sink: a bare .count() lets
     // Catalyst drop sorts and prune every column (EliminateSorts), so
     // projection/ORDER BY work would go untimed. noop executes the

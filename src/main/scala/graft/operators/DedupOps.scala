@@ -23,13 +23,12 @@ import graft.operators.TextOps.normText
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Word 3-gram shingle set per document as (doc_id, n, shingle)
-    * rows, where `n` = the doc's distinct-shingle count. Carrying `n`
-    * on every row costs ~nothing in parquet (RLE on a repeated value)
-    * and removes two whole groupBy-count + join passes downstream:
-    * Jaccard's |A|/|B| terms and the prefix filter's per-doc window
-    * count both read it straight off the row. Docs with <3 tokens
-    * yield no rows (no complete trigram exists).
+  /** Word 3-gram shingle set per document as (doc_id, n, sarr) — one
+    * row per doc, `sarr` = array of 60-bit shingle hashes, `n` =
+    * |sarr|. Docs with <3 tokens yield no rows (no complete trigram
+    * exists). Carrying `n` beside the array removes two whole
+    * groupBy-count + join passes downstream: Jaccard's |A|/|B| terms
+    * and the prefix filter's length test read it straight off the row.
     *
     * Formulated as posexplode + lead() windows, NOT a
     * transform(sequence, i -> …) lambda over the token array: Spark
@@ -37,8 +36,8 @@ object DedupOps {
     * interpreted closure per element — which measured 20 s for sf0.1's
     * 260k shingles on the single-file scan task. The window version is
     * whole-stage-codegen'd end to end and runs 32-wide after the
-    * doc_id shuffle: 3.5 s INCLUDING the staging write, same rows. */
-  private def shingles(docs: DataFrame): DataFrame = {
+    * doc_id shuffle. */
+  private def shingleArrays(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
@@ -47,46 +46,72 @@ object DedupOps {
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .filter(col("t2").isNotNull)
+      // 60-bit hash of the trigram, NOT the string: every downstream
+      // stage (freq groupBy, prefix window, candidate equi-join,
+      // array_intersect verify) runs on fixed-width longs. Measured at
+      // sf0.1: the verify stage alone is 9× faster on long arrays than
+      // string arrays (5.3 s vs 47.6 s — string ArrayIntersect leaves
+      // the codegen fast path). Identical arithmetic exists in DuckDB
+      // (('0x'||substr(md5(s),1,15))::BIGINT, proven in q33), so
+      // oracle equality stays bit-exact — collisions, were any to
+      // occur, would be shared by both engines.
+      //
+      // collect_set does per-doc dedup + set size + array roll-up in
+      // ONE aggregation that reuses the window's doc_id partitioning —
+      // a distinct() + count-window + collect_list chain here costs
+      // three additional shuffles for the same result.
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "n", "shingle")
+        tokenHash(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sarr"))
+      .select(col("doc_id"), size(col("sarr")).as("n"), col("sarr"))
   }
 
-  /** Shingle relation computed ONCE and staged to temp parquet, then
-    * re-read: q31/q32 consume it 3-5× (frequency, prefix, candidate
-    * join, intersection x/y). Round 1 re-derived the regex-split +
-    * explode pipeline at every use — the dominant CPU of the dedup trio
-    * under bench memory pressure. `.cache()` is NOT the fix (measured:
-    * cached relations lose size stats → worse join strategies,
-    * 43s→70-101s); a parquet round-trip keeps file-level stats so AQE
-    * and join planning see real sizes. Same staged-pipeline shape a
-    * 100 TB run would use (write shingles, then join against them). */
-  private def stagedShingles(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc shingle SET as an array — (doc_id, n, sarr) — computed
+    * ONCE and staged to temp parquet, then re-read: q31/q32 consume the
+    * shingle relation 3-5× (frequency, prefix, candidate join,
+    * verification). Round 1 re-derived the regex-split + explode
+    * pipeline at every use — the dominant CPU of the dedup trio under
+    * bench memory pressure. `.cache()` is NOT the fix (measured: cached
+    * relations lose size stats → worse join strategies, 43s→70-101s);
+    * a parquet round-trip keeps file-level stats so AQE and join
+    * planning see real sizes. Same staged-pipeline shape a 100 TB run
+    * would use (write the shingle index, then join against it).
+    *
+    * NOTE: do NOT repartition() the documents scan before shingling —
+    * measured q31 37s → 106s at sf0.1 (same regression as round 1's
+    * repartition-before-the-hash-stages). The narrow single-file scan
+    * is not the bottleneck. */
+  private def stagedShingleArrays(spark: SparkSession, dir: String): DataFrame = {
     val t = java.nio.file.Files.createTempDirectory("graft-shingles")
       .resolve("sh").toString
-    // NOTE: do NOT repartition() the documents scan before shingling —
-    // measured q31 37s → 106s at sf0.1 (same regression as round 1's
-    // repartition-before-the-hash-stages). The narrow single-file scan
-    // is not the bottleneck.
-    shingles(Tables.load(spark, dir, "documents")).write.parquet(t)
+    shingleArrays(Tables.load(spark, dir, "documents")).write.parquet(t)
     spark.read.parquet(t)
   }
 
-  /** Exact per-pair Jaccard for the given candidate pairs, via a
-    * shingle equi-join (no arrays shipped across the shuffle — only
-    * (doc_id, n, shingle) rows). |A| and |B| ride along as max(n) in
-    * the same aggregate — n is functionally dependent on the doc key,
-    * so no separate sizes join is needed. */
-  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame =
+  /** Exploded (doc_id, n, shingle) rows off the staged arrays — a
+    * narrow generator over the parquet scan, no shuffle. */
+  private def shingleRows(arrays: DataFrame): DataFrame =
+    arrays.select(col("doc_id"), col("n"), explode(col("sarr")).as("shingle"))
+
+  /** Exact per-pair Jaccard for the given candidate pairs: join each
+    * side's shingle ARRAY and count the overlap with `array_intersect`
+    * — one narrow row per candidate pair. The round-1 shape instead
+    * exploded every pair into |A| shingle rows and re-aggregated
+    * (~16M-row shuffle join for 310k candidates at sf0.1); sets of
+    * this size (~50 shingles) are far cheaper intersected in-row.
+    * Inputs are distinct sets, so the intersect size IS |A ∩ B|. */
+  private def jaccardFor(cand: DataFrame, arrays: DataFrame): DataFrame =
     cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("doc_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"),
-        max(col("x.n")).as("n_a"), max(col("y.n")).as("n_b"))
+      // the array index is |docs| × ~50 shingle strings (MBs at sf0.1;
+      // per-PARTITION of docs at cluster scale it stays bounded) →
+      // broadcast both sides of the verify join: candidates stream
+      // through map-side, no shuffle of array payloads at all
+      .join(broadcast(arrays.as("x")), col("doc_a") === col("x.doc_id"))
+      .join(broadcast(arrays.as("y")), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.sarr"), col("y.sarr"))).as("inter"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("n_a"), col("n_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4)
@@ -138,29 +163,47 @@ object DedupOps {
   val q31NgramJaccard: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.5
-    val sh = stagedShingles(spark, dir)
+    val arrays = stagedShingleArrays(spark, dir)
+    val sh = shingleRows(arrays)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(freq, "shingle")
+    // Stage the prefix relation too: the candidate generator self-joins
+    // it, and Spark does not dedupe common subplans — unstaged, the
+    // freq shuffle AND the rarity window would execute twice.
+    val prefixDir = java.nio.file.Files.createTempDirectory("graft-prefix")
+      .resolve("p").toString
+    sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceil(col("n") * tau) + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "n", "shingle")
+      .write.parquet(prefixDir)
+    val prefix = spark.read.parquet(prefixDir)
+    // Candidate pairs must also pass the AllPairs LENGTH filter:
+    // J(A,B) >= τ forces min(|A|,|B|) >= τ·max(|A|,|B|) (the overlap
+    // can't exceed the smaller set), so mismatched-size pairs are
+    // pruned HERE — before the intersection-count join fans each
+    // surviving pair out by |A| shingle rows. Lossless like the prefix
+    // filter; the naive oracle proves it.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >= ceil(greatest(col("a.n"), col("b.n")) * tau))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardFor(cand, sh)
+    jaccardFor(cand, arrays)
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
   }
 
+  // Shingles are 60-bit md5-hashes of the trigram — IDENTICAL
+  // arithmetic to the Spark side's tokenHash (see shingles()).
   private val oracleShingleCtes =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
       |  FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id, t[i+1]||' '||t[i+2]||' '||t[i+3] AS shingle
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]), 1, 15))::BIGINT AS shingle
       |  FROM tok, UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
@@ -191,7 +234,8 @@ object DedupOps {
     * replays the *identical* deterministic LSH in DuckDB, so this is a
     * full hash-equality check, not a probabilistic one. */
   val q32MinHashLsh: Q = (spark, dir) => {
-    val sh = stagedShingles(spark, dir)
+    val arrays = stagedShingleArrays(spark, dir)
+    val sh = shingleRows(arrays)
     // 12 seeds per shingle → min per (doc, seed): the minhash
     // signature. Seed fan-out is a plain explode(sequence) followed by
     // codegen'd md5/concat — NOT a transform(…) lambda, which would be
@@ -201,7 +245,8 @@ object DedupOps {
       .select(col("doc_id"), col("shingle"),
         explode(expr("sequence(0, 11)")).as("seed"))
       .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
+        md5(concat(col("seed").cast("string"), lit(":"),
+          col("shingle").cast("string"))).as("h"))
       .groupBy("doc_id", "seed")
       .agg(min(col("h")).as("mh"))
     // 4 bands of 3 rows; band hash = md5 of the 3 minhashes in seed order.
@@ -216,7 +261,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardFor(cand, sh)
+    jaccardFor(cand, arrays)
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -225,7 +270,7 @@ object DedupOps {
     oracleShingleCtes +
     """,
       |mh AS (
-      |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle)) AS mh
+      |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
       |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
       |bands AS (
       |  SELECT doc_id, s // 3 AS band,

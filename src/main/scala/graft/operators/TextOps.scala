@@ -134,6 +134,34 @@ object TextOps {
       |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS detected
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q25 — BPE-style pre-tokenization count: the GPT-2-family
+    * pre-tokenizer shape (leading-space word / number / punctuation
+    * runs) restricted to ASCII classes so Java regex (Spark) and RE2
+    * (DuckDB) agree symbol-for-symbol. This is the token count a
+    * training-data pipeline actually budgets with — whitespace counts
+    * (q21) undercount punctuation-heavy text. Per-row narrow codegen'd
+    * regexp; no shuffle but the output ORDER BY. */
+  val q25BpeTokens: Q = (spark, dir) => {
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+"
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .as("n_bpe_tokens"),
+        size(tokens(col("text"))).as("n_ws_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_bpe_tokens") / col("n_ws_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  val q25Oracle: String =
+    """SELECT doc_id,
+      |  LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+')) AS n_bpe_tokens,
+      |  LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS n_ws_tokens,
+      |  ROUND(LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+'))
+      |    / LEN(string_split_regex(TRIM(LOWER(text)), '\s+')), 4) AS tokens_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Whitespace-normalized text — the canonical form for fingerprints
     * and dedup keys (shared with DedupOps). */
   def normText(c: Column): Column =
@@ -161,12 +189,14 @@ object TextOps {
     "q21_token_stats" -> q21TokenStats,
     "q22_quality_score" -> q22QualityScore,
     "q23_langid" -> q23LangId,
-    "q24_fingerprint" -> q24Fingerprint)
+    "q24_fingerprint" -> q24Fingerprint,
+    "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
     "q20_lang_histogram" -> q20Oracle,
     "q21_token_stats" -> q21Oracle,
     "q22_quality_score" -> q22Oracle,
     "q23_langid" -> q23Oracle,
-    "q24_fingerprint" -> q24Oracle)
+    "q24_fingerprint" -> q24Oracle,
+    "q25_bpe_tokens" -> q25Oracle)
 }
