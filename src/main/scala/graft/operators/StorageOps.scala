@@ -150,9 +150,37 @@ object StorageOps {
       |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** q66 — compaction roundtrip: three appends accrete small files,
+    * compact() rewrites them into one, and the post-compaction read
+    * must be byte-identical in content to the logical union. The
+    * count(DISTINCT) guards against double-reads of both old and new
+    * files (the failure mode if the swap commit weren't atomic). */
+  val q66DeltaCompact: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-compact")
+    DeltaTable.write(n, t, "overwrite")
+    DeltaTable.write(n.filter(col("n_regionkey") === 0), t, "append")
+    DeltaTable.write(n.filter(col("n_regionkey") === 1), t, "append")
+    DeltaTable.compact(spark, t)
+    DeltaTable.read(spark, t)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("n_nationkey")).as("n_distinct"))
+      .orderBy("n_regionkey")
+  }
+
+  val q66Oracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT n_nationkey) AS n_distinct
+      |FROM (SELECT * FROM nation
+      |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 0
+      |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 1)
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q64_delta_format_api" -> q64DeltaFormatApi,
     "q65_delta_short_name" -> q65DeltaShortName,
+    "q66_delta_compact" -> q66DeltaCompact,
     "q60_delta_roundtrip" -> q60DeltaRoundtrip,
     "q61_delta_timetravel" -> q61DeltaTimeTravel,
     "q62_partitioned_write" -> q62PartitionedWrite,
@@ -161,6 +189,7 @@ object StorageOps {
   val oracles: Map[String, String] = Map(
     "q64_delta_format_api" -> q64Oracle,
     "q65_delta_short_name" -> q65Oracle,
+    "q66_delta_compact" -> q66Oracle,
     "q60_delta_roundtrip" -> q60Oracle,
     "q61_delta_timetravel" -> q61Oracle,
     "q62_partitioned_write" -> q62Oracle,

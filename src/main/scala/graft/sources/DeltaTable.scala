@@ -110,6 +110,25 @@ object DeltaTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Small-file compaction (Delta's OPTIMIZE): rewrite the current
+    * snapshot's live files into ceil(totalBytes / maxFileBytes) files
+    * and commit the swap atomically as a new version. Append-heavy
+    * ingest (the reference's demo pattern, and any streaming sink)
+    * accretes one small file per commit; at scale that murders scan
+    * task scheduling and parquet footer overhead. Old versions still
+    * time-travel (their files stay until vacuum); readers never see a
+    * half-compacted table — the commit is the same createLink point
+    * every write uses. No-op when already compact. */
+  def compact(spark: SparkSession, table: String,
+      maxFileBytes: Long = 128L << 20): Long = {
+    val snap = DeltaLog.snapshot(table)
+    val total = snap.files.map(_.size).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / maxFileBytes).toInt)
+    if (snap.files.length <= nOut) snap.version
+    else write(read(spark, table, Some(snap.version)).coalesce(nOut),
+      table, "overwrite")
+  }
+
   /** Append-time schema resolution. Same fields (by name+type, order
     * and nullability insensitive — parquet reads by name) → keep the
     * table's canonical schema. Otherwise: without mergeSchema, fail

@@ -281,6 +281,30 @@ class DeltaSpec extends SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("compact merges small files; history and data survive") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite") // v0
+    for (_ <- 1 to 4) DeltaTable.write(employee1, t, "append") // v1..v4
+    val before = DeltaLog.snapshot(t)
+    assert(before.files.length >= 5)
+    val v = DeltaTable.compact(spark, t) // v5: same rows, fewer files
+    assert(v === 5L)
+    val after = DeltaLog.snapshot(t)
+    assert(after.files.length === 1)
+    assert(DeltaTable.read(spark, t).count() === 7)
+    assert(DeltaTable.read(spark, t).agg(sum($"salary")).head().getLong(0) ===
+      employees3.agg(sum($"salary")).head().getLong(0) + 4 * 70000L)
+    // pre-compaction versions still time-travel (files not yet vacuumed)
+    assert(DeltaTable.read(spark, t, Some(4L)).count() === 7)
+    assert(DeltaTable.read(spark, t, Some(0L)).count() === 3)
+    // compacting an already-compact table is a no-op
+    assert(DeltaTable.compact(spark, t) === 5L)
+    assert(DeltaLog.snapshot(t).version === 5L)
+    // vacuum now reclaims the pre-compaction small files
+    assert(DeltaTable.vacuum(t, keepVersions = 1).nonEmpty)
+    assert(DeltaTable.read(spark, t).count() === 7)
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
