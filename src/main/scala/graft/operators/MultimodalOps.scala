@@ -146,10 +146,23 @@ object MultimodalOps {
       }
   }
 
+  /** q73 — the decode seam exercised end-to-end: binary payloads
+    * through the typed mapPartitions codec stub, then a rollup over
+    * the decoded dimensions. Rows-only for the driver (the stub's
+    * byte-fold is engine-internal); determinism + cardinality are
+    * asserted in MultimodalSpec. */
+  val q73MediaDecode: Q = (spark, dir) =>
+    decodeStub(mediaTable(spark, dir))
+      .groupBy((col("n_pixels") / 1000).cast("int").as("kpixel_band"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("width")).as("min_w"), max(col("height")).as("max_h"))
+      .orderBy("kpixel_band")
+
   val queries: Map[String, Q] = Map(
     "q70_media_features" -> q70MediaFeatures,
     "q71_frame_sample" -> q71FrameSample,
-    "q72_media_inventory" -> q72MediaInventory)
+    "q72_media_inventory" -> q72MediaInventory,
+    "q73_media_decode" -> q73MediaDecode)
 
   val oracles: Map[String, String] = Map(
     "q70_media_features" -> q70Oracle,

@@ -69,6 +69,15 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("q31 plan: broadcast verify joins, no cartesian product anywhere") {
+    val df = DedupOps.queries("q31_ngram_jaccard")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"array-verify joins should broadcast the shingle index:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no stage of the dedup pipeline may go all-pairs:\n$plan")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val docs = Seq(
       (0L, "hello   world", "en", "s", 13L),
