@@ -39,31 +39,8 @@ object DeltaTable {
   def write(df: DataFrame, table: String, mode: String,
       mergeSchema: Boolean = false): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
-    val spark = df.sparkSession
-    val tableDir = Paths.get(table)
-    Files.createDirectories(tableDir)
-    // 1. stage: distributed parquet write to a scratch dir
-    val staging = tableDir.resolve(s".staging-${UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
-    // 2. move data files in under commit-unique names
-    val commitTag = UUID.randomUUID().toString.take(8)
-    // per-file min/max stats (Delta-paper data skipping): ONE job over
-    // the staged files, grouped by physical file — not a per-file pass
-    val statsByFile = collectStats(spark, staging.toString, df.schema)
-    val stagedStream = Files.list(staging)
-    val staged =
-      try stagedStream.iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      finally stagedStream.close()
-    val added = staged.zipWithIndex.map { case (p, i) =>
-      val name = f"part-$i%05d-$commitTag.parquet"
-      val dest = tableDir.resolve(name)
-      val stats = statsByFile.getOrElse(p.getFileName.toString, Map.empty)
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      DeltaLog.AddFile(name, Files.size(dest), stats)
-    }
-    deleteRecursively(staging)
-    // 3. atomic log commit, with optimistic retry on version conflicts
+    val added = stageIn(df, table)
+    // atomic log commit, with optimistic retry on version conflicts
     val maxAttempts = 16
     var attempt = 0
     while (true) {
@@ -110,6 +87,36 @@ object DeltaTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Write `df`'s data files INTO the table directory (invisible until
+    * a commit references them): distributed parquet write to a scratch
+    * dir, per-file min/max stats in one job, then atomic per-file
+    * moves under commit-unique names. */
+  private def stageIn(df: DataFrame, table: String): Seq[DeltaLog.AddFile] = {
+    val spark = df.sparkSession
+    val tableDir = Paths.get(table)
+    Files.createDirectories(tableDir)
+    val staging = tableDir.resolve(s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val commitTag = UUID.randomUUID().toString.take(8)
+    // per-file min/max stats (Delta-paper data skipping): ONE job over
+    // the staged files, grouped by physical file — not a per-file pass
+    val statsByFile = collectStats(spark, staging.toString, df.schema)
+    val stagedStream = Files.list(staging)
+    val staged =
+      try stagedStream.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      finally stagedStream.close()
+    val added = staged.zipWithIndex.map { case (p, i) =>
+      val name = f"part-$i%05d-$commitTag.parquet"
+      val dest = tableDir.resolve(name)
+      val stats = statsByFile.getOrElse(p.getFileName.toString, Map.empty)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      DeltaLog.AddFile(name, Files.size(dest), stats)
+    }
+    deleteRecursively(staging)
+    added
+  }
+
   /** Small-file compaction (Delta's OPTIMIZE): rewrite the current
     * snapshot's live files into ceil(totalBytes / maxFileBytes) files
     * and commit the swap atomically as a new version. Append-heavy
@@ -118,15 +125,42 @@ object DeltaTable {
     * task scheduling and parquet footer overhead. Old versions still
     * time-travel (their files stay until vacuum); readers never see a
     * half-compacted table — the commit is the same createLink point
-    * every write uses. No-op when already compact. */
+    * every write uses. No-op when already compact.
+    *
+    * Concurrency: the commit is PINNED to the snapshot that was
+    * compacted — unlike a user overwrite, compaction must not clobber
+    * data it didn't read, so a concurrent append (which would make the
+    * remove-set stale) fails the pinned commit and the WHOLE
+    * compaction re-runs against the new snapshot. (Routing through
+    * write(…, "overwrite") would retry by removing the newest files
+    * while writing only the old rows — silently dropping the race's
+    * appends.) */
   def compact(spark: SparkSession, table: String,
       maxFileBytes: Long = 128L << 20): Long = {
-    val snap = DeltaLog.snapshot(table)
-    val total = snap.files.map(_.size).sum
-    val nOut = math.max(1, math.ceil(total.toDouble / maxFileBytes).toInt)
-    if (snap.files.length <= nOut) snap.version
-    else write(read(spark, table, Some(snap.version)).coalesce(nOut),
-      table, "overwrite")
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val total = snap.files.map(_.size).sum
+      val nOut = math.max(1, math.ceil(total.toDouble / maxFileBytes).toInt)
+      if (snap.files.length <= nOut) return snap.version
+      val added = stageIn(
+        read(spark, table, Some(snap.version)).coalesce(nOut), table)
+      val actions =
+        Seq(DeltaLog.commitInfoAction("COMPACT")) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction) ++
+          snap.files.map(f => DeltaLog.removeAction(f.path)) ++
+          added.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch {
+        case _: IllegalStateException =>
+          // someone committed past our snapshot; compacted files are
+          // orphans (no log references them) — drop and re-run whole
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      }
+    }
+    throw new IllegalStateException(
+      s"compact($table): lost the commit race $maxAttempts times")
   }
 
   /** Append-time schema resolution. Same fields (by name+type, order

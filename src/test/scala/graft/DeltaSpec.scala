@@ -305,6 +305,24 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 7)
   }
 
+  test("compact racing concurrent appends never loses rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    for (_ <- 1 to 3) DeltaTable.write(employee1, t, "append")
+    // compaction's remove-set is pinned to its snapshot; appends that
+    // land mid-compaction must survive in the final state regardless
+    // of interleaving (compact re-runs on conflict, never clobbers)
+    val compactor = Future { DeltaTable.compact(spark, t) }
+    val appender = Future {
+      (1 to 3).foreach(_ => DeltaTable.write(employee1, t, "append"))
+    }
+    Await.result(Future.sequence(Seq(compactor, appender)), 180.seconds)
+    assert(DeltaTable.read(spark, t).count() === 3 + 3 + 3)
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
