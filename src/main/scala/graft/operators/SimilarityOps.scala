@@ -212,12 +212,22 @@ object SimilarityOps {
     val (_, cent) = kmeans(e, IvfK, IvfIters)
     val wCells = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell"))
-    val buckets = e.crossJoin(broadcast(cent))
+    // Stage the bucket assignment: the candidate generator self-joins
+    // it, and Spark does not dedupe common subplans — unstaged, the
+    // centroid cross-product AND the top-probes window execute twice,
+    // and the embedding arrays shuffle into a sort-merge join
+    // (observed in .explain). Staged, both sides scan a small parquet
+    // and AQE broadcasts one.
+    val bucketsDir = java.nio.file.Files
+      .createTempDirectory("graft-cells").resolve("b").toString
+    e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine("embedding", "centroid").as("sim"))
       .withColumn("r", row_number().over(wCells))
       .filter(col("r") <= NearDupProbes)
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.parquet(bucketsDir)
+    val buckets = spark.read.parquet(bucketsDir)
     val a = buckets.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("cell"))
     val b = buckets.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
