@@ -117,10 +117,28 @@ object EventOps {
       |SELECT day_epoch, event_type, user_id, user_value, rnk FROM ranked
       |WHERE rnk = 1 ORDER BY day_epoch, event_type""".stripMargin
 
+  /** q53 — the at-scale twin of q50's exact COUNT(DISTINCT user_id):
+    * HyperLogLog++ via approx_count_distinct. Exact distinct needs a
+    * second shuffle keyed on (group, user); the sketch merges in the
+    * same single exchange as the other aggregates — at 100 TB this is
+    * the difference between one pass and two. Approximate by design →
+    * rows-only for the driver; EventTextSpec bounds the estimate
+    * against the exact count (HLL++ rsd default 5%). */
+  val q53ApproxUsers: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("day_epoch", "event_type")
+
   val queries: Map[String, Q] = Map(
     "q50_hourly_rollup" -> q50HourlyRollup,
     "q51_sessionize" -> q51Sessionize,
-    "q52_daily_top_user" -> q52DailyTopUser)
+    "q52_daily_top_user" -> q52DailyTopUser,
+    "q53_approx_users" -> q53ApproxUsers)
 
   val oracles: Map[String, String] = Map(
     "q50_hourly_rollup" -> q50Oracle,

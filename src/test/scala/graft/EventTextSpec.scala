@@ -45,6 +45,27 @@ class EventTextSpec extends SparkSpec {
     assert(rows(1).getLong(4) === 2L) // distinct users in hour 11
   }
 
+  test("approx distinct users tracks exact within HLL++ error (q53 bound)") {
+    val approx = EventOps.q53ApproxUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy(
+        org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.date_trunc("day",
+            org.apache.spark.sql.functions.col("ts"))).as("day_epoch"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      // default rsd = 5%; allow 3 sigma plus slack for tiny groups
+      assert(math.abs(ap - ex) <= math.max(3, 0.15 * ex),
+        s"$k: approx=$ap exact=$ex")
+    }
+  }
+
   test("token stats handle multi-space and mixed case") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx").toString
     Seq((0L, "The  QUICK   brown fox", "en", "s", 22L))
