@@ -24,13 +24,13 @@ object DevProfile {
     }
     // warmup: all tables + write paths
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val wtmp = java.nio.file.Files.createTempDirectory("prof-warm")
+    val wtmp = graft.Scratch.dir("prof-warm")
     Tables.load(spark, sfDir, "region").write.mode("overwrite")
       .parquet(wtmp.resolve("w").toString)
 
     val tau = 0.5
     // mirrors the SHIPPED q31 exactly, each stage materialized
-    val tmp = java.nio.file.Files.createTempDirectory("prof").resolve("sh").toString
+    val tmp = graft.Scratch.dir("prof").resolve("sh").toString
     t("arrays-write") {
       val docs = Tables.load(spark, sfDir, "documents")
       val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -51,7 +51,7 @@ object DevProfile {
     val arrays = spark.read.parquet(tmp)
     val sh = arrays.select(col("doc_id"), col("n"),
       explode(col("sarr")).as("shingle"))
-    val prefixDir = java.nio.file.Files.createTempDirectory("prof").resolve("p").toString
+    val prefixDir = graft.Scratch.dir("prof").resolve("p").toString
     t("prefix-write") {
       val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
@@ -70,7 +70,7 @@ object DevProfile {
         .distinct()
       println(s"[profile] cand rows: ${c.count()}"); c
     }
-    val candDir = java.nio.file.Files.createTempDirectory("prof").resolve("c").toString
+    val candDir = graft.Scratch.dir("prof").resolve("c").toString
     cand.write.parquet(candDir)
     val candM = spark.read.parquet(candDir)
     t("verify-string-intersect") {
@@ -89,7 +89,7 @@ object DevProfile {
     val harr = arrays.select(col("doc_id"), col("n"),
       expr("transform(sarr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))")
         .as("sarr"))
-    val harrDir = java.nio.file.Files.createTempDirectory("prof").resolve("h").toString
+    val harrDir = graft.Scratch.dir("prof").resolve("h").toString
     harr.write.parquet(harrDir)
     val harrM = spark.read.parquet(harrDir)
     t("verify-long-intersect") {
@@ -106,5 +106,6 @@ object DevProfile {
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
+    Scratch.purge()
   }
 }

@@ -28,11 +28,14 @@ object Scratch {
   }
 
   /** Delete every registered dir now (idempotent; survives dirs the
-    * caller already removed). */
+    * caller already removed). One undeletable dir must not strand the
+    * rest — `Files.walk`'s iterator throws UncheckedIOException if an
+    * entry vanishes mid-walk, so each dir's delete is fenced. */
   def purge(): Unit = {
     var p = registered.poll()
     while (p != null) {
-      deleteRecursively(p)
+      try deleteRecursively(p)
+      catch { case scala.util.control.NonFatal(_) => () }
       p = registered.poll()
     }
   }

@@ -28,10 +28,23 @@ object Tables {
     * integer arithmetic (`div`, not `/` — int64 nanos exceed a double's
     * 2^53 exact range). Tables whose `ts` is already a real timestamp
     * (micros/millis — e.g. test-crafted fixtures) pass through as-is.
+    *
+    * The legacy conf is scoped to the read-and-analyze window and then
+    * restored: the conf is baked into the relation at `spark.read`
+    * time (schema resolution), so the returned DataFrame stays valid
+    * after restore, and other code in the same session never observes
+    * a global conf it didn't set.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val df =
+      try spark.read.parquet(s"$dir/events.parquet")
+      finally before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -83,8 +83,7 @@ object DedupOps {
     * repartition-before-the-hash-stages). The narrow single-file scan
     * is not the bottleneck. */
   private def stagedShingleArrays(spark: SparkSession, dir: String): DataFrame = {
-    val t = java.nio.file.Files.createTempDirectory("graft-shingles")
-      .resolve("sh").toString
+    val t = graft.Scratch.dir("graft-shingles").resolve("sh").toString
     shingleArrays(Tables.load(spark, dir, "documents")).write.parquet(t)
     spark.read.parquet(t)
   }
@@ -171,8 +170,7 @@ object DedupOps {
     // Stage the prefix relation too: the candidate generator self-joins
     // it, and Spark does not dedupe common subplans — unstaged, the
     // freq shuffle AND the rarity window would execute twice.
-    val prefixDir = java.nio.file.Files.createTempDirectory("graft-prefix")
-      .resolve("p").toString
+    val prefixDir = graft.Scratch.dir("graft-prefix").resolve("p").toString
     sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceil(col("n") * tau) + 1)

@@ -218,8 +218,7 @@ object SimilarityOps {
     // and the embedding arrays shuffle into a sort-merge join
     // (observed in .explain). Staged, both sides scan a small parquet
     // and AQE broadcasts one.
-    val bucketsDir = java.nio.file.Files
-      .createTempDirectory("graft-cells").resolve("b").toString
+    val bucketsDir = graft.Scratch.dir("graft-cells").resolve("b").toString
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine("embedding", "centroid").as("sim"))

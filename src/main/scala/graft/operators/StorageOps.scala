@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -17,7 +16,7 @@ object StorageOps {
   type Q = (SparkSession, String) => DataFrame
 
   private def freshDir(prefix: String): String =
-    Files.createTempDirectory(prefix).resolve("t").toString
+    graft.Scratch.dir(prefix).resolve("t").toString
 
   /** q60 — Delta overwrite + append + read-back (the reference's
     * canonical sequence, examples/example_lakesail_kerberos.py:166-184:

@@ -66,6 +66,19 @@ class EventTextSpec extends SparkSpec {
     }
   }
 
+  test("loadEvents restores session conf; frame readable after restore") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = Tables.loadEvents(spark, sf) // real TIMESTAMP(NANOS) file
+    assert(spark.conf.getOption(key) === before,
+      "loadEvents must not leave a global conf delta")
+    // action AFTER the restore: the legacy conf must have been captured
+    // into the relation at read time, not re-read at execution
+    assert(df.count() > 0)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("token stats handle multi-space and mixed case") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tx").toString
     Seq((0L, "The  QUICK   brown fox", "en", "s", 22L))
