@@ -176,7 +176,35 @@ object StorageOps {
       |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 1)
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** q67 — PARTITIONED graft-delta roundtrip: the reference's
+    * partitioned-layout demo (examples/create_deltalake_hdfs.py:137-148)
+    * composed with its Delta write shapes (:119-131). Write customer
+    * partitioned by segment through the public writer API (overwrite
+    * then a same-layout append), read back filtered to one segment.
+    * The read must prune to the one segment's files via the log's
+    * partitionValues — DeltaSpec asserts numFiles on the executed scan;
+    * the oracle checks the data survived the partitioned layout. */
+  val q67PartitionedDelta: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-delta-part")
+    c.write.format("graft-delta").partitionBy("c_mktsegment")
+      .mode("overwrite").save(t)
+    c.filter(col("c_custkey") <= 10)
+      .write.format("graft-delta").mode("append").save(t)
+    spark.read.format("graft-delta").load(t)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey", "c_name")
+  }
+
+  val q67Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM (SELECT * FROM customer
+      |      UNION ALL SELECT * FROM customer WHERE c_custkey <= 10)
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, c_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q67_partitioned_delta" -> q67PartitionedDelta,
     "q64_delta_format_api" -> q64DeltaFormatApi,
     "q65_delta_short_name" -> q65DeltaShortName,
     "q66_delta_compact" -> q66DeltaCompact,
@@ -186,6 +214,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q67_partitioned_delta" -> q67Oracle,
     "q64_delta_format_api" -> q64Oracle,
     "q65_delta_short_name" -> q65Oracle,
     "q66_delta_compact" -> q66Oracle,

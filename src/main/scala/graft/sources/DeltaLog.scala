@@ -47,9 +47,10 @@ object DeltaLog {
     * parsed values matches the original ordering (data-skipping per
     * the Delta paper's per-file min/max design). */
   final case class AddFile(path: String, size: Long,
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      partitionValues: Map[String, String] = Map.empty)
   final case class Snapshot(version: Long, schemaJson: Option[String],
-      files: Seq[AddFile])
+      files: Seq[AddFile], partitionColumns: Seq[String] = Nil)
 
   def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
@@ -85,6 +86,7 @@ object DeltaLog {
       case None => vs
     }
     var schema: Option[String] = None
+    var partCols: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     for (v <- upTo; line <- Files.readAllLines(
         logDir(table).resolve(V.format(v) + ".json"), StandardCharsets.UTF_8)
@@ -94,14 +96,19 @@ object DeltaLog {
           val p = fields("path")
           val stats = fields.get("stats")
             .map(s => Json.parseFlat(s)).getOrElse(Map.empty[String, String])
+          val pv = fields.get("partitionValues")
+            .map(Json.parseFlat).getOrElse(Map.empty[String, String])
           live(p) = AddFile(p,
-            fields.get("size").map(_.toLong).getOrElse(0L), stats)
+            fields.get("size").map(_.toLong).getOrElse(0L), stats, pv)
         case ("remove", fields) => live.remove(fields("path"))
-        case ("metaData", fields) => schema = fields.get("schemaString")
+        case ("metaData", fields) =>
+          schema = fields.get("schemaString")
+          partCols = fields.get("partitionColumns")
+            .map(Json.parseStringArray).getOrElse(Nil)
         case _ => ()
       }
     }
-    Snapshot(upTo.last, schema, live.values.toSeq)
+    Snapshot(upTo.last, schema, live.values.toSeq, partCols)
   }
 
   /** Atomically commit `actions` as the next version after
@@ -138,8 +145,13 @@ object DeltaLog {
 
   // -- action builders ------------------------------------------------
 
+  /** `stats` serializes as a JSON-STRING-encoded object and
+    * `partitionValues` as a real nested object — the same asymmetry the
+    * actual Delta protocol specifies (stats are an opaque string to the
+    * log schema; partitionValues are first-class). */
   def addAction(path: String, size: Long,
-      stats: Map[String, String] = Map.empty): String = {
+      stats: Map[String, String] = Map.empty,
+      partitionValues: Map[String, String] = Map.empty): String = {
     val statsField =
       if (stats.isEmpty) ""
       else {
@@ -148,14 +160,20 @@ object DeltaLog {
           .mkString("{", ",", "}")
         s""","stats":${Json.str(flat)}"""
       }
-    s"""{"add":{"path":${Json.str(path)},"size":$size$statsField,"dataChange":true}}"""
+    val pv = partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"add":{"path":${Json.str(path)},"partitionValues":$pv,"size":$size$statsField,"dataChange":true}}"""
   }
 
   def removeAction(path: String): String =
     s"""{"remove":{"path":${Json.str(path)},"dataChange":true}}"""
 
-  def metaDataAction(schemaJson: String): String =
-    s"""{"metaData":{"schemaString":${Json.str(schemaJson)}}}"""
+  def metaDataAction(schemaJson: String,
+      partitionColumns: Seq[String] = Nil): String = {
+    val pc = partitionColumns.map(Json.str).mkString("[", ",", "]")
+    s"""{"metaData":{"schemaString":${Json.str(schemaJson)},"partitionColumns":$pc}}"""
+  }
 
   def commitInfoAction(op: String): String =
     s"""{"commitInfo":{"operation":${Json.str(op)}}}"""
@@ -198,12 +216,50 @@ object DeltaLog {
           val ve = unescapedEnd(obj, j + 1)
           out += key -> unescape(obj.substring(j + 1, ve))
           i = ve + 1
+        } else if (j < obj.length && (obj(j) == '{' || obj(j) == '[')) {
+          // nested object/array (add.partitionValues,
+          // metaData.partitionColumns): capture the raw balanced
+          // substring; the caller re-parses it with parseFlat /
+          // parseStringArray
+          val e = balancedEnd(obj, j)
+          out += key -> obj.substring(j, e)
+          i = e
         } else {
           var e = j
           while (e < obj.length && !",}".contains(obj(e))) e += 1
           out += key -> obj.substring(j, e).trim
           i = e
         }
+      }
+      out.result()
+    }
+
+    /** Index just past the bracket that balances the one at `from`
+      * ('{' or '['), skipping over quoted strings (escape-aware). */
+    private def balancedEnd(s: String, from: Int): Int = {
+      var depth = 0
+      var i = from
+      while (i < s.length) {
+        s(i) match {
+          case '{' | '[' => depth += 1; i += 1
+          case '}' | ']' =>
+            depth -= 1; i += 1
+            if (depth == 0) return i
+          case '"' => i = unescapedEnd(s, i + 1) + 1
+          case _ => i += 1
+        }
+      }
+      s.length
+    }
+
+    /** Parse a raw `["a","b"]` captured by parseFlat. */
+    private[sources] def parseStringArray(raw: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = raw.indexOf('"')
+      while (i >= 0) {
+        val e = unescapedEnd(raw, i + 1)
+        out += unescape(raw.substring(i + 1, e))
+        i = raw.indexOf('"', e + 1)
       }
       out.result()
     }

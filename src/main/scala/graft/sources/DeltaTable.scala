@@ -37,9 +37,24 @@ object DeltaTable {
     * new latest snapshot. Bounded retries, then surface the conflict.
     */
   def write(df: DataFrame, table: String, mode: String,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false, partitionBy: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
-    val added = stageIn(df, table)
+    require(partitionBy.forall(c => df.schema.fieldNames.contains(c)),
+      s"partitionBy columns ${partitionBy.mkString(",")} must exist in the schema")
+    // Partition-layout resolution: an overwrite defines the layout (it
+    // replaces data AND metadata); an append must match the table's
+    // committed layout — silently interleaving partitioned and flat
+    // files would break pruning for every future read.
+    val effectivePartitionBy =
+      if (mode == "overwrite" || DeltaLog.versions(table).isEmpty) partitionBy
+      else {
+        val existing = DeltaLog.snapshot(table).partitionColumns
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"graft-delta append to $table: partitionBy ${partitionBy.mkString(",")} " +
+            s"does not match the table's partition columns ${existing.mkString(",")}")
+        existing
+      }
+    val added = stageIn(df, table, effectivePartitionBy)
     // atomic log commit, with optimistic retry on version conflicts
     val maxAttempts = 16
     var attempt = 0
@@ -72,9 +87,10 @@ object DeltaTable {
         }
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
-          Seq(DeltaLog.metaDataAction(tableSchema.json)) ++
+          Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy)) ++
           removes ++
-          added.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
+          added.map(f =>
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
       try return DeltaLog.commit(table, readVersion, actions)
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>
@@ -90,28 +106,48 @@ object DeltaTable {
   /** Write `df`'s data files INTO the table directory (invisible until
     * a commit references them): distributed parquet write to a scratch
     * dir, per-file min/max stats in one job, then atomic per-file
-    * moves under commit-unique names. */
-  private def stageIn(df: DataFrame, table: String): Seq[DeltaLog.AddFile] = {
+    * moves under commit-unique names. With `partitionBy`, the staging
+    * write lays out Hive-style `col=value/` dirs; each staged file's
+    * partition values are decoded from its directory path and carried
+    * on the AddFile (the log is the source of truth for pruning — the
+    * dir layout is kept only so the files remain self-describing to a
+    * plain `spark.read.parquet` user). */
+  private def stageIn(df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Seq[DeltaLog.AddFile] = {
     val spark = df.sparkSession
     val tableDir = Paths.get(table)
     Files.createDirectories(tableDir)
     val staging = tableDir.resolve(s".staging-${UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
+    if (partitionBy.isEmpty) df.write.parquet(staging.toString)
+    else df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
     val commitTag = UUID.randomUUID().toString.take(8)
     // per-file min/max stats (Delta-paper data skipping): ONE job over
     // the staged files, grouped by physical file — not a per-file pass
     val statsByFile = collectStats(spark, staging.toString, df.schema)
-    val stagedStream = Files.list(staging)
+    val stagedStream = Files.walk(staging)
     val staged =
       try stagedStream.iterator.asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       finally stagedStream.close()
     val added = staged.zipWithIndex.map { case (p, i) =>
-      val name = f"part-$i%05d-$commitTag.parquet"
+      val rel = staging.relativize(p) // e.g. c_mktsegment=BUILDING/part-0.parquet
+      val partDirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+      val partitionValues = partDirs.map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"unexpected staged partition dir: $seg")
+        val k = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.take(eq))
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(eq + 1))
+        k -> v
+      }.toMap
+      val name = (partDirs :+ f"part-$i%05d-$commitTag.parquet").mkString("/")
       val dest = tableDir.resolve(name)
-      val stats = statsByFile.getOrElse(p.getFileName.toString, Map.empty)
+      Files.createDirectories(dest.getParent)
+      val stats = statsByFile.getOrElse(
+        staging.relativize(p).toString, Map.empty)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      DeltaLog.AddFile(name, Files.size(dest), stats)
+      DeltaLog.AddFile(name, Files.size(dest), stats, partitionValues)
     }
     deleteRecursively(staging)
     added
@@ -143,13 +179,24 @@ object DeltaTable {
       val total = snap.files.map(_.size).sum
       val nOut = math.max(1, math.ceil(total.toDouble / maxFileBytes).toInt)
       if (snap.files.length <= nOut) return snap.version
-      val added = stageIn(
-        read(spark, table, Some(snap.version)).coalesce(nOut), table)
+      // Partitioned tables compact WITHIN the committed layout: shuffle
+      // rows back together by partition key (co-locating each value's
+      // rows in one task ⇒ one output file per live partition value)
+      // and re-stage with the same partitionBy. An unpartitioned
+      // coalesce here would silently flatten the layout and break
+      // pruning for every later read.
+      val snapDf = read(spark, table, Some(snap.version))
+      val compacted =
+        if (snap.partitionColumns.isEmpty) snapDf.coalesce(nOut)
+        else snapDf.repartition(snap.partitionColumns.map(
+          org.apache.spark.sql.functions.col): _*)
+      val added = stageIn(compacted, table, snap.partitionColumns)
       val actions =
         Seq(DeltaLog.commitInfoAction("COMPACT")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
           snap.files.map(f => DeltaLog.removeAction(f.path)) ++
-          added.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
+          added.map(f =>
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
       try return DeltaLog.commit(table, snap.version, actions)
       catch {
         case _: IllegalStateException =>
@@ -231,9 +278,10 @@ object DeltaTable {
     }.toSet
     val checkpoint =
       Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT")) ++
-        hSnap.schemaJson.map(DeltaLog.metaDataAction) ++
+        hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns)) ++
         (prunedAdds -- hLive).toSeq.sorted.map(DeltaLog.removeAction) ++
-        hSnap.files.map(f => DeltaLog.addAction(f.path, f.size, f.stats))
+        hSnap.files.map(f =>
+          DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
     val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
     Files.write(tmp, checkpoint.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -269,11 +317,18 @@ object DeltaTable {
     val live = liveFilesAfterSkipping(snap, filters,
       schema.getOrElse(new StructType()))
     val paths = live.map(f => Paths.get(table).resolve(f.path).toString)
+    // For a partitioned layout the partition columns are not physical
+    // parquet columns — basePath lets Spark recover them from the
+    // `col=value/` dirs of the explicit leaf-file list; the committed
+    // schema then pins their types and the column order.
+    val reader =
+      if (snap.partitionColumns.isEmpty) spark.read
+      else spark.read.option("basePath", table)
     (schema, paths) match {
       case (Some(s), Nil) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case (Some(s), ps) => spark.read.schema(s).parquet(ps: _*)
-      case (None, ps) => spark.read.parquet(ps: _*)
+      case (Some(s), ps) => reader.schema(s).parquet(ps: _*)
+      case (None, ps) => reader.parquet(ps: _*)
     }
   }
 
@@ -301,8 +356,17 @@ object DeltaTable {
         // fatal errors or interrupts that signal a real problem.
         case scala.util.control.NonFatal(_) => return Map.empty
       }
+    val stagingUri = Paths.get(staging).toUri.getPath.stripSuffix("/")
     rows.map { r =>
-      val file = r.getString(0).split('/').last
+      // key by the path RELATIVE to the staging root so partitioned
+      // layouts (col=value/part-N.parquet) key consistently with the
+      // staged-file walk; a URI-escaping mismatch on exotic partition
+      // values only loses that file's stats (skipping is conservative)
+      val full = new java.net.URI(r.getString(0)).getPath
+      val idx = full.indexOf(stagingUri)
+      val file =
+        if (idx >= 0) full.substring(idx + stagingUri.length + 1)
+        else full.split('/').last
       val kv = (1 until r.length).flatMap { i =>
         Option(r.get(i)).map(v => r.schema(i).name -> v.toString)
       }.toMap

@@ -54,10 +54,20 @@ class GraftDeltaSource extends RelationProvider
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(spark.read.parquet(
         snap.files.map(f => s"$table/${f.path}"): _*).schema)
+    // Partitioned layout: partition columns come out of the log's
+    // metaData, typed by the committed schema; the relation's
+    // dataSchema is the rest (they are not physical parquet columns).
+    // Catalyst then routes partition-key predicates to
+    // GraftDeltaFileIndex.listFiles as partitionFilters — directory-
+    // level pruning before any I/O, same placement as Delta's own.
+    val partitionSchema = StructType(
+      snap.partitionColumns.flatMap(c => schema.fields.find(_.name == c)))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
     HadoopFsRelation(
-      location = new GraftDeltaFileIndex(table, snap, schema),
-      partitionSchema = new StructType(),
-      dataSchema = schema,
+      location = new GraftDeltaFileIndex(table, snap, schema, partitionSchema),
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
@@ -77,7 +87,16 @@ class GraftDeltaSource extends RelationProvider
         return createRelation(sqlContext, parameters - "versionAsOf")
     }
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
-    DeltaTable.write(data, p, deltaMode, mergeSchema)
+    // DataFrameWriter.partitionBy reaches a V1 CreatableRelationProvider
+    // as the JSON-encoded __partition_columns option (the same channel
+    // delta-spark's V1 path consumed).
+    val partitionBy = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .getOrElse(Nil)
+    DeltaTable.write(data, p, deltaMode, mergeSchema, partitionBy)
     createRelation(sqlContext, parameters - "versionAsOf")
   }
 }
@@ -101,7 +120,8 @@ class DeltaNamedSource extends GraftDeltaSource {
   * own row-group stats), so approximate skipping can never change
   * results. */
 class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
-    schema: StructType) extends FileIndex {
+    schema: StructType, partSchema: StructType = new StructType())
+    extends FileIndex {
 
   private val tablePath = new HPath(table)
 
@@ -111,11 +131,49 @@ class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
 
   override def rootPaths: Seq[HPath] = Seq(tablePath)
 
+  /** The log's string partition values cast to the committed column
+    * type (Hive convention: the null partition's sentinel reads back
+    * as null). Cast covers every partitionable primitive uniformly. */
+  private def partitionRow(values: Map[String, String]): InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    InternalRow.fromSeq(partSchema.fields.toSeq.map { f =>
+      values.get(f.name) match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(v) =>
+          Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            StringType), f.dataType, Some("UTC")).eval(InternalRow.empty)
+      }
+    })
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val translated = dataFilters.flatMap(GraftDeltaFileIndex.translate)
     val live = DeltaTable.liveFilesAfterSkipping(snap, translated, schema)
-    Seq(PartitionDirectory(InternalRow.empty, live.map(status).toArray))
+    if (partSchema.isEmpty)
+      return Seq(PartitionDirectory(InternalRow.empty, live.map(status).toArray))
+    // one PartitionDirectory per live partition-value tuple, pruned by
+    // the pushed partition predicates (evaluated against the typed
+    // partition row — no directory I/O, the log already knows the
+    // layout; same mechanism as PartitioningAwareFileIndex.prunePartitions)
+    val groups = live.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) => (partitionRow(pv), fs) }
+    val selected =
+      if (partitionFilters.isEmpty) groups
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{
+          And => CAnd, AttributeReference, BoundReference, Predicate}
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(CAnd).transform {
+            case a: AttributeReference =>
+              val idx = partSchema.indexWhere(_.name == a.name)
+              BoundReference(idx, partSchema(idx).dataType, nullable = true)
+          })
+        groups.filter { case (row, _) => bound.eval(row) }
+      }
+    selected.map { case (row, fs) =>
+      PartitionDirectory(row, fs.map(status).toArray) }
   }
 
   override def inputFiles: Array[String] =
@@ -125,7 +183,7 @@ class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
 
   override def sizeInBytes: Long = snap.files.map(_.size).sum
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = partSchema
 }
 
 object GraftDeltaFileIndex {

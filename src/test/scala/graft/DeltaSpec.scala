@@ -323,6 +323,72 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 3 + 3 + 3)
   }
 
+  test("partitioned graft-delta: log layout, pruning, append, compact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(t) // v0
+    val snap0 = DeltaLog.snapshot(t)
+    assert(snap0.partitionColumns === Seq("date"))
+    assert(snap0.files.nonEmpty)
+    assert(snap0.files.forall(f => f.path.startsWith("date=") &&
+      f.partitionValues.get("date").nonEmpty))
+
+    // same-layout append through the public API (layout comes from the log)
+    employee1.write.format("graft-delta").mode("append").save(t) // v1
+    val full = spark.read.format("graft-delta").load(t)
+    assert(full.count() === 4)
+    assert(full.select("id", "date").as[(Int, String)].collect().toMap ===
+      Map(1 -> "2024-01-15", 2 -> "2024-01-16",
+        3 -> "2024-01-17", 4 -> "2024-01-18"))
+
+    // partition pruning: only the matching partition's files are read
+    val pruned = spark.read.format("graft-delta").load(t)
+      .filter($"date" === "2024-01-15")
+    assert(pruned.collect().map(_.getAs[Int]("id")).toSeq === Seq(1))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("date")),
+      s"no partition filter on scan: ${scan.partitionFilters}")
+    val liveInPartition = DeltaLog.snapshot(t).files
+      .count(_.partitionValues.get("date").contains("2024-01-15"))
+    assert(scan.metrics("numFiles").value === liveInPartition)
+    assert(liveInPartition < DeltaLog.snapshot(t).files.length)
+
+    // a mismatched append layout is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      DeltaTable.write(employee1, t, "append", partitionBy = Seq("name"))
+    }
+    assert(err.getMessage.contains("partition"))
+
+    // compact preserves the layout; history still travels
+    DeltaTable.compact(spark, t)
+    val snapC = DeltaLog.snapshot(t)
+    assert(snapC.partitionColumns === Seq("date"))
+    assert(snapC.files.forall(_.path.startsWith("date=")))
+    assert(spark.read.format("graft-delta").load(t).count() === 4)
+    assert(spark.read.format("graft-delta").option("versionAsOf", 0)
+      .load(t).count() === 3)
+  }
+
+  test("partitioned graft-delta prunes on non-string partition types") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    employees3.write.format("graft-delta").partitionBy("id")
+      .mode("overwrite").save(t)
+    val df = spark.read.format("graft-delta").load(t)
+    assert(df.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType) // type from committed schema
+    val pruned = df.filter($"id" >= 2)
+    assert(pruned.collect().map(_.getAs[Int]("id")).sorted.toSeq === Seq(2, 3))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value === 2,
+      "int-typed partition predicate must prune to the two matching dirs")
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
