@@ -49,8 +49,13 @@ object DeltaLog {
   final case class AddFile(path: String, size: Long,
       stats: Map[String, String] = Map.empty,
       partitionValues: Map[String, String] = Map.empty)
+  /** `txns` = latest committed streaming-transaction version per
+    * application id (the Delta protocol's SetTransaction action) — the
+    * idempotence ledger the streaming sink checks before re-applying a
+    * replayed micro-batch. */
   final case class Snapshot(version: Long, schemaJson: Option[String],
-      files: Seq[AddFile], partitionColumns: Seq[String] = Nil)
+      files: Seq[AddFile], partitionColumns: Seq[String] = Nil,
+      txns: Map[String, Long] = Map.empty)
 
   def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
@@ -87,6 +92,7 @@ object DeltaLog {
     }
     var schema: Option[String] = None
     var partCols: Seq[String] = Nil
+    val txns = scala.collection.mutable.Map[String, Long]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     for (v <- upTo; line <- Files.readAllLines(
         logDir(table).resolve(V.format(v) + ".json"), StandardCharsets.UTF_8)
@@ -105,10 +111,14 @@ object DeltaLog {
           schema = fields.get("schemaString")
           partCols = fields.get("partitionColumns")
             .map(Json.parseStringArray).getOrElse(Nil)
+        case ("txn", fields) =>
+          for (app <- fields.get("appId"); v <- fields.get("version")
+               .flatMap(_.toLongOption))
+            txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
         case _ => ()
       }
     }
-    Snapshot(upTo.last, schema, live.values.toSeq, partCols)
+    Snapshot(upTo.last, schema, live.values.toSeq, partCols, txns.toMap)
   }
 
   /** Atomically commit `actions` as the next version after
@@ -177,6 +187,11 @@ object DeltaLog {
 
   def commitInfoAction(op: String): String =
     s"""{"commitInfo":{"operation":${Json.str(op)}}}"""
+
+  /** SetTransaction (Delta protocol): marks `version` of streaming app
+    * `appId` as applied, making micro-batch replays detectable. */
+  def txnAction(appId: String, version: Long): String =
+    s"""{"txn":{"appId":${Json.str(appId)},"version":$version}}"""
 
   /** Tiny single-purpose JSON codec for the action lines this log
     * writes. Handles exactly the shapes above (one top-level key whose

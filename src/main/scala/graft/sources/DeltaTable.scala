@@ -36,9 +36,21 @@ object DeltaTable {
     * (add-only), overwrites recompute their remove set against the
     * new latest snapshot. Bounded retries, then surface the conflict.
     */
+  /** `txn` = (appId, version): commit a SetTransaction alongside the
+    * data, and SKIP the whole write if the log already records that
+    * version (or later) for the app — the idempotence contract a
+    * streaming sink's replayed micro-batch relies on. The check runs
+    * inside the optimistic-retry loop against the freshest snapshot,
+    * so two racing replays of the same batch commit exactly once. */
   def write(df: DataFrame, table: String, mode: String,
-      mergeSchema: Boolean = false, partitionBy: Seq[String] = Nil): Long = {
+      mergeSchema: Boolean = false, partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    for ((appId, version) <- txn) {
+      val already = DeltaLog.versions(table).nonEmpty &&
+        DeltaLog.snapshot(table).txns.get(appId).exists(_ >= version)
+      if (already) return DeltaLog.snapshot(table).version
+    }
     require(partitionBy.forall(c => df.schema.fieldNames.contains(c)),
       s"partitionBy columns ${partitionBy.mkString(",")} must exist in the schema")
     // Partition-layout resolution: an overwrite defines the layout (it
@@ -88,9 +100,20 @@ object DeltaTable {
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
           Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy)) ++
+          txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           removes ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+      // a racer may have committed OUR txn version between attempts:
+      // re-check before re-committing, else the batch lands twice
+      val racedTxn = txn.exists { case (appId, v) =>
+        prior.exists(_.txns.get(appId).exists(_ >= v)) }
+      if (racedTxn) {
+        // our staged files are orphans (no log references them)
+        added.foreach(f =>
+          Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+        return prior.get.version
+      }
       try return DeltaLog.commit(table, readVersion, actions)
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>
@@ -279,6 +302,10 @@ object DeltaTable {
     val checkpoint =
       Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT")) ++
         hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns)) ++
+        // txn ledger must survive the pruned prefix — dropping it would
+        // let a restarted streaming query re-apply old micro-batches
+        hSnap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          DeltaLog.txnAction(app, v) } ++
         (prunedAdds -- hLive).toSeq.sorted.map(DeltaLog.removeAction) ++
         hSnap.files.map(f =>
           DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))

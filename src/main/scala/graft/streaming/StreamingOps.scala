@@ -113,6 +113,31 @@ object StreamingOps {
       .start()
   }
 
+  /** End-to-end CONTINUOUS INGEST into the ACID table layer: watch
+    * `srcDir` for parquet event files, filter + enrich (same codegen'd
+    * expressions as [[fileEnrichPipeline]]), append into a graft-delta
+    * table — the production shape for a training-data lake's landing
+    * zone. Every micro-batch is one atomic, versioned, idempotent log
+    * commit (SetTransaction keyed by checkpoint+batchId), so a
+    * kill/restart neither drops nor duplicates rows, and downstream
+    * batch readers always see a consistent snapshot mid-stream —
+    * the property a plain parquet sink cannot give them. */
+  def fileDeltaIngestPipeline(spark: SparkSession, srcDir: String,
+      table: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col("value") > 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        when(col("value") >= 5, "high").otherwise("low").as("value_band"))
+      .writeStream.format("graft-delta")
+      .option("path", table)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Convenience: run `hourlyRollup` over a bounded events DataFrame
     * through an in-memory sink and return the completed result — used
     * by tests to prove batch/stream agreement on the same input. */
