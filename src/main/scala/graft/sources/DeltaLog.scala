@@ -78,24 +78,61 @@ object DeltaLog {
     }
   }
 
+  def checkpointPath(table: String, version: Long): Path =
+    logDir(table).resolve(V.format(version) + ".checkpoint.json")
+
+  /** Versions that have a self-contained side checkpoint (written by
+    * vacuum), ascending. Discovered by listing — `_last_checkpoint` is
+    * written as the protocol's hint file but the listing is truth, so
+    * a crash between checkpoint write and hint write changes nothing. */
+  def checkpointVersions(table: String): Seq[Long] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator.asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".checkpoint.json"))
+          n.stripSuffix(".checkpoint.json").toLongOption
+        else None
+      }.toSeq.sorted
+      finally s.close()
+    }
+  }
+
   /** Replay the log up to `versionAsOf` (inclusive; latest if None):
     * live files = all `add`s minus later `remove`s; schema = last
-    * `metaData` seen. */
+    * `metaData` seen. Replay starts from the NEWEST side checkpoint at
+    * or below the target (vacuum writes one at its horizon) and walks
+    * only the version files after it — committed version files are
+    * immutable, and any prefix a crashed vacuum left behind is simply
+    * never read. Travel to a version older than every surviving
+    * checkpoint/version fails loudly. */
   def snapshot(table: String, versionAsOf: Option[Long] = None): Snapshot = {
     val vs = versions(table)
-    require(vs.nonEmpty, s"not a delta table (no _delta_log versions): $table")
-    val upTo = versionAsOf match {
+    val cps = checkpointVersions(table)
+    require(vs.nonEmpty || cps.nonEmpty,
+      s"not a delta table (no _delta_log versions): $table")
+    val target = versionAsOf match {
       case Some(v) =>
-        require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
-        vs.filter(_ <= v)
-      case None => vs
+        require(vs.contains(v) || cps.contains(v),
+          s"version $v not in ${(vs ++ cps).distinct.sorted.mkString(",")}" +
+            " (vacuumed or never committed)")
+        v
+      case None => (vs ++ cps).max
     }
+    val base = cps.filter(_ <= target).maxOption
+    val replay: Seq[Path] =
+      base.map(b => checkpointPath(table, b) +:
+          vs.filter(v => v > b && v <= target)
+            .map(v => logDir(table).resolve(V.format(v) + ".json")))
+        .getOrElse(vs.filter(_ <= target)
+          .map(v => logDir(table).resolve(V.format(v) + ".json")))
     var schema: Option[String] = None
     var partCols: Seq[String] = Nil
     val txns = scala.collection.mutable.Map[String, Long]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    for (v <- upTo; line <- Files.readAllLines(
-        logDir(table).resolve(V.format(v) + ".json"), StandardCharsets.UTF_8)
+    for (p <- replay; line <- Files.readAllLines(p, StandardCharsets.UTF_8)
         .asScala if line.nonEmpty) {
       Json.parse(line) match {
         case ("add", fields) =>
@@ -118,7 +155,7 @@ object DeltaLog {
         case _ => ()
       }
     }
-    Snapshot(upTo.last, schema, live.values.toSeq, partCols, txns.toMap)
+    Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap)
   }
 
   /** Atomically commit `actions` as the next version after

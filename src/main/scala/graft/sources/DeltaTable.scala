@@ -264,13 +264,22 @@ object DeltaTable {
 
   /** Garbage-collect data files that no retained version references:
     * keep the last `keepVersions` versions readable, drop every data
-    * file only older versions need, and erase the pruned log entries
-    * so time travel past the horizon fails loudly instead of reading
-    * missing files. Because log versions are incremental, the horizon
-    * (oldest retained) version is first rewritten as a self-contained
-    * checkpoint — full metaData + every live add with its stats — so
-    * replay no longer needs the dropped prefix (the role Delta's
-    * parquet checkpoints play). Returns the deleted file names. */
+    * file only older versions need, and prune the log prefix so time
+    * travel past the horizon fails loudly instead of reading missing
+    * files.
+    *
+    * Protocol shape (matching real Delta's checkpoint design):
+    * committed `N.json` files are IMMUTABLE — the horizon (oldest
+    * retained) version is summarized into a SIDE checkpoint file
+    * (`N.checkpoint.json`: metaData + txn ledger + every live add)
+    * and `_last_checkpoint` is updated to point at it. Replay
+    * ([[DeltaLog.snapshot]]) starts from the newest checkpoint at or
+    * below the target, so the pruned prefix is never read — crash
+    * anywhere in this sequence and the table stays consistent:
+    * checkpoint written but prefix alive ⇒ replay prefers the
+    * checkpoint (same state by construction); died earlier ⇒ plain
+    * replay as if vacuum never ran. Returns deleted data-file paths
+    * (table-relative, partitioned layouts walked recursively). */
   def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = DeltaLog.versions(table)
@@ -278,27 +287,11 @@ object DeltaTable {
     val keep = vs.takeRight(keepVersions)
     val referenced = keep.flatMap(v =>
       DeltaLog.snapshot(table, Some(v)).files.map(_.path)).toSet
-    // 1. checkpoint the horizon version (crash-safe: atomic replace).
-    // The checkpoint must be SELF-DEFENDING: if we die after this step
-    // but before step 2 deletes the log prefix, replay walks surviving
-    // prefix versions THEN this checkpoint — an add-only checkpoint
-    // would resurrect files the horizon had already removed (prefix
-    // adds A, checkpoint only adds B ⇒ snapshot {A,B}: stale rows).
-    // So it also carries an explicit remove for every file the pruned
-    // prefix ever added that is not live at the horizon.
     val horizon = keep.head
     val hSnap = DeltaLog.snapshot(table, Some(horizon))
     val logDir = DeltaLog.logDir(table)
-    val hLive = hSnap.files.map(_.path).toSet
-    val prunedAdds = vs.dropRight(keepVersions).flatMap { v =>
-      Files.readAllLines(logDir.resolve(f"$v%020d.json"),
-          java.nio.charset.StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty)
-        .flatMap(line => DeltaLog.Json.parse(line) match {
-          case ("add", fields) => fields.get("path")
-          case _ => None
-        })
-    }.toSet
+    // 1. side checkpoint for the horizon (atomic move; derived data,
+    // so replacing a racer's identical checkpoint is harmless)
     val checkpoint =
       Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT")) ++
         hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns)) ++
@@ -306,26 +299,44 @@ object DeltaTable {
         // let a restarted streaming query re-apply old micro-batches
         hSnap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           DeltaLog.txnAction(app, v) } ++
-        (prunedAdds -- hLive).toSeq.sorted.map(DeltaLog.removeAction) ++
         hSnap.files.map(f =>
           DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
     val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
     Files.write(tmp, checkpoint.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, logDir.resolve(f"$horizon%020d.json"),
+    Files.move(tmp, DeltaLog.checkpointPath(table, horizon),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // 2. drop the log prefix (reads past the horizon now fail loudly)
+    // 2. _last_checkpoint hint (the protocol's fast-path pointer;
+    // discovery by listing remains the source of truth)
+    val hint = Files.createTempFile(logDir, ".lastckpt-", ".tmp")
+    Files.write(hint, s"""{"version":$horizon}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(hint, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // 3. drop the pruned prefix: version files AND superseded
+    // checkpoints strictly below the horizon (reads there now fail
+    // loudly; retained N.json files are never touched)
     vs.dropRight(keepVersions).foreach { v =>
       Files.deleteIfExists(logDir.resolve(f"$v%020d.json"))
     }
-    // 3. delete unreferenced data files
+    DeltaLog.checkpointVersions(table).filter(_ < horizon).foreach { v =>
+      Files.deleteIfExists(DeltaLog.checkpointPath(table, v))
+    }
+    // 4. delete unreferenced data files (recursive: partitioned
+    // layouts keep data in col=value/ subdirs; paths compared
+    // table-relative, exactly as the log records them)
     val tableDir = Paths.get(table)
-    val onDiskStream = Files.list(tableDir)
+    val walkStream = Files.walk(tableDir)
     val onDisk =
-      try onDiskStream.iterator.asScala
+      try walkStream.iterator.asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(_.getFileName.toString).toSeq
-      finally onDiskStream.close()
+        .map(p => tableDir.relativize(p).toString)
+        // a concurrent writer's staged-but-uncommitted files are NOT
+        // garbage — they become visible the instant its commit lands
+        .filterNot(rel => rel.startsWith(".staging-") ||
+          rel.startsWith("_delta_log"))
+        .toSeq
+      finally walkStream.close()
     val doomed = onDisk.filterNot(referenced)
     doomed.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
     doomed

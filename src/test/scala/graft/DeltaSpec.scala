@@ -221,19 +221,29 @@ class DeltaSpec extends SparkSpec {
       .filter($"country".isNull).count() === 4)
   }
 
-  test("vacuum checkpoint self-defends against a surviving log prefix") {
+  test("vacuum: immutable commits, side checkpoint, crashed prefix ignored") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite") // v0: 3 rows
     DeltaTable.write(employee1, t, "overwrite")  // v1: 1 row, removes v0 files
-    val v0File = java.nio.file.Paths.get(t, "_delta_log",
-      "%020d.json".format(0L))
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    val v0File = logDir.resolve("%020d.json".format(0L))
+    val v1File = logDir.resolve("%020d.json".format(1L))
     val v0Content = Files.readAllBytes(v0File)
+    val v1Content = Files.readAllBytes(v1File)
     assert(DeltaTable.vacuum(t, keepVersions = 1).nonEmpty)
-    // simulate a crash between checkpoint write and prefix delete:
-    // the pruned v0 survives and gets replayed BEFORE the checkpoint
+    // committed version files are IMMUTABLE: the retained v1.json is
+    // byte-identical after vacuum; the horizon summary lives in a SIDE
+    // checkpoint, with _last_checkpoint pointing at it (Delta's shape)
+    assert(java.util.Arrays.equals(Files.readAllBytes(v1File), v1Content),
+      "vacuum must not rewrite a committed version file")
+    assert(Files.exists(logDir.resolve("%020d.checkpoint.json".format(1L))))
+    assert(new String(Files.readAllBytes(logDir.resolve("_last_checkpoint")))
+      === """{"version":1}""")
+    // simulate a crash between checkpoint write and prefix delete: the
+    // pruned v0 survives on disk — replay starts at the newest
+    // checkpoint <= target, so v0's adds cannot resurrect
     Files.write(v0File, v0Content)
     val snap = DeltaLog.snapshot(t)
-    // v0's adds must NOT resurrect — the checkpoint carries removes
     assert(snap.files.length === 1)
     assert(DeltaTable.read(spark, t).count() === 1)
   }
@@ -370,6 +380,13 @@ class DeltaSpec extends SparkSpec {
     assert(spark.read.format("graft-delta").load(t).count() === 4)
     assert(spark.read.format("graft-delta").option("versionAsOf", 0)
       .load(t).count() === 3)
+
+    // vacuum reclaims pre-compaction files INSIDE partition subdirs
+    val deleted = DeltaTable.vacuum(t, keepVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(deleted.forall(_.startsWith("date=")),
+      s"expected partition-relative paths, got $deleted")
+    assert(spark.read.format("graft-delta").load(t).count() === 4)
   }
 
   test("partitioned graft-delta prunes on non-string partition types") {
