@@ -112,7 +112,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session-scoped registration so SQL/expr() can call the native
   * functions. Idempotent — safe to call from every query builder. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       (exprs: Seq[Expression]) => {
@@ -121,4 +121,13 @@ object GraftFunctions {
         CosineSimilarity(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_agg",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_simhash_agg requires exactly 1 argument, got ${exprs.length}")
+        SimHashAgg(exprs.head).toAggregateExpression()
+      },
+      "built-in")
+  }
 }

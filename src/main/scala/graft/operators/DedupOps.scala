@@ -305,31 +305,28 @@ object DedupOps {
     * exact hamming filter. Chunk-equality join keys scale like LSH
     * bands; no all-pairs pass.
     *
-    * Fingerprint stage: ONE groupBy(doc_id) carrying 60 conditional-sum
-    * columns (+ a count). The round-1 shape exploded every token into
-    * 60 (doc, bit, ±1) rows and shuffled them — a 60× row blowup on the
-    * biggest intermediate in the repo (586 s of the driver bench). Here
-    * the shuffle moves one 61-column partial-agg state per (doc ×
-    * map-partition): per-bit vote v = 2·popcount_j − n, so bit j is set
-    * iff 2·sum((h>>j)&1) > n. The oracle keeps the ±1-vote formulation
-    * — algebraically identical. */
+    * Fingerprint stage: ONE groupBy(doc_id) through the native
+    * [[graft.functions.SimHashAgg]] TypedImperativeAggregate — the
+    * whole per-doc state is a single long[61] buffer (count + per-bit
+    * popcounts) updated in a tight JIT'd loop, and the doc_id shuffle
+    * moves one 488-byte partial state per (doc × map partition).
+    * Round 1 exploded every token into 60 (doc, bit, ±1) rows and
+    * shuffled them — a 60× row blowup (586 s of the driver bench);
+    * round 2 used 61 declarative SUM columns — correct, but 61
+    * agg-buffer slots per update plus a 60-term reassembly projection.
+    * Per-bit vote v = 2·popcount_j − n, so bit j is set iff
+    * 2·sum((h>>j)&1) > n. The oracle keeps the ±1-vote formulation —
+    * algebraically identical. */
   val q33SimHash: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"), tokenHash(col("tok")).as("h"))
-    val bitSums = (0 until 60).map(j =>
-      sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
-    val aggs = count(lit(1)).as("n") +: bitSums
     val fp = toks
       .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(j =>
-          when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j))
-            .otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+      .agg(expr("graft_simhash_agg(h)").as("simhash"))
     val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("c", expr("(simhash >> (k * 15)) & 32767"))

@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("native simhash aggregate equals the declarative 61-column form") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint)").as("h"))
+    val native = toks.groupBy("doc_id")
+      .agg(expr("graft_simhash_agg(h)").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitSums = (0 until 60).map(j => sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
+    val aggs = count(lit(1)).as("n") +: bitSums
+    val declarative = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j))
+            .otherwise(lit(0L))).reduce(_ + _).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === declarative)
+    assert(native.nonEmpty)
+  }
+
   test("q31 plan: broadcast verify joins, no cartesian product anywhere") {
     val df = DedupOps.queries("q31_ngram_jaccard")(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
