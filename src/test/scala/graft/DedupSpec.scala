@@ -69,6 +69,25 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("dedup clusters: one row per paired doc, keeper = component min") {
+    val pairs = DedupOps.q32MinHashLsh(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val clusters = DedupOps.q34DedupClusters(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // exactly the docs appearing in some pair are clustered
+    assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // paired docs always share a cluster (edge consistency)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 === clusters(b)._1, s"pair ($a,$b) split") }
+    // keeper is the cluster minimum, exactly one per cluster
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      assert(members.count(_._2._2) === 1)
+      assert(members(cid)._2, s"cluster $cid keeper flag on wrong member")
+    }
+  }
+
   test("native simhash aggregate equals the declarative 61-column form") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
