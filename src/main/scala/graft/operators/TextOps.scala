@@ -184,7 +184,72 @@ object TextOps {
       |  LENGTH(text) AS n_chars_meas
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q26 — DETERMINISTIC stratified sampling, the reproducible way to
+    * mix corpora at scale: keep a doc iff its salted 60-bit md5 hash
+    * bucket (mod 10000) falls under its stratum's rate (en 50%, rest
+    * 20% here). Unlike seeded-RNG `sample()`/`sampleBy()`, the
+    * decision is a pure function of the row key — stable across
+    * executor counts, retries, partitionings AND engines, so the
+    * oracle replays it exactly and a pipeline re-run touches the same
+    * rows (what makes downstream caches/dedup incremental). Per-row
+    * narrow codegen'd exprs, no shuffle at all before the sink. */
+  val q26DeterministicSample: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("sample:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 10000)
+      .withColumn("rate", when(col("lang") === "en", 0.5).otherwise(0.2))
+      .filter(col("bucket") < col("rate") * 10000)
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy("doc_id")
+
+  val q26Oracle: String =
+    """SELECT doc_id, lang, source,
+      |  ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+      |FROM documents
+      |WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+      |      < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END) * 10000
+      |ORDER BY doc_id""".stripMargin
+
+  /** q27 — per-language quality PERCENTILE cut: keep each language's
+    * top-75% docs by stopword-ratio score (q22's formulation) — the
+    * distribution-relative filter a mixing pipeline uses so a
+    * low-resource language isn't wiped out by an absolute threshold.
+    * percent_rank over (lang, rounded score) is rank-arithmetic on
+    * identical inputs in both engines, so ties cut identically; ONE
+    * window shuffle on lang, partition-count-independent. */
+  val q27QualityPercentile: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("stop_ratio", "doc_id")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+      .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 4))
+      .withColumn("pr", round(percent_rank().over(w), 4))
+      .filter(col("pr") >= 0.25)
+      .select("doc_id", "lang", "stop_ratio", "pr")
+      .orderBy("doc_id")
+  }
+
+  val q27Oracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    ROUND(LEN(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|in|is)\b'))
+      |      / LEN(string_split_regex(LOWER(TRIM(text)), '\s+')), 4) AS stop_ratio
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, lang, stop_ratio,
+      |    ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+      |      ORDER BY stop_ratio, doc_id), 4) AS pr
+      |  FROM scored)
+      |SELECT doc_id, lang, stop_ratio, pr FROM ranked
+      |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q26_deterministic_sample" -> q26DeterministicSample,
+    "q27_quality_percentile" -> q27QualityPercentile,
     "q20_lang_histogram" -> q20LangHistogram,
     "q21_token_stats" -> q21TokenStats,
     "q22_quality_score" -> q22QualityScore,
@@ -193,6 +258,8 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q26_deterministic_sample" -> q26Oracle,
+    "q27_quality_percentile" -> q27Oracle,
     "q20_lang_histogram" -> q20Oracle,
     "q21_token_stats" -> q21Oracle,
     "q22_quality_score" -> q22Oracle,

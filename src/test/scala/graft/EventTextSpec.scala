@@ -88,6 +88,36 @@ class EventTextSpec extends SparkSpec {
     assert(r.getInt(2) === 4) // 4 tokens despite repeated spaces
   }
 
+  test("deterministic sample: stable across runs, near stratum rates") {
+    val a = TextOps.q26DeterministicSample(spark, sf).collect()
+      .map(_.getLong(0))
+    val b = TextOps.q26DeterministicSample(spark, sf).collect()
+      .map(_.getLong(0))
+    assert(a.toSeq === b.toSeq, "hash-based sampling must be replayable")
+    val byLang = TextOps.q26DeterministicSample(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = Tables.load(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0).toDouble / totals("en")
+    assert(math.abs(enRate - 0.5) < 0.15, s"en rate $enRate far from 0.5")
+    (totals.keySet - "en").foreach { l =>
+      val r = byLang.getOrElse(l, 0).toDouble / totals(l)
+      assert(math.abs(r - 0.2) < 0.15, s"$l rate $r far from 0.2")
+    }
+  }
+
+  test("quality percentile cut keeps ~75% of every language") {
+    val kept = TextOps.q27QualityPercentile(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = Tables.load(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val frac = kept.getOrElse(lang, 0).toDouble / n
+      assert(frac > 0.7 && frac <= 0.8,
+        s"$lang keeps $frac, expected ~0.75 (n=$n)")
+    }
+  }
+
   test("langid picks the language with the most marker hits") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lid").toString
     Seq(
