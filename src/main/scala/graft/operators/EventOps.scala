@@ -134,13 +134,61 @@ object EventOps {
         approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("day_epoch", "event_type")
 
+  /** q54 — AS-OF JOIN: for every purchase, the user's latest click
+    * strictly before it (attribution's core primitive; DuckDB ships it
+    * as a dedicated `ASOF JOIN` operator). Spark-first formulation:
+    * tag both event streams in ONE relation and take
+    * `last(click_ts, ignoreNulls)` over a per-user time-ordered window
+    * bounded at 1 PRECEDING — a single user_id shuffle + sort, no
+    * join at all, no per-key driver loops, and every user's timeline
+    * is processed independently (perfectly partitionable at 100 TB).
+    * The naive alternative — a range self-join click×purchase with a
+    * max-per-purchase aggregate — fans out quadratically on active
+    * users; the window shape is linear in events. Micros epoch keys
+    * keep both engines' sub-second ordering identical. */
+  val q54AsofJoin: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("click_us",
+        when(col("event_type") === "click", col("ts_us")))
+      .withColumn("last_click_us",
+        last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("purchase_us"),
+        col("last_click_us"),
+        expr("(ts_us - last_click_us) div 1000000").as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val q54Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT event_id, user_id, event_type, ts_us,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      |  FROM ev)
+      |SELECT event_id, user_id, ts_us AS purchase_us, last_click_us,
+      |  (ts_us - last_click_us) // 1000000 AS gap_s
+      |FROM m WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q54_asof_join" -> q54AsofJoin,
     "q50_hourly_rollup" -> q50HourlyRollup,
     "q51_sessionize" -> q51Sessionize,
     "q52_daily_top_user" -> q52DailyTopUser,
     "q53_approx_users" -> q53ApproxUsers)
 
   val oracles: Map[String, String] = Map(
+    "q54_asof_join" -> q54Oracle,
     "q50_hourly_rollup" -> q50Oracle,
     "q51_sessionize" -> q51Oracle,
     "q52_daily_top_user" -> q52Oracle)

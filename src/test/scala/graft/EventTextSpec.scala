@@ -66,6 +66,25 @@ class EventTextSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: latest prior click per purchase, ties by event order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    Seq(
+      (0L, ts("2024-01-01 09:30:00"), 1L, "purchase", 1.0, "{}"), // no prior click
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:30:00"), 1L, "purchase", 9.0, "{}"), // matches id 2
+      (4L, ts("2024-01-01 11:00:00"), 2L, "click", 1.0, "{}"),    // other user
+      (5L, ts("2024-01-01 11:00:00"), 2L, "purchase", 2.0, "{}"), // same-ts click,
+      // smaller event_id → counts as "before" under (ts, event_id) order
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = EventOps.q54AsofJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(!rows.contains(0L), "purchase without prior click must be absent")
+    assert(rows(3L) === ((ts("2024-01-01 10:10:00").getTime * 1000, 1200L)))
+    assert(rows(5L)._2 === 0L) // same-instant click attributed by id order
+  }
+
   test("loadEvents restores session conf; frame readable after restore") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val before = spark.conf.getOption(key)
