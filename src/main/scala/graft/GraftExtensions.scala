@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHashAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions first-class session citizens, so
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_cosine requires exactly 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"graft_simhash_agg requires exactly 1 argument, got ${children.length}")
+        SimHashAgg(children.head).toAggregateExpression()
       }))
   }
 }

@@ -201,7 +201,12 @@ object DeltaTable {
       val snap = DeltaLog.snapshot(table)
       val total = snap.files.map(_.size).sum
       val nOut = math.max(1, math.ceil(total.toDouble / maxFileBytes).toInt)
-      if (snap.files.length <= nOut) return snap.version
+      // no-op floor: a partitioned table can never have fewer files
+      // than live partition values, so idempotence means "≤ 1 file per
+      // partition (or already at the byte-target count)" — without
+      // this, every compact() of a partitioned table rewrites it again
+      val nPartitions = snap.files.map(_.partitionValues).distinct.length
+      if (snap.files.length <= math.max(nOut, nPartitions)) return snap.version
       // Partitioned tables compact WITHIN the committed layout: shuffle
       // rows back together by partition key (co-locating each value's
       // rows in one task ⇒ one output file per live partition value)

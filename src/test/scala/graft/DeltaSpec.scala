@@ -372,21 +372,34 @@ class DeltaSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("partition"))
 
-    // compact preserves the layout; history still travels
-    DeltaTable.compact(spark, t)
+    // one file per partition is compaction's floor: nothing to merge yet
+    val preNoop = DeltaLog.snapshot(t)
+    assert(DeltaTable.compact(spark, t) === preNoop.version,
+      "compact with <=1 file per partition must be a no-op")
+
+    // accrete a second small file in ONE partition, then compact
+    // merges within the layout
+    employee1.write.format("graft-delta").mode("append").save(t) // v2
+    assert(DeltaLog.snapshot(t).files
+      .count(_.partitionValues("date") == "2024-01-18") === 2)
+    DeltaTable.compact(spark, t) // v3
     val snapC = DeltaLog.snapshot(t)
     assert(snapC.partitionColumns === Seq("date"))
     assert(snapC.files.forall(_.path.startsWith("date=")))
-    assert(spark.read.format("graft-delta").load(t).count() === 4)
+    assert(snapC.files.count(_.partitionValues("date") == "2024-01-18") === 1)
+    // idempotent again at the new floor
+    assert(DeltaTable.compact(spark, t) === snapC.version,
+      "re-compacting an already-compact partitioned table must be a no-op")
+    assert(spark.read.format("graft-delta").load(t).count() === 5)
     assert(spark.read.format("graft-delta").option("versionAsOf", 0)
       .load(t).count() === 3)
 
-    // vacuum reclaims pre-compaction files INSIDE partition subdirs
+    // vacuum reclaims the replaced files INSIDE partition subdirs
     val deleted = DeltaTable.vacuum(t, keepVersions = 1)
     assert(deleted.nonEmpty)
     assert(deleted.forall(_.startsWith("date=")),
       s"expected partition-relative paths, got $deleted")
-    assert(spark.read.format("graft-delta").load(t).count() === 4)
+    assert(spark.read.format("graft-delta").load(t).count() === 5)
   }
 
   test("partitioned graft-delta prunes on non-string partition types") {
