@@ -122,12 +122,23 @@ object DeltaLog {
       case None => (vs ++ cps).max
     }
     val base = cps.filter(_ <= target).maxOption
+    // the versions we replay must be gap-free: a missing middle
+    // version means a torn/corrupted log, and silently merging the
+    // survivors would fabricate a state no writer ever committed
+    val walked = base match {
+      case Some(b) => vs.filter(v => v > b && v <= target)
+      case None => vs.filter(_ <= target)
+    }
+    val expectedFrom = base.map(_ + 1).getOrElse(walked.headOption.getOrElse(0L))
+    require(walked == (expectedFrom until expectedFrom + walked.length),
+      s"torn _delta_log in $table: versions ${walked.mkString(",")} are not " +
+        s"contiguous after ${base.map(b => s"checkpoint $b").getOrElse("start")}")
+    require(base.isDefined || walked.headOption.forall(_ == 0L),
+      s"torn _delta_log in $table: earliest version ${walked.headOption.orNull} " +
+        "has no preceding checkpoint (log prefix pruned without one?)")
     val replay: Seq[Path] =
-      base.map(b => checkpointPath(table, b) +:
-          vs.filter(v => v > b && v <= target)
-            .map(v => logDir(table).resolve(V.format(v) + ".json")))
-        .getOrElse(vs.filter(_ <= target)
-          .map(v => logDir(table).resolve(V.format(v) + ".json")))
+      base.map(checkpointPath(table, _)).toSeq ++
+        walked.map(v => logDir(table).resolve(V.format(v) + ".json"))
     var schema: Option[String] = None
     var partCols: Seq[String] = Nil
     val txns = scala.collection.mutable.Map[String, Long]()

@@ -419,6 +419,17 @@ class DeltaSpec extends SparkSpec {
       "int-typed partition predicate must prune to the two matching dirs")
   }
 
+  test("torn log (missing middle version) is rejected, not merged") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite") // v0
+    DeltaTable.write(employee1, t, "append")     // v1
+    DeltaTable.write(employee1, t, "append")     // v2
+    Files.delete(java.nio.file.Paths.get(t, "_delta_log",
+      "%020d.json".format(1L))) // corrupt: hole in the log
+    val ex = intercept[IllegalArgumentException] { DeltaLog.snapshot(t) }
+    assert(ex.getMessage.contains("not contiguous"))
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
