@@ -180,8 +180,96 @@ object EventOps {
       |FROM m WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** q55 — RANGE JOIN (point-in-interval): count error events inside
+    * each user session's [start, end] bounds. Spark has no native
+    * interval-join operator — the naive formulation
+    * `sessions JOIN events ON user AND ts BETWEEN start AND end` plans
+    * as a per-user BroadcastNestedLoopJoin. The scalable composition:
+    * snap both sides onto a 30-minute bucket GRID (sessions explode
+    * into the buckets they span — `sequence` generator, codegen'd;
+    * each point maps to exactly one bucket) and equi-join on (user,
+    * bucket) + exact BETWEEN refine. Hash-shuffle join, work linear in
+    * points + interval-bucket spans; a point matches each interval in
+    * at most one bucket, so no dedup pass is needed. Grid step trades
+    * fan-out vs candidate precision — the classic interval-index knob.
+    */
+  val q55RangeJoin: Q = (spark, dir) => {
+    val sessions = q51Sessionize(spark, dir)
+      .select(col("user_id"), col("session_seq"),
+        col("start_epoch"), col("end_epoch"))
+    val sBuckets = sessions.select(col("user_id"), col("session_seq"),
+      col("start_epoch"), col("end_epoch"),
+      explode(expr("sequence(start_epoch div 1800, end_epoch div 1800)"))
+        .as("bucket"))
+    val errs = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"),
+        unix_timestamp(col("ts")).as("err_epoch"))
+      .withColumn("bucket", expr("err_epoch div 1800"))
+    sBuckets.join(errs,
+        sBuckets("user_id") === errs("e_user") &&
+          sBuckets("bucket") === errs("bucket"))
+      .filter(col("err_epoch").between(col("start_epoch"), col("end_epoch")))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val q55Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+      |    CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_epoch
+      |  FROM numbered GROUP BY user_id, session_seq)
+      |SELECT s.user_id, s.session_seq, COUNT(*) AS n_errors
+      |FROM sess s JOIN e err
+      |  ON err.user_id = s.user_id AND err.event_type = 'error'
+      |  AND CAST(FLOOR(epoch(err.ts)) AS BIGINT)
+      |      BETWEEN s.start_epoch AND s.end_epoch
+      |GROUP BY s.user_id, s.session_seq
+      |ORDER BY s.user_id, s.session_seq""".stripMargin
+
+  /** q56 — JSON property extraction + rollup over the `props` column
+    * (every event carries a JSON payload; training-data events always
+    * do). `get_json_object` is Spark's codegen'd JSON path evaluator —
+    * extraction happens per-row in the scan stage, the aggregate only
+    * sees the extracted long. */
+  val q56JsonProps: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q56Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q54_asof_join" -> q54AsofJoin,
+    "q55_range_join" -> q55RangeJoin,
+    "q56_json_props" -> q56JsonProps,
     "q50_hourly_rollup" -> q50HourlyRollup,
     "q51_sessionize" -> q51Sessionize,
     "q52_daily_top_user" -> q52DailyTopUser,
@@ -189,6 +277,8 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q54_asof_join" -> q54Oracle,
+    "q55_range_join" -> q55Oracle,
+    "q56_json_props" -> q56Oracle,
     "q50_hourly_rollup" -> q50Oracle,
     "q51_sessionize" -> q51Oracle,
     "q52_daily_top_user" -> q52Oracle)

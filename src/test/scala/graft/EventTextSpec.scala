@@ -85,6 +85,29 @@ class EventTextSpec extends SparkSpec {
     assert(rows(5L)._2 === 0L) // same-instant click attributed by id order
   }
 
+  test("range join plans as an equi-join on the bucket grid, no NL join") {
+    val df = EventOps.q55RangeJoin(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested-loop plan:\n$plan")
+    // correctness vs direct containment on collected rows
+    val sessions = EventOps.q51Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+    val errors = Tables.load(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.col("ts")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = sessions.map { case (k @ (u, _), (s, e)) =>
+      k -> errors.count { case (eu, et) => eu == u && et >= s && et <= e }
+    }.filter(_._2 > 0).toMap
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    assert(got === expected)
+  }
+
   test("loadEvents restores session conf; frame readable after restore") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val before = spark.conf.getOption(key)
