@@ -465,8 +465,41 @@ object Relational {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** q93 — semi/anti join ([EXT] beyond the reference's inner/left
+    * surface): per segment, how many customers have at least one order
+    * (LEFT SEMI = EXISTS) vs none (LEFT ANTI = NOT EXISTS). Both plan
+    * as hash joins that ship only the join key of the build side and
+    * never duplicate probe rows — the right shapes for an
+    * existence-filter at scale (a naive inner-join + distinct
+    * duplicates every customer by their order count first). */
+  val q93SemiAntiJoin: Q = (spark, dir) => {
+    val cust = graft.Tables.load(spark, dir, "customer")
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"))
+    val withOrders = cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+    val withoutOrders = cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q93Oracle: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+      |FROM customer c GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** All parity queries + oracles, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
+    "q93_semi_anti_join" -> q93SemiAntiJoin,
     "q90_range_source" -> q90RangeSource,
     "q91_inmem_source" -> q91InMemorySource,
     "q92_percentile_approx" -> q92PercentileApprox,
@@ -491,6 +524,7 @@ object Relational {
     "q17_nation_rollup" -> q17NationRollup)
 
   val oracles: Map[String, String] = Map(
+    "q93_semi_anti_join" -> q93Oracle,
     "q90_range_source" -> q90Oracle,
     "q91_inmem_source" -> q91Oracle,
     // q92 deliberately absent: approximate op, bounded in RelationalSpec
