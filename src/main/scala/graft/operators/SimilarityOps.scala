@@ -239,16 +239,43 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** q44 — grouped vector centroids: element-wise mean embedding per
+    * label (cluster/topic summaries — the reduction behind centroid
+    * classifiers, drift monitors, and IVF index refreshes). Long-form
+    * output (label, pos, n, mean): posexplode fans each vector into 64
+    * narrow (label, pos, v) rows, ONE hash aggregate with map-side
+    * partial combine reduces them — shuffles only k×dim partial
+    * states, never vectors. Means are rounded to 4 decimals: double
+    * addition fold-order noise across partitions is ~1e-13, far below
+    * the rounding grain, so the output is engine- and
+    * partitioning-stable while keeping the production (codegen'd,
+    * partial-aggregating) plan. */
+  val q44LabelCentroids: Q = (spark, dir) =>
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 4).as("mean"))
+      .orderBy("label", "pos")
+
+  val q44Oracle: String =
+    """SELECT label, i AS pos, COUNT(*) AS n,
+      |  ROUND(AVG(embedding[i+1]::DOUBLE), 4) AS mean
+      |FROM embeddings, UNNEST(range(LEN(embedding))) g(i)
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_ann_bruteforce" -> q40AnnBruteForce,
     "q41_embed_neardup" -> q41EmbedNearDup,
     "q42_ann_ivf" -> q42AnnIvf,
-    "q43_cell_neardup" -> q43CellNearDup)
+    "q43_cell_neardup" -> q43CellNearDup,
+    "q44_label_centroids" -> q44LabelCentroids)
 
   /** q42/q43 are deliberately absent: approximate/index-backed ops,
     * verified by recall + equality-vs-exact bounds in SimilaritySpec
     * instead of SQL equality. */
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" -> q40Oracle,
-    "q41_embed_neardup" -> q41Oracle)
+    "q41_embed_neardup" -> q41Oracle,
+    "q44_label_centroids" -> q44Oracle)
 }
