@@ -234,7 +234,34 @@ object DeltaLog {
   }
 
   def commitInfoAction(op: String): String =
-    s"""{"commitInfo":{"operation":${Json.str(op)}}}"""
+    s"""{"commitInfo":{"operation":${Json.str(op)},"timestamp":${System.currentTimeMillis()}}}"""
+
+  /** Commit wall-clock millis per version (from commitInfo), ascending
+    * by version — the index behind `timestampAsOf` time travel. A
+    * version without commitInfo (foreign/hand-written log) reports
+    * its file's mtime, so the feature degrades instead of failing. */
+  def commitTimestamps(table: String): Seq[(Long, Long)] =
+    versions(table).map { v =>
+      val p = logDir(table).resolve(V.format(v) + ".json")
+      val fromInfo = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).iterator.map(Json.parse).collectFirst {
+          case ("commitInfo", fields) =>
+            fields.get("timestamp").flatMap(_.toLongOption)
+        }.flatten
+      v -> fromInfo.getOrElse(Files.getLastModifiedTime(p).toMillis)
+    }
+
+  /** The latest version committed at or before `millis` (Delta's
+    * timestampAsOf resolution). Fails loudly when every retained
+    * version is newer. */
+  def versionAtTimestamp(table: String, millis: Long): Long = {
+    val ts = commitTimestamps(table)
+    require(ts.nonEmpty, s"not a delta table: $table")
+    ts.filter(_._2 <= millis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestampAsOf $millis predates the earliest retained commit " +
+          s"(${ts.head._2}) of $table"))
+  }
 
   /** SetTransaction (Delta protocol): marks `version` of streaming app
     * `appId` as applied, making micro-batch replays detectable. */

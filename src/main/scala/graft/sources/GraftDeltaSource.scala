@@ -68,11 +68,25 @@ class GraftDeltaSource extends RelationProvider
     new GraftDeltaStreamSink(path(parameters), partitionColumns, appId)
   }
 
+  /** `timestampAsOf` accepts epoch millis or `yyyy-MM-dd[ HH:mm:ss]`
+    * (resolved in the session's local clock sense — commit timestamps
+    * are wall-clock millis, same as Delta's). */
+  private def parseTimestampAsOf(s: String): Long =
+    s.toLongOption.getOrElse {
+      val t = if (s.length == 10) s + " 00:00:00" else s
+      java.sql.Timestamp.valueOf(t).getTime
+    }
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
     val spark = sqlContext.sparkSession
     val table = path(parameters)
+    val versionOpt = parameters.get("versionAsOf").map(_.toLong)
+    val tsOpt = parameters.get("timestampAsOf").map(parseTimestampAsOf)
+    require(versionOpt.isEmpty || tsOpt.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    val versionAsOf = versionOpt.orElse(
+      tsOpt.map(DeltaLog.versionAtTimestamp(table, _)))
     val snap = DeltaLog.snapshot(table, versionAsOf)
     val schema = snap.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -108,7 +122,7 @@ class GraftDeltaSource extends RelationProvider
         s"graft-delta table already exists: $p")
       case SaveMode.Ignore if DeltaLog.versions(p).isEmpty => "overwrite"
       case SaveMode.Ignore =>
-        return createRelation(sqlContext, parameters - "versionAsOf")
+        return createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
     }
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     // DataFrameWriter.partitionBy reaches a V1 CreatableRelationProvider
@@ -121,7 +135,7 @@ class GraftDeltaSource extends RelationProvider
         .decodePartitioningColumns)
       .getOrElse(Nil)
     DeltaTable.write(data, p, deltaMode, mergeSchema, partitionBy)
-    createRelation(sqlContext, parameters - "versionAsOf")
+    createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
   }
 }
 

@@ -22,6 +22,9 @@ object StreamingOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+
   case class SessionState(nEvents: Long, start: Long, lastSeen: Long)
 
   case class SessionOut(user_id: Long, n_events: Long,
@@ -133,6 +136,33 @@ object StreamingOps {
         when(col("value") >= 5, "high").otherwise("low").as("value_band"))
       .writeStream.format("graft-delta")
       .option("path", table)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** Streaming twin of the batch exact-dedup (q30): continuous
+    * document ingest that emits each distinct content fingerprint
+    * (md5 of whitespace-normalized text) exactly once across ALL
+    * micro-batches — `dropDuplicates` keeps one state entry per seen
+    * fingerprint in the checkpointed state store, so duplicates
+    * arriving in later batches (or after a restart) are suppressed,
+    * not re-emitted. State is per-fingerprint and hash-partitioned,
+    * the same scaling story as the batch groupBy; a deployment whose
+    * dedup horizon is bounded in time would use
+    * `dropDuplicatesWithinWatermark` on an event-time column to cap
+    * state instead of keeping it forever. */
+  def dedupIngestPipeline(spark: SparkSession, srcDir: String,
+      outDir: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[Doc].schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("fingerprint",
+        md5(graft.operators.TextOps.normText(col("text"))))
+      .dropDuplicates("fingerprint")
+      .select("doc_id", "fingerprint", "lang", "source")
+      .writeStream.format("parquet")
+      .option("path", outDir)
       .option("checkpointLocation", ckptDir)
       .outputMode(OutputMode.Append())
       .start()

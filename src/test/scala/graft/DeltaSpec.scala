@@ -419,6 +419,28 @@ class DeltaSpec extends SparkSpec {
       "int-typed partition predicate must prune to the two matching dirs")
   }
 
+  test("timestampAsOf resolves the latest commit at or before the time") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite") // v0
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    DeltaTable.write(employee1, t, "append")     // v1
+    assert(spark.read.format("graft-delta")
+      .option("timestampAsOf", between.toString).load(t).count() === 3)
+    assert(spark.read.format("graft-delta")
+      .option("timestampAsOf", System.currentTimeMillis.toString)
+      .load(t).count() === 4)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-delta").option("timestampAsOf", "100").load(t)
+    }
+    assert(ex.getMessage.contains("predates"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-delta").option("versionAsOf", 0)
+        .option("timestampAsOf", between.toString).load(t)
+    }
+  }
+
   test("torn log (missing middle version) is rejected, not merged") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite") // v0

@@ -138,6 +138,35 @@ class StreamingSpec extends SparkSpec {
       .forall(_.path.startsWith("event_type=")))
   }
 
+  test("streaming dedup: each fingerprint emitted once across batches and restarts") {
+    import graft.streaming.StreamingOps.Doc
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def drop(docs: (Long, String)*): Unit =
+      docs.map { case (id, t) => Doc(id, t, "en", "s", t.length.toLong) }
+        .toDF().write.mode("append").parquet(src)
+    drop(0L -> "alpha text", 1L -> "beta text")
+    val q1 = StreamingOps.dedupIngestPipeline(spark, src, out, ckpt)
+    q1.processAllAvailable()
+    // same content, later batch (and whitespace-normalized variant)
+    drop(2L -> "alpha   text", 3L -> "gamma text")
+    q1.processAllAvailable()
+    q1.stop()
+    val fps1 = spark.read.parquet(out).select("fingerprint").as[String]
+      .collect().sorted
+    assert(fps1.length === 3, s"expected 3 distinct fingerprints, got ${fps1.toSeq}")
+    assert(fps1.distinct.length === 3)
+    // restart from the checkpoint: previously-seen content stays suppressed
+    drop(4L -> "beta text", 5L -> "delta text")
+    val q2 = StreamingOps.dedupIngestPipeline(spark, src, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val fps2 = spark.read.parquet(out).select("fingerprint").as[String]
+      .collect().sorted
+    assert(fps2.length === 4) // only "delta text" was new
+    assert(fps2.distinct.length === 4)
+  }
+
   test("typed sessionization state machine: gap starts a new session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
