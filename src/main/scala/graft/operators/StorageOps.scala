@@ -203,7 +203,65 @@ object StorageOps {
       |      UNION ALL SELECT * FROM customer WHERE c_custkey <= 10)
       |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, c_name""".stripMargin
 
+  /** q68 — Delta DML DELETE ([EXT]): partitioned table, predicate
+    * spanning a whole partition plus rows scattered through others —
+    * the BUILDING partition's files drop wholesale (partition-pruned,
+    * never scanned for rewrite output) while other partitions rewrite
+    * only the files containing negative balances. */
+  val q68DeltaDelete: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-delta-del")
+    c.write.format("graft-delta").partitionBy("c_mktsegment")
+      .mode("overwrite").save(t)
+    DeltaTable.delete(spark, t,
+      col("c_mktsegment") === "BUILDING" || col("c_acctbal") < 0)
+    spark.read.format("graft-delta").load(t)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q68Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE NOT (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q69 — Delta DML MERGE ([EXT]): upsert into nation — every
+    * region-0 nation gets a renamed source row (matched → replaced),
+    * plus two brand-new keys (unmatched → inserted). Touched-file
+    * rewrite keyed on n_nationkey. */
+  val q69DeltaMerge: Q = (spark, dir) => {
+    val spark2 = spark; import spark2.implicits._
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-merge")
+    n.write.format("graft-delta").mode("overwrite").save(t)
+    val updates = n.filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit("_X")).as("n_name"), col("n_regionkey"))
+    val inserts = Seq((100, "NEWLAND", 0), (101, "OTHERLAND", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    DeltaTable.merge(spark, t, updates.unionByName(inserts),
+      Seq("n_nationkey"))
+    spark.read.format("graft-delta").load(t)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  val q69Oracle: String =
+    """SELECT n_nationkey,
+      |  CASE WHEN n_regionkey = 0 THEN n_name || '_X' ELSE n_name END AS n_name,
+      |  n_regionkey
+      |FROM nation
+      |UNION ALL SELECT 100, 'NEWLAND', 0
+      |UNION ALL SELECT 101, 'OTHERLAND', 1
+      |ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q68_delta_delete" -> q68DeltaDelete,
+    "q69_delta_merge" -> q69DeltaMerge,
     "q67_partitioned_delta" -> q67PartitionedDelta,
     "q64_delta_format_api" -> q64DeltaFormatApi,
     "q65_delta_short_name" -> q65DeltaShortName,
@@ -214,6 +272,8 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q68_delta_delete" -> q68Oracle,
+    "q69_delta_merge" -> q69Oracle,
     "q67_partitioned_delta" -> q67Oracle,
     "q64_delta_format_api" -> q64Oracle,
     "q65_delta_short_name" -> q65Oracle,

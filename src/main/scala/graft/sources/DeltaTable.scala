@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
 
@@ -236,6 +236,137 @@ object DeltaTable {
     }
     throw new IllegalStateException(
       s"compact($table): lost the commit race $maxAttempts times")
+  }
+
+  /** Table-relative path of an executor-reported `input_file_name()`
+    * URI, e.g. `file:///…/tbl/date=x/part-0.parquet` → `date=x/part-0
+    * .parquet` — the exact string the log's add actions use. */
+  private def relativize(table: String, uri: String): String = {
+    val tableAbs = Paths.get(table).toAbsolutePath.normalize.toUri.getPath
+      .stripSuffix("/")
+    val p = new java.net.URI(uri).getPath
+    require(p.startsWith(tableAbs + "/"),
+      s"file $uri is not under table $table")
+    p.stripPrefix(tableAbs + "/")
+  }
+
+  /** DELETE rows matching `condition` ([EXT] Delta DML). Touched-file
+    * rewrite, exactly Delta's shape: one distributed pass finds the
+    * files that CONTAIN matching rows (everything else is untouched —
+    * a predicate that prunes to one partition rewrites one
+    * partition's files), those files' surviving rows are re-staged,
+    * and the swap commits atomically as remove(touched)+add(rewrites).
+    * The commit is PINNED to the snapshot that was scanned (same
+    * argument as [[compact]]): a concurrent append must not be
+    * clobbered, so a conflict re-runs the whole delete against the
+    * new snapshot. Returns the new version (or the current one if
+    * nothing matched). */
+  def delete(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val df = read(spark, table, Some(snap.version))
+      val touched = df.filter(condition)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => relativize(table, r.getString(0))).toSet
+      if (touched.isEmpty) return snap.version
+      val touchedPaths = touched.toSeq.sorted
+        .map(f => Paths.get(table).resolve(f).toString)
+      // survivors of ONLY the touched files, original schema/layout
+      val survivors = {
+        val reader =
+          if (snap.partitionColumns.isEmpty) spark.read
+          else spark.read.option("basePath", table)
+        val s = snap.schemaJson
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        s.map(reader.schema).getOrElse(reader).parquet(touchedPaths: _*)
+          .filter(!condition)
+      }
+      val added = stageIn(survivors, table, snap.partitionColumns)
+      val actions =
+        Seq(DeltaLog.commitInfoAction("DELETE")) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+          added.map(f =>
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch {
+        case _: IllegalStateException =>
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      }
+    }
+    throw new IllegalStateException(
+      s"delete($table): lost the commit race $maxAttempts times")
+  }
+
+  /** MERGE (upsert) `source` into `table` on equality of `keys` ([EXT]
+    * Delta DML): matched target rows are replaced by the source row,
+    * unmatched source rows are inserted. Touched-file rewrite like
+    * [[delete]]: a LEFT SEMI join on the keys finds the files holding
+    * matches; their rows minus the matched keys (LEFT ANTI) are
+    * re-staged together with ALL source rows; untouched files never
+    * move. The source must be key-unique — two source rows for one key
+    * is an ambiguous upsert and fails loudly (same rule as Delta's
+    * MERGE). Schema must match the table's (by field set). */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge source has duplicate keys on (${keys.mkString(",")}): " +
+        "ambiguous upsert")
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val target = read(spark, table, Some(snap.version))
+      require(target.schema.fieldNames.sorted.sameElements(
+        source.schema.fieldNames.sorted),
+        s"merge source schema ${source.schema.simpleString} does not match " +
+          s"table schema ${target.schema.simpleString}")
+      val srcKeys = source.select(keys.map(col): _*)
+      // bind input_file_name to the target scan BEFORE joining — with
+      // a file-backed source in the same plan the expression is
+      // otherwise ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+      val targetKeyFiles = target
+        .select((input_file_name().as("f") +: keys.map(col)): _*)
+      val touched = targetKeyFiles
+        .join(broadcast(srcKeys), keys, "left_semi")
+        .select("f").distinct()
+        .collect().map(r => relativize(table, r.getString(0))).toSet
+      val rewritten = {
+        if (touched.isEmpty) source.select(target.columns.map(col): _*)
+        else {
+          val reader =
+            if (snap.partitionColumns.isEmpty) spark.read
+            else spark.read.option("basePath", table)
+          val s = snap.schemaJson
+            .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          val touchedRows = s.map(reader.schema).getOrElse(reader)
+            .parquet(touched.toSeq.sorted
+              .map(f => Paths.get(table).resolve(f).toString): _*)
+          touchedRows.join(broadcast(srcKeys), keys, "left_anti")
+            .unionByName(source.select(touchedRows.columns.map(col): _*))
+        }
+      }
+      val added = stageIn(rewritten, table, snap.partitionColumns)
+      val actions =
+        Seq(DeltaLog.commitInfoAction("MERGE")) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+          added.map(f =>
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch {
+        case _: IllegalStateException =>
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      }
+    }
+    throw new IllegalStateException(
+      s"merge($table): lost the commit race $maxAttempts times")
   }
 
   /** Append-time schema resolution. Same fields (by name+type, order

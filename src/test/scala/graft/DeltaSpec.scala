@@ -419,6 +419,56 @@ class DeltaSpec extends SparkSpec {
       "int-typed partition predicate must prune to the two matching dirs")
   }
 
+  test("DML delete: touched-file rewrite only; history and no-ops intact") {
+    val t = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(t) // one file per date partition
+    val before = DeltaLog.snapshot(t).files.map(_.path).toSet
+    DeltaTable.delete(spark, t, $"id" === 2) // only date=2024-01-16 touched
+    val after = DeltaLog.snapshot(t).files.map(_.path).toSet
+    assert(before.filterNot(_.startsWith("date=2024-01-16")).subsetOf(after),
+      "untouched partitions' files must not be rewritten")
+    assert(!after.exists(_.startsWith("date=2024-01-16")),
+      "a fully-deleted file is removed without a replacement")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(1, 3))
+    // pre-delete history still travels
+    assert(spark.read.format("graft-delta").option("versionAsOf", 0)
+      .load(t).count() === 3)
+    // a delete matching nothing commits nothing
+    val v = DeltaTable.latestVersion(t)
+    assert(DeltaTable.delete(spark, t, $"id" === 99) === v)
+  }
+
+  test("DML merge upserts: matched replaced, unmatched inserted") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    val src = Seq((2, "Bob2", 66000L, "2024-01-16"),
+        (9, "Zed", 50000L, "2024-01-20"))
+      .toDF("id", "name", "salary", "date")
+    DeltaTable.merge(spark, t, src, Seq("id"))
+    val rows = DeltaTable.read(spark, t).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.size === 4)
+    assert(rows(2) === (("Bob2", 66000L)))  // updated
+    assert(rows(9) === (("Zed", 50000L)))   // inserted
+    assert(rows(1) === (("Alice", 75000L))) // untouched
+    // pre-merge history still travels
+    assert(DeltaTable.read(spark, t, Some(0L)).count() === 3)
+    // duplicate source keys are an ambiguous upsert
+    val ex = intercept[IllegalArgumentException] {
+      DeltaTable.merge(spark, t, src.union(src), Seq("id"))
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+    // merge into a partitioned table keeps the layout
+    val tp = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(tp)
+    DeltaTable.merge(spark, tp, src, Seq("id"))
+    assert(DeltaLog.snapshot(tp).files.forall(_.path.startsWith("date=")))
+    assert(DeltaTable.read(spark, tp).count() === 4)
+  }
+
   test("timestampAsOf resolves the latest commit at or before the time") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite") // v0
