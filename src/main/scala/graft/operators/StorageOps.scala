@@ -259,7 +259,32 @@ object StorageOps {
       |UNION ALL SELECT 101, 'OTHERLAND', 1
       |ORDER BY n_nationkey""".stripMargin
 
+  /** q94 — Delta DML UPDATE ([EXT]): conditional SET — negative
+    * balances zeroed and re-segmented; only files containing matches
+    * rewrite. */
+  val q94DeltaUpdate: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-delta-upd")
+    c.write.format("graft-delta").mode("overwrite").save(t)
+    DeltaTable.update(spark, t, col("c_acctbal") < 0,
+      Map("c_acctbal" -> lit(0.0), "c_mktsegment" -> lit("RESCUED")))
+    spark.read.format("graft-delta").load(t)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q94Oracle: String =
+    """SELECT
+      |  CASE WHEN c_acctbal < 0 THEN 'RESCUED' ELSE c_mktsegment END AS c_mktsegment,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q94_delta_update" -> q94DeltaUpdate,
     "q68_delta_delete" -> q68DeltaDelete,
     "q69_delta_merge" -> q69DeltaMerge,
     "q67_partitioned_delta" -> q67PartitionedDelta,
@@ -272,6 +297,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q94_delta_update" -> q94Oracle,
     "q68_delta_delete" -> q68Oracle,
     "q69_delta_merge" -> q69Oracle,
     "q67_partitioned_delta" -> q67Oracle,

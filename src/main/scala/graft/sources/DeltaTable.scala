@@ -301,6 +301,64 @@ object DeltaTable {
       s"delete($table): lost the commit race $maxAttempts times")
   }
 
+  /** UPDATE rows matching `condition`, setting each column in `set` to
+    * its new expression ([EXT] Delta DML). Same touched-file-rewrite
+    * machinery as [[delete]]: only files containing matches re-stage —
+    * their rows pass through `CASE WHEN condition THEN expr ELSE col`
+    * projections — and the swap commits atomically pinned to the
+    * scanned snapshot. Updating a partition column is rejected (it
+    * would silently move rows across the layout; real Delta requires a
+    * delete+insert for that too). */
+  def update(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      require(!set.keys.exists(snap.partitionColumns.contains),
+        s"update cannot set partition columns (${snap.partitionColumns
+          .mkString(",")}); delete+append to move rows across the layout")
+      val df = read(spark, table, Some(snap.version))
+      require(set.keys.forall(df.columns.contains),
+        s"unknown SET columns: ${set.keys.filterNot(df.columns.contains).mkString(",")}")
+      val touched = df.filter(condition)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => relativize(table, r.getString(0))).toSet
+      if (touched.isEmpty) return snap.version
+      val reader =
+        if (snap.partitionColumns.isEmpty) spark.read
+        else spark.read.option("basePath", table)
+      val s = snap.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      val touchedRows = s.map(reader.schema).getOrElse(reader)
+        .parquet(touched.toSeq.sorted
+          .map(f => Paths.get(table).resolve(f).toString): _*)
+      val updated = touchedRows.select(touchedRows.columns.map { c =>
+        set.get(c) match {
+          case Some(e) => org.apache.spark.sql.functions
+            .when(condition, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val added = stageIn(updated, table, snap.partitionColumns)
+      val actions =
+        Seq(DeltaLog.commitInfoAction("UPDATE")) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+          added.map(f =>
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch {
+        case _: IllegalStateException =>
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      }
+    }
+    throw new IllegalStateException(
+      s"update($table): lost the commit race $maxAttempts times")
+  }
+
   /** MERGE (upsert) `source` into `table` on equality of `keys` ([EXT]
     * Delta DML): matched target rows are replaced by the source row,
     * unmatched source rows are inserted. Touched-file rewrite like

@@ -440,6 +440,31 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.delete(spark, t, $"id" === 99) === v)
   }
 
+  test("DML update: conditional set on touched files only") {
+    val t = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(t)
+    val before = DeltaLog.snapshot(t).files.map(_.path).toSet
+    DeltaTable.update(spark, t, $"salary" < 70000L,
+      Map("salary" -> ($"salary" + 1000L), "name" -> concat($"name", lit("*"))))
+    val rows = DeltaTable.read(spark, t).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(2) === (("Bob*", 66000L)))   // matched: both SETs applied
+    assert(rows(1) === (("Alice", 75000L)))  // unmatched row untouched
+    assert(rows(3) === (("Carol", 80000L)))
+    // only Bob's partition file was rewritten
+    val after = DeltaLog.snapshot(t).files.map(_.path).toSet
+    assert(before.filterNot(_.startsWith("date=2024-01-16")).subsetOf(after))
+    // partition columns cannot be SET
+    val ex = intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, t, $"id" === 1, Map("date" -> lit("2025-01-01")))
+    }
+    assert(ex.getMessage.contains("partition columns"))
+    // pre-update history still travels
+    assert(DeltaTable.read(spark, t, Some(0L))
+      .filter($"name" === "Bob").count() === 1)
+  }
+
   test("DML merge upserts: matched replaced, unmatched inserted") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
