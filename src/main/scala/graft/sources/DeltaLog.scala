@@ -268,6 +268,29 @@ object DeltaLog {
   def txnAction(appId: String, version: Long): String =
     s"""{"txn":{"appId":${Json.str(appId)},"version":$version}}"""
 
+  /** The add actions of ONE committed version plus whether it also
+    * removes files — the unit a streaming source tails. */
+  def versionChanges(table: String, v: Long): (Seq[AddFile], Boolean) = {
+    val p = logDir(table).resolve(V.format(v) + ".json")
+    var removes = false
+    val adds = Seq.newBuilder[AddFile]
+    for (line <- Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+         if line.nonEmpty) {
+      Json.parse(line) match {
+        case ("add", fields) =>
+          val stats = fields.get("stats")
+            .map(Json.parseFlat).getOrElse(Map.empty[String, String])
+          val pv = fields.get("partitionValues")
+            .map(Json.parseFlat).getOrElse(Map.empty[String, String])
+          adds += AddFile(fields("path"),
+            fields.get("size").map(_.toLong).getOrElse(0L), stats, pv)
+        case ("remove", _) => removes = true
+        case _ => ()
+      }
+    }
+    (adds.result(), removes)
+  }
+
   /** Tiny single-purpose JSON codec for the action lines this log
     * writes. Handles exactly the shapes above (one top-level key whose
     * value is a flat object of string/number fields) — not a general

@@ -37,13 +37,40 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class GraftDeltaSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta requires a path (use .load(path)/.save(path))"))
+
+  private def committedSchema(table: String): StructType =
+    DeltaLog.snapshot(table).schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"graft-delta table $table has no committed schema"))
+
+  /** `spark.readStream.format("graft-delta").load(path)` — the table
+    * AS a stream: the initial micro-batch is the full current
+    * snapshot, every later one is exactly the files ADDED by newly
+    * committed versions (the log is the change feed; offsets are
+    * version numbers, so restart resumes from the checkpointed
+    * version with no rescans). A version that rewrites data
+    * (overwrite/compact/DML) breaks append-only semantics and fails
+    * the stream loudly unless `ignoreChanges=true` opts into
+    * added-files-only delivery — same contract as Delta's source. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(committedSchema(path(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftDeltaStreamSource(sqlContext, path(parameters),
+      parameters.get("ignoreChanges").exists(_.toBoolean))
 
   /** `writeStream.format("graft-delta")` — continuous exactly-once
     * ingest into the ACID log (the streaming composition of the
@@ -137,6 +164,75 @@ class GraftDeltaSource extends RelationProvider
     DeltaTable.write(data, p, deltaMode, mergeSchema, partitionBy)
     createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
   }
+}
+
+/** V1 streaming source tailing a graft-delta log. Offsets are log
+  * version numbers (LongOffset): getOffset reports the latest
+  * committed version; getBatch(start, end) reads exactly the files
+  * added by versions (start, end] — or the full snapshot at `end` for
+  * the initial batch — as a lazily-planned distributed parquet scan
+  * re-tagged streaming through [[org.apache.spark.sql.GraftSqlBridge]]
+  * (no data moves until the micro-batch executes). Version-numbered
+  * offsets make restarts exact: the checkpoint pins the last processed
+  * version, no file listing or rescan needed. */
+class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val partitionColumns = DeltaLog.snapshot(table).partitionColumns
+
+  override val schema: StructType = DeltaLog.snapshot(table).schemaJson
+    .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    .getOrElse(throw new IllegalStateException(
+      s"graft-delta table $table has no committed schema"))
+
+  private def ver(o: org.apache.spark.sql.execution.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong // SerializedOffset after restart
+    }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val vs = DeltaLog.versions(table)
+    if (vs.isEmpty) None else Some(LongOffset(vs.max))
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val endV = ver(end)
+    val files: Seq[DeltaLog.AddFile] = start match {
+      case None => DeltaLog.snapshot(table, Some(endV)).files
+      case Some(s) =>
+        (ver(s) + 1 to endV).flatMap { v =>
+          val (adds, removed) = DeltaLog.versionChanges(table, v)
+          if (removed && !ignoreChanges) throw new IllegalStateException(
+            s"graft-delta stream source: version $v of $table rewrites " +
+              "data (overwrite/compact/DML); streaming needs append-only " +
+              "versions — set option ignoreChanges=true to receive only " +
+              "the added files")
+          adds
+        }
+    }
+    val spark = sqlContext.sparkSession
+    if (files.isEmpty)
+      return org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(
+        sqlContext, spark.sparkContext.emptyRDD[InternalRow], schema)
+    val paths = files.map(f =>
+      java.nio.file.Paths.get(table).resolve(f.path).toString)
+    val reader =
+      if (partitionColumns.isEmpty) spark.read
+      else spark.read.option("basePath", table)
+    val ordered = reader.schema(schema).parquet(paths: _*)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(
+      sqlContext, ordered.queryExecution.toRdd, ordered.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftDeltaStreamSource[$table]"
 }
 
 /** V1 streaming sink over the graft-delta log. addBatch's DataFrame is

@@ -138,6 +138,66 @@ class StreamingSpec extends SparkSpec {
       .forall(_.path.startsWith("event_type=")))
   }
 
+  test("delta stream source: snapshot + version tailing, lake-to-lake mirror") {
+    import graft.sources.{DeltaLog, DeltaTable}
+    val base = java.nio.file.Files.createTempDirectory("graft-delta-src")
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    def ids(t: String): Seq[Long] =
+      spark.read.format("graft-delta").load(t)
+        .select("event_id").as[Long].collect().sorted.toSeq
+    Seq(Event(0, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      .toDF().write.format("graft-delta").save(src) // v0
+    // lake → stream → lake: mirror the source table continuously
+    val q1 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q1.processAllAvailable()
+    assert(ids(dst) === Seq(0L, 1L)) // initial snapshot delivered
+    Seq(Event(2, ts("2024-01-01 10:02:00"), 2, "click", 3.0))
+      .toDF().write.format("graft-delta").mode("append").save(src) // v1
+    q1.processAllAvailable()
+    q1.stop()
+    assert(ids(dst) === Seq(0L, 1L, 2L)) // only v1's files delivered
+    // restart resumes from the checkpointed version — no replays
+    Seq(Event(3, ts("2024-01-01 10:03:00"), 2, "view", 4.0))
+      .toDF().write.format("graft-delta").mode("append").save(src) // v2
+    val q2 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ids(dst) === Seq(0L, 1L, 2L, 3L))
+    // a rewriting version (compact) breaks append-only semantics loudly…
+    for (i <- 4 to 5)
+      Seq(Event(i.toLong, ts("2024-01-01 10:04:00"), 3, "click", 1.0))
+        .toDF().write.format("graft-delta").mode("append").save(src)
+    DeltaTable.compact(spark, src)
+    val q3 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination(10000)
+    }
+    q3.stop()
+    assert(ex.getMessage.contains("ignoreChanges"))
+    // …and ignoreChanges=true opts into added-files-only delivery
+    val q4 = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q4.processAllAvailable()
+    q4.stop()
+    // compact's rewritten files re-deliver 0-5 (documented ignoreChanges
+    // semantics — dedup downstream); every id must be present
+    assert(ids(dst).toSet === (0L to 5L).toSet)
+  }
+
   test("streaming dedup: each fingerprint emitted once across batches and restarts") {
     import graft.streaming.StreamingOps.Doc
     val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
