@@ -497,8 +497,115 @@ object Relational {
       |    WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
       |FROM customer c GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q95 — window-function breadth ([EXT]): quartile bucketing
+    * (ntile), distribution position (cume_dist), and neighbor delta
+    * (lag) over per-segment balance order — the analytic trio every
+    * BI-style consumer reaches for. One segment-partitioned window
+    * shuffle serves all three (same spec → one Window node). */
+  val q95WindowSuite: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cume", round(cume_dist().over(w), 4))
+      .withColumn("gap_to_prev",
+        round(col("c_acctbal") - lag(col("c_acctbal"), 1, 0.0).over(w), 2))
+      .orderBy("c_custkey")
+  }
+
+  val q95Oracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(CUME_DIST() OVER w, 4) AS cume,
+      |  ROUND(c_acctbal - LAG(c_acctbal, 1, 0.0) OVER w, 2) AS gap_to_prev
+      |FROM customer WHERE c_custkey <= 200
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q96 — CUBE ([EXT]; q18 covers ROLLUP): all 2^2 grouping
+    * combinations of (segment, nation-of-order-status…) — here
+    * (c_mktsegment, nation via c_nationkey band) with GROUPING() to
+    * disambiguate the null of "all" from a null value. */
+  val q96Cube: Q = (spark, dir) =>
+    graft.Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment"),
+        (col("c_nationkey") % 5).cast("long").as("nation_band"),
+        col("c_acctbal"))
+      .cube("c_mktsegment", "nation_band")
+      .agg(count(lit(1)).as("n"),
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("nation_band")).cast("int").as("g_band"))
+      .orderBy("c_mktsegment", "nation_band", "g_seg", "g_band")
+
+  val q96Oracle: String =
+    """SELECT c_mktsegment, nation_band, COUNT(*) AS n,
+      |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+      |  CAST(GROUPING(nation_band) AS INT) AS g_band
+      |FROM (SELECT c_mktsegment, c_nationkey % 5 AS nation_band, c_acctbal
+      |      FROM customer)
+      |GROUP BY CUBE (c_mktsegment, nation_band)
+      |ORDER BY c_mktsegment, nation_band, g_seg, g_band""".stripMargin
+
+  /** q97 — pivot ([EXT]): order counts per (month-of-year, status)
+    * with statuses as columns — `groupBy.pivot` compiles to the same
+    * conditional-aggregation hash agg the SQL CASE formulation uses
+    * (the oracle spells it out), so the plan is one shuffle. Pivot
+    * values are pinned explicitly: an unpinned pivot runs an extra
+    * distinct-collect job and its column order is data-dependent. */
+  val q97Pivot: Q = (spark, dir) =>
+    graft.Tables.load(spark, dir, "orders")
+      .select(month(col("o_orderdate")).as("order_month"),
+        col("o_orderstatus"))
+      .groupBy("order_month")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("order_month"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy("order_month")
+
+  val q97Oracle: String =
+    """SELECT MONTH(o_orderdate) AS order_month,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin
+
+  /** q98 — set operations ([EXT]): customers with orders in BOTH
+    * halves of the date range (INTERSECT), in the first but not the
+    * second (EXCEPT), and the distinct union — the three shapes plan
+    * as hash aggregates over semi/anti joins, never materializing
+    * duplicates. */
+  val q98SetOps: Q = (spark, dir) => {
+    val o = graft.Tables.load(spark, dir, "orders")
+    val first = o.filter(col("o_orderdate") < "1996-01-01")
+      .select(col("o_custkey"))
+    val second = o.filter(col("o_orderdate") >= "1996-01-01")
+      .select(col("o_custkey"))
+    val both = first.intersect(second).count()
+    val onlyFirst = first.except(second).count()
+    val all = first.union(second).distinct().count()
+    val spark2 = o.sparkSession; import spark2.implicits._
+    Seq((both, onlyFirst, all)).toDF("n_both", "n_only_first", "n_either")
+  }
+
+  val q98Oracle: String =
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderdate < '1996-01-01'),
+      |s AS (SELECT o_custkey FROM orders WHERE o_orderdate >= '1996-01-01')
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM s) t) AS n_both,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM s) t) AS n_only_first,
+      |  (SELECT COUNT(DISTINCT o_custkey) FROM (SELECT o_custkey FROM f UNION ALL SELECT o_custkey FROM s) t) AS n_either""".stripMargin
+
   /** All parity queries + oracles, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
+    "q95_window_suite" -> q95WindowSuite,
+    "q96_cube" -> q96Cube,
+    "q97_pivot" -> q97Pivot,
+    "q98_set_ops" -> q98SetOps,
     "q93_semi_anti_join" -> q93SemiAntiJoin,
     "q90_range_source" -> q90RangeSource,
     "q91_inmem_source" -> q91InMemorySource,
@@ -524,6 +631,10 @@ object Relational {
     "q17_nation_rollup" -> q17NationRollup)
 
   val oracles: Map[String, String] = Map(
+    "q95_window_suite" -> q95Oracle,
+    "q96_cube" -> q96Oracle,
+    "q97_pivot" -> q97Oracle,
+    "q98_set_ops" -> q98Oracle,
     "q93_semi_anti_join" -> q93Oracle,
     "q90_range_source" -> q90Oracle,
     "q91_inmem_source" -> q91Oracle,
