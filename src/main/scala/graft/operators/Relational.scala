@@ -600,8 +600,40 @@ object Relational {
       |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM s) t) AS n_only_first,
       |  (SELECT COUNT(DISTINCT o_custkey) FROM (SELECT o_custkey FROM f UNION ALL SELECT o_custkey FROM s) t) AS n_either""".stripMargin
 
+  /** q99 — date/time function breadth ([EXT]; the reference's dates
+    * are inert strings): calendar decomposition (year/quarter),
+    * arithmetic (datediff to epoch anchor, add_months), and boundary
+    * snapping (last_day) over order dates — narrow codegen'd exprs,
+    * one hash agg. */
+  val q99DateTime: Q = (spark, dir) =>
+    graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_quarter", quarter(col("o_orderdate")))
+      .withColumn("days_since_90",
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long"))
+      .withColumn("due",
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd"))
+      .withColumn("month_end",
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd"))
+      .groupBy("o_year", "o_quarter")
+      .agg(count(lit(1)).as("n"),
+        min(col("days_since_90")).as("min_days"),
+        max(col("due")).as("max_due"),
+        max(col("month_end")).as("max_month_end"))
+      .orderBy("o_year", "o_quarter")
+
+  val q99Oracle: String =
+    """SELECT YEAR(o_orderdate) AS o_year, QUARTER(o_orderdate) AS o_quarter,
+      |  COUNT(*) AS n,
+      |  MIN(date_diff('day', DATE '1990-01-01', o_orderdate)) AS min_days,
+      |  MAX(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')) AS max_due,
+      |  MAX(strftime(last_day(o_orderdate), '%Y-%m-%d')) AS max_month_end
+      |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""".stripMargin
+
   /** All parity queries + oracles, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
+    "q99_datetime" -> q99DateTime,
     "q95_window_suite" -> q95WindowSuite,
     "q96_cube" -> q96Cube,
     "q97_pivot" -> q97Pivot,
@@ -631,6 +663,7 @@ object Relational {
     "q17_nation_rollup" -> q17NationRollup)
 
   val oracles: Map[String, String] = Map(
+    "q99_datetime" -> q99Oracle,
     "q95_window_suite" -> q95Oracle,
     "q96_cube" -> q96Oracle,
     "q97_pivot" -> q97Oracle,

@@ -141,6 +141,30 @@ object StreamingOps {
       .start()
   }
 
+  /** Watermarked STREAM-STREAM JOIN: clicks × purchases of the same
+    * user within 30 minutes — q54's attribution semantics, computed
+    * continuously over two unbounded inputs. Both sides carry
+    * watermarks and the join condition bounds the event-time distance,
+    * which is exactly what lets Spark expire each side's join state
+    * once the watermark passes its horizon — bounded memory at any
+    * throughput, the requirement that separates a production
+    * stream-stream join from an unbounded-state one. State is
+    * hash-partitioned on the join key like every batch shuffle. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming twin of the batch exact-dedup (q30): continuous
     * document ingest that emits each distinct content fingerprint
     * (md5 of whitespace-normalized text) exactly once across ALL

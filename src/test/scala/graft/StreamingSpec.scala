@@ -227,6 +227,28 @@ class StreamingSpec extends SparkSpec {
     assert(fps2.distinct.length === 4)
   }
 
+  test("stream-stream join: clicks x purchases within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      Event(0, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 09:00:00"), 2, "click", 1.0))
+    purchases.addData(
+      Event(10, ts("2024-01-01 10:20:00"), 1, "purchase", 9.0), // within 30m
+      Event(11, ts("2024-01-01 11:30:00"), 1, "purchase", 5.0), // too late
+      Event(12, ts("2024-01-01 10:20:00"), 3, "purchase", 7.0)) // no click
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((0L, 10L)),
+      s"expected exactly click 0 x purchase 10, got $rows")
+  }
+
   test("typed sessionization state machine: gap starts a new session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
