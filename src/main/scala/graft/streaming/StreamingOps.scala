@@ -46,11 +46,10 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  /** Gap-based sessionization via typed state (mapGroupsWithState with
-    * a processing-time timeout) — the streaming twin of EventOps.q51.
-    * Emits the running session per user on every trigger; a production
-    * variant would emit on timeout only (flatMapGroupsWithState +
-    * EventTimeTimeout). */
+  /** Gap-based sessionization via typed state (mapGroupsWithState) —
+    * the streaming twin of EventOps.q51. Emits the RUNNING session per
+    * user on every trigger (Update-mode consumers); the
+    * emit-on-finalize production variant is [[sessionizeFinalized]]. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
@@ -139,6 +138,55 @@ object StreamingOps {
       .option("checkpointLocation", ckptDir)
       .outputMode(OutputMode.Append())
       .start()
+  }
+
+  /** Emit-on-finalize sessionization: `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout — a session row is emitted exactly once, when
+    * the watermark passes its gap horizon (start + events + 30-min gap
+    * closed), which is the contract an append-mode downstream (a lake
+    * table, a billing job) needs: rows never revise. State per active
+    * user is one small SessionState, dropped at timeout — the same
+    * bounded-state story as the windowed aggregates. Mid-batch gap
+    * splits emit the closed session immediately; the open one rides
+    * in state until its own timeout. */
+  def sessionizeFinalized(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[SessionOut]
+          if (sorted.isEmpty) {
+            // no new data: we are here because the event-time timeout
+            // fired — the gap horizon passed, the session is final
+            if (state.hasTimedOut && state.exists) {
+              val st = state.get
+              closed += SessionOut(userId, st.nEvents, st.start, st.lastSeen)
+              state.remove()
+            }
+          } else {
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(st) if t - st.lastSeen <= 1800 =>
+                  cur = Some(SessionState(st.nEvents + 1, st.start, t))
+                case Some(st) => // gap crossed within the batch: finalize
+                  closed += SessionOut(userId, st.nEvents, st.start, st.lastSeen)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            state.update(cur.get)
+            // finalize when the watermark passes lastSeen + the gap
+            state.setTimeoutTimestamp((cur.get.lastSeen + 1800) * 1000)
+          }
+          closed.result().iterator
+      }
   }
 
   /** Watermarked STREAM-STREAM JOIN: clicks × purchases of the same

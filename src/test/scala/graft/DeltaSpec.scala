@@ -79,6 +79,62 @@ class DeltaSpec extends SparkSpec {
     assert(avgSal === (75000.0 + 65000.0 + 80000.0) / 3)
   }
 
+  test("property: random op sequences agree with an in-memory model") {
+    // model-based check across the WHOLE mutation surface: the delta
+    // table and a plain Map[id -> (name, salary)] receive the same
+    // randomized op sequence; after every op the table read must equal
+    // the model exactly. Seeded — failures reproduce.
+    val rnd = new scala.util.Random(4242)
+    def rows(m: Map[Int, (String, Long)]) = m.toSeq.map {
+      case (id, (n, s)) => (id, n, s, "2024-01-01") }
+    def df(m: Map[Int, (String, Long)]) =
+      rows(m).toDF("id", "name", "salary", "date")
+    val t = freshTable()
+    var model = Map(1 -> ("a", 10L), 2 -> ("b", 20L), 3 -> ("c", 30L))
+    DeltaTable.write(df(model), t, "overwrite")
+    for (step <- 1 to 12) {
+      rnd.nextInt(5) match {
+        case 0 => // append fresh ids
+          val fresh = (1 to 1 + rnd.nextInt(3))
+            .map(_ => 100 + rnd.nextInt(900)).distinct
+            .filterNot(model.contains)
+            .map(id => id -> (s"n$id", id * 10L)).toMap
+          if (fresh.nonEmpty) {
+            DeltaTable.write(df(fresh), t, "append")
+            model ++= fresh
+          }
+        case 1 => // overwrite with a shuffled subset
+          val keep = model.filter(_ => rnd.nextBoolean())
+          val next = if (keep.nonEmpty) keep else model
+          DeltaTable.write(df(next), t, "overwrite")
+          model = next
+        case 2 => // delete a salary band
+          val cut = 10L + rnd.nextInt(5000)
+          DeltaTable.delete(spark, t, $"salary" < cut)
+          model = model.filter { case (_, (_, s)) => s >= cut }
+        case 3 => // update a salary band
+          val cut = 10L + rnd.nextInt(5000)
+          DeltaTable.update(spark, t, $"salary" >= cut,
+            Map("salary" -> ($"salary" + 1L)))
+          model = model.map { case (id, (n, s)) =>
+            id -> (n, if (s >= cut) s + 1 else s) }
+        case 4 => // merge: touch half the ids + one new
+          val upd = model.keys.filter(_ => rnd.nextBoolean())
+            .map(id => id -> (s"u$id", id * 11L)).toMap
+          val ins = Map((1000 + rnd.nextInt(100)) ->
+            ("ins", rnd.nextInt(100).toLong))
+          DeltaTable.merge(spark, t, df(upd ++ ins), Seq("id"))
+          model = model ++ upd ++ ins
+      }
+      val got = DeltaTable.read(spark, t).collect()
+        .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got === model, s"divergence after step $step")
+    }
+    // every historical version must still be readable (no torn state)
+    DeltaLog.versions(t).foreach(v =>
+      DeltaTable.read(spark, t, Some(v)).count())
+  }
+
   test("property: append is count-additive over random batches") {
     val t = freshTable()
     val rnd = new scala.util.Random(42)

@@ -227,6 +227,34 @@ class StreamingSpec extends SparkSpec {
     assert(fps2.distinct.length === 4)
   }
 
+  test("finalized sessionization emits each closed session exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionizeFinalized(mem.toDS())
+      .writeStream.format("memory").queryName("sess_final")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(0, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // watermark hasn't passed the gap horizon: nothing finalized yet
+    assert(spark.table("sess_final").count() === 0)
+    // an event far past the horizon advances the watermark AND starts
+    // a new session; the first session must finalize exactly once
+    mem.addData(Event(2, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts("2024-01-01 15:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_final").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val first = ts("2024-01-01 10:00:00").getTime / 1000
+    assert(sessions.count(_._1 == 1L) >= 1)
+    assert(sessions.filter(_._1 == 1L).head ===
+      ((1L, 2L, first))) // 2 events, started 10:00, emitted once
+    assert(sessions.count(s => s._1 == 1L && s._3 == first) === 1)
+  }
+
   test("stream-stream join: clicks x purchases within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
