@@ -521,6 +521,23 @@ class DeltaSpec extends SparkSpec {
       .filter($"name" === "Bob").count() === 1)
   }
 
+  test("DML delete racing a concurrent append loses no rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    // delete's remove-set is pinned to its scanned snapshot; if the
+    // append wins the version race the delete re-runs against the new
+    // state. David's 70000 salary survives the <70000 predicate either
+    // way, so the final state is interleaving-independent.
+    val deleter = Future { DeltaTable.delete(spark, t, $"salary" < 70000L) }
+    val appender = Future { DeltaTable.write(employee1, t, "append") }
+    Await.result(Future.sequence(Seq(deleter, appender)), 180.seconds)
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(1, 3, 4)) // Bob (65000) gone, David survived the race
+  }
+
   test("DML merge upserts: matched replaced, unmatched inserted") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
