@@ -70,7 +70,8 @@ class GraftDeltaSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new GraftDeltaStreamSource(sqlContext, path(parameters),
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 
   /** `writeStream.format("graft-delta")` — continuous exactly-once
     * ingest into the ACID log (the streaming composition of the
@@ -176,11 +177,19 @@ class GraftDeltaSource extends RelationProvider
   * offsets make restarts exact: the checkpoint pins the last processed
   * version, no file listing or rescan needed. */
 class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   private val partitionColumns = DeltaLog.snapshot(table).partitionColumns
+
+  /** Rate-limit cursor (Delta's maxFilesPerTrigger analog, in
+    * versions): getOffset advances at most `maxVersionsPerTrigger`
+    * past the previous offer, spreading a large backlog over several
+    * micro-batches instead of one giant one. Source-local only — a
+    * restart re-baselines from the checkpointed offset (its first
+    * batch may be larger; documented trade, same as Delta's). */
+  private var lastOffered: Option[Long] = None
 
   override val schema: StructType = DeltaLog.snapshot(table).schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -195,7 +204,14 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val vs = DeltaLog.versions(table)
-    if (vs.isEmpty) None else Some(LongOffset(vs.max))
+    if (vs.isEmpty) return None
+    val latest = vs.max
+    val next = (maxVersionsPerTrigger, lastOffered) match {
+      case (Some(cap), Some(prev)) => math.min(latest, prev + cap)
+      case _ => latest
+    }
+    lastOffered = Some(next)
+    Some(LongOffset(next))
   }
 
   override def getBatch(

@@ -198,6 +198,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids(dst).toSet === (0L to 5L).toSet)
   }
 
+  test("delta source rate limit: backlog spreads over micro-batches") {
+    import graft.sources.DeltaLog
+    val base = java.nio.file.Files.createTempDirectory("graft-delta-rate")
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    Seq(Event(0, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      .toDF().write.format("graft-delta").save(src) // v0
+    val q0 = spark.readStream.format("graft-delta")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q0.processAllAvailable()
+    // build a 3-version backlog while the query sits between triggers
+    for (i <- 1 to 3)
+      Seq(Event(i.toLong, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+        .toDF().write.format("graft-delta").mode("append").save(src)
+    q0.processAllAvailable()
+    q0.stop()
+    // all rows arrived, and the cap forced one sink commit per source
+    // version instead of one giant batch (v0 snapshot + 3 capped)
+    assert(spark.read.format("graft-delta").load(dst)
+      .select("event_id").as[Long].collect().sorted === Array(0L, 1L, 2L, 3L))
+    assert(DeltaLog.versions(dst).length >= 4,
+      s"expected >=4 sink versions, got ${DeltaLog.versions(dst)}")
+  }
+
   test("streaming dedup: each fingerprint emitted once across batches and restarts") {
     import graft.streaming.StreamingOps.Doc
     val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
