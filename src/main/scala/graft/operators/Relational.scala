@@ -585,11 +585,13 @@ object Relational {
       .select(col("o_custkey"))
     val second = o.filter(col("o_orderdate") >= "1996-01-01")
       .select(col("o_custkey"))
-    val both = first.intersect(second).count()
-    val onlyFirst = first.except(second).count()
-    val all = first.union(second).distinct().count()
-    val spark2 = o.sparkSession; import spark2.implicits._
-    Seq((both, onlyFirst, all)).toDF("n_both", "n_only_first", "n_either")
+    // one distributed plan: each set-op branch reduces to a 1-row
+    // aggregate and the literal cross joins just glue the scalars —
+    // no driver-side actions inside the operator
+    first.intersect(second).agg(count(lit(1)).as("n_both"))
+      .crossJoin(first.except(second).agg(count(lit(1)).as("n_only_first")))
+      .crossJoin(first.union(second).distinct()
+        .agg(count(lit(1)).as("n_either")))
   }
 
   val q98Oracle: String =
