@@ -239,6 +239,81 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** q45 — random-HYPERPLANE (cosine) LSH near-dup: the third
+    * candidate-generation family beside k-means cells (q43) and
+    * MinHash (q32). 16 sign bits per vector — bit k = sign of the dot
+    * product with pseudo-random hyperplane k, whose ±1 components
+    * derive deterministically from md5(k:i) — banded 4×4: candidates
+    * collide on at least one band's 4-bit sub-signature (the same
+    * recall-vs-candidates banding trade as q32's MinHash; at cosine
+    * 0.45 a sign bit agrees w.p. 1−θ/π ≈ 0.65, so one 4-bit band hits
+    * ≈18% and four bands ≈55% — widen bands/probes for higher
+    * recall). Everything is codegen'd arithmetic on exploded (vec,
+    * plane, pos) rows → two hash aggs → band equi-join → exact cosine
+    * confirm: no model state, no driver traffic, and — unlike k-means
+    * — bit-replayable in DuckDB, so the ORACLE verifies the whole LSH
+    * path by hash equality. */
+  val q45HyperplaneLsh: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    // ±1 hyperplane component: low bit of a 60-bit md5 hash of (k, i)
+    val sign = expr(
+      "(cast(conv(substring(md5(concat(k, ':', pos)), 1, 15), 16, 10) AS bigint) % 2) * 2 - 1")
+    val bands = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v"),
+        explode(expr("sequence(0, 15)")).as("k"))
+      .select(col("vec_id"), col("k"),
+        (col("v").cast("double") * sign).as("contrib"))
+      .groupBy("vec_id", "k")
+      .agg(sum(col("contrib")).as("dot"))
+      .groupBy(col("vec_id"), expr("k div 4").as("band"))
+      .agg(sum(expr(
+        "CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(k % 4 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("bsig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(broadcast(a), "id_a").join(broadcast(b), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine("va", "vb"), 4).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q45Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |contrib AS (
+      |  SELECT vec_id, k,
+      |    SUM(embedding[i+1]::DOUBLE *
+      |      ((('0x' || substr(md5(k::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)
+      |      ORDER BY i) AS dot
+      |  FROM e, UNNEST(range(LEN(embedding))) g(i), UNNEST(range(16)) h(k)
+      |  GROUP BY vec_id, k),
+      |bands AS (
+      |  SELECT vec_id, k // 4 AS band,
+      |    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << (k % 4)) ELSE 0 END) AS bsig
+      |  FROM contrib GROUP BY vec_id, k // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id),
+      |p AS (
+      |  SELECT c.id_a, c.id_b,
+      |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
+      |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
+      |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
+      |  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b,
+      |       UNNEST(range(LEN(a.embedding))) g(i)
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM p
+      |WHERE ROUND(dot / (na * nb), 4) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** q44 — grouped vector centroids: element-wise mean embedding per
     * label (cluster/topic summaries — the reduction behind centroid
     * classifiers, drift monitors, and IVF index refreshes). Long-form
@@ -269,7 +344,8 @@ object SimilarityOps {
     "q41_embed_neardup" -> q41EmbedNearDup,
     "q42_ann_ivf" -> q42AnnIvf,
     "q43_cell_neardup" -> q43CellNearDup,
-    "q44_label_centroids" -> q44LabelCentroids)
+    "q44_label_centroids" -> q44LabelCentroids,
+    "q45_hyperplane_lsh" -> q45HyperplaneLsh)
 
   /** q42/q43 are deliberately absent: approximate/index-backed ops,
     * verified by recall + equality-vs-exact bounds in SimilaritySpec
@@ -277,5 +353,6 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q41_embed_neardup" -> q41Oracle,
-    "q44_label_centroids" -> q44Oracle)
+    "q44_label_centroids" -> q44Oracle,
+    "q45_hyperplane_lsh" -> q45Oracle)
 }
