@@ -16,7 +16,16 @@ import org.apache.spark.sql.SparkSession
   *   - any query whose first run exceeds [[RetimeFloorSec]] is run a
   *     second time and the MIN is reported (standard interference
   *     rejection — a throttle spike is transient, the plan is not),
-  *     with both samples recorded under `retimed`;
+  *     with both samples recorded under `retimed`. The round-4 lesson:
+  *     back-to-back samples share the same throttle window (q96 booked
+  *     15.7 s from samples 16.0/15.7 vs 1.16 s quiet), so retimes now
+  *     run as a separate pass at the END of the run — minutes of other
+  *     work separate the two samples, which a burst-credit window does
+  *     not survive. Samples that still disagree by more than
+  *     [[UnreliableRatio]] are listed under `unreliable` so the reader
+  *     knows the min is a bound, not a measurement;
+  *   - the JSON line is also persisted to `bench_out.json` (truncated
+  *     log tails lost the round-4 total);
   *   - the O(n²)-by-design exactness baseline q41 is benched only
   *     while the corpus is small enough that a triangular join is the
   *     *right* plan (its production twin q43 always runs); the skip
@@ -27,6 +36,11 @@ object Bench {
     * query sits either well under this (sub-second relational ops) or
     * enough over it that one extra sample is cheap insurance. */
   private val RetimeFloorSec = 3.0
+
+  /** If min-of-2 samples still disagree by more than this factor, the
+    * pair is flagged `unreliable` in the JSON: the reported min is then
+    * an upper bound on the quiet time, not a converged measurement. */
+  private val UnreliableRatio = 3.0
 
   /** Corpus rows above which the q41 triangular exact join is the
     * wrong plan (q43's cell-bucketed path is the production shape; the
@@ -92,13 +106,30 @@ object Bench {
       }
     }
 
-    val results = selected.map { case (name, fn) =>
-      val (t1, err1) = run(name, fn)
-      if (err1.isEmpty && t1 > RetimeFloorSec) {
-        val (t2, err2) = run(name, fn)
-        val best = if (err2.isEmpty) math.min(t1, t2) else t1
-        (name, best, err1, Some(Seq(t1, t2)))
-      } else (name, t1, err1, None)
+    // Pass 1: every query once, in name order.
+    val firstPass = selected.map { case (name, fn) => (name, run(name, fn)) }
+    // Pass 2 (time-separated retimes): queries whose clean first run
+    // exceeded the floor run again only after the WHOLE first pass —
+    // the two samples are minutes apart, so one sustained throttle
+    // window can't contaminate both.
+    val retimes: Map[String, (Double, Option[String])] =
+      selected.filter { case (name, _) =>
+        firstPass.exists { case (n, (t, err)) =>
+          n == name && err.isEmpty && t > RetimeFloorSec }
+      }.map { case (name, fn) => name -> run(name, fn) }.toMap
+
+    case class Res(name: String, secs: Double, err: Option[String],
+        samples: Option[Seq[Double]], unreliable: Boolean)
+    val results = firstPass.map { case (name, (t1, err1)) =>
+      retimes.get(name) match {
+        case Some((t2, err2)) if err2.isEmpty =>
+          val lo = math.min(t1, t2)
+          val hi = math.max(t1, t2)
+          Res(name, lo, err1, Some(Seq(t1, t2)), hi / lo > UnreliableRatio)
+        case Some((_, err2)) => // retime threw: keep first sample, surface the error
+          Res(name, t1, err1.orElse(err2), Some(Seq(t1)), unreliable = false)
+        case None => Res(name, t1, err1, None, unreliable = false)
+      }
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -107,18 +138,29 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
+    val qs = results.map(r => jstr(r.name) + ":" + r.secs)
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) =>
-      jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
-    val retimed = results.collect { case (k, _, _, Some(ts)) =>
-      jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val errs = results.collect { case r if r.err.nonEmpty =>
+      jstr(r.name) + ":" + jstr(r.err.get) }.mkString("{", ",", "}")
+    val retimed = results.collect { case r if r.samples.nonEmpty =>
+      jstr(r.name) + ":" + r.samples.get.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val unreliable = results.collect { case r if r.unreliable =>
+      jstr(r.name) + ":" + r.samples.get.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val skips = skipped.toSeq.sortBy(_._1).map { case (k, v) =>
       jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"retimed":$retimed,"timing":"min of 2 runs for queries > ${RetimeFloorSec}s first-run"}""")
+    val total = results.map(_.secs).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"retimed":$retimed,"unreliable":$unreliable,"timing":"min of 2 runs for queries > ${RetimeFloorSec}s first-run; retimes in a separate end-of-run pass; pairs disagreeing > ${UnreliableRatio}x flagged unreliable"}"""
+    println(line)
+    // Persist alongside stdout: the driver captures a bounded log tail,
+    // and round 4's official record lost its total to truncation.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_out.json: $e") }
     spark.stop()
     Scratch.purge()
-    if (results.exists(_._3.nonEmpty)) sys.exit(1)
+    if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }
 }

