@@ -271,19 +271,14 @@ class GraftDeltaStreamSink(table: String, partitionColumns: Seq[String],
     // streaming leaves (any fresh action on it throws
     // CALL_ON_STREAMING_DATASET_UNSUPPORTED); its queryExecution,
     // though, IS the incremental execution already bound to this
-    // micro-batch. Re-wrap the planned RDD as a batch DataFrame via the
-    // schema's row encoder — a per-row InternalRow→Row conversion, the
-    // toll of staying on public API at the V1 sink boundary; the
-    // distributed parquet write and the atomic commit are unchanged.
-    val schema = data.schema
-    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
-      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
-      .resolveAndBind()
-    val rows = data.queryExecution.toRdd.mapPartitions { it =>
-      val fromInternal = enc.createDeserializer()
-      it.map(ir => fromInternal(ir): org.apache.spark.sql.Row)
-    }
-    val batchDf = data.sparkSession.createDataFrame(rows, schema)
+    // micro-batch. Re-wrap the planned InternalRow RDD as a batch frame
+    // directly (GraftSqlBridge) — zero per-row conversion; round 4 went
+    // through the schema's row encoder (InternalRow→Row deserialize,
+    // then re-serialize inside createDataFrame), a measurable toll on
+    // the continuous-ingest hot path. The distributed parquet write and
+    // the atomic commit are unchanged.
+    val batchDf = org.apache.spark.sql.GraftSqlBridge.batchDataFrame(
+      data.sparkSession, data.queryExecution.toRdd, data.schema)
     DeltaTable.write(batchDf, table, "append",
       partitionBy = partitionColumns, txn = Some((appId, batchId)))
   }
