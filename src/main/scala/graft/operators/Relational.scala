@@ -465,6 +465,42 @@ object Relational {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** q28 — correlated SCALAR subquery (TPC-H Q17 shape, [EXT]):
+    * small-quantity lineitems — below 0.2× their own part's average
+    * quantity — rolled up per brand. Written as SQL TEXT deliberately:
+    * the point is Catalyst's subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery), which turns the per-row
+    * correlated aggregate into ONE grouped aggregate over lineitem
+    * joined back on l_partkey — the naive reading re-scans lineitem per
+    * outer row, which is quadratic and cluster-fatal at 100 TB.
+    * PlanSpec asserts the decorrelated shape (no subquery node survives
+    * in the physical plan). Sums go through DECIMAL before the final
+    * double cast (fold-order-exact across partitionings and engines —
+    * same trick as moneySum); the 0.2× threshold derives from an exact
+    * decimal sum for the identical reason. */
+  val q28CorrelatedSubquery: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT p.p_brand, COUNT(*) AS n_small,
+        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < (
+        |  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                / COUNT(l2.l_quantity))
+        |  FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+  }
+
+  val q28Oracle: String =
+    """SELECT p.p_brand, COUNT(*) AS n_small,
+      |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < (
+      |  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |                / COUNT(l2.l_quantity))
+      |  FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
   /** q93 — semi/anti join ([EXT] beyond the reference's inner/left
     * surface): per segment, how many customers have at least one order
     * (LEFT SEMI = EXISTS) vs none (LEFT ANTI = NOT EXISTS). Both plan
@@ -641,6 +677,7 @@ object Relational {
     "q97_pivot" -> q97Pivot,
     "q98_set_ops" -> q98SetOps,
     "q93_semi_anti_join" -> q93SemiAntiJoin,
+    "q28_corr_subquery" -> q28CorrelatedSubquery,
     "q90_range_source" -> q90RangeSource,
     "q91_inmem_source" -> q91InMemorySource,
     "q92_percentile_approx" -> q92PercentileApprox,
@@ -671,6 +708,7 @@ object Relational {
     "q97_pivot" -> q97Oracle,
     "q98_set_ops" -> q98Oracle,
     "q93_semi_anti_join" -> q93Oracle,
+    "q28_corr_subquery" -> q28Oracle,
     "q90_range_source" -> q90Oracle,
     "q91_inmem_source" -> q91Oracle,
     // q92 deliberately absent: approximate op, bounded in RelationalSpec
