@@ -241,6 +241,54 @@ object EventOps {
       |GROUP BY s.user_id, s.session_seq
       |ORDER BY s.user_id, s.session_seq""".stripMargin
 
+  /** q57 — NATIVE session windows: `session_window(ts, gap)`, Spark's
+    * built-in gap-session operator, as the cross-check twin of q51's
+    * hand-built lag + running-sum sessionization. Boundary semantics,
+    * pinned by EventTextSpec on a crafted fixture: a session whose end
+    * TOUCHES the next event's start merges (split only at gap
+    * STRICTLY > 30 min — same `>` as q51), but the gap is measured in
+    * exact MICROSECONDS where q51 floors both timestamps to whole
+    * seconds first — so the two can differ on sub-second data when a
+    * true gap straddles 1800 s while its floored difference does not.
+    * The DuckDB oracle replays the native operator's exact-micros
+    * semantics, so this query hash-matches on its own; EventTextSpec
+    * pins it against a manual window-algebra twin built with the SAME
+    * semantics (operator vs algebra must agree row-for-row), and the
+    * batch plan is the same one Structured Streaming runs with a
+    * watermark (session_window is streaming-native — SURVEY §2.7).
+    * Scale shape: one user_id shuffle, sessions assembled per-user —
+    * identical posture to q51. */
+  val q57SessionWindow: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.moneySum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_us")
+
+  val q57Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id,
+      |  epoch_us(MIN(ts)) AS start_us,
+      |  epoch_us(MAX(ts)) + 1800000000 AS end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** q56 — JSON property extraction + rollup over the `props` column
     * (every event carries a JSON payload; training-data events always
     * do). `get_json_object` is Spark's codegen'd JSON path evaluator —
@@ -270,6 +318,7 @@ object EventOps {
     "q54_asof_join" -> q54AsofJoin,
     "q55_range_join" -> q55RangeJoin,
     "q56_json_props" -> q56JsonProps,
+    "q57_session_window" -> q57SessionWindow,
     "q50_hourly_rollup" -> q50HourlyRollup,
     "q51_sessionize" -> q51Sessionize,
     "q52_daily_top_user" -> q52DailyTopUser,
@@ -279,6 +328,7 @@ object EventOps {
     "q54_asof_join" -> q54Oracle,
     "q55_range_join" -> q55Oracle,
     "q56_json_props" -> q56Oracle,
+    "q57_session_window" -> q57Oracle,
     "q50_hourly_rollup" -> q50Oracle,
     "q51_sessionize" -> q51Oracle,
     "q52_daily_top_user" -> q52Oracle)

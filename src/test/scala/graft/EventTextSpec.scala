@@ -45,6 +45,56 @@ class EventTextSpec extends SparkSpec {
     assert(rows(1).getLong(4) === 2L) // distinct users in hour 11
   }
 
+  test("native session_window (q57) == manual window algebra, exact-micros semantics") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // The manual twin replays session_window's OWN semantics: gaps in
+    // exact microseconds, split at STRICTLY > 30 min (touching windows
+    // merge), end = last_ts + gap. (q51 floors to whole seconds first
+    // — a subtly different contract; see the q57 scaladoc.)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val manual = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) + 1800L * 1000000L).as("end_us"),
+        count(lit(1)).as("n_events"),
+        graft.functions.Exact.moneySum(col("value")).as("session_value"))
+      .select("user_id", "start_us", "end_us", "n_events", "session_value")
+      .orderBy("user_id", "start_us")
+    val native = operators.EventOps.q57SessionWindow(spark, sf)
+    assert(native.collect().toSeq === manual.collect().toSeq)
+  }
+
+  test("session_window boundary: exact-gap touch merges, one micro over splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw").toString
+    Seq(
+      // user 2: gap of exactly 30 min — touching windows MERGE
+      (0L, ts("2024-01-01 09:00:00"), 2L, "view", 5.0, "{}"),
+      (1L, ts("2024-01-01 09:30:00"), 2L, "view", 6.0, "{}"),
+      // user 3: 30 min + 1 microsecond — strictly past the gap, SPLITS
+      (2L, ts("2024-01-01 09:00:00"), 3L, "view", 7.0, "{}"),
+      (3L, ts("2024-01-01 09:30:00.000001"), 3L, "view", 8.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val native = operators.EventOps.q57SessionWindow(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(native(2L) === 1, "exact-30min touch must merge")
+    assert(native(3L) === 2, "30min + 1us must split")
+    // q51 floors to seconds: the 1us excess vanishes, so it merges both
+    val manual = operators.EventOps.q51Sessionize(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(manual(2L) === 1 && manual(3L) === 1,
+      "q51's floored-seconds gap must merge both users")
+  }
+
   test("approx distinct users tracks exact within HLL++ error (q53 bound)") {
     val approx = EventOps.q53ApproxUsers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
