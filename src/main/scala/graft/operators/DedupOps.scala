@@ -16,9 +16,18 @@ import graft.operators.TextOps.normText
   *   - Every hash is a deterministic built-in (md5) so results are
   *     identical across executor counts AND reproducible by the
   *     DuckDB oracle — no JVM-private hash seeds in the data path.
-  *   - Skew: a hyper-common shingle/band would fan out; production
-  *     would drop top-frequency buckets (stopword shingles) — noted
-  *     inline where the cap would go.
+  *   - Skew: a hyper-common shingle (boilerplate headers, license
+  *     blocks) would fan the candidate join out quadratically on its
+  *     bucket. q31 caps candidate-generating shingles at
+  *     [[skewDfCap]] document frequency (spec-proven to leave results
+  *     unchanged on a skewed fixture — see the q31 scaladoc for the
+  *     recall argument); partition-level residual skew is AQE
+  *     skew-join territory (enabled in Bench). A giant MinHash BAND
+  *     bucket (q32) is different: identical band = near-identical
+  *     docs, so its pairs are TRUE dups and the quadratic output is
+  *     the answer itself — production bounds it by running exact
+  *     dedup (q30) first so identical docs collapse before LSH, and
+  *     q34 consumes the pairs as edges without re-enumerating them.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -178,11 +187,31 @@ object DedupOps {
     * before the hash stages regressed q31 11→27s and q32 8→46s —
     * the narrow pre-shuffle stages are not the bottleneck (downstream
     * groupBy/join shuffles already run 32-wide) and the extra
-    * exchange starves AQE of scan statistics. */
-  val q31NgramJaccard: Q = (spark, dir) => {
+    * exchange starves AQE of scan statistics.
+    *
+    * Implementation split: [[prefixCandidates]] (the candidate
+    * generator with the skew df cap) + [[jaccardFor]] (exact verify).
+    */
+  // (q31's narrative above; the helpers follow.)
+
+  /** Skew cap for candidate GENERATION: shingles in more than this
+    * many documents don't generate candidate pairs (they stay in the
+    * arrays, so verification still counts them). 10% of the corpus
+    * with an absolute floor of 50 — two orders of magnitude above the
+    * fixtures' max df (25 of 5000 docs at sf0.1), so the oracled
+    * results are untouched; a boilerplate shingle shared by the whole
+    * corpus is exactly what it drops. */
+  private[graft] val SkewDfCapFloor = 50L
+  private def skewDfCap(nDocs: Long): Long = math.max(SkewDfCapFloor, nDocs / 10)
+
+  /** Prefix-filtered candidate pairs (doc_a, doc_b) for [[q31NgramJaccard]].
+    * `dfCap` = None → the relative [[skewDfCap]] default; Some(x) pins
+    * it (DedupSpec uses Long.MaxValue to diff capped vs uncapped). */
+  private[graft] def prefixCandidates(spark: SparkSession, dir: String,
+      tau: Double, dfCap: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tau = 0.5
     val arrays = stagedShingleArrays(spark, dir)
+    val cap = dfCap.getOrElse(skewDfCap(arrays.count()))
     val sh = shingleRows(arrays)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
@@ -190,10 +219,23 @@ object DedupOps {
     // Stage the prefix relation too: the candidate generator self-joins
     // it, and Spark does not dedupe common subplans — unstaged, the
     // freq shuffle AND the rarity window would execute twice.
+    //
+    // The df cap applies AFTER the rarity positions are assigned:
+    // rarest-first ordering puts hyper-common shingles at the TAIL of
+    // each prefix, so dropping them never shifts a rare shingle out of
+    // its slot — any pair sharing at least one sub-cap prefix shingle
+    // is still found. A pair is lost only when its ONLY shared prefix
+    // shingles are boilerplate-grade (df > 10% of the corpus): with
+    // rarest-first prefixes that means essentially all the pair's
+    // less-common shingles are disjoint, which pins its Jaccard far
+    // below any useful τ — the verify stage would reject it anyway.
+    // DedupSpec proves results unchanged on a fixture where every doc
+    // shares a boilerplate header (candidates collapse ~1770 → 1).
     val prefixDir = graft.Scratch.dir("graft-prefix").resolve("p").toString
     sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("n") - ceil(col("n") * tau) + 1)
+      .filter(col("pos") <= col("n") - ceil(col("n") * tau) + 1 &&
+        col("df") <= cap)
       .select("doc_id", "n", "shingle")
       .write.parquet(prefixDir)
     val prefix = spark.read.parquet(prefixDir)
@@ -203,12 +245,17 @@ object DedupOps {
     // pruned HERE — before the intersection-count join fans each
     // surviving pair out by |A| shingle rows. Lossless like the prefix
     // filter; the naive oracle proves it.
-    val cand = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) >= ceil(greatest(col("a.n"), col("b.n")) * tau))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardFor(cand, arrays)
+  }
+
+  val q31NgramJaccard: Q = (spark, dir) => {
+    val tau = 0.5
+    val arrays = stagedShingleArrays(spark, dir)
+    jaccardFor(prefixCandidates(spark, dir, tau), arrays)
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
   }

@@ -47,6 +47,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("skew cap: boilerplate shingle stops generating candidates, results unchanged") {
+    // 60 docs, every one opening with the same 6-token boilerplate
+    // header (4 hyper-common shingles, df = 60 > the cap floor of 50)
+    // and a 3-token unique tail — short enough that the common
+    // shingles land INSIDE each doc's rarity-ordered prefix, so the
+    // uncapped candidate join fans out all-pairs on the boilerplate
+    // bucket. Docs 58/59 share their tail: the one TRUE near-dup pair,
+    // reachable through rare (df=2) prefix shingles the cap keeps.
+    val header = "terms of service apply to"
+    val docs = (0 until 59).map { i =>
+      (i.toLong, s"$header item u${i}a u${i}b u${i}c", "en", "src", 40L)
+    } :+ (59L, s"$header item u58a u58b u58c", "en", "src", 40L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val uncapped = DedupOps.prefixCandidates(spark, dir, 0.5,
+      Some(Long.MaxValue)).count()
+    val capped = DedupOps.prefixCandidates(spark, dir, 0.5, None).count()
+    // the boilerplate bucket alone contributes C(60,2) = 1770 pairs
+    assert(uncapped >= 1770, s"fixture must be skewed (got $uncapped)")
+    assert(capped < 60, s"cap must collapse the boilerplate fan-out (got $capped)")
+    // ...and the FINAL result is identical: every capped-away candidate
+    // fails the exact-Jaccard verify anyway (boilerplate-only overlap)
+    val cappedPairs = DedupOps.q31NgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5)))
+    assert(cappedPairs.map(_._1).toSeq === Seq((58L, 59L)))
+    assert(cappedPairs.head._2 === 1.0)
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as the exact pass") {
     val exact = DedupOps.q31NgramJaccard(spark, corpusDir).collect()
       .filter(_.getDouble(5) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
