@@ -81,10 +81,24 @@ object DeltaLog {
   def checkpointPath(table: String, version: Long): Path =
     logDir(table).resolve(V.format(version) + ".checkpoint.json")
 
-  /** Versions that have a self-contained side checkpoint (written by
-    * vacuum), ascending. Discovered by listing — `_last_checkpoint` is
-    * written as the protocol's hint file but the listing is truth, so
-    * a crash between checkpoint write and hint write changes nothing. */
+  /** The PROTOCOL-format checkpoint: parquet, one action per row —
+    * the file a stock delta-spark reader discovers and replays. */
+  def parquetCheckpointPath(table: String, version: Long): Path =
+    logDir(table).resolve(V.format(version) + ".checkpoint.parquet")
+
+  /** Stable table id for the metaData action (the protocol requires
+    * one): derived from the absolute table path, so every commit of a
+    * table carries the same id with no id-registry state. */
+  def tableId(table: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      Paths.get(table).toAbsolutePath.normalize.toString
+        .getBytes(StandardCharsets.UTF_8)).toString
+
+  /** Versions that have a self-contained checkpoint (written by
+    * vacuum, in either format), ascending. Discovered by listing —
+    * `_last_checkpoint` is written as the protocol's hint file but the
+    * listing is truth, so a crash between checkpoint write and hint
+    * write changes nothing. */
   def checkpointVersions(table: String): Seq[Long] = {
     val d = logDir(table)
     if (!Files.isDirectory(d)) Seq.empty
@@ -94,10 +108,33 @@ object DeltaLog {
         val n = p.getFileName.toString
         if (n.endsWith(".checkpoint.json"))
           n.stripSuffix(".checkpoint.json").toLongOption
+        else if (n.endsWith(".checkpoint.parquet"))
+          n.stripSuffix(".checkpoint.parquet").toLongOption
         else None
-      }.toSeq.sorted
+      }.toSeq.distinct.sorted
       finally s.close()
     }
+  }
+
+  /** A checkpoint's content as action LINES. The JSON side file is the
+    * fast path (no Spark job); absent that, the protocol parquet
+    * checkpoint is decoded through the session's parquet reader —
+    * `toJSON` re-emits each row as exactly the action-line shape the
+    * replay loop already parses (null action columns are omitted).
+    * Either file alone fully reconstructs the snapshot; DeltaSpec
+    * proves parquet-only replay. */
+  private def checkpointLines(table: String, version: Long): Seq[String] = {
+    val json = checkpointPath(table, version)
+    if (Files.exists(json))
+      return Files.readAllLines(json, StandardCharsets.UTF_8).asScala.toSeq
+    val pq = parquetCheckpointPath(table, version)
+    require(Files.exists(pq),
+      s"checkpoint $version of $table listed but both formats missing")
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        s"decoding parquet checkpoint $pq requires an active SparkSession"))
+    spark.read.parquet(pq.toString).toJSON.collect().toSeq
   }
 
   /** Replay the log up to `versionAsOf` (inclusive; latest if None):
@@ -136,15 +173,16 @@ object DeltaLog {
     require(base.isDefined || walked.headOption.forall(_ == 0L),
       s"torn _delta_log in $table: earliest version ${walked.headOption.orNull} " +
         "has no preceding checkpoint (log prefix pruned without one?)")
-    val replay: Seq[Path] =
-      base.map(checkpointPath(table, _)).toSeq ++
-        walked.map(v => logDir(table).resolve(V.format(v) + ".json"))
+    val replay: Seq[String] =
+      base.toSeq.flatMap(checkpointLines(table, _)) ++
+        walked.flatMap(v => Files.readAllLines(
+          logDir(table).resolve(V.format(v) + ".json"),
+          StandardCharsets.UTF_8).asScala)
     var schema: Option[String] = None
     var partCols: Seq[String] = Nil
     val txns = scala.collection.mutable.Map[String, Long]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    for (p <- replay; line <- Files.readAllLines(p, StandardCharsets.UTF_8)
-        .asScala if line.nonEmpty) {
+    for (line <- replay if line.nonEmpty) {
       Json.parse(line) match {
         case ("add", fields) =>
           val p = fields("path")
@@ -227,10 +265,21 @@ object DeltaLog {
   def removeAction(path: String): String =
     s"""{"remove":{"path":${Json.str(path)},"dataChange":true}}"""
 
+  /** Protocol action (reader/writer capability gate). Version 1/2 =
+    * the base protocol: no column mapping, no deletion vectors — which
+    * is exactly the feature set this log uses. Emitted in version 0 of
+    * every table and in every checkpoint, per the Delta spec. */
+  def protocolAction: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  /** The protocol-complete metaData shape: `id` + `format` are
+    * REQUIRED fields for a stock delta reader (our own replay only
+    * needs schemaString/partitionColumns and ignores the rest). */
   def metaDataAction(schemaJson: String,
-      partitionColumns: Seq[String] = Nil): String = {
+      partitionColumns: Seq[String] = Nil, tableId: String = ""): String = {
     val pc = partitionColumns.map(Json.str).mkString("[", ",", "]")
-    s"""{"metaData":{"schemaString":${Json.str(schemaJson)},"partitionColumns":$pc}}"""
+    val id = if (tableId.isEmpty) "" else s""""id":${Json.str(tableId)},"""
+    s"""{"metaData":{$id"format":{"provider":"parquet","options":{}},"schemaString":${Json.str(schemaJson)},"partitionColumns":$pc,"configuration":{}}}"""
   }
 
   def commitInfoAction(op: String): String =

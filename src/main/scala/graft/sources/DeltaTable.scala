@@ -99,7 +99,11 @@ object DeltaTable {
         }
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
-          Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy)) ++
+          // protocol belongs in a table's FIRST commit (Delta spec);
+          // later commits inherit it from replay/checkpoint
+          (if (readVersion == -1L) Seq(DeltaLog.protocolAction) else Nil) ++
+          Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy,
+            DeltaLog.tableId(table))) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           removes ++
           added.map(f =>
@@ -456,6 +460,86 @@ object DeltaTable {
     else StructType(old.fields ++ newFields.map(_.copy(nullable = true)))
   }
 
+  /** The protocol-format checkpoint: one parquet row per action, null
+    * columns for the actions a row doesn't carry — the column layout
+    * (txn/add/remove/metaData/protocol) delta-spark's checkpoint
+    * reader expects, with protocol 1/2 and a stable metaData id.
+    * `stats` stays a JSON string per the protocol; its flat
+    * {n, min.*, max.*} content is this engine's own — a foreign reader
+    * that can't parse it loses data skipping, never correctness.
+    * `dataChange` is false on checkpoint adds (spec requirement).
+    * Our own replay decodes these rows back into action lines via
+    * `toJSON` (see [[DeltaLog.snapshot]]), so either checkpoint format
+    * alone reconstructs the table. */
+  private def writeParquetCheckpoint(spark: SparkSession, table: String,
+      version: Long, snap: DeltaLog.Snapshot): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
+      LongType, MapType, StructField}
+    val schema = StructType(Seq(
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    def statsJson(f: DeltaLog.AddFile): String =
+      if (f.stats.isEmpty) null
+      else f.stats.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s"${DeltaLog.Json.str(k)}:${DeltaLog.Json.str(v)}" }
+        .mkString("{", ",", "}")
+    val rows: Seq[Row] =
+      Seq(Row(null, null, null, null, Row(1, 2))) ++
+        snap.schemaJson.map(sj => Row(null, null, null,
+          Row(DeltaLog.tableId(table), Row("parquet", Map.empty[String, String]),
+            sj, snap.partitionColumns, Map.empty[String, String]), null)).toSeq ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Row(Row(app, v), null, null, null, null) } ++
+        snap.files.map(f => Row(null,
+          Row(f.path, f.partitionValues, f.size, 0L, false, statsJson(f)),
+          null, null, null))
+    val tmpDir = Files.createTempDirectory(DeltaLog.logDir(table), ".pckpt-")
+    try {
+      spark.createDataFrame(rows.asJava, schema).coalesce(1)
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      val s = Files.list(tmpDir)
+      val part =
+        try s.iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"parquet checkpoint write produced no part file in $tmpDir"))
+        finally s.close()
+      Files.move(part, DeltaLog.parquetCheckpointPath(table, version),
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      val s = Files.walk(tmpDir)
+      try s.iterator.asScala.toSeq.reverse.foreach(p =>
+        try Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
+      finally s.close()
+    }
+  }
+
   /** Garbage-collect data files that no retained version references:
     * keep the last `keepVersions` versions readable, drop every data
     * file only older versions need, and prune the log prefix so time
@@ -464,9 +548,15 @@ object DeltaTable {
     *
     * Protocol shape (matching real Delta's checkpoint design):
     * committed `N.json` files are IMMUTABLE — the horizon (oldest
-    * retained) version is summarized into a SIDE checkpoint file
-    * (`N.checkpoint.json`: metaData + txn ledger + every live add)
-    * and `_last_checkpoint` is updated to point at it. Replay
+    * retained) version is summarized into a checkpoint in BOTH
+    * formats: the protocol's `N.checkpoint.parquet` (one action per
+    * row — protocol, metaData with table id, txn ledger, every live
+    * add — the file a stock delta reader replays) and a
+    * `N.checkpoint.json` side file with the same actions as JSON
+    * lines (the engine's no-Spark-job fast path). Either alone fully
+    * reconstructs the snapshot (DeltaSpec deletes the JSON and
+    * replays from parquet only); `_last_checkpoint` is updated to
+    * point at them. Replay
     * ([[DeltaLog.snapshot]]) starts from the newest checkpoint at or
     * below the target, so the pruned prefix is never read — crash
     * anywhere in this sequence and the table stays consistent:
@@ -487,8 +577,10 @@ object DeltaTable {
     // 1. side checkpoint for the horizon (atomic move; derived data,
     // so replacing a racer's identical checkpoint is harmless)
     val checkpoint =
-      Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT")) ++
-        hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns)) ++
+      Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT"),
+        DeltaLog.protocolAction) ++
+        hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns,
+          DeltaLog.tableId(table))) ++
         // txn ledger must survive the pruned prefix — dropping it would
         // let a restarted streaming query re-apply old micro-batches
         hSnap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
@@ -500,10 +592,18 @@ object DeltaTable {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, DeltaLog.checkpointPath(table, horizon),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // 1b. the PROTOCOL-format checkpoint: the same snapshot as parquet
+    // action rows — what a stock delta reader replays. Needs a session
+    // for the parquet codec; vacuum is always driven by one in
+    // practice (best-effort skip otherwise: the JSON side file already
+    // guarantees our own replay).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(writeParquetCheckpoint(_, table, horizon, hSnap))
     // 2. _last_checkpoint hint (the protocol's fast-path pointer;
     // discovery by listing remains the source of truth)
     val hint = Files.createTempFile(logDir, ".lastckpt-", ".tmp")
-    Files.write(hint, s"""{"version":$horizon}"""
+    Files.write(hint, s"""{"version":$horizon,"size":${checkpoint.length}}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(hint, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -515,6 +615,7 @@ object DeltaTable {
     }
     DeltaLog.checkpointVersions(table).filter(_ < horizon).foreach { v =>
       Files.deleteIfExists(DeltaLog.checkpointPath(table, v))
+      Files.deleteIfExists(DeltaLog.parquetCheckpointPath(table, v))
     }
     // 4. delete unreferenced data files (recursive: partitioned
     // layouts keep data in col=value/ subdirs; paths compared

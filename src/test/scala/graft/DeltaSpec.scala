@@ -294,7 +294,7 @@ class DeltaSpec extends SparkSpec {
       "vacuum must not rewrite a committed version file")
     assert(Files.exists(logDir.resolve("%020d.checkpoint.json".format(1L))))
     assert(new String(Files.readAllBytes(logDir.resolve("_last_checkpoint")))
-      === """{"version":1}""")
+      .startsWith("""{"version":1,"size":"""))
     // simulate a crash between checkpoint write and prefix delete: the
     // pruned v0 survives on disk — replay starts at the newest
     // checkpoint <= target, so v0's adds cannot resurrect
@@ -302,6 +302,47 @@ class DeltaSpec extends SparkSpec {
     val snap = DeltaLog.snapshot(t)
     assert(snap.files.length === 1)
     assert(DeltaTable.read(spark, t).count() === 1)
+  }
+
+  test("protocol parquet checkpoint alone replays the table (stock-delta shape)") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")              // v0
+    DeltaTable.write(employee1, t, "append")                  // v1
+    DeltaTable.write(employee1, t, "append")                  // v2
+    assert(DeltaTable.vacuum(t, keepVersions = 2).nonEmpty === false)
+    // nothing unreferenced yet — force a horizon: overwrite + vacuum
+    DeltaTable.write(employees3, t, "overwrite")              // v3
+    assert(DeltaTable.vacuum(t, keepVersions = 1).nonEmpty)
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    val pq = DeltaLog.parquetCheckpointPath(t, 3L)
+    assert(Files.exists(pq), "vacuum must write the protocol parquet checkpoint")
+    // the checkpoint carries protocol 1/2 and a stable metaData id
+    val ck = spark.read.parquet(pq.toString)
+    val proto = ck.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion").collect()
+    assert(proto.map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((1, 2)))
+    val meta = ck.filter(col("metaData").isNotNull)
+      .select("metaData.id", "metaData.format.provider").collect()
+    assert(meta.length === 1 && meta(0).getString(0) === DeltaLog.tableId(t))
+    assert(meta(0).getString(1) === "parquet")
+    // delete the JSON side checkpoint: replay must reconstruct the
+    // snapshot from the parquet checkpoint ALONE
+    assert(Files.deleteIfExists(DeltaLog.checkpointPath(t, 3L)))
+    val rows = DeltaTable.read(spark, t)
+      .select("id", "name").collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq === Seq(1, 2, 3))
+    // ...and stays writable: an append replays the parquet checkpoint
+    // for its read snapshot, then commits v4 on top
+    DeltaTable.write(employee1, t, "append")
+    assert(DeltaTable.read(spark, t).count() === 4)
+    // v0 of every table carries the protocol action (interop: stock
+    // readers refuse logs without one)
+    val t2 = freshTable()
+    DeltaTable.write(employees3, t2, "overwrite")
+    val v0 = new String(Files.readAllBytes(
+      DeltaLog.logDir(t2).resolve("%020d.json".format(0L))))
+    assert(v0.contains(""""protocol":{"minReaderVersion":1,"minWriterVersion":2}"""))
+    assert(v0.contains(s""""id":"${DeltaLog.tableId(t2)}""""))
   }
 
   test("format(\"delta\") short-name alias works verbatim") {
