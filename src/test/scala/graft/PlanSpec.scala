@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.SparkPlan
+import graft.operators.{DedupOps, EventOps, Relational, SimilarityOps}
+
+/** Explain-plan regression guards for the most expensive bench
+  * queries: the measured-and-earned plan shapes (broadcast vs shuffle
+  * choice, codegen coverage, no nested-loop fallbacks) are asserted
+  * here so a refactor that silently degrades one fails a test instead
+  * of a bench round. Complements the operator-local plan checks
+  * (DedupSpec's q31 broadcast guard, EventTextSpec's q55 no-NL guard,
+  * DeltaSpec's vectorized-scan and numFiles guards). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+
+  /** Every CodegenFallback expression anywhere in the physical plan —
+    * these evaluate interpreted per row, severing whole-stage codegen
+    * exactly where the dedup/ANN pipelines burn their CPU (measured:
+    * higher-order lambdas cost q31 20 s and q32 the bulk of round 1's
+    * time before the posexplode/window rewrites). TypedImperativeAggregate
+    * is exempt: it is CodegenFallback by construction (object-typed
+    * buffers evaluated inside the aggregate operator, once per row per
+    * group — the design point of graft_simhash_agg, not a per-row
+    * expression-tree interpretation). */
+  private def fallbacks(p: SparkPlan): Seq[String] =
+    p.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case e: CodegenFallback
+            if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .aggregate.TypedImperativeAggregate[_]] =>
+          e.prettyName
+      })
+    }.flatten.distinct
+
+  test("dedup/ANN pipelines: whole-stage codegen, no interpreted fallbacks") {
+    val hot = Seq(
+      "q31_ngram_jaccard" -> DedupOps.queries("q31_ngram_jaccard"),
+      "q32_minhash_lsh" -> DedupOps.queries("q32_minhash_lsh"),
+      "q33_simhash" -> DedupOps.queries("q33_simhash"),
+      "q43_cell_neardup" -> SimilarityOps.queries("q43_cell_neardup"),
+      "q45_hyperplane_lsh" -> SimilarityOps.queries("q45_hyperplane_lsh"))
+    for ((name, q) <- hot) {
+      val p = plan(q(spark, sf))
+      val fb = fallbacks(p)
+      assert(fb.isEmpty,
+        s"$name has interpreted (CodegenFallback) expressions: " +
+          s"${fb.mkString(", ")}\n$p")
+      val s = p.toString
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to a nested-loop/cartesian join:\n$s")
+    }
+  }
+
+  test("q28: correlated scalar subquery is decorrelated into a join") {
+    val p = plan(Relational.queries("q28_corr_subquery")(spark, sf)).toString
+    // RewriteCorrelatedScalarSubquery must leave NO per-row subquery:
+    // the 0.2x-avg threshold becomes an aggregate joined on l_partkey
+    assert(!p.contains("Subquery"),
+      s"correlated subquery survived to the physical plan (per-row rescans):\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin")),
+      s"expected the decorrelated aggregate-join shape:\n$p")
+  }
+
+  test("q01/q16: dimension tables broadcast, fact side never shuffled for them") {
+    for (name <- Seq("q01_flagship_left_join", "q16_shipping_priority")) {
+      val s = plan(Relational.queries(name)(spark, sf)).toString
+      assert(s.contains("BroadcastHashJoin"),
+        s"$name should broadcast its dimension side:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$name went all-pairs:\n$s")
+    }
+  }
+
+  test("q96 cube and q57 session_window keep hash-based aggregation") {
+    val cube = plan(Relational.queries("q96_cube")(spark, sf)).toString
+    assert(cube.contains("Expand") && cube.contains("HashAggregate"),
+      s"CUBE should plan as Expand + hash aggregate:\n$cube")
+    val sw = plan(EventOps.queries("q57_session_window")(spark, sf)).toString
+    assert(sw.contains("SessionWindow") || sw.contains("session_window"),
+      s"q57 should plan the native session-window operator:\n$sw")
+  }
+
+  test("q34 connected components: band join stays an equi hash join per round") {
+    // the per-round label propagation joins are generated inside the
+    // loop; guard the candidate-edge source it feeds on instead
+    val p = plan(DedupOps.queries("q32_minhash_lsh")(spark, sf)).toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"band-bucket candidate join must be an equi join:\n$p")
+  }
+}
