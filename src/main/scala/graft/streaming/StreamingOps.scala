@@ -252,4 +252,26 @@ object StreamingOps {
     q.stop()
     spark.table(sinkName)
   }
+
+  /** NATIVE session windows over the stream: the EXACT batch q57 plan
+    * (`session_window(ts, 30 min)` — EventOps.q57SessionWindow) run
+    * under a watermark, which is the whole point of preferring the
+    * native operator over hand-rolled state: one formulation serves
+    * batch and streaming, with state bounded by the watermark and a
+    * session's single finalized row emitted in Append mode once the
+    * watermark passes its end. Gap semantics are the ones EventTextSpec
+    * pins for batch (touching windows merge, exact-micros gap);
+    * StreamingSpec asserts stream == batch q57 on the same rows. */
+  def sessionWindowRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("session_value"))
 }

@@ -33,6 +33,39 @@ class StreamingSpec extends SparkSpec {
     assert(out((h11, "click")) === ((2L, 10.5)))
   }
 
+  test("streaming session_window equals batch q57 on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      // user 1: two sessions (45-min gap); out-of-order arrival below
+      Event(0, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:20:00"), 1, "click", 3.0),
+      Event(1, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "click", 4.0),
+      // user 2: one session
+      Event(4, ts("2024-01-01 09:00:00"), 2, "view", 5.0),
+      Event(5, ts("2024-01-01 09:20:00"), 2, "view", 6.0))
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    val q = StreamingOps.sessionWindowRollup(mem.toDF())
+      .writeStream.format("memory").queryName("sw_sink")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sw_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // batch q57 over the same rows written as an events fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw-twin").toString
+    rows.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventOps.q57SessionWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(streamed === batch,
+      s"stream/batch session windows diverge:\nstream=$streamed\nbatch=$batch")
+    assert(batch.size === 3) // (u1 s1), (u1 s2), (u2 s1)
+  }
+
   test("file source -> file sink e2e: exactly-once across a restart") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-e2e")
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
