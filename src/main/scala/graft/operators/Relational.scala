@@ -501,6 +501,41 @@ object Relational {
       |  FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
       |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
 
+  /** q29 — NESTED correlated subqueries (TPC-H Q20 shape, [EXT]):
+    * per nation, the suppliers who dominate some part's volume —
+    * supplier-in-part share above 10% of the part's total. Two
+    * decorrelation layers in one SQL text: the outer `IN` (quantified
+    * predicate → RewritePredicateSubquery plans a LEFT SEMI join) and,
+    * INSIDE the IN-subquery's HAVING, a correlated scalar aggregate
+    * over the same fact table (→ RewriteCorrelatedScalarSubquery joins
+    * the per-part totals back on l_partkey). Complements q28's plain
+    * scalar case; together they cover Catalyst's two subquery rewrite
+    * families. Same DECIMAL-exact-sum discipline for engine parity. */
+  val q29NestedSubquery: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n.n_name, COUNT(*) AS n_heavy
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  GROUP BY l.l_partkey, l.l_suppkey
+        |  HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+        |    SELECT 0.1 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
+  val q29Oracle: String =
+    """SELECT n.n_name, COUNT(*) AS n_heavy
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  GROUP BY l.l_partkey, l.l_suppkey
+      |  HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+      |    SELECT 0.1 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   /** q93 — semi/anti join ([EXT] beyond the reference's inner/left
     * surface): per segment, how many customers have at least one order
     * (LEFT SEMI = EXISTS) vs none (LEFT ANTI = NOT EXISTS). Both plan
@@ -678,6 +713,7 @@ object Relational {
     "q98_set_ops" -> q98SetOps,
     "q93_semi_anti_join" -> q93SemiAntiJoin,
     "q28_corr_subquery" -> q28CorrelatedSubquery,
+    "q29_nested_subquery" -> q29NestedSubquery,
     "q90_range_source" -> q90RangeSource,
     "q91_inmem_source" -> q91InMemorySource,
     "q92_percentile_approx" -> q92PercentileApprox,
@@ -709,6 +745,7 @@ object Relational {
     "q98_set_ops" -> q98Oracle,
     "q93_semi_anti_join" -> q93Oracle,
     "q28_corr_subquery" -> q28Oracle,
+    "q29_nested_subquery" -> q29Oracle,
     "q90_range_source" -> q90Oracle,
     "q91_inmem_source" -> q91Oracle,
     // q92 deliberately absent: approximate op, bounded in RelationalSpec

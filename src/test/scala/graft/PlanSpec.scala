@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
       s"expected the decorrelated aggregate-join shape:\n$p")
   }
 
+  test("q29: nested IN + correlated HAVING decorrelates to semi + agg joins") {
+    val p = plan(Relational.queries("q29_nested_subquery")(spark, sf)).toString
+    assert(!p.contains("Subquery"),
+      s"a subquery survived to the physical plan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the IN predicate should plan as a left-semi join:\n$p")
+  }
+
   test("q01/q16: dimension tables broadcast, fact side never shuffled for them") {
     for (name <- Seq("q01_flagship_left_join", "q16_shipping_priority")) {
       val s = plan(Relational.queries(name)(spark, sf)).toString
