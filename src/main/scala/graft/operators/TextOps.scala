@@ -247,7 +247,59 @@ object TextOps {
       |SELECT doc_id, lang, stop_ratio, pr FROM ranked
       |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin
 
+  /** q35 — TF-IDF top terms per language: the distinctive-vocabulary
+    * report a corpus-quality reviewer runs (which terms characterize
+    * each language stratum vs the whole corpus). tf = term count
+    * within the language; df = documents containing the term (exact
+    * distinct); idf = ln((1+N)/(1+df)). All counts are exact integers,
+    * so the only float math is one ln + one multiply — identical
+    * IEEE inputs in both engines; ranking happens on the ROUNDED score
+    * (term tie-break) so a last-ulp libm difference can never flip a
+    * rank. Shape at scale: two hash aggs over exploded tokens (both
+    * with map-side partial combine), a term-keyed join of tf×df —
+    * vocabulary-sized, not corpus-sized — and one lang-partitioned
+    * top-k window. N reaches the plan as a broadcast one-row cross
+    * join, not a driver-side constant, so the DAG is fully lazy. */
+  val q35TfidfTerms: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("lang"), col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((lit(1) + col("n_docs")).cast("double") / (lit(1) + col("df"))), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("lang", "term", "tf", "df", "score", "rank")
+      .orderBy("lang", "rank")
+  }
+
+  val q35Oracle: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id,
+      |    UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+      |  FROM documents),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |scored AS (
+      |  SELECT lang, tf.term, tf.tf, df.df,
+      |    ROUND(tf.tf * LN((1 + n_docs)::DOUBLE / (1 + df.df)), 4) AS score
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT lang, term, tf, df, score, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q35_tfidf_terms" -> q35TfidfTerms,
     "q26_deterministic_sample" -> q26DeterministicSample,
     "q27_quality_percentile" -> q27QualityPercentile,
     "q20_lang_histogram" -> q20LangHistogram,
@@ -258,6 +310,7 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q35_tfidf_terms" -> q35Oracle,
     "q26_deterministic_sample" -> q26Oracle,
     "q27_quality_percentile" -> q27Oracle,
     "q20_lang_histogram" -> q20Oracle,
