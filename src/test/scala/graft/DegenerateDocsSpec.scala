@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps}
+
+/** Defined behavior for DEGENERATE documents — null, empty,
+  * whitespace-only, and sub-shingle-length texts. A 100 TB crawl
+  * corpus contains all of these in volume; the operators must neither
+  * throw nor silently corrupt groupings, and the semantics pinned here
+  * are the documented contract:
+  *   - null text: null fingerprint (q30 groups all nulls together);
+  *     invisible to shingle-based near-dup (no tokens → no shingles).
+  *   - empty text fingerprints as md5(""); whitespace-only text
+  *     fingerprints as md5(" ") — SQL `trim` strips SPACES only (not
+  *     tabs), then the \s+ collapse leaves one space. The two are
+  *     DISTINCT groups, identically in Spark and DuckDB (both engines'
+  *     TRIM is space-only, so the oracle parity holds for free).
+  *   - docs with fewer than 3 tokens have no complete trigram: absent
+  *     from q31 pairs by construction (scaladoc'd on shingleArrays).
+  */
+class DegenerateDocsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    Seq[(Long, String, String, String, Long)](
+      (0L, null, "en", "src", 0L),
+      (1L, "", "en", "src", 0L),
+      (2L, "   \t  ", "en", "src", 6L),
+      (3L, "solo", "en", "src", 4L),
+      (4L, "two tokens", "en", "src", 10L),
+      (5L, null, "de", "src", 0L),
+      (6L, "a real document with enough tokens to shingle properly", "en",
+        "src", 55L),
+      (7L, "a real document with enough tokens to shingle properly", "en",
+        "src", 55L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup: nulls group under the null fingerprint, blanks normalize together") {
+    // q30 internally duplicates even doc_ids; keeper = min doc_id
+    val rows = DedupOps.q30ExactDedup(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val byKeeper = rows.map(r => r._2 -> r).toMap
+    // null texts (0, 5): one null-fingerprint group, keeper 0
+    val nullGroup = rows.filter(_._1.isEmpty)
+    assert(nullGroup.length === 1 && nullGroup.head._2 === 0L)
+    // doc 0 appears twice (even-dup) + doc 5 twice-ish: just check count >= 3
+    assert(nullGroup.head._3 >= 3L)
+    // empty (1) → md5(""), whitespace-only (2) → md5(" "): SQL trim is
+    // space-only, so these are two DISTINCT well-defined groups
+    val fp = rows.flatMap(r => r._1.map(r._2 -> _)).toMap
+    assert(fp(1L) === "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    assert(fp(2L) === "7215ee9c7d9dc229d2921a40e899ec5f") // md5(" ")
+    // the two identical real docs collapse under keeper 6
+    assert(byKeeper.contains(6L) && !byKeeper.contains(7L))
+  }
+
+  test("shingle near-dup: sub-trigram docs are invisible, real dups still found") {
+    val pairs = DedupOps.q31NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((6L, 7L)),
+      s"only the real near-dup pair may surface: ${pairs.toSeq}")
+  }
+
+  test("token stats and lang histogram neither throw nor drop rows") {
+    val tok = TextOps.q21TokenStats(spark, dir).collect()
+    assert(tok.length === 8, "every doc gets a token-stats row, even null text")
+    val hist = TextOps.q20LangHistogram(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist === Map("en" -> 7L, "de" -> 1L))
+  }
+
+  test("tf-idf ranks only real tokens; blanks contribute nothing meaningful") {
+    val terms = TextOps.q35TfidfTerms(spark, dir).collect()
+      .map(_.getString(1)).toSet
+    assert(terms.contains("shingle") || terms.contains("document"),
+      s"real vocabulary must rank: $terms")
+    assert(!terms.contains(null), "null never becomes a term")
+  }
+}
