@@ -62,6 +62,55 @@ object StorageOps {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q58 — DESCRIBE HISTORY equivalent over a freshly built table with
+    * a known op sequence (overwrite → append → DML delete): the audit
+    * surface every lakehouse user expects. Output keeps only the
+    * DETERMINISTIC columns — version, operation, whether files were
+    * removed — because timestamps are wall-clock and add-counts follow
+    * the writer's partitioning; the full DataFrame (with timestamps
+    * and counts) is what [[graft.sources.DeltaTable.history]] returns.
+    * Oracle = the VALUES literal the op sequence dictates. */
+  val q58DeltaHistory: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-hist")
+    DeltaTable.write(c, t, "overwrite")
+    DeltaTable.write(c.filter(col("c_custkey") <= 10), t, "append")
+    DeltaTable.delete(spark, t, col("c_custkey") <= 5)
+    DeltaTable.history(spark, t)
+      .select(col("version"), col("operation"),
+        (col("num_removes") > 0).as("any_removes"))
+      .orderBy("version")
+  }
+
+  val q58Oracle: String =
+    """SELECT CAST(version AS BIGINT) AS version, operation, any_removes
+      |FROM (VALUES (0, 'OVERWRITE', false), (1, 'APPEND', false),
+      |             (2, 'DELETE', true)) t(version, operation, any_removes)
+      |ORDER BY version""".stripMargin
+
+  /** q59 — RESTORE TO VERSION AS OF: overwrite(v0) → append(v1) →
+    * restore(0) must read back exactly the original table, with
+    * history preserved (the restore is v2; v1 still time-travels —
+    * DeltaSpec asserts both). Same oracle as q61: the restored state
+    * IS the v0 state. */
+  val q59DeltaRestore: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-restore")
+    DeltaTable.write(c, t, "overwrite")
+    DeltaTable.write(c.filter(col("c_custkey") <= 10), t, "append")
+    DeltaTable.restore(t, 0L)
+    DeltaTable.read(spark, t)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q59Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** q62 — Hive-partitioned parquet write + pruned read (the
     * reference's partition demo, examples/create_deltalake_hdfs.py:
     * 137-148 + read_deltalake_hdfs.py:74-84): write customer
@@ -291,6 +340,8 @@ object StorageOps {
     "q64_delta_format_api" -> q64DeltaFormatApi,
     "q65_delta_short_name" -> q65DeltaShortName,
     "q66_delta_compact" -> q66DeltaCompact,
+    "q58_delta_history" -> q58DeltaHistory,
+    "q59_delta_restore" -> q59DeltaRestore,
     "q60_delta_roundtrip" -> q60DeltaRoundtrip,
     "q61_delta_timetravel" -> q61DeltaTimeTravel,
     "q62_partitioned_write" -> q62PartitionedWrite,
@@ -304,6 +355,8 @@ object StorageOps {
     "q64_delta_format_api" -> q64Oracle,
     "q65_delta_short_name" -> q65Oracle,
     "q66_delta_compact" -> q66Oracle,
+    "q58_delta_history" -> q58Oracle,
+    "q59_delta_restore" -> q59Oracle,
     "q60_delta_roundtrip" -> q60Oracle,
     "q61_delta_timetravel" -> q61Oracle,
     "q62_partitioned_write" -> q62Oracle,

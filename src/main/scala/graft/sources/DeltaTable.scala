@@ -667,6 +667,81 @@ object DeltaTable {
 
   def latestVersion(table: String): Long = DeltaLog.snapshot(table).version
 
+  /** DESCRIBE HISTORY equivalent: one row per retained log version,
+    * newest first — (version, timestamp, operation, num_adds,
+    * num_removes). Driver-side log reads only (the log is tiny by
+    * design — one JSON line per file per commit); returned as a
+    * DataFrame so it filters/joins like Delta's own. Vacuumed-away
+    * versions are simply absent, same as Delta after log cleanup. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, TimestampType}
+    val rows: Seq[Row] = DeltaLog.versions(table).map { v =>
+      val p = DeltaLog.logDir(table).resolve(f"$v%020d.json")
+      var op: String = null
+      var ts: Option[Long] = None
+      var adds = 0L
+      var removes = 0L
+      for (line <- Files.readAllLines(p,
+          java.nio.charset.StandardCharsets.UTF_8).asScala if line.nonEmpty) {
+        DeltaLog.Json.parse(line) match {
+          case ("commitInfo", f) =>
+            op = f.getOrElse("operation", null)
+            ts = f.get("timestamp").flatMap(_.toLongOption)
+          case ("add", _) => adds += 1
+          case ("remove", _) => removes += 1
+          case _ => ()
+        }
+      }
+      Row(v, new java.sql.Timestamp(
+        ts.getOrElse(Files.getLastModifiedTime(p).toMillis)),
+        op, adds, removes)
+    }.reverse
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("num_adds", LongType, nullable = false),
+      StructField("num_removes", LongType, nullable = false))))
+  }
+
+  /** RESTORE TO VERSION AS OF `version` (Delta's RESTORE): ONE new
+    * commit whose actions turn the current live set into the target
+    * snapshot's — files only in the current state are removed, files
+    * only in the target are re-added, the target's schema and
+    * partition layout come back as the commit's metaData. History is
+    * PRESERVED: restore is itself a version, every pre-restore state
+    * still time-travels, and no data file is touched until vacuum.
+    * Restoring past a vacuum horizon fails loudly (the snapshot read
+    * does), never silently resurrecting missing files. */
+  def restore(table: String, version: Long): Long = {
+    val target = DeltaLog.snapshot(table, Some(version))
+    val maxAttempts = 16
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = DeltaLog.snapshot(table)
+      if (cur.version == version) return cur.version // no-op restore
+      val targetPaths = target.files.map(_.path).toSet
+      val curPaths = cur.files.map(_.path).toSet
+      val actions =
+        Seq(DeltaLog.commitInfoAction("RESTORE")) ++
+          target.schemaJson.map(DeltaLog.metaDataAction(_,
+            target.partitionColumns, DeltaLog.tableId(table))) ++
+          cur.files.filterNot(f => targetPaths(f.path))
+            .map(f => DeltaLog.removeAction(f.path)) ++
+          target.files.filterNot(f => curPaths(f.path))
+            .map(f => DeltaLog.addAction(f.path, f.size, f.stats,
+              f.partitionValues))
+      try return DeltaLog.commit(table, cur.version, actions)
+      catch {
+        case _: IllegalStateException if attempt < maxAttempts =>
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // -- data skipping ---------------------------------------------------
 
   /** One Spark job computing per-staged-file row counts and min/max of

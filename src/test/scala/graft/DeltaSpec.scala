@@ -345,6 +345,29 @@ class DeltaSpec extends SparkSpec {
     assert(v0.contains(s""""id":"${DeltaLog.tableId(t2)}""""))
   }
 
+  test("restore: rolls live state back, preserves history and time travel") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")          // v0: 3 rows
+    DeltaTable.write(employee1, t, "append")              // v1: 4 rows
+    DeltaTable.write(employee1, t, "overwrite")           // v2: 1 row
+    val v3 = DeltaTable.restore(t, 0L)                    // v3 = v0 state
+    assert(v3 === 3L, "restore must be a NEW version, not a rewrite")
+    assert(DeltaTable.read(spark, t).count() === 3)
+    // pre-restore states still time-travel (nothing deleted)
+    assert(DeltaTable.read(spark, t, Some(1L)).count() === 4)
+    assert(DeltaTable.read(spark, t, Some(2L)).count() === 1)
+    // restore to the current version is a no-op (no new commit)
+    assert(DeltaTable.restore(t, 3L) === 3L)
+    assert(graft.sources.DeltaLog.versions(t).max === 3L)
+    // history reports the op trail, newest first
+    val ops = DeltaTable.history(spark, t)
+      .select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ops.head === ((3L, "RESTORE")))
+    assert(ops.map(_._2).toSeq ===
+      Seq("RESTORE", "OVERWRITE", "APPEND", "OVERWRITE"))
+  }
+
   test("format(\"delta\") short-name alias works verbatim") {
     val t = freshTable()
     employees3.write.format("delta").mode("overwrite").save(t)
