@@ -100,7 +100,7 @@ object DedupOps {
   private val shingleIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  private def stagedShingleArrays(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def stagedShingleArrays(spark: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
     val key = System.identityHashCode(spark) + ":" + src.toAbsolutePath +
       ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis
@@ -576,7 +576,81 @@ object DedupOps {
       |JOIN reach r ON r.src = n.src
       |GROUP BY n.src ORDER BY doc_id""".stripMargin
 
+  /** q36 — benchmark DECONTAMINATION: the check a training pipeline
+    * runs before any eval is trustworthy — which training documents
+    * overlap the held-out set? Eval corpus = one source stratum
+    * (`src5`); a train doc is contaminated if it shares >= 1 word
+    * 5-GRAM with the eval union. 5-grams, not the dedup trigrams: the
+    * contamination signal must be specific enough that base-rate
+    * collisions stay near zero as the corpus grows (trigram space is
+    * small enough that at sf0.1 over half the corpus would flag; the
+    * 5-gram space keeps random overlap <<1 hit/doc, so what flags is
+    * genuinely shared phrasing — the same reason production systems
+    * match on long n-grams).
+    *
+    * Shape at 100 TB: the 5-gram relation is staged once (window +
+    * hash, same codegen'd pipeline as the dedup shingles) and consumed
+    * three times (eval union, train sizes, hit join); the eval side of
+    * the join is the distinct shingle union of the HELD-OUT set —
+    * benchmarks are tiny relative to training corpora, so it is
+    * broadcast and the train side never shuffles. Per-doc hit counts
+    * come off one hash agg. */
+  val q36Decontamination: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val evalSrc = "src5"
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .withColumn("t3", lead("tok", 3).over(w))
+      .withColumn("t4", lead("tok", 4).over(w))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"), col("source"),
+        tokenHash(concat_ws(" ", col("tok"), col("t1"), col("t2"),
+          col("t3"), col("t4"))).as("shingle"))
+      .distinct()
+    // Staged like the dedup index: three consumers below, and Spark
+    // does not dedupe common subplans — unstaged, the window+hash
+    // pipeline would execute three times.
+    val gramsDir = graft.Scratch.dir("graft-decon").resolve("g").toString
+    grams.write.parquet(gramsDir)
+    val g = spark.read.parquet(gramsDir)
+    val ev = g.filter(col("source") === evalSrc).select("shingle").distinct()
+    val train = g.filter(col("source") =!= evalSrc)
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(ev), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    hits.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits") / col("n_shingles"), 4).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val q36Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]), 1, 15))::BIGINT AS shingle
+      |  FROM tok, UNNEST(range(GREATEST(LEN(t)-4, 0))) g(i)),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src5'),
+      |sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+      |  WHERE source <> 'src5' GROUP BY 1),
+      |hits AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_hits
+      |  FROM sh s JOIN ev ON s.shingle = ev.shingle
+      |  WHERE s.source <> 'src5' GROUP BY 1)
+      |SELECT h.doc_id, h.n_hits, z.n_shingles,
+      |  ROUND(h.n_hits / z.n_shingles, 4) AS contamination
+      |FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q36_decontamination" -> q36Decontamination,
     "q30_exact_dedup" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinHashLsh,
@@ -584,6 +658,7 @@ object DedupOps {
     "q34_dedup_clusters" -> q34DedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "q36_decontamination" -> q36Oracle,
     "q30_exact_dedup" -> q30Oracle,
     "q31_ngram_jaccard" -> q31Oracle,
     "q32_minhash_lsh" -> q32Oracle,

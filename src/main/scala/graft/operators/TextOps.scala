@@ -298,7 +298,153 @@ object TextOps {
       |SELECT lang, term, tf, df, score, rank FROM ranked
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** q37 — PII redaction: the scrub pass a training pipeline runs
+    * before text leaves the ingest boundary. Emails and phone-shaped
+    * numbers are regexp-replaced with typed placeholders and COUNTED
+    * per doc; the output carries md5(redacted text), so the oracle
+    * diff proves the redacted BYTES identical without hauling full
+    * text through the harness. The fixture corpus contains no PII, so
+    * the query injects a deterministic synthetic email (even doc_ids)
+    * and phone (doc_id % 3 == 0) first — same precedent as q30's
+    * injected duplicates: the operator needs real work to prove
+    * itself. Both patterns use only regex syntax with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, bounded/unbounded repetition — no backreferences or
+    * lookaround. Per-row narrow codegen'd exprs; no shuffle but the
+    * output ORDER BY. */
+  val q37PiiScrub: Q = (spark, dir) => {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    Tables.load(spark, dir, "documents")
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+          phone, "<PHONE>")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q37Oracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 2 = 0
+      |                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+      |                 ELSE '' END
+      |         || CASE WHEN doc_id % 3 = 0
+      |                 THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |                 ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  LEN(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  LEN(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |  md5(regexp_replace(
+      |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_fp
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  /** q38 — repetition-based quality filter: the "degenerate generation /
+    * boilerplate" detector — ratio of REPEATED word trigrams to total
+    * trigram slots, 1 - distinct/total. Reads the distinct count
+    * straight off the memoized dedup shingle index
+    * ([[DedupOps.stagedShingleArrays]] — a production pipeline
+    * amortizes one corpus index across dedup AND quality passes; this
+    * query is why the index stages doc-level sizes), and the total is
+    * plain token arithmetic (a doc with T tokens has T-2 trigram
+    * slots). The repetitive flag compares in exact integer arithmetic
+    * ((total-distinct)*50 > total ⇔ ratio > 0.02) so no float boundary
+    * can flip it between engines. Docs with no complete trigram (<3
+    * tokens) have no defined ratio and are excluded — the same
+    * contract the dedup ops pin in DegenerateDocsSpec. */
+  val q38Repetition: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val distincts = DedupOps.stagedShingleArrays(spark, dir)
+      .select(col("doc_id"), col("n").as("n_distinct"))
+    docs.select(col("doc_id"),
+        (size(tokens(col("text"))) - 2).as("n_trigrams"))
+      .join(distincts, "doc_id")
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        round(lit(1) - col("n_distinct") / col("n_trigrams"), 4).as("rep_ratio"),
+        ((col("n_trigrams") - col("n_distinct")) * 50 > col("n_trigrams"))
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val q38Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]), 1, 15))::BIGINT AS shingle
+      |  FROM tok, UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_trigrams,
+      |    CAST(COUNT(DISTINCT shingle) AS INT) AS n_distinct
+      |  FROM tri GROUP BY 1)
+      |SELECT doc_id, n_trigrams, n_distinct,
+      |  ROUND(1 - n_distinct / n_trigrams, 4) AS rep_ratio,
+      |  (n_trigrams - n_distinct) * 50 > n_trigrams AS repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q39 — SEQUENCE PACKING inventory: how documents fill fixed
+    * context windows (512 BPE tokens here) — the step that turns a
+    * filtered corpus into training sequences. Packing is streaming
+    * greedy-with-overflow: docs are laid down in doc_id order and a
+    * doc belongs to the window its first token lands in, bin =
+    * floor(preceding_tokens / B) — a pure cumulative-sum function of
+    * the order, so any engine (and any re-run) packs identically;
+    * "close the bin early if the next doc won't fit" semantics would
+    * need a sequential scan and give no better fill at corpus scale.
+    * Packing is PER SOURCE: one shuffle on the stratum key, every
+    * stratum packs in parallel — a single global order would serialize
+    * the window at 100 TB (and cross-source windows are undesirable
+    * anyway: provenance stays window-pure). Output is the per-window
+    * inventory (docs, tokens, fill factor) a pipeline audits before
+    * writing sequences. */
+  val q39SequencePacking: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bpe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+"
+    val budget = 512
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("tok"))
+      .withColumn("bin",
+        floor((sum(col("tok")).over(w) - col("tok")) / budget))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+        round(sum("tok") / budget, 4).as("fill"))
+      .orderBy("source", "bin")
+  }
+
+  val q39Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+')) AS tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, tok,
+      |    CAST((SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - tok) // 512 AS BIGINT) AS bin
+      |  FROM tok)
+      |SELECT source, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |  ROUND(SUM(tok) / 512, 4) AS fill
+      |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q37_pii_scrub" -> q37PiiScrub,
+    "q38_repetition" -> q38Repetition,
+    "q39_sequence_packing" -> q39SequencePacking,
     "q35_tfidf_terms" -> q35TfidfTerms,
     "q26_deterministic_sample" -> q26DeterministicSample,
     "q27_quality_percentile" -> q27QualityPercentile,
@@ -310,6 +456,9 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q37_pii_scrub" -> q37Oracle,
+    "q38_repetition" -> q38Oracle,
+    "q39_sequence_packing" -> q39Oracle,
     "q35_tfidf_terms" -> q35Oracle,
     "q26_deterministic_sample" -> q26Oracle,
     "q27_quality_percentile" -> q27Oracle,

@@ -149,6 +149,28 @@ class DedupSpec extends SparkSpec {
       s"no stage of the dedup pipeline may go all-pairs:\n$plan")
   }
 
+  test("decontamination flags exactly the train docs sharing a 5-gram with eval") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon-spec").toString
+    Seq(
+      // eval doc (src5 is the held-out stratum): 7 tokens → 3 5-grams
+      (0L, "alpha beta gamma delta epsilon zeta eta", "en", "src5", 39L),
+      // train doc quoting eval's opening 5-gram verbatim: 9 tokens →
+      // 5 5-grams, exactly 1 shared
+      (1L, "alpha beta gamma delta epsilon unrelated words follow here",
+        "en", "srcA", 58L),
+      // train doc with no shared phrasing: absent from the output
+      (2L, "nine completely different tokens about catalyst plans and shuffles",
+        "en", "srcB", 66L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.q36Decontamination(spark, dir).collect()
+    assert(rows.length === 1, "only the quoting doc is contaminated")
+    assert(rows(0).getLong(0) === 1L)
+    assert(rows(0).getLong(1) === 1L) // n_hits
+    assert(rows(0).getLong(2) === 5L) // n_shingles
+    assert(rows(0).getDouble(3) === 0.2)
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val docs = Seq(
       (0L, "hello   world", "en", "s", 13L),

@@ -210,6 +210,61 @@ class EventTextSpec extends SparkSpec {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pii scrub redacts emails and phones and fingerprints the clean text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      // odd, not %3: no injection — the in-text email is the only PII
+      (1L, "write to bob@example.org today", "en", "s", 30L),
+      // even AND %3==0: both injections fire on clean text
+      (6L, "no pii here", "en", "s", 11L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q37PiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1L) === ((1, 0, md5hex("write to <EMAIL> today"))))
+    assert(rows(6L) === ((1, 1,
+      md5hex("no pii here contact <EMAIL> call <PHONE>"))))
+  }
+
+  test("repetition ratio: degenerate doc flags, varied doc scores 0, sub-trigram excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, "a a a a a", "en", "s", 9L),          // 3 trigram slots, 1 distinct
+      (1L, "one two three four", "en", "s", 18L), // 2 slots, 2 distinct
+      (2L, "x y", "en", "s", 3L),                 // no complete trigram
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q38Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rows(0L) === ((3, 1, 0.6667, true)))
+    assert(rows(1L) === ((2, 2, 0.0, false)))
+    assert(!rows.contains(2L), "doc with <3 tokens has no defined ratio")
+  }
+
+  test("sequence packing: bin = window the doc's first token lands in, per source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val w300 = Seq.fill(300)("aa").mkString(" ") // 300 BPE word tokens
+    Seq(
+      (0L, w300, "en", "s1", w300.length.toLong),
+      (1L, w300, "en", "s1", w300.length.toLong),          // starts at 300 → bin 0
+      (2L, "aa bb cc dd ee ff gg hh ii jj", "en", "s1", 29L), // starts at 600 → bin 1
+      (3L, w300, "en", "s2", w300.length.toLong),          // own stratum, bin 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q39SequencePacking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(("s1", 0L)) === ((2L, 600L, 1.1719))) // overflow stays in bin 0
+    assert(rows(("s1", 1L)) === ((1L, 10L, 0.0195)))
+    assert(rows(("s2", 0L)) === ((1L, 300L, 0.5859)))
+    assert(rows.size === 3)
+  }
+
   test("langid picks the language with the most marker hits") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lid").toString
     Seq(

@@ -93,6 +93,24 @@ class PlanSpec extends SparkSpec {
       s"q57 should plan the native session-window operator:\n$sw")
   }
 
+  test("q36 decontamination: eval shingle union broadcasts, train side never NL-joins") {
+    val p = plan(DedupOps.queries("q36_decontamination")(spark, sf)).toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the held-out set's shingle union should broadcast to the train side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q36 fell back to a nested-loop/cartesian join:\n$p")
+  }
+
+  test("q37/q39: per-row scrub and packing stay codegen'd, no fallbacks") {
+    for (name <- Seq("q37_pii_scrub", "q39_sequence_packing")) {
+      val p = plan(graft.operators.TextOps.queries(name)(spark, sf))
+      val fb = fallbacks(p)
+      assert(fb.isEmpty,
+        s"$name has interpreted (CodegenFallback) expressions: ${fb.mkString(", ")}\n$p")
+    }
+  }
+
   test("q34 connected components: band join stays an equi hash join per round") {
     // the per-round label propagation joins are generated inside the
     // loop; guard the candidate-edge source it feeds on instead

@@ -22,6 +22,15 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # This box has no swap and a ~63 GB commit limit, while duckdb's
+    # default memory_limit (80% of 128 GB RAM) exceeds it — so under
+    # pressure malloc fails ("bad allocation" OOM on byte-sized blocks
+    # with 120 GB nominally free) instead of duckdb's buffer manager
+    # ever spilling. Pin a limit the kernel will actually honor and a
+    # temp dir so eviction has somewhere to go.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads=8")
+    con.execute("SET temp_directory='/tmp/duckdb_selfcheck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
