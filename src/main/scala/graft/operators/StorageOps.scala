@@ -332,7 +332,39 @@ object StorageOps {
       |    AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q80 — batch CHANGE DATA FEED over the delta log: table_changes
+    * between two versions, the incremental-consumer read (refresh a
+    * downstream aggregate from exactly the new rows, not a rescan).
+    * Build overwrite(v0) → append(v1: region 0) → append(v2: region 1),
+    * then read changes [1,2]: each appended row comes back once,
+    * tagged with the version that committed it. Append-only contract
+    * (a DML/rewrite version in range fails loudly — DeltaSpec); the
+    * oracle is the two slices with literal version tags. */
+  val q80DeltaChanges: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-cdf")
+    DeltaTable.write(n, t, "overwrite")
+    DeltaTable.write(n.filter(col("n_regionkey") === 0), t, "append")
+    DeltaTable.write(n.filter(col("n_regionkey") === 1), t, "append")
+    DeltaTable.changes(spark, t, 1L, 2L)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .orderBy("commit_version", "n_nationkey")
+  }
+
+  val q80Oracle: String =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+      |FROM nation WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey,
+      |  'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      |FROM nation WHERE n_regionkey = 1
+      |ORDER BY commit_version, n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q80_delta_changes" -> q80DeltaChanges,
     "q94_delta_update" -> q94DeltaUpdate,
     "q68_delta_delete" -> q68DeltaDelete,
     "q69_delta_merge" -> q69DeltaMerge,
@@ -348,6 +380,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q80_delta_changes" -> q80Oracle,
     "q94_delta_update" -> q94Oracle,
     "q68_delta_delete" -> q68Oracle,
     "q69_delta_merge" -> q69Oracle,

@@ -664,6 +664,32 @@ class DeltaSpec extends SparkSpec {
     assert(ex.getMessage.contains("not contiguous"))
   }
 
+  test("batch change feed: per-version insert tags; rewrite versions fail loudly") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                    // v0
+    DeltaTable.write(employee1, t, "append")                        // v1
+    DeltaTable.write(Seq((5, "Eve", 90000L, "2024-01-19"))
+      .toDF("id", "name", "salary", "date"), t, "append")           // v2
+    // the initial overwrite of a fresh table is itself append-only
+    val v0 = DeltaTable.changes(spark, t, 0L, 0L)
+    assert(v0.count() === 3)
+    assert(v0.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(0L))
+    val feed = DeltaTable.changes(spark, t, 1L, 2L).collect()
+      .map(r => r.getAs[Int]("id") ->
+        ((r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))))
+      .toMap
+    assert(feed === Map(4 -> (("insert", 1L)), 5 -> (("insert", 2L))))
+    // a DML rewrite inside the range cannot be attributed row-level
+    DeltaTable.delete(spark, t, col("id") === 1)                    // v3
+    val e = intercept[IllegalStateException] {
+      DeltaTable.changes(spark, t, 2L, 3L).collect()
+    }
+    assert(e.getMessage.contains("version 3"))
+    // ...but ranges that stop before it still serve
+    assert(DeltaTable.changes(spark, t, 0L, 2L).count() === 5)
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")
