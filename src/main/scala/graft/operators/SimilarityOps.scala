@@ -349,6 +349,89 @@ object SimilarityOps {
       |WHERE ROUND(dot / (na * nb), 4) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q46 — SCALAR-QUANTIZED (SQ8) ANN: the compressed-domain search
+    * family beside partition-pruning (q42 IVF) and hashing (q45 LSH).
+    * Each dimension is quantized to an 8-bit code against the corpus
+    * per-dimension [min,max] — 4× memory compression for float32
+    * corpora, and at billion-vector scale the codes table IS the
+    * serving index (the full vectors stay in cold storage for
+    * re-ranking). Search is ASYMMETRIC (faiss-ADC style): the query
+    * keeps full precision, corpus vectors are reconstructed from their
+    * codes, cosine runs on the reconstruction.
+    *
+    * Unlike k-means IVF, quantization is a PURE FUNCTION of corpus
+    * stats — so the whole index+search path is replayed in DuckDB and
+    * hash-verified, no rows-only carve-out. Shapes at scale: stats =
+    * one 64-row agg (broadcast back); codes/reconstruction = narrow
+    * codegen'd arithmetic on exploded (vec, pos) rows; search = ONE
+    * fused hash-agg computing dot and both norms per (query, neighbor)
+    * — no second corpus pass for norms — then a per-query top-k
+    * window. Per q44's documented stance, the 64-term double sums are
+    * rounded to 4 decimals (fold-order noise ~1e-13 is far below the
+    * grain) and ties break on neighbor_id, so ranks are partitioning-
+    * and engine-stable. SimilaritySpec bounds recall and the
+    * quantization error against exact q40. */
+  val q46SqAnn: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    val vals = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    val stats = vals.groupBy("pos")
+      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+    // code = round(255 * (v-min)/(max-min)); reconstruction replays it
+    // inline (code and recon in one projection — nothing stored twice)
+    val recon = vals.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        (col("dmin") +
+          when(col("dmax") === col("dmin"), lit(0.0))
+            .otherwise(round((col("v") - col("dmin"))
+              / (col("dmax") - col("dmin")) * 255, 0))
+          * (col("dmax") - col("dmin")) / lit(255.0)).as("r"))
+    val qrows = vals.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sq").desc, col("neighbor_id"))
+    recon.join(broadcast(qrows), "pos")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qv") * col("r")).as("dot"),
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("r") * col("r")).as("nr"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("nr"))), 4)
+          .as("cosine_sq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val q46Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+      |stats AS (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM v GROUP BY pos),
+      |recon AS (
+      |  SELECT vec_id, v.pos,
+      |    dmin + (CASE WHEN dmax = dmin THEN 0.0
+      |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
+      |         * (dmax - dmin) / 255.0 AS r
+      |  FROM v JOIN stats ON v.pos = stats.pos),
+      |d AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
+      |  FROM v q JOIN recon c ON q.pos = c.pos
+      |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) AS cosine_sq,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC, neighbor_id) AS rank
+      |  FROM d)
+      |SELECT query_id, neighbor_id, cosine_sq, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** q44 — grouped vector centroids: element-wise mean embedding per
     * label (cluster/topic summaries — the reduction behind centroid
     * classifiers, drift monitors, and IVF index refreshes). Long-form
@@ -380,7 +463,8 @@ object SimilarityOps {
     "q42_ann_ivf" -> q42AnnIvf,
     "q43_cell_neardup" -> q43CellNearDup,
     "q44_label_centroids" -> q44LabelCentroids,
-    "q45_hyperplane_lsh" -> q45HyperplaneLsh)
+    "q45_hyperplane_lsh" -> q45HyperplaneLsh,
+    "q46_sq_ann" -> q46SqAnn)
 
   /** q42/q43 are deliberately absent: approximate/index-backed ops,
     * verified by recall + equality-vs-exact bounds in SimilaritySpec
@@ -389,5 +473,6 @@ object SimilarityOps {
     "q40_ann_bruteforce" -> q40Oracle,
     "q41_embed_neardup" -> q41Oracle,
     "q44_label_centroids" -> q44Oracle,
-    "q45_hyperplane_lsh" -> q45Oracle)
+    "q45_hyperplane_lsh" -> q45Oracle,
+    "q46_sq_ann" -> q46Oracle)
 }

@@ -51,6 +51,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("SQ8 quantized search: high recall vs exact and bounded reconstruction error") {
+    val brute = SimilarityOps.q40AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sq = SimilarityOps.q46SqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 8-bit codes lose ~0.2% of each dimension's range: unlike the
+    // pruning index (q42), quantized search still scans everything, so
+    // recall should be near-perfect even on quasi-uniform data
+    val recall = (brute.keySet intersect sq.keySet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall too low: $recall")
+    // and where both emit a pair, the quantized cosine sits within the
+    // quantization error budget of the exact one
+    val errs = (brute.keySet intersect sq.keySet).map(k =>
+      math.abs(brute(k) - sq(k)))
+    assert(errs.max <= 0.02, s"quantization error too large: ${errs.max}")
+  }
+
   /** Deterministic clustered corpus: 8 well-separated gaussian
     * clusters × 40 vectors in 64-dim — the regime ANN indexes are for
     * (the driver's quasi-uniform fixture is the adversarial case). */
