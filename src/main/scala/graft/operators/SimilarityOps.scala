@@ -371,24 +371,55 @@ object SimilarityOps {
     * grain) and ties break on neighbor_id, so ranks are partitioning-
     * and engine-stable. SimilaritySpec bounds recall and the
     * quantization error against exact q40. */
-  val q46SqAnn: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.load(spark, dir, "embeddings")
-    val vals = e
+  /** Exploded full-precision (vec_id, pos, v double) rows. */
+  private def explodedVals(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
-    val stats = vals.groupBy("pos")
-      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
-    // code = round(255 * (v-min)/(max-min)); reconstruction replays it
-    // inline (code and recon in one projection — nothing stored twice)
-    val recon = vals.join(broadcast(stats), "pos")
-      .select(col("vec_id"), col("pos"),
-        (col("dmin") +
-          when(col("dmax") === col("dmin"), lit(0.0))
-            .otherwise(round((col("v") - col("dmin"))
-              / (col("dmax") - col("dmin")) * 255, 0))
-          * (col("dmax") - col("dmin")) / lit(255.0)).as("r"))
-    val qrows = vals.filter(col("vec_id") < 5)
+
+  /** The SQ8 reconstruction relation (vec_id, pos, r) — the "codes
+    * table" of q46/q47, staged to parquet and MEMOIZED per (session,
+    * corpus, mtime) like the shingle and k-means indexes: a production
+    * pipeline quantizes the corpus once and serves every query from
+    * the codes. Doubles round-trip parquet bit-exactly, so staging
+    * never perturbs the oracle hash. */
+  private val sqReconCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def stagedSqRecon(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val key = System.identityHashCode(spark) + ":sq:" + src.toAbsolutePath +
+      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis
+    def build(): String = {
+      val vals = explodedVals(spark, dir)
+      val stats = vals.groupBy("pos")
+        .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+      // code = round(255 * (v-min)/(max-min)); reconstruction replays
+      // it inline (code and recon in one projection — nothing stored
+      // twice)
+      val t = graft.Scratch.dir("graft-sq").resolve("r").toString
+      vals.join(broadcast(stats), "pos")
+        .select(col("vec_id"), col("pos"),
+          (col("dmin") +
+            when(col("dmax") === col("dmin"), lit(0.0))
+              .otherwise(round((col("v") - col("dmin"))
+                / (col("dmax") - col("dmin")) * 255, 0))
+            * (col("dmax") - col("dmin")) / lit(255.0)).as("r"))
+        .write.parquet(t)
+      t
+    }
+    var t = sqReconCache.computeIfAbsent(key, _ => build())
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t))) {
+      sqReconCache.remove(key)
+      t = sqReconCache.computeIfAbsent(key, _ => build())
+    }
+    spark.read.parquet(t)
+  }
+
+  val q46SqAnn: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val recon = stagedSqRecon(spark, dir)
+    val qrows = explodedVals(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sq").desc, col("neighbor_id"))
@@ -432,6 +463,99 @@ object SimilarityOps {
       |SELECT query_id, neighbor_id, cosine_sq, rank FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q47 — TWO-STAGE RETRIEVAL: the production serving pipeline in one
+    * plan — a cheap compressed-domain SHORTLIST (q46's SQ8 search,
+    * widened to 20 candidates) feeds an exact-cosine RE-RANK that
+    * emits the final top-10. At scale the stages touch different
+    * storage tiers: stage 1 scans only the 4×-compressed codes table,
+    * stage 2 fetches full vectors for |queries|×20 rows — a broadcast
+    * lookup join, never a corpus scan. Both stages are deterministic,
+    * so unlike IVF-backed pipelines the END-TO-END result (including
+    * which candidates survive the shortlist cut) is DuckDB
+    * hash-verified. Re-rank uses the native codegen'd cosine
+    * Expression; its left-to-right fold is replayed by the oracle's
+    * ordered SUMs, bit-for-bit. */
+  val q47RerankedAnn: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val recon = stagedSqRecon(spark, dir) // shared with q46
+    val qrows = explodedVals(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sq").desc, col("neighbor_id"))
+    val shortlist = recon.join(broadcast(qrows), "pos")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qv") * col("r")).as("dot"),
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("r") * col("r")).as("nr"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("nr"))), 4)
+          .as("cosine_sq"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= 20)
+      .select("query_id", "neighbor_id")
+    // stage 2: fetch full vectors for the shortlist only, exact cosine
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qfull"))
+    val nv = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nfull"))
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(qv), "query_id")
+      .join(broadcast(nv), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine("qfull", "nfull"), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val q47Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+      |stats AS (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM v GROUP BY pos),
+      |recon AS (
+      |  SELECT vec_id, v.pos,
+      |    dmin + (CASE WHEN dmax = dmin THEN 0.0
+      |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
+      |         * (dmax - dmin) / 255.0 AS r
+      |  FROM v JOIN stats ON v.pos = stats.pos),
+      |d AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
+      |  FROM v q JOIN recon c ON q.pos = c.pos
+      |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |shortlist AS (
+      |  SELECT query_id, neighbor_id
+      |  FROM (SELECT query_id, neighbor_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC,
+      |              neighbor_id) AS srank
+      |        FROM d)
+      |  WHERE srank <= 20),
+      |exact AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
+      |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
+      |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
+      |  FROM shortlist s
+      |  JOIN embeddings a ON a.vec_id = s.query_id
+      |  JOIN embeddings b ON b.vec_id = s.neighbor_id,
+      |       UNNEST(range(LEN(a.embedding))) g(i)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
+      |  FROM exact)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** q44 — grouped vector centroids: element-wise mean embedding per
     * label (cluster/topic summaries — the reduction behind centroid
     * classifiers, drift monitors, and IVF index refreshes). Long-form
@@ -464,7 +588,8 @@ object SimilarityOps {
     "q43_cell_neardup" -> q43CellNearDup,
     "q44_label_centroids" -> q44LabelCentroids,
     "q45_hyperplane_lsh" -> q45HyperplaneLsh,
-    "q46_sq_ann" -> q46SqAnn)
+    "q46_sq_ann" -> q46SqAnn,
+    "q47_reranked_ann" -> q47RerankedAnn)
 
   /** q42/q43 are deliberately absent: approximate/index-backed ops,
     * verified by recall + equality-vs-exact bounds in SimilaritySpec
@@ -474,5 +599,6 @@ object SimilarityOps {
     "q41_embed_neardup" -> q41Oracle,
     "q44_label_centroids" -> q44Oracle,
     "q45_hyperplane_lsh" -> q45Oracle,
-    "q46_sq_ann" -> q46Oracle)
+    "q46_sq_ann" -> q46Oracle,
+    "q47_reranked_ann" -> q47Oracle)
 }
