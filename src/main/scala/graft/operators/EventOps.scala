@@ -314,7 +314,73 @@ object EventOps {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The fact-⋈-dimension deviation pipeline behind [[q82SaltedJoin]],
+    * with the salt width as a parameter so DedupSpec-style equality
+    * (salted == unsalted) is a one-liner. `salt = None` plans the
+    * plain user_id shuffle join; `Some(s)` the salted one. */
+  private[graft] def userDeviation(spark: SparkSession, dir: String,
+      salt: Option[Int]): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    // Amplify one hot key in-query (q30's injected-work precedent):
+    // every user-0 event gets 20 extra copies, so user 0 carries ~60%
+    // of the join's rows — the boilerplate-user / null-key-bucket
+    // shape that makes an unsalted shuffle join straggle at scale.
+    val hot = ev.filter(col("user_id") === 0)
+      .withColumn("rep", explode(expr("sequence(1, 20)")))
+      .select((col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+    val fact = ev.unionByName(hot)
+    val stats = fact.groupBy("user_id").agg(avg(col("value")).as("user_avg"))
+    val joined = salt match {
+      case None => fact.join(stats, Seq("user_id"))
+      case Some(s) =>
+        // fact side: deterministic shard off the row key (replayable,
+        // unlike a random salt — retries land identically); dim side:
+        // replicated s ways so every (user, salt) bucket has its row.
+        // The hot key's rows now spread across s reducers instead of
+        // one; the dim grows |dim|×s — the trade salting buys.
+        val salted = fact.withColumn("salt",
+          pmod(col("event_id"), lit(s)).cast("int"))
+        val statsX = stats.withColumn("salt",
+          explode(expr(s"sequence(0, ${s - 1})")))
+        salted.join(statsX, Seq("user_id", "salt"))
+    }
+    joined
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(abs(col("value") - col("user_avg"))), 4).as("avg_abs_dev"))
+      .orderBy("event_type")
+  }
+
+  /** q82 — SALTED shuffle join: the skew-mitigation shape for a
+    * big-⋈-big equi join whose key histogram has a hyper-hot entry
+    * (one power user / boilerplate key / null bucket). The salt is
+    * INVISIBLE in the result — the oracle is the plain join SQL — and
+    * equality with the unsalted plan is asserted in EventTextSpec.
+    * This is the hand-rolled counterpart to AQE's skew-join split
+    * (which only rewrites sort-merge joins AFTER a shuffle
+    * materializes the skew; salting fixes the layout before it
+    * exists, and composes with map-side aggregation upstream). The
+    * per-event deviation vs the user's mean is the kind of per-row ⋈
+    * per-key-aggregate join a feature pipeline runs constantly. */
+  val q82SaltedJoin: Q = (spark, dir) => userDeviation(spark, dir, Some(8))
+
+  val q82Oracle: String =
+    """WITH fact AS (
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id + r * 100000000, user_id, event_type, value
+      |  FROM events, UNNEST(range(1, 21)) g(r) WHERE user_id = 0),
+      |stats AS (SELECT user_id, AVG(value) AS user_avg FROM fact GROUP BY 1)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  ROUND(AVG(ABS(value - user_avg)), 4) AS avg_abs_dev
+      |FROM fact JOIN stats USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_salted_join" -> q82SaltedJoin,
     "q54_asof_join" -> q54AsofJoin,
     "q55_range_join" -> q55RangeJoin,
     "q56_json_props" -> q56JsonProps,
@@ -325,6 +391,7 @@ object EventOps {
     "q53_approx_users" -> q53ApproxUsers)
 
   val oracles: Map[String, String] = Map(
+    "q82_salted_join" -> q82Oracle,
     "q54_asof_join" -> q54Oracle,
     "q55_range_join" -> q55Oracle,
     "q56_json_props" -> q56Oracle,

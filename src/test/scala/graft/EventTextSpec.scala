@@ -210,6 +210,19 @@ class EventTextSpec extends SparkSpec {
     }
   }
 
+  test("salted join == plain join on the skewed key, and salt reaches the join keys") {
+    val plain = EventOps.userDeviation(spark, sf, None).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = EventOps.userDeviation(spark, sf, Some(8)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq === plain.toSeq,
+      "salting must be invisible in the result")
+    val p = EventOps.userDeviation(spark, sf, Some(8))
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("salt"),
+      s"the salted plan should join on (user_id, salt):\n$p")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
