@@ -363,7 +363,65 @@ object StorageOps {
       |FROM nation WHERE n_regionkey = 1
       |ORDER BY commit_version, n_nationkey""".stripMargin
 
+  /** q83 — INCREMENTAL AGGREGATE MAINTENANCE: the materialized-view
+    * refresh pattern the change feed (q80) exists for. A source delta
+    * table takes two appends after its base load; the downstream
+    * per-segment aggregate is built ONCE from v0, then refreshed by
+    * aggregating ONLY the changed rows (changes 1..2) and MERGE-ing
+    * the combined totals — the full source is never rescanned. The
+    * final read must equal a from-scratch recompute (the oracle).
+    *
+    * Totals stay DECIMAL end-to-end: decimal addition is associative
+    * and parquet-exact, so old+delta is bit-identical to the full
+    * recompute — summing doubles incrementally would drift an ulp and
+    * fail the hash gate (the 1000-executor reproducibility argument of
+    * graft.functions.Exact, applied across COMMITS instead of
+    * partitions). Segments untouched by the appends keep their
+    * downstream rows byte-stable (merge only rewrites matched files);
+    * a segment born in the appends would arrive via the right-join's
+    * null arm. */
+  val q83IncrementalAgg: Q = (spark, dir) => {
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val sumT = org.apache.spark.sql.types.DecimalType(28, 2)
+    val c = Tables.load(spark, dir, "customer")
+    val src = freshDir("graft-inc-src")
+    DeltaTable.write(c, src, "overwrite")                              // v0
+    DeltaTable.write(c.filter(col("c_custkey") <= 10), src, "append") // v1
+    DeltaTable.write(c.filter(col("c_custkey").between(11, 20)),
+      src, "append")                                                   // v2
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast(money)).as("total_bal"))
+    val down = freshDir("graft-inc-down")
+    DeltaTable.write(agg(DeltaTable.read(spark, src,
+      versionAsOf = Some(0L))), down, "overwrite")
+    val deltaAgg = agg(DeltaTable.changes(spark, src, 1L, 2L)
+      .select(c.columns.map(col).toIndexedSeq: _*))
+    val cur = DeltaTable.read(spark, down)
+    val upserts = cur.as("o")
+      .join(deltaAgg.as("d"), Seq("c_mktsegment"), "right")
+      .select(col("c_mktsegment"),
+        (coalesce(col("o.n_rows"), lit(0L)) + col("d.n_rows")).as("n_rows"),
+        (coalesce(col("o.total_bal"), lit(0).cast(sumT)) + col("d.total_bal"))
+          .cast(sumT).as("total_bal"))
+    DeltaTable.merge(spark, down, upserts, Seq("c_mktsegment"))
+    DeltaTable.read(spark, down)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("total_bal").cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q83Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM (SELECT * FROM customer
+      |      UNION ALL SELECT * FROM customer WHERE c_custkey <= 10
+      |      UNION ALL SELECT * FROM customer WHERE c_custkey BETWEEN 11 AND 20)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q83_incremental_agg" -> q83IncrementalAgg,
     "q80_delta_changes" -> q80DeltaChanges,
     "q94_delta_update" -> q94DeltaUpdate,
     "q68_delta_delete" -> q68DeltaDelete,
@@ -380,6 +438,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q83_incremental_agg" -> q83Oracle,
     "q80_delta_changes" -> q80Oracle,
     "q94_delta_update" -> q94Oracle,
     "q68_delta_delete" -> q68Oracle,
