@@ -20,14 +20,17 @@ def norm(v):
         return v
     return v
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
+    """One connection PER ORACLE: this box has no swap and a ~63 GB
+    commit limit while duckdb 1.0's default memory_limit (80% of
+    128 GB) exceeds it, and a single long-lived connection accretes
+    allocator fragmentation across the heavy array oracles (q41/q45)
+    until a late small malloc fails ("bad allocation" with 120 GB
+    nominally free — seen at q51/q55/q95, i.e. wherever the walk
+    happened to be). Fresh connections bound the process high-water;
+    the explicit limit keeps the buffer manager evicting below what
+    the kernel will actually commit."""
     con = duckdb.connect()
-    # This box has no swap and a ~63 GB commit limit, while duckdb's
-    # default memory_limit (80% of 128 GB RAM) exceeds it — so under
-    # pressure malloc fails ("bad allocation" OOM on byte-sized blocks
-    # with 120 GB nominally free) instead of duckdb's buffer manager
-    # ever spilling. Pin a limit the kernel will actually honor and a
-    # temp dir so eviction has somewhere to go.
     con.execute("SET memory_limit='16GB'")
     con.execute("SET threads=8")
     con.execute("SET temp_directory='/tmp/duckdb_selfcheck_spill'")
@@ -35,21 +38,39 @@ def main(sf_dir, out_dir):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def with_oom_retry(fn, attempts=3):
+    """Right after the Spark JVM exits, the kernel briefly sits near its
+    commit limit (no swap) and even 2 KB duckdb allocations fail;
+    seconds later the same query succeeds. Retry through the window."""
+    import time
+    for i in range(attempts):
+        try:
+            return fn()
+        except duckdb.OutOfMemoryException:
+            if i == attempts - 1:
+                raise
+            time.sleep(5 * (i + 1))
+
+def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        con = with_oom_retry(lambda: fresh_con(sf_dir))
         got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
         got_cols = sorted(got.columns)
-        got_rows = got.fetchall()
+        got_rows = with_oom_retry(got.fetchall)
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got_rows)} rows, cols={got_cols}")
+            con.close()
             continue
         exp = con.sql(oracle[name])
         exp_cols = sorted(exp.columns)
-        exp_rows = exp.fetchall()
+        exp_rows = with_oom_retry(exp.fetchall)
         # Compare logical types too: Python fetchall() collapses DuckDB
         # HUGEINT to int, masking Spark-BIGINT-vs-oracle-HUGEINT hash
         # mismatches the driver WILL flag (bit us in round 1: q20/q51/
@@ -93,6 +114,7 @@ def main(sf_dir, out_dir):
         else:
             n_fail += 1
         print(f"  [{status}] {name} ({len(got_rows)} rows) {detail}")
+        con.close()
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
