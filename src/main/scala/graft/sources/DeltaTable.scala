@@ -372,9 +372,21 @@ object DeltaTable {
     * move. The source must be key-unique — two source rows for one key
     * is an ambiguous upsert and fails loudly (same rule as Delta's
     * MERGE). Schema must match the table's (by field set). */
+  /** `txn` = (appId, version): same idempotence contract as
+    * [[write]]'s — the merge is SKIPPED when the log already records
+    * that version (or later) for the app, and the SetTransaction
+    * commits atomically with the rewrite. This is what makes
+    * NON-idempotent merges (additive refreshes like the q83 pattern)
+    * safe under streaming foreachBatch replay: a re-delivered
+    * micro-batch must not add its deltas twice. */
   def merge(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    for ((appId, version) <- txn) {
+      val already = DeltaLog.versions(table).nonEmpty &&
+        DeltaLog.snapshot(table).txns.get(appId).exists(_ >= version)
+      if (already) return DeltaLog.snapshot(table).version
+    }
     val dupKeys = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
     require(dupKeys == 0,
@@ -413,10 +425,16 @@ object DeltaTable {
             .unionByName(source.select(touchedRows.columns.map(col): _*))
         }
       }
+      // a racer may have committed OUR txn version since the entry
+      // check (write()'s lesson): skip before staging lands twice
+      val racedTxn = txn.exists { case (appId, v) =>
+        snap.txns.get(appId).exists(_ >= v) }
+      if (racedTxn) return snap.version
       val added = stageIn(rewritten, table, snap.partitionColumns)
       val actions =
         Seq(DeltaLog.commitInfoAction("MERGE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))

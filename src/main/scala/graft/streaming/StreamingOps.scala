@@ -140,6 +140,55 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING MATERIALIZED VIEW — the streaming twin of the q83
+    * incremental-aggregate pattern: tail a graft-delta table's change
+    * feed and keep a downstream per-type (count, sum) delta table
+    * current by aggregating ONLY each micro-batch's rows and MERGE-ing
+    * combined totals. Additive refreshes are NOT naturally idempotent
+    * — a replayed micro-batch would double-count — so the merge
+    * commits a SetTransaction keyed by (checkpoint, batchId)
+    * atomically with the rewrite ([[graft.sources.DeltaTable.merge]]'s
+    * txn): the replay short-circuits against the ledger exactly like
+    * the streaming sink's. Totals stay DECIMAL end-to-end (the q83
+    * exactness argument, across micro-batches here). foreachBatch is
+    * the right tool: the refresh is a multi-step transaction (read
+    * downstream, join, merge) no declarative sink expresses. */
+  def incrementalViewPipeline(spark: SparkSession, srcTable: String,
+      downTable: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.DeltaTable
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val sumT = org.apache.spark.sql.types.DecimalType(28, 2)
+    spark.readStream.format("graft-delta").load(srcTable)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val deltaAgg = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(money)).as("total_value"))
+        val cur =
+          if (graft.sources.DeltaLog.versions(downTable).isEmpty)
+            deltaAgg.filter(lit(false)) // empty, same schema
+          else DeltaTable.read(spark, downTable)
+        val upserts = cur.as("o")
+          .join(deltaAgg.as("d"), Seq("event_type"), "right")
+          .select(col("event_type"),
+            (coalesce(col("o.n_events"), lit(0L)) + col("d.n_events"))
+              .as("n_events"),
+            (coalesce(col("o.total_value"), lit(0).cast(sumT))
+              + col("d.total_value")).cast(sumT).as("total_value"))
+        if (graft.sources.DeltaLog.versions(downTable).isEmpty)
+          DeltaTable.write(upserts, downTable, "overwrite",
+            txn = Some((s"view:$ckptDir", batchId)))
+        else
+          DeltaTable.merge(spark, downTable, upserts, Seq("event_type"),
+            txn = Some((s"view:$ckptDir", batchId)))
+        ()
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+  }
+
   /** Emit-on-finalize sessionization: `flatMapGroupsWithState` with an
     * EVENT-TIME timeout — a session row is emitted exactly once, when
     * the watermark passes its gap horizon (start + events + 30-min gap

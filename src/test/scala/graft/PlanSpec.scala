@@ -111,6 +111,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q46/q47/q82: quantized search and salted join stay codegen'd, no NL joins") {
+    val qs = Seq(
+      "q46_sq_ann" -> SimilarityOps.queries("q46_sq_ann"),
+      "q47_reranked_ann" -> SimilarityOps.queries("q47_reranked_ann"),
+      "q82_salted_join" -> graft.operators.EventOps.queries("q82_salted_join"))
+    for ((name, q) <- qs) {
+      val p = plan(q(spark, sf))
+      val fb = fallbacks(p)
+      assert(fb.isEmpty,
+        s"$name has interpreted (CodegenFallback) expressions: ${fb.mkString(", ")}\n$p")
+      val s = p.toString
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to a nested-loop/cartesian join:\n$s")
+    }
+  }
+
   test("q34 connected components: band join stays an equi hash join per round") {
     // the per-round label propagation joins are generated inside the
     // loop; guard the candidate-edge source it feeds on instead
