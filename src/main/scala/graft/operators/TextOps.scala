@@ -417,7 +417,11 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("tok"))
+        // null text counts ZERO tokens (coalesce), not null: a null
+        // tok would poison the running sum into a NULL-bin group —
+        // null docs still occupy a (free) slot in their window
+        coalesce(size(regexp_extract_all(col("text"), lit(bpe), lit(0))),
+          lit(0)).as("tok"))
       .withColumn("bin",
         floor((sum(col("tok")).over(w) - col("tok")) / budget))
       .groupBy("source", "bin")
@@ -429,7 +433,7 @@ object TextOps {
   val q39Oracle: String =
     """WITH tok AS (
       |  SELECT doc_id, source,
-      |    LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+')) AS tok
+      |    COALESCE(LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+')), 0) AS tok
       |  FROM documents),
       |packed AS (
       |  SELECT source, doc_id, tok,

@@ -72,6 +72,36 @@ class DegenerateDocsSpec extends SparkSpec {
     assert(hist === Map("en" -> 7L, "de" -> 1L))
   }
 
+  test("repetition filter: degenerate docs are excluded, never divide by zero") {
+    val rows = TextOps.q38Repetition(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    // only docs with >= 1 complete trigram get a ratio; null/empty/
+    // blank/1-2-token docs are absent rather than NaN/exception rows
+    assert(rows === Set(6L, 7L), s"unexpected scored docs: $rows")
+  }
+
+  test("decontamination: sub-5-gram docs can neither contaminate nor be contaminated") {
+    // src5 is the eval stratum; 'solo' and 'two tokens' have no
+    // 5-gram, so eval membership is vacuous and nothing flags
+    val d = java.nio.file.Files.createTempDirectory("graft-degen-dec").toString
+    Seq[(Long, String, String, String, Long)](
+      (0L, "solo", "en", "src5", 4L),
+      (1L, null, "en", "src5", 0L),
+      (2L, "a longer train document with plenty of tokens inside", "en",
+        "srcA", 52L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    assert(DedupOps.q36Decontamination(spark, d).collect().isEmpty)
+  }
+
+  test("sequence packing: null and empty docs pack as zero-token entries") {
+    val rows = TextOps.q39SequencePacking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // all 8 docs are in source 'src', all fit bin 0 (tiny corpus);
+    // null/empty texts count 0 BPE tokens but still occupy a slot
+    assert(rows(("src", 0L)) === 8L)
+  }
+
   test("tf-idf ranks only real tokens; blanks contribute nothing meaningful") {
     val terms = TextOps.q35TfidfTerms(spark, dir).collect()
       .map(_.getString(1)).toSet
