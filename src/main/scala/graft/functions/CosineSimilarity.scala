@@ -122,6 +122,19 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_shingles requires exactly 2 arguments, got ${exprs.length}")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(exprs.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1,

@@ -39,40 +39,40 @@ object DedupOps {
     * groupBy-count + join passes downstream: Jaccard's |A|/|B| terms
     * and the prefix filter's length test read it straight off the row.
     *
-    * Formulated as posexplode + lead() windows, NOT a
-    * transform(sequence, i -> …) lambda over the token array: Spark
-    * evaluates higher-order functions via CodegenFallback — an
-    * interpreted closure per element — which measured 20 s for sf0.1's
-    * 260k shingles on the single-file scan task. The window version is
-    * whole-stage-codegen'd end to end and runs 32-wide after the
-    * doc_id shuffle. */
+    * ONE NARROW PROJECTION since round 5: the native
+    * [[graft.functions.WordShingles]] Expression computes each doc's
+    * distinct hash set inline in the scan stage — bit-identical
+    * arithmetic to the earlier posexplode + lead()-window + collect_set
+    * pipeline (DedupSpec asserts set equality against that formulation,
+    * and every DuckDB oracle still replays it), but with no token-row
+    * explosion, no doc_id window shuffle, and no hash aggregate. The
+    * index build is now scan → project → write. (History of the shape:
+    * round 1's transform(sequence, …) lambda was CodegenFallback — 20 s
+    * interpreted at sf0.1 — and was replaced by the window pipeline;
+    * the native Expression removes that pipeline's two wide stages
+    * too. Measured at sf0.1 on a noisy machine: the
+    * q31+q32+q34+q36+q38 subset drops ~17 s → ~14.5-16 s, with
+    * q32/q34/q36 the clear winners and q31 flat — its cost is the
+    * prefix relation + candidate join, not the raw shingling.) */
   private def shingleArrays(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      // 60-bit hash of the trigram, NOT the string: every downstream
-      // stage (freq groupBy, prefix window, candidate equi-join,
-      // array_intersect verify) runs on fixed-width longs. Measured at
-      // sf0.1: the verify stage alone is 9× faster on long arrays than
-      // string arrays (5.3 s vs 47.6 s — string ArrayIntersect leaves
-      // the codegen fast path). Identical arithmetic exists in DuckDB
-      // (('0x'||substr(md5(s),1,15))::BIGINT, proven in q33), so
-      // oracle equality stays bit-exact — collisions, were any to
-      // occur, would be shared by both engines.
-      //
-      // collect_set does per-doc dedup + set size + array roll-up in
-      // ONE aggregation that reuses the window's doc_id partitioning —
-      // a distinct() + count-window + collect_list chain here costs
-      // three additional shuffles for the same result.
-      .select(col("doc_id"),
-        tokenHash(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shingle"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("sarr"))
+      // The fixture corpus is one parquet file = one input partition;
+      // without a repartition the per-doc hashing runs single-threaded
+      // (the old window pipeline got 32-way parallelism as a side
+      // effect of its doc_id shuffle). This repartition feeds a STAGED
+      // parquet write, so the round-1 "repartition starves AQE of scan
+      // stats" regression doesn't apply — downstream joins plan off
+      // the staged files' own stats.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // 60-bit hashes, NOT strings: every downstream stage (freq
+      // groupBy, prefix window, candidate equi-join, array_intersect
+      // verify) runs on fixed-width longs — measured 9× on the verify
+      // stage vs string arrays. Same arithmetic exists in DuckDB
+      // (('0x'||substr(md5(s),1,15))::BIGINT), so oracle equality
+      // stays bit-exact.
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sarr"))
+      .filter(size(col("sarr")) > 0)
       .select(col("doc_id"), size(col("sarr")).as("n"), col("sarr"))
   }
 
@@ -596,21 +596,13 @@ object DedupOps {
     * broadcast and the train side never shuffles. Per-doc hit counts
     * come off one hash agg. */
   val q36Decontamination: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
     val evalSrc = "src5"
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // native 5-gram shingler (already distinct per doc) exploded to
+    // rows — one narrow generator off the scan, no window shuffle
     val grams = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .withColumn("t3", lead("tok", 3).over(w))
-      .withColumn("t4", lead("tok", 4).over(w))
-      .filter(col("t4").isNotNull)
-      .select(col("doc_id"), col("source"),
-        tokenHash(concat_ws(" ", col("tok"), col("t1"), col("t2"),
-          col("t3"), col("t4"))).as("shingle"))
-      .distinct()
+        explode(expr("graft_shingles(text, 5)")).as("shingle"))
     // Staged like the dedup index: three consumers below, and Spark
     // does not dedupe common subplans — unstaged, the window+hash
     // pipeline would execute three times.

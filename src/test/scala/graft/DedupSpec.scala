@@ -149,6 +149,39 @@ class DedupSpec extends SparkSpec {
       s"no stage of the dedup pipeline may go all-pairs:\n$plan")
   }
 
+  test("native graft_shingles == declarative window formulation, set-for-set") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // degenerate + real texts in one fixture: empty, blank-with-tab,
+    // sub-trigram, leading/trailing whitespace, repeated trigrams
+    val docs = Seq[(Long, String)](
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "  Mixed CASE  tokens  here with   runs of spaces  "),
+      (2L, "a b"),
+      (3L, ""),
+      (4L, "\t x y z \t"),
+      (5L, "rep rep rep rep rep"),
+    ).toDF("doc_id", "text")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val declarative = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat_ws(' ', tok, t1, t2)), 1, 15), 16, 10) AS bigint)")
+          .as("shingle"))
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sarr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val native = docs
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sarr"))
+      .filter(size(col("sarr")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(native === declarative)
+  }
+
   test("decontamination flags exactly the train docs sharing a 5-gram with eval") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-spec").toString
     Seq(

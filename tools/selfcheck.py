@@ -40,10 +40,11 @@ def fresh_con(sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
-def with_oom_retry(fn, attempts=3):
-    """Right after the Spark JVM exits, the kernel briefly sits near its
-    commit limit (no swap) and even 2 KB duckdb allocations fail;
-    seconds later the same query succeeds. Retry through the window."""
+def with_oom_retry(fn, attempts=5):
+    """This environment sporadically fails even 2 KB duckdb allocations
+    ("bad allocation" with >100 GB nominally free) — observed right
+    after Spark JVM exits and intermittently under load; a rerun of the
+    identical query seconds later succeeds. Retry with backoff."""
     import time
     for i in range(attempts):
         try:
@@ -54,20 +55,65 @@ def with_oom_retry(fn, attempts=3):
             time.sleep(5 * (i + 1))
 
 def main(sf_dir, out_dir):
+    """Each query's comparison runs in a FORKED SUBPROCESS: this
+    environment's duckdb sporadically OOMs on byte-sized allocations
+    AND segfaults outright under sustained load (observed at different
+    queries on different runs, with >100 GB nominally free) — neither
+    is a correctness verdict, and a segfault in-process would kill the
+    whole walk. Isolation contains the blast radius; crashed/OOM'd
+    queries retry up to 3 times and report [ENV] if still unlucky."""
+    import multiprocessing as mp
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_env = 0
+    ctx = mp.get_context("fork")
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        con = with_oom_retry(lambda: fresh_con(sf_dir))
+        verdict = None
+        for attempt in range(3):
+            q = ctx.Queue()
+            p = ctx.Process(target=_child, args=(q, sf_dir, d, name, oracle))
+            p.start()
+            p.join(600)
+            if p.is_alive():
+                p.kill()
+                p.join()
+            if p.exitcode == 0 and not q.empty():
+                verdict = q.get()
+                break
+            import time
+            time.sleep(5 * (attempt + 1))
+        if verdict is None:
+            n_env += 1
+            print(f"  [ENV] {name}: duckdb crashed/OOM'd in 3 isolated "
+                  "attempts; not a correctness verdict")
+        else:
+            status, line = verdict
+            print(line)
+            if status == "pass":
+                n_pass += 1
+            elif status == "fail":
+                n_fail += 1
+    suffix = f", {n_env} env-crash (rerun those)" if n_env else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{suffix}")
+    return 1 if n_fail else (2 if n_env else 0)
+
+def _child(q, sf_dir, d, name, oracle):
+    try:
+        q.put(check_one(sf_dir, d, name, oracle))
+    except duckdb.OutOfMemoryException:
+        os._exit(3)
+
+def check_one(sf_dir, d, name, oracle):
+        con = with_oom_retry(lambda: fresh_con(sf_dir))  # noqa: indent kept to minimize diff
         got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
         got_cols = sorted(got.columns)
         got_rows = with_oom_retry(got.fetchall)
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(got_rows)} rows, cols={got_cols}")
             con.close()
-            continue
+            return ("rows-only",
+                    f"  [rows-only] {name}: {len(got_rows)} rows, cols={got_cols}")
         exp = con.sql(oracle[name])
         exp_cols = sorted(exp.columns)
         exp_rows = with_oom_retry(exp.fetchall)
@@ -109,14 +155,9 @@ def main(sf_dir, out_dir):
                             min(len(gs), len(es)) - 1)
                 status = "FAIL"
                 detail = f"first value diff @sorted-row {diff}:\n    got {gs[diff][:200]}\n    exp {es[diff][:200]}"
-        if status.startswith("PASS"):
-            n_pass += 1
-        else:
-            n_fail += 1
-        print(f"  [{status}] {name} ({len(got_rows)} rows) {detail}")
         con.close()
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+        return ("pass" if status.startswith("PASS") else "fail",
+                f"  [{status}] {name} ({len(got_rows)} rows) {detail}")
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
