@@ -445,7 +445,84 @@ object TextOps {
       |  ROUND(SUM(tok) / 512, 4) AS fill
       |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  /** q48 — VOCAB INDUCTION, merge step 1 of BPE-style tokenizer
+    * training: corpus-wide adjacent-token-pair frequencies, top 20.
+    * (A full BPE trainer iterates merge → re-tokenize; each round is
+    * exactly this query over the previous round's tokens, so the
+    * per-round shape is what must scale.) Explode + lead window for
+    * the pair STRINGS (unlike the dedup index, induction needs the
+    * text back, not a hash), then ONE hash agg with map-side partial
+    * combine — the shuffle carries (pair, count, doc-distinct partial)
+    * states, not token rows. Ranking on exact integer counts with a
+    * pair-string tie-break — nothing float anywhere. */
+  val q48VocabInduction: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+  }
+
+  val q48Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS pair
+      |  FROM tok, UNNEST(range(GREATEST(LEN(t)-1, 0))) g(i))
+      |SELECT pair, COUNT(*) AS n_occurrences,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM pairs GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+
+  /** q49 — FEATURE HASHING (the hashing trick): every doc mapped to a
+    * 16-dimension signed-count vector with zero vocabulary state —
+    * bucket = 60-bit token hash mod 16, sign = the next hash bit, the
+    * classic collision-tolerant featurization for dedup prefilters and
+    * cheap classifiers when a learned embedding is too expensive to
+    * run corpus-wide. All INTEGER arithmetic (±1 sums), so unlike a
+    * float embedding the output is exactly reproducible across
+    * engines, partitionings and retries — hash-verified end to end.
+    * Long-form sparse output (doc_id, dim, weight): explode → narrow
+    * hash math → ONE partial-combining hash agg; zero-weight dims are
+    * dropped (sparse), matching the SQL oracle's HAVING. */
+  val q49FeatureHashing: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), (col("h") % 16).as("dim"),
+        // `div`, not `/`: Spark's / on longs is double division
+        expr("((h div 16) % 2) * 2 - 1").cast("long").as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy("doc_id", "dim")
+
+  val q49Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id,
+      |          UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+      |        FROM documents))
+      |SELECT doc_id, h % 16 AS dim,
+      |  CAST(SUM(((h // 16) % 2) * 2 - 1) AS BIGINT) AS weight
+      |FROM toks GROUP BY doc_id, h % 16
+      |HAVING SUM(((h // 16) % 2) * 2 - 1) <> 0
+      |ORDER BY doc_id, dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q48_vocab_induction" -> q48VocabInduction,
+    "q49_feature_hashing" -> q49FeatureHashing,
     "q37_pii_scrub" -> q37PiiScrub,
     "q38_repetition" -> q38Repetition,
     "q39_sequence_packing" -> q39SequencePacking,
@@ -460,6 +537,8 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q48_vocab_induction" -> q48Oracle,
+    "q49_feature_hashing" -> q49Oracle,
     "q37_pii_scrub" -> q37Oracle,
     "q38_repetition" -> q38Oracle,
     "q39_sequence_packing" -> q39Oracle,
