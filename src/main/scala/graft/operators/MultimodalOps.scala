@@ -118,6 +118,40 @@ object MultimodalOps {
       |  MAX(octet_length(encode(text))) AS max_bytes
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q74 — media payload EXACT DEDUP: the binary twin of q30 — a crawl
+    * lake stores the same image/video bytes under many keys, and the
+    * cheapest shrink is content-hash dedup BEFORE any decode spend.
+    * Input amplified like q30 (every media_id % 3 == 0 payload
+    * duplicated under a shifted id); dedup key = sha256 of the BYTES
+    * (not text — the hash runs on the binary column), keeper = lowest
+    * media_id, per-hash byte totals = what the dedup saves. One
+    * skew-free shuffle on the 32-byte digest. */
+  val q74MediaDedup: Q = (spark, dir) => {
+    val media = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+    val withDups = media.unionByName(
+      media.filter(col("media_id") % 3 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"), col("payload")))
+    withDups
+      .groupBy(sha2(col("payload"), 256).as("content_sha"))
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
+      .orderBy("keeper_id")
+  }
+
+  // sha256/octet_length over the same UTF-8 bytes (see q70's note on
+  // DuckDB's VARCHAR-only sha256)
+  val q74Oracle: String =
+    """SELECT sha256(text) AS content_sha,
+      |  MIN(media_id) AS keeper_id, COUNT(*) AS n_copies,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM (SELECT doc_id AS media_id, text FROM documents
+      |      UNION ALL
+      |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
+      |GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
   // ------------------------------------------------------------------
   // Decode stub — the seam where a real codec would plug in.
   // ------------------------------------------------------------------
@@ -162,10 +196,12 @@ object MultimodalOps {
     "q70_media_features" -> q70MediaFeatures,
     "q71_frame_sample" -> q71FrameSample,
     "q72_media_inventory" -> q72MediaInventory,
-    "q73_media_decode" -> q73MediaDecode)
+    "q73_media_decode" -> q73MediaDecode,
+    "q74_media_dedup" -> q74MediaDedup)
 
   val oracles: Map[String, String] = Map(
     "q70_media_features" -> q70Oracle,
     "q71_frame_sample" -> q71Oracle,
-    "q72_media_inventory" -> q72Oracle)
+    "q72_media_inventory" -> q72Oracle,
+    "q74_media_dedup" -> q74Oracle)
 }
