@@ -182,6 +182,46 @@ class DedupSpec extends SparkSpec {
     assert(native === declarative)
   }
 
+  test("graft_shingles fuzz: random hostile texts agree with the declarative form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // seeded generator over a hostile alphabet: space runs, tabs,
+    // newlines, unicode letters (accents, CJK, sharp-s whose
+    // lowercase/uppercase round-trips are asymmetric), digits, empty
+    // and whitespace-only strings — the crawl-corpus reality the
+    // 6-doc fixture can't enumerate
+    val rnd = new scala.util.Random(42)
+    val atoms = Vector("the", "Fox", "ÀÉÎ", "straße", "日本語", "x1",
+      "a", "BB", "ß", "émU", " ", "  ", "\t", "\n", " ")
+    def text(): String =
+      Seq.fill(rnd.nextInt(25))(atoms(rnd.nextInt(atoms.length))).mkString("")
+    val docs = (0L until 80L).map(i => (i, text())).toDF("doc_id", "text")
+    for (n <- Seq(3, 5)) {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      var declarative = docs
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val leads = (1 until n).map { k =>
+        declarative = declarative.withColumn(s"t$k", lead("tok", k).over(w))
+        col(s"t$k")
+      }
+      val expected = declarative
+        .filter(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"),
+          expr(s"cast(conv(substring(md5(concat_ws(' ', tok, ${
+            (1 until n).map(k => s"t$k").mkString(", ")})), 1, 15), 16, 10) AS bigint)")
+            .as("shingle"))
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sarr"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val native = docs
+        .select(col("doc_id"), expr(s"graft_shingles(text, $n)").as("sarr"))
+        .filter(size(col("sarr")) > 0)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(native === expected, s"n=$n mismatch")
+    }
+  }
+
   test("decontamination flags exactly the train docs sharing a 5-gram with eval") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-spec").toString
     Seq(
