@@ -420,7 +420,36 @@ object StorageOps {
       |      UNION ALL SELECT * FROM customer WHERE c_custkey BETWEEN 11 AND 20)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q85 — OPTIMIZE ZORDER BY: rewrite customer clustered on the
+    * (c_custkey, c_acctbal) Z-curve, then read back a two-dimension
+    * filtered aggregate. The oracle proves the rewrite changed LAYOUT
+    * only (content identical to plain SQL over the source); the
+    * skipping payoff — per-file min/max tight on BOTH columns, so a
+    * filter on either scans a fraction of the files — is asserted
+    * file-by-file in DeltaSpec via liveFilesAfterSkipping. */
+  val q85DeltaZorder: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-delta-z")
+    // scatter first (round-robin over 8 files) so the rewrite has a
+    // genuinely unclustered layout to fix
+    c.repartition(8).write.format("graft-delta").mode("overwrite").save(t)
+    DeltaTable.zorder(spark, t, Seq("c_custkey", "c_acctbal"), 8)
+    spark.read.format("graft-delta").load(t)
+      .filter(col("c_custkey") <= 400 && col("c_acctbal") >= 0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q85Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer WHERE c_custkey <= 400 AND c_acctbal >= 0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q85_delta_zorder" -> q85DeltaZorder,
     "q83_incremental_agg" -> q83IncrementalAgg,
     "q80_delta_changes" -> q80DeltaChanges,
     "q94_delta_update" -> q94DeltaUpdate,
@@ -438,6 +467,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q85_delta_zorder" -> q85Oracle,
     "q83_incremental_agg" -> q83Oracle,
     "q80_delta_changes" -> q80Oracle,
     "q94_delta_update" -> q94Oracle,

@@ -242,6 +242,93 @@ object DeltaTable {
       s"compact($table): lost the commit race $maxAttempts times")
   }
 
+  /** OPTIMIZE ZORDER BY — rewrite the table clustered along a 2-D
+    * Z-curve so the per-file min/max stats become tight on BOTH
+    * columns and data skipping prunes multi-dimension filters. A plain
+    * compact/sort clusters one column perfectly and leaves the other's
+    * per-file ranges spanning the whole domain; the bit-interleaved
+    * Z-value bounds every file to a curve segment, i.e. a small
+    * rectangle in (colA, colB) space — the standard lakehouse layout
+    * optimization for "filter by user AND by time" workloads.
+    *
+    * Mechanics: each column is linearly bucketed to 16 bits against
+    * its GLOBAL min/max (one tiny 4-aggregate job — only 4 scalars
+    * reach the driver; rank-bucketing would equalize skewed
+    * distributions but needs a global sort or quantile sketch, and
+    * linear is the common production default), the buckets interleave
+    * via codegen'd shift/mask magic-number spreads into a 32-bit
+    * Z-value, and the table rewrites through
+    * `repartitionByRange(targetFiles, z)` + `sortWithinPartitions(z)`
+    * — a range shuffle whose boundaries Spark samples, so no global
+    * sort bottleneck. The swap commits atomically like compact
+    * (remove-all + add-all, pinned to the scanned snapshot, orphan
+    * cleanup on a lost race). Content is byte-identical, only layout
+    * changes — the q85 oracle proves it; DeltaSpec proves the
+    * SKIPPING: after zorder, a filter on either dimension scans a
+    * fraction of the files. Unpartitioned tables only (stock delta
+    * z-orders within partitions; our partitioned layouts already
+    * prune on the partition key). */
+  def zorder(spark: SparkSession, table: String, cols: Seq[String],
+      targetFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    require(cols.length == 2, "zorder: exactly 2 clustering columns")
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      require(snap.partitionColumns.isEmpty,
+        s"zorder($table): partitioned tables cluster within partitions " +
+          "by the partition key already; zorder supports unpartitioned")
+      val df = read(spark, table, Some(snap.version))
+      val Seq(a, b) = cols
+      val r = df.agg(smin(col(a)).cast("double"), smax(col(a)).cast("double"),
+        smin(col(b)).cast("double"), smax(col(b)).cast("double")).head()
+      val (aLo, aHi, bLo, bHi) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      def bucket16(c: String, lo: Double, hi: Double): String =
+        if (hi <= lo) "0L"
+        else s"cast(((cast(`$c` AS double) - $lo) / (${hi - lo})) * 65535.0 AS bigint)"
+      // spread 16 bits to even positions (morton magic numbers), b's
+      // copy lands on odd positions via one extra shift
+      def spread(v: String): String =
+        s"""(((((($v | shiftleft($v, 8)) & 16711935)
+           |  | shiftleft((($v | shiftleft($v, 8)) & 16711935), 4)) & 252645135)
+           |  | shiftleft((((($v | shiftleft($v, 8)) & 16711935)
+           |  | shiftleft((($v | shiftleft($v, 8)) & 16711935), 4)) & 252645135), 2)) & 858993459)""".stripMargin
+      // two-step spread via a staged column keeps the expr readable:
+      // s1 = interleave-by-2 result, then final interleave-by-1
+      val z = df
+        .withColumn("__ba", org.apache.spark.sql.functions.expr(
+          bucket16(a, aLo, aHi)))
+        .withColumn("__bb", org.apache.spark.sql.functions.expr(
+          bucket16(b, bLo, bHi)))
+        .withColumn("__sa", org.apache.spark.sql.functions.expr(
+          s"(${spread("__ba")} | shiftleft(${spread("__ba")}, 1)) & 1431655765"))
+        .withColumn("__sb", org.apache.spark.sql.functions.expr(
+          s"(${spread("__bb")} | shiftleft(${spread("__bb")}, 1)) & 1431655765"))
+        .withColumn("__z", org.apache.spark.sql.functions.expr(
+          "__sa | shiftleft(__sb, 1)"))
+      val clustered = z
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__ba", "__bb", "__sa", "__sb", "__z")
+      val added = stageIn(clustered, table, Nil)
+      val actions =
+        Seq(DeltaLog.commitInfoAction("ZORDER")) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, Nil)) ++
+          snap.files.map(f => DeltaLog.removeAction(f.path)) ++
+          added.map(f =>
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch {
+        case _: IllegalStateException =>
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      }
+    }
+    throw new IllegalStateException(
+      s"zorder($table): lost the commit race $maxAttempts times")
+  }
+
   /** Table-relative path of an executor-reported `input_file_name()`
     * URI, e.g. `file:///…/tbl/date=x/part-0.parquet` → `date=x/part-0
     * .parquet` — the exact string the log's add actions use. */

@@ -664,6 +664,54 @@ class DeltaSpec extends SparkSpec {
     assert(ex.getMessage.contains("not contiguous"))
   }
 
+  test("zorder: both dimensions prune after the rewrite; content unchanged") {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val t = freshTable()
+    // 64x64 uniform grid, round-robin-scattered over 8 files: before
+    // the rewrite every file spans the full range of BOTH columns
+    val grid = spark.range(4096)
+      .select($"id", ($"id" / 64).cast("long").as("a"),
+        ($"id" % 64).as("b"), ($"id" * 3 % 97).as("v"))
+    DeltaTable.write(grid.repartition(8), t, "overwrite")
+    def kept(f: org.apache.spark.sql.sources.Filter): Int = {
+      val snap = graft.sources.DeltaLog.snapshot(t)
+      val schema = DataType.fromJson(snap.schemaJson.get)
+        .asInstanceOf[StructType]
+      DeltaTable.liveFilesAfterSkipping(snap, Seq(f), schema).length
+    }
+    assert(kept(LessThanOrEqual("a", 7L)) === 8,
+      "scattered layout: a-filter cannot prune")
+    assert(kept(LessThanOrEqual("b", 7L)) === 8,
+      "scattered layout: b-filter cannot prune")
+    val before = spark.read.format("graft-delta").load(t)
+      .orderBy("id").collect().toSeq
+    DeltaTable.zorder(spark, t, Seq("a", "b"), 8)
+    val snap = graft.sources.DeltaLog.snapshot(t)
+    assert(snap.files.length === 8)
+    // each file now covers a curve segment = a bounded (a, b)
+    // rectangle, so an eighth-of-the-domain filter on EITHER column
+    // keeps a strict minority of files — a plain sort by `a` would
+    // prune `a` perfectly and `b` not at all
+    val aKept = kept(LessThanOrEqual("a", 7L))
+    val bKept = kept(LessThanOrEqual("b", 7L))
+    assert(aKept < 8 && aKept <= 5, s"a-filter kept $aKept of 8")
+    assert(bKept < 8 && bKept <= 5, s"b-filter kept $bKept of 8")
+    // layout-only: content identical, history preserved, time travel
+    // still sees the scattered version
+    val after = spark.read.format("graft-delta").load(t)
+      .orderBy("id").collect().toSeq
+    assert(after === before)
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(0L)).count() === 4096)
+    // partitioned tables refuse loudly
+    val tp = freshTable()
+    grid.write.format("graft-delta").partitionBy("b").save(tp)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.zorder(spark, tp, Seq("a", "v"), 4)
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("batch change feed: per-version insert tags; rewrite versions fail loudly") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")                    // v0
