@@ -705,7 +705,51 @@ object Relational {
       |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""".stripMargin
 
   /** All parity queries + oracles, keyed for SparkEntry. */
+  /** q86 — TPC-H Q5 shape (local supplier volume): the classic 6-table
+    * join-reorder benchmark — region → nation → (customer ⋈ orders ⋈
+    * lineitem ⋈ supplier) with a same-nation constraint between the
+    * customer and supplier sides and a one-year date window. Declared
+    * as plain joins; Catalyst + AQE pick the order, broadcast the
+    * three dimension tables (region/nation/supplier fit), and push the
+    * date filter into the orders scan. Revenue through the exact
+    * decimal [[graft.functions.Exact.productSum]], so the descending
+    * order is deterministic without rounding (q16's precedent). */
+  val q86TpchQ5: Q = (spark, dir) => {
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(productSum(l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q86Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q86_tpch_q5" -> q86TpchQ5,
     "q99_datetime" -> q99DateTime,
     "q95_window_suite" -> q95WindowSuite,
     "q96_cube" -> q96Cube,
@@ -738,6 +782,7 @@ object Relational {
     "q17_nation_rollup" -> q17NationRollup)
 
   val oracles: Map[String, String] = Map(
+    "q86_tpch_q5" -> q86Oracle,
     "q99_datetime" -> q99Oracle,
     "q95_window_suite" -> q95Oracle,
     "q96_cube" -> q96Oracle,

@@ -448,7 +448,34 @@ object StorageOps {
       |FROM customer WHERE c_custkey <= 400 AND c_acctbal >= 0
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q87 — CHECK constraints as a first-class table contract: add
+    * `positive_key` to a fresh nation table, append a clean slice
+    * (enforced — a violating write aborts pre-commit, DeltaSpec), and
+    * read back DESCRIBE HISTORY: the ADD CONSTRAINT commit is a
+    * visible, versioned operation like any other, and the constraint
+    * itself rides the metaData configuration every later writer
+    * carries forward. Oracle = the VALUES literal the op sequence
+    * dictates (q58's pattern). */
+  val q87DeltaConstraint: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-ck")
+    DeltaTable.write(n, t, "overwrite")
+    DeltaTable.addCheckConstraint(spark, t, "positive_key", "n_nationkey >= 0")
+    DeltaTable.write(n.filter(col("n_regionkey") === 0), t, "append")
+    DeltaTable.history(spark, t)
+      .select(col("version"), col("operation"),
+        (col("num_adds") > 0).as("any_adds"))
+      .orderBy("version")
+  }
+
+  val q87Oracle: String =
+    """SELECT CAST(version AS BIGINT) AS version, operation, any_adds
+      |FROM (VALUES (0, 'OVERWRITE', true), (1, 'ADD CONSTRAINT', false),
+      |             (2, 'APPEND', true)) t(version, operation, any_adds)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q87_delta_constraint" -> q87DeltaConstraint,
     "q85_delta_zorder" -> q85DeltaZorder,
     "q83_incremental_agg" -> q83IncrementalAgg,
     "q80_delta_changes" -> q80DeltaChanges,
@@ -467,6 +494,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q87_delta_constraint" -> q87Oracle,
     "q85_delta_zorder" -> q85Oracle,
     "q83_incremental_agg" -> q83Oracle,
     "q80_delta_changes" -> q80Oracle,

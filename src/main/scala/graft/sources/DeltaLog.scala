@@ -53,9 +53,22 @@ object DeltaLog {
     * application id (the Delta protocol's SetTransaction action) — the
     * idempotence ledger the streaming sink checks before re-applying a
     * replayed micro-batch. */
+  /** `configuration` = the protocol metaData's configuration object —
+    * carries table properties such as CHECK constraints
+    * (`delta.constraints.<name>` → expression). Every writer must
+    * CARRY IT FORWARD into the metaData it commits, or the property
+    * would silently vanish on the next append. */
   final case class Snapshot(version: Long, schemaJson: Option[String],
       files: Seq[AddFile], partitionColumns: Seq[String] = Nil,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      configuration: Map[String, String] = Map.empty) {
+    /** (name, sql expression) of every CHECK constraint on the table. */
+    def checkConstraints: Seq[(String, String)] =
+      configuration.collect {
+        case (k, v) if k.startsWith("delta.constraints.") =>
+          k.stripPrefix("delta.constraints.") -> v
+      }.toSeq.sortBy(_._1)
+  }
 
   def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
@@ -180,6 +193,7 @@ object DeltaLog {
           StandardCharsets.UTF_8).asScala)
     var schema: Option[String] = None
     var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
     val txns = scala.collection.mutable.Map[String, Long]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     for (line <- replay if line.nonEmpty) {
@@ -197,6 +211,8 @@ object DeltaLog {
           schema = fields.get("schemaString")
           partCols = fields.get("partitionColumns")
             .map(Json.parseStringArray).getOrElse(Nil)
+          config = fields.get("configuration")
+            .map(Json.parseFlat).getOrElse(Map.empty)
         case ("txn", fields) =>
           for (app <- fields.get("appId"); v <- fields.get("version")
                .flatMap(_.toLongOption))
@@ -204,7 +220,7 @@ object DeltaLog {
         case _ => ()
       }
     }
-    Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap)
+    Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config)
   }
 
   /** Atomically commit `actions` as the next version after
@@ -276,10 +292,14 @@ object DeltaLog {
     * REQUIRED fields for a stock delta reader (our own replay only
     * needs schemaString/partitionColumns and ignores the rest). */
   def metaDataAction(schemaJson: String,
-      partitionColumns: Seq[String] = Nil, tableId: String = ""): String = {
+      partitionColumns: Seq[String] = Nil, tableId: String = "",
+      configuration: Map[String, String] = Map.empty): String = {
     val pc = partitionColumns.map(Json.str).mkString("[", ",", "]")
     val id = if (tableId.isEmpty) "" else s""""id":${Json.str(tableId)},"""
-    s"""{"metaData":{$id"format":{"provider":"parquet","options":{}},"schemaString":${Json.str(schemaJson)},"partitionColumns":$pc,"configuration":{}}}"""
+    val cfg = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"metaData":{$id"format":{"provider":"parquet","options":{}},"schemaString":${Json.str(schemaJson)},"partitionColumns":$pc,"configuration":$cfg}}"""
   }
 
   def commitInfoAction(op: String): String =

@@ -67,6 +67,12 @@ object DeltaTable {
         existing
       }
     val added = stageIn(df, table, effectivePartitionBy)
+    // CHECK constraints gate every row-introducing write; read once
+    // before the retry loop (a constraint added concurrently with this
+    // write lands in a later version and governs later writes)
+    if (DeltaLog.versions(table).nonEmpty)
+      enforceConstraints(df.sparkSession, table, added,
+        DeltaLog.snapshot(table).checkConstraints)
     // atomic log commit, with optimistic retry on version conflicts
     val maxAttempts = 16
     var attempt = 0
@@ -103,7 +109,10 @@ object DeltaTable {
           // later commits inherit it from replay/checkpoint
           (if (readVersion == -1L) Seq(DeltaLog.protocolAction) else Nil) ++
           Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy,
-            DeltaLog.tableId(table))) ++
+            DeltaLog.tableId(table),
+            // table properties (constraints) survive BOTH modes: an
+            // overwrite replaces data, not the table's contract
+            prior.map(_.configuration).getOrElse(Map.empty))) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           removes ++
           added.map(f =>
@@ -128,6 +137,71 @@ object DeltaTable {
     // overwrite leaves removed files on disk (old versions still need
     // them for time travel — same as real Delta until vacuum())
     throw new IllegalStateException("unreachable")
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta's CHECK constraints): store
+    * `delta.constraints.<name> = sqlExpr` in the metaData
+    * configuration — the protocol's own encoding, so the property
+    * rides every writer's carried-forward configuration — and enforce
+    * it on all future row-introducing writes (write/merge/update).
+    * Per the SQL standard (and Delta), a row VIOLATES only when the
+    * expression evaluates to FALSE; NULL passes. Adding a constraint
+    * requires the EXISTING data to satisfy it (one filter-limit-1
+    * scan), and commits atomically like everything else. */
+  def addCheckConstraint(spark: SparkSession, table: String,
+      name: String, sqlExpr: String): Long = {
+    import org.apache.spark.sql.functions.{expr, not}
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be alphanumeric/underscore: $name")
+    require(!sqlExpr.contains('"'),
+      "constraint expression must not contain double quotes")
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val bad = read(spark, table, Some(snap.version))
+        .filter(not(expr(sqlExpr))).limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK constraint $name ($sqlExpr): existing rows violate it")
+      val actions = Seq(
+        DeltaLog.commitInfoAction("ADD CONSTRAINT")) ++
+        snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+          DeltaLog.tableId(table),
+          snap.configuration + (s"delta.constraints.$name" -> sqlExpr)))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch {
+        case _: IllegalStateException => Thread.sleep(5L)
+      }
+    }
+    throw new IllegalStateException(
+      s"addCheckConstraint($table, $name): lost the commit race $maxAttempts times")
+  }
+
+  /** Enforce the table's CHECK constraints against freshly staged
+    * files; on violation the orphan staged files are removed and the
+    * write fails loudly BEFORE any commit references them. One
+    * pushed-down filter-limit-1 scan per constraint over only the
+    * staged bytes (parquet row-group stats usually answer it without
+    * reading data pages). */
+  private def enforceConstraints(spark: SparkSession, table: String,
+      added: Seq[DeltaLog.AddFile],
+      constraints: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.functions.{expr, not}
+    if (constraints.isEmpty || added.isEmpty) return
+    val reader =
+      if (added.exists(_.partitionValues.nonEmpty))
+        spark.read.option("basePath", table)
+      else spark.read
+    val staged = reader.parquet(
+      added.map(f => Paths.get(table).resolve(f.path).toString): _*)
+    for ((name, e) <- constraints) {
+      val violated = staged.filter(not(expr(e))).limit(1).count() > 0
+      if (violated) {
+        added.foreach(f =>
+          Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+        throw new IllegalArgumentException(
+          s"CHECK constraint $name ($e) violated by incoming rows; write aborted")
+      }
+    }
   }
 
   /** Write `df`'s data files INTO the table directory (invisible until
@@ -225,7 +299,8 @@ object DeltaTable {
       val added = stageIn(compacted, table, snap.partitionColumns)
       val actions =
         Seq(DeltaLog.commitInfoAction("COMPACT")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+            configuration = snap.configuration)) ++
           snap.files.map(f => DeltaLog.removeAction(f.path)) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -314,7 +389,8 @@ object DeltaTable {
       val added = stageIn(clustered, table, Nil)
       val actions =
         Seq(DeltaLog.commitInfoAction("ZORDER")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, Nil)) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, Nil,
+            configuration = snap.configuration)) ++
           snap.files.map(f => DeltaLog.removeAction(f.path)) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -377,7 +453,8 @@ object DeltaTable {
       val added = stageIn(survivors, table, snap.partitionColumns)
       val actions =
         Seq(DeltaLog.commitInfoAction("DELETE")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+            configuration = snap.configuration)) ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -433,9 +510,12 @@ object DeltaTable {
         }
       }: _*)
       val added = stageIn(updated, table, snap.partitionColumns)
+      // a SET can push rows outside the table's CHECK contract
+      enforceConstraints(spark, table, added, snap.checkConstraints)
       val actions =
         Seq(DeltaLog.commitInfoAction("UPDATE")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+            configuration = snap.configuration)) ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -518,9 +598,12 @@ object DeltaTable {
         snap.txns.get(appId).exists(_ >= v) }
       if (racedTxn) return snap.version
       val added = stageIn(rewritten, table, snap.partitionColumns)
+      // upserted source rows must honor the table's CHECK contract
+      enforceConstraints(spark, table, added, snap.checkConstraints)
       val actions =
         Seq(DeltaLog.commitInfoAction("MERGE")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns)) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+            configuration = snap.configuration)) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
@@ -685,7 +768,7 @@ object DeltaTable {
       Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT"),
         DeltaLog.protocolAction) ++
         hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns,
-          DeltaLog.tableId(table))) ++
+          DeltaLog.tableId(table), hSnap.configuration)) ++
         // txn ledger must survive the pruned prefix — dropping it would
         // let a restarted streaming query re-apply old micro-batches
         hSnap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
@@ -899,7 +982,8 @@ object DeltaTable {
       val actions =
         Seq(DeltaLog.commitInfoAction("RESTORE")) ++
           target.schemaJson.map(DeltaLog.metaDataAction(_,
-            target.partitionColumns, DeltaLog.tableId(table))) ++
+            target.partitionColumns, DeltaLog.tableId(table),
+            target.configuration)) ++
           cur.files.filterNot(f => targetPaths(f.path))
             .map(f => DeltaLog.removeAction(f.path)) ++
           target.files.filterNot(f => curPaths(f.path))

@@ -664,6 +664,56 @@ class DeltaSpec extends SparkSpec {
     assert(ex.getMessage.contains("not contiguous"))
   }
 
+  test("CHECK constraints: enforced on write/update/merge, survive every rewrite") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    // adding a constraint the data violates is refused
+    val pre = intercept[IllegalArgumentException] {
+      DeltaTable.addCheckConstraint(spark, t, "rich", "salary > 70000")
+    }
+    assert(pre.getMessage.contains("existing rows violate"))
+    DeltaTable.addCheckConstraint(spark, t, "positive_salary", "salary > 0")
+    // a violating append fails loudly and leaves no orphan rows
+    val vBefore = DeltaTable.latestVersion(t)
+    val bad = intercept[IllegalArgumentException] {
+      DeltaTable.write(Seq((9, "Mallory", -5L, "2024-01-19"))
+        .toDF("id", "name", "salary", "date"), t, "append")
+    }
+    assert(bad.getMessage.contains("positive_salary"))
+    assert(DeltaTable.latestVersion(t) === vBefore)
+    assert(DeltaTable.read(spark, t).count() === 3)
+    // a clean append passes; NULL evaluates as pass (SQL standard)
+    DeltaTable.write(
+      Seq((4, "David", java.lang.Long.valueOf(70000L), "2024-01-18"),
+        (5, "Eve", null.asInstanceOf[java.lang.Long], "2024-01-19"))
+        .toDF("id", "name", "salary", "date"), t, "append")
+    assert(DeltaTable.read(spark, t).count() === 5)
+    // DML UPDATE cannot SET rows outside the contract
+    val upd = intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, t, col("id") === 1,
+        Map("salary" -> lit(-1L)))
+    }
+    assert(upd.getMessage.contains("positive_salary"))
+    // MERGE upserts are gated too
+    val mrg = intercept[IllegalArgumentException] {
+      DeltaTable.merge(spark, t,
+        Seq((6, "Trent", -2L, "2024-01-20"))
+          .toDF("id", "name", "salary", "date"), Seq("id"))
+    }
+    assert(mrg.getMessage.contains("positive_salary"))
+    // the property survives overwrite, compact and DML delete (the
+    // carried-forward configuration), and still bites afterwards
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.write(employee1, t, "append")
+    DeltaTable.compact(spark, t)
+    DeltaTable.delete(spark, t, col("id") === 2)
+    val post = intercept[IllegalArgumentException] {
+      DeltaTable.write(Seq((9, "Mallory", -5L, "2024-01-19"))
+        .toDF("id", "name", "salary", "date"), t, "append")
+    }
+    assert(post.getMessage.contains("positive_salary"))
+  }
+
   test("zorder: both dimensions prune after the rewrite; content unchanged") {
     import org.apache.spark.sql.types.{DataType, StructType}
     import org.apache.spark.sql.sources.LessThanOrEqual
