@@ -474,7 +474,31 @@ object StorageOps {
       |             (2, 'APPEND', true)) t(version, operation, any_adds)
       |ORDER BY version""".stripMargin
 
+  /** q88 — DESCRIBE DETAIL: current-snapshot facts off the log. The
+    * fixture sequence pins every deterministic field: a partitioned
+    * overwrite of nation (5 region values → exactly 5 files, one per
+    * partition from the pre-stage shuffle), one constraint, one
+    * single-partition append (+1 file), so (version, num_files,
+    * partition_columns, num_constraints) are all literals; size_bytes
+    * varies with parquet encoding and is projected out. */
+  val q88DeltaDetail: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-detail")
+    n.write.format("graft-delta").partitionBy("n_regionkey")
+      .mode("overwrite").save(t)
+    DeltaTable.addCheckConstraint(spark, t, "named", "n_name IS NOT NULL")
+    n.filter(col("n_regionkey") === 0)
+      .write.format("graft-delta").mode("append").save(t)
+    DeltaTable.detail(spark, t)
+      .select("version", "num_files", "partition_columns", "num_constraints")
+  }
+
+  val q88Oracle: String =
+    """SELECT CAST(2 AS BIGINT) AS version, CAST(6 AS BIGINT) AS num_files,
+      |  'n_regionkey' AS partition_columns, 1 AS num_constraints""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q88_delta_detail" -> q88DeltaDetail,
     "q87_delta_constraint" -> q87DeltaConstraint,
     "q85_delta_zorder" -> q85DeltaZorder,
     "q83_incremental_agg" -> q83IncrementalAgg,
@@ -494,6 +518,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q88_delta_detail" -> q88Oracle,
     "q87_delta_constraint" -> q87Oracle,
     "q85_delta_zorder" -> q85Oracle,
     "q83_incremental_agg" -> q83Oracle,

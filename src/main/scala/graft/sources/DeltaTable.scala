@@ -861,6 +861,29 @@ object DeltaTable {
     * design — one JSON line per file per commit); returned as a
     * DataFrame so it filters/joins like Delta's own. Vacuumed-away
     * versions are simply absent, same as Delta after log cleanup. */
+  /** DESCRIBE DETAIL equivalent: one row of current-snapshot facts —
+    * version, live file count and bytes, partition columns, CHECK
+    * constraint count. Driver-side log read only (the log is tiny by
+    * design); returned as a DataFrame so it composes like Delta's. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    val snap = DeltaLog.snapshot(table)
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(
+        snap.version,
+        snap.files.length.toLong,
+        snap.files.map(_.size).sum,
+        snap.partitionColumns.mkString(","),
+        snap.checkConstraints.length)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("num_files", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("partition_columns", StringType, nullable = false),
+        StructField("num_constraints", IntegerType, nullable = false))))
+  }
+
   def history(spark: SparkSession, table: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, TimestampType}
