@@ -75,8 +75,9 @@ class PlanSpec extends SparkSpec {
       s"the IN predicate should plan as a left-semi join:\n$p")
   }
 
-  test("q01/q16: dimension tables broadcast, fact side never shuffled for them") {
-    for (name <- Seq("q01_flagship_left_join", "q16_shipping_priority")) {
+  test("q01/q16/q86: dimension tables broadcast, fact side never shuffled for them") {
+    for (name <- Seq("q01_flagship_left_join", "q16_shipping_priority",
+        "q86_tpch_q5")) {
       val s = plan(Relational.queries(name)(spark, sf)).toString
       assert(s.contains("BroadcastHashJoin"),
         s"$name should broadcast its dimension side:\n$s")

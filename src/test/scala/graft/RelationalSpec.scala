@@ -114,6 +114,25 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(vals.contains(r.getDouble(1))))
   }
 
+  test("all three native functions register and compute in a fresh session") {
+    // the extension hook itself must wire without throwing (the same
+    // builders Bench's spark.sql.extensions session runs through)…
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    // …and a brand-new session registry serves all three functions
+    // with correct results through SQL
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2)
+    val r = s2.sql(
+      """SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |       size(graft_shingles('a b c d', 3)) AS n""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getInt(1) === 2)
+    val sh = s2.sql(
+      "SELECT graft_simhash_agg(h) AS f FROM (SELECT 5L AS h UNION ALL SELECT 5L)")
+      .head().getLong(0)
+    assert(sh === 5L, "simhash of identical single-bit tokens is that value")
+  }
+
   test("left join NOT rewritten to inner despite COUNT over right column") {
     val joined = employees.as("e")
       .join(transactions.as("t"), $"e.id" === $"t.employee_id", "left_outer")
