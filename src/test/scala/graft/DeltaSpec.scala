@@ -664,6 +664,32 @@ class DeltaSpec extends SparkSpec {
     assert(ex.getMessage.contains("not contiguous"))
   }
 
+  test("8 concurrent appenders: every write lands exactly once, log replays whole") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = DeltaTable.write(
+            Seq((100 + i, s"W$i", 1000L * i, "2024-02-01"))
+              .toDF("id", "name", "salary", "date"), t, "append")
+        })
+      }
+      // every writer's returned version is distinct (each commit won
+      // its own CREATE_NEW race, none piggybacked or was lost)
+      val versions = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.distinct.length === 8, s"versions: $versions")
+    } finally pool.shutdown()
+    assert(DeltaTable.latestVersion(t) === 8)
+    val ids = DeltaTable.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(ids === (Seq(1, 2, 3) ++ (101 to 108)), s"ids: $ids")
+    // no torn intermediate: every historical version still replays
+    (0L to 8L).foreach(v =>
+      assert(DeltaTable.read(spark, t, Some(v)).count() === 3 + v))
+  }
+
   test("CHECK constraints: enforced on write/update/merge, survive every rewrite") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
