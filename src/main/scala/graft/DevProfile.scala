@@ -30,22 +30,14 @@ object DevProfile {
 
     val tau = 0.5
     // mirrors the SHIPPED q31 exactly, each stage materialized
+    graft.functions.GraftFunctions.register(spark)
     val tmp = graft.Scratch.dir("prof").resolve("sh").toString
-    t("arrays-write") {
-      val docs = Tables.load(spark, sfDir, "documents")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      docs.select(col("doc_id"),
-          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-        .withColumn("t1", lead("tok", 1).over(w))
-        .withColumn("t2", lead("tok", 2).over(w))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-        .distinct()
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .select("doc_id", "n", "shingle")
-        .groupBy("doc_id")
-        .agg(max(col("n")).as("n"), collect_list(col("shingle")).as("sarr"))
+    t("arrays-write (native shingler)") {
+      Tables.load(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sarr"))
+        .filter(size(col("sarr")) > 0)
+        .select(col("doc_id"), size(col("sarr")).as("n"), col("sarr"))
         .write.parquet(tmp)
     }
     val arrays = spark.read.parquet(tmp)
@@ -73,29 +65,10 @@ object DevProfile {
     val candDir = graft.Scratch.dir("prof").resolve("c").toString
     cand.write.parquet(candDir)
     val candM = spark.read.parquet(candDir)
-    t("verify-string-intersect") {
+    t("verify-long-intersect") {
       candM
         .join(broadcast(arrays.as("x")), col("doc_a") === col("x.doc_id"))
         .join(broadcast(arrays.as("y")), col("doc_b") === col("y.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("x.sarr"), col("y.sarr"))).as("inter"),
-          col("x.n").as("n_a"), col("y.n").as("n_b"))
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
-          round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-        .write.format("noop").mode("overwrite").save()
-    }
-    val harr = arrays.select(col("doc_id"), col("n"),
-      expr("transform(sarr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))")
-        .as("sarr"))
-    val harrDir = graft.Scratch.dir("prof").resolve("h").toString
-    harr.write.parquet(harrDir)
-    val harrM = spark.read.parquet(harrDir)
-    t("verify-long-intersect") {
-      candM
-        .join(broadcast(harrM.as("x")), col("doc_a") === col("x.doc_id"))
-        .join(broadcast(harrM.as("y")), col("doc_b") === col("y.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("x.sarr"), col("y.sarr"))).as("inter"),
           col("x.n").as("n_a"), col("y.n").as("n_b"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, SimHashAgg, WordShingles}
+import graft.functions.{CosineSimilarity, SimHashAgg, SortedOverlap, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions first-class session citizens, so
@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_shingles n must be an integer literal, got $other")
         }
         WordShingles(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getName, "graft_sorted_overlap"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_sorted_overlap requires exactly 2 arguments, got ${children.length}")
+        SortedOverlap(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_agg"),

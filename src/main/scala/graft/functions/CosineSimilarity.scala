@@ -135,6 +135,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_overlap",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_sorted_overlap requires exactly 2 arguments, got ${exprs.length}")
+        SortedOverlap(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1,

@@ -96,6 +96,12 @@ object WordShinglesUtil {
     val it = seen.iterator
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    // ASCENDING order — the sorted-merge contract of
+    // [[SortedOverlap]] (graft_sorted_overlap), which counts the
+    // Jaccard overlap of two such sets with a two-pointer walk. No
+    // consumer is order-sensitive otherwise (explode / size /
+    // intersection are all set operations).
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 }

@@ -131,14 +131,18 @@ object DedupOps {
     * Inputs are distinct sets, so the intersect size IS |A ∩ B|. */
   private def jaccardFor(cand: DataFrame, arrays: DataFrame): DataFrame =
     cand
-      // the array index is |docs| × ~50 shingle strings (MBs at sf0.1;
+      // the array index is |docs| × ~50 shingle hashes (MBs at sf0.1;
       // per-PARTITION of docs at cluster scale it stays bounded) →
       // broadcast both sides of the verify join: candidates stream
-      // through map-side, no shuffle of array payloads at all
+      // through map-side, no shuffle of array payloads at all.
+      // Overlap via the native graft_sorted_overlap two-pointer merge
+      // (the shingler emits ascending arrays for exactly this): the
+      // built-in array_intersect builds a hash set PER candidate pair
+      // — measured 5.5 s of q31's sf0.1 runtime, its largest stage.
       .join(broadcast(arrays.as("x")), col("doc_a") === col("x.doc_id"))
       .join(broadcast(arrays.as("y")), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("x.sarr"), col("y.sarr"))).as("inter"),
+        expr("graft_sorted_overlap(x.sarr, y.sarr)").as("inter"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("n_a"), col("n_b"),

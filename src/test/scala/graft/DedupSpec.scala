@@ -222,6 +222,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sorted-overlap kernel: arrays arrive sorted, count == array_intersect") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // the producer's invariant: graft_shingles output is ascending
+    val arrs = Tables.load(spark, sf, "documents")
+      .select(expr("graft_shingles(text, 3)").as("sarr"))
+      .filter(size(col("sarr")) > 0)
+    val unsorted = arrs
+      .filter(expr("sarr != array_sort(sarr)")).count()
+    assert(unsorted === 0, "shingler must emit ascending arrays")
+    // and on those production arrays the two-pointer merge equals the
+    // built-in intersection size, pair by pair
+    val a = arrs.limit(40).withColumn("k", monotonically_increasing_id())
+    val pairs = a.as("x").crossJoin(a.as("y"))
+      .select(
+        expr("graft_sorted_overlap(x.sarr, y.sarr)").as("fast"),
+        size(array_intersect(col("x.sarr"), col("y.sarr"))).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("decontamination flags exactly the train docs sharing a 5-gram with eval") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-spec").toString
     Seq(
