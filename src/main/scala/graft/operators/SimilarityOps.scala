@@ -249,27 +249,33 @@ object SimilarityOps {
       .orderBy(col("sim").desc, col("cell"))
     // Stage the bucket assignment: the candidate generator self-joins
     // it, and Spark does not dedupe common subplans — unstaged, the
-    // centroid cross-product AND the top-probes window execute twice,
-    // and the embedding arrays shuffle into a sort-merge join
-    // (observed in .explain). Staged, both sides scan a small parquet
-    // and AQE broadcasts one.
+    // centroid cross-product AND the top-probes window execute twice.
+    // NARROW since round 5: the staged relation is (vec_id, cell)
+    // longs only — the earlier shape carried the 64-float embedding
+    // through the self-join shuffle and computed the cosine once per
+    // SHARED CELL (up to 4× per pair) before distinct; now candidates
+    // deduplicate as bare id pairs and each pair's cosine runs exactly
+    // once against broadcast array lookups (the jaccardFor shape the
+    // text dedup uses).
     val bucketsDir = graft.Scratch.dir("graft-cells").resolve("b").toString
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine("embedding", "centroid").as("sim"))
       .withColumn("r", row_number().over(wCells))
       .filter(col("r") <= NearDupProbes)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("cell"))
       .write.parquet(bucketsDir)
     val buckets = spark.read.parquet(bucketsDir)
-    val a = buckets.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("cell"))
-    val b = buckets.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("cell"))
-    a.join(b, a("cell") === b("cell") && col("id_a") < col("id_b"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct() // a pair can share up to 4 cells
+    val x = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val y = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(broadcast(x), "id_a").join(broadcast(y), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine("va", "vb"), 4).as("cosine"))
-      .distinct() // a pair can share up to 3 cells
       .filter(col("cosine") >= 0.45)
       .orderBy("id_a", "id_b")
   }
