@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, SimHashAgg, SortedOverlap, WordShingles}
+import graft.functions.{CosineSimilarity, HyperplaneBits, SimHashAgg, SortedOverlap, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions first-class session citizens, so
@@ -50,6 +50,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_sorted_overlap requires exactly 2 arguments, got ${children.length}")
         SortedOverlap(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBits].getName, "graft_hyperplane_bits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_hyperplane_bits requires exactly 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_bits nPlanes must be an integer literal, got $other")
+        }
+        HyperplaneBits(children.head, n)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_agg"),

@@ -143,6 +143,19 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_bits",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_hyperplane_bits requires exactly 2 arguments, got ${exprs.length}")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_bits nPlanes must be an integer literal, got $other")
+        }
+        HyperplaneBits(exprs.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1,

@@ -297,21 +297,23 @@ object SimilarityOps {
   val q45HyperplaneLsh: Q = (spark, dir) => {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    // ±1 hyperplane component: low bit of a 60-bit md5 hash of (k, i)
-    val sign = expr(
-      "(cast(conv(substring(md5(concat(k, ':', pos)), 1, 15), 16, 10) AS bigint) % 2) * 2 - 1")
+    // 16 sign bits per vector in ONE narrow projection via the native
+    // graft_hyperplane_bits Expression (round 5): the declarative form
+    // exploded every vector into dim × 16 rows — 5.1M at sf0.1 — and
+    // ran two hash aggregates to recover 16 bits; it was the heaviest
+    // remaining bench query (3.5 s). The ±1 components and the
+    // ascending-i dot fold replicate the exploded pipeline (and its
+    // DuckDB oracle, which replays the identical md5 arithmetic with
+    // ordered SUMs) bit-for-bit — the oracle's hash-equality is the
+    // proof. Banding stays 4×4: one cheap 4-rows-per-vector explode of
+    // the packed signature.
     val bands = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("pos"), col("v"),
-        explode(expr("sequence(0, 15)")).as("k"))
-      .select(col("vec_id"), col("k"),
-        (col("v").cast("double") * sign).as("contrib"))
-      .groupBy("vec_id", "k")
-      .agg(sum(col("contrib")).as("dot"))
-      .groupBy(col("vec_id"), expr("k div 4").as("band"))
-      .agg(sum(expr(
-        "CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(k % 4 AS INT)) " +
-          "ELSE CAST(0 AS BIGINT) END")).as("bsig"))
+      .select(col("vec_id"),
+        expr("graft_hyperplane_bits(embedding, 16)").as("sig"))
+      .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("band"),
+        col("sig"))
+      .select(col("vec_id"), col("band"),
+        expr("shiftright(sig, CAST(band * 4 AS INT)) & 15").as("bsig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.vec_id") < col("y.vec_id"))
