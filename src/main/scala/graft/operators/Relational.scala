@@ -210,11 +210,23 @@ object Relational {
     * and 2dp is far coarser than the ~1e-10 relative wobble. */
   val q11HavingStats: Q = (spark, dir) => {
     Tables.registerAll(spark, dir)
+    // median interpolates in exact integer CENTS and is emitted
+    // UNROUNDED: an even group's median is the midpoint of two money
+    // values — in .xx5 dollars whenever their sum is odd in cents —
+    // and near that non-representable value the engines disagree
+    // twice over: PERCENTILE vs QUANTILE_CONT can produce different
+    // doubles from raw-double inputs, and even on the SAME double
+    // ROUND(x, 2) itself diverges (Spark HALF_UPs the double's exact
+    // decimal expansion; DuckDB multiplies back by 100 and rounds —
+    // observed one-cent flips at sf0.001 in BOTH directions). On
+    // bigint cents the interpolation is exact (k or k+0.5) in both
+    // engines, and halfcent/100.0 is one identical IEEE division —
+    // bit-equal with no rounding step to disagree in.
     spark.sql(
       """SELECT c_nationkey, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
         |  ROUND(STDDEV(c_acctbal), 2) AS stddev_bal,
-        |  ROUND(PERCENTILE(c_acctbal, 0.5), 2) AS median_bal
+        |  PERCENTILE(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT), 0.5) / 100.0 AS median_bal
         |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3
         |ORDER BY c_nationkey""".stripMargin)
   }
@@ -223,7 +235,7 @@ object Relational {
     """SELECT c_nationkey, COUNT(*) AS n_customers,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
       |  ROUND(STDDEV_SAMP(c_acctbal), 2) AS stddev_bal,
-      |  ROUND(QUANTILE_CONT(c_acctbal, 0.5), 2) AS median_bal
+      |  QUANTILE_CONT(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.5) / 100.0 AS median_bal
       |FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3
       |ORDER BY c_nationkey""".stripMargin
 
