@@ -68,6 +68,37 @@ class SimilaritySpec extends SparkSpec {
     assert(errs.max <= 0.02, s"quantization error too large: ${errs.max}")
   }
 
+  test("hyperplane-bits fuzz: native signature == exploded declarative form, any dim") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    // dims the fixtures never exercise (the oracle pins dim=64 only)
+    for (dim <- Seq(3, 17, 64)) {
+      val vecs = (0L until 50L)
+        .map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+      val sign = expr(
+        "(cast(conv(substring(md5(concat(k, ':', pos)), 1, 15), 16, 10) AS bigint) % 2) * 2 - 1")
+      val declarative = vecs
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), col("v"),
+          explode(expr("sequence(0, 15)")).as("k"))
+        .groupBy("vec_id", "k")
+        .agg(sum(col("v").cast("double") * sign).as("dot"))
+        .groupBy("vec_id")
+        .agg(sum(expr(
+          "CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val native = vecs
+        .select(col("vec_id"),
+          expr("graft_hyperplane_bits(embedding, 16)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === declarative, s"dim=$dim signature mismatch")
+    }
+  }
+
   /** Deterministic clustered corpus: 8 well-separated gaussian
     * clusters × 40 vectors in 64-dim — the regime ANN indexes are for
     * (the driver's quasi-uniform fixture is the adversarial case). */
