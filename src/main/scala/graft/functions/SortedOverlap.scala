@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * wrong — the producer owns the invariant and DedupSpec pins it
   * (sortedness asserted + equality with `size(array_intersect(…))` on
   * the production arrays). Null ARRAY → null (BinaryExpression
-  * default). */
+  * default). A null ELEMENT nulls the result too (the function is
+  * session-registered and reachable from arbitrary SQL, where
+  * getLong on a null slot would read garbage); the per-element check
+  * is emitted only when the input's STATIC type admits null elements,
+  * so the WordShingles production arrays (containsNull=false) keep
+  * the branch-free loop. */
 case class SortedOverlap(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -42,12 +47,25 @@ case class SortedOverlap(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_overlap"
 
+  /** Does either input's static type admit null elements? Only then do
+    * the loops pay a per-element null check. */
+  private def mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElems
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val nx = x.numElements(); val ny = y.numElements()
+    val checkNulls = mayHaveNullElems
     while (i < nx && j < ny) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(j))) return null
       val xi = x.getLong(i); val yj = y.getLong(j)
       if (xi == yj) { c += 1; i += 1; j += 1 }
       else if (xi < yj) i += 1
@@ -62,15 +80,20 @@ case class SortedOverlap(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($x.isNullAt($i) || $y.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |int $nx = $x.numElements(), $ny = $y.numElements();
          |while ($i < $nx && $j < $ny) {
+         |  $nullCheck
          |  long $xi = $x.getLong($i); long $yj = $y.getLong($j);
          |  if ($xi == $yj) { $c++; $i++; $j++; }
          |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}
-         |${ev.value} = $c;
+         |if (!${ev.isNull}) { ${ev.value} = $c; }
        """.stripMargin
     })
 

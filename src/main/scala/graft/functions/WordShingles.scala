@@ -35,8 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     as a hex long — identical to
   *     conv(substring(md5(concat_ws(' ', …)), 1, 15), 16, 10)::long
   *     and to DuckDB's ('0x'||substr(md5(s),1,15))::BIGINT;
-  *   - distinctness in first-appearance order (consumers explode,
-  *     intersect, or size the set — none order-sensitive).
+  *   - the distinct set is emitted in ASCENDING hash order — the
+  *     sortedness [[SortedOverlap]] (graft_sorted_overlap)'s
+  *     two-pointer merge contract requires; no consumer depends on
+  *     appearance order.
   *
   * Docs with fewer than n tokens return an EMPTY array (the caller
   * filters them out — "no complete n-gram" contract pinned in

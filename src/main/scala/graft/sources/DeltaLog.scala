@@ -61,7 +61,8 @@ object DeltaLog {
   final case class Snapshot(version: Long, schemaJson: Option[String],
       files: Seq[AddFile], partitionColumns: Seq[String] = Nil,
       txns: Map[String, Long] = Map.empty,
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      minReaderVersion: Int = 1, minWriterVersion: Int = 2) {
     /** (name, sql expression) of every CHECK constraint on the table. */
     def checkConstraints: Seq[(String, String)] =
       configuration.collect {
@@ -194,6 +195,8 @@ object DeltaLog {
     var schema: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
+    var minReader = 1
+    var minWriter = 2
     val txns = scala.collection.mutable.Map[String, Long]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     for (line <- replay if line.nonEmpty) {
@@ -217,10 +220,17 @@ object DeltaLog {
           for (app <- fields.get("appId"); v <- fields.get("version")
                .flatMap(_.toLongOption))
             txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
+        case ("protocol", fields) =>
+          // last protocol action wins (an upgrade commit replaces it)
+          for (v <- fields.get("minReaderVersion").flatMap(_.toIntOption))
+            minReader = v
+          for (v <- fields.get("minWriterVersion").flatMap(_.toIntOption))
+            minWriter = v
         case _ => ()
       }
     }
-    Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config)
+    Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config,
+      minReader, minWriter)
   }
 
   /** Atomically commit `actions` as the next version after
@@ -284,9 +294,13 @@ object DeltaLog {
   /** Protocol action (reader/writer capability gate). Version 1/2 =
     * the base protocol: no column mapping, no deletion vectors — which
     * is exactly the feature set this log uses. Emitted in version 0 of
-    * every table and in every checkpoint, per the Delta spec. */
-  def protocolAction: String =
-    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    * every table and in every checkpoint, per the Delta spec. The
+    * first CHECK constraint upgrades minWriterVersion to 3 (the
+    * protocol's constraint gate — a writer that doesn't understand
+    * constraints must refuse to append, not violate them). */
+  def protocolAction(minReaderVersion: Int = 1,
+      minWriterVersion: Int = 2): String =
+    s"""{"protocol":{"minReaderVersion":$minReaderVersion,"minWriterVersion":$minWriterVersion}}"""
 
   /** The protocol-complete metaData shape: `id` + `format` are
     * REQUIRED fields for a stock delta reader (our own replay only

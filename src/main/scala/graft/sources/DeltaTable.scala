@@ -67,12 +67,18 @@ object DeltaTable {
         existing
       }
     val added = stageIn(df, table, effectivePartitionBy)
-    // CHECK constraints gate every row-introducing write; read once
-    // before the retry loop (a constraint added concurrently with this
-    // write lands in a later version and governs later writes)
-    if (DeltaLog.versions(table).nonEmpty)
-      enforceConstraints(df.sparkSession, table, added,
-        DeltaLog.snapshot(table).checkConstraints)
+    // CHECK constraints gate every row-introducing write. Validate
+    // against the snapshot visible now; the retry loop re-validates
+    // against each fresher snapshot, so a constraint whose ALTER wins
+    // the commit race still gates this write (real Delta aborts the
+    // racing txn on metadata change — re-validating reaches the same
+    // end state: no committed version ever holds unvalidated rows).
+    var validatedConstraints: Set[(String, String)] =
+      if (DeltaLog.versions(table).nonEmpty) {
+        val cs = DeltaLog.snapshot(table).checkConstraints
+        enforceConstraints(df.sparkSession, table, added, cs)
+        cs.toSet
+      } else Set.empty
     // atomic log commit, with optimistic retry on version conflicts
     val maxAttempts = 16
     var attempt = 0
@@ -81,6 +87,17 @@ object DeltaTable {
       val prior =
         if (DeltaLog.versions(table).isEmpty) None else Some(DeltaLog.snapshot(table))
       val readVersion = prior.map(_.version).getOrElse(-1L)
+      // a concurrent addCheckConstraint may have landed since our last
+      // validation: enforce any constraint we haven't yet checked
+      // before committing rows at a version that it governs
+      val unvalidated =
+        prior.map(_.checkConstraints.toSet).getOrElse(Set.empty) --
+          validatedConstraints
+      if (unvalidated.nonEmpty) {
+        enforceConstraints(df.sparkSession, table, added,
+          unvalidated.toSeq.sortBy(_._1))
+        validatedConstraints ++= unvalidated
+      }
       val removes =
         if (mode == "overwrite")
           prior.toSeq.flatMap(_.files).map(f => DeltaLog.removeAction(f.path))
@@ -107,7 +124,7 @@ object DeltaTable {
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
           // protocol belongs in a table's FIRST commit (Delta spec);
           // later commits inherit it from replay/checkpoint
-          (if (readVersion == -1L) Seq(DeltaLog.protocolAction) else Nil) ++
+          (if (readVersion == -1L) Seq(DeltaLog.protocolAction()) else Nil) ++
           Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy,
             DeltaLog.tableId(table),
             // table properties (constraints) survive BOTH modes: an
@@ -164,6 +181,13 @@ object DeltaTable {
         s"cannot add CHECK constraint $name ($sqlExpr): existing rows violate it")
       val actions = Seq(
         DeltaLog.commitInfoAction("ADD CONSTRAINT")) ++
+        // the Delta protocol gates CHECK constraints behind writer
+        // version 3: upgrade atomically with the first constraint so a
+        // stock writer that can't enforce it refuses to append rather
+        // than silently committing violating rows
+        (if (snap.minWriterVersion < 3)
+          Seq(DeltaLog.protocolAction(snap.minReaderVersion, 3))
+        else Nil) ++
         snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
           DeltaLog.tableId(table),
           snap.configuration + (s"delta.constraints.$name" -> sqlExpr)))
@@ -651,7 +675,9 @@ object DeltaTable {
   /** The protocol-format checkpoint: one parquet row per action, null
     * columns for the actions a row doesn't carry — the column layout
     * (txn/add/remove/metaData/protocol) delta-spark's checkpoint
-    * reader expects, with protocol 1/2 and a stable metaData id.
+    * reader expects, with the table's current protocol, its
+    * configuration (constraints survive parquet-only replay) and a
+    * stable metaData id.
     * `stats` stays a JSON string per the protocol; its flat
     * {n, min.*, max.*} content is this engine's own — a foreign reader
     * that can't parse it loses data skipping, never correctness.
@@ -697,10 +723,11 @@ object DeltaTable {
           s"${DeltaLog.Json.str(k)}:${DeltaLog.Json.str(v)}" }
         .mkString("{", ",", "}")
     val rows: Seq[Row] =
-      Seq(Row(null, null, null, null, Row(1, 2))) ++
+      Seq(Row(null, null, null, null,
+        Row(snap.minReaderVersion, snap.minWriterVersion))) ++
         snap.schemaJson.map(sj => Row(null, null, null,
           Row(DeltaLog.tableId(table), Row("parquet", Map.empty[String, String]),
-            sj, snap.partitionColumns, Map.empty[String, String]), null)).toSeq ++
+            sj, snap.partitionColumns, snap.configuration), null)).toSeq ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(Row(app, v), null, null, null, null) } ++
         snap.files.map(f => Row(null,
@@ -766,7 +793,10 @@ object DeltaTable {
     // so replacing a racer's identical checkpoint is harmless)
     val checkpoint =
       Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT"),
-        DeltaLog.protocolAction) ++
+        // carry the table's CURRENT protocol (a constraint may have
+        // upgraded minWriterVersion past the default)
+        DeltaLog.protocolAction(hSnap.minReaderVersion,
+          hSnap.minWriterVersion)) ++
         hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns,
           DeltaLog.tableId(table), hSnap.configuration)) ++
         // txn ledger must survive the pruned prefix — dropping it would

@@ -242,6 +242,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("sorted-overlap kernel: null element nulls the result (arbitrary-SQL safety)") {
+    import org.apache.spark.sql.functions.expr
+    graft.functions.GraftFunctions.register(spark)
+    // session-registered and reachable from arbitrary SQL, where array
+    // types admit null elements — getLong on a null slot must not
+    // return garbage
+    val r = spark.sql(
+      """SELECT graft_sorted_overlap(array(1L, CAST(NULL AS BIGINT), 3L),
+        |                            array(1L, 3L)) AS c,
+        |       graft_sorted_overlap(array(1L, 3L), array(1L, 3L)) AS ok
+        |""".stripMargin).head()
+    assert(r.isNullAt(0), "null element must null the count")
+    assert(r.getInt(1) === 2)
+  }
+
   test("decontamination flags exactly the train docs sharing a 5-gram with eval") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-spec").toString
     Seq(

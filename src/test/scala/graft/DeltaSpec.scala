@@ -740,6 +740,90 @@ class DeltaSpec extends SparkSpec {
     assert(post.getMessage.contains("positive_salary"))
   }
 
+  test("protocol: base 1/2; first CHECK constraint upgrades writer to 3; " +
+      "protocol+constraints survive parquet-only checkpoint replay") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    val s0 = DeltaLog.snapshot(t)
+    assert(s0.minReaderVersion === 1 && s0.minWriterVersion === 2)
+    // first constraint upgrades minWriterVersion to 3 ATOMICALLY (same
+    // commit) — a stock writer that can't enforce constraints must
+    // refuse to append, not violate them
+    DeltaTable.addCheckConstraint(spark, t, "positive_salary", "salary > 0")
+    assert(DeltaLog.snapshot(t).minWriterVersion === 3)
+    // a second constraint leaves the already-upgraded protocol alone
+    DeltaTable.addCheckConstraint(spark, t, "named", "length(name) > 0")
+    assert(DeltaLog.snapshot(t).minWriterVersion === 3)
+    // ordinary appends inherit the upgraded protocol via replay
+    DeltaTable.write(employee1, t, "append")
+    assert(DeltaLog.snapshot(t).minWriterVersion === 3)
+    // vacuum to a checkpoint, then delete the JSON side file so replay
+    // must come from the PROTOCOL parquet checkpoint alone: protocol
+    // and configuration (the constraints) both survive
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.vacuum(t, 1)
+    val horizon = DeltaLog.checkpointVersions(t).max
+    Files.delete(DeltaLog.checkpointPath(t, horizon))
+    val s2 = DeltaLog.snapshot(t)
+    assert(s2.minReaderVersion === 1 && s2.minWriterVersion === 3)
+    assert(s2.checkConstraints.map(_._1).toSet ===
+      Set("named", "positive_salary"))
+    val bad = intercept[IllegalArgumentException] {
+      DeltaTable.write(Seq((9, "Mallory", -5L, "2024-01-19"))
+        .toDF("id", "name", "salary", "date"), t, "append")
+    }
+    assert(bad.getMessage.contains("positive_salary"))
+  }
+
+  test("constraint added concurrently with violating writes: no committed " +
+      "version ever holds unvalidated rows") {
+    // Race addCheckConstraint against violating appends, repeatedly.
+    // Legal outcomes per run: the constraint lands first and every
+    // later bad write aborts (including a write whose commit RETRIES
+    // past the constraint — the re-validation path), or a bad row
+    // lands first and the constraint add is refused. Illegal (the bug
+    // this pins): constraint committed AND a later version holds a
+    // violating row.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      for (round <- 1 to 4) {
+        val t = freshTable()
+        DeltaTable.write(employees3, t, "overwrite")
+        val writers = (1 to 5).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean =
+              try { DeltaTable.write(
+                Seq((200 + i, s"bad$i", -1L * i, "2024-03-01"))
+                  .toDF("id", "name", "salary", "date"), t, "append"); true }
+              catch { case e: IllegalArgumentException
+                  if e.getMessage.contains("positive_salary") => false }
+          })
+        }
+        val constrainer = pool.submit(
+          new java.util.concurrent.Callable[Option[Long]] {
+            def call(): Option[Long] =
+              try Some(DeltaTable.addCheckConstraint(
+                spark, t, "positive_salary", "salary > 0"))
+              catch { case e: IllegalArgumentException
+                  if e.getMessage.contains("existing rows violate") => None }
+          })
+        writers.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        constrainer.get(120, java.util.concurrent.TimeUnit.SECONDS) match {
+          case Some(_) =>
+            // constraint holds ⇒ the FINAL state must satisfy it: any
+            // violating row that snuck into a later version is the bug
+            val bad = DeltaTable.read(spark, t)
+              .filter(col("salary") < 0).count()
+            assert(bad === 0, s"round $round: $bad violating rows " +
+              "committed after the constraint")
+          case None =>
+            // a bad row won the race — then no constraint governs it
+            assert(DeltaLog.snapshot(t).checkConstraints.isEmpty)
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   test("zorder: both dimensions prune after the rewrite; content unchanged") {
     import org.apache.spark.sql.types.{DataType, StructType}
     import org.apache.spark.sql.sources.LessThanOrEqual

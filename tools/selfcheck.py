@@ -79,9 +79,17 @@ def main(sf_dir, out_dir):
             if p.is_alive():
                 p.kill()
                 p.join()
-            if p.exitcode == 0 and not q.empty():
-                verdict = q.get()
-                break
+            # q.get with a timeout, not q.empty(): after join() the
+            # child's queued verdict may not yet be buffered in the
+            # parent, and empty() transiently True would misclassify a
+            # completed query as an env crash
+            if p.exitcode == 0:
+                import queue as _queue
+                try:
+                    verdict = q.get(timeout=10)
+                    break
+                except _queue.Empty:
+                    pass
             import time
             time.sleep(5 * (attempt + 1))
         if verdict is None:
