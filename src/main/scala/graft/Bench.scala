@@ -159,6 +159,14 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench_out.json: $e") }
+    // One-number headline in its own file: no log capture can lose it
+    // to tail truncation (BENCH_r04 and r05 both did).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_out_total.txt"),
+      f"$total%.2f sec / ${results.length} queries (${results.count(_.err.nonEmpty)} errors, ${results.count(_.unreliable)} unreliable)%n"
+        .getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_out_total.txt: $e") }
     spark.stop()
     Scratch.purge()
     if (results.exists(_.err.nonEmpty)) sys.exit(1)

@@ -564,6 +564,108 @@ object SimilarityOps {
       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** The IVF × SQ8 serving index: the SQ8 codes table PARTITIONED BY
+    * k-means cell — at billion-vector scale this layout is the whole
+    * point of composing the two (scan ONLY the probed cells' code
+    * files; the flat q46 scan touches every code for every query).
+    * Staged once and MEMOIZED per (session, corpus, mtime) like its
+    * two ingredients; the cell column becomes a parquet partition key,
+    * so a probed-cell filter prunes at the FILE level (PlanSpec
+    * asserts PartitionFilters on the scan). */
+  private val celledReconCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def stagedCelledRecon(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val key = System.identityHashCode(spark) + ":ivfsq:" + src.toAbsolutePath +
+      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis
+    def build(): String = {
+      val recon = stagedSqRecon(spark, dir)
+      val (assign, _) = stagedKmeans(spark, dir, IvfK, IvfIters)
+      val t = graft.Scratch.dir("graft-ivfsq").resolve("c").toString
+      recon.join(assign, "vec_id")
+        .write.partitionBy("cell").parquet(t)
+      t
+    }
+    var t = celledReconCache.computeIfAbsent(key, _ => build())
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t))) {
+      celledReconCache.remove(key)
+      t = celledReconCache.computeIfAbsent(key, _ => build())
+    }
+    spark.read.parquet(t)
+  }
+
+  /** q77 — IVF × SQ8 COMPOSED ANN: the production billion-vector
+    * serving shape, built entirely from the staged indexes the other
+    * queries already maintain. Stage 1 probes each query's 5 nearest
+    * k-means cells (q42's probe; the |Q|×5 (query, cell) pairs are
+    * collected — scalar driver traffic, same license as the k-means
+    * centroids). Stage 2 runs q46's fused SQ8 dot+norms agg over ONLY
+    * the probed cells' codes — the codes table is parquet-partitioned
+    * by cell, so the filter prunes whole files, not rows — and cuts a
+    * top-20 shortlist per query. Stage 3 is q47's exact-cosine re-rank
+    * over broadcast full-vector lookups, emitting the final top-10.
+    * Like q42 the result depends on the engine-internal k-means fold,
+    * so the driver records a rows-only check; SimilaritySpec bounds
+    * recall against exact q40 (>= q46's own recall on the clustered
+    * fixture) and PlanSpec pins the cell-pruned scan shape. */
+  val q77IvfSqAnn: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val (_, cent) = stagedKmeans(spark, dir, IvfK, IvfIters)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probePairs = broadcast(q).crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cell"),
+        cosine("qv", "centroid").as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(wProbe))
+      .filter(col("cell_rank") <= 5)
+      .select("query_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val probedCells = probePairs.map(_._2).distinct
+    import spark.implicits._
+    val probeDf = probePairs.toDF("query_id", "cell")
+    // stage 2: fused SQ8 agg over the probed cells' code files only
+    val celled = stagedCelledRecon(spark, dir)
+      .filter(col("cell").isin(probedCells: _*))
+    val qrows = explodedVals(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sq").desc, col("neighbor_id"))
+    val shortlist = celled
+      .join(broadcast(probeDf), "cell")
+      .join(broadcast(qrows), Seq("query_id", "pos"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qv") * col("r")).as("dot"),
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("r") * col("r")).as("nr"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("nr"))), 4)
+          .as("cosine_sq"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= 20)
+      .select("query_id", "neighbor_id")
+    // stage 3: exact re-rank of the shortlist (q47's stage 2)
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qfull"))
+    val nv = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nfull"))
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(qv), "query_id")
+      .join(broadcast(nv), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine("qfull", "nfull"), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** q44 — grouped vector centroids: element-wise mean embedding per
     * label (cluster/topic summaries — the reduction behind centroid
     * classifiers, drift monitors, and IVF index refreshes). Long-form
@@ -597,9 +699,10 @@ object SimilarityOps {
     "q44_label_centroids" -> q44LabelCentroids,
     "q45_hyperplane_lsh" -> q45HyperplaneLsh,
     "q46_sq_ann" -> q46SqAnn,
-    "q47_reranked_ann" -> q47RerankedAnn)
+    "q47_reranked_ann" -> q47RerankedAnn,
+    "q77_ivf_sq_ann" -> q77IvfSqAnn)
 
-  /** q42/q43 are deliberately absent: approximate/index-backed ops,
+  /** q42/q43/q77 are deliberately absent: approximate/index-backed ops,
     * verified by recall + equality-vs-exact bounds in SimilaritySpec
     * instead of SQL equality. */
   val oracles: Map[String, String] = Map(

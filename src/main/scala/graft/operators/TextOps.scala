@@ -483,6 +483,145 @@ object TextOps {
       |FROM pairs GROUP BY pair
       |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
+  /** Rounds the q76 BPE trainer runs — a compile-time constant so the
+    * generated DuckDB oracle unrolls the identical depth. */
+  private[graft] val BpeRounds = 10
+
+  /** q76 — the FULL BPE trainer loop q48 is one step of: K rounds of
+    * merge → re-tokenize → merge. Each round counts adjacent-token
+    * pairs (q48's shape: explode + lead window, one partial-combining
+    * hash agg), picks the argmax pair with an exact (count desc, x, y)
+    * tie-break — ONE scalar row to the driver per round, like q34's
+    * changed-count — then rewrites every occurrence in the corpus:
+    * leftmost-nonoverlapping BPE semantics, implemented as run-parity
+    * over consecutive match positions (a self-pair like "a a" in
+    * "a a a a" matches at 0,1,2; merges land at even offsets 0 and 2 —
+    * exactly greedy left-to-right). The rewritten token relation is
+    * staged to parquet per round (q34's pattern: flat lineage, real
+    * size stats for the next round's planning). Emits the merge table
+    * (merge_round, pair, n_occurrences) — the artifact a tokenizer
+    * ships.
+    *
+    * Scale: each round is 3 doc_id-partitioned windows + one agg over
+    * the token relation — linear, shuffle-bounded by token count, and
+    * the rounds are inherently sequential (the round-k counts depend
+    * on round-k-1's merge, same argument as q34's propagation rounds).
+    * A production trainer caps per-doc tokens and trains on a corpus
+    * sample; the loop shape is identical. The oracle replays ALL K
+    * rounds in DuckDB as K unrolled CTE stages — full hash equality,
+    * not a fixture pin. */
+  val q76BpeTrainer: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    def stage(df: DataFrame, k: Int): DataFrame = {
+      val t = graft.Scratch.dir(s"graft-bpe-r$k").resolve("t").toString
+      df.write.parquet(t)
+      spark.read.parquet(t)
+    }
+    var cur = stage(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok"))), 0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeRounds && !exhausted) {
+      val top = cur
+        .withColumn("next_tok", lead("tok", 1).over(byPos))
+        .filter(col("next_tok").isNotNull)
+        .groupBy("tok", "next_tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("next_tok"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, s"$x $y", n))
+        // leftmost-nonoverlapping merge: flag matches, group
+        // consecutive matches into runs (gaps-and-islands), merge at
+        // even run offsets, drop each merged position's absorbed
+        // right neighbor, re-number positions densely
+        val f = cur
+          .withColumn("hit", coalesce(col("tok") === lit(x) &&
+            lead(col("tok"), 1).over(byPos) === lit(y), lit(false)))
+          .withColumn("grp", when(col("hit"), col("pos") -
+            row_number().over(
+              Window.partitionBy("doc_id", "hit").orderBy("pos"))))
+          .withColumn("do_merge", col("hit") &&
+            (col("pos") - min("pos").over(
+              Window.partitionBy("doc_id", "grp"))) % 2 === 0)
+        val next = f
+          .withColumn("next_tok", lead("tok", 1).over(byPos))
+          .withColumn("prev_merge", lag("do_merge", 1).over(byPos))
+          .filter(!coalesce(col("prev_merge"), lit(false)))
+          .select(col("doc_id"),
+            (row_number().over(byPos) - 1).as("pos"),
+            when(col("do_merge"),
+              concat_ws(" ", col("tok"), col("next_tok")))
+              .otherwise(col("tok")).as("tok"))
+        cur = stage(next, k)
+        k += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_round", "pair", "n_occurrences")
+      .orderBy("merge_round")
+  }
+
+  /** One unrolled oracle round: argmax pair off toks{k-1}, run-parity
+    * merge flags, rewritten toks{k}. Same windows, same tie-break.
+    * Every CTE is AS MATERIALIZED: each round references its
+    * predecessor several times, and DuckDB's default CTE INLINING
+    * multiplies the whole upstream chain per reference — measured as
+    * "too many open files" (the base parquet re-opened per expansion)
+    * before any round finished. Materialization makes the oracle
+    * evaluate each round exactly once, like the Spark side's staging. */
+  private def bpeRoundSql(k: Int): String = {
+    val p = k - 1
+    s""",
+       |mrg$k AS MATERIALIZED (
+       |  SELECT tok AS x, next_tok AS y, COUNT(*) AS n
+       |  FROM (SELECT doc_id, pos, tok,
+       |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
+       |        FROM toks$p)
+       |  WHERE next_tok IS NOT NULL
+       |  GROUP BY 1, 2
+       |  ORDER BY n DESC, x, y LIMIT 1),
+       |f$k AS MATERIALIZED (
+       |  SELECT doc_id, pos, tok, hit AND
+       |      (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS do_merge
+       |  FROM (SELECT doc_id, pos, tok, hit,
+       |          CASE WHEN hit THEN pos - ROW_NUMBER()
+       |            OVER (PARTITION BY doc_id, hit ORDER BY pos) END AS grp
+       |        FROM (SELECT doc_id, pos, tok,
+       |                COALESCE(tok = (SELECT x FROM mrg$k) AND
+       |                  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                    = (SELECT y FROM mrg$k), FALSE) AS hit
+       |              FROM toks$p))),
+       |toks$k AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+       |    CASE WHEN do_merge THEN tok || ' ' || next_tok ELSE tok END AS tok
+       |  FROM (SELECT doc_id, pos, tok, do_merge,
+       |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok,
+       |          LAG(do_merge) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_merge
+       |        FROM f$k)
+       |  WHERE NOT COALESCE(prev_merge, FALSE))""".stripMargin
+  }
+
+  val q76Oracle: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString
+    val sel = (1 to BpeRounds).map(k =>
+      s"SELECT $k AS merge_round, x || ' ' || y AS pair, n AS n_occurrences FROM mrg$k")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH toks0 AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, t[i+1] AS tok
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(LOWER(TRIM(text)), '\\s+') AS t
+       |        FROM documents),
+       |       UNNEST(range(LEN(t))) g(i))$rounds$sel
+       |ORDER BY merge_round""".stripMargin
+  }
+
   /** q49 — FEATURE HASHING (the hashing trick): every doc mapped to a
     * 16-dimension signed-count vector with zero vocabulary state —
     * bucket = 60-bit token hash mod 16, sign = the next hash bit, the
@@ -521,6 +660,7 @@ object TextOps {
       |ORDER BY doc_id, dim""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q76_bpe_trainer" -> q76BpeTrainer,
     "q48_vocab_induction" -> q48VocabInduction,
     "q49_feature_hashing" -> q49FeatureHashing,
     "q37_pii_scrub" -> q37PiiScrub,
@@ -537,6 +677,7 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q76_bpe_trainer" -> q76Oracle,
     "q48_vocab_induction" -> q48Oracle,
     "q49_feature_hashing" -> q49Oracle,
     "q37_pii_scrub" -> q37Oracle,

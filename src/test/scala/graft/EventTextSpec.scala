@@ -278,6 +278,24 @@ class EventTextSpec extends SparkSpec {
     assert(rows.size === 3)
   }
 
+  test("bpe trainer: greedy leftmost-nonoverlapping merges, re-tokenized each round") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // "a a a a b": the self-pair (a,a) occurs 3× OVERLAPPING; greedy
+    // leftmost BPE merges at positions 0 and 2 only (run parity) →
+    // ["a a", "a a", "b"]. Round 2's tie between ("a a","a a") and
+    // ("a a","b") resolves by the (x, y) tie-break → "a a a a".
+    Seq((0L, "a a a a b", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q76BpeTrainer(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      (1, "a a", 3L),          // pre-merge overlapping count
+      (2, "a a a a", 1L),      // ["a a","a a","b"] → merge the self-pair
+      (3, "a a a a b", 1L)))   // ["a a a a","b"] → final merge
+    // round 4 has no adjacent pairs left: the loop stops early
+  }
+
   test("langid picks the language with the most marker hits") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lid").toString
     Seq(

@@ -129,6 +129,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  private def explainStr(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q46/q47: ONE fused dot+norms aggregate, query rows broadcast") {
+    // the whole point of the fused agg is a single corpus pass for
+    // dot AND both norms — a refactor that re-derives norms in a
+    // second aggregate doubles the dominant scan
+    for (name <- Seq("q46_sq_ann", "q47_reranked_ann")) {
+      val df = SimilarityOps.queries(name)(spark, sf)
+      val p = plan(df)
+      val aggs = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+      assert(aggs.length === 2,
+        s"$name expected exactly one two-phase fused aggregate " +
+          s"(partial+final), found ${aggs.length} HashAggregate nodes:\n$p")
+      assert(p.toString.contains("BroadcastHashJoin"),
+        s"$name should broadcast the query rows:\n$p")
+    }
+  }
+
+  test("q86: the date filter reaches the orders parquet scan") {
+    val ex = explainStr(Relational.queries("q86_tpch_q5")(spark, sf))
+    val pushed = "PushedFilters: \\[[^\\]]*o_orderdate".r
+    assert(pushed.findFirstIn(ex).isDefined,
+      s"o_orderdate range must be pushed into the orders scan:\n$ex")
+  }
+
+  test("q77: the codes scan is cell-pruned at the partition level") {
+    val ex = explainStr(SimilarityOps.queries("q77_ivf_sq_ann")(spark, sf))
+    val pf = "PartitionFilters: \\[[^\\]]*cell".r
+    assert(pf.findFirstIn(ex).isDefined,
+      s"the probed-cell filter must prune the cell-partitioned codes " +
+        s"table at the file level:\n$ex")
+  }
+
+  test("q83 substrate: the change feed scans only the changed versions' files") {
+    import graft.sources.{DeltaLog, DeltaTable}
+    val t = java.nio.file.Files.createTempDirectory("graft-plan-cdf")
+      .resolve("t").toString
+    DeltaTable.write(spark.range(100).toDF("id"), t, "overwrite")   // v0
+    DeltaTable.write(spark.range(100, 110).toDF("id"), t, "append") // v1
+    DeltaTable.write(spark.range(110, 115).toDF("id"), t, "append") // v2
+    val v0Files = DeltaLog.snapshot(t, Some(0L)).files.map(_.path).toSet
+    val scanned = DeltaTable.changes(spark, t, 1L, 2L).inputFiles.toSeq
+    assert(scanned.nonEmpty)
+    assert(!scanned.exists(f => v0Files.exists(f.endsWith)),
+      s"change feed 1..2 must not rescan the base version's files: " +
+        s"scanned=${scanned.mkString(",")} v0=${v0Files.mkString(",")}")
+  }
+
   test("q34 connected components: band join stays an equi hash join per round") {
     // the per-round label propagation joins are generated inside the
     // loop; guard the candidate-edge source it feeds on instead

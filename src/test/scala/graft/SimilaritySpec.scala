@@ -126,6 +126,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall on clustered corpus too low: $recall")
   }
 
+  test("IVF x SQ8 composed ANN: recall on clustered data >= flat SQ8's, " +
+      "sane on the uniform fixture") {
+    // clustered corpus — the regime the composition targets: cell
+    // pruning loses nothing (true neighbors share the query's cell)
+    // and the exact re-rank undoes quantization noise, so the
+    // composed index must match or beat the flat SQ8 scan's recall
+    val bruteC = SimilarityOps.q40AnnBruteForce(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqC = SimilarityOps.q46SqAnn(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compC = SimilarityOps.q77IvfSqAnn(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqRecall = (bruteC intersect sqC).size.toDouble / bruteC.size
+    val compRecall = (bruteC intersect compC).size.toDouble / bruteC.size
+    assert(compRecall >= sqRecall,
+      s"composed recall $compRecall below flat SQ8 $sqRecall")
+    assert(compRecall >= 0.8, s"composed recall too low: $compRecall")
+    // uniform fixture — the adversarial case: recall is capped by the
+    // probed fraction exactly as q42's; the composition must not fall
+    // below the pruning index it wraps by more than SQ8's error grain
+    val bruteU = SimilarityOps.q40AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compU = SimilarityOps.q77IvfSqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uRecall = (bruteU intersect compU).size.toDouble / bruteU.size
+    assert(uRecall >= 0.4, s"composed recall on uniform fixture: $uRecall")
+    assert(compU.forall { case (q, n) => q != n })
+  }
+
   test("cell-bucketed near-dup (q43) == exact all-pairs near-dup (q41)") {
     for (dir <- Seq(sf, clusteredDir)) {
       val exact = SimilarityOps.q41EmbedNearDup(spark, dir).collect()
