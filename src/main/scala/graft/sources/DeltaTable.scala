@@ -324,7 +324,7 @@ object DeltaTable {
       val actions =
         Seq(DeltaLog.commitInfoAction("COMPACT")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
-            configuration = snap.configuration)) ++
+            DeltaLog.tableId(table), snap.configuration)) ++
           snap.files.map(f => DeltaLog.removeAction(f.path)) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -414,7 +414,7 @@ object DeltaTable {
       val actions =
         Seq(DeltaLog.commitInfoAction("ZORDER")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, Nil,
-            configuration = snap.configuration)) ++
+            DeltaLog.tableId(table), snap.configuration)) ++
           snap.files.map(f => DeltaLog.removeAction(f.path)) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -478,7 +478,7 @@ object DeltaTable {
       val actions =
         Seq(DeltaLog.commitInfoAction("DELETE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
-            configuration = snap.configuration)) ++
+            DeltaLog.tableId(table), snap.configuration)) ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -539,7 +539,7 @@ object DeltaTable {
       val actions =
         Seq(DeltaLog.commitInfoAction("UPDATE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
-            configuration = snap.configuration)) ++
+            DeltaLog.tableId(table), snap.configuration)) ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
@@ -627,7 +627,7 @@ object DeltaTable {
       val actions =
         Seq(DeltaLog.commitInfoAction("MERGE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
-            configuration = snap.configuration)) ++
+            DeltaLog.tableId(table), snap.configuration)) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>

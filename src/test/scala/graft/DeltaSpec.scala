@@ -824,6 +824,63 @@ class DeltaSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("delta wire format: the independent python validator passes a " +
+      "full-featured table, including checkpoint-vs-replay completeness") {
+    import scala.sys.process._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                       // v0
+    DeltaTable.write(employee1, t, "append")                           // v1
+    DeltaTable.addCheckConstraint(spark, t, "positive_salary", "salary > 0") // v2
+    DeltaTable.write(Seq((5, "Eve", 50000L, "2024-01-19"))
+      .toDF("id", "name", "salary", "date"), t, "append",
+      txn = Some(("app-x", 7L)))                                       // v3
+    DeltaTable.delete(spark, t, col("id") === 2)                       // v4
+    // vacuum writes the horizon checkpoint in BOTH formats and prunes
+    // the version prefix; restore the pruned JSONs from a backup so
+    // the validator can ALSO prove checkpoint == replay(0..horizon)
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    val backup = Files.createTempDirectory("graft-logbak")
+    val vjson = {
+      val s = Files.list(logDir)
+      try s.iterator.asScala.filter(
+        _.getFileName.toString.matches("\\d{20}\\.json")).toSeq
+      finally s.close()
+    }
+    vjson.foreach(p => Files.copy(p, backup.resolve(p.getFileName.toString)))
+    DeltaTable.vacuum(t, 2)
+    vjson.foreach { p =>
+      if (!Files.exists(p))
+        Files.copy(backup.resolve(p.getFileName.toString), p)
+    }
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code === 0, s"delta_validate.py failed:\n$out")
+    assert(out.toString.contains("[OK]"))
+  }
+
+  test("delta wire format: the validator rejects an unstable metaData id") {
+    import scala.sys.process._
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite") // v0
+    DeltaTable.write(employee1, t, "append")     // v1
+    val v1 = java.nio.file.Paths.get(t, "_delta_log", "%020d.json".format(1L))
+    val tampered = new String(Files.readAllBytes(v1), "UTF-8")
+      .replaceFirst("\"id\":\"[0-9a-f-]+\"",
+        "\"id\":\"00000000-dead-beef-0000-000000000000\"")
+    Files.write(v1, tampered.getBytes("UTF-8"))
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code === 1, s"validator must flag the tampered id:\n$out")
+    assert(out.toString.contains("unstable"), out.toString)
+  }
+
   test("zorder: both dimensions prune after the rewrite; content unchanged") {
     import org.apache.spark.sql.types.{DataType, StructType}
     import org.apache.spark.sql.sources.LessThanOrEqual

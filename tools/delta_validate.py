@@ -1,0 +1,287 @@
+#!/usr/bin/env python3
+"""Independent Delta-protocol shape validator.
+
+Parses a graft-delta table's `_delta_log/*.json` version files and
+`*.checkpoint.{json,parquet}` checkpoints with plain `json` + DuckDB's
+parquet reader — deliberately sharing ZERO code with the Scala engine —
+and asserts the wire-format invariants the Delta Lake protocol
+(VLDB'20 design) requires:
+
+  1. version files named %020d.json; versions after the newest
+     checkpoint contiguous (no torn log);
+  2. version 0 (when retained) carries a `protocol` action;
+     minReaderVersion/minWriterVersion sane everywhere;
+  3. exactly one `metaData` per committing version at most, `id`
+     stable across the table's whole history, `format.provider` =
+     parquet, `schemaString` valid JSON;
+  4. `remove` actions reference previously-added paths; no path is
+     added and removed in the same version; `add.stats` (when present)
+     parses as JSON;
+  5. the latest snapshot's live files exist on disk with the logged
+     sizes;
+  6. CHECK constraints (`delta.constraints.*` in the configuration)
+     imply minWriterVersion >= 3 — a stock writer that can't enforce
+     them must be refused, not allowed to violate them;
+  7. both checkpoint formats agree with each other (protocol,
+     metaData, txn ledger, add set), checkpoint adds carry
+     dataChange=false, and — when the full version prefix survives —
+     the checkpoint equals an independent replay of versions 0..C;
+  8. `_last_checkpoint` (when present) points at an existing
+     checkpoint.
+
+Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
+Exit 0 = every table passes; 1 = at least one invariant violated.
+"""
+import sys, os, json, re
+
+V_RE = re.compile(r"^(\d{20})\.json$")
+CP_RE = re.compile(r"^(\d{20})\.checkpoint\.(json|parquet)$")
+
+
+def load_actions(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def norm_map(m):
+    """DuckDB surfaces parquet MAP columns as {'key': [...], 'value':
+    [...]}; JSON actions carry plain objects. Normalize both to dict."""
+    if (isinstance(m, dict) and set(m.keys()) == {"key", "value"}
+            and isinstance(m.get("key"), list)):
+        return dict(zip(m["key"], m["value"]))
+    return dict(m or {})
+
+
+class Replay:
+    """Minimal independent replayer: one pass over action lines."""
+
+    def __init__(self):
+        self.live = {}          # path -> add action fields
+        self.schema = None
+        self.part_cols = []
+        self.config = {}
+        self.protocol = None
+        self.txns = {}
+        self.meta_ids = set()
+        self.problems = []
+
+    def apply_version(self, v, actions):
+        n_meta = 0
+        adds_v, removes_v = set(), set()
+        for a in actions:
+            if "add" in a:
+                f = a["add"]
+                p = f.get("path")
+                if p is None:
+                    self.problems.append(f"v{v}: add without path")
+                    continue
+                if p in removes_v:
+                    self.problems.append(f"v{v}: {p} added and removed in one version")
+                adds_v.add(p)
+                if "stats" in f and f["stats"] is not None:
+                    try:
+                        json.loads(f["stats"])
+                    except Exception:
+                        self.problems.append(f"v{v}: add.stats not JSON for {p}")
+                self.live[p] = f
+            elif "remove" in a:
+                p = a["remove"].get("path")
+                if p not in self.live and p not in adds_v:
+                    self.problems.append(f"v{v}: remove of never-added {p}")
+                removes_v.add(p)
+                self.live.pop(p, None)
+            elif "metaData" in a:
+                n_meta += 1
+                m = a["metaData"]
+                self.meta_ids.add(m.get("id"))
+                if m.get("format", {}).get("provider") != "parquet":
+                    self.problems.append(f"v{v}: metaData.format.provider != parquet")
+                try:
+                    json.loads(m["schemaString"])
+                except Exception:
+                    self.problems.append(f"v{v}: metaData.schemaString not valid JSON")
+                self.schema = m.get("schemaString")
+                self.part_cols = list(m.get("partitionColumns") or [])
+                self.config = norm_map(m.get("configuration"))
+            elif "protocol" in a:
+                pr = a["protocol"]
+                r, w = pr.get("minReaderVersion"), pr.get("minWriterVersion")
+                if not (isinstance(r, int) and isinstance(w, int) and r >= 1 and w >= 2):
+                    self.problems.append(f"v{v}: implausible protocol {pr}")
+                self.protocol = pr
+            elif "txn" in a:
+                t = a["txn"]
+                app, ver = t.get("appId"), t.get("version")
+                if app is None or not isinstance(ver, int):
+                    self.problems.append(f"v{v}: malformed txn {t}")
+                else:
+                    self.txns[app] = max(ver, self.txns.get(app, ver))
+            elif "commitInfo" in a:
+                pass
+            else:
+                self.problems.append(f"v{v}: unknown action {list(a.keys())}")
+        if n_meta > 1:
+            self.problems.append(f"v{v}: {n_meta} metaData actions in one commit")
+
+
+def checkpoint_parquet_actions(path):
+    """Decode the protocol-format parquet checkpoint into the same
+    action-dict shape as the JSON lines (None columns dropped)."""
+    import duckdb
+    con = duckdb.connect()
+    try:
+        cols = [d[0] for d in con.sql(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+        rows = con.sql(f"SELECT * FROM '{path}'").fetchall()
+    finally:
+        con.close()
+    out = []
+    for row in rows:
+        act = {c: v for c, v in zip(cols, row) if v is not None}
+        if len(act) != 1:
+            raise ValueError(f"checkpoint row carries {len(act)} actions: {sorted(act)}")
+        out.append(act)
+    return out
+
+
+def validate(table):
+    problems = []
+    logdir = os.path.join(table, "_delta_log")
+    if not os.path.isdir(logdir):
+        return [f"{table}: no _delta_log directory"]
+    names = sorted(os.listdir(logdir))
+    vfiles, cps = {}, {}
+    for n in names:
+        m = V_RE.match(n)
+        if m:
+            vfiles[int(m.group(1))] = os.path.join(logdir, n)
+            continue
+        m = CP_RE.match(n)
+        if m:
+            cps.setdefault(int(m.group(1)), set()).add(m.group(2))
+            continue
+        if n.endswith(".json") or n.endswith(".parquet"):
+            problems.append(f"misnamed log entry: {n} (version files are %020d.json)")
+    versions = sorted(vfiles)
+    if not versions and not cps:
+        return [f"{table}: no committed versions and no checkpoints"]
+
+    # -- contiguity after the newest checkpoint (or from 0 without one)
+    base = max(cps) if cps else None
+    walked = [v for v in versions if base is None or v > base]
+    expected_start = (base + 1) if base is not None else (walked[0] if walked else 0)
+    if walked != list(range(expected_start, expected_start + len(walked))):
+        problems.append(f"torn log: versions {walked} not contiguous after "
+                        f"{'checkpoint %d' % base if base is not None else 'start'}")
+    if base is None and versions and versions[0] != 0:
+        problems.append(f"earliest version {versions[0]} has no preceding checkpoint")
+
+    # -- protocol action must open the table's history
+    if 0 in vfiles:
+        acts0 = load_actions(vfiles[0])
+        if not any("protocol" in a for a in acts0):
+            problems.append("version 0 carries no protocol action")
+
+    # -- independent full replay (version files from 0), when retained
+    full = None
+    if versions and versions[0] == 0 and versions == list(range(len(versions))):
+        full = Replay()
+        for v in versions:
+            full.apply_version(v, load_actions(vfiles[v]))
+        problems += full.problems
+        if len(full.meta_ids) > 1:
+            problems.append(f"metaData.id unstable across history: {sorted(full.meta_ids)}")
+        if full.protocol is None:
+            problems.append("no protocol action anywhere in the log")
+        for p, f in sorted(full.live.items()):
+            fp = os.path.join(table, p)
+            if not os.path.isfile(fp):
+                problems.append(f"live file missing on disk: {p}")
+            elif "size" in f and os.path.getsize(fp) != f["size"]:
+                problems.append(f"live file size mismatch for {p}: "
+                                f"disk={os.path.getsize(fp)} log={f['size']}")
+        has_constraints = any(k.startswith("delta.constraints.") for k in full.config)
+        if has_constraints and (full.protocol or {}).get("minWriterVersion", 0) < 3:
+            problems.append("CHECK constraints present but minWriterVersion < 3")
+
+    # -- checkpoints: cross-format agreement + replay equality
+    for c, formats in sorted(cps.items()):
+        sides = {}
+        if "json" in formats:
+            sides["json"] = load_actions(
+                os.path.join(logdir, "%020d.checkpoint.json" % c))
+        if "parquet" in formats:
+            try:
+                sides["parquet"] = checkpoint_parquet_actions(
+                    os.path.join(logdir, "%020d.checkpoint.parquet" % c))
+            except Exception as e:
+                problems.append(f"checkpoint {c}: parquet undecodable: {e}")
+        states = {}
+        for fmt, acts in sides.items():
+            r = Replay()
+            r.apply_version(f"cp{c}:{fmt}", acts)
+            problems += r.problems
+            states[fmt] = r
+            if r.protocol is None:
+                problems.append(f"checkpoint {c} ({fmt}): no protocol action")
+            if r.schema is None:
+                problems.append(f"checkpoint {c} ({fmt}): no metaData action")
+        if "parquet" in sides:
+            for a in sides["parquet"]:
+                if "add" in a and a["add"].get("dataChange"):
+                    problems.append(f"checkpoint {c}: add with dataChange=true "
+                                    f"({a['add'].get('path')})")
+        def fingerprint(r):
+            return (tuple(sorted((p, f.get("size")) for p, f in r.live.items())),
+                    r.schema, tuple(r.part_cols), tuple(sorted(r.config.items())),
+                    (r.protocol or {}).get("minReaderVersion"),
+                    (r.protocol or {}).get("minWriterVersion"),
+                    tuple(sorted(r.txns.items())))
+        if len(states) == 2:
+            fj, fp = fingerprint(states["json"]), fingerprint(states["parquet"])
+            if fj != fp:
+                problems.append(f"checkpoint {c}: json and parquet forms disagree:"
+                                f"\n  json:    {fj}\n  parquet: {fp}")
+        # completeness: the checkpoint must equal an independent replay
+        # of versions 0..c whenever that prefix survives on disk
+        if full is not None and c in versions and states:
+            upto = Replay()
+            for v in range(0, c + 1):
+                upto.apply_version(v, load_actions(vfiles[v]))
+            any_state = next(iter(states.values()))
+            if fingerprint(upto) != fingerprint(any_state):
+                problems.append(f"checkpoint {c} incomplete vs replay of 0..{c}:"
+                                f"\n  replay:     {fingerprint(upto)}"
+                                f"\n  checkpoint: {fingerprint(any_state)}")
+
+    # -- _last_checkpoint hint must point at a real checkpoint
+    hint = os.path.join(logdir, "_last_checkpoint")
+    if os.path.isfile(hint):
+        try:
+            hv = json.load(open(hint)).get("version")
+            if hv not in cps:
+                problems.append(f"_last_checkpoint points at missing checkpoint {hv}")
+        except Exception as e:
+            problems.append(f"_last_checkpoint unreadable: {e}")
+
+    return problems
+
+
+def main(tables):
+    bad = 0
+    for t in tables:
+        problems = validate(t)
+        if problems:
+            bad += 1
+            print(f"[FAIL] {t}")
+            for p in problems:
+                print(f"  - {p}")
+        else:
+            print(f"[OK] {t}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1:]))
