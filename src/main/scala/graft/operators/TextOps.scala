@@ -536,21 +536,33 @@ object TextOps {
         val (x, y, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, s"$x $y", n))
-        // leftmost-nonoverlapping merge: flag matches, group
-        // consecutive matches into runs (gaps-and-islands), merge at
-        // even run offsets, drop each merged position's absorbed
-        // right neighbor, re-number positions densely
-        val f = cur
-          .withColumn("hit", coalesce(col("tok") === lit(x) &&
-            lead(col("tok"), 1).over(byPos) === lit(y), lit(false)))
-          .withColumn("grp", when(col("hit"), col("pos") -
-            row_number().over(
-              Window.partitionBy("doc_id", "hit").orderBy("pos"))))
-          .withColumn("do_merge", col("hit") &&
-            (col("pos") - min("pos").over(
-              Window.partitionBy("doc_id", "grp"))) % 2 === 0)
-        val next = f
+        // Leftmost-nonoverlapping merge: flag matches, merge at even
+        // offsets within each run of consecutive matches, drop each
+        // merged position's absorbed right neighbor, re-number
+        // positions densely. Run parity comes from a RUNNING MAX of
+        // run-start positions over the SAME (doc_id, pos) sort as
+        // every other window here — the whole rewrite is ONE shuffle
+        // (the earlier gaps-and-islands form also partitioned by
+        // (doc_id, hit) and (doc_id, grp): two extra corpus-wide
+        // shuffles per round). At sf0.1 the loop's ~1.2 s/round is
+        // job-overhead-bound (two scans of a small staged relation +
+        // one write), so the rewrite didn't move wall-clock there —
+        // the win is at real token counts, where each removed shuffle
+        // is a full corpus cycle. Overlapping matches only exist for
+        // self-pairs (tok_i = x = y = tok_i+1 forces x = y), but the
+        // parity form is exact for both and matches the oracle.
+        val wRun = byPos.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val next = cur
           .withColumn("next_tok", lead("tok", 1).over(byPos))
+          .withColumn("hit", coalesce(col("tok") === lit(x) &&
+            col("next_tok") === lit(y), lit(false)))
+          .withColumn("run_start", col("hit") &&
+            !coalesce(lag("hit", 1).over(byPos), lit(false)))
+          .withColumn("last_start",
+            max(when(col("run_start"), col("pos"))).over(wRun))
+          .withColumn("do_merge", col("hit") &&
+            (col("pos") - col("last_start")) % 2 === 0)
           .withColumn("prev_merge", lag("do_merge", 1).over(byPos))
           .filter(!coalesce(col("prev_merge"), lit(false)))
           .select(col("doc_id"),
