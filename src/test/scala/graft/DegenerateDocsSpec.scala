@@ -102,6 +102,25 @@ class DegenerateDocsSpec extends SparkSpec {
     assert(rows(("src", 0L)) === 8L)
   }
 
+  test("incremental dedup: null/sub-trigram batch docs are invisible, no throw") {
+    // batch = doc 3 ("solo") re-keyed with a 2-token suffix: its single
+    // trigram "solo zz9 qq8" is shared with nothing, and null/blank
+    // corpus docs can't join it — the query must return cleanly empty
+    val pairs = DedupOps.q75IncrementalDedup(spark, dir).collect()
+    assert(pairs.isEmpty, s"no batch pair may surface: ${pairs.toSeq}")
+  }
+
+  test("bpe trainer: degenerate docs contribute no pairs; trainer still converges") {
+    val rows = TextOps.q76BpeTrainer(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // pairs exist only in docs 4 ("two tokens") and 6/7 (identical real
+    // docs); round 1's argmax is a pair shared by the twin docs (n=2)
+    assert(rows.nonEmpty && rows.head._3 === 2L, s"round 1: ${rows.head}")
+    // rounds are dense from 1 and stop when no adjacent pair remains
+    assert(rows.map(_._1).toSeq === (1 to rows.length).toSeq)
+    assert(rows.forall(_._3 >= 1L))
+  }
+
   test("tf-idf ranks only real tokens; blanks contribute nothing meaningful") {
     val terms = TextOps.q35TfidfTerms(spark, dir).collect()
       .map(_.getString(1)).toSet
