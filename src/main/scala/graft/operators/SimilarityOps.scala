@@ -386,42 +386,103 @@ object SimilarityOps {
       .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
 
   /** The SQ8 reconstruction relation (vec_id, pos, r) — the "codes
-    * table" of q46/q47, staged to parquet and MEMOIZED per (session,
-    * corpus, mtime) like the shingle and k-means indexes: a production
-    * pipeline quantizes the corpus once and serves every query from
-    * the codes. Doubles round-trip parquet bit-exactly, so staging
-    * never perturbs the oracle hash. */
-  private val sqReconCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+    * table" of q46/q47/q78, staged to parquet and MEMOIZED per
+    * (session, corpus, mtime) like the shingle and k-means indexes: a
+    * production pipeline quantizes the corpus once and serves every
+    * query from the codes. Doubles round-trip parquet bit-exactly, so
+    * staging never perturbs the oracle hash.
+    *
+    * The cache value is (state key, stats dir, LIST of code dirs),
+    * mirroring the shingle index: the per-dimension [dmin,dmax] scale
+    * params are staged beside the codes at build time and FROZEN —
+    * [[refreshSqIndex]] extends the code list with delta dirs
+    * (appended vectors quantized against the frozen params) instead of
+    * rebuilding, exactly how a production codebook behaves once
+    * serving. A corpus mtime change not registered incrementally
+    * invalidates and full-rebuilds; a purged staging dir rebuilds. */
+  private val sqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Seq[String])]
 
-  private def stagedSqRecon(spark: SparkSession, dir: String): DataFrame = {
+  /** (corpus identity key, corpus state key) — state adds the mtime. */
+  private def sqIndexKeys(spark: SparkSession, dir: String): (String, String) = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-    val key = System.identityHashCode(spark) + ":sq:" + src.toAbsolutePath +
-      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis
-    def build(): String = {
-      val vals = explodedVals(spark, dir)
-      val stats = vals.groupBy("pos")
+    val pathKey = System.identityHashCode(spark) + ":sq:" + src.toAbsolutePath
+    (pathKey, pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+  }
+
+  /** code = clamp(round(255 * (v-min)/(max-min)), 0, 255);
+    * reconstruction replays it inline (code and recon in one codegen'd
+    * projection — nothing stored twice). The clamp is identity for the
+    * build (stats cover the corpus by construction, so q46/q47's
+    * oracles replay without it) and load-bearing for the incremental
+    * path, where appended values may fall outside the FROZEN range —
+    * the codebook saturates, it never rescales. */
+  private def quantizeWith(vals: DataFrame, stats: DataFrame): DataFrame =
+    vals.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        (col("dmin") +
+          when(col("dmax") === col("dmin"), lit(0.0))
+            .otherwise(greatest(lit(0.0), least(lit(255.0),
+              round((col("v") - col("dmin"))
+                / (col("dmax") - col("dmin")) * 255, 0))))
+          * (col("dmax") - col("dmin")) / lit(255.0)).as("r"))
+
+  private def sqIndexEntry(spark: SparkSession,
+      dir: String): (String, String, Seq[String]) = {
+    val (pathKey, stateKey) = sqIndexKeys(spark, dir)
+    def build(): (String, String, Seq[String]) = {
+      val base = graft.Scratch.dir("graft-sq")
+      val statsDir = base.resolve("stats").toString
+      explodedVals(spark, dir).groupBy("pos")
         .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
-      // code = round(255 * (v-min)/(max-min)); reconstruction replays
-      // it inline (code and recon in one projection — nothing stored
-      // twice)
-      val t = graft.Scratch.dir("graft-sq").resolve("r").toString
-      vals.join(broadcast(stats), "pos")
-        .select(col("vec_id"), col("pos"),
-          (col("dmin") +
-            when(col("dmax") === col("dmin"), lit(0.0))
-              .otherwise(round((col("v") - col("dmin"))
-                / (col("dmax") - col("dmin")) * 255, 0))
-            * (col("dmax") - col("dmin")) / lit(255.0)).as("r"))
+        .write.parquet(statsDir)
+      val t = base.resolve("r").toString
+      quantizeWith(explodedVals(spark, dir), spark.read.parquet(statsDir))
         .write.parquet(t)
-      t
+      (stateKey, statsDir, Seq(t))
     }
-    var t = sqReconCache.computeIfAbsent(key, _ => build())
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t))) {
-      sqReconCache.remove(key)
-      t = sqReconCache.computeIfAbsent(key, _ => build())
-    }
-    spark.read.parquet(t)
+    sqIndexCache.compute(pathKey, (_, cur) =>
+      if (cur != null && cur._1 == stateKey &&
+          (cur._2 +: cur._3).forall(d =>
+            java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
+      else build())
+  }
+
+  private[graft] def stagedSqRecon(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sqIndexEntry(spark, dir)._3: _*)
+
+  /** The frozen per-dimension scale params the staged codes were built
+    * with — read back from staging, NOT recomputed, so the incremental
+    * path quantizes against exactly the serving codebook. */
+  private[graft] def stagedSqStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sqIndexEntry(spark, dir)._2)
+
+  /** Incremental SQ8 index refresh — the vector-side twin of
+    * [[DedupOps.refreshShingleIndex]]: after `newVecs` (vec_id,
+    * embedding) were appended to `dir`'s embeddings table, extend the
+    * staged codes by quantizing ONLY the new vectors against the
+    * FROZEN scale params into a delta dir, registering old ∪ delta
+    * under the corpus's new mtime state. The existing code files are
+    * reused byte-for-byte and the codebook never rescales — appended
+    * values outside a frozen dimension range saturate at the range
+    * edge (SimilaritySpec pins both properties). No-op when nothing
+    * was staged yet (the next consumer full-builds, with stats over
+    * the combined corpus) or the index is already current. */
+  def refreshSqIndex(spark: SparkSession, dir: String,
+      newVecs: DataFrame): Unit = {
+    val (pathKey, stateKey) = sqIndexKeys(spark, dir)
+    sqIndexCache.compute(pathKey, (_, cur) =>
+      if (cur == null || cur._1 == stateKey) cur
+      else {
+        val vals = newVecs
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+        val d = graft.Scratch.dir("graft-sq").resolve("delta").toString
+        quantizeWith(vals, spark.read.parquet(cur._2)).write.parquet(d)
+        (stateKey, cur._2, cur._3 :+ d)
+      })
+    ()
   }
 
   val q46SqAnn: Q = (spark, dir) => {
@@ -666,6 +727,94 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q78 — INCREMENTAL SQ8 ANN: the vector-side append workflow, the
+    * twin of q75's incremental dedup — search an appended batch WITH
+    * the existing serving index, without re-processing the corpus. The
+    * batch is a deterministic derivation (every vector re-keyed
+    * +1,000,000 with its embedding REVERSED — replayable by the
+    * oracle, and dimension-swapping so batch values genuinely land
+    * outside the frozen per-dimension ranges, exercising saturation).
+    * Batch codes are quantized INLINE against the index's FROZEN scale
+    * params (one narrow projection over the batch — the corpus side
+    * reads the memoized staged codes shared with q46/q47 and never
+    * recomputes); search is q46's fused dot+norms agg over staged ∪
+    * batch codes. [[refreshSqIndex]] is the durable form of the same
+    * step: it appends the batch codes as a delta dir under the new
+    * corpus state, frozen params untouched — SimilaritySpec drives the
+    * full append workflow and asserts the original code files stay
+    * byte-identical while the refreshed index equals staged ∪
+    * frozen-quantized batch, with out-of-range values saturated (a
+    * rebuild would have rescaled them). Quantization against frozen
+    * stats is still a pure function of corpus bytes, so unlike IVF the
+    * whole incremental path is DuckDB hash-verified. */
+  val q78IncrementalSqAnn: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val recon = stagedSqRecon(spark, dir)
+    val stats = stagedSqStats(spark, dir)
+    val batchVals = Tables.load(spark, dir, "embeddings")
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        posexplode(reverse(col("embedding"))).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    val combined = recon.unionByName(quantizeWith(batchVals, stats))
+    val qrows = explodedVals(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sq").desc, col("neighbor_id"))
+    combined.join(broadcast(qrows), "pos")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qv") * col("r")).as("dot"),
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("r") * col("r")).as("nr"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("nr"))), 4)
+          .as("cosine_sq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Replays build (stats over the ORIGINAL corpus only), batch
+    * derivation (reversed = pos arithmetic on the exploded rows),
+    * frozen-param clamped quantization, and the fused search. */
+  val q78Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+      |bv AS (
+      |  SELECT vec_id + 1000000 AS vec_id, LEN(embedding) - 1 - i AS pos,
+      |    embedding[i+1]::DOUBLE AS v
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+      |stats AS (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM v GROUP BY pos),
+      |recon AS (
+      |  SELECT vec_id, v.pos,
+      |    dmin + (CASE WHEN dmax = dmin THEN 0.0
+      |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
+      |         * (dmax - dmin) / 255.0 AS r
+      |  FROM v JOIN stats ON v.pos = stats.pos),
+      |brecon AS (
+      |  SELECT vec_id, bv.pos,
+      |    dmin + (CASE WHEN dmax = dmin THEN 0.0
+      |            ELSE GREATEST(0, LEAST(255,
+      |              ROUND((v - dmin) / (dmax - dmin) * 255))) END)
+      |         * (dmax - dmin) / 255.0 AS r
+      |  FROM bv JOIN stats ON bv.pos = stats.pos),
+      |allr AS (SELECT * FROM recon UNION ALL SELECT * FROM brecon),
+      |d AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
+      |  FROM v q JOIN allr c ON q.pos = c.pos
+      |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) AS cosine_sq,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC, neighbor_id) AS rank
+      |  FROM d)
+      |SELECT query_id, neighbor_id, cosine_sq, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** q44 — grouped vector centroids: element-wise mean embedding per
     * label (cluster/topic summaries — the reduction behind centroid
     * classifiers, drift monitors, and IVF index refreshes). Long-form
@@ -700,7 +849,8 @@ object SimilarityOps {
     "q45_hyperplane_lsh" -> q45HyperplaneLsh,
     "q46_sq_ann" -> q46SqAnn,
     "q47_reranked_ann" -> q47RerankedAnn,
-    "q77_ivf_sq_ann" -> q77IvfSqAnn)
+    "q77_ivf_sq_ann" -> q77IvfSqAnn,
+    "q78_incremental_sq8" -> q78IncrementalSqAnn)
 
   /** q42/q43/q77 are deliberately absent: approximate/index-backed ops,
     * verified by recall + equality-vs-exact bounds in SimilaritySpec
@@ -711,5 +861,6 @@ object SimilarityOps {
     "q44_label_centroids" -> q44Oracle,
     "q45_hyperplane_lsh" -> q45Oracle,
     "q46_sq_ann" -> q46Oracle,
-    "q47_reranked_ann" -> q47Oracle)
+    "q47_reranked_ann" -> q47Oracle,
+    "q78_incremental_sq8" -> q78Oracle)
 }

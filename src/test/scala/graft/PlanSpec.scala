@@ -116,6 +116,7 @@ class PlanSpec extends SparkSpec {
     val qs = Seq(
       "q46_sq_ann" -> SimilarityOps.queries("q46_sq_ann"),
       "q47_reranked_ann" -> SimilarityOps.queries("q47_reranked_ann"),
+      "q78_incremental_sq8" -> SimilarityOps.queries("q78_incremental_sq8"),
       "q82_salted_join" -> graft.operators.EventOps.queries("q82_salted_join"))
     for ((name, q) <- qs) {
       val p = plan(q(spark, sf))
@@ -137,7 +138,7 @@ class PlanSpec extends SparkSpec {
     // the whole point of the fused agg is a single corpus pass for
     // dot AND both norms — a refactor that re-derives norms in a
     // second aggregate doubles the dominant scan
-    for (name <- Seq("q46_sq_ann", "q47_reranked_ann")) {
+    for (name <- Seq("q46_sq_ann", "q47_reranked_ann", "q78_incremental_sq8")) {
       val df = SimilarityOps.queries(name)(spark, sf)
       val p = plan(df)
       val aggs = p.collect {

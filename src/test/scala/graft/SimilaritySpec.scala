@@ -195,4 +195,56 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("incremental SQ8: append workflow freezes the codebook, saturates " +
+      "out-of-range values, and reuses the staged codes byte-for-byte") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val dir = JF.createTempDirectory("graft-sqincr").toString
+    // 3-dim corpus with known per-dimension ranges: [0,10], [0,1], [-1,1]
+    Seq(
+      (0L, Array(0.0f, 0.0f, -1.0f), 0),
+      (1L, Array(10.0f, 1.0f, 1.0f), 0),
+      (2L, Array(5.0f, 0.5f, 0.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def fileMtime(uri: String): Long =
+      JF.getLastModifiedTime(JP.get(java.net.URI.create(uri))).toMillis
+    // 1. build the serving index once; record its staged code files
+    val idx1 = SimilarityOps.stagedSqRecon(spark, dir)
+    val files1 = idx1.inputFiles.toSet
+    val mtimes1 = files1.map(f => f -> fileMtime(f)).toMap
+    assert(idx1.count() === 9) // 3 vecs x 3 dims
+    // 2. append a batch whose dims 0/1 fall OUTSIDE the frozen ranges
+    val batch = Seq((100L, Array(20.0f, -5.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val corpusPath = JP.get(s"$dir/embeddings.parquet")
+    JF.setLastModifiedTime(corpusPath, FileTime.fromMillis(
+      JF.getLastModifiedTime(corpusPath).toMillis + 1500))
+    SimilarityOps.refreshSqIndex(spark, dir, batch)
+    // 3. refreshed = old staged files (byte-untouched) + one delta dir
+    val idx2 = SimilarityOps.stagedSqRecon(spark, dir)
+    val files2 = idx2.inputFiles.toSet
+    assert(files1.subsetOf(files2), "refresh must reuse the staged code files")
+    assert(files2.size > files1.size, "refresh must add a delta dir")
+    mtimes1.foreach { case (f, m) =>
+      assert(fileMtime(f) === m, s"staged code file rewritten: $f") }
+    assert(idx2.count() === 12)
+    // 4. the codebook is FROZEN: stats still carry the ORIGINAL ranges
+    val stats = SimilarityOps.stagedSqStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(stats(0) === ((0.0, 10.0)), "a rebuild would have rescaled to 20")
+    assert(stats(1) === ((0.0, 1.0))) // unchanged despite the -5 batch value
+    // 5. batch codes saturate at the frozen range edges; in-range dims
+    // quantize normally (code 191 of [-1,1]: -1 + 191*2/255)
+    val b = idx2.filter($"vec_id" === 100L).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(b(0) === 10.0, "20.0 must saturate at the frozen dmax")
+    assert(b(1) === 0.0, "-5.0 must saturate at the frozen dmin")
+    assert(math.abs(b(2) - (-1.0 + 191.0 * 2.0 / 255.0)) < 1e-12)
+    // 6. a second refresh under the same corpus state is a no-op
+    SimilarityOps.refreshSqIndex(spark, dir, batch)
+    assert(SimilarityOps.stagedSqRecon(spark, dir).inputFiles.toSet === files2)
+  }
 }
