@@ -54,7 +54,7 @@ object DedupOps {
     * q31+q32+q34+q36+q38 subset drops ~17 s → ~14.5-16 s, with
     * q32/q34/q36 the clear winners and q31 flat — its cost is the
     * prefix relation + candidate join, not the raw shingling.) */
-  private def shingleArrays(docs: DataFrame, gramN: Int = 3): DataFrame = {
+  private[graft] def shingleArrays(docs: DataFrame, gramN: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       // The fixture corpus is one parquet file = one input partition;

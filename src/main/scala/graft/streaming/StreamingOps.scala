@@ -189,6 +189,74 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING INCREMENTAL NEAR-DUP — the whole production ingestion
+    * pipeline composed from pieces the batch path already proves: tail
+    * a graft-delta documents table's change feed, and for each
+    * micro-batch (a) shingle ONLY the batch and stage it under a
+    * DETERMINISTIC per-batchId dir, (b) find near-dups of the batch
+    * against seed-corpus index ∪ previously staged batches
+    * ([[graft.operators.DedupOps.incrementalNearDupsFrom]] — the
+    * corpus side streams map-side against the broadcast batch, q75's
+    * shape), and (c) append the surviving pairs to a downstream
+    * graft-delta table. So each batch is deduped against everything
+    * that came before WITHOUT ever re-shingling the corpus — the index
+    * grows one staged delta dir per batch, exactly
+    * [[graft.operators.DedupOps.refreshShingleIndex]]'s contract at
+    * micro-batch grain.
+    *
+    * Exactly-once: the pairs append commits a SetTransaction keyed by
+    * (checkpoint, batchId) — a replayed batch short-circuits against
+    * the ledger like the streaming sink's, and its re-staged shingle
+    * dir OVERWRITES the same per-batchId path, so replays are
+    * idempotent on both the output and the index. Restart-safe with no
+    * driver state: prior batches' dirs are rediscovered by LISTING the
+    * staging root (ids < current batch only, so a replay never reads
+    * its own half-staged attempt as corpus). foreachBatch is right
+    * here for the same reason as the materialized view: stage + join +
+    * ledgered append is a multi-step transaction no declarative sink
+    * expresses. */
+  def nearDupIngestPipeline(spark: SparkSession, seedDir: String,
+      srcTable: String, pairsTable: String, ckptDir: String,
+      stageRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupOps
+    import graft.sources.{DeltaLog, DeltaTable}
+    val root = java.nio.file.Paths.get(stageRoot)
+    java.nio.file.Files.createDirectories(root)
+    def priorBatchDirs(before: Long): Seq[String] = {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.map(_.getFileName.toString)
+          .collect { case n if n.startsWith("batch-") =>
+            n.stripPrefix("batch-").toLong }
+          .filter(_ < before).toSeq.sorted
+          .map(i => root.resolve(s"batch-$i").toString)
+      } finally s.close()
+    }
+    spark.readStream.format("graft-delta").load(srcTable)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bdir = root.resolve(s"batch-$batchId").toString
+        DedupOps.shingleArrays(batch.select(col("doc_id"), col("text")))
+          .write.mode("overwrite").parquet(bdir)
+        val newArrays = spark.read.parquet(bdir)
+        val corpus = priorBatchDirs(batchId)
+          .foldLeft(DedupOps.stagedShingleArrays(spark, seedDir))(
+            (acc, d) => acc.unionByName(spark.read.parquet(d)))
+        val pairs = DedupOps.incrementalNearDupsFrom(
+          corpus.unionByName(newArrays), newArrays, 0.5)
+        val mode =
+          if (DeltaLog.versions(pairsTable).isEmpty) "overwrite" else "append"
+        DeltaTable.write(pairs, pairsTable, mode,
+          txn = Some((s"neardup:$ckptDir", batchId)))
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Emit-on-finalize sessionization: `flatMapGroupsWithState` with an
     * EVENT-TIME timeout — a session row is emitted exactly once, when
     * the watermark passes its gap horizon (start + events + 30-min gap

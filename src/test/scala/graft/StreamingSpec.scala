@@ -337,6 +337,77 @@ class StreamingSpec extends SparkSpec {
     assert(fps2.distinct.length === 4)
   }
 
+  test("streaming incremental near-dup: each batch dedups against the " +
+      "growing index, exactly-once across restarts") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-neardup")
+    val (src, pairs, ckpt, stage) =
+      (s"$base/src", s"$base/pairs", s"$base/ckpt", s"$base/stage")
+    val seedDir = s"$base/seed"
+    val baseText = "the quick brown fox jumps over the lazy dog near the " +
+      "old river bank while morning light filters through tall green " +
+      "trees onto the quiet path"
+    val novel = "novel content sharing no phrasing with anything already indexed"
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    Seq(doc(0, baseText), doc(1, baseText.replace("quiet", "narrow")),
+      doc(2, "completely different words about spark catalyst optimizer " +
+        "plans and shuffles here"),
+      doc(3, "yet another unrelated document describing broadcast joins " +
+        "and partition pruning"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$seedDir/documents.parquet")
+    // seed index built once; its staged files must survive the whole run
+    val seedFiles = DedupOps.stagedShingleArrays(spark, seedDir).inputFiles.toSet
+    def fileMtime(uri: String) = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(java.net.URI.create(uri))).toMillis
+    val seedMtimes = seedFiles.map(f => f -> fileMtime(f)).toMap
+    def appendDocs(rows: (Long, String)*): Unit = rows.toSeq
+      .map { case (i, t) => doc(i, t) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.format("graft-delta").mode("append").save(src)
+    def pairRows() = spark.read.format("graft-delta").load(pairs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch 1: one near-dup of a seed doc, one novel doc
+    appendDocs(100L -> (baseText + " tonight"), 101L -> novel)
+    val q1 = StreamingOps.nearDupIngestPipeline(
+      spark, seedDir, src, pairs, ckpt, stage)
+    q1.processAllAvailable()
+    val after1 = pairRows()
+    assert(after1.toSet.contains((0L, 100L)))
+    assert(!after1.exists(p => p._1 == 101L || p._2 == 101L),
+      "the novel doc has no near-dups yet")
+    // batch 2: near-dup of a PREVIOUS BATCH doc — findable only
+    // because the index grew; the seed corpus is never re-shingled
+    appendDocs(200L -> (novel + " tonight"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(pairRows().toSet.contains((101L, 200L)))
+    // restart on the same checkpoint; batch 3 near-dups doc 200
+    appendDocs(300L -> (novel + " tonight again"))
+    val q2 = StreamingOps.nearDupIngestPipeline(
+      spark, seedDir, src, pairs, ckpt, stage)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = pairRows()
+    assert(got.size === got.toSet.size, "replays must not duplicate pairs")
+    // ground truth: batch recompute over seed ∪ every streamed doc,
+    // restricted to pairs whose LATER doc is streamed (each pair lands
+    // in the batch that brings its later doc)
+    val combined = s"$base/combined"
+    spark.read.parquet(s"$seedDir/documents.parquet")
+      .unionByName(spark.read.format("graft-delta").load(src))
+      .write.parquet(s"$combined/documents.parquet")
+    val expected = DedupOps.q31NgramJaccard(spark, combined)
+      .filter(col("doc_b") >= 100L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === expected)
+    seedMtimes.foreach { case (f, m) =>
+      assert(fileMtime(f) === m, s"seed index file rewritten: $f") }
+  }
+
   test("finalized sessionization emits each closed session exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
