@@ -159,30 +159,80 @@ object SimilarityOps {
     * centroids are staged to parquet (keeps file-level size stats for
     * AQE — `.cache()` loses them, measured in DedupOps); the mtime key
     * invalidates on corpus change, a purged staging dir rebuilds. */
-  private val kmeansIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  /** Cache value = (state key, assign dirs, centroid dir) — the
+    * shingle-index pattern: [[refreshIvfIndex]] extends the assignment
+    * with delta dirs (new vectors assigned to the FROZEN centroids)
+    * instead of re-running Lloyd; the centroid dir never changes after
+    * build, which is the production IVF contract (coarse quantizers
+    * are trained once and served; re-clustering would invalidate every
+    * cell id already handed out). */
+  private val kmeansIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[String], String)]
 
-  private def stagedKmeans(spark: SparkSession, dir: String, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
+  private def kmeansIndexKeys(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (String, String) = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-    val key = System.identityHashCode(spark) + ":" + src.toAbsolutePath +
-      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis +
+    val pathKey = System.identityHashCode(spark) + ":" + src.toAbsolutePath +
       s":$k:$iters"
-    def build(): (String, String) = {
+    (pathKey, pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+  }
+
+  private def kmeansIndexEntry(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (String, Seq[String], String) = {
+    val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
+    def build(): (String, Seq[String], String) = {
       val base = graft.Scratch.dir("graft-kmeans")
       val aDir = base.resolve("assign").toString
       val cDir = base.resolve("cent").toString
       val (assign, cent) = kmeans(Tables.load(spark, dir, "embeddings"), k, iters)
       assign.write.parquet(aDir)
       cent.write.parquet(cDir)
-      (aDir, cDir)
+      (stateKey, Seq(aDir), cDir)
     }
-    var t = kmeansIndexCache.computeIfAbsent(key, _ => build())
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t._1))) {
-      kmeansIndexCache.remove(key)
-      t = kmeansIndexCache.computeIfAbsent(key, _ => build())
-    }
-    (spark.read.parquet(t._1), spark.read.parquet(t._2))
+    kmeansIndexCache.compute(pathKey, (_, cur) =>
+      if (cur != null && cur._1 == stateKey &&
+          (cur._3 +: cur._2).forall(d =>
+            java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
+      else build())
+  }
+
+  private def stagedKmeans(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val e = kmeansIndexEntry(spark, dir, k, iters)
+    (spark.read.parquet(e._2: _*), spark.read.parquet(e._3))
+  }
+
+  /** Assign vectors to the nearest FROZEN centroid — the kmeans assign
+    * step without the Lloyd update: one broadcast argmax, no shuffle
+    * of the vectors beyond the struct-max partials. */
+  private def assignToFrozen(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(cosine("embedding", "centroid").as("sim"),
+          col("cell").as("cell")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+
+  /** Incremental IVF refresh — the assignment-side twin of
+    * [[refreshSqIndex]]: after `newVecs` were appended to the corpus,
+    * assign ONLY the new vectors to the FROZEN centroids (cell ids
+    * already served stay valid; the coarse quantizer never retrains)
+    * into a delta dir registered under the new corpus state. No-op
+    * when nothing was staged yet or the index is already current. */
+  def refreshIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+      k: Int = IvfK, iters: Int = IvfIters): Unit = {
+    val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
+    kmeansIndexCache.compute(pathKey, (_, cur) =>
+      if (cur == null || cur._1 == stateKey) cur
+      else {
+        GraftFunctions.register(spark)
+        val d = graft.Scratch.dir("graft-kmeans").resolve("delta").toString
+        assignToFrozen(newVecs.select(col("vec_id"), col("embedding")),
+          spark.read.parquet(cur._3)).write.parquet(d)
+        (stateKey, cur._2 :+ d, cur._3)
+      })
+    ()
   }
 
   /** Multi-probe width for q43. 4 probes of 16 cells recovers every
@@ -633,27 +683,69 @@ object SimilarityOps {
     * two ingredients; the cell column becomes a parquet partition key,
     * so a probed-cell filter prunes at the FILE level (PlanSpec
     * asserts PartitionFilters on the scan). */
-  private val celledReconCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val celledReconCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[String])]
 
-  private def stagedCelledRecon(spark: SparkSession, dir: String): DataFrame = {
+  private def celledIndexKeys(spark: SparkSession, dir: String)
+      : (String, String) = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-    val key = System.identityHashCode(spark) + ":ivfsq:" + src.toAbsolutePath +
-      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis
-    def build(): String = {
+    val pathKey = System.identityHashCode(spark) + ":ivfsq:" + src.toAbsolutePath
+    (pathKey, pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+  }
+
+  /** Each staged root is hive-partitioned by cell; roots are read
+    * separately and unioned so partition discovery stays per-root (a
+    * multi-root read would hunt for a common base path), and a cell
+    * filter above the union still pushes into every leg's
+    * PartitionFilters — the q77 file-level pruning survives deltas. */
+  private[graft] def stagedCelledRecon(spark: SparkSession, dir: String): DataFrame = {
+    val (pathKey, stateKey) = celledIndexKeys(spark, dir)
+    def build(): (String, Seq[String]) = {
       val recon = stagedSqRecon(spark, dir)
       val (assign, _) = stagedKmeans(spark, dir, IvfK, IvfIters)
       val t = graft.Scratch.dir("graft-ivfsq").resolve("c").toString
       recon.join(assign, "vec_id")
         .write.partitionBy("cell").parquet(t)
-      t
+      (stateKey, Seq(t))
     }
-    var t = celledReconCache.computeIfAbsent(key, _ => build())
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t))) {
-      celledReconCache.remove(key)
-      t = celledReconCache.computeIfAbsent(key, _ => build())
-    }
-    spark.read.parquet(t)
+    val entry = celledReconCache.compute(pathKey, (_, cur) =>
+      if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
+      else build())
+    entry._2.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Incremental refresh of the COMPOSED serving index — the full
+    * vector-append workflow in one call: bring the SQ8 codes and the
+    * IVF assignment current first (each a frozen-parameter delta,
+    * no-ops if already refreshed), then stage the batch's (codes ×
+    * cell) rows as one more cell-partitioned root. Existing roots are
+    * reused byte-for-byte; the scale params and centroids stay frozen,
+    * so every previously served code and cell id remains valid — the
+    * production contract for updating a live ANN index. q77 serves
+    * old ∪ new immediately after. */
+  def refreshCelledIndex(spark: SparkSession, dir: String,
+      newVecs: DataFrame): Unit = {
+    refreshSqIndex(spark, dir, newVecs)
+    refreshIvfIndex(spark, dir, newVecs)
+    val (pathKey, stateKey) = celledIndexKeys(spark, dir)
+    celledReconCache.compute(pathKey, (_, cur) =>
+      if (cur == null || cur._1 == stateKey) cur
+      else {
+        GraftFunctions.register(spark)
+        val vals = newVecs
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+        val codes = quantizeWith(vals, stagedSqStats(spark, dir))
+        val assign = assignToFrozen(
+          newVecs.select(col("vec_id"), col("embedding")),
+          spark.read.parquet(kmeansIndexEntry(spark, dir, IvfK, IvfIters)._3))
+        val d = graft.Scratch.dir("graft-ivfsq").resolve("delta").toString
+        codes.join(assign, "vec_id").write.partitionBy("cell").parquet(d)
+        (stateKey, cur._2 :+ d)
+      })
+    ()
   }
 
   /** q77 — IVF × SQ8 COMPOSED ANN: the production billion-vector

@@ -196,6 +196,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental IVF x SQ8: appended vectors join the serving index under " +
+      "frozen centroids and codebook; existing roots byte-untouched") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val dir = JF.createTempDirectory("graft-ivfsq-incr").toString
+    val rnd = new scala.util.Random(11)
+    val dims = 16; val kC = 4; val perC = 20
+    val centers = Array.fill(kC, dims)(rnd.nextGaussian().toFloat)
+    val rows = for (c <- 0 until kC; i <- 0 until perC) yield {
+      val v = centers(c).map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+      ((c * perC + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // 1. serve once — builds the sq + kmeans + celled indexes
+    val before = SimilarityOps.q77IvfSqAnn(spark, dir).collect()
+    assert(!before.exists(_.getLong(1) === 900L))
+    val celled1 = SimilarityOps.stagedCelledRecon(spark, dir)
+    val n1 = celled1.count()
+    val files1 = celled1.inputFiles.toSet
+    def mt(uri: String) = JF.getLastModifiedTime(
+      JP.get(java.net.URI.create(uri))).toMillis
+    val mtimes1 = files1.map(f => f -> mt(f)).toMap
+    // 2. append a near-copy of query vector 0 and refresh incrementally
+    val nearCopy = rows.find(_._1 == 0L).get._2
+      .map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val batch = Seq((900L, nearCopy, 0)).toDF("vec_id", "embedding", "label")
+    batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val corpusPath = JP.get(s"$dir/embeddings.parquet")
+    JF.setLastModifiedTime(corpusPath, FileTime.fromMillis(
+      JF.getLastModifiedTime(corpusPath).toMillis + 1500))
+    SimilarityOps.refreshCelledIndex(spark, dir, batch)
+    // 3. existing roots reused byte-for-byte, one delta root added
+    val celled2 = SimilarityOps.stagedCelledRecon(spark, dir)
+    val files2 = celled2.inputFiles.toSet
+    assert(files1.subsetOf(files2), "refresh must reuse the staged roots")
+    assert(files2.size > files1.size, "refresh must add a delta root")
+    mtimes1.foreach { case (f, m) =>
+      assert(mt(f) === m, s"staged celled file rewritten: $f") }
+    assert(celled2.count() === n1 + dims)
+    // 4. the near-copy landed in the same FROZEN cell as its original
+    def cellOf(id: Long): Int =
+      celled2.filter($"vec_id" === id).select("cell").head().getInt(0)
+    assert(cellOf(900L) === cellOf(0L),
+      "a near-copy must assign to its original's frozen cell")
+    // 5. end-to-end: the composed index serves the appended vector
+    val after = SimilarityOps.q77IvfSqAnn(spark, dir).collect()
+    assert(after.exists(r => r.getLong(0) === 0L && r.getLong(1) === 900L),
+      "q77 must return the appended near-copy among query 0's neighbors")
+  }
+
   test("incremental SQ8: append workflow freezes the codebook, saturates " +
       "out-of-range values, and reuses the staged codes byte-for-byte") {
     import java.nio.file.{Files => JF, Paths => JP}
