@@ -245,6 +245,13 @@ class SimilaritySpec extends SparkSpec {
     val after = SimilarityOps.q77IvfSqAnn(spark, dir).collect()
     assert(after.exists(r => r.getLong(0) === 0L && r.getLong(1) === 900L),
       "q77 must return the appended near-copy among query 0's neighbors")
+    // 6. file-level pruning survives the delta: the probed-cell filter
+    // reaches the PartitionFilters of EVERY celled root's scan
+    val ex = SimilarityOps.q77IvfSqAnn(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(ex).length
+    assert(pruned >= 2,
+      s"expected the cell filter in both celled roots' scans, found $pruned:\n$ex")
   }
 
   test("incremental SQ8: append workflow freezes the codebook, saturates " +
