@@ -214,7 +214,14 @@ object StreamingOps {
     * its own half-staged attempt as corpus). foreachBatch is right
     * here for the same reason as the materialized view: stage + join +
     * ledgered append is a multi-step transaction no declarative sink
-    * expresses. */
+    * expresses.
+    *
+    * A long-running pipeline accumulates one staged dir per batch and
+    * the corpus read becomes a widening union; the compaction path is
+    * the same one the batch indexes use — rebuild the seed index from
+    * the current corpus snapshot and clear the staging root (listing
+    * by batchId makes the swap a drop-in: new batches keep staging
+    * against the compacted seed). */
   def nearDupIngestPipeline(spark: SparkSession, seedDir: String,
       srcTable: String, pairsTable: String, ckptDir: String,
       stageRoot: String)
