@@ -225,6 +225,9 @@ object SimilarityOps {
     val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
     kmeansIndexCache.compute(pathKey, (_, cur) =>
       if (cur == null || cur._1 == stateKey) cur
+      else if (!(cur._3 +: cur._2).forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
+        null // staging purged: clear, next consumer full-rebuilds
       else {
         GraftFunctions.register(spark)
         val d = graft.Scratch.dir("graft-kmeans").resolve("delta").toString
@@ -524,6 +527,9 @@ object SimilarityOps {
     val (pathKey, stateKey) = sqIndexKeys(spark, dir)
     sqIndexCache.compute(pathKey, (_, cur) =>
       if (cur == null || cur._1 == stateKey) cur
+      else if (!(cur._2 +: cur._3).forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
+        null // staging purged: clear, next consumer full-rebuilds
       else {
         val vals = newVecs
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -732,6 +738,9 @@ object SimilarityOps {
     val (pathKey, stateKey) = celledIndexKeys(spark, dir)
     celledReconCache.compute(pathKey, (_, cur) =>
       if (cur == null || cur._1 == stateKey) cur
+      else if (!cur._2.forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
+        null // staging purged: clear, next consumer full-rebuilds
       else {
         GraftFunctions.register(spark)
         val vals = newVecs
