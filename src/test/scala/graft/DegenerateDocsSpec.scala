@@ -121,6 +121,21 @@ class DegenerateDocsSpec extends SparkSpec {
     assert(rows.forall(_._3 >= 1L))
   }
 
+  test("bpe encode: nulls absent, blanks are one empty token, twin docs " +
+      "encode identically with at least one merge applied") {
+    val rows = TextOps.q79BpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 6L, 7L)) // nulls (0,5) absent
+    assert(rows(1L) === ((1L, 0L)), "empty text is one '' token, unmerged")
+    assert(rows(3L) === ((1L, 0L)), "'solo' is one token, unmerged")
+    assert(rows.values.forall { case (n, m) => n >= 1L && m >= 0L && m <= n })
+    // the identical twin docs (9 whitespace tokens each) encode the
+    // same, and the trainer's merges (proven to fire on them above)
+    // shrank the token count
+    assert(rows(6L) === rows(7L))
+    assert(rows(6L)._1 < 9L && rows(6L)._2 >= 1L)
+  }
+
   test("tf-idf ranks only real tokens; blanks contribute nothing meaningful") {
     val terms = TextOps.q35TfidfTerms(spark, dir).collect()
       .map(_.getString(1)).toSet
