@@ -751,9 +751,89 @@ object TextOps {
       |HAVING SUM(((h // 16) % 2) * 2 - 1) <> 0
       |ORDER BY doc_id, dim""".stripMargin
 
+  /** q89 — CURATION FUNNEL: the attribution report every corpus team
+    * ships beside the curated set — each doc is charged to the FIRST
+    * rule that drops it (too_short → lang_excluded → repetitive →
+    * low_quality → kept), and the output is one row per stage with its
+    * casualty count. Rules are the pipeline's own bars, composed: the
+    * q22 length/stopword bars, q38's integer-exact repeated-trigram
+    * test (distinct trigram count via the native `graft_shingles`
+    * cardinality — row-local, no index join needed for a row-local
+    * verdict), and a per-language allowlist; the English stopword bar
+    * fires only on English docs (per-language quality lists are the
+    * production shape — one list per lang slots into the same CASE).
+    *
+    * Shape at 100 TB: verdicts are ONE narrow codegen'd projection —
+    * no joins, no window, nothing leaves the scan stage except 5
+    * (verdict, count) partials into a tiny hash agg. Oracle replays
+    * the same rules; the repetition rule's distinct count uses the
+    * identical 60-bit md5 shingle hash (collisions and all), so the
+    * attribution is bit-stable across engines. */
+  val q89CurationFunnel: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        coalesce(size(tokens(col("text"))), lit(0)).as("n_tokens"),
+        coalesce(size(expr("graft_shingles(text, 3)")), lit(0))
+          .as("n_distinct"),
+        coalesce(size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))), lit(0))
+          .as("stop_hits"))
+    d.select(
+        when(col("n_tokens") < 30, "too_short")
+          .when(!col("lang").isin("en", "de", "es", "fr"), "lang_excluded")
+          .when((col("n_tokens") - 2 - col("n_distinct")) * 50 >
+            col("n_tokens") - 2, "repetitive")
+          .when(col("lang") === "en" &&
+            round(col("stop_hits") / col("n_tokens"), 4) < 0.05,
+            "low_quality")
+          .otherwise("kept").as("verdict"))
+      .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
+      .select(
+        when(col("verdict") === "too_short", 1)
+          .when(col("verdict") === "lang_excluded", 2)
+          .when(col("verdict") === "repetitive", 3)
+          .when(col("verdict") === "low_quality", 4)
+          .otherwise(5).as("stage"),
+        col("verdict"), col("n_docs"))
+      .orderBy("stage")
+  }
+
+  val q89Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    COALESCE(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')), 0)
+      |      AS n_tokens,
+      |    COALESCE(LEN(regexp_extract_all(LOWER(text),
+      |      '\b(the|a|of|and|to|in|is)\b')), 0) AS stop_hits
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, COUNT(DISTINCT
+      |      ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]), 1, 15))::BIGINT)
+      |    AS n_distinct
+      |  FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |        FROM documents),
+      |       UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)
+      |  GROUP BY doc_id),
+      |v AS (
+      |  SELECT CASE
+      |      WHEN n_tokens < 30 THEN 'too_short'
+      |      WHEN lang NOT IN ('en','de','es','fr') THEN 'lang_excluded'
+      |      WHEN (n_tokens - 2 - COALESCE(n_distinct, 0)) * 50 > n_tokens - 2
+      |        THEN 'repetitive'
+      |      WHEN lang = 'en' AND ROUND(stop_hits / n_tokens, 4) < 0.05
+      |        THEN 'low_quality'
+      |      ELSE 'kept' END AS verdict
+      |  FROM base LEFT JOIN sh USING (doc_id))
+      |SELECT CASE verdict WHEN 'too_short' THEN 1 WHEN 'lang_excluded' THEN 2
+      |    WHEN 'repetitive' THEN 3 WHEN 'low_quality' THEN 4 ELSE 5 END AS stage,
+      |  verdict, COUNT(*) AS n_docs
+      |FROM v GROUP BY verdict ORDER BY stage""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q76_bpe_trainer" -> q76BpeTrainer,
     "q79_bpe_encode" -> q79BpeEncode,
+    "q89_curation_funnel" -> q89CurationFunnel,
     "q48_vocab_induction" -> q48VocabInduction,
     "q49_feature_hashing" -> q49FeatureHashing,
     "q37_pii_scrub" -> q37PiiScrub,
@@ -772,6 +852,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q76_bpe_trainer" -> q76Oracle,
     "q79_bpe_encode" -> q79Oracle,
+    "q89_curation_funnel" -> q89Oracle,
     "q48_vocab_induction" -> q48Oracle,
     "q49_feature_hashing" -> q49Oracle,
     "q37_pii_scrub" -> q37Oracle,

@@ -41,7 +41,8 @@ class PlanSpec extends SparkSpec {
       "q32_minhash_lsh" -> DedupOps.queries("q32_minhash_lsh"),
       "q33_simhash" -> DedupOps.queries("q33_simhash"),
       "q43_cell_neardup" -> SimilarityOps.queries("q43_cell_neardup"),
-      "q45_hyperplane_lsh" -> SimilarityOps.queries("q45_hyperplane_lsh"))
+      "q45_hyperplane_lsh" -> SimilarityOps.queries("q45_hyperplane_lsh"),
+      "q89_curation_funnel" -> graft.operators.TextOps.queries("q89_curation_funnel"))
     for ((name, q) <- hot) {
       val p = plan(q(spark, sf))
       val fb = fallbacks(p)
