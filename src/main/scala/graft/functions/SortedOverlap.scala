@@ -48,8 +48,10 @@ case class SortedOverlap(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_overlap"
 
   /** Does either input's static type admit null elements? Only then do
-    * the loops pay a per-element null check. */
-  private def mayHaveNullElems: Boolean =
+    * the loops pay a per-element null check. Constant for the
+    * expression's lifetime — lazy val so the interpreted path doesn't
+    * re-derive it per evaluated row. */
+  private lazy val mayHaveNullElems: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, cn) => cn
       case _ => false

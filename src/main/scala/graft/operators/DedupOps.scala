@@ -103,7 +103,7 @@ object DedupOps {
     * incrementally invalidates and full-rebuilds; a purged/missing
     * staging dir rebuilds. */
   private val shingleIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[String])]
+    String, (String, Seq[String], Long)] // state, dirs, nDocs
 
   /** (corpus identity key, corpus state key) — state adds the mtime. */
   private def shingleIndexKeys(spark: SparkSession, dir: String,
@@ -118,11 +118,11 @@ object DedupOps {
   private[graft] def stagedShingleArrays(spark: SparkSession, dir: String,
       gramN: Int = 3): DataFrame = {
     val (pathKey, stateKey) = shingleIndexKeys(spark, dir, gramN)
-    def build(): (String, Seq[String]) = {
+    def build(): (String, Seq[String], Long) = {
       val t = graft.Scratch.dir("graft-shingles").resolve("sh").toString
       shingleArrays(Tables.load(spark, dir, "documents"), gramN)
         .write.parquet(t)
-      (stateKey, Seq(t))
+      (stateKey, Seq(t), Tables.load(spark, dir, "documents").count())
     }
     val entry = shingleIndexCache.compute(pathKey, (_, cur) =>
       if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
@@ -138,17 +138,35 @@ object DedupOps {
     * corpus's new mtime state. The existing staged files are reused
     * byte-for-byte — DedupSpec asserts their paths and mtimes are
     * untouched while every index consumer (q31/q32/q34/q38) sees the
-    * combined corpus. No-op when nothing was staged yet (the next
-    * consumer full-builds) or the index is already current. */
+    * combined corpus.
+    *
+    * `newDocs` must be exactly the rows appended since the index's
+    * registered state; every registration is RECONCILED by row count
+    * (registered + batch == corpus), and any mismatch — a multi-batch
+    * gap, a same-mtime change, purged staging — clears the entry so
+    * the next consumer full-rebuilds: never a silent drop. No-op when
+    * nothing was staged yet or the index is already current for a
+    * count-consistent corpus. */
   def refreshShingleIndex(spark: SparkSession, dir: String,
       newDocs: DataFrame, gramN: Int = 3): Unit = {
     val (pathKey, stateKey) = shingleIndexKeys(spark, dir, gramN)
     shingleIndexCache.compute(pathKey, (_, cur) =>
-      if (cur == null || cur._1 == stateKey) cur
+      if (cur == null) cur
+      else if (!cur._2.forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
+        null // staging purged: clear, next consumer full-rebuilds
       else {
-        val d = graft.Scratch.dir("graft-shingles").resolve("delta").toString
-        shingleArrays(newDocs, gramN).write.parquet(d)
-        (stateKey, cur._2 :+ d)
+        val curN = Tables.load(spark, dir, "documents").count()
+        if (cur._1 == stateKey) {
+          if (cur._3 == curN) cur // replay / already current
+          else null // corpus changed without an mtime advance: rebuild
+        } else if (cur._3 + newDocs.count() != curN) {
+          null // unregistered appends beyond this batch: rebuild
+        } else {
+          val d = graft.Scratch.dir("graft-shingles").resolve("delta").toString
+          shingleArrays(newDocs, gramN).write.parquet(d)
+          (stateKey, cur._2 :+ d, curN)
+        }
       })
     ()
   }
@@ -734,7 +752,7 @@ object DedupOps {
   private def stagedDeconGrams(spark: SparkSession, dir: String): DataFrame = {
     val (pathKey0, stateKey0) = shingleIndexKeys(spark, dir, 5)
     val (pathKey, stateKey) = (pathKey0 + ":src", stateKey0 + ":src")
-    def build(): (String, Seq[String]) = {
+    def build(): (String, Seq[String], Long) = {
       graft.functions.GraftFunctions.register(spark)
       val t = graft.Scratch.dir("graft-decon").resolve("g").toString
       // native 5-gram shingler (already distinct per doc) exploded to
@@ -746,7 +764,7 @@ object DedupOps {
         .select(col("doc_id"), col("source"),
           explode(expr("graft_shingles(text, 5)")).as("shingle"))
         .write.parquet(t)
-      (stateKey, Seq(t))
+      (stateKey, Seq(t), Tables.load(spark, dir, "documents").count())
     }
     val entry = shingleIndexCache.compute(pathKey, (_, cur) =>
       if (cur != null && cur._1 == stateKey && cur._2.forall(d =>

@@ -167,7 +167,7 @@ object SimilarityOps {
     * are trained once and served; re-clustering would invalidate every
     * cell id already handed out). */
   private val kmeansIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[String], String)]
+    String, (String, Seq[String], String, Long)] // state, assigns, cent, nVecs
 
   private def kmeansIndexKeys(spark: SparkSession, dir: String, k: Int,
       iters: Int): (String, String) = {
@@ -179,16 +179,17 @@ object SimilarityOps {
   }
 
   private def kmeansIndexEntry(spark: SparkSession, dir: String, k: Int,
-      iters: Int): (String, Seq[String], String) = {
+      iters: Int): (String, Seq[String], String, Long) = {
     val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
-    def build(): (String, Seq[String], String) = {
+    def build(): (String, Seq[String], String, Long) = {
       val base = graft.Scratch.dir("graft-kmeans")
       val aDir = base.resolve("assign").toString
       val cDir = base.resolve("cent").toString
       val (assign, cent) = kmeans(Tables.load(spark, dir, "embeddings"), k, iters)
       assign.write.parquet(aDir)
       cent.write.parquet(cDir)
-      (stateKey, Seq(aDir), cDir)
+      (stateKey, Seq(aDir), cDir,
+        Tables.load(spark, dir, "embeddings").count())
     }
     kmeansIndexCache.compute(pathKey, (_, cur) =>
       if (cur != null && cur._1 == stateKey &&
@@ -218,24 +219,36 @@ object SimilarityOps {
     * [[refreshSqIndex]]: after `newVecs` were appended to the corpus,
     * assign ONLY the new vectors to the FROZEN centroids (cell ids
     * already served stay valid; the coarse quantizer never retrains)
-    * into a delta dir registered under the new corpus state. No-op
-    * when nothing was staged yet or the index is already current. */
+    * into a delta dir registered under the new corpus state. Same
+    * contract as [[refreshSqIndex]]: every registration is reconciled
+    * by row count; mismatches clear the entry for a full rebuild —
+    * never a silent drop. Returns the delta dir iff one was
+    * registered. */
   def refreshIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
-      k: Int = IvfK, iters: Int = IvfIters): Unit = {
+      k: Int = IvfK, iters: Int = IvfIters): Option[String] = {
     val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
+    var delta: Option[String] = None
     kmeansIndexCache.compute(pathKey, (_, cur) =>
-      if (cur == null || cur._1 == stateKey) cur
+      if (cur == null) cur
       else if (!(cur._3 +: cur._2).forall(d =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
         null // staging purged: clear, next consumer full-rebuilds
       else {
-        GraftFunctions.register(spark)
-        val d = graft.Scratch.dir("graft-kmeans").resolve("delta").toString
-        assignToFrozen(newVecs.select(col("vec_id"), col("embedding")),
-          spark.read.parquet(cur._3)).write.parquet(d)
-        (stateKey, cur._2 :+ d, cur._3)
+        val curN = Tables.load(spark, dir, "embeddings").count()
+        if (cur._1 == stateKey) {
+          if (cur._4 == curN) cur else null
+        } else if (cur._4 + newVecs.count() != curN) {
+          null
+        } else {
+          GraftFunctions.register(spark)
+          val d = graft.Scratch.dir("graft-kmeans").resolve("delta").toString
+          assignToFrozen(newVecs.select(col("vec_id"), col("embedding")),
+            spark.read.parquet(cur._3)).write.parquet(d)
+          delta = Some(d)
+          (stateKey, cur._2 :+ d, cur._3, curN)
+        }
       })
-    ()
+    delta
   }
 
   /** Multi-probe width for q43. 4 probes of 16 cells recovers every
@@ -454,7 +467,7 @@ object SimilarityOps {
     * serving. A corpus mtime change not registered incrementally
     * invalidates and full-rebuilds; a purged staging dir rebuilds. */
   private val sqIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, Seq[String])]
+    String, (String, String, Seq[String], Long)] // state, stats, dirs, nVecs
 
   /** (corpus identity key, corpus state key) — state adds the mtime. */
   private def sqIndexKeys(spark: SparkSession, dir: String): (String, String) = {
@@ -482,9 +495,9 @@ object SimilarityOps {
           * (col("dmax") - col("dmin")) / lit(255.0)).as("r"))
 
   private def sqIndexEntry(spark: SparkSession,
-      dir: String): (String, String, Seq[String]) = {
+      dir: String): (String, String, Seq[String], Long) = {
     val (pathKey, stateKey) = sqIndexKeys(spark, dir)
-    def build(): (String, String, Seq[String]) = {
+    def build(): (String, String, Seq[String], Long) = {
       val base = graft.Scratch.dir("graft-sq")
       val statsDir = base.resolve("stats").toString
       explodedVals(spark, dir).groupBy("pos")
@@ -493,7 +506,8 @@ object SimilarityOps {
       val t = base.resolve("r").toString
       quantizeWith(explodedVals(spark, dir), spark.read.parquet(statsDir))
         .write.parquet(t)
-      (stateKey, statsDir, Seq(t))
+      (stateKey, statsDir, Seq(t),
+        Tables.load(spark, dir, "embeddings").count())
     }
     sqIndexCache.compute(pathKey, (_, cur) =>
       if (cur != null && cur._1 == stateKey &&
@@ -519,26 +533,45 @@ object SimilarityOps {
     * under the corpus's new mtime state. The existing code files are
     * reused byte-for-byte and the codebook never rescales — appended
     * values outside a frozen dimension range saturate at the range
-    * edge (SimilaritySpec pins both properties). No-op when nothing
-    * was staged yet (the next consumer full-builds, with stats over
-    * the combined corpus) or the index is already current. */
+    * edge (SimilaritySpec pins both properties).
+    *
+    * `newVecs` must be exactly the rows appended since the index's
+    * registered state, and every registration is RECONCILED by row
+    * count (registered + batch == corpus): a multi-batch gap, a
+    * replayed mtime, or any other mismatch clears the entry so the
+    * next consumer full-rebuilds with combined-corpus parameters —
+    * never a silent drop. No-op when nothing was staged yet or the
+    * index is already current for a count-consistent corpus. Returns
+    * the staged delta dir when (and only when) a delta was
+    * registered. */
   def refreshSqIndex(spark: SparkSession, dir: String,
-      newVecs: DataFrame): Unit = {
+      newVecs: DataFrame): Option[String] = {
     val (pathKey, stateKey) = sqIndexKeys(spark, dir)
+    var delta: Option[String] = None
     sqIndexCache.compute(pathKey, (_, cur) =>
-      if (cur == null || cur._1 == stateKey) cur
+      if (cur == null) cur
       else if (!(cur._2 +: cur._3).forall(d =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
         null // staging purged: clear, next consumer full-rebuilds
       else {
-        val vals = newVecs
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
-        val d = graft.Scratch.dir("graft-sq").resolve("delta").toString
-        quantizeWith(vals, spark.read.parquet(cur._2)).write.parquet(d)
-        (stateKey, cur._2, cur._3 :+ d)
+        val curN = Tables.load(spark, dir, "embeddings").count()
+        if (cur._1 == stateKey) {
+          if (cur._4 == curN) cur // replay / already current
+          else null // corpus changed without an mtime advance: rebuild
+        } else if (cur._4 + newVecs.count() != curN) {
+          null // unregistered appends beyond this batch: rebuild
+        } else {
+          val vals = newVecs
+            .select(col("vec_id"),
+              posexplode(col("embedding")).as(Seq("pos", "v")))
+            .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+          val d = graft.Scratch.dir("graft-sq").resolve("delta").toString
+          quantizeWith(vals, spark.read.parquet(cur._2)).write.parquet(d)
+          delta = Some(d)
+          (stateKey, cur._2, cur._3 :+ d, curN)
+        }
       })
-    ()
+    delta
   }
 
   val q46SqAnn: Q = (spark, dir) => {
@@ -690,7 +723,7 @@ object SimilarityOps {
     * so a probed-cell filter prunes at the FILE level (PlanSpec
     * asserts PartitionFilters on the scan). */
   private val celledReconCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[String])]
+    String, (String, Seq[String], Long)] // state, roots, nVecs
 
   private def celledIndexKeys(spark: SparkSession, dir: String)
       : (String, String) = {
@@ -707,13 +740,13 @@ object SimilarityOps {
     * PartitionFilters — the q77 file-level pruning survives deltas. */
   private[graft] def stagedCelledRecon(spark: SparkSession, dir: String): DataFrame = {
     val (pathKey, stateKey) = celledIndexKeys(spark, dir)
-    def build(): (String, Seq[String]) = {
+    def build(): (String, Seq[String], Long) = {
       val recon = stagedSqRecon(spark, dir)
       val (assign, _) = stagedKmeans(spark, dir, IvfK, IvfIters)
       val t = graft.Scratch.dir("graft-ivfsq").resolve("c").toString
       recon.join(assign, "vec_id")
         .write.partitionBy("cell").parquet(t)
-      (stateKey, Seq(t))
+      (stateKey, Seq(t), Tables.load(spark, dir, "embeddings").count())
     }
     val entry = celledReconCache.compute(pathKey, (_, cur) =>
       if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
@@ -724,35 +757,41 @@ object SimilarityOps {
 
   /** Incremental refresh of the COMPOSED serving index — the full
     * vector-append workflow in one call: bring the SQ8 codes and the
-    * IVF assignment current first (each a frozen-parameter delta,
-    * no-ops if already refreshed), then stage the batch's (codes ×
-    * cell) rows as one more cell-partitioned root. Existing roots are
-    * reused byte-for-byte; the scale params and centroids stay frozen,
-    * so every previously served code and cell id remains valid — the
-    * production contract for updating a live ANN index. q77 serves
-    * old ∪ new immediately after. */
+    * IVF assignment current first (frozen-parameter deltas), then
+    * stage the batch's (codes × cell) rows as one more
+    * cell-partitioned root by JOINING the two delta dirs the inner
+    * refreshes just wrote — the batch is never re-quantized or
+    * re-assigned here. Existing roots are reused byte-for-byte; scale
+    * params and centroids stay frozen, so every previously served
+    * code and cell id remains valid — the production contract for
+    * updating a live ANN index. q77 serves old ∪ new immediately
+    * after. The composition registers ONLY when both inner refreshes
+    * freshly staged a delta; a replay no-ops, and any inconsistency
+    * (count mismatch, purged staging, an inner rebuild) clears the
+    * entry so the next consumer recomposes from the then-current
+    * codes and assignment — never a silent drop. */
   def refreshCelledIndex(spark: SparkSession, dir: String,
       newVecs: DataFrame): Unit = {
-    refreshSqIndex(spark, dir, newVecs)
-    refreshIvfIndex(spark, dir, newVecs)
+    val sqDelta = refreshSqIndex(spark, dir, newVecs)
+    val ivfDelta = refreshIvfIndex(spark, dir, newVecs)
     val (pathKey, stateKey) = celledIndexKeys(spark, dir)
     celledReconCache.compute(pathKey, (_, cur) =>
-      if (cur == null || cur._1 == stateKey) cur
+      if (cur == null) cur
       else if (!cur._2.forall(d =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
         null // staging purged: clear, next consumer full-rebuilds
-      else {
-        GraftFunctions.register(spark)
-        val vals = newVecs
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
-        val codes = quantizeWith(vals, stagedSqStats(spark, dir))
-        val assign = assignToFrozen(
-          newVecs.select(col("vec_id"), col("embedding")),
-          spark.read.parquet(kmeansIndexEntry(spark, dir, IvfK, IvfIters)._3))
+      else if (cur._1 == stateKey) {
+        if (cur._3 == Tables.load(spark, dir, "embeddings").count()) cur
+        else null // corpus changed without an mtime advance: rebuild
+      } else if (sqDelta.isEmpty || ivfDelta.isEmpty) {
+        null // inner refresh no-op'd or rebuilt: recompose from current
+      } else {
         val d = graft.Scratch.dir("graft-ivfsq").resolve("delta").toString
-        codes.join(assign, "vec_id").write.partitionBy("cell").parquet(d)
-        (stateKey, cur._2 :+ d)
+        spark.read.parquet(sqDelta.get)
+          .join(spark.read.parquet(ivfDelta.get), "vec_id")
+          .write.partitionBy("cell").parquet(d)
+        (stateKey, cur._2 :+ d,
+          Tables.load(spark, dir, "embeddings").count())
       })
     ()
   }

@@ -516,21 +516,24 @@ object TextOps {
     * APPLIED corpus-wide: the 10-round trainer loop runs once and both
     * the merge-table query (q76) and the encode query (q79) serve from
     * the staged result. */
-  private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String)] // stateKey, mergesDir, toksDir
 
   private def stagedBpe(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val key = System.identityHashCode(spark) + ":bpe:" + src.toAbsolutePath +
-      ":" + java.nio.file.Files.getLastModifiedTime(src).toMillis
-    var t = bpeCache.computeIfAbsent(key, _ => trainBpe(spark, dir))
-    if (!Seq(t._1, t._2).forall(d =>
-        java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) {
-      bpeCache.remove(key)
-      t = bpeCache.computeIfAbsent(key, _ => trainBpe(spark, dir))
-    }
-    (spark.read.parquet(t._1), spark.read.parquet(t._2))
+    val pathKey = System.identityHashCode(spark) + ":bpe:" + src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    // pathKey-keyed atomic compute (the sqIndexEntry idiom): a corpus
+    // mtime change replaces the entry in place instead of leaking the
+    // old one, and concurrent q76/q79 callers can't race the trainer
+    val entry = bpeCache.compute(pathKey, (_, cur) =>
+      if (cur != null && cur._1 == stateKey &&
+          Seq(cur._2, cur._3).forall(d =>
+            java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
+      else { val (m, t) = trainBpe(spark, dir); (stateKey, m, t) })
+    (spark.read.parquet(entry._2), spark.read.parquet(entry._3))
   }
 
   /** Runs the trainer loop and stages (merges dir, final-tokens dir). */

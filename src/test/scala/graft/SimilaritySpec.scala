@@ -196,6 +196,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental SQ8: a multi-batch gap is detected by count " +
+      "reconciliation and degrades to a full rebuild — no silent drop") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val dir = JF.createTempDirectory("graft-sqgap").toString
+    Seq((0L, Array(0.0f, 0.0f), 0), (1L, Array(10.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val files1 = SimilarityOps.stagedSqRecon(spark, dir).inputFiles.toSet
+    // two appends land before anyone refreshes; batch B's dim-0 value
+    // 20.0 exceeds the frozen range
+    val batchA = Seq((100L, Array(5.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val batchB = Seq((200L, Array(20.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    batchA.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    batchB.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val p = JP.get(s"$dir/embeddings.parquet")
+    JF.setLastModifiedTime(p, FileTime.fromMillis(
+      JF.getLastModifiedTime(p).toMillis + 1500))
+    // refreshing batch A alone cannot account for B: the registration
+    // must be refused (no delta staged), not silently claimed current
+    assert(SimilarityOps.refreshSqIndex(spark, dir, batchA).isEmpty,
+      "a count-inconsistent refresh must not register a delta")
+    // the next consumer full-rebuilds over ALL four vectors with a
+    // fresh codebook — B's 20.0 is now inside the range, not saturated
+    val idx = SimilarityOps.stagedSqRecon(spark, dir)
+    assert(idx.select("vec_id").distinct().count() === 4,
+      "the rebuilt index must contain every appended vector")
+    assert(idx.inputFiles.toSet.intersect(files1).isEmpty,
+      "a rebuild must not mix old-codebook files into the new index")
+    val stats = SimilarityOps.stagedSqStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(stats(0) === 20.0, "the rebuild re-derives stats over the " +
+      "combined corpus (a frozen-codebook delta would have kept 10.0)")
+  }
+
   test("incremental IVF x SQ8: appended vectors join the serving index under " +
       "frozen centroids and codebook; existing roots byte-untouched") {
     import java.nio.file.{Files => JF, Paths => JP}

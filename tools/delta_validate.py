@@ -75,8 +75,6 @@ class Replay:
                 if p is None:
                     self.problems.append(f"v{v}: add without path")
                     continue
-                if p in removes_v:
-                    self.problems.append(f"v{v}: {p} added and removed in one version")
                 adds_v.add(p)
                 if "stats" in f and f["stats"] is not None:
                     try:
@@ -122,6 +120,10 @@ class Replay:
                 self.problems.append(f"v{v}: unknown action {list(a.keys())}")
         if n_meta > 1:
             self.problems.append(f"v{v}: {n_meta} metaData actions in one commit")
+        # order-independent: an add and a remove of the same path in one
+        # version is invalid whichever action the writer emitted first
+        for p in sorted(adds_v & removes_v):
+            self.problems.append(f"v{v}: {p} added and removed in one version")
 
 
 def checkpoint_parquet_actions(path):
