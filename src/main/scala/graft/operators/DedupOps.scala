@@ -185,16 +185,21 @@ object DedupOps {
     * Inputs are distinct sets, so the intersect size IS |A ∩ B|. */
   private def jaccardFor(cand: DataFrame, arrays: DataFrame): DataFrame =
     cand
-      // the array index is |docs| × ~50 shingle hashes (MBs at sf0.1;
-      // per-PARTITION of docs at cluster scale it stays bounded) →
-      // broadcast both sides of the verify join: candidates stream
-      // through map-side, no shuffle of array payloads at all.
+      // the array index is |docs| × ~50 shingle hashes (MBs at sf0.1)
+      // → broadcast both sides of the verify join while the size
+      // estimate stays under Hints.BroadcastCap: candidates stream
+      // through map-side, no shuffle of array payloads at all. Past
+      // the cap the hint vanishes and the verify shuffles on doc id —
+      // the scalable shape (round 6 shipped the hint unconditionally;
+      // flagged as part of the last scale-killer family).
       // Overlap via the native graft_sorted_overlap two-pointer merge
       // (the shingler emits ascending arrays for exactly this): the
       // built-in array_intersect builds a hash set PER candidate pair
       // — measured 5.5 s of q31's sf0.1 runtime, its largest stage.
-      .join(broadcast(arrays.as("x")), col("doc_a") === col("x.doc_id"))
-      .join(broadcast(arrays.as("y")), col("doc_b") === col("y.doc_id"))
+      .join(Hints.broadcastIfSmall(arrays.as("x")),
+        col("doc_a") === col("x.doc_id"))
+      .join(Hints.broadcastIfSmall(arrays.as("y")),
+        col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         expr("graft_sorted_overlap(x.sarr, y.sarr)").as("inter"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))

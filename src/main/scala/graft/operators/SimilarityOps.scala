@@ -337,9 +337,15 @@ object SimilarityOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct() // a pair can share up to 4 cells
+    // verify: fetch both sides' vectors by id. Size-conditioned hint
+    // (Hints.broadcastIfSmall): at sf0.1 the 780 KiB embedding table
+    // broadcasts and candidates stream map-side; past the cap the
+    // verify degrades to a shuffle on the id keys instead of forcing
+    // a corpus-sized broadcast (the round-6 scale-killer flag).
     val x = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val y = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    cand.join(broadcast(x), "id_a").join(broadcast(y), "id_b")
+    cand.join(Hints.broadcastIfSmall(x), "id_a")
+      .join(Hints.broadcastIfSmall(y), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine("va", "vb"), 4).as("cosine"))
       .filter(col("cosine") >= 0.45)
@@ -621,28 +627,20 @@ object SimilarityOps {
       |SELECT query_id, neighbor_id, cosine_sq, rank FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** q47 — TWO-STAGE RETRIEVAL: the production serving pipeline in one
-    * plan — a cheap compressed-domain SHORTLIST (q46's SQ8 search,
-    * widened to 20 candidates) feeds an exact-cosine RE-RANK that
-    * emits the final top-10. At scale the stages touch different
-    * storage tiers: stage 1 scans only the 4×-compressed codes table,
-    * stage 2 fetches full vectors for |queries|×20 rows — a broadcast
-    * lookup join, never a corpus scan. Both stages are deterministic,
-    * so unlike IVF-backed pipelines the END-TO-END result (including
-    * which candidates survive the shortlist cut) is DuckDB
-    * hash-verified. Re-rank uses the native codegen'd cosine
-    * Expression; its left-to-right fold is replayed by the oracle's
-    * ordered SUMs, bit-for-bit. */
-  val q47RerankedAnn: Q = (spark, dir) => {
+  /** q47's stage 1 as a standalone relation — q46's fused SQ8 search
+    * widened to a top-20 (query_id, neighbor_id) shortlist. Kept
+    * declarative (and separately plan-guarded in PlanSpec: ONE fused
+    * dot+norms aggregate, query rows broadcast) because the re-rank
+    * stage consumes it through a driver-side collect. */
+  private[graft] def sqShortlist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
-    val e = Tables.load(spark, dir, "embeddings")
     val recon = stagedSqRecon(spark, dir) // shared with q46
     val qrows = explodedVals(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("cosine_sq").desc, col("neighbor_id"))
-    val shortlist = recon.join(broadcast(qrows), "pos")
+    recon.join(broadcast(qrows), "pos")
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("qv") * col("r")).as("dot"),
@@ -654,14 +652,38 @@ object SimilarityOps {
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= 20)
       .select("query_id", "neighbor_id")
-    // stage 2: fetch full vectors for the shortlist only, exact cosine
-    val qv = e.filter(col("vec_id") < 5)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist —
+    * stage 2 of q47 and stage 3 of q77. The shortlist is COLLECTED
+    * (bounded at |queries| × 20 rows by the srank cut, the same
+    * scalar-traffic license as q77's |queries|×5 probe pairs) and the
+    * full vectors for both sides are fetched through literal
+    * `vec_id IN (…)` filters that PUSH INTO the embeddings parquet
+    * scan — PlanSpec asserts the PushedFilters — so the re-rank reads
+    * the shortlist rows' row groups, never the corpus. Round 6 instead
+    * broadcast the UNFILTERED corpus table here (flagged as a forced
+    * OOM at 100×); a semi-join build side was considered and rejected:
+    * OSS Spark does not push a dynamic semi-join filter into parquet
+    * row groups, so it would still scan the corpus map-side. The
+    * collected id list is what makes the scaladoc's "|q|×20 fetches"
+    * literally true. */
+  private def exactRerank(spark: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val pairs = shortlist.select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairsDf = pairs.toDF("query_id", "neighbor_id")
+    val qv = e.filter(col("vec_id").isin(pairs.map(_._1).distinct: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qfull"))
-    val nv = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nfull"))
+    val nv = e.filter(col("vec_id").isin(pairs.map(_._2).distinct: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nfull"))
     val wFinal = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist
+    pairsDf
       .join(broadcast(qv), "query_id")
       .join(broadcast(nv), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -670,6 +692,21 @@ object SimilarityOps {
       .filter(col("rank") <= 10)
       .orderBy("query_id", "rank")
   }
+
+  /** q47 — TWO-STAGE RETRIEVAL: the production serving pipeline —
+    * a cheap compressed-domain SHORTLIST (q46's SQ8 search, widened
+    * to 20 candidates) feeds an exact-cosine RE-RANK that emits the
+    * final top-10. At scale the stages touch different storage tiers:
+    * stage 1 scans only the 4×-compressed codes table, stage 2
+    * fetches full vectors for exactly the |queries|×20 shortlist ids
+    * via pushed-down IN filters ([[exactRerank]]) — never a corpus
+    * scan. Both stages are deterministic, so unlike IVF-backed
+    * pipelines the END-TO-END result (including which candidates
+    * survive the shortlist cut) is DuckDB hash-verified. Re-rank uses
+    * the native codegen'd cosine Expression; its left-to-right fold
+    * is replayed by the oracle's ordered SUMs, bit-for-bit. */
+  val q47RerankedAnn: Q = (spark, dir) =>
+    exactRerank(spark, dir, sqShortlist(spark, dir))
 
   val q47Oracle: String =
     """WITH v AS (
@@ -786,12 +823,21 @@ object SimilarityOps {
       } else if (sqDelta.isEmpty || ivfDelta.isEmpty) {
         null // inner refresh no-op'd or rebuilt: recompose from current
       } else {
-        val d = graft.Scratch.dir("graft-ivfsq").resolve("delta").toString
-        spark.read.parquet(sqDelta.get)
-          .join(spark.read.parquet(ivfDelta.get), "vec_id")
-          .write.partitionBy("cell").parquet(d)
-        (stateKey, cur._2 :+ d,
-          Tables.load(spark, dir, "embeddings").count())
+        val curN = Tables.load(spark, dir, "embeddings").count()
+        if (cur._3 + newVecs.count() != curN) {
+          // the celled entry lags the inner indexes (e.g. an earlier
+          // batch refreshed them directly): registering only THIS
+          // batch's delta would silently drop the gap while passing
+          // every later count check — clear and recompose instead,
+          // mirroring the inner refreshes' reconciliation
+          null
+        } else {
+          val d = graft.Scratch.dir("graft-ivfsq").resolve("delta").toString
+          spark.read.parquet(sqDelta.get)
+            .join(spark.read.parquet(ivfDelta.get), "vec_id")
+            .write.partitionBy("cell").parquet(d)
+          (stateKey, cur._2 :+ d, curN)
+        }
       })
     ()
   }
@@ -810,7 +856,12 @@ object SimilarityOps {
     * so the driver records a rows-only check; SimilaritySpec bounds
     * recall against exact q40 (>= q46's own recall on the clustered
     * fixture) and PlanSpec pins the cell-pruned scan shape. */
-  val q77IvfSqAnn: Q = (spark, dir) => {
+  /** q77's stages 1–2 as a standalone relation: the |Q|×5 probe
+    * collect, then q46's fused SQ8 agg over ONLY the probed cells'
+    * code files (cell-pruned at the parquet-partition level —
+    * PlanSpec asserts the PartitionFilters on this relation), cut to
+    * a top-20 (query_id, neighbor_id) shortlist. */
+  private[graft] def ivfSqShortlist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
@@ -836,7 +887,7 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("cosine_sq").desc, col("neighbor_id"))
-    val shortlist = celled
+    celled
       .join(broadcast(probeDf), "cell")
       .join(broadcast(qrows), Seq("query_id", "pos"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -850,22 +901,12 @@ object SimilarityOps {
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= 20)
       .select("query_id", "neighbor_id")
-    // stage 3: exact re-rank of the shortlist (q47's stage 2)
-    val qv = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qfull"))
-    val nv = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nfull"))
-    val wFinal = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist
-      .join(broadcast(qv), "query_id")
-      .join(broadcast(nv), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine("qfull", "nfull"), 4).as("cosine"))
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= 10)
-      .orderBy("query_id", "rank")
   }
+
+  val q77IvfSqAnn: Q = (spark, dir) =>
+    // stage 3: exact re-rank of the shortlist (q47's stage 2) —
+    // id-pushed full-vector fetches, never a corpus scan
+    exactRerank(spark, dir, ivfSqShortlist(spark, dir))
 
   /** q78 — INCREMENTAL SQ8 ANN: the vector-side append workflow, the
     * twin of q75's incremental dedup — search an appended batch WITH

@@ -138,9 +138,16 @@ class PlanSpec extends SparkSpec {
   test("q46/q47: ONE fused dot+norms aggregate, query rows broadcast") {
     // the whole point of the fused agg is a single corpus pass for
     // dot AND both norms — a refactor that re-derives norms in a
-    // second aggregate doubles the dominant scan
-    for (name <- Seq("q46_sq_ann", "q47_reranked_ann", "q78_incremental_sq8")) {
-      val df = SimilarityOps.queries(name)(spark, sf)
+    // second aggregate doubles the dominant scan. q47's shortlist
+    // stage is tested directly: the full query consumes it through
+    // the re-rank's driver-side collect, so its aggs never appear in
+    // the returned plan.
+    val staged = Seq(
+      "q46_sq_ann" -> SimilarityOps.queries("q46_sq_ann")(spark, sf),
+      "q47 shortlist stage" -> SimilarityOps.sqShortlist(spark, sf),
+      "q78_incremental_sq8" ->
+        SimilarityOps.queries("q78_incremental_sq8")(spark, sf))
+    for ((name, df) <- staged) {
       val p = plan(df)
       val aggs = p.collect {
         case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
@@ -160,11 +167,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q77: the codes scan is cell-pruned at the partition level") {
-    val ex = explainStr(SimilarityOps.queries("q77_ivf_sq_ann")(spark, sf))
+    // the shortlist stage owns the codes scan; the full query consumes
+    // it through the re-rank collect, so assert on the stage relation
+    val ex = explainStr(SimilarityOps.ivfSqShortlist(spark, sf))
     val pf = "PartitionFilters: \\[[^\\]]*cell".r
     assert(pf.findFirstIn(ex).isDefined,
       s"the probed-cell filter must prune the cell-partitioned codes " +
         s"table at the file level:\n$ex")
+  }
+
+  test("q47/q77 re-rank: full-vector fetch is shortlist-id-pushed, not a corpus scan") {
+    // round 6 broadcast the UNFILTERED embeddings table as the re-rank
+    // build side — a forced OOM at 100× corpus scale. The fix fetches
+    // by collected shortlist ids; both the query-side and the
+    // neighbor-side embedding scans must carry a pushed IN(vec_id …)
+    // filter so parquet row-group pruning makes the fetch an id lookup.
+    for (name <- Seq("q47_reranked_ann", "q77_ivf_sq_ann")) {
+      val ex = explainStr(SimilarityOps.queries(name)(spark, sf))
+      val pushed = "PushedFilters: \\[[^\\]]*vec_id".r
+      assert(pushed.findAllIn(ex).size >= 2,
+        s"$name: both re-rank embedding fetches must push their " +
+          s"shortlist-id filter into the scan:\n$ex")
+    }
   }
 
   test("q83 substrate: the change feed scans only the changed versions' files") {

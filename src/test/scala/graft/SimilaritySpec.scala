@@ -283,8 +283,10 @@ class SimilaritySpec extends SparkSpec {
     assert(after.exists(r => r.getLong(0) === 0L && r.getLong(1) === 900L),
       "q77 must return the appended near-copy among query 0's neighbors")
     // 6. file-level pruning survives the delta: the probed-cell filter
-    // reaches the PartitionFilters of EVERY celled root's scan
-    val ex = SimilarityOps.q77IvfSqAnn(spark, dir).queryExecution
+    // reaches the PartitionFilters of EVERY celled root's scan (the
+    // shortlist stage owns the codes scan — the full query consumes it
+    // through the re-rank collect, so assert on the stage relation)
+    val ex = SimilarityOps.ivfSqShortlist(spark, dir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(ex).length
     assert(pruned >= 2,
