@@ -124,10 +124,11 @@ object DedupOps {
         .write.parquet(t)
       (stateKey, Seq(t), Tables.load(spark, dir, "documents").count())
     }
-    val entry = shingleIndexCache.compute(pathKey, (_, cur) =>
-      if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
-          java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
-      else build())
+    val entry = StagedCache.getOrBuild[(String, Seq[String], Long)](
+      shingleIndexCache, pathKey,
+      cur => cur._1 == stateKey && cur._2.forall(d =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
+      () => build())
     spark.read.parquet(entry._2: _*)
   }
 
@@ -771,10 +772,11 @@ object DedupOps {
         .write.parquet(t)
       (stateKey, Seq(t), Tables.load(spark, dir, "documents").count())
     }
-    val entry = shingleIndexCache.compute(pathKey, (_, cur) =>
-      if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
-          java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
-      else build())
+    val entry = StagedCache.getOrBuild[(String, Seq[String], Long)](
+      shingleIndexCache, pathKey,
+      cur => cur._1 == stateKey && cur._2.forall(d =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
+      () => build())
     spark.read.parquet(entry._2: _*)
   }
 

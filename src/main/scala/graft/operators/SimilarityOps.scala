@@ -191,11 +191,12 @@ object SimilarityOps {
       (stateKey, Seq(aDir), cDir,
         Tables.load(spark, dir, "embeddings").count())
     }
-    kmeansIndexCache.compute(pathKey, (_, cur) =>
-      if (cur != null && cur._1 == stateKey &&
-          (cur._3 +: cur._2).forall(d =>
-            java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
-      else build())
+    StagedCache.getOrBuild[(String, Seq[String], String, Long)](
+      kmeansIndexCache, pathKey,
+      cur => cur._1 == stateKey &&
+        (cur._3 +: cur._2).forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
+      () => build())
   }
 
   private def stagedKmeans(spark: SparkSession, dir: String, k: Int,
@@ -515,11 +516,12 @@ object SimilarityOps {
       (stateKey, statsDir, Seq(t),
         Tables.load(spark, dir, "embeddings").count())
     }
-    sqIndexCache.compute(pathKey, (_, cur) =>
-      if (cur != null && cur._1 == stateKey &&
-          (cur._2 +: cur._3).forall(d =>
-            java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
-      else build())
+    StagedCache.getOrBuild[(String, String, Seq[String], Long)](
+      sqIndexCache, pathKey,
+      cur => cur._1 == stateKey &&
+        (cur._2 +: cur._3).forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
+      () => build())
   }
 
   private[graft] def stagedSqRecon(spark: SparkSession, dir: String): DataFrame =
@@ -785,10 +787,11 @@ object SimilarityOps {
         .write.partitionBy("cell").parquet(t)
       (stateKey, Seq(t), Tables.load(spark, dir, "embeddings").count())
     }
-    val entry = celledReconCache.compute(pathKey, (_, cur) =>
-      if (cur != null && cur._1 == stateKey && cur._2.forall(d =>
-          java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
-      else build())
+    val entry = StagedCache.getOrBuild[(String, Seq[String], Long)](
+      celledReconCache, pathKey,
+      cur => cur._1 == stateKey && cur._2.forall(d =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
+      () => build())
     entry._2.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 

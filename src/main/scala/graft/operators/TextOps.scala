@@ -525,14 +525,18 @@ object TextOps {
     val pathKey = System.identityHashCode(spark) + ":bpe:" + src.toAbsolutePath
     val stateKey = pathKey + ":" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis
-    // pathKey-keyed atomic compute (the sqIndexEntry idiom): a corpus
-    // mtime change replaces the entry in place instead of leaking the
-    // old one, and concurrent q76/q79 callers can't race the trainer
-    val entry = bpeCache.compute(pathKey, (_, cur) =>
-      if (cur != null && cur._1 == stateKey &&
-          Seq(cur._2, cur._3).forall(d =>
-            java.nio.file.Files.exists(java.nio.file.Paths.get(d)))) cur
-      else { val (m, t) = trainBpe(spark, dir); (stateKey, m, t) })
+    // pathKey-keyed memo (the sqIndexEntry idiom): a corpus mtime
+    // change replaces the entry in place instead of leaking the old
+    // one; the 10-round trainer runs OUTSIDE the map lock
+    // (StagedCache), so concurrent q76/q79 callers at worst both
+    // train and one result is orphaned — they never deadlock or
+    // block valid-entry readers for the training duration
+    val entry = StagedCache.getOrBuild[(String, String, String)](
+      bpeCache, pathKey,
+      cur => cur._1 == stateKey &&
+        Seq(cur._2, cur._3).forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
+      () => { val (m, t) = trainBpe(spark, dir); (stateKey, m, t) })
     (spark.read.parquet(entry._2), spark.read.parquet(entry._3))
   }
 

@@ -222,6 +222,56 @@ object StreamingOps {
     * the current corpus snapshot and clear the staging root (listing
     * by batchId makes the swap a drop-in: new batches keep staging
     * against the compacted seed). */
+  /** Guard the staging root against a checkpoint swap (round-6
+    * review): resetting the checkpoint restarts batchIds at 0, so
+    * pairing a fresh checkpoint with a stageRoot that still holds
+    * batch-* dirs from a previous run would union stale shingles into
+    * the corpus — or overwrite them under the reused ids — with no
+    * error. The root carries a `_graft_checkpoint` marker holding the
+    * owning streaming query's persistent id (== the checkpoint
+    * metadata id, stable across restarts); any id mismatch, and any
+    * staged batches of unknown provenance, fail loudly BEFORE the
+    * stream starts. An EMPTY staging root under a live checkpoint
+    * stays legal on purpose — that is the documented compaction path
+    * (seed index rebuilt from the current snapshot, staging cleared)
+    * — and is restamped on start. */
+  private def validateStageRoot(root: java.nio.file.Path,
+      ckptDir: String, staged: Boolean): Unit = {
+    val marker = root.resolve("_graft_checkpoint")
+    val meta = java.nio.file.Paths.get(ckptDir, "metadata")
+    val ckptId: Option[String] =
+      if (java.nio.file.Files.exists(meta))
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(new String(
+            java.nio.file.Files.readAllBytes(meta), "UTF-8")).map(_.group(1))
+      else None
+    val stamped: Option[String] =
+      if (java.nio.file.Files.exists(marker))
+        Some(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim)
+      else None
+    (ckptId, stamped) match {
+      case (Some(c), Some(m)) if c != m =>
+        throw new IllegalStateException(
+          s"stage root $root is stamped for streaming query $m but " +
+            s"checkpoint $ckptDir belongs to query $c: a checkpoint " +
+            "reset must not reuse a previous run's staging — clear the " +
+            "stage root (and rebuild the seed index) or restore the " +
+            "original checkpoint")
+      case (None, _) if staged =>
+        throw new IllegalStateException(
+          s"checkpoint $ckptDir is fresh (batchIds will restart at 0) " +
+            s"but stage root $root already holds staged batch dirs " +
+            "from a previous run: clear the stage root or restore the " +
+            "original checkpoint")
+      case (Some(_), None) if staged =>
+        throw new IllegalStateException(
+          s"stage root $root holds staged batch dirs but no " +
+            "_graft_checkpoint stamp: refusing staging of unknown " +
+            "provenance under a live checkpoint")
+      case _ => () // consistent, or both fresh
+    }
+  }
+
   def nearDupIngestPipeline(spark: SparkSession, seedDir: String,
       srcTable: String, pairsTable: String, ckptDir: String,
       stageRoot: String)
@@ -241,7 +291,8 @@ object StreamingOps {
           .map(i => root.resolve(s"batch-$i").toString)
       } finally s.close()
     }
-    spark.readStream.format("graft-delta").load(srcTable)
+    validateStageRoot(root, ckptDir, priorBatchDirs(Long.MaxValue).nonEmpty)
+    val q = spark.readStream.format("graft-delta").load(srcTable)
       .writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -262,6 +313,11 @@ object StreamingOps {
       }
       .outputMode(OutputMode.Append())
       .start()
+    // stamp AFTER start: q.id is the persistent query id the metadata
+    // file records — on a fresh checkpoint it only exists from here
+    java.nio.file.Files.write(root.resolve("_graft_checkpoint"),
+      q.id.toString.getBytes("UTF-8"))
+    q
   }
 
   /** Emit-on-finalize sessionization: `flatMapGroupsWithState` with an

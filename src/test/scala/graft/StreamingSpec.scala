@@ -408,6 +408,64 @@ class StreamingSpec extends SparkSpec {
       assert(fileMtime(f) === m, s"seed index file rewritten: $f") }
   }
 
+  test("near-dup staging guard: a checkpoint reset cannot pair with stale staging") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stage-guard")
+    val (src, pairs, stage) = (s"$base/src", s"$base/pairs", s"$base/stage")
+    val seedDir = s"$base/seed"
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    Seq(doc(0, "seed document about rivers and morning light on the path"),
+      doc(1, "another seed about catalyst plans and shuffle exchanges"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$seedDir/documents.parquet")
+    Seq(doc(100, "a streamed doc with its own unique phrasing entirely"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.format("graft-delta").mode("append").save(src)
+    def rmTree(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path)) {
+        val all = java.nio.file.Files.walk(path)
+        try all.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally all.close()
+      }
+    }
+    val q1 = StreamingOps.nearDupIngestPipeline(
+      spark, seedDir, src, pairs, s"$base/ckpt1", stage)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stage, "_graft_checkpoint")),
+      "the pipeline must stamp its staging root")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stage, "batch-0")))
+    // a FRESH checkpoint (reset: batchIds restart at 0) over the old
+    // staging must fail loudly, not silently union stale batch dirs
+    val exFresh = intercept[IllegalStateException] {
+      StreamingOps.nearDupIngestPipeline(
+        spark, seedDir, src, pairs, s"$base/ckpt2", stage)
+    }
+    assert(exFresh.getMessage.contains("fresh"))
+    // a DIFFERENT live checkpoint over staging stamped for q1 must
+    // fail on the id mismatch
+    val other = StreamingOps.nearDupIngestPipeline(
+      spark, seedDir, src, pairs, s"$base/ckpt3", s"$base/stage3")
+    other.processAllAvailable()
+    other.stop()
+    val exSwap = intercept[IllegalStateException] {
+      StreamingOps.nearDupIngestPipeline(
+        spark, seedDir, src, pairs, s"$base/ckpt3", stage)
+    }
+    assert(exSwap.getMessage.contains("stamped for"))
+    // the documented compaction path stays legal: staging cleared
+    // WHOLESALE (marker included) restarts cleanly under any checkpoint
+    rmTree(stage)
+    val q2 = StreamingOps.nearDupIngestPipeline(
+      spark, seedDir, src, pairs, s"$base/ckpt1", stage)
+    q2.processAllAvailable()
+    q2.stop()
+  }
+
   test("finalized sessionization emits each closed session exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
