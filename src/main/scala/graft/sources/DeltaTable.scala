@@ -25,6 +25,21 @@ import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType
   *     JSON line per file per commit) and is read driver-side only —
   *     no driver-side data movement, matching Delta's design.
   */
+/** Typed rejection for unsupported schema evolution — the explicit
+  * DECISION the reference's blanket "schema evolution" claim
+  * (README.md:302) forces: graft-delta supports ADDITIVE evolution
+  * (mergeSchema appends new nullable columns) and SUBSET appends
+  * (missing columns read null; the schema never shrinks). Column
+  * RENAME and DROP would need Delta column-mapping metadata (physical
+  * names decoupled from logical) and TYPE changes — widening included
+  * — would need either a rewrite or reader-side casts; neither is
+  * implemented, and both are rejected with this typed error instead
+  * of the silent column-splitting / type-rot an accepting writer
+  * produces. `kind` ∈ {"type-change", "rename-or-drop", "mismatch"}.
+  * Evolving beyond additive = rewrite through `overwrite`. */
+final class SchemaEvolutionException(val kind: String, msg: String)
+  extends IllegalArgumentException(msg)
+
 object DeltaTable {
 
   /** Write `df` to `table` with the given mode ("overwrite"|"append").
@@ -646,29 +661,45 @@ object DeltaTable {
   /** Append-time schema resolution. Same fields (by name+type, order
     * and nullability insensitive — parquet reads by name) → keep the
     * table's canonical schema. Otherwise: without mergeSchema, fail
-    * loudly; with it, verify every shared field type-matches and
-    * append the new fields (nullable — existing files lack them). A
-    * shared field with a different type always fails: silently casting
-    * data at read time is how tables rot. */
+    * loudly; with it, verify every shared field type-matches, allow a
+    * pure SUBSET (missing columns read null, schema unchanged) and
+    * append genuinely new fields (nullable — existing files lack
+    * them). Two shapes are rejected as [[SchemaEvolutionException]]
+    * even under mergeSchema: a shared field with a different type
+    * (widening included — silently casting at read time is how tables
+    * rot), and an append that simultaneously DROPS table columns and
+    * ADDS new ones — the rename signature, which without Delta
+    * column-mapping metadata would silently split one logical column
+    * across two physical ones. */
   private[graft] def resolveAppendSchema(old: StructType, incoming: StructType,
       mergeSchema: Boolean, table: String): StructType = {
     val oldByName = old.fields.map(f => f.name -> f.dataType).toMap
     val conflicts = incoming.fields.filter(f =>
       oldByName.get(f.name).exists(_ != f.dataType))
     if (conflicts.nonEmpty)
-      throw new IllegalArgumentException(
+      throw new SchemaEvolutionException("type-change",
         s"graft-delta append to $table: incompatible types for " +
           conflicts.map(f =>
             s"${f.name} (table: ${oldByName(f.name).simpleString}, " +
-              s"append: ${f.dataType.simpleString})").mkString(", "))
+              s"append: ${f.dataType.simpleString})").mkString(", ") +
+          "; type changes (widening included) are not supported — " +
+          "rewrite the table via overwrite")
     val newFields = incoming.fields.filterNot(f => oldByName.contains(f.name))
-    val sameFieldSet = newFields.isEmpty && incoming.fields.length == old.fields.length
-    if (sameFieldSet) old
+    val missing = old.fields.filterNot(f =>
+      incoming.fieldNames.contains(f.name))
+    if (newFields.isEmpty && missing.isEmpty) old
     else if (!mergeSchema)
-      throw new IllegalArgumentException(
+      throw new SchemaEvolutionException("mismatch",
         s"graft-delta append to $table: schema mismatch " +
           s"(table: ${old.simpleString}, append: ${incoming.simpleString}); " +
           "set option mergeSchema=true for additive evolution")
+    else if (newFields.nonEmpty && missing.nonEmpty)
+      throw new SchemaEvolutionException("rename-or-drop",
+        s"graft-delta append to $table adds " +
+          s"${newFields.map(_.name).mkString("[", ",", "]")} while missing " +
+          s"${missing.map(_.name).mkString("[", ",", "]")} — the column " +
+          "rename/drop shape; column mapping is not implemented, so " +
+          "rename or drop requires an explicit overwrite rewrite")
     else StructType(old.fields ++ newFields.map(_.copy(nullable = true)))
   }
 

@@ -257,6 +257,34 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 3) // table unharmed
   }
 
+  test("schema evolution decision: rename/drop and type changes are typed rejections") {
+    import graft.sources.SchemaEvolutionException
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    // the rename signature — drops `date`, adds `hired` in one append —
+    // is rejected EVEN under mergeSchema: without column-mapping
+    // metadata it would silently split one logical column in two
+    val renamed = Seq((7, "Gina", 70000L, "2024-02-01"))
+      .toDF("id", "name", "salary", "hired")
+    val ex = intercept[SchemaEvolutionException] {
+      DeltaTable.write(renamed, t, "append", mergeSchema = true)
+    }
+    assert(ex.kind === "rename-or-drop")
+    assert(ex.getMessage.contains("hired") && ex.getMessage.contains("date"))
+    // type WIDENING (int id -> long) is a rejected type change too:
+    // accepting it would need reader-side casts the engine never does
+    val widened = Seq((8L, "Hank", 80000L, "2024-02-02"))
+      .toDF("id", "name", "salary", "date")
+    val ex2 = intercept[SchemaEvolutionException] {
+      DeltaTable.write(widened, t, "append", mergeSchema = true)
+    }
+    assert(ex2.kind === "type-change")
+    assert(ex2.getMessage.contains("widening"))
+    // both rejections left the table unharmed and appendable
+    DeltaTable.write(employee1, t, "append")
+    assert(DeltaTable.read(spark, t).count() === 4)
+  }
+
   test("mergeSchema append evolves additively; old rows read null") {
     val t = freshTable()
     employees3.write.format("graft-delta").mode("overwrite").save(t)
@@ -879,6 +907,39 @@ class DeltaSpec extends SparkSpec {
         s => out.append(s).append('\n')))
     assert(code === 1, s"validator must flag the tampered id:\n$out")
     assert(out.toString.contains("unstable"), out.toString)
+  }
+
+  test("delta wire format: partitioned layout validates; tampered partitionValues rejected") {
+    import scala.sys.process._
+    def run(t: String): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val t = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(t)                                 // v0
+    DeltaTable.write(employee1, t, "append",
+      partitionBy = Seq("date"))                                 // v1
+    val (c0, o0) = run(t)
+    assert(c0 === 0, "the partitioned table must validate clean " +
+      s"(partitionValues/layout/column-exclusion):\n$o0")
+    // tamper v1's add: claim a partition date its hive path does not
+    // carry — exactly the drift that silently breaks partition pruning
+    val v1 = java.nio.file.Paths.get(t, "_delta_log", "%020d.json".format(1L))
+    val txt = new String(Files.readAllBytes(v1), "UTF-8")
+    val tampered = txt.replaceFirst(
+      "\"partitionValues\":\\{\"date\":\"[^\"]+\"\\}",
+      "\"partitionValues\":{\"date\":\"1999-12-31\"}")
+    assert(tampered != txt,
+      "fixture: v1 should carry a partitionValues entry to tamper")
+    Files.write(v1, tampered.getBytes("UTF-8"))
+    val (c1, o1) = run(t)
+    assert(c1 === 1, s"validator must flag the tampered partitionValues:\n$o1")
+    assert(o1.contains("lacks directory segment"), o1)
   }
 
   test("zorder: both dimensions prune after the rewrite; content unchanged") {

@@ -28,6 +28,12 @@ and asserts the wire-format invariants the Delta Lake protocol
      the checkpoint equals an independent replay of versions 0..C;
   8. `_last_checkpoint` (when present) points at an existing
      checkpoint.
+  9. partitioned layout: every live add's `partitionValues` keys equal
+     the metaData `partitionColumns`; each file's path carries the
+     hive `col=value` directory segment its partitionValues claim;
+     partition columns are EXCLUDED from the data files' physical
+     columns (they live in the path, per the protocol), and no data
+     file carries columns outside the logged schema.
 
 Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
 Exit 0 = every table passes; 1 = at least one invariant violated.
@@ -126,6 +132,21 @@ class Replay:
             self.problems.append(f"v{v}: {p} added and removed in one version")
 
 
+def parquet_columns(path):
+    """Physical column names of one parquet data file. DuckDB's bare
+    SELECT auto-detects hive partitioning and SYNTHESIZES col=value
+    path columns — exactly what invariant 9 must see through — so the
+    detection is explicitly disabled."""
+    import duckdb
+    con = duckdb.connect()
+    try:
+        return [d[0] for d in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{path}', "
+            "hive_partitioning=false)").fetchall()]
+    finally:
+        con.close()
+
+
 def checkpoint_parquet_actions(path):
     """Decode the protocol-format parquet checkpoint into the same
     action-dict shape as the JSON lines (None columns dropped)."""
@@ -204,6 +225,48 @@ def validate(table):
         has_constraints = any(k.startswith("delta.constraints.") for k in full.config)
         if has_constraints and (full.protocol or {}).get("minWriterVersion", 0) < 3:
             problems.append("CHECK constraints present but minWriterVersion < 3")
+
+        # -- partitioned layout (invariant 9)
+        import urllib.parse
+        pcols = list(full.part_cols)
+        try:
+            schema_fields = [f["name"] for f in
+                             json.loads(full.schema or "{}").get("fields", [])]
+        except Exception:
+            schema_fields = []
+        for p, f in sorted(full.live.items()):
+            pv = norm_map(f.get("partitionValues"))
+            if sorted(pv) != sorted(pcols):
+                problems.append(f"partitionValues keys {sorted(pv)} != "
+                                f"partitionColumns {sorted(pcols)} for {p}")
+                continue
+            # the hive layout IS the lookup structure partition pruning
+            # relies on: each claimed value must appear as a col=value
+            # directory segment of the file's own path
+            segs = [urllib.parse.unquote(s) for s in p.split("/")[:-1]]
+            for c in pcols:
+                v = pv[c]
+                want = "%s=%s" % (c, "__HIVE_DEFAULT_PARTITION__"
+                                  if v is None else v)
+                if want not in segs:
+                    problems.append(f"path {p} lacks directory segment "
+                                    f"'{want}' claimed by its partitionValues")
+            fp = os.path.join(table, p)
+            if pcols and os.path.isfile(fp):
+                try:
+                    dcols = parquet_columns(fp)
+                except Exception as e:
+                    problems.append(f"data file undecodable: {p}: {e}")
+                    continue
+                for c in pcols:
+                    if c in dcols:
+                        problems.append(f"partition column {c} materialized "
+                                        f"inside data file {p}")
+                extra = [c for c in dcols if schema_fields and
+                         c not in schema_fields]
+                if extra:
+                    problems.append(f"data file {p} carries columns {extra} "
+                                    "outside the logged schema")
 
     # -- checkpoints: cross-format agreement + replay equality
     for c, formats in sorted(cps.items()):
