@@ -533,6 +533,22 @@ object SimilarityOps {
   private[graft] def stagedSqStats(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(sqIndexEntry(spark, dir)._2)
 
+  /** Quantize a batch of (vec_id, embedding) rows against `dir`'s
+    * FROZEN staged scale params — the serving-codebook contract
+    * (values outside a frozen dimension range SATURATE at the edge,
+    * the codebook never rescales) shared with [[refreshSqIndex]] and
+    * q78 — returning (vec_id, pos, r) reconstruction rows. One narrow
+    * codegen'd projection over the batch; the corpus is never
+    * touched. The building block the streaming SQ8 ingest pipeline
+    * runs per micro-batch. */
+  def quantizeBatchFrozen(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val vals = batch
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    quantizeWith(vals, stagedSqStats(spark, dir))
+  }
+
   /** Incremental SQ8 index refresh — the vector-side twin of
     * [[DedupOps.refreshShingleIndex]]: after `newVecs` (vec_id,
     * embedding) were appended to `dir`'s embeddings table, extend the

@@ -222,6 +222,23 @@ object StreamingOps {
     * the current corpus snapshot and clear the staging root (listing
     * by batchId makes the swap a drop-in: new batches keep staging
     * against the compacted seed). */
+  /** The staged per-batch dirs under an ingest pipeline's staging
+    * root, ids < `before` only (so a replaying batch never reads its
+    * own half-staged attempt as corpus), ascending. */
+  private def batchDirs(root: java.nio.file.Path, before: Long): Seq[String] =
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator.asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toLong }
+        .filter(_ < before).toSeq.sorted
+        .map(i => root.resolve(s"batch-$i").toString)
+    } finally s.close()
+  }
+
   /** Guard the staging root against a checkpoint swap (round-6
     * review): resetting the checkpoint restarts batchIds at 0, so
     * pairing a fresh checkpoint with a stageRoot that still holds
@@ -280,17 +297,7 @@ object StreamingOps {
     import graft.sources.{DeltaLog, DeltaTable}
     val root = java.nio.file.Paths.get(stageRoot)
     java.nio.file.Files.createDirectories(root)
-    def priorBatchDirs(before: Long): Seq[String] = {
-      val s = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator.asScala.map(_.getFileName.toString)
-          .collect { case n if n.startsWith("batch-") =>
-            n.stripPrefix("batch-").toLong }
-          .filter(_ < before).toSeq.sorted
-          .map(i => root.resolve(s"batch-$i").toString)
-      } finally s.close()
-    }
+    def priorBatchDirs(before: Long): Seq[String] = batchDirs(root, before)
     validateStageRoot(root, ckptDir, priorBatchDirs(Long.MaxValue).nonEmpty)
     val q = spark.readStream.format("graft-delta").load(srcTable)
       .writeStream
@@ -319,6 +326,71 @@ object StreamingOps {
       q.id.toString.getBytes("UTF-8"))
     q
   }
+
+  /** STREAMING INCREMENTAL SQ8 — the vector-side twin of
+    * [[nearDupIngestPipeline]]: tail a graft-delta embeddings table
+    * and, per micro-batch, quantize ONLY the batch against the seed
+    * index's FROZEN scale params
+    * ([[graft.operators.SimilarityOps.quantizeBatchFrozen]] — the
+    * production codebook contract: out-of-range values saturate, the
+    * codebook never rescales, every previously served code stays
+    * valid), stage the codes under a DETERMINISTIC per-batchId dir,
+    * and append them to a downstream graft-delta codes table. The
+    * serving index ([[sqServingRecon]]) is seed ∪ staged batches —
+    * the corpus is never re-quantized, mirroring
+    * [[graft.operators.SimilarityOps.refreshSqIndex]]'s contract at
+    * micro-batch grain.
+    *
+    * Exactly-once: the codes append commits a SetTransaction keyed by
+    * (checkpoint, batchId) — a replayed batch short-circuits against
+    * the ledger — and its re-staged dir OVERWRITES the same
+    * per-batchId path, so replays are idempotent on both the output
+    * table and the index. Restart-safe with no driver state (batch
+    * dirs rediscovered by listing), and the staging root carries the
+    * same checkpoint-identity stamp as the near-dup pipeline: a
+    * checkpoint reset cannot silently pair with stale staged codes.
+    * Compaction path: rebuild the seed index from the current corpus
+    * snapshot, clear the staging root wholesale, restart. */
+  def sqIngestPipeline(spark: SparkSession, seedDir: String,
+      srcTable: String, codesTable: String, ckptDir: String,
+      stageRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilarityOps
+    import graft.sources.{DeltaLog, DeltaTable}
+    val root = java.nio.file.Paths.get(stageRoot)
+    java.nio.file.Files.createDirectories(root)
+    validateStageRoot(root, ckptDir, batchDirs(root, Long.MaxValue).nonEmpty)
+    val q = spark.readStream.format("graft-delta").load(srcTable)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bdir = root.resolve(s"batch-$batchId").toString
+        SimilarityOps.quantizeBatchFrozen(spark, seedDir,
+            batch.select(col("vec_id"), col("embedding")))
+          .write.mode("overwrite").parquet(bdir)
+        val codes = spark.read.parquet(bdir)
+        val mode =
+          if (DeltaLog.versions(codesTable).isEmpty) "overwrite" else "append"
+        DeltaTable.write(codes, codesTable, mode,
+          txn = Some((s"sqcodes:$ckptDir", batchId)))
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    java.nio.file.Files.write(root.resolve("_graft_checkpoint"),
+      q.id.toString.getBytes("UTF-8"))
+    q
+  }
+
+  /** The live SQ8 serving relation a [[sqIngestPipeline]] maintains:
+    * the seed corpus's staged reconstruction rows ∪ every staged
+    * batch's — the same (vec_id, pos, r) shape q46/q47/q78 search
+    * over. */
+  def sqServingRecon(spark: SparkSession, seedDir: String,
+      stageRoot: String): DataFrame =
+    batchDirs(java.nio.file.Paths.get(stageRoot), Long.MaxValue)
+      .foldLeft(graft.operators.SimilarityOps.stagedSqRecon(spark, seedDir))(
+        (acc, d) => acc.unionByName(spark.read.parquet(d)))
 
   /** Emit-on-finalize sessionization: `flatMapGroupsWithState` with an
     * EVENT-TIME timeout — a session row is emitted exactly once, when

@@ -408,6 +408,82 @@ class StreamingSpec extends SparkSpec {
       assert(fileMtime(f) === m, s"seed index file rewritten: $f") }
   }
 
+  test("streaming incremental SQ8: frozen-codebook batches, exactly-once " +
+      "across restarts, serving index == batch refresh") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-sq")
+    val (src, codes, ckpt, stage) =
+      (s"$base/src", s"$base/codes", s"$base/ckpt", s"$base/stage")
+    val seedDir = s"$base/seed"
+    val twinDir = s"$base/twin" // batch-refresh ground truth corpus
+    def vec(id: Long, off: Float): (Long, Array[Float]) =
+      (id, Array.tabulate(8)(j => off + ((id * 31 + j * 7) % 100) / 100.0f))
+    val seedVecs = (0L until 10L).map(vec(_, 0.0f))
+    for (d <- Seq(seedDir, twinDir))
+      seedVecs.toDF("vec_id", "embedding")
+        .write.parquet(s"$d/embeddings.parquet")
+    // build BOTH indexes from the seed alone: identical frozen params
+    assert(SimilarityOps.stagedSqRecon(spark, seedDir).count() === 80)
+    assert(SimilarityOps.stagedSqRecon(spark, twinDir).count() === 80)
+    def appendVecs(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .write.format("graft-delta").mode("append").save(src)
+    // off=1.5 pushes values past the frozen per-dimension ranges, so
+    // the stream exercises the saturation contract too
+    val b1 = Seq(vec(100L, 1.5f), vec(101L, 0.2f))
+    val b2 = Seq(vec(102L, -0.7f))
+    val b3 = Seq(vec(103L, 0.4f))
+    appendVecs(b1)
+    val q1 = StreamingOps.sqIngestPipeline(
+      spark, seedDir, src, codes, ckpt, stage)
+    q1.processAllAvailable()
+    appendVecs(b2)
+    q1.processAllAvailable()
+    q1.stop()
+    // kill/restart on the same checkpoint: batch 3 only, no replays
+    appendVecs(b3)
+    val q2 = StreamingOps.sqIngestPipeline(
+      spark, seedDir, src, codes, ckpt, stage)
+    q2.processAllAvailable()
+    q2.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2))
+    val out = spark.read.format("graft-delta").load(codes)
+      .select("vec_id", "pos", "r").collect().map(key)
+    assert(out.length === 4 * 8, s"expected 32 code rows, got ${out.length}")
+    assert(out.distinct.length === out.length,
+      "replays must not duplicate code rows in the output table")
+    // ground truth: the BATCH incremental path over the same appends —
+    // append all streamed vectors to the twin corpus, advance its
+    // mtime, refreshSqIndex in the same batch grouping
+    val streamed = b1 ++ b2 ++ b3
+    streamed.toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$twinDir/embeddings.parquet")
+    val twinPath = JP.get(s"$twinDir/embeddings.parquet")
+    JF.setLastModifiedTime(twinPath, FileTime.fromMillis(
+      JF.getLastModifiedTime(twinPath).toMillis + 1500))
+    assert(SimilarityOps.refreshSqIndex(spark, twinDir,
+      streamed.toDF("vec_id", "embedding")).nonEmpty)
+    val batchIdx = SimilarityOps.stagedSqRecon(spark, twinDir)
+      .select("vec_id", "pos", "r").collect().map(key).toSet
+    val streamIdx = StreamingOps.sqServingRecon(spark, seedDir, stage)
+      .select("vec_id", "pos", "r").collect().map(key).toSet
+    assert(streamIdx === batchIdx,
+      "streaming serving index must equal the batch incremental refresh")
+    // the streamed codes really saturated (off=1.5 exceeds every range)
+    val maxR = spark.read.format("graft-delta").load(codes)
+      .filter(col("vec_id") === 100L).agg(
+        org.apache.spark.sql.functions.max(col("r"))).head().getDouble(0)
+    val maxSeed = SimilarityOps.stagedSqRecon(spark, seedDir)
+      .filter(col("vec_id") < 100L).agg(
+        org.apache.spark.sql.functions.max(col("r"))).head().getDouble(0)
+    assert(maxR <= maxSeed + 1e-9,
+      "out-of-range batch values must saturate at the frozen range edge")
+  }
+
   test("near-dup staging guard: a checkpoint reset cannot pair with stale staging") {
     val base = java.nio.file.Files.createTempDirectory("graft-stage-guard")
     val (src, pairs, stage) = (s"$base/src", s"$base/pairs", s"$base/stage")
