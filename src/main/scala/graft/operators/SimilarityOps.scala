@@ -178,18 +178,36 @@ object SimilarityOps {
       java.nio.file.Files.getLastModifiedTime(src).toMillis)
   }
 
+  /** Cluster the CURRENT corpus and stage assignment + centroids +
+    * the build-time QUALITY BASELINE (p10 of each vector's cosine to
+    * its assigned centroid — the yardstick [[ivfDriftFraction]]
+    * measures appended batches against) into one fresh scratch base.
+    * Returns (assign dirs, centroid dir, corpus count). Shared by the
+    * initial build and [[maybeRebuildIvfIndex]]'s re-cluster. */
+  private def stageKmeansBuild(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (Seq[String], String, Long) = {
+    val base = graft.Scratch.dir("graft-kmeans")
+    val aDir = base.resolve("assign").toString
+    val cDir = base.resolve("cent").toString
+    val e = Tables.load(spark, dir, "embeddings")
+    val (assign, cent) = kmeans(e, k, iters)
+    assign.write.parquet(aDir)
+    cent.write.parquet(cDir)
+    val p10 = spark.read.parquet(aDir).join(e, "vec_id")
+      .join(broadcast(cent), "cell")
+      .select(cosine("embedding", "centroid").as("c"))
+      .agg(expr("percentile_approx(c, 0.1)")).head().getDouble(0)
+    java.nio.file.Files.write(base.resolve("p10"),
+      p10.toString.getBytes("UTF-8"))
+    (Seq(aDir), cDir, e.count())
+  }
+
   private def kmeansIndexEntry(spark: SparkSession, dir: String, k: Int,
       iters: Int): (String, Seq[String], String, Long) = {
     val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
     def build(): (String, Seq[String], String, Long) = {
-      val base = graft.Scratch.dir("graft-kmeans")
-      val aDir = base.resolve("assign").toString
-      val cDir = base.resolve("cent").toString
-      val (assign, cent) = kmeans(Tables.load(spark, dir, "embeddings"), k, iters)
-      assign.write.parquet(aDir)
-      cent.write.parquet(cDir)
-      (stateKey, Seq(aDir), cDir,
-        Tables.load(spark, dir, "embeddings").count())
+      val (aDirs, cDir, n) = stageKmeansBuild(spark, dir, k, iters)
+      (stateKey, aDirs, cDir, n)
     }
     StagedCache.getOrBuild[(String, Seq[String], String, Long)](
       kmeansIndexCache, pathKey,
@@ -252,6 +270,62 @@ object SimilarityOps {
     delta
   }
 
+  /** DRIFT metric for the frozen-centroid contract: the fraction of
+    * `newVecs` whose best cosine against the CURRENT staged centroids
+    * falls below the index's build-time quality baseline (the p10 of
+    * assignment cosines staged by [[stageKmeansBuild]]). Appends that
+    * look like the build-time corpus score ~0; a batch from a region
+    * the centroids never saw scores ~1. One broadcast argmax over the
+    * batch — k×dim traffic, never a corpus pass. */
+  def ivfDriftFraction(spark: SparkSession, dir: String,
+      newVecs: DataFrame, k: Int = IvfK, iters: Int = IvfIters): Double = {
+    GraftFunctions.register(spark)
+    val entry = kmeansIndexEntry(spark, dir, k, iters)
+    val p10 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(entry._3).getParent.resolve("p10")),
+      "UTF-8").trim.toDouble
+    val row = newVecs
+      .crossJoin(broadcast(spark.read.parquet(entry._3)))
+      .select(col("vec_id"),
+        struct(cosine("embedding", "centroid").as("sim"),
+          col("cell").as("cell")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("best"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("best.sim") < p10, 1L).otherwise(0L)).as("drifted"))
+      .head()
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0)
+  }
+
+  /** IVF index MAINTENANCE policy — the piece the frozen-centroid
+    * serving contract needs to survive real append streams: when an
+    * appended batch's [[ivfDriftFraction]] exceeds `threshold`, the
+    * CURRENT corpus (old ∪ appends) is re-clustered into a fresh
+    * staging base BESIDE the serving index — which keeps answering
+    * from its old dirs the whole time (they are never deleted; a
+    * DataFrame opened against them collects identically mid- and
+    * post-rebuild) — and the cache entry is swapped ATOMICALLY, the
+    * q59 RESTORE pattern at the index layer. The composed celled
+    * entry (q77) derives from the swapped assignment, so it is
+    * dropped in the same breath: the next consumer recomposes against
+    * the new cells — cell ids handed out before the swap are exactly
+    * as invalid as a restored table's pre-restore reads, which is why
+    * the swap is a POLICY decision (drift past threshold) and not an
+    * every-append event. Returns true iff a rebuild was swapped in. */
+  def maybeRebuildIvfIndex(spark: SparkSession, dir: String,
+      newVecs: DataFrame, threshold: Double = 0.5, k: Int = IvfK,
+      iters: Int = IvfIters): Boolean = {
+    val drift = ivfDriftFraction(spark, dir, newVecs, k, iters)
+    if (drift <= threshold) false
+    else {
+      val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
+      val (aDirs, cDir, n) = stageKmeansBuild(spark, dir, k, iters)
+      kmeansIndexCache.put(pathKey, (stateKey, aDirs, cDir, n))
+      celledReconCache.remove(celledIndexKeys(spark, dir)._1)
+      true
+    }
+  }
+
   /** Multi-probe width for q43. 4 probes of 16 cells recovers every
     * exact near-dup pair on both the clustered fixture AND the
     * quasi-uniform driver data (the adversarial case — at 3 probes one
@@ -268,22 +342,27 @@ object SimilarityOps {
     * Not SQL-oracled (the k-means fold is engine-internal) —
     * correctness is the recall-vs-brute-force bound asserted in
     * SimilaritySpec; the driver records a rows-only check. */
-  val q42AnnIvf: Q = (spark, dir) => {
+  /** IVF probed search for an ARBITRARY query set — q42's plan shape
+    * parameterized by queries (query_id, qv): probe the `probes`
+    * nearest cells per query by centroid cosine, search only those
+    * cells' members, emit the per-query top-k. This is the serving
+    * API a user actually calls (q42 binds it to the vec_id < 5 oracle
+    * set); the rebuild-policy spec uses it to measure recall inside a
+    * drifted region. */
+  def ivfSearchFor(spark: SparkSession, dir: String, queries: DataFrame,
+      probes: Int = 5, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
     val (assign, cent) = stagedKmeans(spark, dir, IvfK, IvfIters)
     val corpus = e.join(assign, "vec_id")
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    // probe: 5 nearest cells per query by centroid cosine
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cell_sim").desc, col("cell"))
-    val probed = broadcast(q).crossJoin(broadcast(cent))
+    val probed = broadcast(queries).crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cell"),
         cosine("qv", "centroid").as("cell_sim"))
       .withColumn("cell_rank", row_number().over(wProbe))
-      .filter(col("cell_rank") <= 5)
+      .filter(col("cell_rank") <= probes)
       .select("query_id", "qv", "cell")
     // search only the probed cells
     val wTop = Window.partitionBy("query_id")
@@ -293,8 +372,14 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine("qv", "embedding"), 4).as("cosine"))
       .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= topK)
       .orderBy("query_id", "rank")
+  }
+
+  val q42AnnIvf: Q = (spark, dir) => {
+    val e = Tables.load(spark, dir, "embeddings")
+    ivfSearchFor(spark, dir, e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
   }
 
   /** q43 — cell-bucketed cosine near-dup: the PRODUCTION path for q41's

@@ -117,6 +117,89 @@ class SimilaritySpec extends SparkSpec {
     dir
   }
 
+  test("IVF rebuild policy: drift triggers an atomic re-cluster swap; " +
+      "old index serves throughout; recall in the drifted region recovers") {
+    import org.apache.spark.sql.expressions.Window
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val rnd = new scala.util.Random(11)
+    val dims = 64
+    def cluster(center: Array[Float], ids: Range, noise: Float) =
+      ids.map(i => (i.toLong, center.map(
+        _ + noise * rnd.nextGaussian().toFloat), 0))
+    val oldCenters = Array.fill(8, dims)(rnd.nextGaussian().toFloat)
+    val oldRows = oldCenters.zipWithIndex.flatMap { case (c, k) =>
+      cluster(c, k * 40 until (k + 1) * 40, 0.25f) }
+    oldRows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // initial build (registers the staged index + quality baseline)
+    SimilarityOps.q42AnnIvf(spark, dir).collect()
+    // an in-distribution batch (near-copies of corpus members) shows
+    // ~zero drift: the policy must NOT thrash on ordinary appends
+    val benign = oldRows.take(20).map { case (id, v, l) =>
+      (id + 5000L, v.map(_ + 0.01f), l) }
+      .toSeq.toDF("vec_id", "embedding", "label")
+    assert(SimilarityOps.ivfDriftFraction(spark, dir, benign) <= 0.3,
+      "near-copy appends must not read as drift")
+    // drift-heavy append: 4 NEW well-separated clusters the centroids
+    // never saw (near-orthogonal to every old center in 64-dim)
+    val newCenters = Array.fill(4, dims)(rnd.nextGaussian().toFloat)
+    val newRows = newCenters.zipWithIndex.flatMap { case (c, k) =>
+      cluster(c, 1000 + k * 30 until 1000 + (k + 1) * 30, 0.25f) }
+    val batch = newRows.toSeq.toDF("vec_id", "embedding", "label")
+    batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val corpusPath = JP.get(s"$dir/embeddings.parquet")
+    JF.setLastModifiedTime(corpusPath, FileTime.fromMillis(
+      JF.getLastModifiedTime(corpusPath).toMillis + 1500))
+    // standard append workflow first: batch joins the FROZEN index
+    assert(SimilarityOps.refreshIvfIndex(spark, dir, batch).nonEmpty)
+    val drift = SimilarityOps.ivfDriftFraction(spark, dir, batch)
+    assert(drift > 0.5, s"orthogonal clusters must read as drift, got $drift")
+    // recall measured INSIDE the drifted region (5 appended queries)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qIds = Seq(1000L, 1030L, 1060L, 1090L, 1005L)
+    val qDf = e.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def bruteTop10: Set[(Long, Long)] = qDf.crossJoin(e)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_cosine(qv, embedding)"), 4).as("c"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ivfRecall(): Double = {
+      val brute = bruteTop10
+      val got = SimilarityOps.ivfSearchFor(spark, dir, qDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val recallStale = ivfRecall()
+    // a search opened against the PRE-SWAP index keeps serving: its
+    // plan holds the old staged dirs, which the rebuild never deletes
+    val staleSearch = SimilarityOps.ivfSearchFor(spark, dir, qDf)
+    val staleBefore = staleSearch.collect().map(
+      r => (r.getLong(0), r.getLong(1))).toSet
+    assert(SimilarityOps.maybeRebuildIvfIndex(spark, dir, batch),
+      "drift past threshold must trigger the rebuild")
+    assert(staleSearch.collect().map(
+        r => (r.getLong(0), r.getLong(1))).toSet === staleBefore,
+      "the pre-swap index must serve identically mid/post-rebuild")
+    // the swapped index covers the drifted region again...
+    assert(SimilarityOps.ivfDriftFraction(spark, dir, batch) <= 0.3,
+      "post-rebuild, the batch must score in-distribution")
+    // ...and recall in the drifted region recovers
+    val recallRebuilt = ivfRecall()
+    assert(recallRebuilt >= 0.8,
+      s"post-rebuild recall too low: $recallRebuilt (stale was $recallStale)")
+    assert(recallRebuilt >= recallStale,
+      s"rebuild must not lose recall: $recallRebuilt < $recallStale")
+    // q77's composed index recomposes against the NEW cells and still
+    // serves its oracle queries
+    assert(SimilarityOps.q77IvfSqAnn(spark, dir).collect().length === 50)
+  }
+
   test("IVF on clustered data recovers brute-force top-10 (recall >= 0.8)") {
     val brute = SimilarityOps.q40AnnBruteForce(spark, clusteredDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
