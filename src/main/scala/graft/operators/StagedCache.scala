@@ -26,14 +26,24 @@ import java.util.concurrent.ConcurrentHashMap
   * is batch-sized, not corpus-sized. */
 private[graft] object StagedCache {
 
+  /** Count of index BUILDS actually executed (not cache hits) — the
+    * bench harness snapshots this around each timed query to tell a
+    * first-toucher's build-vs-serve retime asymmetry (expected,
+    * classified `warm_asymmetry`) apart from genuine throttle noise
+    * (`unreliable`). */
+  private val built = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def buildCount: Long = built.get()
+
   def getOrBuild[V <: AnyRef](cache: ConcurrentHashMap[String, V],
       pathKey: String, valid: V => Boolean, build: () => V): V = {
     val cur = cache.get(pathKey)
     if (cur != null && valid(cur)) cur
     else {
-      val built = build() // Spark jobs run unlocked
+      val b = build() // Spark jobs run unlocked
+      built.incrementAndGet()
       cache.compute(pathKey, (_, c) =>
-        if (c != null && valid(c)) c else built)
+        if (c != null && valid(c)) c else b)
     }
   }
 }
