@@ -22,12 +22,20 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
-    * raw long (legacy conf), then rebuild a microsecond timestamp with
-    * integer arithmetic (`div`, not `/` — int64 nanos exceed a double's
-    * 2^53 exact range). Tables whose `ts` is already a real timestamp
-    * (micros/millis — e.g. test-crafted fixtures) pass through as-is.
+  /** `events.ts` has shipped in multiple parquet encodings across fixture
+    * generations; normalize ALL of them to session-zoned `TimestampType`
+    * so downstream `unix_micros`/window consumers never see a surprise:
+    *
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]); read nanos as a raw long (legacy conf),
+    *     then rebuild a microsecond timestamp with integer arithmetic
+    *     (`div`, not `/` — int64 nanos exceed a double's 2^53 exact range).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    *     TIMESTAMP_NTZ; cast to TimestampType. The engine pins the session
+    *     timezone to UTC (Bench/Verify/specs), so NTZ-as-UTC preserves the
+    *     exact instants the nanos encoding produced.
+    *   - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=true): already
+    *     TimestampType; passes through unchanged.
     *
     * The legacy conf is scoped to the read-and-analyze window and then
     * restored: the conf is baked into the relation at `spark.read`
@@ -49,6 +57,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

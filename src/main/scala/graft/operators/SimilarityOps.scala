@@ -178,12 +178,17 @@ object SimilarityOps {
       java.nio.file.Files.getLastModifiedTime(src).toMillis)
   }
 
-  /** Cluster the CURRENT corpus and stage assignment + centroids +
-    * the build-time QUALITY BASELINE (p10 of each vector's cosine to
-    * its assigned centroid — the yardstick [[ivfDriftFraction]]
-    * measures appended batches against) into one fresh scratch base.
-    * Returns (assign dirs, centroid dir, corpus count). Shared by the
-    * initial build and [[maybeRebuildIvfIndex]]'s re-cluster. */
+  /** Cluster the CURRENT corpus and stage assignment + centroids into
+    * one fresh scratch base. Returns (assign dirs, centroid dir,
+    * corpus count). Shared by the initial build and
+    * [[maybeRebuildIvfIndex]]'s re-cluster.
+    *
+    * The drift QUALITY BASELINE (p10 of assignment cosines) is NOT
+    * computed here: search-only consumers (q42/q43 — the first
+    * touchers of a fresh index) never need it, and the extra
+    * corpus-join + percentile job was measurably inflating their
+    * build-inclusive timings (round-7 bench). [[ivfQualityBaseline]]
+    * stages it lazily on the first [[ivfDriftFraction]] call. */
   private def stageKmeansBuild(spark: SparkSession, dir: String, k: Int,
       iters: Int): (Seq[String], String, Long) = {
     val base = graft.Scratch.dir("graft-kmeans")
@@ -193,13 +198,33 @@ object SimilarityOps {
     val (assign, cent) = kmeans(e, k, iters)
     assign.write.parquet(aDir)
     cent.write.parquet(cDir)
-    val p10 = spark.read.parquet(aDir).join(e, "vec_id")
-      .join(broadcast(cent), "cell")
-      .select(cosine("embedding", "centroid").as("c"))
-      .agg(expr("percentile_approx(c, 0.1)")).head().getDouble(0)
-    java.nio.file.Files.write(base.resolve("p10"),
-      p10.toString.getBytes("UTF-8"))
     (Seq(aDir), cDir, e.count())
+  }
+
+  /** Lazily staged drift baseline: p10 of each indexed vector's cosine
+    * to its assigned centroid — the yardstick [[ivfDriftFraction]]
+    * measures appended batches against. Computed over the CURRENTLY
+    * staged assignment (inner-joined to the corpus on vec_id, so it
+    * covers exactly the indexed vectors) on the FIRST drift call and
+    * persisted beside the centroid dir; later calls read the file.
+    * A racing duplicate compute writes the identical value
+    * (percentile_approx is deterministic for a given dataset), so no
+    * lock is needed. */
+  private def ivfQualityBaseline(spark: SparkSession, dir: String,
+      entry: (String, Seq[String], String, Long)): Double = {
+    val f = java.nio.file.Paths.get(entry._3).getParent.resolve("p10")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toDouble
+    else {
+      val e = Tables.load(spark, dir, "embeddings")
+      val cent = spark.read.parquet(entry._3)
+      val p10 = spark.read.parquet(entry._2: _*).join(e, "vec_id")
+        .join(broadcast(cent), "cell")
+        .select(cosine("embedding", "centroid").as("c"))
+        .agg(expr("percentile_approx(c, 0.1)")).head().getDouble(0)
+      java.nio.file.Files.write(f, p10.toString.getBytes("UTF-8"))
+      p10
+    }
   }
 
   private def kmeansIndexEntry(spark: SparkSession, dir: String, k: Int,
@@ -273,7 +298,7 @@ object SimilarityOps {
   /** DRIFT metric for the frozen-centroid contract: the fraction of
     * `newVecs` whose best cosine against the CURRENT staged centroids
     * falls below the index's build-time quality baseline (the p10 of
-    * assignment cosines staged by [[stageKmeansBuild]]). Appends that
+    * assignment cosines, lazily staged by [[ivfQualityBaseline]]). Appends that
     * look like the build-time corpus score ~0; a batch from a region
     * the centroids never saw scores ~1. One broadcast argmax over the
     * batch — k×dim traffic, never a corpus pass. */
@@ -281,9 +306,7 @@ object SimilarityOps {
       newVecs: DataFrame, k: Int = IvfK, iters: Int = IvfIters): Double = {
     GraftFunctions.register(spark)
     val entry = kmeansIndexEntry(spark, dir, k, iters)
-    val p10 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(entry._3).getParent.resolve("p10")),
-      "UTF-8").trim.toDouble
+    val p10 = ivfQualityBaseline(spark, dir, entry)
     val row = newVecs
       .crossJoin(broadcast(spark.read.parquet(entry._3)))
       .select(col("vec_id"),
