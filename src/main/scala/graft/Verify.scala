@@ -48,6 +48,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Explicit by-design marker for the no-oracle queries (otherwise
+    // the driver's correctness file shows a bare rows-only check and
+    // the reader can't tell a decision from a gap).
+    val byDesign = SparkEntry.rowsOnlyByDesign
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/by_design.json"), byDesign)
     spark.stop()
     Scratch.purge()
   }

@@ -1148,9 +1148,66 @@ object SimilarityOps {
       |FROM embeddings, UNNEST(range(LEN(embedding))) g(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** q81 — IVF index MAINTENANCE lifecycle, end-to-end: the policy
+    * pieces ([[ivfDriftFraction]], [[refreshIvfIndex]],
+    * [[maybeRebuildIvfIndex]]) driven as one production append
+    * workflow against a scratch copy of the corpus (the fixture dirs
+    * are read-only; at scale the copy step vanishes — maintenance
+    * runs against the real append stream):
+    *
+    *   1. a drifted batch arrives: every corpus vector re-keyed
+    *      +1,000,000 and replaced by ONE tight novel cluster (the
+    *      all-ones direction + deterministic per-id jitter) the
+    *      corpus-trained centroids never saw;
+    *   2. drift is measured BEFORE ingest (builds the serving index +
+    *      lazy quality baseline on first touch) — reads ~1;
+    *   3. the batch is durably appended and [[refreshIvfIndex]]
+    *      registers its frozen-centroid assignment (the cheap path
+    *      every ordinary append takes);
+    *   4. [[maybeRebuildIvfIndex]] sees drift past threshold and
+    *      re-clusters old ∪ batch, swapping the staged index
+    *      atomically;
+    *   5. the swapped index serves: 5 queries from the drifted region
+    *      find their (batch) neighbors via the normal probed search.
+    *
+    * Output = the served top-k plus the policy observables as
+    * literal columns (pre-drift high, rebuilt, post-drift back in
+    * distribution). Not SQL-oracled (k-means engine-internal, like
+    * q42/q43); SimilaritySpec pins the flags and that every served
+    * neighbor is a batch member; driver records rows-only. */
+  val q81IvfMaintenance: Q = (spark, dir) => {
+    val mdir = graft.Scratch.dir("graft-ivfmaint").toString
+    val e = Tables.load(spark, dir, "embeddings")
+    e.write.mode("overwrite").parquet(s"$mdir/embeddings.parquet")
+    val batch = Tables.load(spark, mdir, "embeddings")
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "cast(1.0 + 0.01 * (pmod(vec_id * 31 + i, 7) - 3) as float))")
+          .as("embedding"))
+    val pre = ivfDriftFraction(spark, mdir, batch)
+    batch.write.mode("append").parquet(s"$mdir/embeddings.parquet")
+    // ensure the corpus-state key observes the append even inside one
+    // mtime granule (same guard as the rebuild spec)
+    val p = java.nio.file.Paths.get(s"$mdir/embeddings.parquet")
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(p).toMillis + 2000))
+    refreshIvfIndex(spark, mdir, batch)
+    val rebuilt = maybeRebuildIvfIndex(spark, mdir, batch)
+    val post = ivfDriftFraction(spark, mdir, batch)
+    val qDf = batch.filter(col("vec_id") < 1000005L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    ivfSearchFor(spark, mdir, qDf)
+      .withColumn("drift_pre_high", lit(pre > 0.5))
+      .withColumn("rebuilt", lit(rebuilt))
+      .withColumn("drift_post_low", lit(post <= 0.3))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_ann_bruteforce" -> q40AnnBruteForce,
     "q41_embed_neardup" -> q41EmbedNearDup,
+    "q81_ivf_maintenance" -> q81IvfMaintenance,
     "q42_ann_ivf" -> q42AnnIvf,
     "q43_cell_neardup" -> q43CellNearDup,
     "q44_label_centroids" -> q44LabelCentroids,
@@ -1160,9 +1217,9 @@ object SimilarityOps {
     "q77_ivf_sq_ann" -> q77IvfSqAnn,
     "q78_incremental_sq8" -> q78IncrementalSqAnn)
 
-  /** q42/q43/q77 are deliberately absent: approximate/index-backed ops,
-    * verified by recall + equality-vs-exact bounds in SimilaritySpec
-    * instead of SQL equality. */
+  /** q42/q43/q77/q81 are deliberately absent: approximate/index-backed
+    * ops, verified by recall + equality-vs-exact bounds in
+    * SimilaritySpec instead of SQL equality. */
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q41_embed_neardup" -> q41Oracle,

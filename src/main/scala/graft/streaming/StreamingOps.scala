@@ -365,14 +365,29 @@ object StreamingOps {
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bdir = root.resolve(s"batch-$batchId").toString
-        SimilarityOps.quantizeBatchFrozen(spark, seedDir,
-            batch.select(col("vec_id"), col("embedding")))
+        val vecs = batch.select(col("vec_id"), col("embedding"))
+        SimilarityOps.quantizeBatchFrozen(spark, seedDir, vecs)
           .write.mode("overwrite").parquet(bdir)
         val codes = spark.read.parquet(bdir)
         val mode =
           if (DeltaLog.versions(codesTable).isEmpty) "overwrite" else "append"
         DeltaTable.write(codes, codesTable, mode,
           txn = Some((s"sqcodes:$ckptDir", batchId)))
+        // MAINTENANCE METRIC, log-only: score the batch against the
+        // seed corpus's IVF quality baseline (one k×dim broadcast
+        // argmax — never a corpus pass) and persist it per batch under
+        // `_drift/` (a name batchDirs cannot mistake for staged
+        // codes). The REBUILD decision stays OUTSIDE the micro-batch
+        // by design — an operator (or a scheduled job) watches the
+        // metric and calls maybeRebuildIvfIndex between batches; a
+        // re-cluster inside foreachBatch would stall the stream and
+        // tie index lifetime to micro-batch cadence.
+        val drift = SimilarityOps.ivfDriftFraction(spark, seedDir, vecs)
+        val ddir = root.resolve("_drift")
+        java.nio.file.Files.createDirectories(ddir)
+        java.nio.file.Files.write(ddir.resolve(batchId.toString),
+          drift.toString.getBytes("UTF-8"))
+        System.err.println(s"[graft] sqIngest batch=$batchId driftFraction=$drift")
         ()
       }
       .outputMode(OutputMode.Append())
@@ -391,6 +406,26 @@ object StreamingOps {
     batchDirs(java.nio.file.Paths.get(stageRoot), Long.MaxValue)
       .foldLeft(graft.operators.SimilarityOps.stagedSqRecon(spark, seedDir))(
         (acc, d) => acc.unionByName(spark.read.parquet(d)))
+
+  /** The per-batch drift metrics a [[sqIngestPipeline]] persists under
+    * `_drift/` — batchId → drift fraction. This is the production
+    * trigger surface for [[graft.operators.SimilarityOps.maybeRebuildIvfIndex]]:
+    * an operator polls it BETWEEN batches and rebuilds when sustained
+    * drift crosses the policy threshold. */
+  def sqIngestDriftLog(stageRoot: String): Map[Long, Double] = {
+    val d = java.nio.file.Paths.get(stageRoot).resolve("_drift")
+    if (!java.nio.file.Files.isDirectory(d)) Map.empty
+    else {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.map { f =>
+          f.getFileName.toString.toLong ->
+            new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toDouble
+        }.toMap
+      } finally s.close()
+    }
+  }
 
   /** Emit-on-finalize sessionization: `flatMapGroupsWithState` with an
     * EVENT-TIME timeout — a session row is emitted exactly once, when

@@ -427,4 +427,32 @@ class SimilaritySpec extends SparkSpec {
     SimilarityOps.refreshSqIndex(spark, dir, batch)
     assert(SimilarityOps.stagedSqRecon(spark, dir).inputFiles.toSet === files2)
   }
+
+  test("q81 maintenance lifecycle: batch reads as drift, rebuild fires, " +
+      "served neighbors come from the drifted region") {
+    val rows = SimilarityOps.q81IvfMaintenance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // policy observables: the novel cluster must read as drift before
+    // the rebuild and as in-distribution after it
+    rows.foreach { r =>
+      assert(r.getBoolean(4), "pre-ingest drift must exceed the threshold")
+      assert(r.getBoolean(5), "drift past threshold must trigger the rebuild")
+      assert(r.getBoolean(6), "post-rebuild the batch must be in-distribution")
+    }
+    // serving: every query is a batch member; its true neighbors are the
+    // other batch members (one tight cluster, pairwise cosine ~1 vs ~0
+    // to the quasi-uniform corpus) — the swapped index must find them
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (1000000L until 1000005L).toSet)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.forall(_.getLong(1) >= 1000000L),
+        s"query $q served a non-batch neighbor from the stale region")
+      assert(rs.forall(_.getDouble(2) > 0.9),
+        s"query $q: in-cluster cosine should be ~1")
+    }
+    // replayable: the whole lifecycle is deterministic (seeded k-means,
+    // deterministic jitter), so a second run serves identical rows
+    val again = SimilarityOps.q81IvfMaintenance(spark, sf).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
+  }
 }

@@ -482,6 +482,13 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.functions.max(col("r"))).head().getDouble(0)
     assert(maxR <= maxSeed + 1e-9,
       "out-of-range batch values must saturate at the frozen range edge")
+    // maintenance metric: every processed batch emitted a drift
+    // fraction (log-only — the rebuild decision lives outside the
+    // micro-batch); one entry per staged batch, each a valid fraction
+    val drift = StreamingOps.sqIngestDriftLog(stage)
+    assert(drift.keySet === Set(0L, 1L, 2L),
+      s"expected one drift entry per batch, got ${drift.keySet}")
+    assert(drift.values.forall(v => v >= 0.0 && v <= 1.0), drift.toString)
   }
 
   test("near-dup staging guard: a checkpoint reset cannot pair with stale staging") {
