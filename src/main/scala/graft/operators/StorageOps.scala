@@ -497,7 +497,53 @@ object StorageOps {
     """SELECT CAST(2 AS BIGINT) AS version, CAST(6 AS BIGINT) AS num_files,
       |  'n_regionkey' AS partition_columns, 1 AS num_constraints""".stripMargin
 
+  /** q84 — Delta COLUMN MAPPING end-to-end ([EXT]): the metadata-only
+    * schema-evolution path a 100 TB table actually needs — rename and
+    * drop that move ZERO data bytes (DeltaSpec proves the file set is
+    * untouched; here the oracle proves the SEMANTICS). Build: nation →
+    * delta (v0), enable mapping (v1: ids + physical names frozen,
+    * protocol → reader 2/writer 5), RENAME n_name → nation_name (v2,
+    * metadata-only), DROP n_comment (v3, metadata-only), append five
+    * derived rows speaking the NEW logical schema (v4 — their bytes
+    * land under the frozen PHYSICAL name `n_name`), then read back
+    * through the DSv1 path (MappedParquetFileFormat: logical plan
+    * names, physical reader schema, positional rows) and aggregate.
+    * The oracle replays rename-as-alias + drop-as-projection + the
+    * append in plain SQL — mapping metadata is deterministic, so the
+    * whole lifecycle is DuckDB hash-verified. */
+  val q84ColumnMapping: Q = (spark, dir) => {
+    val s = Tables.load(spark, dir, "supplier")
+    val t = freshDir("graft-delta-colmap")
+    DeltaTable.write(s, t, "overwrite")
+    DeltaTable.enableColumnMapping(t)
+    DeltaTable.renameColumn(t, "s_name", "supplier_name")
+    DeltaTable.dropColumn(t, "s_acctbal")
+    val extra = s.filter(col("s_suppkey") < 5)
+      .select((col("s_suppkey") + 1000L).as("s_suppkey"),
+        concat(col("s_name"), lit("_X")).as("supplier_name"),
+        col("s_nationkey"))
+    DeltaTable.write(extra, t, "append")
+    spark.read.format("graft-delta").load(t)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("supplier_name")).as("first_name"),
+        sum(col("s_suppkey")).as("key_sum"))
+      .orderBy("s_nationkey")
+  }
+
+  val q84Oracle: String =
+    """WITH t AS (
+      |  SELECT s_suppkey, s_name AS supplier_name, s_nationkey FROM supplier
+      |  UNION ALL
+      |  SELECT s_suppkey + 1000, s_name || '_X', s_nationkey
+      |  FROM supplier WHERE s_suppkey < 5)
+      |SELECT s_nationkey, COUNT(*) AS n_rows,
+      |  MIN(supplier_name) AS first_name,
+      |  CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q84_column_mapping" -> q84ColumnMapping,
     "q88_delta_detail" -> q88DeltaDetail,
     "q87_delta_constraint" -> q87DeltaConstraint,
     "q85_delta_zorder" -> q85DeltaZorder,
@@ -518,6 +564,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q84_column_mapping" -> q84Oracle,
     "q88_delta_detail" -> q88Oracle,
     "q87_delta_constraint" -> q87Oracle,
     "q85_delta_zorder" -> q85Oracle,

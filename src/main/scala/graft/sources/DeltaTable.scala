@@ -81,7 +81,48 @@ object DeltaTable {
             s"does not match the table's partition columns ${existing.mkString(",")}")
         existing
       }
-    val added = stageIn(df, table, effectivePartitionBy)
+    // COLUMN MAPPING: when the table maps logical → physical names, the
+    // staged files must store the physical names the committed metaData
+    // will declare — so any NEW column's identity (id + col-<uuid>
+    // physical name) is allocated BEFORE staging. `writeMapping` is the
+    // full annotated logical schema this write stages under; a commit
+    // that would declare different physical names for our columns than
+    // we staged (a racing mergeSchema append of the same logical
+    // column) is detected in the retry loop and aborted loudly.
+    val preSnapForMapping =
+      if (DeltaLog.versions(table).isEmpty) None
+      else Some(DeltaLog.snapshot(table))
+    val (writeMapping, mappedMaxId): (Option[StructType], Option[Long]) =
+      preSnapForMapping.flatMap(mappingOf) match {
+        case None => (None, None)
+        case Some(old) if mode == "append" =>
+          val newFields = df.schema.fields.toSeq
+            .filterNot(f => old.fieldNames.contains(f.name))
+          if (newFields.isEmpty) (Some(old), None)
+          else {
+            val (annotated, maxId) = ColumnMapping.annotateNew(newFields,
+              ColumnMapping.maxColumnId(preSnapForMapping.get))
+            (Some(StructType(old.fields ++ annotated)), Some(maxId))
+          }
+        case Some(old) =>
+          // overwrite replaces data AND schema, but the table keeps its
+          // mapping: logically-matching columns keep their identity
+          // (their physical name may live in pre-overwrite files that
+          // old versions still time-travel to), others mint fresh ones
+          val oldByName = old.fields.map(f => f.name -> f).toMap
+          var maxId = ColumnMapping.maxColumnId(preSnapForMapping.get)
+          val fields = df.schema.fields.map { f =>
+            oldByName.get(f.name).filter(_.dataType == f.dataType) match {
+              case Some(o) => f.copy(metadata = o.metadata)
+              case None =>
+                val (annotated, m2) = ColumnMapping.annotateNew(Seq(f), maxId)
+                maxId = m2
+                annotated.head
+            }
+          }
+          (Some(StructType(fields)), Some(maxId))
+      }
+    val added = stageIn(df, table, effectivePartitionBy, writeMapping)
     // CHECK constraints gate every row-introducing write. Validate
     // against the snapshot visible now; the retry loop re-validates
     // against each fresher snapshot, so a constraint whose ALTER wins
@@ -91,7 +132,7 @@ object DeltaTable {
     var validatedConstraints: Set[(String, String)] =
       if (DeltaLog.versions(table).nonEmpty) {
         val cs = DeltaLog.snapshot(table).checkConstraints
-        enforceConstraints(df.sparkSession, table, added, cs)
+        enforceConstraints(df.sparkSession, table, added, cs, writeMapping)
         cs.toSet
       } else Set.empty
     // atomic log commit, with optimistic retry on version conflicts
@@ -110,7 +151,7 @@ object DeltaTable {
           validatedConstraints
       if (unvalidated.nonEmpty) {
         enforceConstraints(df.sparkSession, table, added,
-          unvalidated.toSeq.sortBy(_._1))
+          unvalidated.toSeq.sortBy(_._1), writeMapping)
         validatedConstraints ++= unvalidated
       }
       val removes =
@@ -127,14 +168,50 @@ object DeltaTable {
       // old files. Checked inside the retry loop: the table schema can
       // change under us between attempts. Overwrite replaces the
       // schema outright (it replaces the data too).
-      val tableSchema =
-        if (mode == "overwrite") df.schema
-        else prior.flatMap(_.schemaJson) match {
-          case None => df.schema
-          case Some(j) =>
-            val old = DataType.fromJson(j).asInstanceOf[StructType]
-            resolveAppendSchema(old, df.schema, mergeSchema, table)
+      val tableSchema = {
+        val resolved =
+          if (mode == "overwrite") writeMapping.getOrElse(df.schema)
+          else prior.flatMap(_.schemaJson) match {
+            case None => df.schema
+            case Some(j) =>
+              val old = DataType.fromJson(j).asInstanceOf[StructType]
+              resolveAppendSchema(old, df.schema, mergeSchema, table)
+          }
+        // mapped append: newly-added fields carry the identity allocated
+        // before staging (resolveAppendSchema works on logical names and
+        // returns them bare)
+        writeMapping match {
+          case Some(wm) if mode == "append" =>
+            val wmByName = wm.fields.map(f => f.name -> f).toMap
+            StructType(resolved.fields.map(f =>
+              if (f.metadata.contains(ColumnMapping.FieldPhysKey)) f
+              else wmByName.get(f.name) match {
+                case Some(w) => f.copy(metadata = w.metadata)
+                case None => f
+              }))
+          case _ => resolved
         }
+      }
+      // mapped-append race guard: if the schema we are about to commit
+      // declares a DIFFERENT physical name for any column we staged (a
+      // racing mergeSchema append of the same logical column won its
+      // own fresh uuid), committing would orphan our bytes under a name
+      // the metaData never mentions — readers would silently see null.
+      // Abort loudly instead; the caller retries against the new state.
+      for (wm <- writeMapping if mode == "append") {
+        val stagedL2p = ColumnMapping.logicalToPhysical(wm)
+        val finalL2p = ColumnMapping.logicalToPhysical(tableSchema)
+        val conflicts = df.schema.fieldNames.filter(c =>
+          finalL2p.get(c).exists(p => stagedL2p.get(c).exists(_ != p)))
+        if (conflicts.nonEmpty) {
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+          throw new IllegalStateException(
+            s"graft-delta append to $table: column mapping for " +
+              s"${conflicts.mkString(",")} changed concurrently " +
+              "(racing schema evolution); re-run the append")
+        }
+      }
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
           // protocol belongs in a table's FIRST commit (Delta spec);
@@ -142,9 +219,11 @@ object DeltaTable {
           (if (readVersion == -1L) Seq(DeltaLog.protocolAction()) else Nil) ++
           Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy,
             DeltaLog.tableId(table),
-            // table properties (constraints) survive BOTH modes: an
-            // overwrite replaces data, not the table's contract
-            prior.map(_.configuration).getOrElse(Map.empty))) ++
+            // table properties (constraints, mapping mode) survive BOTH
+            // modes: an overwrite replaces data, not the table's
+            // contract. New mapped columns advance maxColumnId.
+            prior.map(_.configuration).getOrElse(Map.empty) ++
+              mappedMaxId.map(ColumnMapping.MaxIdKey -> _.toString))) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           removes ++
           added.map(f =>
@@ -215,23 +294,175 @@ object DeltaTable {
       s"addCheckConstraint($table, $name): lost the commit race $maxAttempts times")
   }
 
+  /** ALTER TABLE SET delta.columnMapping.mode = 'name' — the one-way
+    * upgrade that makes RENAME and DROP metadata-only operations. Every
+    * existing column's physical name freezes to its current logical
+    * name (the committed files already store exactly that), each gets a
+    * stable id, and the protocol rises to (reader 2, writer 5) per the
+    * Delta spec so a mapping-unaware client refuses the table instead
+    * of misreading it. Idempotent. */
+  def enableColumnMapping(table: String): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      if (ColumnMapping.enabled(snap)) return snap.version
+      val schema = snap.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"enableColumnMapping($table): table has no committed schema"))
+      val (annotated, maxId) = ColumnMapping.annotateAsIs(schema, 0L)
+      val actions = Seq(
+        DeltaLog.commitInfoAction("SET COLUMN MAPPING"),
+        DeltaLog.protocolAction(
+          math.max(snap.minReaderVersion, 2),
+          math.max(snap.minWriterVersion, 5)),
+        DeltaLog.metaDataAction(annotated.json, snap.partitionColumns,
+          DeltaLog.tableId(table),
+          snap.configuration +
+            (ColumnMapping.ModeKey -> "name") +
+            (ColumnMapping.MaxIdKey -> maxId.toString)))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"enableColumnMapping($table): lost the commit race $maxAttempts times")
+  }
+
+  /** Guard shared by rename/drop: mapping on, column exists, column is
+    * not load-bearing for the physical layout (partition dirs use its
+    * name) or the table contract (a CHECK constraint's expression would
+    * dangle — stock Delta rejects both the same way). */
+  private def requireEvolvable(snap: DeltaLog.Snapshot, table: String,
+      name: String, op: String): StructType = {
+    if (!ColumnMapping.enabled(snap))
+      throw new SchemaEvolutionException("rename-or-drop",
+        s"$op($table, $name): column mapping is not enabled — run " +
+          "enableColumnMapping first (rename/drop without mapping would " +
+          "require a rewrite)")
+    val schema = snap.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType]).get
+    require(schema.fieldNames.contains(name),
+      s"$op($table): no such column $name " +
+        s"(have ${schema.fieldNames.mkString(",")})")
+    require(!snap.partitionColumns.contains(name),
+      s"$op($table, $name): partition columns name the physical directory " +
+        "layout; evolving one requires a rewrite")
+    val referencing = snap.checkConstraints.filter { case (_, e) =>
+      ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+        .findFirstIn(e).nonEmpty }
+    require(referencing.isEmpty,
+      s"$op($table, $name): column is referenced by CHECK constraint(s) " +
+        referencing.map(_._1).mkString(",") + "; drop the constraint first")
+    schema
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only under column mapping:
+    * the logical name changes, the physical name and every data file
+    * stay put. Old versions time-travel to the old name (each version's
+    * metaData carries its own mapping). */
+  def renameColumn(table: String, oldName: String, newName: String): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val schema = requireEvolvable(snap, table, oldName, "renameColumn")
+      require(!schema.fieldNames.contains(newName),
+        s"renameColumn($table): $newName already exists")
+      require(newName.nonEmpty && !newName.contains('.'),
+        s"renameColumn($table): bad column name '$newName'")
+      val renamed = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val actions = Seq(
+        DeltaLog.commitInfoAction("RENAME COLUMN"),
+        DeltaLog.metaDataAction(renamed.json, snap.partitionColumns,
+          DeltaLog.tableId(table), snap.configuration))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"renameColumn($table, $oldName): lost the commit race $maxAttempts times")
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only under column mapping: the
+    * field leaves the schema; the bytes stay in the files, unprojected.
+    * A later append that re-ADDS the same logical name mints a FRESH
+    * physical name (see [[ColumnMapping.annotateNew]]), so the dropped
+    * bytes can never resurrect — the new column reads null over old
+    * files like any additive column. */
+  def dropColumn(table: String, name: String): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val schema = requireEvolvable(snap, table, name, "dropColumn")
+      require(schema.fields.length > 1,
+        s"dropColumn($table, $name): cannot drop the last column")
+      val remaining = StructType(schema.fields.filterNot(_.name == name))
+      val actions = Seq(
+        DeltaLog.commitInfoAction("DROP COLUMN"),
+        DeltaLog.metaDataAction(remaining.json, snap.partitionColumns,
+          DeltaLog.tableId(table), snap.configuration))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"dropColumn($table, $name): lost the commit race $maxAttempts times")
+  }
+
   /** Enforce the table's CHECK constraints against freshly staged
     * files; on violation the orphan staged files are removed and the
     * write fails loudly BEFORE any commit references them. One
     * pushed-down filter-limit-1 scan per constraint over only the
     * staged bytes (parquet row-group stats usually answer it without
     * reading data pages). */
+  /** The mapping-annotated logical schema of `snap`, iff column mapping
+    * is enabled — the value every mapped code path threads around. */
+  private def mappingOf(snap: DeltaLog.Snapshot): Option[StructType] =
+    if (!ColumnMapping.enabled(snap)) None
+    else snap.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** Read specific table files under the committed schema, LOGICAL-named
+    * — the one read shape DML rewrites need: physical bytes in, logical
+    * frame out (identity when mapping is off or never diverged). */
+  private def readTableFiles(spark: SparkSession, table: String,
+      snap: DeltaLog.Snapshot, paths: Seq[String]): DataFrame = {
+    val reader =
+      if (snap.partitionColumns.isEmpty) spark.read
+      else spark.read.option("basePath", table)
+    val s = snap.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    s match {
+      case None => reader.parquet(paths: _*)
+      case Some(logical) if !ColumnMapping.enabled(snap) =>
+        reader.schema(logical).parquet(paths: _*)
+      case Some(logical) =>
+        ColumnMapping.toLogical(
+          reader.schema(ColumnMapping.physicalSchema(logical))
+            .parquet(paths: _*), logical)
+    }
+  }
+
   private def enforceConstraints(spark: SparkSession, table: String,
       added: Seq[DeltaLog.AddFile],
-      constraints: Seq[(String, String)]): Unit = {
+      constraints: Seq[(String, String)],
+      mapping: Option[StructType] = None): Unit = {
     import org.apache.spark.sql.functions.{expr, not}
     if (constraints.isEmpty || added.isEmpty) return
     val reader =
       if (added.exists(_.partitionValues.nonEmpty))
         spark.read.option("basePath", table)
       else spark.read
-    val staged = reader.parquet(
+    val stagedPhys = reader.parquet(
       added.map(f => Paths.get(table).resolve(f.path).toString): _*)
+    // constraint expressions reference LOGICAL names; staged files are
+    // physical under mapping. Tolerant per-column rename (not a full
+    // projection): a SUBSET append's staged files lack some columns,
+    // and that must behave exactly as without mapping.
+    val staged = mapping match {
+      case None => stagedPhys
+      case Some(m) =>
+        val p2l = ColumnMapping.logicalToPhysical(m).map(_.swap)
+        stagedPhys.select(stagedPhys.columns.map(c =>
+          col(c).as(p2l.getOrElse(c, c))): _*)
+    }
     for ((name, e) <- constraints) {
       val violated = staged.filter(not(expr(e))).limit(1).count() > 0
       if (violated) {
@@ -252,8 +483,19 @@ object DeltaTable {
     * on the AddFile (the log is the source of truth for pruning — the
     * dir layout is kept only so the files remain self-describing to a
     * plain `spark.read.parquet` user). */
-  private def stageIn(df: DataFrame, table: String,
-      partitionBy: Seq[String] = Nil): Seq[DeltaLog.AddFile] = {
+  /** `mapping` = the table's column-mapping-annotated LOGICAL schema,
+    * when mapping is enabled: the frame arrives logical-named (every
+    * caller's contract) and stages under PHYSICAL names — the files
+    * must store what the mapping metadata says they store. Stats are
+    * collected over the renamed frame, so they key by physical name,
+    * matching what the read path consults. */
+  private def stageIn(df0: DataFrame, table: String,
+      partitionBy0: Seq[String] = Nil,
+      mapping: Option[StructType] = None): Seq[DeltaLog.AddFile] = {
+    val df = mapping.map(m => ColumnMapping.toPhysical(df0, m)).getOrElse(df0)
+    val partitionBy = mapping.map(m =>
+      partitionBy0.map(c => ColumnMapping.logicalToPhysical(m).getOrElse(c, c)))
+      .getOrElse(partitionBy0)
     val spark = df.sparkSession
     val tableDir = Paths.get(table)
     Files.createDirectories(tableDir)
@@ -335,7 +577,8 @@ object DeltaTable {
         if (snap.partitionColumns.isEmpty) snapDf.coalesce(nOut)
         else snapDf.repartition(snap.partitionColumns.map(
           org.apache.spark.sql.functions.col): _*)
-      val added = stageIn(compacted, table, snap.partitionColumns)
+      val added = stageIn(compacted, table, snap.partitionColumns,
+        mappingOf(snap))
       val actions =
         Seq(DeltaLog.commitInfoAction("COMPACT")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
@@ -425,7 +668,7 @@ object DeltaTable {
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__ba", "__bb", "__sa", "__sb", "__z")
-      val added = stageIn(clustered, table, Nil)
+      val added = stageIn(clustered, table, Nil, mappingOf(snap))
       val actions =
         Seq(DeltaLog.commitInfoAction("ZORDER")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, Nil,
@@ -480,16 +723,10 @@ object DeltaTable {
       val touchedPaths = touched.toSeq.sorted
         .map(f => Paths.get(table).resolve(f).toString)
       // survivors of ONLY the touched files, original schema/layout
-      val survivors = {
-        val reader =
-          if (snap.partitionColumns.isEmpty) spark.read
-          else spark.read.option("basePath", table)
-        val s = snap.schemaJson
-          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        s.map(reader.schema).getOrElse(reader).parquet(touchedPaths: _*)
-          .filter(!condition)
-      }
-      val added = stageIn(survivors, table, snap.partitionColumns)
+      val survivors = readTableFiles(spark, table, snap, touchedPaths)
+        .filter(!condition)
+      val added = stageIn(survivors, table, snap.partitionColumns,
+        mappingOf(snap))
       val actions =
         Seq(DeltaLog.commitInfoAction("DELETE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
@@ -533,14 +770,9 @@ object DeltaTable {
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => relativize(table, r.getString(0))).toSet
       if (touched.isEmpty) return snap.version
-      val reader =
-        if (snap.partitionColumns.isEmpty) spark.read
-        else spark.read.option("basePath", table)
-      val s = snap.schemaJson
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-      val touchedRows = s.map(reader.schema).getOrElse(reader)
-        .parquet(touched.toSeq.sorted
-          .map(f => Paths.get(table).resolve(f).toString): _*)
+      val touchedRows = readTableFiles(spark, table, snap,
+        touched.toSeq.sorted
+          .map(f => Paths.get(table).resolve(f).toString))
       val updated = touchedRows.select(touchedRows.columns.map { c =>
         set.get(c) match {
           case Some(e) => org.apache.spark.sql.functions
@@ -548,9 +780,11 @@ object DeltaTable {
           case None => col(c)
         }
       }: _*)
-      val added = stageIn(updated, table, snap.partitionColumns)
+      val added = stageIn(updated, table, snap.partitionColumns,
+        mappingOf(snap))
       // a SET can push rows outside the table's CHECK contract
-      enforceConstraints(spark, table, added, snap.checkConstraints)
+      enforceConstraints(spark, table, added, snap.checkConstraints,
+        mappingOf(snap))
       val actions =
         Seq(DeltaLog.commitInfoAction("UPDATE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
@@ -619,14 +853,9 @@ object DeltaTable {
       val rewritten = {
         if (touched.isEmpty) source.select(target.columns.map(col): _*)
         else {
-          val reader =
-            if (snap.partitionColumns.isEmpty) spark.read
-            else spark.read.option("basePath", table)
-          val s = snap.schemaJson
-            .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-          val touchedRows = s.map(reader.schema).getOrElse(reader)
-            .parquet(touched.toSeq.sorted
-              .map(f => Paths.get(table).resolve(f).toString): _*)
+          val touchedRows = readTableFiles(spark, table, snap,
+            touched.toSeq.sorted
+              .map(f => Paths.get(table).resolve(f).toString))
           touchedRows.join(broadcast(srcKeys), keys, "left_anti")
             .unionByName(source.select(touchedRows.columns.map(col): _*))
         }
@@ -636,9 +865,11 @@ object DeltaTable {
       val racedTxn = txn.exists { case (appId, v) =>
         snap.txns.get(appId).exists(_ >= v) }
       if (racedTxn) return snap.version
-      val added = stageIn(rewritten, table, snap.partitionColumns)
+      val added = stageIn(rewritten, table, snap.partitionColumns,
+        mappingOf(snap))
       // upserted source rows must honor the table's CHECK contract
-      enforceConstraints(spark, table, added, snap.checkConstraints)
+      enforceConstraints(spark, table, added, snap.checkConstraints,
+        mappingOf(snap))
       val actions =
         Seq(DeltaLog.commitInfoAction("MERGE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
@@ -896,8 +1127,21 @@ object DeltaTable {
     val snap = DeltaLog.snapshot(table, versionAsOf)
     val schema = snap.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType])
-    val live = liveFilesAfterSkipping(snap, filters,
-      schema.getOrElse(new StructType()))
+    val mapped = ColumnMapping.enabled(snap)
+    // Under column mapping, file stats are keyed by PHYSICAL name (they
+    // were collected over the staged physical frame) — pushdown filters
+    // arrive logical and translate before the skipping consult.
+    val skipFilters =
+      if (!mapped) filters
+      else {
+        val m = schema.map(ColumnMapping.logicalToPhysical)
+          .getOrElse(Map.empty[String, String])
+        filters.map(ColumnMapping.translateFilter(_, m))
+      }
+    val skipSchema = schema.map(s =>
+      if (mapped) ColumnMapping.physicalSchema(s) else s)
+      .getOrElse(new StructType())
+    val live = liveFilesAfterSkipping(snap, skipFilters, skipSchema)
     val paths = live.map(f => Paths.get(table).resolve(f.path).toString)
     // For a partitioned layout the partition columns are not physical
     // parquet columns — basePath lets Spark recover them from the
@@ -908,7 +1152,13 @@ object DeltaTable {
       else spark.read.option("basePath", table)
     (schema, paths) match {
       case (Some(s), Nil) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ColumnMapping.stripMapping(s))
+      case (Some(s), ps) if mapped =>
+        // physical bytes in, logical frame out: read under the physical
+        // schema, project back to logical names in committed order
+        ColumnMapping.toLogical(
+          reader.schema(ColumnMapping.physicalSchema(s)).parquet(ps: _*), s)
       case (Some(s), ps) => reader.schema(s).parquet(ps: _*)
       case (None, ps) => reader.parquet(ps: _*)
     }
@@ -1024,14 +1274,11 @@ object DeltaTable {
     }.toMap
     val paths = byVersion.flatMap(_._2).map(f =>
       Paths.get(table).resolve(f.path).toString)
-    val reader =
-      if (latest.partitionColumns.isEmpty) spark.read
-      else spark.read.option("basePath", table)
     val base = (schema, paths) match {
       case (Some(s), Nil) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case (Some(s), ps) => reader.schema(s).parquet(ps: _*)
-      case (None, ps) => reader.parquet(ps: _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ColumnMapping.stripMapping(s))
+      case (_, ps) => readTableFiles(spark, table, latest, ps)
     }
     // file → version lookup is log-sized (one entry per added file);
     // a deterministic scalar map keeps the tagging inside the scan

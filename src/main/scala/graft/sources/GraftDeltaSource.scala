@@ -116,10 +116,25 @@ class GraftDeltaSource extends RelationProvider
     val versionAsOf = versionOpt.orElse(
       tsOpt.map(DeltaLog.versionAtTimestamp(table, _)))
     val snap = DeltaLog.snapshot(table, versionAsOf)
-    val schema = snap.schemaJson
+    val committed = snap.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(spark.read.parquet(
         snap.files.map(f => s"$table/${f.path}"): _*).schema)
+    // COLUMN MAPPING: the relation's user-facing schema is LOGICAL
+    // (mapping metadata stripped); the files store PHYSICAL names. The
+    // translation happens at the two points names actually reach the
+    // bytes: the file index's stats consult (physically-keyed stats)
+    // and the parquet reader construction (MappedParquetFileFormat
+    // hands the reader a physically-renamed requiredSchema — the
+    // returned rows/batches are positional, so nothing downstream
+    // changes). When the mapping is the identity (enabled but no
+    // rename/drop/add yet) the stock format serves unchanged.
+    val mapped = ColumnMapping.enabled(snap)
+    val l2p =
+      if (mapped) ColumnMapping.logicalToPhysical(committed)
+      else Map.empty[String, String]
+    val schema =
+      if (mapped) ColumnMapping.stripMapping(committed) else committed
     // Partitioned layout: partition columns come out of the log's
     // metaData, typed by the committed schema; the relation's
     // dataSchema is the rest (they are not physical parquet columns).
@@ -130,12 +145,19 @@ class GraftDeltaSource extends RelationProvider
       snap.partitionColumns.flatMap(c => schema.fields.find(_.name == c)))
     val dataSchema = StructType(
       schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val skipSchema =
+      if (mapped) ColumnMapping.physicalSchema(committed) else schema
+    val fileFormat =
+      if (l2p.exists { case (l, p) => l != p })
+        new MappedParquetFileFormat(l2p)
+      else new ParquetFileFormat
     HadoopFsRelation(
-      location = new GraftDeltaFileIndex(table, snap, schema, partitionSchema),
+      location = new GraftDeltaFileIndex(table, snap, skipSchema,
+        partitionSchema, l2p),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = fileFormat,
       options = Map.empty)(spark)
   }
 
@@ -181,7 +203,11 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
-  private val partitionColumns = DeltaLog.snapshot(table).partitionColumns
+  private val initialSnap = DeltaLog.snapshot(table)
+  private val partitionColumns = initialSnap.partitionColumns
+  // mapping state pinned at source creation — a streaming query's
+  // schema is fixed for its lifetime (same contract as Delta's source)
+  private val mappedRead = ColumnMapping.enabled(initialSnap)
 
   /** Rate-limit cursor (Delta's maxFilesPerTrigger analog, in
     * versions): getOffset advances at most `maxVersionsPerTrigger`
@@ -191,7 +217,7 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     * batch may be larger; documented trade, same as Delta's). */
   private var lastOffered: Option[Long] = None
 
-  override val schema: StructType = DeltaLog.snapshot(table).schemaJson
+  override val schema: StructType = initialSnap.schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     .getOrElse(throw new IllegalStateException(
       s"graft-delta table $table has no committed schema"))
@@ -240,7 +266,12 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     val reader =
       if (partitionColumns.isEmpty) spark.read
       else spark.read.option("basePath", table)
-    val ordered = reader.schema(schema).parquet(paths: _*)
+    val base =
+      if (!mappedRead) reader.schema(schema).parquet(paths: _*)
+      else ColumnMapping.toLogical(
+        reader.schema(ColumnMapping.physicalSchema(schema))
+          .parquet(paths: _*), schema)
+    val ordered = base
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(
       sqlContext, ordered.queryExecution.toRdd, ordered.schema)
@@ -305,7 +336,8 @@ class DeltaNamedSource extends GraftDeltaSource {
   * own row-group stats), so approximate skipping can never change
   * results. */
 class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
-    schema: StructType, partSchema: StructType = new StructType())
+    schema: StructType, partSchema: StructType = new StructType(),
+    l2p: Map[String, String] = Map.empty)
     extends FileIndex {
 
   private val tablePath = new HPath(table)
@@ -334,7 +366,10 @@ class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // under column mapping the stats are physically keyed; predicates
+    // arrive logical and translate before the consult
     val translated = dataFilters.flatMap(GraftDeltaFileIndex.translate)
+      .map(f => if (l2p.isEmpty) f else ColumnMapping.translateFilter(f, l2p))
     val live = DeltaTable.liveFilesAfterSkipping(snap, translated, schema)
     if (partSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty, live.map(status).toArray))
@@ -398,4 +433,40 @@ object GraftDeltaFileIndex {
     case CLe(Literal(v, _), a: Attribute) => Some(GreaterThanOrEqual(a.name, v))
     case _ => None
   }
+}
+
+/** [[ParquetFileFormat]] for COLUMN-MAPPED tables whose mapping has
+  * diverged from the identity (a rename/drop/post-enable add
+  * happened): the relation speaks LOGICAL names, the files store
+  * PHYSICAL ones. The translation happens exactly once, at reader
+  * construction — the data/required schemas are renamed
+  * logical→physical (same field order and types, so the
+  * InternalRows/columnar batches the parquet reader yields are
+  * POSITIONALLY identical to what the logical plan expects — nothing
+  * downstream changes, vectorization and codegen included), and
+  * pushdown filters translate their attribute names so row-group
+  * pruning still bites. This is the same placement delta-spark uses
+  * (DeltaParquetFileFormat): names are a reader-construction concern,
+  * never a per-row one. */
+class MappedParquetFileFormat(l2p: Map[String, String])
+    extends ParquetFileFormat {
+  private def phys(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] =
+    // partitionSchema stays logical: partition columns cannot be
+    // renamed under graft's mapping (they name the directory layout),
+    // so their logical and physical names never diverge
+    super.buildReaderWithPartitionValues(sparkSession, phys(dataSchema),
+      partitionSchema, phys(requiredSchema),
+      filters.map(ColumnMapping.translateFilter(_, l2p)), options, hadoopConf)
 }

@@ -890,6 +890,55 @@ class DeltaSpec extends SparkSpec {
     assert(out.toString.contains("[OK]"))
   }
 
+  test("delta wire format: validator passes a column-mapped table and " +
+      "rejects a file staged under a diverged logical name") {
+    import scala.sys.process._
+    def runValidator(t: String): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0
+    DeltaTable.enableColumnMapping(t)                            // v1
+    DeltaTable.renameColumn(t, "salary", "base_pay")             // v2
+    DeltaTable.dropColumn(t, "date")                             // v3
+    DeltaTable.write(Seq((4, "David", 70000L))
+      .toDF("id", "name", "base_pay"), t, "append")              // v4
+    val (code, out) = runValidator(t)
+    assert(code === 0, s"validator failed a legal mapped table:\n$out")
+    assert(out.contains("[OK]"))
+    // tamper: stage a file whose parquet columns use the LOGICAL name
+    // (what a mapping-unaware writer would produce) and add it to the
+    // log — the validator must notice the diverged name in the bytes
+    val rogue = Seq((9, "Mallory", 1L)).toDF("id", "name", "base_pay")
+    val rogueDir = Files.createTempDirectory("graft-rogue")
+      .resolve("d").toString
+    rogue.coalesce(1).write.parquet(rogueDir)
+    val roguePart = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(rogueDir))
+      try s.iterator.asScala.find(_.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.copy(roguePart, java.nio.file.Paths.get(t, "rogue.parquet"))
+    val snap = DeltaLog.snapshot(t)
+    DeltaLog.commit(t, snap.version, Seq(
+      DeltaLog.commitInfoAction("APPEND"),
+      DeltaLog.metaDataAction(snap.schemaJson.get, snap.partitionColumns,
+        DeltaLog.tableId(t), snap.configuration),
+      DeltaLog.addAction("rogue.parquet",
+        Files.size(java.nio.file.Paths.get(t, "rogue.parquet")), Map.empty,
+        Map.empty)))
+    val (code2, out2) = runValidator(t)
+    assert(code2 !== 0, "validator must reject logically-named bytes " +
+      s"in a mapped table:\n$out2")
+    assert(out2.contains("LOGICAL column name"))
+  }
+
   test("delta wire format: the validator rejects an unstable metaData id") {
     import scala.sys.process._
     val t = freshTable()
@@ -1022,5 +1071,157 @@ class DeltaSpec extends SparkSpec {
     val df = DeltaTable.read(spark, t)
     assert(df.count() === 0)
     assert(df.schema.fieldNames.contains("salary"))
+  }
+
+  test("column mapping lifecycle: enable, rename + drop are metadata-only, " +
+      "no data file moves, old versions time-travel to their own names") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0
+    def dataFiles() = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(java.nio.file.Paths.get(t))
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_delta_log"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val before = dataFiles()
+    DeltaTable.enableColumnMapping(t)                            // v1
+    val vRename = DeltaTable.renameColumn(t, "salary", "base_pay") // v2
+    DeltaTable.dropColumn(t, "date")                             // v3
+    // METADATA-ONLY: byte-identical file set, no rewrites
+    assert(dataFiles() === before,
+      "rename/drop under mapping must not touch a single data file")
+    // current read: new logical name, dropped column gone
+    val cur = DeltaTable.read(spark, t)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "name", "base_pay"))
+    assert(cur.select(sum($"base_pay")).as[Long].head() === 220000L)
+    // DSv1 path sees the same logical schema (MappedParquetFileFormat)
+    val dsv1 = spark.read.format("graft-delta").load(t)
+    assert(dsv1.schema.fieldNames.toSeq === Seq("id", "name", "base_pay"))
+    assert(dsv1.filter($"base_pay" > 70000L).select("name")
+      .as[String].collect().sorted.toSeq === Seq("Alice", "Carol"))
+    // each version carries ITS OWN mapping: v0 still speaks `salary`
+    val v0 = spark.read.format("graft-delta")
+      .option("versionAsOf", 0).load(t)
+    assert(v0.schema.fieldNames.toSeq === Seq("id", "name", "salary", "date"))
+    assert(v0.count() === 3)
+    // appends use the NEW logical names and land under physical ones
+    DeltaTable.write(Seq((4, "David", 70000L))
+      .toDF("id", "name", "base_pay"), t, "append")              // v4
+    assert(DeltaTable.read(spark, t).count() === 4)
+    assert(DeltaTable.read(spark, t).select(sum($"base_pay"))
+      .as[Long].head() === 290000L)
+    // an append still speaking the OLD name is the usual typed rejection
+    intercept[graft.sources.SchemaEvolutionException] {
+      DeltaTable.write(Seq((5, "Eve", 1L)).toDF("id", "name", "salary"),
+        t, "append")
+    }
+    assert(vRename === 2L)
+  }
+
+  test("column mapping: re-adding a dropped column can never resurrect " +
+      "the old bytes (fresh physical identity)") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0
+    DeltaTable.enableColumnMapping(t)                            // v1
+    DeltaTable.dropColumn(t, "date")                             // v2
+    // mergeSchema re-adds the same LOGICAL name; its physical name is a
+    // fresh col-<uuid>, so the old files' `date` bytes stay invisible
+    DeltaTable.write(Seq((4, "David", 70000L, "2099-12-31"))
+      .toDF("id", "name", "salary", "date"), t, "append", mergeSchema = true)
+    val df = DeltaTable.read(spark, t)
+    assert(df.count() === 4)
+    val dates = df.select("id", "date").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(dates(4) === Some("2099-12-31"))
+    assert(dates(1) === None && dates(2) === None && dates(3) === None,
+      "old files' dropped bytes must read NULL under the re-added column, " +
+        "never the original 2024 values")
+    // the physical name really diverged
+    val snap = DeltaLog.snapshot(t)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val phys = schema.fields.find(_.name == "date").get.metadata
+      .getString("delta.columnMapping.physicalName")
+    assert(phys.startsWith("col-"), s"expected a uuid physical name, got $phys")
+  }
+
+  test("column mapping: DML, compact and skipping keep working after a rename") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0
+    DeltaTable.enableColumnMapping(t)
+    DeltaTable.renameColumn(t, "salary", "base_pay")
+    DeltaTable.write(Seq((4, "David", 70000L, "2024-01-18"))
+      .toDF("id", "name", "base_pay", "date"), t, "append")
+    // UPDATE through the new logical name
+    DeltaTable.update(spark, t, $"name" === "Bob",
+      Map("base_pay" -> lit(66000L)))
+    assert(DeltaTable.read(spark, t).filter($"name" === "Bob")
+      .select("base_pay").as[Long].head() === 66000L)
+    // DELETE
+    DeltaTable.delete(spark, t, $"id" === 3)
+    assert(DeltaTable.read(spark, t).count() === 3)
+    // MERGE (upsert) with the current logical schema
+    DeltaTable.merge(spark, t,
+      Seq((4, "David", 71000L, "2024-01-18"), (6, "Frank", 50000L, "2024-02-01"))
+        .toDF("id", "name", "base_pay", "date"), Seq("id"))
+    val after = DeltaTable.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(after === Map(1 -> 75000L, 2 -> 66000L, 4 -> 71000L, 6 -> 50000L))
+    // COMPACT preserves mapping-correct files
+    DeltaTable.compact(spark, t, maxFileBytes = 1L << 30)
+    assert(DeltaTable.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap === after)
+    // data skipping consults physically-keyed stats through the logical
+    // filter name: a selective predicate must prune files
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.forall(_.stats.keys.exists(_.startsWith("min."))),
+      "compacted mapped files must carry stats")
+    val skipped = DeltaTable.read(spark, t, None,
+      Seq(org.apache.spark.sql.sources.GreaterThan("base_pay", 100000L)))
+    assert(skipped.count() === 0)
+  }
+
+  test("column mapping guards: mapping off, partition columns, " +
+      "constraint-referenced columns, name collisions") {
+    import graft.sources.SchemaEvolutionException
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    // rename/drop without mapping: the round-7 typed rejection stands
+    val e1 = intercept[SchemaEvolutionException] {
+      DeltaTable.renameColumn(t, "salary", "base_pay")
+    }
+    assert(e1.kind === "rename-or-drop")
+    DeltaTable.enableColumnMapping(t)
+    DeltaTable.enableColumnMapping(t) // idempotent
+    // collision
+    intercept[IllegalArgumentException] {
+      DeltaTable.renameColumn(t, "salary", "name")
+    }
+    // constraint-referenced column is frozen until the constraint goes
+    DeltaTable.addCheckConstraint(spark, t, "pay_pos", "salary > 0")
+    intercept[IllegalArgumentException] {
+      DeltaTable.renameColumn(t, "salary", "base_pay")
+    }
+    intercept[IllegalArgumentException] { DeltaTable.dropColumn(t, "salary") }
+    // partitioned table: partition column is the physical layout
+    val tp = freshTable()
+    DeltaTable.write(employees3, tp, "overwrite", partitionBy = Seq("date"))
+    DeltaTable.enableColumnMapping(tp)
+    intercept[IllegalArgumentException] {
+      DeltaTable.renameColumn(tp, "date", "hired")
+    }
+    // non-partition columns of a partitioned mapped table still evolve,
+    // and partition pruning keeps working afterwards
+    DeltaTable.renameColumn(tp, "salary", "base_pay")
+    val pruned = spark.read.format("graft-delta").load(tp)
+      .filter($"date" === "2024-01-15")
+    assert(pruned.select("base_pay").as[Long].head() === 75000L)
+    // protocol rose to the mapping gate (reader 2 / writer 5)
+    val snap = DeltaLog.snapshot(tp)
+    assert(snap.minReaderVersion === 2 && snap.minWriterVersion >= 5)
   }
 }

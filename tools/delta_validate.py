@@ -226,14 +226,74 @@ def validate(table):
         if has_constraints and (full.protocol or {}).get("minWriterVersion", 0) < 3:
             problems.append("CHECK constraints present but minWriterVersion < 3")
 
-        # -- partitioned layout (invariant 9)
+        # -- column mapping (invariant 10): when
+        # delta.columnMapping.mode = name, every schema field carries a
+        # unique numeric id and a physicalName, maxColumnId bounds the
+        # ids, the protocol sits at the mapping gate (reader 2 /
+        # writer 5), and data files store PHYSICAL names — a file
+        # holding a diverged LOGICAL name would mean a writer skipped
+        # the rename step and readers would silently miss its bytes.
+        try:
+            schema_json_fields = json.loads(full.schema or "{}").get("fields", [])
+        except Exception:
+            schema_json_fields = []
+        mapping_mode = full.config.get("delta.columnMapping.mode")
+        mapping_on = mapping_mode not in (None, "none")
+
+        def phys_of(f):
+            md = f.get("metadata") or {}
+            return md.get("delta.columnMapping.physicalName", f["name"])
+
+        if mapping_on:
+            if mapping_mode != "name":
+                problems.append(f"unsupported columnMapping.mode: {mapping_mode}")
+            ids = []
+            for f in schema_json_fields:
+                md = f.get("metadata") or {}
+                if ("delta.columnMapping.id" not in md or
+                        "delta.columnMapping.physicalName" not in md):
+                    problems.append("column mapping on but field "
+                                    f"{f.get('name')} lacks id/physicalName")
+                else:
+                    ids.append(md["delta.columnMapping.id"])
+            if len(set(ids)) != len(ids):
+                problems.append(f"column mapping field ids not unique: {sorted(ids)}")
+            try:
+                maxid = int(full.config.get("delta.columnMapping.maxColumnId", "0"))
+            except ValueError:
+                maxid = 0
+                problems.append("delta.columnMapping.maxColumnId not an integer")
+            if ids and maxid < max(ids):
+                problems.append(f"maxColumnId {maxid} < max field id {max(ids)}")
+            pr = full.protocol or {}
+            if pr.get("minReaderVersion", 0) < 2 or pr.get("minWriterVersion", 0) < 5:
+                problems.append("column mapping present but protocol below "
+                                "(minReader 2, minWriter 5)")
+            phys_set = {phys_of(f) for f in schema_json_fields}
+            diverged_logicals = {f["name"] for f in schema_json_fields
+                                 if phys_of(f) != f["name"]} - phys_set
+            if diverged_logicals:
+                for p in sorted(full.live):
+                    fp = os.path.join(table, p)
+                    if not os.path.isfile(fp):
+                        continue
+                    try:
+                        dcols = parquet_columns(fp)
+                    except Exception:
+                        continue
+                    bad = sorted(set(dcols) & diverged_logicals)
+                    if bad:
+                        problems.append(f"data file {p} stores LOGICAL "
+                                        f"column name(s) {bad}; mapped "
+                                        "writers must stage physical names")
+
+        # -- partitioned layout (invariant 9); under column mapping the
+        # files' real columns are the PHYSICAL names
         import urllib.parse
         pcols = list(full.part_cols)
-        try:
-            schema_fields = [f["name"] for f in
-                             json.loads(full.schema or "{}").get("fields", [])]
-        except Exception:
-            schema_fields = []
+        schema_fields = ([phys_of(f) for f in schema_json_fields]
+                         if mapping_on else
+                         [f.get("name") for f in schema_json_fields])
         for p, f in sorted(full.live.items()):
             pv = norm_map(f.get("partitionValues"))
             if sorted(pv) != sorted(pcols):
@@ -262,8 +322,11 @@ def validate(table):
                     if c in dcols:
                         problems.append(f"partition column {c} materialized "
                                         f"inside data file {p}")
+                # under column mapping, DROP is metadata-only: a file may
+                # legally carry a dropped column's physical bytes, so the
+                # outside-the-schema check applies only to unmapped tables
                 extra = [c for c in dcols if schema_fields and
-                         c not in schema_fields]
+                         c not in schema_fields and not mapping_on]
                 if extra:
                     problems.append(f"data file {p} carries columns {extra} "
                                     "outside the logged schema")
