@@ -439,6 +439,31 @@ class DeltaSpec extends SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("column-mapped read still plans as a vectorized columnar scan " +
+      "with pruned projection") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.enableColumnMapping(t)
+    DeltaTable.renameColumn(t, "salary", "base_pay")
+    val df = spark.read.format("graft-delta").load(t)
+      .filter($"base_pay" > 70000L).select("name")
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }
+    assert(scan.isDefined, s"no FileSourceScanExec in:\n${df.queryExecution.sparkPlan}")
+    // the mapping must not cost the scan its columnar/vectorized path —
+    // MappedParquetFileFormat only renames schemas at reader construction
+    assert(scan.get.supportsColumnar, "mapped parquet scan should stay columnar")
+    // column pruning: the scan's output schema carries only the needed
+    // LOGICAL columns (the physical rename happens below the plan)
+    val readCols = scan.get.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("name", "base_pay"),
+      s"projection not pruned through the mapping: $readCols")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("Alice", "Carol"))
+  }
+
   test("compact merges small files; history and data survive") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite") // v0
