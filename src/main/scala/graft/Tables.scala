@@ -20,7 +20,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Cast every TIMESTAMP_NTZ column to session-zoned TimestampType.
+    * The driver's fixtures write timestamps as parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) since round 7 — not just
+    * `events.ts` but `o_orderdate`/`l_shipdate` too — and the engine
+    * speaks ONE timestamp type everywhere: the session is pinned UTC,
+    * so the cast preserves the exact instants while keeping
+    * timezone-sensitive consumers (`unix_micros`, windowing,
+    * watermarks) analyzable. Round 7 shipped a fixture regeneration
+    * that broke the two queries reading the one unnormalized column;
+    * this is the boundary that makes that class of breakage
+    * structurally impossible (TimestampEncodingSpec is the canary). */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntz.foldLeft(df)((d, f) => d.withColumn(f.name,
+      org.apache.spark.sql.functions.col(f.name).cast(TimestampType)))
+  }
 
   /** `events.ts` has shipped in multiple parquet encodings across fixture
     * generations; normalize ALL of them to session-zoned `TimestampType`
@@ -58,8 +76,7 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType))
+        normalizeTimestamps(df)
       case _ => df
     }
   }

@@ -259,6 +259,13 @@ object DeltaLog {
           throw new IllegalStateException(
             s"concurrent commit: version $next already exists in $table")
       }
+      // stock Delta's periodic-checkpoint policy: every Nth commit
+      // snapshots the table beside the log, bounding replay cost for
+      // long-lived tables (a streaming sink commits one version per
+      // micro-batch — without this, snapshot() walks an ever-growing
+      // JSON prefix). Post-commit and best-effort by construction: the
+      // version file IS committed, the checkpoint is derived data.
+      DeltaTable.maybeAutoCheckpoint(table, next)
       next
     } finally {
       try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }

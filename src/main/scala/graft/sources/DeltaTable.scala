@@ -1041,6 +1041,66 @@ object DeltaTable {
     * checkpoint (same state by construction); died earlier ⇒ plain
     * replay as if vacuum never ran. Returns deleted data-file paths
     * (table-relative, partitioned layouts walked recursively). */
+  /** Stock Delta's periodic-checkpoint cadence (one checkpoint per 10
+    * commits). Bounds `snapshot()`'s replay to at most [[CheckpointInterval]]
+    * JSON version files past the newest checkpoint — the difference
+    * between O(versions) and O(1) log reads for a long-lived table fed
+    * one commit per streaming micro-batch. */
+  private val CheckpointInterval = 10L
+
+  /** Write BOTH checkpoint formats + the `_last_checkpoint` hint for
+    * `version`: the engine's JSON fast-path side file and the
+    * protocol-format parquet a stock delta reader replays. Derived
+    * data, atomic move — replacing a racer's identical checkpoint is
+    * harmless, and the version files it summarizes are already
+    * committed. */
+  private[sources] def writeCheckpoint(table: String, version: Long): Unit = {
+    val snap = DeltaLog.snapshot(table, Some(version))
+    val logDir = DeltaLog.logDir(table)
+    val checkpoint =
+      Seq(DeltaLog.commitInfoAction("CHECKPOINT"),
+        // carry the table's CURRENT protocol (a constraint may have
+        // upgraded minWriterVersion past the default)
+        DeltaLog.protocolAction(snap.minReaderVersion,
+          snap.minWriterVersion)) ++
+        snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+          DeltaLog.tableId(table), snap.configuration)) ++
+        // txn ledger must survive a pruned prefix — dropping it would
+        // let a restarted streaming query re-apply old micro-batches
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          DeltaLog.txnAction(app, v) } ++
+        snap.files.map(f =>
+          DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+    val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
+    Files.write(tmp, checkpoint.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, DeltaLog.checkpointPath(table, version),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // the PROTOCOL-format checkpoint: the same snapshot as parquet
+    // action rows — what a stock delta reader replays. Needs a session
+    // for the parquet codec (best-effort skip otherwise: the JSON side
+    // file already guarantees our own replay).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(writeParquetCheckpoint(_, table, version, snap))
+    // _last_checkpoint hint (the protocol's fast-path pointer;
+    // discovery by listing remains the source of truth)
+    val hint = Files.createTempFile(logDir, ".lastckpt-", ".tmp")
+    Files.write(hint, s"""{"version":$version,"size":${checkpoint.length}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(hint, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Post-commit hook ([[DeltaLog.commit]]): checkpoint every
+    * [[CheckpointInterval]]-th version. NEVER fails the commit — the
+    * version file is already durable and a checkpoint is derived data;
+    * a missed one costs replay time, not correctness. */
+  private[sources] def maybeAutoCheckpoint(table: String, version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0)
+      try writeCheckpoint(table, version)
+      catch { case scala.util.control.NonFatal(_) => () }
+
   def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = DeltaLog.versions(table)
@@ -1049,44 +1109,10 @@ object DeltaTable {
     val referenced = keep.flatMap(v =>
       DeltaLog.snapshot(table, Some(v)).files.map(_.path)).toSet
     val horizon = keep.head
-    val hSnap = DeltaLog.snapshot(table, Some(horizon))
     val logDir = DeltaLog.logDir(table)
-    // 1. side checkpoint for the horizon (atomic move; derived data,
-    // so replacing a racer's identical checkpoint is harmless)
-    val checkpoint =
-      Seq(DeltaLog.commitInfoAction("VACUUM-CHECKPOINT"),
-        // carry the table's CURRENT protocol (a constraint may have
-        // upgraded minWriterVersion past the default)
-        DeltaLog.protocolAction(hSnap.minReaderVersion,
-          hSnap.minWriterVersion)) ++
-        hSnap.schemaJson.map(DeltaLog.metaDataAction(_, hSnap.partitionColumns,
-          DeltaLog.tableId(table), hSnap.configuration)) ++
-        // txn ledger must survive the pruned prefix — dropping it would
-        // let a restarted streaming query re-apply old micro-batches
-        hSnap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          DeltaLog.txnAction(app, v) } ++
-        hSnap.files.map(f =>
-          DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
-    val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
-    Files.write(tmp, checkpoint.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, DeltaLog.checkpointPath(table, horizon),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // 1b. the PROTOCOL-format checkpoint: the same snapshot as parquet
-    // action rows — what a stock delta reader replays. Needs a session
-    // for the parquet codec; vacuum is always driven by one in
-    // practice (best-effort skip otherwise: the JSON side file already
-    // guarantees our own replay).
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach(writeParquetCheckpoint(_, table, horizon, hSnap))
-    // 2. _last_checkpoint hint (the protocol's fast-path pointer;
-    // discovery by listing remains the source of truth)
-    val hint = Files.createTempFile(logDir, ".lastckpt-", ".tmp")
-    Files.write(hint, s"""{"version":$horizon,"size":${checkpoint.length}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(hint, logDir.resolve("_last_checkpoint"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // 1+2. both checkpoint formats + the _last_checkpoint hint for the
+    // horizon (shared with the periodic auto-checkpoint policy)
+    writeCheckpoint(table, horizon)
     // 3. drop the pruned prefix: version files AND superseded
     // checkpoints strictly below the horizon (reads there now fail
     // loudly; retained N.json files are never touched)

@@ -412,6 +412,21 @@ object StreamingOps {
     * trigger surface for [[graft.operators.SimilarityOps.maybeRebuildIvfIndex]]:
     * an operator polls it BETWEEN batches and rebuilds when sustained
     * drift crosses the policy threshold. */
+  /** The BETWEEN-batches rebuild cue the drift log exists for: true
+    * when the trailing `window` batches ALL scored past `threshold` —
+    * sustained distribution shift, not one noisy batch. The operator's
+    * play on true: durably append the staged batches to the corpus and
+    * run [[graft.operators.SimilarityOps.maybeRebuildIvfIndex]] while
+    * the stream keeps serving (the rebuild swaps atomically and never
+    * deletes the old staged dirs). Kept OUT of the micro-batch on
+    * purpose — a re-cluster inside foreachBatch would stall ingest. */
+  def sustainedDrift(stageRoot: String, threshold: Double = 0.5,
+      window: Int = 3): Boolean = {
+    val recent = sqIngestDriftLog(stageRoot).toSeq.sortBy(_._1)
+      .takeRight(window)
+    recent.size >= window && recent.forall(_._2 > threshold)
+  }
+
   def sqIngestDriftLog(stageRoot: String): Map[Long, Double] = {
     val d = java.nio.file.Paths.get(stageRoot).resolve("_drift")
     if (!java.nio.file.Files.isDirectory(d)) Map.empty

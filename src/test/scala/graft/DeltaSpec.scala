@@ -1098,6 +1098,46 @@ class DeltaSpec extends SparkSpec {
     assert(df.schema.fieldNames.contains("salary"))
   }
 
+  test("periodic auto-checkpoint: every 10th commit snapshots the log; " +
+      "replay starts at the newest checkpoint and survives prefix cleanup") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0
+    for (i <- 1 to 23)                                           // v1..v23
+      DeltaTable.write(Seq((100 + i, s"W$i", 1000L * i, "2024-02-01"))
+        .toDF("id", "name", "salary", "date"), t, "append")
+    // checkpoints landed at the interval versions, in BOTH formats,
+    // and the hint points at the newest
+    assert(DeltaLog.checkpointVersions(t).toSet === Set(10L, 20L))
+    for (v <- Seq(10L, 20L)) {
+      assert(Files.exists(DeltaLog.checkpointPath(t, v)))
+      assert(Files.exists(DeltaLog.parquetCheckpointPath(t, v)))
+    }
+    val hint = new String(Files.readAllBytes(
+      DeltaLog.logDir(t).resolve("_last_checkpoint")), "UTF-8")
+    assert(hint.contains("\"version\":20"))
+    assert(DeltaTable.read(spark, t).count() === 26)
+    // the bounded-replay contract: drop the version prefix the newest
+    // checkpoint supersedes (what log cleanup does at scale) — the
+    // snapshot must replay checkpoint-20 + v21..v23 and see every row
+    for (v <- 0L to 19L)
+      Files.deleteIfExists(DeltaLog.logDir(t).resolve(f"$v%020d.json"))
+    assert(DeltaTable.read(spark, t).count() === 26)
+    assert(DeltaLog.snapshot(t).version === 23L)
+    // time travel to a pre-cleanup version without its JSON now fails
+    // loudly (vacuumed-away semantics), never silently merges
+    intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(t, Some(5L))
+    }
+    // the independent validator accepts the auto-checkpointed log
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code === 0, s"validator rejected auto-checkpointed table:\n$out")
+  }
+
   test("column mapping lifecycle: enable, rename + drop are metadata-only, " +
       "no data file moves, old versions time-travel to their own names") {
     val t = freshTable()

@@ -489,6 +489,19 @@ class StreamingSpec extends SparkSpec {
     assert(drift.keySet === Set(0L, 1L, 2L),
       s"expected one drift entry per batch, got ${drift.keySet}")
     assert(drift.values.forall(v => v >= 0.0 && v <= 1.0), drift.toString)
+    // the between-batches rebuild cue: three fabricated high-drift
+    // batches trip it, the real (near-seed) batches must not have
+    val fake = java.nio.file.Files.createTempDirectory("graft-driftlog")
+    java.nio.file.Files.createDirectories(fake.resolve("_drift"))
+    for (i <- 0 to 2)
+      java.nio.file.Files.write(fake.resolve("_drift").resolve(i.toString),
+        "0.9".getBytes("UTF-8"))
+    assert(StreamingOps.sustainedDrift(fake.toString),
+      "three batches past threshold must cue a rebuild")
+    assert(!StreamingOps.sustainedDrift(stage, threshold = 1.1),
+      "no batch can exceed an impossible threshold")
+    assert(!StreamingOps.sustainedDrift(fake.toString, window = 4),
+      "a window larger than the log must not cue")
   }
 
   test("near-dup staging guard: a checkpoint reset cannot pair with stale staging") {
