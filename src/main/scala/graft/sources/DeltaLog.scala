@@ -265,7 +265,7 @@ object DeltaLog {
       // micro-batch — without this, snapshot() walks an ever-growing
       // JSON prefix). Post-commit and best-effort by construction: the
       // version file IS committed, the checkpoint is derived data.
-      DeltaTable.maybeAutoCheckpoint(table, next)
+      DeltaTable.maybeAutoCheckpoint(table, next, actions)
       next
     } finally {
       try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }

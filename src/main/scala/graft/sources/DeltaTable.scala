@@ -294,6 +294,33 @@ object DeltaTable {
       s"addCheckConstraint($table, $name): lost the commit race $maxAttempts times")
   }
 
+  /** ALTER TABLE SET TBLPROPERTIES (k = v) — a plain metadata commit
+    * carrying the updated configuration. Properties with their own
+    * lifecycle APIs are rejected here: constraints need existing-data
+    * validation ([[addCheckConstraint]]) and column mapping needs the
+    * schema annotation + protocol upgrade ([[enableColumnMapping]]). */
+  def setTableProperty(table: String, key: String, value: String): Long = {
+    require(!key.startsWith("delta.constraints."),
+      s"setTableProperty($key): use addCheckConstraint (existing data " +
+        "must be validated)")
+    require(!key.startsWith("delta.columnMapping."),
+      s"setTableProperty($key): use enableColumnMapping (schema " +
+        "annotation + protocol upgrade)")
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val actions = Seq(
+        DeltaLog.commitInfoAction("SET TBLPROPERTIES"),
+        DeltaLog.metaDataAction(snap.schemaJson.getOrElse(
+            new StructType().json), snap.partitionColumns,
+          DeltaLog.tableId(table), snap.configuration + (key -> value)))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"setTableProperty($table, $key): lost the commit race $maxAttempts times")
+  }
+
   /** ALTER TABLE SET delta.columnMapping.mode = 'name' — the one-way
     * upgrade that makes RENAME and DROP metadata-only operations. Every
     * existing column's physical name freezes to its current logical
@@ -1042,11 +1069,17 @@ object DeltaTable {
     * replay as if vacuum never ran. Returns deleted data-file paths
     * (table-relative, partitioned layouts walked recursively). */
   /** Stock Delta's periodic-checkpoint cadence (one checkpoint per 10
-    * commits). Bounds `snapshot()`'s replay to at most [[CheckpointInterval]]
-    * JSON version files past the newest checkpoint — the difference
-    * between O(versions) and O(1) log reads for a long-lived table fed
-    * one commit per streaming micro-batch. */
-  private val CheckpointInterval = 10L
+    * commits by default; a table overrides it with the protocol's own
+    * `delta.checkpointInterval` property). Bounds `snapshot()`'s replay
+    * to at most one interval of JSON version files past the newest
+    * checkpoint — the difference between O(versions) and O(1) log
+    * reads for a long-lived table fed one commit per streaming
+    * micro-batch. */
+  private val DefaultCheckpointInterval = 10L
+
+  private def checkpointInterval(config: Map[String, String]): Long =
+    config.get("delta.checkpointInterval").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(DefaultCheckpointInterval)
 
   /** Write BOTH checkpoint formats + the `_last_checkpoint` hint for
     * `version`: the engine's JSON fast-path side file and the
@@ -1093,13 +1126,27 @@ object DeltaTable {
   }
 
   /** Post-commit hook ([[DeltaLog.commit]]): checkpoint every
-    * [[CheckpointInterval]]-th version. NEVER fails the commit — the
-    * version file is already durable and a checkpoint is derived data;
-    * a missed one costs replay time, not correctness. */
-  private[sources] def maybeAutoCheckpoint(table: String, version: Long): Unit =
-    if (version > 0 && version % CheckpointInterval == 0)
-      try writeCheckpoint(table, version)
-      catch { case scala.util.control.NonFatal(_) => () }
+    * interval-th version. The interval comes from the JUST-COMMITTED
+    * actions' metaData configuration (every graft writer carries the
+    * configuration forward, so it is in-memory here — deciding from a
+    * snapshot would cost a full log replay per commit, the very thing
+    * the checkpoint bounds); commits without a metaData action use the
+    * default. NEVER fails the commit — the version file is already
+    * durable and a checkpoint is derived data; a missed one costs
+    * replay time, not correctness. */
+  private[sources] def maybeAutoCheckpoint(table: String, version: Long,
+      actions: Seq[String]): Unit =
+    if (version > 0)
+      try {
+        val config = actions.iterator
+          .filter(_.nonEmpty).map(DeltaLog.Json.parse)
+          .collectFirst { case ("metaData", f) =>
+            f.get("configuration").map(DeltaLog.Json.parseFlat)
+              .getOrElse(Map.empty[String, String]) }
+          .getOrElse(Map.empty[String, String])
+        if (version % checkpointInterval(config) == 0)
+          writeCheckpoint(table, version)
+      } catch { case scala.util.control.NonFatal(_) => () }
 
   def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")

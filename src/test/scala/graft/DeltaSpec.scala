@@ -1136,6 +1136,80 @@ class DeltaSpec extends SparkSpec {
       .!(ProcessLogger(s => out.append(s).append('\n'),
         s => out.append(s).append('\n')))
     assert(code === 0, s"validator rejected auto-checkpointed table:\n$out")
+    // the protocol's own delta.checkpointInterval property overrides
+    // the default cadence from the NEXT commit on
+    val t2 = freshTable()
+    DeltaTable.write(employees3, t2, "overwrite")                // v0
+    DeltaTable.setTableProperty(t2, "delta.checkpointInterval", "3") // v1
+    for (i <- 1 to 5)                                            // v2..v6
+      DeltaTable.write(employee1, t2, "append")
+    assert(DeltaLog.checkpointVersions(t2).toSet === Set(3L, 6L),
+      s"interval-3 table checkpointed at ${DeltaLog.checkpointVersions(t2)}")
+    // lifecycle-API properties must go through their own entry points
+    intercept[IllegalArgumentException] {
+      DeltaTable.setTableProperty(t2, "delta.constraints.x", "id > 0")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaTable.setTableProperty(t2, "delta.columnMapping.mode", "name")
+    }
+  }
+
+  test("column mapping survives vacuum: the checkpoint carries the " +
+      "annotated schema and renamed reads keep serving") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0
+    DeltaTable.enableColumnMapping(t)                            // v1
+    DeltaTable.renameColumn(t, "salary", "base_pay")             // v2
+    DeltaTable.write(Seq((4, "David", 70000L, "2024-01-18"))
+      .toDF("id", "name", "base_pay", "date"), t, "append")      // v3
+    DeltaTable.vacuum(t, 1)
+    // the pruned-prefix table replays from the checkpoint alone; the
+    // mapping metadata must have survived into it
+    val df = DeltaTable.read(spark, t)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("id", "name", "base_pay", "date"))
+    assert(df.select(sum($"base_pay")).as[Long].head() === 290000L)
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.configuration.get("delta.columnMapping.mode") === Some("name"))
+    assert(snap.minReaderVersion === 2 && snap.minWriterVersion >= 5)
+    // and evolution keeps working post-vacuum
+    DeltaTable.renameColumn(t, "date", "hired")
+    assert(DeltaTable.read(spark, t).schema.fieldNames.contains("hired"))
+  }
+
+  test("streaming sink into a column-mapped table stages physical names") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.enableColumnMapping(t)
+    DeltaTable.renameColumn(t, "salary", "base_pay")
+    val src = Files.createTempDirectory("graft-map-stream")
+    val ckpt = src.resolve("ckpt").toString
+    Seq((10, "Zoe", 55000L, "2024-03-01"))
+      .toDF("id", "name", "base_pay", "date")
+      .coalesce(1).write.mode("overwrite").parquet(src.resolve("in").toString)
+    val q = spark.readStream
+      .schema(Seq.empty[(Int, String, Long, String)]
+        .toDF("id", "name", "base_pay", "date").schema)
+      .parquet(src.resolve("in").toString)
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", ckpt)
+      .start(t)
+    q.processAllAvailable()
+    q.stop()
+    val df = DeltaTable.read(spark, t)
+    assert(df.count() === 4)
+    assert(df.filter($"name" === "Zoe").select("base_pay")
+      .as[Long].head() === 55000L)
+    // the streamed file really stores the PHYSICAL column name
+    val snap = DeltaLog.snapshot(t)
+    val streamedFile = snap.files.map(_.path)
+      .filterNot(p => spark.read.format("graft-delta")
+        .option("versionAsOf", 2).load(t).inputFiles
+        .exists(_.endsWith(p))).head
+    val cols = spark.read.parquet(
+      java.nio.file.Paths.get(t).resolve(streamedFile).toString).columns.toSet
+    assert(cols.contains("salary") && !cols.contains("base_pay"),
+      s"streamed file must store physical names, has $cols")
   }
 
   test("column mapping lifecycle: enable, rename + drop are metadata-only, " +
