@@ -626,18 +626,21 @@ object DeltaTable {
       s"compact($table): lost the commit race $maxAttempts times")
   }
 
-  /** OPTIMIZE ZORDER BY — rewrite the table clustered along a 2-D
-    * Z-curve so the per-file min/max stats become tight on BOTH
-    * columns and data skipping prunes multi-dimension filters. A plain
-    * compact/sort clusters one column perfectly and leaves the other's
+  /** OPTIMIZE ZORDER BY — rewrite the table clustered along a k-D
+    * Z-curve (2–4 columns since round 8; the classic 2-D case emits
+    * bit-identical z values to the round-5 magic-number version) so
+    * the per-file min/max stats become tight on EVERY clustered column
+    * and data skipping prunes multi-dimension filters. A plain
+    * compact/sort clusters one column perfectly and leaves the others'
     * per-file ranges spanning the whole domain; the bit-interleaved
     * Z-value bounds every file to a curve segment, i.e. a small
-    * rectangle in (colA, colB) space — the standard lakehouse layout
-    * optimization for "filter by user AND by time" workloads.
+    * hyper-rectangle in clustering space — the standard lakehouse
+    * layout optimization for "filter by user AND time AND lang"
+    * workloads.
     *
-    * Mechanics: each column is linearly bucketed to 16 bits against
-    * its GLOBAL min/max (one tiny 4-aggregate job — only 4 scalars
-    * reach the driver; rank-bucketing would equalize skewed
+    * Mechanics: each column is linearly bucketed to min(16, 60/k) bits
+    * against its GLOBAL min/max (one tiny 2k-aggregate job — only 2k
+    * scalars reach the driver; rank-bucketing would equalize skewed
     * distributions but needs a global sort or quantile sketch, and
     * linear is the common production default), the buckets interleave
     * via codegen'd shift/mask magic-number spreads into a 32-bit
@@ -655,7 +658,14 @@ object DeltaTable {
   def zorder(spark: SparkSession, table: String, cols: Seq[String],
       targetFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
-    require(cols.length == 2, "zorder: exactly 2 clustering columns")
+    require(cols.length >= 2 && cols.length <= 4,
+      "zorder: 2 to 4 clustering columns")
+    val k = cols.length
+    // bits per dimension: 16 for the classic 2-D curve (same z values
+    // as the round-5 magic-number implementation, bit for bit), scaled
+    // down so k dimensions always fit one signed long
+    val bits = math.min(16, 60 / k)
+    val maxBucket = (1L << bits) - 1
     val maxAttempts = 8
     for (_ <- 1 to maxAttempts) {
       val snap = DeltaLog.snapshot(table)
@@ -663,38 +673,32 @@ object DeltaTable {
         s"zorder($table): partitioned tables cluster within partitions " +
           "by the partition key already; zorder supports unpartitioned")
       val df = read(spark, table, Some(snap.version))
-      val Seq(a, b) = cols
-      val r = df.agg(smin(col(a)).cast("double"), smax(col(a)).cast("double"),
-        smin(col(b)).cast("double"), smax(col(b)).cast("double")).head()
-      val (aLo, aHi, bLo, bHi) =
-        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-      def bucket16(c: String, lo: Double, hi: Double): String =
+      val aggs = cols.flatMap(c => Seq(
+        smin(col(c)).cast("double"), smax(col(c)).cast("double")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head() // 2k scalars
+      val ranges = cols.indices.map(j =>
+        (r.getDouble(2 * j), r.getDouble(2 * j + 1)))
+      def bucket(c: String, lo: Double, hi: Double): String =
         if (hi <= lo) "0L"
-        else s"cast(((cast(`$c` AS double) - $lo) / (${hi - lo})) * 65535.0 AS bigint)"
-      // spread 16 bits to even positions (morton magic numbers), b's
-      // copy lands on odd positions via one extra shift
-      def spread(v: String): String =
-        s"""(((((($v | shiftleft($v, 8)) & 16711935)
-           |  | shiftleft((($v | shiftleft($v, 8)) & 16711935), 4)) & 252645135)
-           |  | shiftleft((((($v | shiftleft($v, 8)) & 16711935)
-           |  | shiftleft((($v | shiftleft($v, 8)) & 16711935), 4)) & 252645135), 2)) & 858993459)""".stripMargin
-      // two-step spread via a staged column keeps the expr readable:
-      // s1 = interleave-by-2 result, then final interleave-by-1
-      val z = df
-        .withColumn("__ba", org.apache.spark.sql.functions.expr(
-          bucket16(a, aLo, aHi)))
-        .withColumn("__bb", org.apache.spark.sql.functions.expr(
-          bucket16(b, bLo, bHi)))
-        .withColumn("__sa", org.apache.spark.sql.functions.expr(
-          s"(${spread("__ba")} | shiftleft(${spread("__ba")}, 1)) & 1431655765"))
-        .withColumn("__sb", org.apache.spark.sql.functions.expr(
-          s"(${spread("__bb")} | shiftleft(${spread("__bb")}, 1)) & 1431655765"))
-        .withColumn("__z", org.apache.spark.sql.functions.expr(
-          "__sa | shiftleft(__sb, 1)"))
+        else s"cast(((cast(`$c` AS double) - $lo) / (${hi - lo})) * " +
+          s"$maxBucket.0 AS bigint)"
+      // generic k-way interleave: dimension j's bit i lands at position
+      // i*k + j. A flat OR of shift/mask terms — pure codegen'd long
+      // arithmetic, same cost class as the 2-D magic-number spread it
+      // generalizes (16·k terms fused into one whole-stage projection).
+      val zExpr = cols.indices.map { j =>
+        (0 until bits).map(i =>
+          s"shiftleft(shiftright(__zb$j, $i) & 1, ${i * k + j})")
+          .mkString("(", " | ", ")")
+      }.mkString(" | ")
+      val z = cols.indices.foldLeft(df) { (d, j) =>
+        d.withColumn(s"__zb$j", org.apache.spark.sql.functions.expr(
+          bucket(cols(j), ranges(j)._1, ranges(j)._2)))
+      }.withColumn("__z", org.apache.spark.sql.functions.expr(zExpr))
       val clustered = z
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__ba", "__bb", "__sa", "__sb", "__z")
+        .drop(cols.indices.map(j => s"__zb$j") :+ "__z": _*)
       val added = stageIn(clustered, table, Nil, mappingOf(snap))
       val actions =
         Seq(DeltaLog.commitInfoAction("ZORDER")) ++

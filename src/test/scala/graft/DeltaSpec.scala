@@ -1064,6 +1064,47 @@ class DeltaSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("zorder generalizes to 3 dimensions: every clustered column " +
+      "prunes; content unchanged") {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val t = freshTable()
+    // 16x16x16 grid scattered over 8 files: no column prunes before
+    val grid = spark.range(4096)
+      .select($"id", ($"id" / 256).cast("long").as("a"),
+        ($"id" / 16 % 16).cast("long").as("b"), ($"id" % 16).as("c"))
+    DeltaTable.write(grid.repartition(8), t, "overwrite")
+    def kept(f: org.apache.spark.sql.sources.Filter): Int = {
+      val snap = graft.sources.DeltaLog.snapshot(t)
+      val schema = DataType.fromJson(snap.schemaJson.get)
+        .asInstanceOf[StructType]
+      DeltaTable.liveFilesAfterSkipping(snap, Seq(f), schema).length
+    }
+    for (c <- Seq("a", "b", "c"))
+      assert(kept(LessThanOrEqual(c, 3L)) === 8,
+        s"scattered layout: $c-filter cannot prune")
+    val before = spark.read.format("graft-delta").load(t)
+      .orderBy("id").collect().toSeq
+    DeltaTable.zorder(spark, t, Seq("a", "b", "c"), 8)
+    // a quarter-of-the-domain filter on ANY of the three clustered
+    // columns must keep a strict minority of the 8 files — a 2-D curve
+    // would leave the third column spanning every file
+    for (c <- Seq("a", "b", "c")) {
+      val n = kept(LessThanOrEqual(c, 3L))
+      assert(n < 8 && n <= 5, s"$c-filter kept $n of 8 after 3-D zorder")
+    }
+    val after = spark.read.format("graft-delta").load(t)
+      .orderBy("id").collect().toSeq
+    assert(after === before)
+    // arity guards
+    intercept[IllegalArgumentException] {
+      DeltaTable.zorder(spark, t, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaTable.zorder(spark, t, Seq("a", "b", "c", "a", "b"))
+    }
+  }
+
   test("batch change feed: per-version insert tags; rewrite versions fail loudly") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")                    // v0
@@ -1175,6 +1216,31 @@ class DeltaSpec extends SparkSpec {
     // and evolution keeps working post-vacuum
     DeltaTable.renameColumn(t, "date", "hired")
     assert(DeltaTable.read(spark, t).schema.fieldNames.contains("hired"))
+  }
+
+  test("restore across mapping states: each restored version brings back " +
+      "its OWN schema, names and mapping configuration") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0: unmapped
+    DeltaTable.enableColumnMapping(t)                            // v1
+    DeltaTable.renameColumn(t, "salary", "base_pay")             // v2
+    DeltaTable.write(Seq((4, "David", 70000L, "2024-01-18"))
+      .toDF("id", "name", "base_pay", "date"), t, "append")      // v3
+    // back to the pre-mapping world: logical names revert, the appended
+    // (physically-named) file leaves the live set
+    DeltaTable.restore(t, 0L)                                    // v4
+    val v4 = DeltaTable.read(spark, t)
+    assert(v4.schema.fieldNames.toSeq === Seq("id", "name", "salary", "date"))
+    assert(v4.count() === 3)
+    assert(!graft.sources.ColumnMapping.enabled(DeltaLog.snapshot(t)))
+    // forward again to the mapped state: rename + append come back
+    DeltaTable.restore(t, 3L)                                    // v5
+    val v5 = DeltaTable.read(spark, t)
+    assert(v5.schema.fieldNames.toSeq === Seq("id", "name", "base_pay", "date"))
+    assert(v5.count() === 4)
+    assert(graft.sources.ColumnMapping.enabled(DeltaLog.snapshot(t)))
+    // protocol stays at the mapping gate throughout (never downgrades)
+    assert(DeltaLog.snapshot(t).minReaderVersion === 2)
   }
 
   test("streaming sink into a column-mapped table stages physical names") {
