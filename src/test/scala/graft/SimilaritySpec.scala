@@ -428,6 +428,29 @@ class SimilaritySpec extends SparkSpec {
     assert(SimilarityOps.stagedSqRecon(spark, dir).inputFiles.toSet === files2)
   }
 
+  test("IVF degrades gracefully when the corpus is smaller than k: " +
+      "seeds clamp to the corpus, search still serves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiny").toString
+    val rnd = new scala.util.Random(7)
+    // 5 vectors < IvfK=16: k-means seeds = all 5, every cell singleton
+    (0L until 5L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SimilarityOps.q42AnnIvf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    // each query can see at most the 4 other vectors
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= 4 && rs.forall(_.getLong(1) != q), s"query $q")
+    }
+    // the exact near-dup twin agrees on the tiny corpus too
+    val exact = SimilarityOps.q41EmbedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val celled = SimilarityOps.q43CellNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(celled === exact)
+  }
+
   test("q81 maintenance lifecycle: batch reads as drift, rebuild fires, " +
       "served neighbors come from the drifted region") {
     val rows = SimilarityOps.q81IvfMaintenance(spark, sf).collect()
