@@ -2,8 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And,
+  EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In,
+  IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains,
+  StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 /** Delta COLUMN MAPPING (mode = "name"), per the public Delta protocol:
@@ -119,18 +121,63 @@ private[graft] object ColumnMapping {
 
   /** Rewrite a pushdown filter's attribute names logical → physical so
     * it can be consulted against physically-keyed file stats / parquet
-    * row groups. Shapes we don't model pass through unchanged — the
-    * stats lookup then simply misses and keeps the file (skipping is
-    * conservative), and Spark always re-evaluates the full predicate
-    * above the scan. */
-  def translateFilter(f: Filter, m: Map[String, String]): Filter = f match {
-    case EqualTo(c, v) => EqualTo(m.getOrElse(c, c), v)
-    case GreaterThan(c, v) => GreaterThan(m.getOrElse(c, c), v)
-    case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(m.getOrElse(c, c), v)
-    case LessThan(c, v) => LessThan(m.getOrElse(c, c), v)
-    case LessThanOrEqual(c, v) => LessThanOrEqual(m.getOrElse(c, c), v)
-    case And(l, r) => And(translateFilter(l, m), translateFilter(r, m))
-    case Or(l, r) => Or(translateFilter(l, m), translateFilter(r, m))
-    case other => other
+    * row groups. Returns None when the filter cannot be fully expressed
+    * in physical names — callers must DROP such filters rather than pass
+    * them through: a logical name left untranslated can collide with a
+    * DIFFERENT column's physical name after a drop-then-rename chain, so
+    * the pushed predicate would evaluate against the wrong column's
+    * bytes and silently lose rows (pushdown false negatives are NOT
+    * recovered by the Filter node above the scan). Dropping, by
+    * contrast, is always safe: both parquet pushdown and stats skipping
+    * are conservative, so a dropped filter only costs pruning.
+    *
+    * An attribute absent from the map also drops its filter — under an
+    * enabled mapping every schema column is in the map, so a miss means
+    * the name is not a column this snapshot knows about.
+    *
+    * Inside And, a single untranslatable conjunct drops alone (keeping
+    * the other conjunct only weakens the filter — safe for positive
+    * pushdown). Inside Not, weakening is UNSOUND (¬weaker does not imply
+    * ¬original), so Not's child translates in strict mode. */
+  def translateFilter(f: Filter, m: Map[String, String]): Option[Filter] =
+    f match {
+      case EqualTo(c, v) => m.get(c).map(EqualTo(_, v))
+      case EqualNullSafe(c, v) => m.get(c).map(EqualNullSafe(_, v))
+      case GreaterThan(c, v) => m.get(c).map(GreaterThan(_, v))
+      case GreaterThanOrEqual(c, v) => m.get(c).map(GreaterThanOrEqual(_, v))
+      case LessThan(c, v) => m.get(c).map(LessThan(_, v))
+      case LessThanOrEqual(c, v) => m.get(c).map(LessThanOrEqual(_, v))
+      case In(c, vs) => m.get(c).map(In(_, vs))
+      case IsNull(c) => m.get(c).map(IsNull(_))
+      case IsNotNull(c) => m.get(c).map(IsNotNull(_))
+      case StringStartsWith(c, v) => m.get(c).map(StringStartsWith(_, v))
+      case StringEndsWith(c, v) => m.get(c).map(StringEndsWith(_, v))
+      case StringContains(c, v) => m.get(c).map(StringContains(_, v))
+      case And(l, r) => (translateFilter(l, m), translateFilter(r, m)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b) // dropped conjunct weakens — safe
+      }
+      case Or(l, r) =>
+        for (a <- translateFilter(l, m); b <- translateFilter(r, m))
+          yield Or(a, b)
+      case Not(c) => translateStrict(c, m).map(Not(_))
+      case _: AlwaysTrue => Some(AlwaysTrue())
+      case _: AlwaysFalse => Some(AlwaysFalse())
+      case _ => None
+    }
+
+  /** Strict translation: any untranslatable piece ANYWHERE fails the
+    * whole filter — no conjunct-weakening, because the result is about
+    * to be negated. */
+  private def translateStrict(f: Filter, m: Map[String, String])
+      : Option[Filter] = f match {
+    case And(l, r) =>
+      for (a <- translateStrict(l, m); b <- translateStrict(r, m))
+        yield And(a, b)
+    case Or(l, r) =>
+      for (a <- translateStrict(l, m); b <- translateStrict(r, m))
+        yield Or(a, b)
+    case Not(c) => translateStrict(c, m).map(Not(_))
+    case leaf => translateFilter(leaf, m) // leaves translate exactly
   }
 }

@@ -1207,13 +1207,14 @@ object DeltaTable {
     val mapped = ColumnMapping.enabled(snap)
     // Under column mapping, file stats are keyed by PHYSICAL name (they
     // were collected over the staged physical frame) — pushdown filters
-    // arrive logical and translate before the skipping consult.
+    // arrive logical and translate before the skipping consult;
+    // untranslatable shapes drop (skipping stays conservative).
     val skipFilters =
       if (!mapped) filters
       else {
         val m = schema.map(ColumnMapping.logicalToPhysical)
           .getOrElse(Map.empty[String, String])
-        filters.map(ColumnMapping.translateFilter(_, m))
+        filters.flatMap(ColumnMapping.translateFilter(_, m))
       }
     val skipSchema = schema.map(s =>
       if (mapped) ColumnMapping.physicalSchema(s) else s)

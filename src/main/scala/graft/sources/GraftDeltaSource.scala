@@ -369,7 +369,8 @@ class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
     // under column mapping the stats are physically keyed; predicates
     // arrive logical and translate before the consult
     val translated = dataFilters.flatMap(GraftDeltaFileIndex.translate)
-      .map(f => if (l2p.isEmpty) f else ColumnMapping.translateFilter(f, l2p))
+      .flatMap(f =>
+        if (l2p.isEmpty) Some(f) else ColumnMapping.translateFilter(f, l2p))
     val live = DeltaTable.liveFilesAfterSkipping(snap, translated, schema)
     if (partSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty, live.map(status).toArray))
@@ -466,7 +467,11 @@ class MappedParquetFileFormat(l2p: Map[String, String])
     // partitionSchema stays logical: partition columns cannot be
     // renamed under graft's mapping (they name the directory layout),
     // so their logical and physical names never diverge
+    // untranslatable filters DROP (never pass through logical-named):
+    // a logical name can collide with another column's physical name
+    // in old files, and pushdown false negatives are unrecoverable
     super.buildReaderWithPartitionValues(sparkSession, phys(dataSchema),
       partitionSchema, phys(requiredSchema),
-      filters.map(ColumnMapping.translateFilter(_, l2p)), options, hadoopConf)
+      filters.flatMap(ColumnMapping.translateFilter(_, l2p)),
+      options, hadoopConf)
 }

@@ -464,6 +464,70 @@ class DeltaSpec extends SparkSpec {
       Seq("Alice", "Carol"))
   }
 
+  test("column mapping: drop-then-rename name collision cannot poison " +
+      "pushdown — untranslatable filters drop instead of passing through " +
+      "with logical names") {
+    // The trap: DROP y, then RENAME x -> y. Logical `y` now maps to
+    // physical `x`, but old files still STORE a physical column named
+    // `y` (the dropped one's bytes). Any pushdown filter that reaches
+    // the parquet reader still carrying the logical name `y` evaluates
+    // against the DROPPED column's bytes. We arm it: a file whose
+    // dropped-y is ALL NULL but whose x satisfies the predicate — an
+    // untranslated IsNotNull("y") (Spark auto-adds it for any filtered
+    // column) would row-group-prune that file and silently lose rows.
+    val t = freshTable()
+    DeltaTable.write(Seq((2, 3, Option(99))).toDF("id", "x", "y"),
+      t, "overwrite")                                            // v0
+    DeltaTable.enableColumnMapping(t)                            // v1
+    // own file: physical y all-null, x = 10 (survives the predicate)
+    DeltaTable.write(Seq((1, 10, Option.empty[Int])).toDF("id", "x", "y"),
+      t, "append")                                               // v2
+    DeltaTable.dropColumn(t, "y")                                // v3
+    DeltaTable.renameColumn(t, "x", "y")                         // v4
+    // WHERE y > 5 → Spark pushes IsNotNull(y) + GreaterThan(y, 5); both
+    // must translate to physical `x` (or drop) before touching bytes
+    val got = spark.read.format("graft-delta").load(t)
+      .filter($"y" > 5).select("id", "y").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq === Seq((1, 10)),
+      s"pushdown against the dropped column's bytes lost rows: ${got.toSeq}")
+    // same collision through DeltaTable.read's stats-skipping consult
+    import org.apache.spark.sql.sources.{GreaterThan, IsNotNull}
+    val viaStats = DeltaTable.read(spark, t, None,
+      Seq(IsNotNull("y"), GreaterThan("y", 5)))
+      .collect().map(_.getInt(0))
+    assert(viaStats.toSeq === Seq(1),
+      s"stats skipping consulted the wrong physical column: ${viaStats.toSeq}")
+  }
+
+  test("translateFilter: full shape coverage, conjunct-weakening under " +
+      "And, strictness under Not, drop of unknown shapes") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.ColumnMapping.translateFilter
+    val m = Map("y" -> "x", "z" -> "z-phys")
+    assert(translateFilter(IsNotNull("y"), m) === Some(IsNotNull("x")))
+    assert(translateFilter(In("y", Array(1, 2)), m).collect {
+      case In(c, _) => c } === Some("x"))
+    assert(translateFilter(StringStartsWith("z", "a"), m) ===
+      Some(StringStartsWith("z-phys", "a")))
+    // attribute outside the mapping: filter drops (a mapped snapshot
+    // maps EVERY schema column, so a miss is not a real column)
+    assert(translateFilter(EqualTo("ghost", 1), m) === None)
+    // And: the untranslatable conjunct drops alone (weakening is safe)
+    assert(translateFilter(
+      And(GreaterThan("y", 5), EqualTo("ghost", 1)), m) ===
+      Some(GreaterThan("x", 5)))
+    // Or: either side untranslatable → whole filter drops
+    assert(translateFilter(
+      Or(GreaterThan("y", 5), EqualTo("ghost", 1)), m) === None)
+    // Not: NO weakening below a negation — Not(And(a, ghost)) must not
+    // become Not(a), which would prune rows satisfying ¬(a∧ghost)
+    assert(translateFilter(
+      Not(And(GreaterThan("y", 5), EqualTo("ghost", 1))), m) === None)
+    assert(translateFilter(Not(EqualTo("y", 5)), m) ===
+      Some(Not(EqualTo("x", 5))))
+  }
+
   test("compact merges small files; history and data survive") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite") // v0
