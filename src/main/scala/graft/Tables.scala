@@ -35,6 +35,14 @@ object Tables {
     * structurally impossible (TimestampEncodingSpec is the canary). */
   private def normalizeTimestamps(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // The NTZ→LTZ cast preserves instants ONLY because the session is
+    // pinned UTC (Bench/Verify/specs all do); from a non-UTC session it
+    // would silently shift every timestamp — fail loudly instead.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"Tables.load requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the TIMESTAMP_NTZ normalization cast is only instant-preserving " +
+        "under a UTC session")
     val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
     ntz.foldLeft(df)((d, f) => d.withColumn(f.name,
       org.apache.spark.sql.functions.col(f.name).cast(TimestampType)))
@@ -63,14 +71,18 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val df =
+    // synchronized: the set/restore window mutates session-global conf;
+    // two concurrent loads on one session could otherwise race the
+    // restore and leak the legacy conf to an unrelated read
+    val df = Tables.synchronized {
+      val before = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
       try spark.read.parquet(s"$dir/events.parquet")
       finally before match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

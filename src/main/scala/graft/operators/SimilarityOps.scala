@@ -203,13 +203,16 @@ object SimilarityOps {
 
   /** Lazily staged drift baseline: p10 of each indexed vector's cosine
     * to its assigned centroid — the yardstick [[ivfDriftFraction]]
-    * measures appended batches against. Computed over the CURRENTLY
-    * staged assignment (inner-joined to the corpus on vec_id, so it
-    * covers exactly the indexed vectors) on the FIRST drift call and
-    * persisted beside the centroid dir; later calls read the file.
-    * A racing duplicate compute writes the identical value
-    * (percentile_approx is deterministic for a given dataset), so no
-    * lock is needed. */
+    * measures appended batches against. Computed over the INITIAL
+    * build's assignment dir only (the first staged dir, inner-joined
+    * to the corpus on vec_id): the baseline's contract is "quality at
+    * build time under frozen centroids", and batches frozen-assigned
+    * AFTER the build may already be drifted — folding them in would
+    * skew the yardstick toward the drift it exists to detect.
+    * Persisted beside the centroid dir on the first drift call; later
+    * calls read the file. A racing duplicate compute writes the
+    * identical value (percentile_approx is deterministic for a given
+    * dataset), so no lock is needed. */
   private def ivfQualityBaseline(spark: SparkSession, dir: String,
       entry: (String, Seq[String], String, Long)): Double = {
     val f = java.nio.file.Paths.get(entry._3).getParent.resolve("p10")
@@ -218,7 +221,7 @@ object SimilarityOps {
     else {
       val e = Tables.load(spark, dir, "embeddings")
       val cent = spark.read.parquet(entry._3)
-      val p10 = spark.read.parquet(entry._2: _*).join(e, "vec_id")
+      val p10 = spark.read.parquet(entry._2.head).join(e, "vec_id")
         .join(broadcast(cent), "cell")
         .select(cosine("embedding", "centroid").as("c"))
         .agg(expr("percentile_approx(c, 0.1)")).head().getDouble(0)

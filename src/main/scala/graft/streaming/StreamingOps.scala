@@ -385,8 +385,14 @@ object StreamingOps {
         val drift = SimilarityOps.ivfDriftFraction(spark, seedDir, vecs)
         val ddir = root.resolve("_drift")
         java.nio.file.Files.createDirectories(ddir)
-        java.nio.file.Files.write(ddir.resolve(batchId.toString),
-          drift.toString.getBytes("UTF-8"))
+        // temp + atomic move, same discipline as the log paths: a
+        // crash mid-write must never leave a half-written metric file
+        // for sqIngestDriftLog to choke on
+        val tmp = java.nio.file.Files.createTempFile(ddir, ".tmp-", "")
+        java.nio.file.Files.write(tmp, drift.toString.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, ddir.resolve(batchId.toString),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         System.err.println(s"[graft] sqIngest batch=$batchId driftFraction=$drift")
         ()
       }
@@ -434,9 +440,16 @@ object StreamingOps {
       val s = java.nio.file.Files.list(d)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator.asScala.map { f =>
-          f.getFileName.toString.toLong ->
-            new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toDouble
+        // entries that don't parse (stray files, a writer's in-flight
+        // temp) are SKIPPED, not thrown on — the log degrades to the
+        // batches it can read
+        s.iterator.asScala.flatMap { f =>
+          for {
+            id <- f.getFileName.toString.toLongOption
+            v <- scala.util.Try(new String(
+              java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toDouble)
+              .toOption
+          } yield id -> v
         }.toMap
       } finally s.close()
     }
