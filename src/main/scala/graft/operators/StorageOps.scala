@@ -332,36 +332,52 @@ object StorageOps {
       |    AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q80 — batch CHANGE DATA FEED over the delta log: table_changes
-    * between two versions, the incremental-consumer read (refresh a
-    * downstream aggregate from exactly the new rows, not a rescan).
-    * Build overwrite(v0) → append(v1: region 0) → append(v2: region 1),
-    * then read changes [1,2]: each appended row comes back once,
-    * tagged with the version that committed it. Append-only contract
-    * (a DML/rewrite version in range fails loudly — DeltaSpec); the
-    * oracle is the two slices with literal version tags. */
+  /** q80 — batch CHANGE DATA FEED over the delta log, ACROSS DML:
+    * table_changes between two versions, the incremental-consumer read
+    * (refresh a downstream aggregate from exactly the changed rows,
+    * not a rescan). Build overwrite(v0) → enable CDF(v1) → append(v2:
+    * region 0) → DELETE region 2 (v3) → UPDATE region 3's names (v4),
+    * then read changes [2,4]: the appended rows come back as `insert`s
+    * tagged v2 (derived from add actions — no sidecar needed for an
+    * append), the deleted rows as `delete` rows tagged v3 and the
+    * updated rows as `update_preimage`/`update_postimage` pairs tagged
+    * v4 (both served from the `_change_data/` sidecars the DML commits
+    * staged). The oracle is the four slices with literal tags; the
+    * region-0 appends cannot collide with the region-2/3 DML, so each
+    * source row appears in exactly one slice. */
   val q80DeltaChanges: Q = (spark, dir) => {
     val n = Tables.load(spark, dir, "nation")
     val t = freshDir("graft-delta-cdf")
-    DeltaTable.write(n, t, "overwrite")
-    DeltaTable.write(n.filter(col("n_regionkey") === 0), t, "append")
-    DeltaTable.write(n.filter(col("n_regionkey") === 1), t, "append")
-    DeltaTable.changes(spark, t, 1L, 2L)
+    DeltaTable.write(n, t, "overwrite")                               // v0
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v1
+    DeltaTable.write(n.filter(col("n_regionkey") === 0), t, "append") // v2
+    DeltaTable.delete(spark, t, col("n_regionkey") === 2)             // v3
+    DeltaTable.update(spark, t, col("n_regionkey") === 3,
+      Map("n_name" -> concat(col("n_name"), lit("!"))))               // v4
+    DeltaTable.changes(spark, t, 2L, 4L)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
         col("_change_type").as("change_type"),
         col("_commit_version").as("commit_version"))
-      .orderBy("commit_version", "n_nationkey")
+      .orderBy("commit_version", "change_type", "n_nationkey")
   }
 
   val q80Oracle: String =
     """SELECT n_nationkey, n_name, n_regionkey,
-      |  'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+      |  'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
       |FROM nation WHERE n_regionkey = 0
       |UNION ALL
       |SELECT n_nationkey, n_name, n_regionkey,
-      |  'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
-      |FROM nation WHERE n_regionkey = 1
-      |ORDER BY commit_version, n_nationkey""".stripMargin
+      |  'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version
+      |FROM nation WHERE n_regionkey = 2
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey,
+      |  'update_preimage' AS change_type, CAST(4 AS BIGINT) AS commit_version
+      |FROM nation WHERE n_regionkey = 3
+      |UNION ALL
+      |SELECT n_nationkey, n_name || '!' AS n_name, n_regionkey,
+      |  'update_postimage' AS change_type, CAST(4 AS BIGINT) AS commit_version
+      |FROM nation WHERE n_regionkey = 3
+      |ORDER BY commit_version, change_type, n_nationkey""".stripMargin
 
   /** q83 — INCREMENTAL AGGREGATE MAINTENANCE: the materialized-view
     * refresh pattern the change feed (q80) exists for. A source delta

@@ -358,12 +358,27 @@ object DeltaLog {
   def txnAction(appId: String, version: Long): String =
     s"""{"txn":{"appId":${Json.str(appId)},"version":$version}}"""
 
-  /** The add actions of ONE committed version plus whether it also
-    * removes files — the unit a streaming source tails. */
-  def versionChanges(table: String, v: Long): (Seq[AddFile], Boolean) = {
+  /** `cdc` action (Delta CDF): references a change-data sidecar file
+    * under `_change_data/` carrying row-level pre/post images for a DML
+    * commit. `dataChange=false` per the protocol — cdc files are NEVER
+    * part of the table's data (snapshot replay ignores them); they are
+    * read only by the change feed. */
+  def cdcAction(path: String, size: Long): String =
+    s"""{"cdc":{"path":${Json.str(path)},"size":$size,"partitionValues":{},"dataChange":false}}"""
+
+  /** What ONE committed version did, at file granularity: the files it
+    * added, whether it removed any, its change-data sidecars (CDF), and
+    * its commitInfo operation name. The unit a streaming source tails
+    * and the batch change feed walks. */
+  final case class VersionChange(adds: Seq[AddFile], removesFiles: Boolean,
+      cdc: Seq[AddFile] = Nil, operation: Option[String] = None)
+
+  def versionChanges(table: String, v: Long): VersionChange = {
     val p = logDir(table).resolve(V.format(v) + ".json")
     var removes = false
+    var op: Option[String] = None
     val adds = Seq.newBuilder[AddFile]
+    val cdc = Seq.newBuilder[AddFile]
     for (line <- Files.readAllLines(p, StandardCharsets.UTF_8).asScala
          if line.nonEmpty) {
       Json.parse(line) match {
@@ -375,10 +390,14 @@ object DeltaLog {
           adds += AddFile(fields("path"),
             fields.get("size").map(_.toLong).getOrElse(0L), stats, pv)
         case ("remove", _) => removes = true
+        case ("cdc", fields) =>
+          cdc += AddFile(fields("path"),
+            fields.get("size").map(_.toLong).getOrElse(0L))
+        case ("commitInfo", fields) => op = fields.get("operation")
         case _ => ()
       }
     }
-    (adds.result(), removes)
+    VersionChange(adds.result(), removes, cdc.result(), op)
   }
 
   /** Tiny single-purpose JSON codec for the action lines this log

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, NumericType, StringType, StructField, StructType}
 
 /** Spark-facing Delta-equivalent table API (SURVEY.md §7-D): versioned
   * ACID overwrite/append/read + time travel over local/HDFS-style
@@ -562,6 +562,46 @@ object DeltaTable {
     added
   }
 
+  /** Whether the table has opted into the CHANGE DATA FEED (the public
+    * Delta table property): when true, every DML commit also stages
+    * row-level change files so incremental consumers can cross rewrite
+    * versions instead of failing at the first UPDATE/DELETE. */
+  private[graft] def cdfEnabled(snap: DeltaLog.Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+
+  /** Stage a change-data frame (table columns + `_change_type`) as
+    * parquet sidecars under `_change_data/` — referenced by `cdc`
+    * actions, NEVER by `add`s, so snapshot replay and every data scan
+    * ignore them; only [[changes]] reads them back. Under column
+    * mapping the data columns store physical names (`_change_type` is
+    * outside the mapping and passes through), matching the data files
+    * so the change-feed read path can reuse the same schema plumbing.
+    * Distributed write, no stats (the feed is consumed whole per
+    * version, never skipped). */
+  private def stageCdc(df0: DataFrame, table: String,
+      mapping: Option[StructType]): Seq[DeltaLog.AddFile] = {
+    val df = mapping.map(m => ColumnMapping.toPhysical(df0, m)).getOrElse(df0)
+    val tableDir = Paths.get(table)
+    val staging = tableDir.resolve(s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val tag = UUID.randomUUID().toString.take(8)
+    val stagedStream = Files.walk(staging)
+    val staged =
+      try stagedStream.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally stagedStream.close()
+    Files.createDirectories(tableDir.resolve("_change_data"))
+    val out = staged.zipWithIndex.map { case (p, i) =>
+      val name = f"_change_data/cdc-$i%05d-$tag.parquet"
+      val dest = tableDir.resolve(name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      DeltaLog.AddFile(name, Files.size(dest))
+    }
+    deleteRecursively(staging)
+    out
+  }
+
   /** Small-file compaction (Delta's OPTIMIZE): rewrite the current
     * snapshot's live files into ceil(totalBytes / maxFileBytes) files
     * and commit the swap atomically as a new version. Append-heavy
@@ -753,22 +793,29 @@ object DeltaTable {
       if (touched.isEmpty) return snap.version
       val touchedPaths = touched.toSeq.sorted
         .map(f => Paths.get(table).resolve(f).toString)
+      val touchedRows = readTableFiles(spark, table, snap, touchedPaths)
       // survivors of ONLY the touched files, original schema/layout
-      val survivors = readTableFiles(spark, table, snap, touchedPaths)
-        .filter(!condition)
+      val survivors = touchedRows.filter(!condition)
       val added = stageIn(survivors, table, snap.partitionColumns,
         mappingOf(snap))
+      // CDF: the deleted rows, tagged, as `_change_data/` sidecars —
+      // what lets an incremental consumer cross this rewrite version
+      val cdc =
+        if (!cdfEnabled(snap)) Nil
+        else stageCdc(touchedRows.filter(condition)
+          .withColumn("_change_type", lit("delete")), table, mappingOf(snap))
       val actions =
         Seq(DeltaLog.commitInfoAction("DELETE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
             DeltaLog.tableId(table), snap.configuration)) ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+          cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
       try return DeltaLog.commit(table, snap.version, actions)
       catch {
         case _: IllegalStateException =>
-          added.foreach(f =>
+          (added ++ cdc).foreach(f =>
             Files.deleteIfExists(Paths.get(table).resolve(f.path)))
       }
     }
@@ -816,17 +863,33 @@ object DeltaTable {
       // a SET can push rows outside the table's CHECK contract
       enforceConstraints(spark, table, added, snap.checkConstraints,
         mappingOf(snap))
+      // CDF: pre- and post-image of every matched row (the post-image
+      // re-applies SET over the pre-image — same expressions, same rows)
+      val cdc =
+        if (!cdfEnabled(snap)) Nil
+        else {
+          val pre = touchedRows.filter(condition)
+          val post = pre.select(touchedRows.columns.map { c =>
+            set.get(c).map(_.as(c)).getOrElse(col(c))
+          }: _*)
+          stageCdc(
+            pre.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(
+                post.withColumn("_change_type", lit("update_postimage"))),
+            table, mappingOf(snap))
+        }
       val actions =
         Seq(DeltaLog.commitInfoAction("UPDATE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
             DeltaLog.tableId(table), snap.configuration)) ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+          cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
       try return DeltaLog.commit(table, snap.version, actions)
       catch {
         case _: IllegalStateException =>
-          added.foreach(f =>
+          (added ++ cdc).foreach(f =>
             Files.deleteIfExists(Paths.get(table).resolve(f.path)))
       }
     }
@@ -881,15 +944,16 @@ object DeltaTable {
         .join(broadcast(srcKeys), keys, "left_semi")
         .select("f").distinct()
         .collect().map(r => relativize(table, r.getString(0))).toSet
-      val rewritten = {
-        if (touched.isEmpty) source.select(target.columns.map(col): _*)
-        else {
-          val touchedRows = readTableFiles(spark, table, snap,
-            touched.toSeq.sorted
-              .map(f => Paths.get(table).resolve(f).toString))
-          touchedRows.join(broadcast(srcKeys), keys, "left_anti")
-            .unionByName(source.select(touchedRows.columns.map(col): _*))
-        }
+      val touchedRows =
+        if (touched.isEmpty) None
+        else Some(readTableFiles(spark, table, snap,
+          touched.toSeq.sorted
+            .map(f => Paths.get(table).resolve(f).toString)))
+      val rewritten = touchedRows match {
+        case None => source.select(target.columns.map(col): _*)
+        case Some(tr) =>
+          tr.join(broadcast(srcKeys), keys, "left_anti")
+            .unionByName(source.select(tr.columns.map(col): _*))
       }
       // a racer may have committed OUR txn version since the entry
       // check (write()'s lesson): skip before staging lands twice
@@ -901,6 +965,25 @@ object DeltaTable {
       // upserted source rows must honor the table's CHECK contract
       enforceConstraints(spark, table, added, snap.checkConstraints,
         mappingOf(snap))
+      // CDF: unmatched source rows are inserts; each matched key yields
+      // the replaced target row (preimage) + its source row (postimage)
+      val cdc =
+        if (!cdfEnabled(snap)) Nil
+        else {
+          val src = source.select(target.columns.map(col): _*)
+          val tgtKeys = target.select(keys.map(col): _*)
+          val inserts = src.join(tgtKeys, keys, "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          val matched = touchedRows match {
+            case None => inserts.limit(0)
+            case Some(tr) =>
+              tr.join(broadcast(srcKeys), keys, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(src.join(tgtKeys, keys, "left_semi")
+                  .withColumn("_change_type", lit("update_postimage")))
+          }
+          stageCdc(inserts.unionByName(matched), table, mappingOf(snap))
+        }
       val actions =
         Seq(DeltaLog.commitInfoAction("MERGE")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
@@ -908,11 +991,12 @@ object DeltaTable {
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
           added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+          cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
       try return DeltaLog.commit(table, snap.version, actions)
       catch {
         case _: IllegalStateException =>
-          added.foreach(f =>
+          (added ++ cdc).foreach(f =>
             Files.deleteIfExists(Paths.get(table).resolve(f.path)))
       }
     }
@@ -1157,8 +1241,13 @@ object DeltaTable {
     val vs = DeltaLog.versions(table)
     if (vs.length <= keepVersions) return Seq.empty
     val keep = vs.takeRight(keepVersions)
+    // data files of every retained snapshot, plus the CDF sidecars of
+    // every retained version file — a change feed over the retained
+    // range must stay readable; sidecars of pruned versions become
+    // unreadable with their version files and are garbage
     val referenced = keep.flatMap(v =>
-      DeltaLog.snapshot(table, Some(v)).files.map(_.path)).toSet
+      DeltaLog.snapshot(table, Some(v)).files.map(_.path)).toSet ++
+      keep.flatMap(v => DeltaLog.versionChanges(table, v).cdc.map(_.path))
     val horizon = keep.head
     val logDir = DeltaLog.logDir(table)
     // 1+2. both checkpoint formats + the _last_checkpoint hint for the
@@ -1311,22 +1400,28 @@ object DeltaTable {
     * rescanning the table). One row per row ADDED in each version of
     * the inclusive range, tagged `_change_type`/`_commit_version`.
     *
-    * Contract matches the streaming change-feed source
-    * (GraftDeltaSource): APPEND-ONLY versions. A version in range that
-    * removes files (DML rewrite, overwrite, restore, compaction) fails
-    * LOUDLY — without the protocol's CDC sidecar files a file-level
-    * log cannot attribute row-level deletes (a rewritten file mixes
-    * survivors with deleted rows), and silently emitting its adds
-    * would double-count survivors downstream. This is the same
-    * conservative stance stock Delta takes for `readChangeFeed` on
-    * tables without CDC enabled.
+    * Version semantics, matching stock Delta's `readChangeFeed`:
+    *
+    *   - a version with `cdc` sidecar actions (DML on a table with
+    *     `delta.enableChangeDataFeed=true`) serves EXACTLY its sidecar
+    *     rows — `delete` / `update_preimage` / `update_postimage` /
+    *     `insert`, row-accurate across rewrites;
+    *   - an append-only version serves its added files as `insert`
+    *     rows (no sidecar needed — the protocol's rule);
+    *   - a COMPACT/ZORDER version moves bytes but changes no rows
+    *     (dataChange=false in spirit) and contributes NOTHING;
+    *   - any other rewrite version (overwrite, restore, DML committed
+    *     while CDF was off) fails LOUDLY — without sidecars a
+    *     file-level log cannot attribute row-level deletes, and
+    *     silently emitting its adds would double-count survivors
+    *     downstream.
     *
     * Scale shape: the driver touches only log JSON (one line per file
     * per commit); the data path is one parquet scan over exactly the
-    * added files, partition columns recovered via basePath, and the
-    * per-version tagging rides the scan's partitioning (a file belongs
-    * to one version — `input_file_name` maps it back with zero
-    * shuffle). */
+    * added files plus one over the range's sidecars, partition columns
+    * recovered via basePath, and the per-version tagging rides the
+    * scan's partitioning (a file belongs to one version —
+    * `input_file_name` maps it back with zero shuffle). */
   def changes(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     val latest = DeltaLog.snapshot(table)
@@ -1335,38 +1430,96 @@ object DeltaTable {
       s"change range [$fromVersion,$toVersion] outside log [0,${latest.version}]")
     val schema = latest.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType])
-    val byVersion: Seq[(Long, Seq[DeltaLog.AddFile])] =
-      (fromVersion to toVersion).map { v =>
-        val (adds, removed) = DeltaLog.versionChanges(table, v)
-        if (removed) throw new IllegalStateException(
-          s"version $v of $table rewrites/removes files; the file-level " +
-            "change feed is append-only (no CDC sidecar to attribute " +
-            "row-level deletes)")
-        v -> adds
-      }.filter(_._2.nonEmpty)
+    val noRowChange = Set("COMPACT", "ZORDER")
+    val vcs = (fromVersion to toVersion)
+      .map(v => v -> DeltaLog.versionChanges(table, v))
+    val insertsByVersion = Seq.newBuilder[(Long, Seq[DeltaLog.AddFile])]
+    val cdcByVersion = Seq.newBuilder[(Long, Seq[DeltaLog.AddFile])]
+    for ((v, vc) <- vcs) {
+      if (vc.cdc.nonEmpty) cdcByVersion += (v -> vc.cdc)
+      else if (!vc.removesFiles) {
+        if (vc.adds.nonEmpty) insertsByVersion += (v -> vc.adds)
+      }
+      else if (!vc.operation.exists(noRowChange.contains))
+        throw new IllegalStateException(
+          s"version $v of $table rewrites/removes files without CDC " +
+            "sidecars; set delta.enableChangeDataFeed=true before DML to " +
+            "make rewrite versions change-readable (overwrite/restore " +
+            "versions are never change-readable)")
+    }
     // keyed by BASENAME (staged files are UUID-named, unique per
     // table) — input_file_name() returns a URI whose directory-part
     // encoding need not match Path.toUri byte-for-byte
-    val fileVersion: Map[String, Long] = byVersion.flatMap { case (v, adds) =>
-      adds.map(f => Paths.get(f.path).getFileName.toString -> v)
-    }.toMap
-    val paths = byVersion.flatMap(_._2).map(f =>
-      Paths.get(table).resolve(f.path).toString)
-    val base = (schema, paths) match {
-      case (Some(s), Nil) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        ColumnMapping.stripMapping(s))
-      case (_, ps) => readTableFiles(spark, table, latest, ps)
+    def versionTag(byV: Seq[(Long, Seq[DeltaLog.AddFile])], df: DataFrame)
+        : DataFrame = {
+      val fileVersion: Map[String, Long] = byV.flatMap { case (v, fs) =>
+        fs.map(f => Paths.get(f.path).getFileName.toString -> v)
+      }.toMap
+      // file → version lookup is log-sized (one entry per file); a
+      // deterministic scalar map keeps the tagging inside the scan
+      // stage instead of joining a versions relation in
+      val lookup = org.apache.spark.sql.functions.typedlit(fileVersion)
+      df.withColumn("_commit_version",
+        org.apache.spark.sql.functions.element_at(
+          lookup, org.apache.spark.sql.functions.regexp_extract(
+            input_file_name(), "[^/]+$", 0)))
     }
-    // file → version lookup is log-sized (one entry per added file);
-    // a deterministic scalar map keeps the tagging inside the scan
-    // stage instead of joining a versions relation in
-    val lookup = org.apache.spark.sql.functions.typedlit(fileVersion)
-    base
-      .withColumn("_change_type", lit("insert"))
-      .withColumn("_commit_version", org.apache.spark.sql.functions.element_at(
-        lookup, org.apache.spark.sql.functions.regexp_extract(
-          input_file_name(), "[^/]+$", 0)))
+    val emptyFeed = schema.map { s =>
+      val base = ColumnMapping.stripMapping(s)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(base.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = true))))
+    }
+    val insertPart = {
+      val byV = insertsByVersion.result()
+      val paths = byV.flatMap(_._2).map(f =>
+        Paths.get(table).resolve(f.path).toString)
+      if (paths.isEmpty) None
+      else Some(versionTag(byV,
+        readTableFiles(spark, table, latest, paths)
+          .withColumn("_change_type", lit("insert"))))
+    }
+    val cdcPart = {
+      val byV = cdcByVersion.result()
+      val paths = byV.flatMap(_._2).map(f =>
+        Paths.get(table).resolve(f.path).toString)
+      if (paths.isEmpty) None
+      else Some(versionTag(byV, readCdcFiles(spark, latest, paths)))
+    }
+    (insertPart, cdcPart) match {
+      case (Some(i), Some(c)) => i.unionByName(c)
+      case (Some(i), None) => i
+      case (None, Some(c)) => c
+      case (None, None) => emptyFeed.getOrElse(
+        throw new IllegalStateException(
+          s"change range [$fromVersion,$toVersion] of $table is empty and " +
+            "the table has no committed schema"))
+    }
+  }
+
+  /** Read `_change_data/` sidecars back to LOGICAL names +
+    * `_change_type` — the cdc mirror of [[readTableFiles]] (sidecars
+    * store physical data columns under mapping; `_change_type` is
+    * plumbing, outside the mapping). */
+  private def readCdcFiles(spark: SparkSession, snap: DeltaLog.Snapshot,
+      paths: Seq[String]): DataFrame = {
+    val s = snap.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    s match {
+      case None => spark.read.parquet(paths: _*)
+      case Some(logical) =>
+        val phys =
+          if (ColumnMapping.enabled(snap)) ColumnMapping.physicalSchema(logical)
+          else ColumnMapping.stripMapping(logical)
+        val withCt = StructType(phys.fields :+
+          StructField("_change_type", StringType, nullable = false))
+        val df = spark.read.schema(withCt).parquet(paths: _*)
+        if (!ColumnMapping.enabled(snap)) df
+        else df.select(logical.fields.map(f =>
+          col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq
+          :+ col("_change_type"): _*)
+    }
   }
 
   /** RESTORE TO VERSION AS OF `version` (Delta's RESTORE): ONE new

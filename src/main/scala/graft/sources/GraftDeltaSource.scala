@@ -248,7 +248,8 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
       case None => DeltaLog.snapshot(table, Some(endV)).files
       case Some(s) =>
         (ver(s) + 1 to endV).flatMap { v =>
-          val (adds, removed) = DeltaLog.versionChanges(table, v)
+          val vc = DeltaLog.versionChanges(table, v)
+          val (adds, removed) = (vc.adds, vc.removesFiles)
           if (removed && !ignoreChanges) throw new IllegalStateException(
             s"graft-delta stream source: version $v of $table rewrites " +
               "data (overwrite/compact/DML); streaming needs append-only " +

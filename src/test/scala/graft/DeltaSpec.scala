@@ -1238,6 +1238,131 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.changes(spark, t, 0L, 2L).count() === 5)
   }
 
+  test("change data feed: DML stages sidecars; changes() crosses " +
+      "delete/update/merge versions row-accurately") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                     // v0
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v1
+    DeltaTable.write(employee1, t, "append")                         // v2
+    DeltaTable.delete(spark, t, $"id" === 2)                         // v3
+    DeltaTable.update(spark, t, $"id" === 3,
+      Map("salary" -> lit(90000L)))                                  // v4
+    DeltaTable.merge(spark, t,
+      Seq((4, "David", 71000L, "2024-01-18"), (6, "Frank", 50000L, "2024-02-01"))
+        .toDF("id", "name", "salary", "date"), Seq("id"))            // v5
+    val feed = DeltaTable.changes(spark, t, 2L, 5L)
+      .select("id", "salary", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(feed === Set(
+      (4, 70000L, "insert", 2L),
+      (2, 65000L, "delete", 3L),
+      (3, 80000L, "update_preimage", 4L),
+      (3, 90000L, "update_postimage", 4L),
+      (4, 70000L, "update_preimage", 5L),
+      (4, 71000L, "update_postimage", 5L),
+      (6, 50000L, "insert", 5L)))
+    // sidecars are NEVER table data: the snapshot references none and
+    // every read path serves exactly the live rows
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.forall(f => !f.path.startsWith("_change_data")),
+      s"cdc sidecar leaked into the snapshot: ${snap.files.map(_.path)}")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(1, 3, 4, 6))
+    // compaction moves bytes but changes no rows: transparent in range
+    DeltaTable.compact(spark, t, maxFileBytes = 1L << 30)            // v6
+    assert(DeltaTable.changes(spark, t, 5L, 6L).count() === 3)
+    // an incremental consumer replaying the WHOLE feed reconstructs
+    // the table: inserts minus deletes, postimages over preimages
+    val whole = DeltaTable.changes(spark, t, 0L, 6L)
+    val reconstructed = whole.filter($"_change_type" === "insert")
+      .select("id", "salary")
+      .except(whole.filter($"_change_type" === "delete").select("id", "salary"))
+      .join(whole.filter($"_change_type" === "update_preimage").select("id"),
+        Seq("id"), "left_anti")
+      .unionByName(whole.filter($"_change_type" === "update_postimage")
+        .groupBy("id").agg(org.apache.spark.sql.functions.max_by(
+          col("salary"), col("_commit_version")).as("salary")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(reconstructed === Map(1 -> 75000L, 3 -> 90000L, 4 -> 71000L,
+      6 -> 50000L))
+    // wire format: independent validator accepts the cdc actions and
+    // reconciles change rows against the file actions
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code === 0, s"delta_validate.py rejected the CDF table:\n$out")
+  }
+
+  test("change data feed: DML with CDF off still fails the feed loudly; " +
+      "enabling mid-history serves from the enable point") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                     // v0
+    DeltaTable.delete(spark, t, $"id" === 1)                         // v1 (no CDF)
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v2
+    DeltaTable.delete(spark, t, $"id" === 2)                         // v3 (CDF)
+    val e = intercept[IllegalStateException] {
+      DeltaTable.changes(spark, t, 0L, 3L).collect()
+    }
+    assert(e.getMessage.contains("version 1") &&
+      e.getMessage.contains("enableChangeDataFeed"))
+    val afterEnable = DeltaTable.changes(spark, t, 2L, 3L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(afterEnable.toSeq === Seq((2, "delete")))
+  }
+
+  test("change data feed: vacuum keeps sidecars of retained versions, " +
+      "collects those of pruned versions") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                     // v0
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v1
+    DeltaTable.delete(spark, t, $"id" === 1)                         // v2
+    DeltaTable.write(employee1, t, "append")                         // v3
+    DeltaTable.delete(spark, t, $"id" === 2)                         // v4
+    val prunedCdc = DeltaLog.versionChanges(t, 2L).cdc.map(_.path)
+    val keptCdc = DeltaLog.versionChanges(t, 4L).cdc.map(_.path)
+    assert(prunedCdc.nonEmpty && keptCdc.nonEmpty)
+    DeltaTable.vacuum(t, keepVersions = 2)                           // keep v3,v4
+    assert(keptCdc.forall(p =>
+      Files.exists(java.nio.file.Paths.get(t).resolve(p))),
+      "retained version's sidecar must survive vacuum")
+    assert(prunedCdc.forall(p =>
+      !Files.exists(java.nio.file.Paths.get(t).resolve(p))),
+      "pruned version's sidecar is unreadable garbage and must be collected")
+    // the retained range still serves
+    val feed = DeltaTable.changes(spark, t, 4L, 4L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(feed.toSeq === Seq((2, "delete")))
+  }
+
+  test("change data feed under column mapping: sidecars store physical " +
+      "names, the feed serves logical") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                     // v0
+    DeltaTable.enableColumnMapping(t)                                // v1
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v2
+    DeltaTable.renameColumn(t, "salary", "base_pay")                 // v3
+    DeltaTable.delete(spark, t, $"id" === 1)                         // v4
+    val feed = DeltaTable.changes(spark, t, 4L, 4L)
+    assert(feed.columns.contains("base_pay"))
+    val row = feed.select("id", "name", "base_pay", "_change_type")
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(row.toSeq === Seq((1, "Alice", 75000L, "delete")))
+    // the sidecar file itself stores the FROZEN physical name
+    val cdcPath = DeltaLog.versionChanges(t, 4L).cdc.head.path
+    val physCols = spark.read.parquet(
+      java.nio.file.Paths.get(t).resolve(cdcPath).toString).columns.toSet
+    assert(physCols.contains("salary") && !physCols.contains("base_pay"),
+      s"sidecar columns: $physCols")
+    assert(physCols.contains("_change_type"))
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")

@@ -34,6 +34,13 @@ and asserts the wire-format invariants the Delta Lake protocol
      partition columns are EXCLUDED from the data files' physical
      columns (they live in the path, per the protocol), and no data
      file carries columns outside the logged schema.
+ 11. change data feed: `cdc` actions reference `_change_data/` files
+     that exist on disk with the logged sizes and are NEVER also
+     `add`ed as data; their rows reconcile with the commit's file
+     actions — update_preimage and update_postimage counts match, and
+     (when every touched file carries row-count stats) the net row
+     delta of the data files equals insert + postimage - preimage -
+     delete of the change rows.
 
 Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
 Exit 0 = every table passes; 1 = at least one invariant violated.
@@ -70,10 +77,20 @@ class Replay:
         self.txns = {}
         self.meta_ids = set()
         self.problems = []
+        self.cdc = {}           # version -> [cdc action fields]
+        self.net_rows = {}      # version -> adds_n - removes_n, or None
+
+    def _rows_of(self, add_fields):
+        try:
+            return int(json.loads(add_fields["stats"])["n"])
+        except Exception:
+            return None
 
     def apply_version(self, v, actions):
         n_meta = 0
         adds_v, removes_v = set(), set()
+        cdc_v = []
+        adds_n, removes_n, stats_complete = 0, 0, True
         for a in actions:
             if "add" in a:
                 f = a["add"]
@@ -87,13 +104,33 @@ class Replay:
                         json.loads(f["stats"])
                     except Exception:
                         self.problems.append(f"v{v}: add.stats not JSON for {p}")
+                n = self._rows_of(f)
+                if n is None:
+                    stats_complete = False
+                else:
+                    adds_n += n
                 self.live[p] = f
             elif "remove" in a:
                 p = a["remove"].get("path")
                 if p not in self.live and p not in adds_v:
                     self.problems.append(f"v{v}: remove of never-added {p}")
                 removes_v.add(p)
+                n = self._rows_of(self.live.get(p, {}))
+                if n is None:
+                    stats_complete = False
+                else:
+                    removes_n += n
                 self.live.pop(p, None)
+            elif "cdc" in a:
+                f = a["cdc"]
+                p = f.get("path")
+                if p is None:
+                    self.problems.append(f"v{v}: cdc without path")
+                    continue
+                if not p.startswith("_change_data/"):
+                    self.problems.append(
+                        f"v{v}: cdc path outside _change_data/: {p}")
+                cdc_v.append(f)
             elif "metaData" in a:
                 n_meta += 1
                 m = a["metaData"]
@@ -130,6 +167,13 @@ class Replay:
         # version is invalid whichever action the writer emitted first
         for p in sorted(adds_v & removes_v):
             self.problems.append(f"v{v}: {p} added and removed in one version")
+        if cdc_v:
+            self.cdc[v] = cdc_v
+            self.net_rows[v] = (adds_n - removes_n) if stats_complete else None
+            for f in cdc_v:
+                if f.get("path") in adds_v:
+                    self.problems.append(
+                        f"v{v}: {f['path']} is both a cdc sidecar and a data add")
 
 
 def parquet_columns(path):
@@ -225,6 +269,54 @@ def validate(table):
         has_constraints = any(k.startswith("delta.constraints.") for k in full.config)
         if has_constraints and (full.protocol or {}).get("minWriterVersion", 0) < 3:
             problems.append("CHECK constraints present but minWriterVersion < 3")
+
+        # -- change data feed (invariant 11): sidecars on disk, change
+        # rows reconcile with the commit's file actions
+        for v in sorted(full.cdc):
+            paths = []
+            for f in full.cdc[v]:
+                fp = os.path.join(table, f["path"])
+                if not os.path.isfile(fp):
+                    problems.append(f"v{v}: cdc sidecar missing on disk: {f['path']}")
+                    continue
+                if "size" in f and os.path.getsize(fp) != f["size"]:
+                    problems.append(
+                        f"v{v}: cdc sidecar size mismatch for {f['path']}: "
+                        f"disk={os.path.getsize(fp)} log={f['size']}")
+                paths.append(fp)
+            if not paths:
+                continue
+            import duckdb
+            con = duckdb.connect()
+            try:
+                counts = dict(con.sql(
+                    "SELECT _change_type, count(*) FROM read_parquet("
+                    + "[" + ",".join("'%s'" % p for p in paths) + "], "
+                    "hive_partitioning=false) GROUP BY 1").fetchall())
+            except Exception as e:
+                problems.append(f"v{v}: cdc sidecars unreadable: {e}")
+                con.close()
+                continue
+            finally:
+                try:
+                    con.close()
+                except Exception:
+                    pass
+            bad_types = set(counts) - {
+                "insert", "delete", "update_preimage", "update_postimage"}
+            if bad_types:
+                problems.append(f"v{v}: unknown _change_type values: {sorted(bad_types)}")
+            pre = counts.get("update_preimage", 0)
+            post = counts.get("update_postimage", 0)
+            if pre != post:
+                problems.append(
+                    f"v{v}: update_preimage rows ({pre}) != update_postimage rows ({post})")
+            net = full.net_rows.get(v)
+            cdc_net = counts.get("insert", 0) + post - pre - counts.get("delete", 0)
+            if net is not None and cdc_net != net:
+                problems.append(
+                    f"v{v}: change rows don't reconcile with file actions: "
+                    f"net data rows {net} != insert+post-pre-delete {cdc_net}")
 
         # -- column mapping (invariant 10): when
         # delta.columnMapping.mode = name, every schema field carries a
