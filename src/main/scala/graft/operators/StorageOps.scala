@@ -558,7 +558,29 @@ object StorageOps {
       |  CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q100 — DELETION VECTORS end-to-end: enable the feature, point-
+    * delete a slice (the commit re-adds the same data files carrying
+    * sidecar bitmaps — DeltaSpec proves zero data files move), then
+    * read the table back through the `format("graft-delta")` relation,
+    * whose DV-aware reader subtracts the dead rows per file. The
+    * oracle is simply the surviving rows. */
+  val q100DvDelete: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-dv")
+    DeltaTable.write(n, t, "overwrite")                   // v0
+    DeltaTable.enableDeletionVectors(t)                   // v1
+    DeltaTable.delete(spark, t, col("n_regionkey") === 2) // v2 (vectored)
+    spark.read.format("graft-delta").load(t)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  val q100Oracle: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_dv_delete" -> q100DvDelete,
     "q84_column_mapping" -> q84ColumnMapping,
     "q88_delta_detail" -> q88DeltaDetail,
     "q87_delta_constraint" -> q87DeltaConstraint,
@@ -580,6 +602,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q100_dv_delete" -> q100Oracle,
     "q84_column_mapping" -> q84Oracle,
     "q88_delta_detail" -> q88Oracle,
     "q87_delta_constraint" -> q87Oracle,

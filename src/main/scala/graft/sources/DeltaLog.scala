@@ -46,9 +46,15 @@ object DeltaLog {
     * numerics is the shortest round-trip form, so ordering of the
     * parsed values matches the original ordering (data-skipping per
     * the Delta paper's per-file min/max design). */
+  /** `dv` = the file's live deletion vector, when rows have been
+    * soft-deleted in place (see [[DeletionVectors]]): readers subtract
+    * the marked row indexes; `stats.n` stays the PHYSICAL row count
+    * (protocol: tightBounds=false in spirit — skipping stays
+    * conservative). */
   final case class AddFile(path: String, size: Long,
       stats: Map[String, String] = Map.empty,
-      partitionValues: Map[String, String] = Map.empty)
+      partitionValues: Map[String, String] = Map.empty,
+      dv: Option[DeletionVectors.Descriptor] = None)
   /** `txns` = latest committed streaming-transaction version per
     * application id (the Delta protocol's SetTransaction action) — the
     * idempotence ledger the streaming sink checks before re-applying a
@@ -62,7 +68,9 @@ object DeltaLog {
       files: Seq[AddFile], partitionColumns: Seq[String] = Nil,
       txns: Map[String, Long] = Map.empty,
       configuration: Map[String, String] = Map.empty,
-      minReaderVersion: Int = 1, minWriterVersion: Int = 2) {
+      minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty) {
     /** (name, sql expression) of every CHECK constraint on the table. */
     def checkConstraints: Seq[(String, String)] =
       configuration.collect {
@@ -197,18 +205,15 @@ object DeltaLog {
     var config: Map[String, String] = Map.empty
     var minReader = 1
     var minWriter = 2
+    var readerFeats = Set.empty[String]
+    var writerFeats = Set.empty[String]
     val txns = scala.collection.mutable.Map[String, Long]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     for (line <- replay if line.nonEmpty) {
       Json.parse(line) match {
         case ("add", fields) =>
-          val p = fields("path")
-          val stats = fields.get("stats")
-            .map(s => Json.parseFlat(s)).getOrElse(Map.empty[String, String])
-          val pv = fields.get("partitionValues")
-            .map(Json.parseFlat).getOrElse(Map.empty[String, String])
-          live(p) = AddFile(p,
-            fields.get("size").map(_.toLong).getOrElse(0L), stats, pv)
+          val f = addFileOf(fields)
+          live(f.path) = f
         case ("remove", fields) => live.remove(fields("path"))
         case ("metaData", fields) =>
           schema = fields.get("schemaString")
@@ -226,11 +231,15 @@ object DeltaLog {
             minReader = v
           for (v <- fields.get("minWriterVersion").flatMap(_.toIntOption))
             minWriter = v
+          readerFeats = fields.get("readerFeatures")
+            .map(Json.parseStringArray(_).toSet).getOrElse(Set.empty)
+          writerFeats = fields.get("writerFeatures")
+            .map(Json.parseStringArray(_).toSet).getOrElse(Set.empty)
         case _ => ()
       }
     }
     Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config,
-      minReader, minWriter)
+      minReader, minWriter, readerFeats, writerFeats)
   }
 
   /** Atomically commit `actions` as the next version after
@@ -280,7 +289,8 @@ object DeltaLog {
     * log schema; partitionValues are first-class). */
   def addAction(path: String, size: Long,
       stats: Map[String, String] = Map.empty,
-      partitionValues: Map[String, String] = Map.empty): String = {
+      partitionValues: Map[String, String] = Map.empty,
+      dv: Option[DeletionVectors.Descriptor] = None): String = {
     val statsField =
       if (stats.isEmpty) ""
       else {
@@ -292,22 +302,55 @@ object DeltaLog {
     val pv = partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
       .mkString("{", ",", "}")
-    s"""{"add":{"path":${Json.str(path)},"partitionValues":$pv,"size":$size$statsField,"dataChange":true}}"""
+    // protocol shape: storageType "p" = path relative to the table root
+    val dvField = dv.map(d =>
+      s""","deletionVector":{"storageType":"p","pathOrInlineDv":${Json.str(d.path)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+      .getOrElse("")
+    s"""{"add":{"path":${Json.str(path)},"partitionValues":$pv,"size":$size$statsField$dvField,"dataChange":true}}"""
+  }
+
+  /** Decode an add action's flat fields back into an AddFile (shared
+    * by snapshot replay and versionChanges). */
+  private def addFileOf(fields: Map[String, String]): AddFile = {
+    val stats = fields.get("stats")
+      .map(Json.parseFlat).getOrElse(Map.empty[String, String])
+    val pv = fields.get("partitionValues")
+      .map(Json.parseFlat).getOrElse(Map.empty[String, String])
+    val dv = fields.get("deletionVector").map(Json.parseFlat).map(d =>
+      DeletionVectors.Descriptor(d("pathOrInlineDv"),
+        d.get("sizeInBytes").flatMap(_.toLongOption).getOrElse(0L),
+        d.get("cardinality").flatMap(_.toLongOption).getOrElse(0L)))
+    AddFile(fields("path"),
+      fields.get("size").map(_.toLong).getOrElse(0L), stats, pv, dv)
   }
 
   def removeAction(path: String): String =
     s"""{"remove":{"path":${Json.str(path)},"dataChange":true}}"""
 
   /** Protocol action (reader/writer capability gate). Version 1/2 =
-    * the base protocol: no column mapping, no deletion vectors — which
-    * is exactly the feature set this log uses. Emitted in version 0 of
-    * every table and in every checkpoint, per the Delta spec. The
-    * first CHECK constraint upgrades minWriterVersion to 3 (the
-    * protocol's constraint gate — a writer that doesn't understand
-    * constraints must refuse to append, not violate them). */
+    * the base protocol. Emitted in version 0 of every table and in
+    * every checkpoint, per the Delta spec. The first CHECK constraint
+    * upgrades minWriterVersion to 3 (the protocol's constraint gate — a
+    * writer that doesn't understand constraints must refuse to append,
+    * not violate them); column mapping raises to (2,5); deletion
+    * vectors raise to the table-features gate (3,7), which per the spec
+    * must LIST its features — a stock client at (3,7) refuses any
+    * feature name it doesn't implement, which is exactly the protection
+    * a DV table needs from a DV-unaware reader. */
   def protocolAction(minReaderVersion: Int = 1,
-      minWriterVersion: Int = 2): String =
-    s"""{"protocol":{"minReaderVersion":$minReaderVersion,"minWriterVersion":$minWriterVersion}}"""
+      minWriterVersion: Int = 2,
+      readerFeatures: Seq[String] = Nil,
+      writerFeatures: Seq[String] = Nil): String = {
+    val rf =
+      if (minReaderVersion < 3 || readerFeatures.isEmpty) ""
+      else s""","readerFeatures":${readerFeatures.sorted
+        .map(Json.str).mkString("[", ",", "]")}"""
+    val wf =
+      if (minWriterVersion < 7 || writerFeatures.isEmpty) ""
+      else s""","writerFeatures":${writerFeatures.sorted
+        .map(Json.str).mkString("[", ",", "]")}"""
+    s"""{"protocol":{"minReaderVersion":$minReaderVersion,"minWriterVersion":$minWriterVersion$rf$wf}}"""
+  }
 
   /** The protocol-complete metaData shape: `id` + `format` are
     * REQUIRED fields for a stock delta reader (our own replay only
@@ -382,13 +425,7 @@ object DeltaLog {
     for (line <- Files.readAllLines(p, StandardCharsets.UTF_8).asScala
          if line.nonEmpty) {
       Json.parse(line) match {
-        case ("add", fields) =>
-          val stats = fields.get("stats")
-            .map(Json.parseFlat).getOrElse(Map.empty[String, String])
-          val pv = fields.get("partitionValues")
-            .map(Json.parseFlat).getOrElse(Map.empty[String, String])
-          adds += AddFile(fields("path"),
-            fields.get("size").map(_.toLong).getOrElse(0L), stats, pv)
+        case ("add", fields) => adds += addFileOf(fields)
         case ("remove", _) => removes = true
         case ("cdc", fields) =>
           cdc += AddFile(fields("path"),

@@ -306,6 +306,9 @@ object DeltaTable {
     require(!key.startsWith("delta.columnMapping."),
       s"setTableProperty($key): use enableColumnMapping (schema " +
         "annotation + protocol upgrade)")
+    require(key != DeletionVectors.PropKey,
+      s"setTableProperty($key): use enableDeletionVectors (protocol " +
+        "must rise to the table-features gate atomically)")
     val maxAttempts = 8
     for (_ <- 1 to maxAttempts) {
       val snap = DeltaLog.snapshot(table)
@@ -342,7 +345,13 @@ object DeltaTable {
         DeltaLog.commitInfoAction("SET COLUMN MAPPING"),
         DeltaLog.protocolAction(
           math.max(snap.minReaderVersion, 2),
-          math.max(snap.minWriterVersion, 5)),
+          math.max(snap.minWriterVersion, 5),
+          // a table already at the features gate (DV enabled) must keep
+          // LISTING its features — and gain the mapping one
+          if (snap.minReaderVersion >= 3)
+            (snap.readerFeatures + "columnMapping").toSeq else Nil,
+          if (snap.minWriterVersion >= 7)
+            (snap.writerFeatures + "columnMapping").toSeq else Nil),
         DeltaLog.metaDataAction(annotated.json, snap.partitionColumns,
           DeltaLog.tableId(table),
           snap.configuration +
@@ -353,6 +362,44 @@ object DeltaTable {
     }
     throw new IllegalStateException(
       s"enableColumnMapping($table): lost the commit race $maxAttempts times")
+  }
+
+  private[graft] def dvEnabled(snap: DeltaLog.Snapshot): Boolean =
+    snap.configuration.get(DeletionVectors.PropKey).contains("true")
+
+  /** ALTER TABLE SET delta.enableDeletionVectors = true: DELETEs stop
+    * rewriting touched files and instead mark dead rows in sidecar
+    * bitmaps (see [[DeletionVectors]]). The protocol rises atomically
+    * to the table-features gate (reader 3 / writer 7) LISTING the
+    * feature, so a DV-unaware client refuses the table instead of
+    * resurrecting deleted rows. One-way, like the mapping upgrade.
+    * Idempotent. */
+  def enableDeletionVectors(table: String): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      if (dvEnabled(snap)) return snap.version
+      val feats = Set("deletionVectors") ++
+        (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty)
+      val wfeats = feats ++
+        (if (snap.checkConstraints.nonEmpty) Set("checkConstraints")
+         else Set.empty)
+      val actions = Seq(
+        DeltaLog.commitInfoAction("SET DELETION VECTORS"),
+        DeltaLog.protocolAction(
+          math.max(snap.minReaderVersion, 3),
+          math.max(snap.minWriterVersion, 7),
+          (snap.readerFeatures ++ feats).toSeq,
+          (snap.writerFeatures ++ wfeats).toSeq),
+        DeltaLog.metaDataAction(snap.schemaJson.getOrElse(
+            new StructType().json), snap.partitionColumns,
+          DeltaLog.tableId(table),
+          snap.configuration + (DeletionVectors.PropKey -> "true")))
+      try return DeltaLog.commit(table, snap.version, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"enableDeletionVectors($table): lost the commit race $maxAttempts times")
   }
 
   /** Guard shared by rename/drop: mapping on, column exists, column is
@@ -446,11 +493,23 @@ object DeltaTable {
     if (!ColumnMapping.enabled(snap)) None
     else snap.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
 
+  /** Names of the row-position plumbing columns
+    * [[readTableFilesWithPos]] appends (prefixed to never collide with
+    * a user column; stripped by [[readTableFiles]]). */
+  private val PosFile = "__gdv_file"
+  private val PosIdx = "__gdv_idx"
+
   /** Read specific table files under the committed schema, LOGICAL-named
     * — the one read shape DML rewrites need: physical bytes in, logical
-    * frame out (identity when mapping is off or never diverged). */
+    * frame out (identity when mapping is off or never diverged). Rows
+    * marked dead by a live deletion vector are subtracted. */
   private def readTableFiles(spark: SparkSession, table: String,
       snap: DeltaLog.Snapshot, paths: Seq[String]): DataFrame = {
+    if (snap.files.exists(_.dv.isDefined))
+      return readTableFilesWithPos(spark, table, snap, paths)
+        .drop(PosFile, PosIdx)
+    // fast path (no vectors anywhere): no metadata columns, plan
+    // byte-identical to pre-DV behavior
     val reader =
       if (snap.partitionColumns.isEmpty) spark.read
       else spark.read.option("basePath", table)
@@ -465,6 +524,60 @@ object DeltaTable {
           reader.schema(ColumnMapping.physicalSchema(logical))
             .parquet(paths: _*), logical)
     }
+  }
+
+  /** [[readTableFiles]] plus two plumbing columns: the scanned file's
+    * path ([[PosFile]]) and the row's PHYSICAL index within it
+    * ([[PosIdx]], from `_metadata.row_index` — correct under pushdown
+    * and row-group skipping, which is why DV bookkeeping uses it and
+    * never a counter). Deletion-vector rows are already subtracted:
+    * consumers see live rows tagged with their physical position — the
+    * exact shape DV-writing DML needs. */
+  private def readTableFilesWithPos(spark: SparkSession, table: String,
+      snap: DeltaLog.Snapshot, paths: Seq[String]): DataFrame = {
+    val reader =
+      if (snap.partitionColumns.isEmpty) spark.read
+      else spark.read.option("basePath", table)
+    val s = snap.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val mapped = ColumnMapping.enabled(snap)
+    val raw0 = s match {
+      case None => reader.parquet(paths: _*)
+      case Some(logical) if !mapped =>
+        reader.schema(logical).parquet(paths: _*)
+      case Some(logical) =>
+        reader.schema(ColumnMapping.physicalSchema(logical))
+          .parquet(paths: _*)
+    }
+    val raw = raw0
+      .withColumn(PosFile, col("_metadata.file_path"))
+      .withColumn(PosIdx, col("_metadata.row_index"))
+    val live = subtractDeleted(raw, table, snap)
+    s match {
+      case Some(logical) if mapped =>
+        live.select(logical.fields.map(f =>
+          col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq
+          ++ Seq(col(PosFile), col(PosIdx)): _*)
+      case _ => live
+    }
+  }
+
+  /** Filter out rows a live deletion vector marks dead. The vector map
+    * is log-sized (one sorted int array per vectored file, total size =
+    * deleted-row count) and broadcast once; the per-row check is a
+    * binary search — no shuffle, no join, the filter rides the scan
+    * stage. */
+  private def subtractDeleted(df: DataFrame, table: String,
+      snap: DeltaLog.Snapshot): DataFrame = {
+    val dvs = DeletionVectors.liveVectors(table, snap)
+    if (dvs.isEmpty) return df
+    val bc = df.sparkSession.sparkContext.broadcast(dvs)
+    val deleted = org.apache.spark.sql.functions.udf(
+      (file: String, idx: Long) => {
+        val base = file.substring(file.lastIndexOf('/') + 1)
+        bc.value.get(base).exists(DeletionVectors.contains(_, idx))
+      })
+    df.filter(!deleted(col(PosFile), col(PosIdx)))
   }
 
   private def enforceConstraints(spark: SparkSession, table: String,
@@ -632,7 +745,12 @@ object DeltaTable {
       // partition (or already at the byte-target count)" — without
       // this, every compact() of a partitioned table rewrites it again
       val nPartitions = snap.files.map(_.partitionValues).distinct.length
-      if (snap.files.length <= math.max(nOut, nPartitions)) return snap.version
+      // a snapshot carrying deletion vectors ALWAYS compacts: absorbing
+      // the vectors (rewriting survivors, dropping the sidecars) is the
+      // operation's job even when the file count is already optimal
+      if (snap.files.forall(_.dv.isEmpty) &&
+          snap.files.length <= math.max(nOut, nPartitions))
+        return snap.version
       // Partitioned tables compact WITHIN the committed layout: shuffle
       // rows back together by partition key (co-locating each value's
       // rows in one task ⇒ one output file per live partition value)
@@ -793,30 +911,102 @@ object DeltaTable {
       if (touched.isEmpty) return snap.version
       val touchedPaths = touched.toSeq.sorted
         .map(f => Paths.get(table).resolve(f).toString)
-      val touchedRows = readTableFiles(spark, table, snap, touchedPaths)
-      // survivors of ONLY the touched files, original schema/layout
-      val survivors = touchedRows.filter(!condition)
-      val added = stageIn(survivors, table, snap.partitionColumns,
-        mappingOf(snap))
-      // CDF: the deleted rows, tagged, as `_change_data/` sidecars —
-      // what lets an incremental consumer cross this rewrite version
-      val cdc =
-        if (!cdfEnabled(snap)) Nil
-        else stageCdc(touchedRows.filter(condition)
-          .withColumn("_change_type", lit("delete")), table, mappingOf(snap))
-      val actions =
-        Seq(DeltaLog.commitInfoAction("DELETE")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
-            DeltaLog.tableId(table), snap.configuration)) ++
-          touched.toSeq.sorted.map(DeltaLog.removeAction) ++
-          added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
-          cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
-      try return DeltaLog.commit(table, snap.version, actions)
-      catch {
-        case _: IllegalStateException =>
-          (added ++ cdc).foreach(f =>
-            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      if (dvEnabled(snap)) {
+        // DELETION-VECTOR path: mark dead rows in sidecar bitmaps
+        // instead of rewriting files. A point-delete in a 128 MB file
+        // moves ZERO data bytes — the whole reason DVs exist at 100 TB.
+        val withPos = readTableFilesWithPos(spark, table, snap, touchedPaths)
+        val matched = withPos.filter(condition)
+        // per-file matched positions: log-sized driver result (one row
+        // per touched file; array length = that file's deleted count)
+        val perFile: Map[String, Array[Int]] = matched
+          .groupBy(col(PosFile))
+          .agg(org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_list(col(PosIdx)))
+            .as("pos"))
+          .collect().map { r =>
+            val f = r.getString(0)
+            f.substring(f.lastIndexOf('/') + 1) ->
+              r.getSeq[Long](1).map(_.toInt).toArray
+          }.toMap
+        val byBase = snap.files
+          .map(f => Paths.get(f.path).getFileName.toString -> f).toMap
+        val plans = touched.toSeq.sorted.map { rel =>
+          val base = Paths.get(rel).getFileName.toString
+          val f = byBase(base)
+          val old = f.dv.map(DeletionVectors.read(table, _))
+            .getOrElse(Array.empty[Int])
+          (f, DeletionVectors.union(old, perFile.getOrElse(base, Array.empty)))
+        }
+        // a file more than half dead REWRITES instead: a vector that
+        // big taxes every future read, and the rewrite is strictly
+        // smaller than the vector's eventual cost (same heuristic as
+        // stock Delta). Mixed commits (some files vectored, some
+        // rewritten) are protocol-legal.
+        val (dvPlans, rewritePlans) = plans.partition { case (f, ndv) =>
+          f.stats.get("n").flatMap(_.toLongOption)
+            .forall(ndv.length * 2L <= _)
+        }
+        val rewriteAdds =
+          if (rewritePlans.isEmpty) Seq.empty[DeltaLog.AddFile]
+          else stageIn(
+            readTableFiles(spark, table, snap, rewritePlans.map(p =>
+              Paths.get(table).resolve(p._1.path).toString))
+              .filter(!condition),
+            table, snap.partitionColumns, mappingOf(snap))
+        val cdc =
+          if (!cdfEnabled(snap)) Nil
+          else stageCdc(matched.drop(PosFile, PosIdx)
+            .withColumn("_change_type", lit("delete")), table, mappingOf(snap))
+        val dvDescs = dvPlans.map { case (f, ndv) =>
+          (f, DeletionVectors.write(table, ndv)) }
+        val actions =
+          Seq(DeltaLog.commitInfoAction("DELETE")) ++
+            snap.schemaJson.map(DeltaLog.metaDataAction(_,
+              snap.partitionColumns, DeltaLog.tableId(table),
+              snap.configuration)) ++
+            // removes precede adds: replay is line-ordered, and the
+            // vectored files RE-ADD their own path with the new DV
+            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            dvDescs.map { case (f, d) => DeltaLog.addAction(
+              f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
+            rewriteAdds.map(f => DeltaLog.addAction(
+              f.path, f.size, f.stats, f.partitionValues)) ++
+            cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
+        try return DeltaLog.commit(table, snap.version, actions)
+        catch {
+          case _: IllegalStateException =>
+            (rewriteAdds ++ cdc).foreach(f =>
+              Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+            dvDescs.foreach { case (_, d) =>
+              Files.deleteIfExists(Paths.get(table).resolve(d.path)) }
+        }
+      } else {
+        val touchedRows = readTableFiles(spark, table, snap, touchedPaths)
+        // survivors of ONLY the touched files, original schema/layout
+        val survivors = touchedRows.filter(!condition)
+        val added = stageIn(survivors, table, snap.partitionColumns,
+          mappingOf(snap))
+        // CDF: the deleted rows, tagged, as `_change_data/` sidecars —
+        // what lets an incremental consumer cross this rewrite version
+        val cdc =
+          if (!cdfEnabled(snap)) Nil
+          else stageCdc(touchedRows.filter(condition)
+            .withColumn("_change_type", lit("delete")), table, mappingOf(snap))
+        val actions =
+          Seq(DeltaLog.commitInfoAction("DELETE")) ++
+            snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+              DeltaLog.tableId(table), snap.configuration)) ++
+            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            added.map(f =>
+              DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+            cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
+        try return DeltaLog.commit(table, snap.version, actions)
+        catch {
+          case _: IllegalStateException =>
+            (added ++ cdc).foreach(f =>
+              Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+        }
       }
     }
     throw new IllegalStateException(
@@ -1077,7 +1267,12 @@ object DeltaTable {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("sizeInBytes", LongType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -1092,7 +1287,9 @@ object DeltaTable {
         StructField("configuration", MapType(StringType, StringType))))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType))))))
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
     def statsJson(f: DeltaLog.AddFile): String =
       if (f.stats.isEmpty) null
       else f.stats.toSeq.sortBy(_._1)
@@ -1101,14 +1298,20 @@ object DeltaTable {
         .mkString("{", ",", "}")
     val rows: Seq[Row] =
       Seq(Row(null, null, null, null,
-        Row(snap.minReaderVersion, snap.minWriterVersion))) ++
+        Row(snap.minReaderVersion, snap.minWriterVersion,
+          if (snap.readerFeatures.isEmpty) null
+          else snap.readerFeatures.toSeq.sorted,
+          if (snap.writerFeatures.isEmpty) null
+          else snap.writerFeatures.toSeq.sorted))) ++
         snap.schemaJson.map(sj => Row(null, null, null,
           Row(DeltaLog.tableId(table), Row("parquet", Map.empty[String, String]),
             sj, snap.partitionColumns, snap.configuration), null)).toSeq ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(Row(app, v), null, null, null, null) } ++
         snap.files.map(f => Row(null,
-          Row(f.path, f.partitionValues, f.size, 0L, false, statsJson(f)),
+          Row(f.path, f.partitionValues, f.size, 0L, false, statsJson(f),
+            f.dv.map(d => Row("p", d.path, d.sizeInBytes, d.cardinality))
+              .orNull),
           null, null, null))
     val tmpDir = Files.createTempDirectory(DeltaLog.logDir(table), ".pckpt-")
     try {
@@ -1181,9 +1384,11 @@ object DeltaTable {
     val checkpoint =
       Seq(DeltaLog.commitInfoAction("CHECKPOINT"),
         // carry the table's CURRENT protocol (a constraint may have
-        // upgraded minWriterVersion past the default)
+        // upgraded minWriterVersion past the default; a features-gate
+        // table must keep listing its features)
         DeltaLog.protocolAction(snap.minReaderVersion,
-          snap.minWriterVersion)) ++
+          snap.minWriterVersion, snap.readerFeatures.toSeq,
+          snap.writerFeatures.toSeq)) ++
         snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
           DeltaLog.tableId(table), snap.configuration)) ++
         // txn ledger must survive a pruned prefix — dropping it would
@@ -1191,7 +1396,7 @@ object DeltaTable {
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           DeltaLog.txnAction(app, v) } ++
         snap.files.map(f =>
-          DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+          DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues, f.dv))
     val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
     Files.write(tmp, checkpoint.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1245,9 +1450,13 @@ object DeltaTable {
     // every retained version file — a change feed over the retained
     // range must stay readable; sidecars of pruned versions become
     // unreadable with their version files and are garbage
-    val referenced = keep.flatMap(v =>
-      DeltaLog.snapshot(table, Some(v)).files.map(_.path)).toSet ++
-      keep.flatMap(v => DeltaLog.versionChanges(table, v).cdc.map(_.path))
+    val keepSnaps = keep.map(v => DeltaLog.snapshot(table, Some(v)))
+    val referenced = keepSnaps.flatMap(_.files.map(_.path)).toSet ++
+      keep.flatMap(v => DeltaLog.versionChanges(table, v).cdc.map(_.path)) ++
+      // deletion-vector sidecars of every retained snapshot stay; the
+      // rest (absorbed by compaction, superseded by a re-delete) are
+      // unreferenced garbage
+      keepSnaps.flatMap(_.files.flatMap(_.dv.map(_.path)))
     val horizon = keep.head
     val logDir = DeltaLog.logDir(table)
     // 1+2. both checkpoint formats + the _last_checkpoint hint for the
@@ -1270,7 +1479,8 @@ object DeltaTable {
     val walkStream = Files.walk(tableDir)
     val onDisk =
       try walkStream.iterator.asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet") ||
+          p.getFileName.toString.endsWith(".bin"))
         .map(p => tableDir.relativize(p).toString)
         // a concurrent writer's staged-but-uncommitted files are NOT
         // garbage — they become visible the instant its commit lands
@@ -1310,24 +1520,14 @@ object DeltaTable {
       .getOrElse(new StructType())
     val live = liveFilesAfterSkipping(snap, skipFilters, skipSchema)
     val paths = live.map(f => Paths.get(table).resolve(f.path).toString)
-    // For a partitioned layout the partition columns are not physical
-    // parquet columns — basePath lets Spark recover them from the
-    // `col=value/` dirs of the explicit leaf-file list; the committed
-    // schema then pins their types and the column order.
-    val reader =
-      if (snap.partitionColumns.isEmpty) spark.read
-      else spark.read.option("basePath", table)
+    // readTableFiles handles the three shapes (schemaless, plain,
+    // mapped), recovers partition columns via basePath, and subtracts
+    // deletion-vector rows when the snapshot carries any.
     (schema, paths) match {
       case (Some(s), Nil) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         ColumnMapping.stripMapping(s))
-      case (Some(s), ps) if mapped =>
-        // physical bytes in, logical frame out: read under the physical
-        // schema, project back to logical names in committed order
-        ColumnMapping.toLogical(
-          reader.schema(ColumnMapping.physicalSchema(s)).parquet(ps: _*), s)
-      case (Some(s), ps) => reader.schema(s).parquet(ps: _*)
-      case (None, ps) => reader.parquet(ps: _*)
+      case (_, ps) => readTableFiles(spark, table, snap, ps)
     }
   }
 
@@ -1548,9 +1748,14 @@ object DeltaTable {
             target.configuration)) ++
           cur.files.filterNot(f => targetPaths(f.path))
             .map(f => DeltaLog.removeAction(f.path)) ++
-          target.files.filterNot(f => curPaths(f.path))
+          // re-add files the current state lacks — AND files whose
+          // path survives but whose deletion vector differs (a DV-only
+          // delete changes liveness without changing the path; the
+          // restored version must get ITS vector state back)
+          target.files.filter(f => !curPaths(f.path) ||
+              cur.files.find(_.path == f.path).exists(_.dv != f.dv))
             .map(f => DeltaLog.addAction(f.path, f.size, f.stats,
-              f.partitionValues))
+              f.partitionValues, f.dv))
       try return DeltaLog.commit(table, cur.version, actions)
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>

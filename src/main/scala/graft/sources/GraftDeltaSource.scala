@@ -147,8 +147,10 @@ class GraftDeltaSource extends RelationProvider
       schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
     val skipSchema =
       if (mapped) ColumnMapping.physicalSchema(committed) else schema
+    val liveDvs = DeletionVectors.liveVectors(table, snap)
     val fileFormat =
-      if (l2p.exists { case (l, p) => l != p })
+      if (liveDvs.nonEmpty) new DvParquetFileFormat(l2p, liveDvs)
+      else if (l2p.exists { case (l, p) => l != p })
         new MappedParquetFileFormat(l2p)
       else new ParquetFileFormat
     HadoopFsRelation(
@@ -475,4 +477,73 @@ class MappedParquetFileFormat(l2p: Map[String, String])
       partitionSchema, phys(requiredSchema),
       filters.flatMap(ColumnMapping.translateFilter(_, l2p)),
       options, hadoopConf)
+}
+
+/** [[ParquetFileFormat]] for snapshots carrying DELETION VECTORS:
+  * files WITH a live vector are read row-based, unsplit, with NO
+  * pushdown — the reader then yields every physical row in order, so a
+  * plain counter IS the row's physical index and the vector lookup
+  * (binary search in a log-sized sorted array) drops the dead ones.
+  * Files WITHOUT a vector keep the fast reader (pushdown, translated
+  * filters). The whole scan runs row-based (`supportBatch=false`) —
+  * the one global knob — which is the price a vectored snapshot pays
+  * until OPTIMIZE absorbs its vectors; the fast columnar path returns
+  * the moment no live file carries a vector, because createRelation
+  * only selects this format when one does.
+  *
+  * Handles column mapping too (same schema translation as
+  * [[MappedParquetFileFormat]]) so DV × mapping composes. */
+class DvParquetFileFormat(l2p: Map[String, String],
+    dvs: Map[String, Array[Int]]) extends ParquetFileFormat {
+  private def phys(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
+
+  override def supportBatch(sparkSession: SparkSession,
+      schema: StructType): Boolean = false
+
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String],
+      path: org.apache.hadoop.fs.Path): Boolean =
+    !dvs.contains(path.getName)
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] = {
+    val translated =
+      if (l2p.isEmpty) filters
+      else filters.flatMap(ColumnMapping.translateFilter(_, l2p))
+    val fast = super.buildReaderWithPartitionValues(sparkSession,
+      phys(dataSchema), partitionSchema, phys(requiredSchema),
+      translated, options, hadoopConf)
+    // the slow reader gets NO filters: pushdown would skip rows and
+    // desync the physical-position counter (false negatives there are
+    // unrecoverable; Spark's Filter node above the scan re-applies the
+    // full predicate either way)
+    val slow = super.buildReaderWithPartitionValues(sparkSession,
+      phys(dataSchema), partitionSchema, phys(requiredSchema),
+      Nil, options, hadoopConf)
+    file => {
+      val base = {
+        val p = file.filePath.toString
+        p.substring(p.lastIndexOf('/') + 1)
+      }
+      dvs.get(base) match {
+        case None => fast(file)
+        case Some(dv) =>
+          require(file.start == 0,
+            s"deletion-vectored file arrived split (start=${file.start}): " +
+              "isSplitable must keep vectored files whole")
+          var idx = -1L
+          slow(file).filter { _ => idx += 1
+            !DeletionVectors.contains(dv, idx) }
+      }
+    }
+  }
 }

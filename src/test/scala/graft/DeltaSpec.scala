@@ -1363,6 +1363,172 @@ class DeltaSpec extends SparkSpec {
     assert(physCols.contains("_change_type"))
   }
 
+  private def runValidator(t: String): Unit = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code === 0, s"delta_validate.py rejected the table:\n$out")
+  }
+
+  test("deletion vectors: a point delete moves ZERO data files — the " +
+      "commit re-adds the same file with a sidecar bitmap") {
+    val t = freshTable()
+    // one 3-row file: a 1-row delete is under the half-dead threshold
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    val filesBefore = DeltaLog.snapshot(t).files.map(_.path).toSet
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v2
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.map(_.path).toSet === filesBefore,
+      "a vectored delete must not add or remove any data file path")
+    val vectored = snap.files.filter(_.dv.isDefined)
+    assert(vectored.map(_.dv.get.cardinality).sum === 1L)
+    // protocol rose to the features gate, listing the feature
+    assert(snap.minReaderVersion === 3 && snap.minWriterVersion === 7)
+    assert(snap.readerFeatures.contains("deletionVectors"))
+    // both read paths subtract the dead row
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(1, 3))
+    assert(spark.read.format("graft-delta").load(t)
+      .select("id").as[Int].collect().sorted === Array(1, 3))
+    // pushdown through the DV format stays correct (the fast reader
+    // serves unvectored files; the slow one drops its filters)
+    assert(spark.read.format("graft-delta").load(t)
+      .filter($"salary" > 60000L).select("id").as[Int].collect().sorted
+      === Array(1, 3))
+    // time travel to v0 sees all three rows (pre-DV adds carry none)
+    assert(DeltaTable.read(spark, t, Some(0L)).count() === 3)
+    runValidator(t)
+  }
+
+  test("deletion vectors: re-delete unions into the existing vector; " +
+      "update/merge on a vectored file rewrites and drops it") {
+    val t = freshTable()
+    // one 5-row file: two 1-row deletes stay under the half threshold
+    val five = Seq(
+      (1, "Alice", 75000L), (2, "Bob", 65000L), (3, "Carol", 80000L),
+      (4, "David", 70000L), (5, "Eve", 90000L))
+      .toDF("id", "name", "salary").coalesce(1)
+    DeltaTable.write(five, t, "overwrite")
+    DeltaTable.enableDeletionVectors(t)
+    DeltaTable.delete(spark, t, $"id" === 1)
+    DeltaTable.delete(spark, t, $"id" === 2)
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum === 2L,
+      s"expected a union vector of 2: ${snap.files.flatMap(_.dv)}")
+    assert(snap.files.size === 1, "both deletes must vector, not rewrite")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(3, 4, 5))
+    // UPDATE must not resurrect vectored-dead rows: the rewrite reads
+    // live rows only and the new file carries no vector
+    DeltaTable.update(spark, t, $"id" === 3, Map("salary" -> lit(99000L)))
+    assert(DeltaLog.snapshot(t).files.forall(_.dv.isEmpty),
+      "the rewrite must absorb the touched file's vector")
+    val after = DeltaTable.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(after === Map(3 -> 99000L, 4 -> 70000L, 5 -> 90000L))
+    runValidator(t)
+  }
+
+  test("deletion vectors: a delete matching more than half a file's " +
+      "rows rewrites instead of vectoring") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite") // one file, 3 rows
+    DeltaTable.enableDeletionVectors(t)
+    DeltaTable.delete(spark, t, $"id" =!= 2)                 // kills 2 of 3
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.forall(_.dv.isEmpty),
+      "a >half-dead file must rewrite, not carry a majority-dead vector")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().toSeq
+      === Seq(2))
+    runValidator(t)
+  }
+
+  test("deletion vectors: compaction absorbs vectors; vacuum collects " +
+      "the orphaned sidecars and keeps referenced ones") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    DeltaTable.delete(spark, t, $"id" === 1)                     // v2 (dv)
+    val dvPath = DeltaLog.snapshot(t).files.flatMap(_.dv).head.path
+    assert(Files.exists(java.nio.file.Paths.get(t).resolve(dvPath)))
+    DeltaTable.compact(spark, t, maxFileBytes = 1L << 30)        // v3
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.forall(_.dv.isEmpty), "compact must absorb vectors")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(2, 3))
+    // pre-vacuum: v2 still references the vector, so it must survive
+    DeltaTable.vacuum(t, keepVersions = 2)                       // keep v2,v3
+    assert(Files.exists(java.nio.file.Paths.get(t).resolve(dvPath)),
+      "sidecar referenced by a retained version must survive vacuum")
+    assert(DeltaTable.read(spark, t, Some(2L)).select("id").as[Int]
+      .collect().sorted === Array(2, 3))
+    // prune v2 too: the sidecar is now garbage
+    DeltaTable.vacuum(t, keepVersions = 1)                       // keep v3
+    assert(!Files.exists(java.nio.file.Paths.get(t).resolve(dvPath)),
+      "unreferenced sidecar must be collected")
+    runValidator(t)
+  }
+
+  test("deletion vectors survive checkpoint replay and restore " +
+      "round-trips vector state") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    DeltaTable.delete(spark, t, $"id" === 1)                     // v2
+    // vacuum writes a checkpoint at the horizon; snapshot() then
+    // replays FROM the checkpoint — the vector must come back
+    DeltaTable.vacuum(t, keepVersions = 1)
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum === 1L,
+      "deletionVector lost through checkpoint replay")
+    assert(snap.readerFeatures.contains("deletionVectors"),
+      "protocol features lost through checkpoint replay")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(2, 3))
+    runValidator(t)
+    // restore across a DV change brings the old vector state back:
+    // v2 and v3 hold the SAME data file path with DIFFERENT vectors
+    val t2 = freshTable()
+    val five = Seq(
+      (1, "Alice", 75000L), (2, "Bob", 65000L), (3, "Carol", 80000L),
+      (4, "David", 70000L), (5, "Eve", 90000L))
+      .toDF("id", "name", "salary").coalesce(1)
+    DeltaTable.write(five, t2, "overwrite")                      // v0
+    DeltaTable.enableDeletionVectors(t2)                         // v1
+    DeltaTable.delete(spark, t2, $"id" === 1)                    // v2
+    DeltaTable.delete(spark, t2, $"id" === 2)                    // v3
+    DeltaTable.restore(t2, 2L)                                   // v4
+    assert(DeltaTable.read(spark, t2).select("id").as[Int].collect().sorted
+      === Array(2, 3, 4, 5),
+      "restore must bring back version 2's vector state (id=2 alive)")
+    runValidator(t2)
+  }
+
+  test("deletion vectors compose with CDF and with column mapping") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableColumnMapping(t)                            // v1
+    DeltaTable.enableDeletionVectors(t)                          // v2
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v3
+    DeltaTable.renameColumn(t, "salary", "base_pay")             // v4
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v5 (dv + cdc)
+    assert(DeltaLog.snapshot(t).files.flatMap(_.dv).nonEmpty)
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(1, 3))
+    assert(spark.read.format("graft-delta").load(t)
+      .filter($"base_pay" > 1L).select("id").as[Int].collect().sorted
+      === Array(1, 3), "DV x mapping through the relation path")
+    val feed = DeltaTable.changes(spark, t, 5L, 5L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(feed.toSeq === Seq((2, "delete")))
+    runValidator(t)
+  }
+
   test("empty overwrite yields empty table with schema intact") {
     val t = freshTable()
     DeltaTable.write(employees3.filter($"id" > 99), t, "overwrite")

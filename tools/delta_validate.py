@@ -34,6 +34,12 @@ and asserts the wire-format invariants the Delta Lake protocol
      partition columns are EXCLUDED from the data files' physical
      columns (they live in the path, per the protocol), and no data
      file carries columns outside the logged schema.
+ 12. deletion vectors: every live add's `deletionVector` references an
+     existing `_deletion_vectors/*.bin` sidecar whose size matches, the
+     GDV1 payload decodes to a strictly-ascending index array whose
+     length equals the logged cardinality and stays below the file's
+     row count, and the protocol sits at the table-features gate
+     (reader 3 / writer 7) listing `deletionVectors`.
  11. change data feed: `cdc` actions reference `_change_data/` files
      that exist on disk with the logged sizes and are NEVER also
      `add`ed as data; their rows reconcile with the commit's file
@@ -81,10 +87,16 @@ class Replay:
         self.net_rows = {}      # version -> adds_n - removes_n, or None
 
     def _rows_of(self, add_fields):
+        """LIVE rows of an add: physical row count minus its deletion
+        vector's cardinality — the quantity CDF change rows reconcile
+        against (a DV delete re-adds the same physical file; only the
+        vector grows)."""
         try:
-            return int(json.loads(add_fields["stats"])["n"])
+            n = int(json.loads(add_fields["stats"])["n"])
         except Exception:
             return None
+        dv = add_fields.get("deletionVector") or {}
+        return n - int(dv.get("cardinality") or 0)
 
     def apply_version(self, v, actions):
         n_meta = 0
@@ -164,8 +176,13 @@ class Replay:
         if n_meta > 1:
             self.problems.append(f"v{v}: {n_meta} metaData actions in one commit")
         # order-independent: an add and a remove of the same path in one
-        # version is invalid whichever action the writer emitted first
-        for p in sorted(adds_v & removes_v):
+        # version is invalid whichever action the writer emitted first —
+        # EXCEPT the deletion-vector update shape (remove + re-add of the
+        # same path where the add carries a deletionVector), which is how
+        # DV DML commits per the protocol
+        dv_readds = {p for p in adds_v
+                     if (self.live.get(p) or {}).get("deletionVector")}
+        for p in sorted((adds_v & removes_v) - dv_readds):
             self.problems.append(f"v{v}: {p} added and removed in one version")
         if cdc_v:
             self.cdc[v] = cdc_v
@@ -269,6 +286,65 @@ def validate(table):
         has_constraints = any(k.startswith("delta.constraints.") for k in full.config)
         if has_constraints and (full.protocol or {}).get("minWriterVersion", 0) < 3:
             problems.append("CHECK constraints present but minWriterVersion < 3")
+
+        # -- deletion vectors (invariant 12): sidecars decode, reconcile
+        # with descriptors, and the protocol gates them
+        import struct as _struct
+        any_dv = False
+        for p, f in sorted(full.live.items()):
+            d = f.get("deletionVector")
+            if not d:
+                continue
+            any_dv = True
+            dvp = d.get("pathOrInlineDv", "")
+            if not dvp.startswith("_deletion_vectors/"):
+                problems.append(f"dv of {p}: path outside _deletion_vectors/: {dvp}")
+            fp = os.path.join(table, dvp)
+            if not os.path.isfile(fp):
+                problems.append(f"dv of {p}: sidecar missing on disk: {dvp}")
+                continue
+            if os.path.getsize(fp) != d.get("sizeInBytes"):
+                problems.append(
+                    f"dv of {p}: size mismatch disk={os.path.getsize(fp)} "
+                    f"log={d.get('sizeInBytes')}")
+            with open(fp, "rb") as fh:
+                blob = fh.read()
+            if len(blob) < 8 or _struct.unpack(">i", blob[:4])[0] != 0x47445631:
+                problems.append(f"dv of {p}: bad GDV1 magic")
+                continue
+            n = _struct.unpack(">i", blob[4:8])[0]
+            if len(blob) != 8 + 4 * n:
+                problems.append(f"dv of {p}: truncated ({n} indexes, {len(blob)} bytes)")
+                continue
+            idx = list(_struct.unpack(f">{n}i", blob[8:]))
+            if n != d.get("cardinality"):
+                problems.append(
+                    f"dv of {p}: cardinality {d.get('cardinality')} != decoded {n}")
+            if any(b <= a for a, b in zip(idx, idx[1:])):
+                problems.append(f"dv of {p}: indexes not strictly ascending")
+            if idx and idx[0] < 0:
+                problems.append(f"dv of {p}: negative row index {idx[0]}")
+            try:
+                rows = int(json.loads(f.get("stats", "{}")).get("n"))
+            except Exception:
+                rows = None
+            if rows is not None and n >= max(rows, 1):
+                problems.append(
+                    f"dv of {p}: {n} dead rows >= file row count {rows} "
+                    "(an all-dead file must be removed, not vectored)")
+            if rows is not None and idx and idx[-1] >= rows:
+                problems.append(
+                    f"dv of {p}: max index {idx[-1]} >= file row count {rows}")
+        if any_dv:
+            pr = full.protocol or {}
+            if pr.get("minReaderVersion", 0) < 3 or pr.get("minWriterVersion", 0) < 7:
+                problems.append(
+                    f"deletion vectors present but protocol {pr} below the "
+                    "features gate (3,7)")
+            elif "deletionVectors" not in (pr.get("readerFeatures") or []):
+                problems.append(
+                    "deletion vectors present but readerFeatures does not "
+                    "list deletionVectors")
 
         # -- change data feed (invariant 11): sidecars on disk, change
         # rows reconcile with the commit's file actions
