@@ -504,6 +504,114 @@ class StreamingSpec extends SparkSpec {
       "a window larger than the log must not cue")
   }
 
+  test("maintenance rehearsal e2e: drifting stream trips the cue, the " +
+      "operator appends staged vectors + rebuilds BETWEEN batches, the " +
+      "cue clears and drifted-region recall recovers — with a " +
+      "kill/restart mid-loop") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.functions.{col, expr, round, row_number}
+    import org.apache.spark.sql.expressions.Window
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val base = java.nio.file.Files.createTempDirectory("graft-rehearsal")
+    val (src, codes, ckpt, stage) =
+      (s"$base/src", s"$base/codes", s"$base/ckpt", s"$base/stage")
+    val seedDir = s"$base/seed"
+    val rnd = new scala.util.Random(17)
+    val dims = 64
+    def cluster(center: Array[Float], ids: Range, noise: Float) =
+      ids.map(i => (i.toLong,
+        center.map(_ + noise * rnd.nextGaussian().toFloat)))
+    val oldCenters = Array.fill(8, dims)(rnd.nextGaussian().toFloat)
+    val seedRows = oldCenters.zipWithIndex.flatMap { case (c, k) =>
+      cluster(c, k * 40 until (k + 1) * 40, 0.25f) }
+    seedRows.toSeq.toDF("vec_id", "embedding")
+      .write.parquet(s"$seedDir/embeddings.parquet")
+    // initial index build + quality baseline
+    SimilarityOps.q42AnnIvf(spark, seedDir).collect()
+    def appendSrc(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toSeq.toDF("vec_id", "embedding")
+        .write.format("graft-delta").mode("append").save(src)
+    // batch 0: in-distribution near-copies — must NOT read as drift
+    appendSrc(seedRows.take(20).map { case (id, v) =>
+      (id + 5000L, v.map(_ + 0.01f)) })
+    val q1 = StreamingOps.sqIngestPipeline(
+      spark, seedDir, src, codes, ckpt, stage)
+    q1.processAllAvailable()
+    assert(!StreamingOps.sustainedDrift(stage),
+      "a benign batch must not cue a rebuild")
+    // batches 1-3: three NEW well-separated clusters the centroids
+    // never saw — sustained distribution shift
+    val newCenters = Array.fill(3, dims)(rnd.nextGaussian().toFloat)
+    def driftBatch(k: Int): Seq[(Long, Array[Float])] =
+      cluster(newCenters(k), 1000 + k * 30 until 1000 + (k + 1) * 30, 0.25f)
+    appendSrc(driftBatch(0))
+    q1.processAllAvailable()
+    // KILL mid-loop: the rehearsal must survive an operator restart
+    q1.stop()
+    val q2 = StreamingOps.sqIngestPipeline(
+      spark, seedDir, src, codes, ckpt, stage)
+    appendSrc(driftBatch(1))
+    q2.processAllAvailable()
+    appendSrc(driftBatch(2))
+    q2.processAllAvailable()
+    // the trailing-window cue fires on the drift the restart did not
+    // interrupt (batches 1,2,3 all scored past threshold)
+    assert(StreamingOps.sustainedDrift(stage),
+      s"three drifted batches must cue: ${StreamingOps.sqIngestDriftLog(stage)}")
+    // ---- the operator's documented play, BETWEEN batches, while the
+    // stream stays up: (1) durably append the ingested vectors to the
+    // corpus, (2) register them against the frozen index, (3) rebuild.
+    val streamed = spark.read.format("graft-delta").load(src)
+      .select("vec_id", "embedding")
+    streamed.write.mode("append").parquet(s"$seedDir/embeddings.parquet")
+    val corpusPath = JP.get(s"$seedDir/embeddings.parquet")
+    JF.setLastModifiedTime(corpusPath, FileTime.fromMillis(
+      JF.getLastModifiedTime(corpusPath).toMillis + 1500))
+    assert(SimilarityOps.refreshIvfIndex(spark, seedDir, streamed).nonEmpty,
+      "streamed vectors must register against the frozen index first")
+    val worstBatch = driftBatch(2).toDF("vec_id", "embedding")
+    assert(SimilarityOps.maybeRebuildIvfIndex(spark, seedDir, worstBatch),
+      "sustained drift past threshold must rebuild")
+    // recall INSIDE the drifted region recovers post-rebuild
+    val e = spark.read.parquet(s"$seedDir/embeddings.parquet")
+    val qIds = Seq(1000L, 1015L, 1030L, 1045L, 1060L)
+    val qDf = e.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val brute = qDf.crossJoin(e)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_cosine(qv, embedding)"), 4).as("c"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilarityOps.ivfSearchFor(spark, seedDir, qDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"post-rebuild drifted-region recall: $recall")
+    // ---- the stream keeps committing: batch 4 lands in what is now
+    // in-distribution territory, scores low, and CLEARS the cue
+    appendSrc(cluster(newCenters(0), 2000 until 2025, 0.25f))
+    q2.processAllAvailable()
+    q2.stop()
+    val log = StreamingOps.sqIngestDriftLog(stage)
+    assert(log.keySet === Set(0L, 1L, 2L, 3L, 4L),
+      s"every batch must have a drift entry across the restart: $log")
+    assert(log(4L) <= 0.3,
+      s"post-rebuild batch must score in-distribution: ${log(4L)}")
+    assert(!StreamingOps.sustainedDrift(stage),
+      "the cue must clear once maintenance caught the index up")
+    // exactly-once ingest held through the whole rehearsal (kill,
+    // restart, rebuild): one code row per (vec, dim), no replays
+    val out = spark.read.format("graft-delta").load(codes)
+      .select("vec_id", "pos").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.distinct.length === out.length,
+      "replays must not duplicate code rows")
+    assert(out.length === (20 + 30 + 30 + 30 + 25) * dims,
+      s"expected codes for every streamed vector: ${out.length}")
+  }
+
   test("near-dup staging guard: a checkpoint reset cannot pair with stale staging") {
     val base = java.nio.file.Files.createTempDirectory("graft-stage-guard")
     val (src, pairs, stage) = (s"$base/src", s"$base/pairs", s"$base/stage")
