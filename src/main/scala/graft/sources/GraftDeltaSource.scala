@@ -208,7 +208,17 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
   private val initialSnap = DeltaLog.snapshot(table)
   private val partitionColumns = initialSnap.partitionColumns
   // mapping state pinned at source creation — a streaming query's
-  // schema is fixed for its lifetime (same contract as Delta's source)
+  // schema is fixed for its lifetime (same contract as Delta's source).
+  // The pinned-schema contract across MID-STREAM schema changes:
+  //   - RENAME: metadata-only under mapping (physical names frozen),
+  //     so the stream KEEPS SERVING the creation-time logical names —
+  //     new appends included; a RESTARTED query adopts the new names;
+  //   - ADD: new columns are outside the pinned projection — ignored;
+  //   - DROP of a pinned column: the pinned projection can no longer
+  //     be served faithfully for new files (their bytes lack the
+  //     column; schema-reading it would fabricate nulls) — the next
+  //     micro-batch FAILS LOUDLY instead (Delta's stance on stream
+  //     schema change). StreamingSpec pins all three.
   private val mappedRead = ColumnMapping.enabled(initialSnap)
 
   /** Rate-limit cursor (Delta's maxFilesPerTrigger analog, in
@@ -259,6 +269,27 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
               "the added files")
           adds
         }
+    }
+    // pinned-schema guard: every pinned column's PHYSICAL name must
+    // still exist in the table's current physical schema — a rename is
+    // invisible here (physical frozen), but a mid-stream DROP removes
+    // the column from new files and the pinned projection would
+    // silently fabricate nulls. Fail the stream instead; a fresh query
+    // binds the new schema.
+    if (start.isDefined) {
+      val curPhys = DeltaLog.snapshot(table, Some(endV)).schemaJson
+        .map(j => ColumnMapping.physicalSchema(
+          DataType.fromJson(j).asInstanceOf[StructType]).fieldNames.toSet)
+        .getOrElse(Set.empty[String])
+      // `schema` retains the creation-time mapping metadata, so its
+      // physical rendering is the frozen on-file layout
+      val pinnedPhys = ColumnMapping.physicalSchema(schema).fieldNames.toSet
+      val gone = pinnedPhys -- curPhys
+      if (curPhys.nonEmpty && gone.nonEmpty) throw new IllegalStateException(
+        s"graft-delta stream source: column(s) ${gone.mkString(",")} " +
+          s"(physical) were dropped from $table mid-stream; the pinned " +
+          "schema can no longer be served — restart the query to bind " +
+          "the table's current schema")
     }
     val spark = sqlContext.sparkSession
     if (files.isEmpty)

@@ -612,6 +612,77 @@ class StreamingSpec extends SparkSpec {
       s"expected codes for every streamed vector: ${out.length}")
   }
 
+  test("mapped-table stream read-back: rename mid-stream keeps serving " +
+      "the pinned schema, a restart adopts the new names, a mid-stream " +
+      "drop fails loudly") {
+    import graft.sources.DeltaTable
+    val base = java.nio.file.Files.createTempDirectory("graft-mapped-stream")
+    val t = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    DeltaTable.write(Seq((1, "Alice", 75000L)).toDF("id", "name", "salary"),
+      t, "overwrite")                                            // v0
+    DeltaTable.enableColumnMapping(t)                            // v1
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[String], Set[(Int, Long)])]
+    def startStream() = spark.readStream.format("graft-delta").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += ((id, df.columns.toSeq,
+          df.select("id", df.columns.filter(_ != "id").filter(_ != "name")
+            .head).collect()
+            .map(r => (r.getInt(0), r.getLong(1))).toSet))
+        ()
+      }.start()
+    val q1 = startStream()
+    q1.processAllAvailable()
+    assert(batches.last._2 === Seq("id", "name", "salary"))
+    assert(batches.last._3 === Set((1, 75000L)))
+    // RENAME mid-stream: metadata-only; the running query must keep
+    // serving the PINNED logical name for rows appended after it
+    DeltaTable.renameColumn(t, "salary", "base_pay")             // v2
+    DeltaTable.write(Seq((2, "Bob", 65000L)).toDF("id", "name", "base_pay"),
+      t, "append")                                               // v3
+    q1.processAllAvailable()
+    assert(batches.last._2 === Seq("id", "name", "salary"),
+      s"pinned schema must survive a rename: ${batches.last._2}")
+    assert(batches.last._3 === Set((2, 65000L)))
+    q1.stop()
+    // RESTART on the same checkpoint: the new source binds the NEW
+    // logical names; offsets resume (no replay of rows 1-2)
+    DeltaTable.write(Seq((3, "Carol", 80000L)).toDF("id", "name", "base_pay"),
+      t, "append")                                               // v4
+    val q2 = startStream()
+    q2.processAllAvailable()
+    assert(batches.last._2 === Seq("id", "name", "base_pay"),
+      s"a restarted query must adopt the renamed schema: ${batches.last._2}")
+    assert(batches.last._3 === Set((3, 80000L)),
+      "restart must resume from the checkpointed version, not replay")
+    // DROP mid-stream: the pinned projection cannot be served for new
+    // files — the stream must fail loudly, not fabricate nulls
+    DeltaTable.dropColumn(t, "name")                             // v5
+    DeltaTable.write(Seq((4, 90000L)).toDF("id", "base_pay"),
+      t, "append")                                               // v6
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(m => m.contains("dropped") &&
+      m.contains("restart")), s"wrong failure: ${rootMessages(e)}")
+    q2.stop()
+    // a FRESH query (new checkpoint) binds the post-drop schema
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q3 = spark.readStream.format("graft-delta").load(t)
+      .writeStream.option("checkpointLocation", s"$base/ckpt2")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches2 += df.columns.toSeq; ()
+      }.start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(batches2.last === Seq("id", "base_pay"))
+  }
+
   test("near-dup staging guard: a checkpoint reset cannot pair with stale staging") {
     val base = java.nio.file.Files.createTempDirectory("graft-stage-guard")
     val (src, pairs, stage) = (s"$base/src", s"$base/pairs", s"$base/stage")
