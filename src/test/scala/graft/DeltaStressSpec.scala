@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DeltaLog, DeltaTable}
+
+/** Randomized N-writer torture for the delta layer: appends, DML,
+  * compaction, constraint/mapping/CDF/DV upgrades interleaved from
+  * concurrent threads across many seeds. Singleton races (two appends,
+  * append×compact, …) are each spec'd in DeltaSpec; this suite hunts
+  * the COMPOSITIONS no one thought to write down. The assertions are
+  * deliberately schedule-independent (outcomes depend on race winners):
+  *
+  *   1. every surviving version file replays into a snapshot and reads;
+  *   2. `tools/delta_validate.py` (independent python, full-history
+  *      replay) accepts the table — wire format, add/remove
+  *      consistency, constraint/mapping/DV/CDF invariants;
+  *   3. appended rows that were never targeted by a delete survive to
+  *      the final snapshot (no commit clobbers another's data);
+  *   4. versions are gap-free 0..latest — optimistic commits may
+  *      retry, but a won version is never overwritten.
+  */
+class DeltaStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runValidator(t: String): Unit = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code === 0, s"delta_validate.py rejected the tortured table:\n$out")
+  }
+
+  test("concurrent-writer torture: randomized interleavings of append/" +
+      "delete/update/merge/compact/upgrades validate at every seed") {
+    val seeds = 0 until 20
+    for (seed <- seeds) {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft-stress-$seed").resolve("t").toString
+      // v0: ids 0-9, v = id (every writer's appends use ids >= 1000
+      // so deletes targeting >= 1000 cannot hit the base rows)
+      DeltaTable.write((0L until 10L).map(i => (i, i)).toDF("id", "v")
+        .coalesce(1), t, "overwrite")
+      val nWriters = 3
+      val opsPerWriter = 4
+      // deterministic per-writer schedules drawn up front: the RACE is
+      // the random part; the op mix replays identically per seed
+      val schedules = (0 until nWriters).map { w =>
+        val rnd = new scala.util.Random(seed * 97 + w)
+        (0 until opsPerWriter).map(_ => rnd.nextInt(8)).toList
+      }
+      val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val deletedTargets = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (0 until nWriters).map { w =>
+        Future {
+          val rnd = new scala.util.Random(seed * 1009 + w)
+          for ((op, i) <- schedules(w).zipWithIndex) {
+            val idBase = 1000L + (seed.toLong * 100 + w * 25 + i * 5)
+            try op match {
+              case 0 | 1 | 2 => // append dominates, like real ingest
+                DeltaTable.write(
+                  (idBase until idBase + 3).map(id => (id, id))
+                    .toDF("id", "v"), t, "append")
+                (idBase until idBase + 3).foreach(appended.add)
+              case 3 =>
+                val victim = 1000L + rnd.nextInt(2000)
+                // record the TARGET RANGE before the delete so the
+                // conservation check never counts a deleted row
+                (victim until victim + 50).foreach(deletedTargets.add)
+                DeltaTable.delete(spark, t,
+                  col("id").between(victim, victim + 49))
+              case 4 =>
+                val victim = 1000L + rnd.nextInt(2000)
+                (victim until victim + 50).foreach(deletedTargets.add)
+                DeltaTable.update(spark, t,
+                  col("id").between(victim, victim + 49),
+                  Map("v" -> (col("v") + 1000000L)))
+              case 5 =>
+                DeltaTable.merge(spark, t,
+                  (idBase until idBase + 2).map(id => (id, id))
+                    .toDF("id", "v"), Seq("id"))
+                (idBase until idBase + 2).foreach(appended.add)
+              case 6 => DeltaTable.compact(spark, t, maxFileBytes = 1L << 20)
+              case 7 => (seed + w + i) % 4 match {
+                case 0 => DeltaTable.addCheckConstraint(
+                  spark, t, s"nonneg_${w}_$i", "id >= 0")
+                case 1 => DeltaTable.enableColumnMapping(t)
+                case 2 => DeltaTable.setTableProperty(
+                  t, "delta.enableChangeDataFeed", "true")
+                case 3 => DeltaTable.enableDeletionVectors(t)
+              }
+            } catch {
+              // an op may exhaust its optimistic-retry budget under
+              // contention, or re-add an existing constraint name —
+              // losing is fine, CORRUPTING is not (the assertions below)
+              case _: IllegalStateException => aborted.incrementAndGet()
+              case _: IllegalArgumentException => aborted.incrementAndGet()
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 300.seconds)
+      // 4. gap-free versions: optimistic commits never overwrite a win
+      val vs = DeltaLog.versions(t)
+      assert(vs === (0L until vs.length.toLong),
+        s"seed $seed: torn version sequence $vs")
+      // 1. every version replays and reads
+      for (v <- vs) {
+        val snap = DeltaLog.snapshot(t, Some(v))
+        assert(snap.version === v)
+        DeltaTable.read(spark, t, Some(v)).count() // must not throw
+      }
+      // 3. conservation: base rows + appends outside any delete/update
+      // target range all survive with their original v (updates add
+      // 1e6 — untargeted rows must keep v == id)
+      import scala.jdk.CollectionConverters._
+      val mustSurvive = (0L until 10L).toSet ++
+        appended.asScala.toSet -- deletedTargets.asScala.toSet
+      val finalRows = DeltaTable.read(spark, t)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lost = mustSurvive.filterNot(id => finalRows.get(id).contains(id))
+      assert(lost.isEmpty,
+        s"seed $seed: rows lost or mutated outside any DML target: " +
+          s"${lost.toSeq.sorted.take(10)} (aborted ops: ${aborted.get()})")
+      // 2. independent wire-format validation of the whole history
+      runValidator(t)
+    }
+  }
+}
