@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
 """Dev-only self-check: mimic the driver's DuckDB-oracle comparison.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [--json OUT.json]
 Reads <verifyOutDir>/<query>/ parquet (written by graft.Verify) and
 <verifyOutDir>/oracle_sql.json, runs each oracle against DuckDB views over
 <sfDir>/*.parquet, and compares: column names, row count, exact values
 (columns sorted by name), both in given row order and sorted-row order.
+
+--json writes a machine-readable record of the run ({queries: {name:
+{status, detail}}, summary}) — the committed artifact that makes a
+round's correctness evidence robust to driver-harness OOM flakiness
+(the driver's own CORRECTNESS file can then be cross-referenced against
+a green selfcheck of the same queries at the same scale).
 """
 import sys, os, json, math
 import duckdb
@@ -54,7 +60,7 @@ def with_oom_retry(fn, attempts=5):
                 raise
             time.sleep(5 * (i + 1))
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     """Each query's comparison runs in a FORKED SUBPROCESS: this
     environment's duckdb sporadically OOMs on byte-sized allocations
     AND segfaults outright under sustained load (observed at different
@@ -65,6 +71,7 @@ def main(sf_dir, out_dir):
     import multiprocessing as mp
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_env = 0
+    record = {}
     ctx = mp.get_context("fork")
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
@@ -94,10 +101,13 @@ def main(sf_dir, out_dir):
             time.sleep(5 * (attempt + 1))
         if verdict is None:
             n_env += 1
+            record[name] = {"status": "env",
+                            "detail": "duckdb crashed/OOM'd in 3 isolated attempts"}
             print(f"  [ENV] {name}: duckdb crashed/OOM'd in 3 isolated "
                   "attempts; not a correctness verdict")
         else:
             status, line = verdict
+            record[name] = {"status": status, "detail": line.strip()}
             print(line)
             if status == "pass":
                 n_pass += 1
@@ -105,6 +115,19 @@ def main(sf_dir, out_dir):
                 n_fail += 1
     suffix = f", {n_env} env-crash (rerun those)" if n_env else ""
     print(f"\n{n_pass} pass, {n_fail} fail{suffix}")
+    if json_out:
+        import datetime
+        with open(json_out, "w") as fh:
+            json.dump({
+                "sf_dir": sf_dir,
+                "out_dir": out_dir,
+                "timestamp_utc": datetime.datetime.utcnow().isoformat() + "Z",
+                "summary": {"pass": n_pass, "fail": n_fail, "env": n_env,
+                            "rows_only": sum(1 for r in record.values()
+                                             if r["status"] == "rows-only")},
+                "queries": record,
+            }, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else (2 if n_env else 0)
 
 def _child(q, sf_dir, d, name, oracle):
@@ -168,4 +191,10 @@ def check_one(sf_dir, d, name, oracle):
                 f"  [{status}] {name} ({len(got_rows)} rows) {detail}")
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    jout = None
+    if "--json" in args:
+        i = args.index("--json")
+        jout = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], jout))
