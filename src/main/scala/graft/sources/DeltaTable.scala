@@ -562,6 +562,49 @@ object DeltaTable {
     }
   }
 
+  /** Shared DV-DML planner: given the matched (condition/key-hit) rows
+    * of the touched files — carrying [[PosFile]]/[[PosIdx]] — compute
+    * each touched file's would-be vector (existing ∪ new positions) and
+    * split the files into (vector-in-place, rewrite-instead). The
+    * per-file position collect is log-sized on the driver (one row per
+    * touched file; array length = that file's matched count).
+    *
+    * A file more than half dead REWRITES instead: a vector that big
+    * taxes every future read, and the rewrite is strictly smaller than
+    * the vector's eventual cost (same heuristic as stock Delta). Mixed
+    * commits (some files vectored, some rewritten) are protocol-legal. */
+  private def planDvDml(table: String, snap: DeltaLog.Snapshot,
+      touched: Set[String], matched: DataFrame)
+      : (Seq[(DeltaLog.AddFile, Array[Int])], Seq[DeltaLog.AddFile]) = {
+    val perFile: Map[String, Array[Int]] = matched
+      .groupBy(col(PosFile))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(col(PosIdx))).as("pos"))
+      .collect().map { r =>
+        val f = r.getString(0)
+        f.substring(f.lastIndexOf('/') + 1) ->
+          r.getSeq[Long](1).map(_.toInt).toArray
+      }.toMap
+    val byBase = snap.files
+      .map(f => Paths.get(f.path).getFileName.toString -> f).toMap
+    val plans = touched.toSeq.sorted.map { rel =>
+      val base = Paths.get(rel).getFileName.toString
+      val f = byBase(base)
+      val old = f.dv.map(DeletionVectors.read(table, _))
+        .getOrElse(Array.empty[Int])
+      (f, DeletionVectors.union(old, perFile.getOrElse(base, Array.empty)))
+    }
+    val (dv, rw) = plans.partition { case (f, ndv) =>
+      f.stats.get("n").flatMap(_.toLongOption).forall(ndv.length * 2L <= _) }
+    (dv, rw.map(_._1))
+  }
+
+  /** Restrict a [[readTableFilesWithPos]] frame to rows scanned from
+    * the given file basenames. */
+  private def rowsFromFiles(df: DataFrame, bases: Set[String]): DataFrame =
+    df.filter(org.apache.spark.sql.functions.regexp_extract(
+      col(PosFile), "[^/]+$", 0).isin(bases.toSeq: _*))
+
   /** Filter out rows a live deletion vector marks dead. The vector map
     * is log-sized (one sorted int array per vectored file, total size =
     * deleted-row count) and broadcast once; the per-row check is a
@@ -917,41 +960,12 @@ object DeltaTable {
         // moves ZERO data bytes — the whole reason DVs exist at 100 TB.
         val withPos = readTableFilesWithPos(spark, table, snap, touchedPaths)
         val matched = withPos.filter(condition)
-        // per-file matched positions: log-sized driver result (one row
-        // per touched file; array length = that file's deleted count)
-        val perFile: Map[String, Array[Int]] = matched
-          .groupBy(col(PosFile))
-          .agg(org.apache.spark.sql.functions.sort_array(
-            org.apache.spark.sql.functions.collect_list(col(PosIdx)))
-            .as("pos"))
-          .collect().map { r =>
-            val f = r.getString(0)
-            f.substring(f.lastIndexOf('/') + 1) ->
-              r.getSeq[Long](1).map(_.toInt).toArray
-          }.toMap
-        val byBase = snap.files
-          .map(f => Paths.get(f.path).getFileName.toString -> f).toMap
-        val plans = touched.toSeq.sorted.map { rel =>
-          val base = Paths.get(rel).getFileName.toString
-          val f = byBase(base)
-          val old = f.dv.map(DeletionVectors.read(table, _))
-            .getOrElse(Array.empty[Int])
-          (f, DeletionVectors.union(old, perFile.getOrElse(base, Array.empty)))
-        }
-        // a file more than half dead REWRITES instead: a vector that
-        // big taxes every future read, and the rewrite is strictly
-        // smaller than the vector's eventual cost (same heuristic as
-        // stock Delta). Mixed commits (some files vectored, some
-        // rewritten) are protocol-legal.
-        val (dvPlans, rewritePlans) = plans.partition { case (f, ndv) =>
-          f.stats.get("n").flatMap(_.toLongOption)
-            .forall(ndv.length * 2L <= _)
-        }
+        val (dvPlans, rewriteFiles) = planDvDml(table, snap, touched, matched)
         val rewriteAdds =
-          if (rewritePlans.isEmpty) Seq.empty[DeltaLog.AddFile]
+          if (rewriteFiles.isEmpty) Seq.empty[DeltaLog.AddFile]
           else stageIn(
-            readTableFiles(spark, table, snap, rewritePlans.map(p =>
-              Paths.get(table).resolve(p._1.path).toString))
+            readTableFiles(spark, table, snap, rewriteFiles.map(f =>
+              Paths.get(table).resolve(f.path).toString))
               .filter(!condition),
             table, snap.partitionColumns, mappingOf(snap))
         val cdc =
@@ -1038,49 +1052,114 @@ object DeltaTable {
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => relativize(table, r.getString(0))).toSet
       if (touched.isEmpty) return snap.version
-      val touchedRows = readTableFiles(spark, table, snap,
-        touched.toSeq.sorted
-          .map(f => Paths.get(table).resolve(f).toString))
-      val updated = touchedRows.select(touchedRows.columns.map { c =>
-        set.get(c) match {
-          case Some(e) => org.apache.spark.sql.functions
-            .when(condition, e).otherwise(col(c)).as(c)
-          case None => col(c)
+      val touchedPaths = touched.toSeq.sorted
+        .map(f => Paths.get(table).resolve(f).toString)
+      def applySet(d: DataFrame, always: Boolean): DataFrame =
+        d.select(df.columns.map { c =>
+          set.get(c) match {
+            case Some(e) if always => e.as(c)
+            case Some(e) => org.apache.spark.sql.functions
+              .when(condition, e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      if (dvEnabled(snap)) {
+        // DELETION-VECTOR update: mark the matched rows dead in place,
+        // stage ONLY their post-images as a new file — a 10-row update
+        // in a 128 MB file moves 10 rows, not 128 MB (same move stock
+        // Delta's DV MERGE/UPDATE makes).
+        val withPos = readTableFilesWithPos(spark, table, snap, touchedPaths)
+        val matched = withPos.filter(condition)
+        val (dvPlans, rewriteFiles) = planDvDml(table, snap, touched, matched)
+        val dvBases = dvPlans
+          .map(p => Paths.get(p._1.path).getFileName.toString).toSet
+        // post-images of rows in vectored files → a new small file;
+        // rewrite-fallback files (more than half matched) re-stage
+        // whole with the CASE WHEN applied in place
+        val postRows = applySet(
+          rowsFromFiles(matched, dvBases).drop(PosFile, PosIdx),
+          always = true)
+        val rewriteRows =
+          if (rewriteFiles.isEmpty) None
+          else Some(applySet(readTableFiles(spark, table, snap,
+            rewriteFiles.map(f =>
+              Paths.get(table).resolve(f.path).toString)), always = false))
+        // when every touched file fell to the rewrite heuristic there
+        // are no vectored post-images — don't stage an empty file
+        val newData = (dvPlans.isEmpty, rewriteRows) match {
+          case (true, Some(rw)) => rw
+          case (_, Some(rw)) => postRows.unionByName(rw)
+          case (_, None) => postRows
         }
-      }: _*)
-      val added = stageIn(updated, table, snap.partitionColumns,
-        mappingOf(snap))
-      // a SET can push rows outside the table's CHECK contract
-      enforceConstraints(spark, table, added, snap.checkConstraints,
-        mappingOf(snap))
-      // CDF: pre- and post-image of every matched row (the post-image
-      // re-applies SET over the pre-image — same expressions, same rows)
-      val cdc =
-        if (!cdfEnabled(snap)) Nil
-        else {
-          val pre = touchedRows.filter(condition)
-          val post = pre.select(touchedRows.columns.map { c =>
-            set.get(c).map(_.as(c)).getOrElse(col(c))
-          }: _*)
-          stageCdc(
-            pre.withColumn("_change_type", lit("update_preimage"))
-              .unionByName(
-                post.withColumn("_change_type", lit("update_postimage"))),
-            table, mappingOf(snap))
+        val added = stageIn(newData, table, snap.partitionColumns,
+          mappingOf(snap))
+        enforceConstraints(spark, table, added, snap.checkConstraints,
+          mappingOf(snap))
+        val cdc =
+          if (!cdfEnabled(snap)) Nil
+          else {
+            val pre = matched.drop(PosFile, PosIdx)
+            stageCdc(
+              pre.withColumn("_change_type", lit("update_preimage"))
+                .unionByName(applySet(pre, always = true)
+                  .withColumn("_change_type", lit("update_postimage"))),
+              table, mappingOf(snap))
+          }
+        val dvDescs = dvPlans.map { case (f, ndv) =>
+          (f, DeletionVectors.write(table, ndv)) }
+        val actions =
+          Seq(DeltaLog.commitInfoAction("UPDATE")) ++
+            snap.schemaJson.map(DeltaLog.metaDataAction(_,
+              snap.partitionColumns, DeltaLog.tableId(table),
+              snap.configuration)) ++
+            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            dvDescs.map { case (f, d) => DeltaLog.addAction(
+              f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
+            added.map(f =>
+              DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+            cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
+        try return DeltaLog.commit(table, snap.version, actions)
+        catch {
+          case _: IllegalStateException =>
+            (added ++ cdc).foreach(f =>
+              Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+            dvDescs.foreach { case (_, d) =>
+              Files.deleteIfExists(Paths.get(table).resolve(d.path)) }
         }
-      val actions =
-        Seq(DeltaLog.commitInfoAction("UPDATE")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
-            DeltaLog.tableId(table), snap.configuration)) ++
-          touched.toSeq.sorted.map(DeltaLog.removeAction) ++
-          added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
-          cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
-      try return DeltaLog.commit(table, snap.version, actions)
-      catch {
-        case _: IllegalStateException =>
-          (added ++ cdc).foreach(f =>
-            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      } else {
+        val touchedRows = readTableFiles(spark, table, snap, touchedPaths)
+        val updated = applySet(touchedRows, always = false)
+        val added = stageIn(updated, table, snap.partitionColumns,
+          mappingOf(snap))
+        // a SET can push rows outside the table's CHECK contract
+        enforceConstraints(spark, table, added, snap.checkConstraints,
+          mappingOf(snap))
+        // CDF: pre- and post-image of every matched row (the post-image
+        // re-applies SET over the pre-image — same expressions, same rows)
+        val cdc =
+          if (!cdfEnabled(snap)) Nil
+          else {
+            val pre = touchedRows.filter(condition)
+            stageCdc(
+              pre.withColumn("_change_type", lit("update_preimage"))
+                .unionByName(applySet(pre, always = true)
+                  .withColumn("_change_type", lit("update_postimage"))),
+              table, mappingOf(snap))
+          }
+        val actions =
+          Seq(DeltaLog.commitInfoAction("UPDATE")) ++
+            snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+              DeltaLog.tableId(table), snap.configuration)) ++
+            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            added.map(f =>
+              DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+            cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
+        try return DeltaLog.commit(table, snap.version, actions)
+        catch {
+          case _: IllegalStateException =>
+            (added ++ cdc).foreach(f =>
+              Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+        }
       }
     }
     throw new IllegalStateException(
@@ -1134,22 +1213,49 @@ object DeltaTable {
         .join(broadcast(srcKeys), keys, "left_semi")
         .select("f").distinct()
         .collect().map(r => relativize(table, r.getString(0))).toSet
-      val touchedRows =
-        if (touched.isEmpty) None
-        else Some(readTableFiles(spark, table, snap,
-          touched.toSeq.sorted
-            .map(f => Paths.get(table).resolve(f).toString)))
-      val rewritten = touchedRows match {
-        case None => source.select(target.columns.map(col): _*)
-        case Some(tr) =>
-          tr.join(broadcast(srcKeys), keys, "left_anti")
-            .unionByName(source.select(tr.columns.map(col): _*))
-      }
+      val touchedPaths = touched.toSeq.sorted
+        .map(f => Paths.get(table).resolve(f).toString)
+      // DELETION-VECTOR merge: instead of re-staging every touched
+      // file's unmatched rows, mark the REPLACED target rows dead in
+      // place and stage only the source rows — upsert write
+      // amplification drops from |touched files| to |source|. Files
+      // more than half replaced rewrite (planDvDml's heuristic).
+      val useDv = dvEnabled(snap) && touched.nonEmpty
+      val (dvDescsPlan, rewriteFiles, touchedRows) =
+        if (!useDv) {
+          val tr =
+            if (touched.isEmpty) None
+            else Some(readTableFiles(spark, table, snap, touchedPaths))
+          (Seq.empty[(DeltaLog.AddFile, Array[Int])],
+            Seq.empty[DeltaLog.AddFile], tr)
+        } else {
+          val withPos = readTableFilesWithPos(spark, table, snap, touchedPaths)
+          val matched = withPos.join(broadcast(srcKeys), keys, "left_semi")
+          val (dv, rw) = planDvDml(table, snap, touched, matched)
+          (dv, rw, Some(withPos.drop(PosFile, PosIdx)))
+        }
+      val rewritten =
+        if (useDv) {
+          // source rows + survivors of the rewrite-fallback files only
+          val src = source.select(target.columns.map(col): _*)
+          if (rewriteFiles.isEmpty) src
+          else src.unionByName(
+            readTableFiles(spark, table, snap, rewriteFiles.map(f =>
+              Paths.get(table).resolve(f.path).toString))
+              .join(broadcast(srcKeys), keys, "left_anti"))
+        } else touchedRows match {
+          case None => source.select(target.columns.map(col): _*)
+          case Some(tr) =>
+            tr.join(broadcast(srcKeys), keys, "left_anti")
+              .unionByName(source.select(tr.columns.map(col): _*))
+        }
       // a racer may have committed OUR txn version since the entry
       // check (write()'s lesson): skip before staging lands twice
       val racedTxn = txn.exists { case (appId, v) =>
         snap.txns.get(appId).exists(_ >= v) }
       if (racedTxn) return snap.version
+      val dvDescs = dvDescsPlan.map { case (f, ndv) =>
+        (f, DeletionVectors.write(table, ndv)) }
       val added = stageIn(rewritten, table, snap.partitionColumns,
         mappingOf(snap))
       // upserted source rows must honor the table's CHECK contract
@@ -1180,6 +1286,8 @@ object DeltaTable {
             DeltaLog.tableId(table), snap.configuration)) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+          dvDescs.map { case (f, d) => DeltaLog.addAction(
+            f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
           cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
@@ -1188,6 +1296,8 @@ object DeltaTable {
         case _: IllegalStateException =>
           (added ++ cdc).foreach(f =>
             Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+          dvDescs.foreach { case (_, d) =>
+            Files.deleteIfExists(Paths.get(table).resolve(d.path)) }
       }
     }
     throw new IllegalStateException(

@@ -1433,6 +1433,54 @@ class DeltaSpec extends SparkSpec {
     runValidator(t)
   }
 
+  test("deletion vectors: UPDATE and MERGE mark replaced rows dead in " +
+      "place and stage only the new rows — upsert write amplification " +
+      "drops to |changed rows|") {
+    val t = freshTable()
+    val ten = (1 to 10).map(i => (i, s"name$i", i * 1000L))
+      .toDF("id", "name", "salary").coalesce(1)
+    DeltaTable.write(ten, t, "overwrite")                        // v0, 1 file
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    val origFile = DeltaLog.snapshot(t).files.head.path
+    // UPDATE 1 of 10: the original file survives untouched with a
+    // 1-row vector; ONE new small file carries the post-image
+    DeltaTable.update(spark, t, $"id" === 3, Map("salary" -> lit(1L)))
+    val s1 = DeltaLog.snapshot(t)
+    assert(s1.files.map(_.path).contains(origFile),
+      "a vectored update must keep the original data file")
+    assert(s1.files.find(_.path == origFile).get.dv.map(_.cardinality)
+      === Some(1L))
+    assert(s1.files.size === 2,
+      s"expected original + 1 post-image file: ${s1.files.map(_.path)}")
+    val read1 = DeltaTable.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(read1(3) === 1L && read1.size === 10 && read1(4) === 4000L)
+    // MERGE upserting 1 existing + 1 new key: the original file's
+    // vector grows by one; one staged file carries both source rows
+    DeltaTable.merge(spark, t,
+      Seq((5, "name5", 2L), (11, "name11", 3L))
+        .toDF("id", "name", "salary"), Seq("id"))
+    val s2 = DeltaLog.snapshot(t)
+    assert(s2.files.find(_.path == origFile).get.dv.map(_.cardinality)
+      === Some(2L),
+      s"merge must union into the vector: ${s2.files.flatMap(_.dv)}")
+    // every pre-merge file survives (only the vector changed); the new
+    // files carry ONLY the source rows, however many partitions they
+    // staged as
+    assert(s1.files.map(_.path).toSet.subsetOf(s2.files.map(_.path).toSet),
+      s"merge must not rewrite any existing file: ${s2.files.map(_.path)}")
+    val mergeStaged = s2.files.map(_.path).toSet -- s1.files.map(_.path).toSet
+    val stagedRows = mergeStaged.toSeq.flatMap(p =>
+      spark.read.parquet(java.nio.file.Paths.get(t).resolve(p).toString)
+        .collect()).map(_.getInt(0)).sorted
+    assert(stagedRows === Seq(5, 11),
+      s"merge staged files must hold exactly the source rows: $stagedRows")
+    val read2 = DeltaTable.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(read2(5) === 2L && read2(11) === 3L && read2.size === 11)
+    runValidator(t)
+  }
+
   test("deletion vectors: a delete matching more than half a file's " +
       "rows rewrites instead of vectoring") {
     val t = freshTable()
