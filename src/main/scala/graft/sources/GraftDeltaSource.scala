@@ -62,16 +62,30 @@ class GraftDeltaSource extends RelationProvider
     * added-files-only delivery — same contract as Delta's source. */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(committedSchema(path(parameters))))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(committedSchema(path(parameters)))
+    val s =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) base
+      else StructType(ColumnMapping.stripMapping(base).fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    (shortName(), s)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
-    new GraftDeltaStreamSource(sqlContext, path(parameters),
-      parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val ignore = parameters.get("ignoreChanges").exists(_.toBoolean)
+    require(!(cdf && ignore),
+      "readChangeFeed and ignoreChanges are mutually exclusive: the " +
+        "change feed DELIVERS rewrites row-level; ignoreChanges drops them")
+    new GraftDeltaStreamSource(sqlContext, path(parameters), ignore,
+      parameters.get("maxVersionsPerTrigger").map(_.toLong), cdf)
+  }
 
   /** `writeStream.format("graft-delta")` — continuous exactly-once
     * ingest into the ACID log (the streaming composition of the
@@ -200,8 +214,23 @@ class GraftDeltaSource extends RelationProvider
   * (no data moves until the micro-batch executes). Version-numbered
   * offsets make restarts exact: the checkpoint pins the last processed
   * version, no file listing or rescan needed. */
+/** `readChangeFeed=true` turns the source into a STREAMING CHANGE FEED
+  * (stock Delta's `readChangeFeed` option): each micro-batch delivers
+  * the row-level changes of its version range — `insert` rows for
+  * appends, `delete`/`update_preimage`/`update_postimage` rows from the
+  * `_change_data/` sidecars of DML commits on CDF-enabled tables —
+  * tagged `_change_type`/`_commit_version`. This is what lets a
+  * streaming materialized view maintain itself across DELETE/UPDATE
+  * instead of failing at the first rewrite version: apply +row for
+  * insert/postimage, -row for delete/preimage. The initial batch is the
+  * current snapshot as `insert`s at the snapshot version; COMPACT and
+  * ZORDER versions contribute nothing; a rewrite without sidecars fails
+  * loudly (same contract as the batch [[DeltaTable.changes]]). Schema
+  * changes mid-stream fail the CDF stream at the next batch (change
+  * rows bind the current logical names). */
 class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
-    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None)
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -229,10 +258,20 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     * batch may be larger; documented trade, same as Delta's). */
   private var lastOffered: Option[Long] = None
 
-  override val schema: StructType = initialSnap.schemaJson
+  /** The pinned TABLE schema (mapping metadata retained — its physical
+    * rendering drives the mid-stream drop guard). */
+  private val tableSchema: StructType = initialSnap.schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     .getOrElse(throw new IllegalStateException(
       s"graft-delta table $table has no committed schema"))
+
+  override val schema: StructType =
+    if (!readChangeFeed) tableSchema
+    else StructType(ColumnMapping.stripMapping(tableSchema).fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true)))
 
   private def ver(o: org.apache.spark.sql.execution.streaming.Offset): Long =
     o match {
@@ -256,6 +295,24 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val endV = ver(end)
+    if (readChangeFeed) {
+      val spark = sqlContext.sparkSession
+      val df = start match {
+        case None =>
+          // initial batch: the current snapshot AS inserts (stock
+          // Delta's CDF-stream baseline), tagged at the snapshot version
+          DeltaTable.read(spark, table, Some(endV))
+            .withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("insert"))
+            .withColumn("_commit_version",
+              org.apache.spark.sql.functions.lit(endV))
+        case Some(s) => DeltaTable.changes(spark, table, ver(s) + 1, endV)
+      }
+      val ordered = df.select(
+        schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      return org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(
+        sqlContext, ordered.queryExecution.toRdd, ordered.schema)
+    }
     val files: Seq[DeltaLog.AddFile] = start match {
       case None => DeltaLog.snapshot(table, Some(endV)).files
       case Some(s) =>
@@ -281,9 +338,10 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
         .map(j => ColumnMapping.physicalSchema(
           DataType.fromJson(j).asInstanceOf[StructType]).fieldNames.toSet)
         .getOrElse(Set.empty[String])
-      // `schema` retains the creation-time mapping metadata, so its
-      // physical rendering is the frozen on-file layout
-      val pinnedPhys = ColumnMapping.physicalSchema(schema).fieldNames.toSet
+      // `tableSchema` retains the creation-time mapping metadata, so
+      // its physical rendering is the frozen on-file layout
+      val pinnedPhys =
+        ColumnMapping.physicalSchema(tableSchema).fieldNames.toSet
       val gone = pinnedPhys -- curPhys
       if (curPhys.nonEmpty && gone.nonEmpty) throw new IllegalStateException(
         s"graft-delta stream source: column(s) ${gone.mkString(",")} " +

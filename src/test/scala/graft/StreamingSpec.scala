@@ -612,6 +612,82 @@ class StreamingSpec extends SparkSpec {
       s"expected codes for every streamed vector: ${out.length}")
   }
 
+  test("streaming change feed: readChangeFeed delivers row-level changes " +
+      "across DML, exactly-once across a restart, and maintains a " +
+      "downstream aggregate through a DELETE") {
+    import graft.sources.DeltaTable
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-cdf")
+    val t = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    DeltaTable.write(Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L))
+      .toDF("id", "grp", "v"), t, "overwrite")                   // v0
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v1
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, String, Long)]
+    // downstream MV: per-group sum maintained from the change rows
+    // alone — +v for insert/postimage, -v for delete/preimage
+    val mv = scala.collection.mutable.Map.empty[String, Long]
+    def startStream() = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select("id", "grp", "v", "_change_type",
+          "_commit_version").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+            r.getString(3), r.getLong(4)))
+        rows ++= got
+        mv.synchronized {
+          got.foreach { case (_, g, v, ct, _) =>
+            val sign = ct match {
+              case "insert" | "update_postimage" => 1L
+              case "delete" | "update_preimage" => -1L
+            }
+            mv(g) = mv.getOrElse(g, 0L) + sign * v
+          }
+        }
+        ()
+      }.start()
+    val q1 = startStream()
+    q1.processAllAvailable()
+    // initial batch: snapshot as inserts at the snapshot version
+    assert(rows.toSet === Set((1, "a", 10L, "insert", 1L),
+      (2, "a", 20L, "insert", 1L), (3, "b", 30L, "insert", 1L)))
+    DeltaTable.write(Seq((4, "b", 40L)).toDF("id", "grp", "v"),
+      t, "append")                                               // v2
+    DeltaTable.delete(spark, t, org.apache.spark.sql.functions
+      .col("id") === 2)                                          // v3
+    q1.processAllAvailable()
+    q1.stop()
+    assert(rows.count(_._4 == "delete") === 1)
+    assert(rows.find(_._4 == "delete").get === ((2, "a", 20L, "delete", 3L)))
+    // restart: update lands after the checkpoint — only its pre/post
+    // pair arrives (no replay of earlier versions)
+    val before = rows.size
+    DeltaTable.update(spark, t,
+      org.apache.spark.sql.functions.col("id") === 3,
+      Map("v" -> org.apache.spark.sql.functions.lit(31L)))       // v4
+    val q2 = startStream()
+    q2.processAllAvailable()
+    q2.stop()
+    val fresh = rows.drop(before)
+    assert(fresh.toSet === Set((3, "b", 30L, "update_preimage", 4L),
+      (3, "b", 31L, "update_postimage", 4L)),
+      s"restart must deliver exactly the update pair: $fresh")
+    // the MV derived purely from change rows equals a full recompute
+    val truth = DeltaTable.read(spark, t)
+      .groupBy("grp").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mv.toMap === truth,
+      s"change-fed MV $mv != recompute $truth")
+    // compaction is row-transparent to the feed
+    DeltaTable.compact(spark, t, maxFileBytes = 1L << 30)        // v5
+    val q3 = startStream()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(rows.size === before + 2,
+      "a compact version must contribute no change rows")
+  }
+
   test("mapped-table stream read-back: rename mid-stream keeps serving " +
       "the pinned schema, a restart adopts the new names, a mid-stream " +
       "drop fails loudly") {
