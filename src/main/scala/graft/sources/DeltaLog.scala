@@ -290,7 +290,8 @@ object DeltaLog {
   def addAction(path: String, size: Long,
       stats: Map[String, String] = Map.empty,
       partitionValues: Map[String, String] = Map.empty,
-      dv: Option[DeletionVectors.Descriptor] = None): String = {
+      dv: Option[DeletionVectors.Descriptor] = None,
+      dataChange: Boolean = true): String = {
     val statsField =
       if (stats.isEmpty) ""
       else {
@@ -306,7 +307,7 @@ object DeltaLog {
     val dvField = dv.map(d =>
       s""","deletionVector":{"storageType":"p","pathOrInlineDv":${Json.str(d.path)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
       .getOrElse("")
-    s"""{"add":{"path":${Json.str(path)},"partitionValues":$pv,"size":$size$statsField$dvField,"dataChange":true}}"""
+    s"""{"add":{"path":${Json.str(path)},"partitionValues":$pv,"size":$size$statsField$dvField,"dataChange":$dataChange}}"""
   }
 
   /** Decode an add action's flat fields back into an AddFile (shared
@@ -324,8 +325,11 @@ object DeltaLog {
       fields.get("size").map(_.toLong).getOrElse(0L), stats, pv, dv)
   }
 
-  def removeAction(path: String): String =
-    s"""{"remove":{"path":${Json.str(path)},"dataChange":true}}"""
+  /** `dataChange=false` marks a LAYOUT-ONLY action (compaction/zorder
+    * rearranging the same rows) — the protocol bit that lets streams
+    * and the change feed skip such versions instead of failing. */
+  def removeAction(path: String, dataChange: Boolean = true): String =
+    s"""{"remove":{"path":${Json.str(path)},"dataChange":$dataChange}}"""
 
   /** Protocol action (reader/writer capability gate). Version 1/2 =
     * the base protocol. Emitted in version 0 of every table and in
@@ -413,20 +417,33 @@ object DeltaLog {
     * added, whether it removed any, its change-data sidecars (CDF), and
     * its commitInfo operation name. The unit a streaming source tails
     * and the batch change feed walks. */
+  /** `layoutOnly` = every add AND remove in the version carries
+    * `dataChange=false` (and there was at least one): the commit moved
+    * bytes but changed no rows — compaction/zorder — and row-level
+    * consumers (streams, the change feed) skip it. */
   final case class VersionChange(adds: Seq[AddFile], removesFiles: Boolean,
-      cdc: Seq[AddFile] = Nil, operation: Option[String] = None)
+      cdc: Seq[AddFile] = Nil, operation: Option[String] = None,
+      layoutOnly: Boolean = false)
 
   def versionChanges(table: String, v: Long): VersionChange = {
     val p = logDir(table).resolve(V.format(v) + ".json")
     var removes = false
     var op: Option[String] = None
+    var fileActions = 0
+    var dataChanges = 0
     val adds = Seq.newBuilder[AddFile]
     val cdc = Seq.newBuilder[AddFile]
     for (line <- Files.readAllLines(p, StandardCharsets.UTF_8).asScala
          if line.nonEmpty) {
       Json.parse(line) match {
-        case ("add", fields) => adds += addFileOf(fields)
-        case ("remove", _) => removes = true
+        case ("add", fields) =>
+          adds += addFileOf(fields)
+          fileActions += 1
+          if (!fields.get("dataChange").contains("false")) dataChanges += 1
+        case ("remove", fields) =>
+          removes = true
+          fileActions += 1
+          if (!fields.get("dataChange").contains("false")) dataChanges += 1
         case ("cdc", fields) =>
           cdc += AddFile(fields("path"),
             fields.get("size").map(_.toLong).getOrElse(0L))
@@ -434,7 +451,8 @@ object DeltaLog {
         case _ => ()
       }
     }
-    VersionChange(adds.result(), removes, cdc.result(), op)
+    VersionChange(adds.result(), removes, cdc.result(), op,
+      layoutOnly = fileActions > 0 && dataChanges == 0)
   }
 
   /** Tiny single-purpose JSON codec for the action lines this log

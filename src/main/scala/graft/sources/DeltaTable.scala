@@ -811,9 +811,12 @@ object DeltaTable {
         Seq(DeltaLog.commitInfoAction("COMPACT")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
             DeltaLog.tableId(table), snap.configuration)) ++
-          snap.files.map(f => DeltaLog.removeAction(f.path)) ++
-          added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+          // dataChange=false: same rows, new layout — streams and the
+          // change feed skip this version by the protocol bit
+          snap.files.map(f =>
+            DeltaLog.removeAction(f.path, dataChange = false)) ++
+          added.map(f => DeltaLog.addAction(f.path, f.size, f.stats,
+            f.partitionValues, dataChange = false))
       try return DeltaLog.commit(table, snap.version, actions)
       catch {
         case _: IllegalStateException =>
@@ -905,9 +908,10 @@ object DeltaTable {
         Seq(DeltaLog.commitInfoAction("ZORDER")) ++
           snap.schemaJson.map(DeltaLog.metaDataAction(_, Nil,
             DeltaLog.tableId(table), snap.configuration)) ++
-          snap.files.map(f => DeltaLog.removeAction(f.path)) ++
-          added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+          snap.files.map(f =>
+            DeltaLog.removeAction(f.path, dataChange = false)) ++
+          added.map(f => DeltaLog.addAction(f.path, f.size, f.stats,
+            f.partitionValues, dataChange = false))
       try return DeltaLog.commit(table, snap.version, actions)
       catch {
         case _: IllegalStateException =>
@@ -981,7 +985,7 @@ object DeltaTable {
               snap.configuration)) ++
             // removes precede adds: replay is line-ordered, and the
             // vectored files RE-ADD their own path with the new DV
-            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
             dvDescs.map { case (f, d) => DeltaLog.addAction(
               f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
             rewriteAdds.map(f => DeltaLog.addAction(
@@ -1011,7 +1015,7 @@ object DeltaTable {
           Seq(DeltaLog.commitInfoAction("DELETE")) ++
             snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
               DeltaLog.tableId(table), snap.configuration)) ++
-            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
             added.map(f =>
               DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
@@ -1112,7 +1116,7 @@ object DeltaTable {
             snap.schemaJson.map(DeltaLog.metaDataAction(_,
               snap.partitionColumns, DeltaLog.tableId(table),
               snap.configuration)) ++
-            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
             dvDescs.map { case (f, d) => DeltaLog.addAction(
               f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
             added.map(f =>
@@ -1150,7 +1154,7 @@ object DeltaTable {
           Seq(DeltaLog.commitInfoAction("UPDATE")) ++
             snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
               DeltaLog.tableId(table), snap.configuration)) ++
-            touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+            touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
             added.map(f =>
               DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
@@ -1285,7 +1289,7 @@ object DeltaTable {
           snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
             DeltaLog.tableId(table), snap.configuration)) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
-          touched.toSeq.sorted.map(DeltaLog.removeAction) ++
+          touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
           dvDescs.map { case (f, d) => DeltaLog.addAction(
             f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
           added.map(f =>
@@ -1746,10 +1750,12 @@ object DeltaTable {
     val insertsByVersion = Seq.newBuilder[(Long, Seq[DeltaLog.AddFile])]
     val cdcByVersion = Seq.newBuilder[(Long, Seq[DeltaLog.AddFile])]
     for ((v, vc) <- vcs) {
-      if (vc.cdc.nonEmpty) cdcByVersion += (v -> vc.cdc)
+      if (vc.layoutOnly) () // dataChange=false throughout: no row change
+      else if (vc.cdc.nonEmpty) cdcByVersion += (v -> vc.cdc)
       else if (!vc.removesFiles) {
         if (vc.adds.nonEmpty) insertsByVersion += (v -> vc.adds)
       }
+      // operation-name fallback covers pre-dataChange-bit logs
       else if (!vc.operation.exists(noRowChange.contains))
         throw new IllegalStateException(
           s"version $v of $table rewrites/removes files without CDC " +

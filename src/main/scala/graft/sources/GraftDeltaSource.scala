@@ -84,7 +84,8 @@ class GraftDeltaSource extends RelationProvider
       "readChangeFeed and ignoreChanges are mutually exclusive: the " +
         "change feed DELIVERS rewrites row-level; ignoreChanges drops them")
     new GraftDeltaStreamSource(sqlContext, path(parameters), ignore,
-      parameters.get("maxVersionsPerTrigger").map(_.toLong), cdf)
+      parameters.get("maxVersionsPerTrigger").map(_.toLong), cdf,
+      parameters.get("startingVersion").map(_.toLong))
   }
 
   /** `writeStream.format("graft-delta")` — continuous exactly-once
@@ -228,9 +229,14 @@ class GraftDeltaSource extends RelationProvider
   * loudly (same contract as the batch [[DeltaTable.changes]]). Schema
   * changes mid-stream fail the CDF stream at the next batch (change
   * rows bind the current logical names). */
+/** `startingVersion=N` skips the initial-snapshot batch: the first
+  * micro-batch serves versions N..latest (added files, or change rows
+  * under `readChangeFeed`) — the "resume a consumer from a known
+  * version" entry point, same as stock Delta's option. */
 class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -295,9 +301,32 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val endV = ver(end)
+    // versions fromV..endV as added files: layout-only versions
+    // (compaction/zorder — every file action dataChange=false) are
+    // SKIPPED per the protocol bit (same rows, new layout; delivering
+    // them would duplicate, failing on them would break every stream
+    // that ever compacts); genuine rewrites still fail loudly
+    def tailAdds(fromV: Long): Seq[DeltaLog.AddFile] =
+      (fromV to endV).flatMap { v =>
+        val vc = DeltaLog.versionChanges(table, v)
+        if (vc.layoutOnly) Nil
+        else {
+          if (vc.removesFiles && !ignoreChanges)
+            throw new IllegalStateException(
+              s"graft-delta stream source: version $v of $table rewrites " +
+                "data (overwrite/restore/DML); streaming needs append-only " +
+                "versions — set option ignoreChanges=true to receive only " +
+                "the added files, or readChangeFeed=true for row-level " +
+                "changes (CDF-enabled tables)")
+          vc.adds
+        }
+      }
     if (readChangeFeed) {
       val spark = sqlContext.sparkSession
       val df = start match {
+        case None if startingVersion.isDefined =>
+          DeltaTable.changes(spark, table,
+            math.min(startingVersion.get, endV), endV)
         case None =>
           // initial batch: the current snapshot AS inserts (stock
           // Delta's CDF-stream baseline), tagged at the snapshot version
@@ -314,18 +343,10 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
         sqlContext, ordered.queryExecution.toRdd, ordered.schema)
     }
     val files: Seq[DeltaLog.AddFile] = start match {
+      case None if startingVersion.isDefined =>
+        tailAdds(math.min(startingVersion.get, endV))
       case None => DeltaLog.snapshot(table, Some(endV)).files
-      case Some(s) =>
-        (ver(s) + 1 to endV).flatMap { v =>
-          val vc = DeltaLog.versionChanges(table, v)
-          val (adds, removed) = (vc.adds, vc.removesFiles)
-          if (removed && !ignoreChanges) throw new IllegalStateException(
-            s"graft-delta stream source: version $v of $table rewrites " +
-              "data (overwrite/compact/DML); streaming needs append-only " +
-              "versions — set option ignoreChanges=true to receive only " +
-              "the added files")
-          adds
-        }
+      case Some(s) => tailAdds(ver(s) + 1)
     }
     // pinned-schema guard: every pinned column's PHYSICAL name must
     // still exist in the table's current physical schema — a rename is

@@ -203,7 +203,9 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     assert(ids(dst) === Seq(0L, 1L, 2L, 3L))
-    // a rewriting version (compact) breaks append-only semantics loudly…
+    // a COMPACT version is layout-only (dataChange=false on every file
+    // action): the stream SKIPS it — no duplicates, no failure (the
+    // protocol bit stock Delta's source honors too)
     for (i <- 4 to 5)
       Seq(Event(i.toLong, ts("2024-01-01 10:04:00"), 3, "click", 1.0))
         .toDF().write.format("graft-delta").mode("append").save(src)
@@ -212,23 +214,76 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("graft-delta")
       .option("path", dst).option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q3.processAllAvailable()
-      q3.awaitTermination(10000)
-    }
+    q3.processAllAvailable()
     q3.stop()
+    assert(ids(dst) === Seq(0L, 1L, 2L, 3L, 4L, 5L),
+      "compaction must be invisible to the stream: new appends " +
+        "delivered once, compacted files never re-delivered")
+    // a GENUINE rewrite (DML delete) still breaks append-only loudly…
+    DeltaTable.delete(spark, src, org.apache.spark.sql.functions
+      .col("event_id") === 0L)
+    Seq(Event(6, ts("2024-01-01 10:05:00"), 3, "view", 1.0))
+      .toDF().write.format("graft-delta").mode("append").save(src)
+    val q4 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+      q4.awaitTermination(10000)
+    }
+    q4.stop()
     assert(ex.getMessage.contains("ignoreChanges"))
-    // …and ignoreChanges=true opts into added-files-only delivery
-    val q4 = spark.readStream.format("graft-delta")
+    // …and ignoreChanges=true opts into added-files-only delivery: the
+    // delete's re-staged survivors re-deliver (documented semantics —
+    // dedup downstream), the new append arrives once
+    val q5 = spark.readStream.format("graft-delta")
       .option("ignoreChanges", "true").load(src)
       .writeStream.format("graft-delta")
       .option("path", dst).option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
-    q4.processAllAvailable()
-    q4.stop()
-    // compact's rewritten files re-deliver 0-5 (documented ignoreChanges
-    // semantics — dedup downstream); every id must be present
-    assert(ids(dst).toSet === (0L to 5L).toSet)
+    q5.processAllAvailable()
+    q5.stop()
+    assert(ids(dst).toSet === (0L to 6L).toSet)
+  }
+
+  test("delta stream source: startingVersion skips the snapshot and " +
+      "tails from the requested version, in both plain and CDF modes") {
+    import graft.sources.DeltaTable
+    val base = java.nio.file.Files.createTempDirectory("graft-startver")
+    val t = s"$base/t"
+    DeltaTable.write(Seq((1, 10L)).toDF("id", "v"), t, "overwrite") // v0
+    DeltaTable.write(Seq((2, 20L)).toDF("id", "v"), t, "append")    // v1
+    DeltaTable.write(Seq((3, 30L)).toDF("id", "v"), t, "append")    // v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "2").load(t)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.select("id").collect().map(_.getInt(0)); ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq === Seq(3),
+      s"startingVersion=2 must deliver only v2's rows: $got")
+    // CDF mode: change rows from the requested version on
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v3
+    DeltaTable.delete(spark, t, org.apache.spark.sql.functions
+      .col("id") === 1)                                             // v4
+    val changes = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val qc = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "4").load(t)
+      .writeStream.option("checkpointLocation", s"$base/ckpt-cdf")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        changes ++= df.select("id", "_change_type", "_commit_version")
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    qc.processAllAvailable()
+    qc.stop()
+    assert(changes.toSeq === Seq((1, "delete", 4L)),
+      s"CDF startingVersion=4 must deliver only the delete: $changes")
   }
 
   test("streaming materialized view: change-feed merge equals batch recompute across restarts") {
