@@ -502,10 +502,15 @@ object DeltaTable {
   /** Read specific table files under the committed schema, LOGICAL-named
     * — the one read shape DML rewrites need: physical bytes in, logical
     * frame out (identity when mapping is off or never diverged). Rows
-    * marked dead by a live deletion vector are subtracted. */
+    * marked dead by a live deletion vector are subtracted — UNLESS
+    * `applyDv=false`: a HISTORICAL consumer (the change feed reading an
+    * old append version's files) must see the rows as they were
+    * inserted, not as the CURRENT snapshot's vectors have since marked
+    * them (the later delete contributes its own change rows). */
   private def readTableFiles(spark: SparkSession, table: String,
-      snap: DeltaLog.Snapshot, paths: Seq[String]): DataFrame = {
-    if (snap.files.exists(_.dv.isDefined))
+      snap: DeltaLog.Snapshot, paths: Seq[String],
+      applyDv: Boolean = true): DataFrame = {
+    if (applyDv && snap.files.exists(_.dv.isDefined))
       return readTableFilesWithPos(spark, table, snap, paths)
         .drop(PosFile, PosIdx)
     // fast path (no vectors anywhere): no metadata columns, plan
@@ -1792,8 +1797,11 @@ object DeltaTable {
       val paths = byV.flatMap(_._2).map(f =>
         Paths.get(table).resolve(f.path).toString)
       if (paths.isEmpty) None
+      // applyDv=false: these files are read AS OF their append version
+      // — rows a later delete vectored must still appear as inserts
+      // (the delete's own change rows account for their removal)
       else Some(versionTag(byV,
-        readTableFiles(spark, table, latest, paths)
+        readTableFiles(spark, table, latest, paths, applyDv = false)
           .withColumn("_change_type", lit("insert"))))
     }
     val cdcPart = {

@@ -379,11 +379,33 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     val reader =
       if (partitionColumns.isEmpty) spark.read
       else spark.read.option("basePath", table)
-    val base =
+    val raw =
       if (!mappedRead) reader.schema(schema).parquet(paths: _*)
-      else ColumnMapping.toLogical(
-        reader.schema(ColumnMapping.physicalSchema(schema))
-          .parquet(paths: _*), schema)
+      else reader.schema(ColumnMapping.physicalSchema(schema))
+        .parquet(paths: _*)
+    // deletion vectors: a delivered add may carry one (the initial
+    // snapshot after a vectored delete; a DV re-add under
+    // ignoreChanges) — its dead rows must not reach the stream. The
+    // filter runs on the RAW scan (before any projection) so
+    // `_metadata` is still resolvable.
+    val dvs: Map[String, Array[Int]] = files.flatMap(f => f.dv.map(d =>
+      java.nio.file.Paths.get(f.path).getFileName.toString ->
+        DeletionVectors.read(table, d))).toMap
+    val live =
+      if (dvs.isEmpty) raw
+      else {
+        val bc = spark.sparkContext.broadcast(dvs)
+        val dead = org.apache.spark.sql.functions.udf(
+          (file: String, idx: Long) => {
+            val b = file.substring(file.lastIndexOf('/') + 1)
+            bc.value.get(b).exists(DeletionVectors.contains(_, idx))
+          })
+        raw.filter(!dead(
+          org.apache.spark.sql.functions.col("_metadata.file_path"),
+          org.apache.spark.sql.functions.col("_metadata.row_index")))
+      }
+    val base =
+      if (!mappedRead) live else ColumnMapping.toLogical(live, schema)
     val ordered = base
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(

@@ -1481,6 +1481,29 @@ class DeltaSpec extends SparkSpec {
     runValidator(t)
   }
 
+  test("change feed x deletion vectors: a historical insert version " +
+      "serves its FULL row set even after a later delete vectored some " +
+      "of its rows") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v2
+    DeltaTable.write(Seq((7, "Gil", 55000L, "2024-02-02"),
+      (8, "Hana", 56000L, "2024-02-03"), (9, "Ivan", 57000L, "2024-02-04"))
+      .toDF("id", "name", "salary", "date").coalesce(1), t, "append") // v3
+    DeltaTable.delete(spark, t, $"id" === 8)                     // v4 (dv+cdc)
+    assert(DeltaLog.snapshot(t).files.flatMap(_.dv).nonEmpty,
+      "fixture must actually vector the delete")
+    val feed = DeltaTable.changes(spark, t, 3L, 4L)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // the v3 insert set must contain id=8 even though the CURRENT
+    // snapshot's vector marks it dead — its removal is v4's delete row
+    assert(feed === Set((7, "insert", 3L), (8, "insert", 3L),
+      (9, "insert", 3L), (8, "delete", 4L)),
+      s"history must not be rewritten by later vectors: $feed")
+  }
+
   test("deletion vectors: a delete matching more than half a file's " +
       "rows rewrites instead of vectoring") {
     val t = freshTable()

@@ -247,6 +247,45 @@ class StreamingSpec extends SparkSpec {
     assert(ids(dst).toSet === (0L to 6L).toSet)
   }
 
+  test("delta stream source x deletion vectors: the initial snapshot " +
+      "and ignoreChanges re-deliveries subtract vector-dead rows") {
+    import graft.sources.{DeltaLog, DeltaTable}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-dv")
+    val t = s"$base/t"
+    DeltaTable.write((1 to 6).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1), t, "overwrite")                              // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    DeltaTable.delete(spark, t, org.apache.spark.sql.functions
+      .col("id") === 2)                                          // v2 (dv)
+    assert(DeltaLog.snapshot(t).files.flatMap(_.dv).nonEmpty)
+    // initial snapshot: the dead row must not arrive
+    val got = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.select("id").collect().map(_.getInt(0)); ()
+      }.start()
+    q.processAllAvailable()
+    // a further vectored delete mid-stream: under ignoreChanges the
+    // re-added file re-delivers, but only its LIVE rows
+    q.stop()
+    assert(got.sorted.toSeq === Seq(1, 3, 4, 5, 6),
+      s"initial snapshot leaked a vector-dead row: ${got.sorted}")
+    DeltaTable.delete(spark, t, org.apache.spark.sql.functions
+      .col("id") === 3)                                          // v3 (dv)
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").load(t)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= df.select("id").collect().map(_.getInt(0)); ()
+      }.start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.sorted.toSeq === Seq(1, 4, 5, 6),
+      s"ignoreChanges re-delivery leaked vector-dead rows: ${got2.sorted}")
+  }
+
   test("delta stream source: startingVersion skips the snapshot and " +
       "tails from the requested version, in both plain and CDF modes") {
     import graft.sources.DeltaTable
