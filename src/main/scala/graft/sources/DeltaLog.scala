@@ -79,6 +79,87 @@ object DeltaLog {
       }.toSeq.sortBy(_._1)
   }
 
+  /** Protocol surface this engine implements (public Delta protocol,
+    * "Table Features" plus the legacy version ladder). The gates below
+    * enforce the protocol's core promise: a reader REFUSES a table
+    * demanding reader capabilities it lacks (reading anyway silently
+    * returns wrong rows — e.g. resurrecting DV-deleted rows), and a
+    * writer REFUSES a table listing writer features it would fail to
+    * MAINTAIN (writing anyway breaks the table's contract for every
+    * other client — e.g. appending without writing change data). */
+  val SupportedReaderVersion = 3
+  val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors")
+  val SupportedWriterVersion = 7
+  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++
+    Set("checkConstraints", "changeDataFeed", "appendOnly")
+
+  /** Reader-side protocol gate — runs on every snapshot replay, so an
+    * unreadable table fails loudly everywhere (read, stream, DML — a
+    * writer is a reader first). Legacy minReaderVersion 1/2 and the
+    * features gate (3) with only supported features pass. */
+  private def assertReadable(table: String, minReader: Int,
+      readerFeats: Set[String]): Unit = {
+    if (minReader > SupportedReaderVersion) throw new IllegalStateException(
+      s"cannot read $table: its protocol demands minReaderVersion=" +
+        s"$minReader; this engine implements $SupportedReaderVersion. " +
+        "Refusing per the Delta protocol — reading anyway could " +
+        "silently return wrong rows")
+    val unknown = readerFeats -- SupportedReaderFeatures
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"cannot read $table: it requires reader features " +
+        unknown.toSeq.sorted.mkString("[", ", ", "]") +
+        " this engine does not implement (supported: " +
+        SupportedReaderFeatures.toSeq.sorted.mkString(", ") + "). " +
+        "Refusing per the Delta protocol — reading anyway could " +
+        "silently return wrong rows")
+  }
+
+  /** Writer-side protocol gate, called with the snapshot a commit was
+    * derived from plus the commit's own actions. Refuses: writer
+    * versions above the features gate; legacy versions 4 and 6 (they
+    * imply generated-/identity-column maintenance this engine does not
+    * implement — a writer may always refuse, and silently NOT
+    * maintaining a feature corrupts the table for other clients);
+    * unsupported listed writer features; and — the one ENFORCED
+    * behavioral feature — `delta.appendOnly=true` tables reject any
+    * commit carrying a data-changing remove (DELETE/UPDATE/MERGE/
+    * overwrite/RESTORE), while appends and layout-only OPTIMIZE/ZORDER
+    * commits (`dataChange=false` throughout) pass. */
+  def assertWritable(table: String, snap: Snapshot,
+      actions: Seq[String]): Unit = {
+    if (snap.minWriterVersion > SupportedWriterVersion)
+      throw new UnsupportedOperationException(
+        s"cannot write $table: its protocol demands minWriterVersion=" +
+          s"${snap.minWriterVersion}; this engine implements " +
+          s"$SupportedWriterVersion")
+    if (snap.minWriterVersion == 4 || snap.minWriterVersion == 6)
+      throw new UnsupportedOperationException(
+        s"cannot write $table: legacy minWriterVersion=" +
+          s"${snap.minWriterVersion} implies " +
+          (if (snap.minWriterVersion == 4) "generated-column"
+           else "identity-column") +
+          " maintenance this engine does not implement; writing anyway " +
+          "would silently break the table's contract")
+    val unknown = snap.writerFeatures -- SupportedWriterFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"cannot write $table: it lists writer features " +
+        unknown.toSeq.sorted.mkString("[", ", ", "]") +
+        " this engine does not implement (supported: " +
+        SupportedWriterFeatures.toSeq.sorted.mkString(", ") + ")")
+    if (snap.configuration.get("delta.appendOnly").contains("true")) {
+      val breaking = actions.exists(a => Json.parse(a) match {
+        case ("remove", fields) => !fields.get("dataChange").contains("false")
+        case _ => false
+      })
+      if (breaking) throw new UnsupportedOperationException(
+        s"table $table is delta.appendOnly=true: commits that remove " +
+          "data (DELETE/UPDATE/MERGE/overwrite/RESTORE) are blocked; " +
+          "appends and layout-only OPTIMIZE/ZORDER (dataChange=false) " +
+          "remain allowed")
+    }
+  }
+
   def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
   private def versionOf(p: Path): Option[Long] = {
@@ -238,6 +319,7 @@ object DeltaLog {
         case _ => ()
       }
     }
+    assertReadable(table, minReader, readerFeats)
     Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config,
       minReader, minWriter, readerFeats, writerFeats)
   }

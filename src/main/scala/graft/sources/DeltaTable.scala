@@ -238,6 +238,9 @@ object DeltaTable {
           Files.deleteIfExists(Paths.get(table).resolve(f.path)))
         return prior.get.version
       }
+      // writer-side protocol gate (a fresh table, prior=None, has no
+      // protocol to violate yet — its first commit writes one)
+      prior.foreach(p => DeltaLog.assertWritable(table, p, actions))
       try return DeltaLog.commit(table, readVersion, actions)
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>
@@ -285,7 +288,7 @@ object DeltaTable {
         snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
           DeltaLog.tableId(table),
           snap.configuration + (s"delta.constraints.$name" -> sqlExpr)))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch {
         case _: IllegalStateException => Thread.sleep(5L)
       }
@@ -312,12 +315,30 @@ object DeltaTable {
     val maxAttempts = 8
     for (_ <- 1 to maxAttempts) {
       val snap = DeltaLog.snapshot(table)
+      // delta.enableChangeDataFeed is a PROTOCOL-bearing property
+      // (stock Delta: writer feature `changeDataFeed`): once set, DML
+      // writes `_change_data/` sidecars, and a writer that did not
+      // would break every incremental consumer — so enabling it
+      // atomically raises the protocol to the table-features gate
+      // LISTING the feature (plus every other legacy feature the
+      // table already uses), exactly like enableDeletionVectors.
+      val protocolRise =
+        if (key == "delta.enableChangeDataFeed" && value == "true" &&
+            !cdfEnabled(snap))
+          Seq(DeltaLog.protocolAction(
+            snap.minReaderVersion,
+            math.max(snap.minWriterVersion, 7),
+            if (snap.minReaderVersion >= 3) snap.readerFeatures.toSeq
+            else Nil,
+            (snap.writerFeatures ++ Set("changeDataFeed") ++
+              activeLegacyWriterFeatures(snap)).toSeq))
+        else Nil
       val actions = Seq(
-        DeltaLog.commitInfoAction("SET TBLPROPERTIES"),
+        DeltaLog.commitInfoAction("SET TBLPROPERTIES")) ++ protocolRise ++ Seq(
         DeltaLog.metaDataAction(snap.schemaJson.getOrElse(
             new StructType().json), snap.partitionColumns,
           DeltaLog.tableId(table), snap.configuration + (key -> value)))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch { case _: IllegalStateException => Thread.sleep(5L) }
     }
     throw new IllegalStateException(
@@ -357,7 +378,7 @@ object DeltaTable {
           snap.configuration +
             (ColumnMapping.ModeKey -> "name") +
             (ColumnMapping.MaxIdKey -> maxId.toString)))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch { case _: IllegalStateException => Thread.sleep(5L) }
     }
     throw new IllegalStateException(
@@ -366,6 +387,33 @@ object DeltaTable {
 
   private[graft] def dvEnabled(snap: DeltaLog.Snapshot): Boolean =
     snap.configuration.get(DeletionVectors.PropKey).contains("true")
+
+  /** Every mutating commit funnels here: the writer-side protocol gate
+    * ([[DeltaLog.assertWritable]]) runs against the snapshot the
+    * commit was derived from, then the optimistic commit is attempted.
+    * The gate sits INSIDE each retry loop by construction (callers
+    * re-snapshot per attempt), so a protocol upgrade or
+    * `delta.appendOnly` flip racing this writer is honored on the
+    * retry, not silently overwritten. */
+  private def gatedCommit(table: String, snap: DeltaLog.Snapshot,
+      actions: Seq[String]): Long = {
+    DeltaLog.assertWritable(table, snap, actions)
+    DeltaLog.commit(table, snap.version, actions)
+  }
+
+  /** Legacy writer capabilities ACTIVE on this snapshot — the set a
+    * legacy→table-features protocol upgrade must carry into
+    * `writerFeatures` (Delta spec: a version-7 table lists everything
+    * it uses; dropping one on upgrade would let a feature-unaware
+    * writer corrupt it). */
+  private def activeLegacyWriterFeatures(
+      snap: DeltaLog.Snapshot): Set[String] =
+    (if (snap.checkConstraints.nonEmpty) Set("checkConstraints")
+     else Set.empty[String]) ++
+      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
+      (if (snap.configuration.get("delta.appendOnly").contains("true"))
+        Set("appendOnly") else Set.empty) ++
+      (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty)
 
   /** ALTER TABLE SET delta.enableDeletionVectors = true: DELETEs stop
     * rewriting touched files and instead mark dead rows in sidecar
@@ -381,9 +429,7 @@ object DeltaTable {
       if (dvEnabled(snap)) return snap.version
       val feats = Set("deletionVectors") ++
         (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty)
-      val wfeats = feats ++
-        (if (snap.checkConstraints.nonEmpty) Set("checkConstraints")
-         else Set.empty)
+      val wfeats = feats ++ activeLegacyWriterFeatures(snap)
       val actions = Seq(
         DeltaLog.commitInfoAction("SET DELETION VECTORS"),
         DeltaLog.protocolAction(
@@ -395,7 +441,7 @@ object DeltaTable {
             new StructType().json), snap.partitionColumns,
           DeltaLog.tableId(table),
           snap.configuration + (DeletionVectors.PropKey -> "true")))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch { case _: IllegalStateException => Thread.sleep(5L) }
     }
     throw new IllegalStateException(
@@ -449,7 +495,7 @@ object DeltaTable {
         DeltaLog.commitInfoAction("RENAME COLUMN"),
         DeltaLog.metaDataAction(renamed.json, snap.partitionColumns,
           DeltaLog.tableId(table), snap.configuration))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch { case _: IllegalStateException => Thread.sleep(5L) }
     }
     throw new IllegalStateException(
@@ -474,7 +520,7 @@ object DeltaTable {
         DeltaLog.commitInfoAction("DROP COLUMN"),
         DeltaLog.metaDataAction(remaining.json, snap.partitionColumns,
           DeltaLog.tableId(table), snap.configuration))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch { case _: IllegalStateException => Thread.sleep(5L) }
     }
     throw new IllegalStateException(
@@ -822,7 +868,7 @@ object DeltaTable {
             DeltaLog.removeAction(f.path, dataChange = false)) ++
           added.map(f => DeltaLog.addAction(f.path, f.size, f.stats,
             f.partitionValues, dataChange = false))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch {
         case _: IllegalStateException =>
           // someone committed past our snapshot; compacted files are
@@ -917,7 +963,7 @@ object DeltaTable {
             DeltaLog.removeAction(f.path, dataChange = false)) ++
           added.map(f => DeltaLog.addAction(f.path, f.size, f.stats,
             f.partitionValues, dataChange = false))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch {
         case _: IllegalStateException =>
           added.foreach(f =>
@@ -996,7 +1042,7 @@ object DeltaTable {
             rewriteAdds.map(f => DeltaLog.addAction(
               f.path, f.size, f.stats, f.partitionValues)) ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
-        try return DeltaLog.commit(table, snap.version, actions)
+        try return gatedCommit(table, snap, actions)
         catch {
           case _: IllegalStateException =>
             (rewriteAdds ++ cdc).foreach(f =>
@@ -1024,7 +1070,7 @@ object DeltaTable {
             added.map(f =>
               DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
-        try return DeltaLog.commit(table, snap.version, actions)
+        try return gatedCommit(table, snap, actions)
         catch {
           case _: IllegalStateException =>
             (added ++ cdc).foreach(f =>
@@ -1127,7 +1173,7 @@ object DeltaTable {
             added.map(f =>
               DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
-        try return DeltaLog.commit(table, snap.version, actions)
+        try return gatedCommit(table, snap, actions)
         catch {
           case _: IllegalStateException =>
             (added ++ cdc).foreach(f =>
@@ -1163,7 +1209,7 @@ object DeltaTable {
             added.map(f =>
               DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
-        try return DeltaLog.commit(table, snap.version, actions)
+        try return gatedCommit(table, snap, actions)
         catch {
           case _: IllegalStateException =>
             (added ++ cdc).foreach(f =>
@@ -1300,7 +1346,7 @@ object DeltaTable {
           added.map(f =>
             DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
           cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
-      try return DeltaLog.commit(table, snap.version, actions)
+      try return gatedCommit(table, snap, actions)
       catch {
         case _: IllegalStateException =>
           (added ++ cdc).foreach(f =>
@@ -1880,7 +1926,7 @@ object DeltaTable {
               cur.files.find(_.path == f.path).exists(_.dv != f.dv))
             .map(f => DeltaLog.addAction(f.path, f.size, f.stats,
               f.partitionValues, f.dv))
-      try return DeltaLog.commit(table, cur.version, actions)
+      try return gatedCommit(table, cur, actions)
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>
           Thread.sleep(5L * attempt)

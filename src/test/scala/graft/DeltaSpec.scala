@@ -1898,4 +1898,120 @@ class DeltaSpec extends SparkSpec {
     val snap = DeltaLog.snapshot(tp)
     assert(snap.minReaderVersion === 2 && snap.minWriterVersion >= 5)
   }
+
+  // ---------------------------------------------------------------
+  // Protocol gates (public Delta protocol: reader/writer versions +
+  // table features). The forge helper plays the role of a FOREIGN
+  // writer that committed a protocol graft does not fully implement.
+  // ---------------------------------------------------------------
+
+  private def forgeProtocol(t: String, line: String): Unit =
+    DeltaLog.commit(t, DeltaTable.latestVersion(t), Seq(line))
+
+  test("reader gate: unknown reader feature refuses the table loudly") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    forgeProtocol(t,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+    val e = intercept[IllegalStateException](DeltaTable.read(spark, t).count())
+    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("cannot read"))
+    // the stream source is a reader too
+    val e2 = intercept[IllegalStateException](DeltaTable.latestVersion(t))
+    assert(e2.getMessage.contains("v2Checkpoint"))
+  }
+
+  test("reader gate: minReaderVersion above supported refuses") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    forgeProtocol(t, """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""")
+    val e = intercept[IllegalStateException](DeltaTable.read(spark, t))
+    assert(e.getMessage.contains("minReaderVersion=4"))
+  }
+
+  test("writer gate: unknown writer feature blocks writes, reads stay fine") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    forgeProtocol(t,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["rowTracking"]}}""")
+    // a reader-only client is unaffected: rowTracking is writer-side
+    assert(DeltaTable.read(spark, t).count() === 3)
+    val e = intercept[UnsupportedOperationException](
+      DeltaTable.write(employee1, t, "append"))
+    assert(e.getMessage.contains("rowTracking"))
+    val e2 = intercept[UnsupportedOperationException](
+      DeltaTable.delete(spark, t, col("id") === 1))
+    assert(e2.getMessage.contains("rowTracking"))
+  }
+
+  test("writer gate: legacy writer versions 4/6 refuse (generated/identity)") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
+    assert(DeltaTable.read(spark, t).count() === 3)
+    val e = intercept[UnsupportedOperationException](
+      DeltaTable.write(employee1, t, "append"))
+    assert(e.getMessage.contains("identity-column"))
+  }
+
+  test("delta.appendOnly: appends + layout-only OPTIMIZE pass, data removes refuse") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.setTableProperty(t, "delta.appendOnly", "true")
+    DeltaTable.write(employee1, t, "append")
+    assert(DeltaTable.read(spark, t).count() === 4)
+    val e = intercept[UnsupportedOperationException](
+      DeltaTable.delete(spark, t, col("id") === 1))
+    assert(e.getMessage.contains("delta.appendOnly"))
+    intercept[UnsupportedOperationException](
+      DeltaTable.write(employee1, t, "overwrite"))
+    intercept[UnsupportedOperationException](
+      DeltaTable.update(spark, t, col("id") === 1,
+        Map("salary" -> lit(1L))))
+    // layout-only maintenance (dataChange=false throughout) is legal
+    DeltaTable.compact(spark, t)
+    assert(DeltaTable.read(spark, t).count() === 4)
+    // lifting the property restores DML
+    DeltaTable.setTableProperty(t, "delta.appendOnly", "false")
+    DeltaTable.delete(spark, t, col("id") === 1)
+    assert(DeltaTable.read(spark, t).count() === 3)
+  }
+
+  test("enabling change data feed raises protocol to the features gate") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true")
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.minWriterVersion === 7)
+    assert(snap.writerFeatures.contains("changeDataFeed"))
+    // CDF is writer-only: a plain reader needs nothing new
+    assert(snap.minReaderVersion === 1)
+    // idempotent: re-setting changes nothing
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true")
+    assert(DeltaLog.snapshot(t).writerFeatures === snap.writerFeatures)
+    // DML on the upgraded table still works and writes sidecars
+    DeltaTable.delete(spark, t, col("id") === 1)
+    assert(DeltaTable.read(spark, t).count() === 2)
+  }
+
+  test("feature upgrades carry every active legacy feature forward") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.setTableProperty(t, "delta.appendOnly", "true")
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true")
+    val s1 = DeltaLog.snapshot(t)
+    assert(s1.writerFeatures === Set("changeDataFeed", "appendOnly"))
+    DeltaTable.enableDeletionVectors(t)
+    val s2 = DeltaLog.snapshot(t)
+    assert(Set("changeDataFeed", "appendOnly", "deletionVectors")
+      .subsetOf(s2.writerFeatures))
+    assert(s2.readerFeatures.contains("deletionVectors"))
+    assert(s2.minReaderVersion === 3 && s2.minWriterVersion === 7)
+    // the upgraded table still honors its append-only contract
+    DeltaTable.write(employee1, t, "append")
+    intercept[UnsupportedOperationException](
+      DeltaTable.delete(spark, t, col("id") === 1))
+  }
 }

@@ -345,6 +345,11 @@ def validate(table):
                 problems.append(
                     "deletion vectors present but readerFeatures does not "
                     "list deletionVectors")
+            elif "deletionVectors" not in (pr.get("writerFeatures") or []):
+                problems.append(
+                    "deletion vectors present but writerFeatures does not "
+                    "list deletionVectors (a DV-unaware writer could "
+                    "resurrect deleted rows by rewriting without the vector)")
 
         # -- change data feed (invariant 11): sidecars on disk, change
         # rows reconcile with the commit's file actions
@@ -393,6 +398,19 @@ def validate(table):
                 problems.append(
                     f"v{v}: change rows don't reconcile with file actions: "
                     f"net data rows {net} != insert+post-pre-delete {cdc_net}")
+
+        # -- protocol-feature completeness (invariant 13): a table that
+        # writes change-data sidecars must LIST the changeDataFeed
+        # writer feature — a feature-unaware writer appending without
+        # sidecars would silently break every incremental consumer
+        if full.cdc:
+            pr = full.protocol or {}
+            if (pr.get("minWriterVersion", 0) < 7
+                    or "changeDataFeed" not in (pr.get("writerFeatures") or [])):
+                problems.append(
+                    "change-data sidecars present but the protocol does not "
+                    "list the changeDataFeed writer feature at the features "
+                    "gate (writer 7)")
 
         # -- column mapping (invariant 10): when
         # delta.columnMapping.mode = name, every schema field carries a
