@@ -132,4 +132,82 @@ class DeltaStressSpec extends SparkSpec {
       runValidator(t)
     }
   }
+
+  /** The append-only gate under contention: writers toggle
+    * `delta.appendOnly` while others delete/update/append/compact.
+    * Enforcement is race-safe through the optimistic commit — a DML
+    * that derived its commit before the property landed LOSES the
+    * version race, re-snapshots, and the gate fires on the retry — so
+    * the wire-format invariant holds schedule-independently: no
+    * version whose PREDECESSOR config says appendOnly=true may carry a
+    * data-changing remove (delta_validate.py invariant 14, asserted by
+    * the validator run below for every seed). */
+  test("append-only toggling races DML: the gate holds at every seed") {
+    for (seed <- 0 until 10) {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft-aostress-$seed").resolve("t").toString
+      DeltaTable.write((0L until 10L).map(i => (i, i)).toDF("id", "v")
+        .coalesce(1), t, "overwrite")
+      val schedules = (0 until 3).map { w =>
+        val rnd = new scala.util.Random(seed * 131 + w)
+        (0 until 4).map(_ => rnd.nextInt(8)).toList
+      }
+      val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val dmlTargets = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (0 until 3).map { w =>
+        Future {
+          val rnd = new scala.util.Random(seed * 2017 + w)
+          for ((op, i) <- schedules(w).zipWithIndex) {
+            val idBase = 1000L + (seed.toLong * 100 + w * 25 + i * 5)
+            try op match {
+              case 0 | 1 | 2 =>
+                DeltaTable.write(
+                  (idBase until idBase + 3).map(id => (id, id))
+                    .toDF("id", "v"), t, "append")
+                (idBase until idBase + 3).foreach(appended.add)
+              case 3 =>
+                val victim = 1000L + rnd.nextInt(2000)
+                (victim until victim + 50).foreach(dmlTargets.add)
+                DeltaTable.delete(spark, t,
+                  col("id").between(victim, victim + 49))
+              case 4 =>
+                val victim = 1000L + rnd.nextInt(2000)
+                (victim until victim + 50).foreach(dmlTargets.add)
+                DeltaTable.update(spark, t,
+                  col("id").between(victim, victim + 49),
+                  Map("v" -> (col("v") + 1000000L)))
+              case 5 => DeltaTable.setTableProperty(t, "delta.appendOnly", "true")
+              case 6 => DeltaTable.setTableProperty(t, "delta.appendOnly", "false")
+              case 7 => DeltaTable.compact(spark, t, maxFileBytes = 1L << 20)
+            } catch {
+              case _: IllegalStateException => ()
+              // the append-only refusal — losing is the contract;
+              // corrupting (caught by the validator below) is not
+              case _: UnsupportedOperationException => refused.incrementAndGet()
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 300.seconds)
+      val vs = DeltaLog.versions(t)
+      assert(vs === (0L until vs.length.toLong),
+        s"seed $seed: torn version sequence $vs")
+      for (v <- vs) DeltaTable.read(spark, t, Some(v)).count()
+      import scala.jdk.CollectionConverters._
+      val mustSurvive = (0L until 10L).toSet ++
+        appended.asScala.toSet -- dmlTargets.asScala.toSet
+      val finalRows = DeltaTable.read(spark, t)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lost = mustSurvive.filterNot(id => finalRows.get(id).contains(id))
+      assert(lost.isEmpty,
+        s"seed $seed: rows lost outside any DML target: " +
+          s"${lost.toSeq.sorted.take(10)} (refused ops: ${refused.get()})")
+      runValidator(t)
+    }
+  }
 }

@@ -103,6 +103,12 @@ class Replay:
         adds_v, removes_v = set(), set()
         cdc_v = []
         adds_n, removes_n, stats_complete = 0, 0, True
+        # invariant 14: the table's config BEFORE this commit governs
+        # the append-only gate — a writer derives its commit from the
+        # prior snapshot, and the optimistic-commit conflict forces a
+        # re-derivation (and re-gate) when the property flips underneath
+        append_only_before = self.config.get("delta.appendOnly") == "true"
+        data_removes = []
         for a in actions:
             if "add" in a:
                 f = a["add"]
@@ -127,6 +133,8 @@ class Replay:
                 if p not in self.live and p not in adds_v:
                     self.problems.append(f"v{v}: remove of never-added {p}")
                 removes_v.add(p)
+                if a["remove"].get("dataChange", True) is not False:
+                    data_removes.append(p)
                 n = self._rows_of(self.live.get(p, {}))
                 if n is None:
                     stats_complete = False
@@ -175,6 +183,11 @@ class Replay:
                 self.problems.append(f"v{v}: unknown action {list(a.keys())}")
         if n_meta > 1:
             self.problems.append(f"v{v}: {n_meta} metaData actions in one commit")
+        if append_only_before and data_removes:
+            self.problems.append(
+                f"v{v}: data-changing remove(s) {sorted(data_removes)[:3]} "
+                "committed while delta.appendOnly=true (the append-only "
+                "gate was bypassed)")
         # order-independent: an add and a remove of the same path in one
         # version is invalid whichever action the writer emitted first —
         # EXCEPT the deletion-vector update shape (remove + re-add of the
