@@ -92,7 +92,8 @@ object DeltaLog {
     Set("columnMapping", "deletionVectors")
   val SupportedWriterVersion = 7
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++
-    Set("checkConstraints", "changeDataFeed", "appendOnly")
+    Set("checkConstraints", "changeDataFeed", "appendOnly",
+      "generatedColumns")
 
   /** Reader-side protocol gate — runs on every snapshot replay, so an
     * unreadable table fails loudly everywhere (read, stream, DML — a
@@ -117,10 +118,11 @@ object DeltaLog {
 
   /** Writer-side protocol gate, called with the snapshot a commit was
     * derived from plus the commit's own actions. Refuses: writer
-    * versions above the features gate; legacy versions 4 and 6 (they
-    * imply generated-/identity-column maintenance this engine does not
-    * implement — a writer may always refuse, and silently NOT
-    * maintaining a feature corrupts the table for other clients);
+    * versions above the features gate; legacy version 6 (identity-
+    * column maintenance this engine does not implement — a writer may
+    * always refuse, and silently NOT maintaining a feature corrupts
+    * the table for other clients; version 4's generated columns + CDF
+    * ARE maintained, so 4 passes);
     * unsupported listed writer features; and — the one ENFORCED
     * behavioral feature — `delta.appendOnly=true` tables reject any
     * commit carrying a data-changing remove (DELETE/UPDATE/MERGE/
@@ -133,14 +135,16 @@ object DeltaLog {
         s"cannot write $table: its protocol demands minWriterVersion=" +
           s"${snap.minWriterVersion}; this engine implements " +
           s"$SupportedWriterVersion")
-    if (snap.minWriterVersion == 4 || snap.minWriterVersion == 6)
+    // legacy writer version 4 (generated columns + change data feed) is
+    // MAINTAINED by this engine since round 9 — see GeneratedColumns and
+    // the CDF sidecar path; version 6 still refuses: identity-column
+    // maintenance is not implemented, and silently not maintaining a
+    // feature corrupts the table for other clients
+    if (snap.minWriterVersion == 6)
       throw new UnsupportedOperationException(
-        s"cannot write $table: legacy minWriterVersion=" +
-          s"${snap.minWriterVersion} implies " +
-          (if (snap.minWriterVersion == 4) "generated-column"
-           else "identity-column") +
-          " maintenance this engine does not implement; writing anyway " +
-          "would silently break the table's contract")
+        s"cannot write $table: legacy minWriterVersion=6 implies " +
+          "identity-column maintenance this engine does not implement; " +
+          "writing anyway would silently break the table's contract")
     val unknown = snap.writerFeatures -- SupportedWriterFeatures
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"cannot write $table: it lists writer features " +

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, LongType, NumericType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, LongType, NumericType, StringType, StructField, StructType, TimestampType}
 
 /** Spark-facing Delta-equivalent table API (SURVEY.md §7-D): versioned
   * ACID overwrite/append/read + time travel over local/HDFS-style
@@ -57,15 +57,56 @@ object DeltaTable {
     * streaming sink's replayed micro-batch relies on. The check runs
     * inside the optimistic-retry loop against the freshest snapshot,
     * so two racing replays of the same batch commit exactly once. */
-  def write(df: DataFrame, table: String, mode: String,
+  /** `generatedColumns` = column → generation expression, declared at
+    * table (re)definition time (overwrite/create only — appends and the
+    * streaming sink inherit the committed contract). See
+    * [[GeneratedColumns]] for the maintained invariant. */
+  def write(df0: DataFrame, table: String, mode: String,
       mergeSchema: Boolean = false, partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      generatedColumns: Map[String, String] = Map.empty): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     for ((appId, version) <- txn) {
       val already = DeltaLog.versions(table).nonEmpty &&
         DeltaLog.snapshot(table).txns.get(appId).exists(_ >= version)
       if (already) return DeltaLog.snapshot(table).version
     }
+    // GENERATED COLUMNS: resolve the generation contract this write
+    // stages under — an append inherits the committed expressions; an
+    // overwrite (re)declares via the parameter and carries forward the
+    // prior expressions whose base columns the new frame still has
+    // (keeping a generated column while dropping its bases would leave
+    // an unmaintainable dangling expression — refused loudly).
+    val priorGens: Seq[(String, String)] =
+      if (DeltaLog.versions(table).isEmpty) Nil
+      else DeltaLog.snapshot(table).schemaJson
+        .map(j => GeneratedColumns.of(
+          DataType.fromJson(j).asInstanceOf[StructType]))
+        .getOrElse(Nil)
+    val gens: Seq[(String, String)] =
+      if (mode == "append") {
+        require(generatedColumns.isEmpty,
+          s"graft-delta append to $table: generatedColumns are declared " +
+            "at table (re)definition (overwrite); appends inherit them")
+        priorGens
+      } else {
+        val carried = priorGens
+          .filterNot { case (g, _) => generatedColumns.contains(g) }
+          .flatMap { case (g, e) =>
+            val refs = GeneratedColumns.referencedColumns(e)
+            if (refs.nonEmpty && refs.forall(df0.columns.contains))
+              Some(g -> e)
+            else if (df0.columns.contains(g))
+              throw new IllegalArgumentException(
+                s"overwrite of $table keeps generated column $g but drops " +
+                  s"base column(s) ${refs.filterNot(df0.columns.contains)
+                    .mkString(",")} its expression ($e) needs; drop $g too " +
+                  "or keep the bases")
+            else None // both gone: the overwrite rewrote the contract away
+          }
+        generatedColumns.toSeq.sortBy(_._1) ++ carried
+      }
+    val (df, genChecks) = GeneratedColumns.applyToWrite(df0, gens)
     require(partitionBy.forall(c => df.schema.fieldNames.contains(c)),
       s"partitionBy columns ${partitionBy.mkString(",")} must exist in the schema")
     // Partition-layout resolution: an overwrite defines the layout (it
@@ -135,6 +176,11 @@ object DeltaTable {
         enforceConstraints(df.sparkSession, table, added, cs, writeMapping)
         cs.toSet
       } else Set.empty
+    // generated columns the caller provided precomputed validate like
+    // CHECK constraints (col <=> expr) over the staged bytes
+    if (genChecks.nonEmpty)
+      enforceConstraints(df.sparkSession, table, added, genChecks,
+        writeMapping)
     // atomic log commit, with optimistic retry on version conflicts
     val maxAttempts = 16
     var attempt = 0
@@ -212,12 +258,37 @@ object DeltaTable {
               "(racing schema evolution); re-run the append")
         }
       }
+      // generated-column metadata rides the committed schema, and the
+      // protocol must GATE the feature from the commit that introduces
+      // it (legacy writer 4 / feature "generatedColumns") — a
+      // gens-unaware writer appending without maintaining the invariant
+      // would silently break every consumer that trusts it
+      val genSchema =
+        if (gens.isEmpty) tableSchema
+        else GeneratedColumns.annotate(tableSchema, gens.toMap)
+      val protocolActions =
+        if (readVersion == -1L)
+          Seq(if (gens.isEmpty) DeltaLog.protocolAction()
+          else DeltaLog.protocolAction(1, 7, Nil,
+            Seq(GeneratedColumns.Feature)))
+        else if (gens.nonEmpty && prior.exists(p =>
+            p.minWriterVersion != 4 &&
+              !p.writerFeatures.contains(GeneratedColumns.Feature)))
+          Seq(DeltaLog.protocolAction(
+            prior.get.minReaderVersion,
+            math.max(prior.get.minWriterVersion, 7),
+            if (prior.get.minReaderVersion >= 3)
+              prior.get.readerFeatures.toSeq else Nil,
+            (prior.get.writerFeatures ++
+              activeLegacyWriterFeatures(prior.get) +
+              GeneratedColumns.Feature).toSeq))
+        else Nil
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
           // protocol belongs in a table's FIRST commit (Delta spec);
           // later commits inherit it from replay/checkpoint
-          (if (readVersion == -1L) Seq(DeltaLog.protocolAction()) else Nil) ++
-          Seq(DeltaLog.metaDataAction(tableSchema.json, effectivePartitionBy,
+          protocolActions ++
+          Seq(DeltaLog.metaDataAction(genSchema.json, effectivePartitionBy,
             DeltaLog.tableId(table),
             // table properties (constraints, mapping mode) survive BOTH
             // modes: an overwrite replaces data, not the table's
@@ -413,7 +484,9 @@ object DeltaTable {
       (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
       (if (snap.configuration.get("delta.appendOnly").contains("true"))
         Set("appendOnly") else Set.empty) ++
-      (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty)
+      (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty) ++
+      (if (GeneratedColumns.anyIn(snap.schemaJson))
+        Set(GeneratedColumns.Feature) else Set.empty)
 
   /** ALTER TABLE SET delta.enableDeletionVectors = true: DELETEs stop
     * rewriting touched files and instead mark dead rows in sidecar
@@ -473,6 +546,14 @@ object DeltaTable {
     require(referencing.isEmpty,
       s"$op($table, $name): column is referenced by CHECK constraint(s) " +
         referencing.map(_._1).mkString(",") + "; drop the constraint first")
+    // a generation expression references its bases by NAME; renaming or
+    // dropping one would leave the generated column unmaintainable
+    // (stock Delta rejects the same way)
+    val genRefs = GeneratedColumns.of(schema).filter { case (_, e) =>
+      GeneratedColumns.referencedColumns(e).contains(name) }
+    require(genRefs.isEmpty,
+      s"$op($table, $name): column is referenced by generated column(s) " +
+        genRefs.map(_._1).mkString(",") + "; redefine the table first")
     schema
   }
 
@@ -1103,21 +1184,50 @@ object DeltaTable {
       val df = read(spark, table, Some(snap.version))
       require(set.keys.forall(df.columns.contains),
         s"unknown SET columns: ${set.keys.filterNot(df.columns.contains).mkString(",")}")
+      // GENERATED COLUMNS: a SET that moves a base column must carry
+      // the generated one along — recompute every generated column the
+      // SET doesn't name over the POST-set row; one the SET names
+      // explicitly validates like a CHECK (col <=> expr) instead
+      val gensU = snap.schemaJson.map(j => GeneratedColumns.of(
+        DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(Nil)
+      val genRecompute = gensU.filterNot { case (g, _) => set.contains(g) }
+      val genChecks = gensU.filter { case (g, _) => set.contains(g) }
+        .map { case (g, e) => s"generated column $g" -> s"`$g` <=> ($e)" }
       val touched = df.filter(condition)
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => relativize(table, r.getString(0))).toSet
       if (touched.isEmpty) return snap.version
       val touchedPaths = touched.toSeq.sorted
         .map(f => Paths.get(table).resolve(f).toString)
-      def applySet(d: DataFrame, always: Boolean): DataFrame =
-        d.select(df.columns.map { c =>
+      def applySet(d: DataFrame, always: Boolean): DataFrame = {
+        import org.apache.spark.sql.functions.{when, expr}
+        // conditional path with recomputes: the match flag is frozen
+        // BEFORE the SET lands (the SET may change the very columns the
+        // condition reads), then generated columns recompute over the
+        // post-set values of their bases
+        val flag = "__graft_upd_matched"
+        val flagged =
+          if (always || genRecompute.isEmpty) d
+          else d.withColumn(flag, condition)
+        val cond: org.apache.spark.sql.Column =
+          if (always || genRecompute.isEmpty) condition else col(flag)
+        val afterSet = flagged.select((df.columns.map { c =>
           set.get(c) match {
             case Some(e) if always => e.as(c)
-            case Some(e) => org.apache.spark.sql.functions
-              .when(condition, e).otherwise(col(c)).as(c)
+            case Some(e) => when(cond, e).otherwise(col(c)).as(c)
             case None => col(c)
           }
-        }: _*)
+        } ++ (if (always || genRecompute.isEmpty) Nil
+              else Seq(col(flag)))): _*)
+        val recomputed = genRecompute.foldLeft(afterSet) {
+          case (acc, (g, e)) =>
+            if (always) acc.withColumn(g, expr(e))
+            else acc.withColumn(g,
+              when(col(flag), expr(e)).otherwise(col(g)))
+        }
+        if (always || genRecompute.isEmpty) recomputed
+        else recomputed.select(df.columns.map(col): _*)
+      }
       if (dvEnabled(snap)) {
         // DELETION-VECTOR update: mark the matched rows dead in place,
         // stage ONLY their post-images as a new file — a 10-row update
@@ -1148,8 +1258,8 @@ object DeltaTable {
         }
         val added = stageIn(newData, table, snap.partitionColumns,
           mappingOf(snap))
-        enforceConstraints(spark, table, added, snap.checkConstraints,
-          mappingOf(snap))
+        enforceConstraints(spark, table, added,
+          snap.checkConstraints ++ genChecks, mappingOf(snap))
         val cdc =
           if (!cdfEnabled(snap)) Nil
           else {
@@ -1187,8 +1297,8 @@ object DeltaTable {
         val added = stageIn(updated, table, snap.partitionColumns,
           mappingOf(snap))
         // a SET can push rows outside the table's CHECK contract
-        enforceConstraints(spark, table, added, snap.checkConstraints,
-          mappingOf(snap))
+        enforceConstraints(spark, table, added,
+          snap.checkConstraints ++ genChecks, mappingOf(snap))
         // CDF: pre- and post-image of every matched row (the post-image
         // re-applies SET over the pre-image — same expressions, same rows)
         val cdc =
@@ -1254,11 +1364,18 @@ object DeltaTable {
     for (_ <- 1 to maxAttempts) {
       val snap = DeltaLog.snapshot(table)
       val target = read(spark, table, Some(snap.version))
+      // GENERATED COLUMNS: a source that omits them gets them computed
+      // (the natural upsert flow — raw rows in, the table derives);
+      // one that provides them validates like a CHECK over the staged
+      // bytes (genChecksM below)
+      val gensM = snap.schemaJson.map(j => GeneratedColumns.of(
+        DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(Nil)
+      val (sourceG, genChecksM) = GeneratedColumns.applyToWrite(source, gensM)
       require(target.schema.fieldNames.sorted.sameElements(
-        source.schema.fieldNames.sorted),
-        s"merge source schema ${source.schema.simpleString} does not match " +
+        sourceG.schema.fieldNames.sorted),
+        s"merge source schema ${sourceG.schema.simpleString} does not match " +
           s"table schema ${target.schema.simpleString}")
-      val srcKeys = source.select(keys.map(col): _*)
+      val srcKeys = sourceG.select(keys.map(col): _*)
       // bind input_file_name to the target scan BEFORE joining — with
       // a file-backed source in the same plan the expression is
       // otherwise ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
@@ -1292,17 +1409,17 @@ object DeltaTable {
       val rewritten =
         if (useDv) {
           // source rows + survivors of the rewrite-fallback files only
-          val src = source.select(target.columns.map(col): _*)
+          val src = sourceG.select(target.columns.map(col): _*)
           if (rewriteFiles.isEmpty) src
           else src.unionByName(
             readTableFiles(spark, table, snap, rewriteFiles.map(f =>
               Paths.get(table).resolve(f.path).toString))
               .join(broadcast(srcKeys), keys, "left_anti"))
         } else touchedRows match {
-          case None => source.select(target.columns.map(col): _*)
+          case None => sourceG.select(target.columns.map(col): _*)
           case Some(tr) =>
             tr.join(broadcast(srcKeys), keys, "left_anti")
-              .unionByName(source.select(tr.columns.map(col): _*))
+              .unionByName(sourceG.select(tr.columns.map(col): _*))
         }
       // a racer may have committed OUR txn version since the entry
       // check (write()'s lesson): skip before staging lands twice
@@ -1314,14 +1431,14 @@ object DeltaTable {
       val added = stageIn(rewritten, table, snap.partitionColumns,
         mappingOf(snap))
       // upserted source rows must honor the table's CHECK contract
-      enforceConstraints(spark, table, added, snap.checkConstraints,
-        mappingOf(snap))
+      enforceConstraints(spark, table, added,
+        snap.checkConstraints ++ genChecksM, mappingOf(snap))
       // CDF: unmatched source rows are inserts; each matched key yields
       // the replaced target row (preimage) + its source row (postimage)
       val cdc =
         if (!cdfEnabled(snap)) Nil
         else {
-          val src = source.select(target.columns.map(col): _*)
+          val src = sourceG.select(target.columns.map(col): _*)
           val tgtKeys = target.select(keys.map(col): _*)
           val inserts = src.join(tgtKeys, keys, "left_anti")
             .withColumn("_change_type", lit("insert"))
@@ -1669,16 +1786,27 @@ object DeltaTable {
     val schema = snap.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType])
     val mapped = ColumnMapping.enabled(snap)
+    // GENERATED PARTITION COLUMNS: a filter on the base column derives
+    // a partition filter on the generated one (monotone shapes only —
+    // see GeneratedColumns.derivePartitionFilters), pruning partitions
+    // the caller's predicate could never reach
+    val withDerived = schema match {
+      case Some(s) if snap.partitionColumns.nonEmpty =>
+        filters ++ GeneratedColumns.derivePartitionFilters(filters, s,
+          snap.partitionColumns, java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone))
+      case _ => filters
+    }
     // Under column mapping, file stats are keyed by PHYSICAL name (they
     // were collected over the staged physical frame) — pushdown filters
     // arrive logical and translate before the skipping consult;
     // untranslatable shapes drop (skipping stays conservative).
     val skipFilters =
-      if (!mapped) filters
+      if (!mapped) withDerived
       else {
         val m = schema.map(ColumnMapping.logicalToPhysical)
           .getOrElse(Map.empty[String, String])
-        filters.flatMap(ColumnMapping.translateFilter(_, m))
+        withDerived.flatMap(ColumnMapping.translateFilter(_, m))
       }
     val skipSchema = schema.map(s =>
       if (mapped) ColumnMapping.physicalSchema(s) else s)
@@ -1983,7 +2111,20 @@ object DeltaTable {
     if (filters.isEmpty) return snap.files
     val numeric: String => Boolean = c =>
       schema.fields.find(_.name == c).exists(_.dataType.isInstanceOf[NumericType])
-    snap.files.filter(f => filters.forall(mayMatch(f.stats, _, numeric)))
+    val typeOf: String => Option[DataType] = c =>
+      schema.fields.find(_.name == c).map(_.dataType)
+    snap.files.filter { f =>
+      // a partition column's value is an exact min=max "stat" for every
+      // row of the file — consulting it makes partition pruning work
+      // through the same Filter path as data skipping (the null
+      // partition's sentinel synthesizes nothing: no stats, kept)
+      val stats =
+        if (f.partitionValues.isEmpty) f.stats
+        else f.stats ++ f.partitionValues.iterator
+          .filter(_._2 != "__HIVE_DEFAULT_PARTITION__")
+          .flatMap { case (k, v) => Seq(s"min.$k" -> v, s"max.$k" -> v) }
+      filters.forall(mayMatch(stats, _, numeric, typeOf))
+    }
   }
 
   /** Ordering on stringified stats. Numeric columns were stringified
@@ -2003,12 +2144,61 @@ object DeltaTable {
       try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
       catch { case _: NumberFormatException => None } // NaN/Inf ⇒ unknown
 
+  /** Render a filter value into the stringified encoding the stats (or
+    * a partition value) use for the column's declared type, so the
+    * [[cmp]] comparison is apples-to-apples. Temporal values need it:
+    * partition values store "yyyy-MM-dd" / "yyyy-MM-dd HH:mm:ss"
+    * strings while filter literals arrive as Catalyst-internal longs /
+    * java.sql types — comparing those raw would WRONGLY prune. Unknown
+    * renderings return None → the comparison abstains → file kept. */
+  private def canonValue(v: Any, dt: Option[DataType]): Option[String] =
+    dt match {
+      case Some(DateType) => v match {
+        case i: Int => Some(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+        case d: java.sql.Date => Some(d.toLocalDate.toString)
+        case d: java.time.LocalDate => Some(d.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      case Some(TimestampType) =>
+        val micros: Option[Long] = v match {
+          case l: Long => Some(l)
+          case t: java.sql.Timestamp => Some(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+          case i: java.time.Instant => Some(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+          case s: String => return Some(s)
+          case _ => None
+        }
+        // sub-second values don't byte-order against the trimmed
+        // partition rendering ("…00.5" vs "…00.25") — abstain there
+        micros.filter(_ % 1000000L == 0).map(us =>
+          java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("uuuu-MM-dd HH:mm:ss")))
+      case Some(_: NumericType) | Some(StringType) => Some(v.toString)
+      case Some(org.apache.spark.sql.types.BooleanType) => Some(v.toString)
+      case _ => None // unknown/unsupported type → abstain
+    }
+
   private def mayMatch(stats: Map[String, String], filter: Filter,
-      numeric: String => Boolean): Boolean = {
+      numeric: String => Boolean,
+      typeOf: String => Option[DataType] = _ => None): Boolean = {
     def mn(c: String) = stats.get(s"min.$c")
     def mx(c: String) = stats.get(s"max.$c")
-    def c2(c: String, v: Any, s: Option[String]) =
-      s.flatMap(cmp(v.toString, _, numeric(c)))
+    def c2(c: String, v: Any, s: Option[String]) = {
+      val t = typeOf(c)
+      val vc =
+        if (t.isEmpty) Some(v.toString) // pre-typed callers (legacy path)
+        else canonValue(v, t)
+      // a timestamp stat with a fractional second doesn't byte-order
+      // against the whole-second rendering — abstain (file kept)
+      val statOk = s.forall(str =>
+        !t.contains(TimestampType) || !str.contains('.'))
+      if (!statOk) None
+      else for (a <- vc; b <- s; r <- cmp(a, b, numeric(c))) yield r
+    }
     filter match {
       case EqualTo(c, v) =>
         c2(c, v, mn(c)).forall(_ >= 0) && c2(c, v, mx(c)).forall(_ <= 0)
@@ -2016,7 +2206,9 @@ object DeltaTable {
       case GreaterThanOrEqual(c, v) => c2(c, v, mx(c)).forall(_ <= 0)
       case LessThan(c, v) => c2(c, v, mn(c)).forall(_ > 0)
       case LessThanOrEqual(c, v) => c2(c, v, mn(c)).forall(_ >= 0)
-      case And(l, r) => mayMatch(stats, l, numeric) && mayMatch(stats, r, numeric)
+      case And(l, r) =>
+        mayMatch(stats, l, numeric, typeOf) &&
+          mayMatch(stats, r, numeric, typeOf)
       case _ => true // unsupported shapes never prune
     }
   }

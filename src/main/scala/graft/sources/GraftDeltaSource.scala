@@ -499,13 +499,33 @@ class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
     })
   }
 
+  /** The committed LOGICAL schema (generation metadata intact) — the
+    * namespace generation expressions and their base columns live in.
+    * Partition columns keep logical==physical names (rename of one is
+    * refused), so filters derived here consult partition values
+    * directly even under column mapping. */
+  private lazy val logicalSchema: StructType =
+    snap.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]).getOrElse(schema)
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // under column mapping the stats are physically keyed; predicates
     // arrive logical and translate before the consult
-    val translated = dataFilters.flatMap(GraftDeltaFileIndex.translate)
-      .flatMap(f =>
-        if (l2p.isEmpty) Some(f) else ColumnMapping.translateFilter(f, l2p))
+    val logical = dataFilters.flatMap(GraftDeltaFileIndex.translate)
+    // GENERATED PARTITION COLUMNS: a pushed filter on the base column
+    // derives a partition filter on the generated one (monotone shapes
+    // only), pruning partitions with zero I/O — the scale payoff of
+    // declaring `event_date` generated instead of hand-computed
+    val derived =
+      if (snap.partitionColumns.isEmpty) Nil
+      else GeneratedColumns.derivePartitionFilters(logical, logicalSchema,
+        snap.partitionColumns, java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    val translated = logical.flatMap(f =>
+      if (l2p.isEmpty) Some(f) else ColumnMapping.translateFilter(f, l2p)) ++
+      derived
     val live = DeltaTable.liveFilesAfterSkipping(snap, translated, schema)
     if (partSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty, live.map(status).toArray))

@@ -2014,4 +2014,188 @@ class DeltaSpec extends SparkSpec {
     intercept[UnsupportedOperationException](
       DeltaTable.delete(spark, t, col("id") === 1))
   }
+
+  // ---------------------------------------------------------------
+  // GENERATED COLUMNS (delta.generationExpression + the
+  // generatedColumns writer feature) — write-side maintenance and the
+  // read-side partition-filter derivation. See GeneratedColumns.scala.
+  // ---------------------------------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def eventsG = Seq(
+    (1L, ts("2024-03-01 10:00:00")),
+    (2L, ts("2024-03-02 09:30:00")),
+    (3L, ts("2024-03-02 23:59:59")),
+    (4L, ts("2024-03-05 01:00:00"))
+  ).toDF("id", "ts")
+
+  private def genTable(): String = {
+    val t = freshTable()
+    DeltaTable.write(eventsG, t, "overwrite",
+      partitionBy = Seq("event_date"),
+      generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"))
+    t
+  }
+
+  test("generated columns: computed at create, inherited by appends, validated when provided") {
+    val t = genTable()
+    val df = DeltaTable.read(spark, t)
+    assert(df.columns.toSeq.sorted === Seq("event_date", "id", "ts"))
+    assert(df.filter(!($"event_date" <=> to_date($"ts"))).count() === 0)
+    // contract in the log: schema metadata + the feature gate
+    val snap = DeltaLog.snapshot(t)
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sch("event_date").metadata.getString("delta.generationExpression")
+      === "CAST(ts AS DATE)")
+    assert(snap.minWriterVersion === 7 &&
+      snap.writerFeatures === Set("generatedColumns"))
+    assert(snap.minReaderVersion === 1) // reader needs nothing new
+    assert(snap.partitionColumns === Seq("event_date"))
+    // append WITHOUT the column: computed, lands in the right partition
+    DeltaTable.write(Seq((5L, ts("2024-03-07 12:00:00"))).toDF("id", "ts"),
+      t, "append")
+    val after = DeltaTable.read(spark, t)
+    assert(after.count() === 5)
+    assert(after.filter($"id" === 5).select($"event_date".cast("string"))
+      .as[String].head() === "2024-03-07")
+    assert(DeltaLog.snapshot(t).files.exists(
+      _.partitionValues.get("event_date").contains("2024-03-07")))
+    // append WITH a consistent value: validated, passes
+    DeltaTable.write(
+      Seq((6L, ts("2024-03-08 00:10:00"), java.sql.Date.valueOf("2024-03-08")))
+        .toDF("id", "ts", "event_date"), t, "append")
+    assert(DeltaTable.read(spark, t).count() === 6)
+    // append WITH a diverging value: refused, nothing committed
+    val v = DeltaTable.latestVersion(t)
+    val e = intercept[IllegalArgumentException](DeltaTable.write(
+      Seq((7L, ts("2024-03-09 00:00:00"), java.sql.Date.valueOf("2024-03-10")))
+        .toDF("id", "ts", "event_date"), t, "append"))
+    assert(e.getMessage.contains("generated column event_date"))
+    assert(DeltaTable.latestVersion(t) === v)
+    assert(DeltaTable.read(spark, t).count() === 6)
+    // appends cannot redeclare the contract
+    intercept[IllegalArgumentException](DeltaTable.write(eventsG, t, "append",
+      generatedColumns = Map("event_date" -> "CAST(ts AS DATE)")))
+  }
+
+  test("generated partition column: a ts-range filter derives partition pruning") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = genTable()
+    val snap = DeltaLog.snapshot(t)
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // API path: DeltaTable.read's skipping consult
+    val fs = Seq(
+      GreaterThanOrEqual("ts", ts("2024-03-02 00:00:00")),
+      LessThan("ts", ts("2024-03-03 00:00:00")))
+    val derived = graft.sources.GeneratedColumns.derivePartitionFilters(
+      fs, sch, snap.partitionColumns, java.time.ZoneId.of("UTC"))
+    assert(derived.nonEmpty, "no derived partition filters")
+    val live = DeltaTable.liveFilesAfterSkipping(snap, fs ++ derived, sch)
+    assert(live.nonEmpty &&
+      live.forall(_.partitionValues.get("event_date").contains("2024-03-02")),
+      s"expected only the 2024-03-02 partition, got " +
+        live.map(_.partitionValues).mkString(","))
+    // relation path: the pushed Catalyst filters reach listFiles and the
+    // scan touches only the one partition's files
+    val q = spark.read.format("delta").load(t)
+      .filter($"ts" >= lit("2024-03-02 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(q.select("id").as[Long].collect().sorted === Array(2L, 3L))
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    val datePart = snap.files.count(
+      _.partitionValues.get("event_date").contains("2024-03-02"))
+    assert(listed.map(_.files.length).sum === datePart,
+      s"scan listed ${listed.map(_.files.length).sum} files, " +
+        s"expected the $datePart of the 2024-03-02 partition")
+  }
+
+  test("partition values answer the skipping consult directly (plain partition filters)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val t = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(t)
+    val snap = DeltaLog.snapshot(t)
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val eq = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(EqualTo("date", "2024-01-15")), sch)
+    assert(eq.forall(_.partitionValues.get("date").contains("2024-01-15"))
+      && eq.nonEmpty)
+    val gt = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(GreaterThan("date", "2024-01-16")), sch)
+    assert(gt.nonEmpty &&
+      gt.forall(_.partitionValues.get("date").contains("2024-01-17")))
+  }
+
+  test("UPDATE recomputes generated columns when a base column moves") {
+    val t = genTable()
+    DeltaTable.update(spark, t, $"id" === 2,
+      Map("ts" -> (col("ts") + expr("INTERVAL 10 DAYS"))))
+    val row = DeltaTable.read(spark, t).filter($"id" === 2)
+      .select($"ts".cast("string"), $"event_date".cast("string"))
+      .as[(String, String)].head()
+    assert(row === ("2024-03-12 09:30:00", "2024-03-12"))
+    // the row physically moved to the recomputed partition
+    assert(DeltaLog.snapshot(t).files.exists(
+      _.partitionValues.get("event_date").contains("2024-03-12")))
+    // every row still honors the invariant
+    assert(DeltaTable.read(spark, t)
+      .filter(!($"event_date" <=> to_date($"ts"))).count() === 0)
+  }
+
+  test("MERGE computes generated columns for a source that omits them, validates provided ones") {
+    val t = genTable()
+    // source without event_date: update id=1 onto a new day + insert id=9
+    DeltaTable.merge(spark, t,
+      Seq((1L, ts("2024-04-01 08:00:00")), (9L, ts("2024-04-02 09:00:00")))
+        .toDF("id", "ts"), Seq("id"))
+    val got = DeltaTable.read(spark, t)
+    assert(got.count() === 5)
+    assert(got.filter(!($"event_date" <=> to_date($"ts"))).count() === 0)
+    assert(got.filter($"id" === 1).select($"event_date".cast("string"))
+      .as[String].head() === "2024-04-01")
+    // a source carrying a diverging value refuses
+    val e = intercept[IllegalArgumentException](DeltaTable.merge(spark, t,
+      Seq((2L, ts("2024-05-01 00:00:00"), java.sql.Date.valueOf("2024-05-09")))
+        .toDF("id", "ts", "event_date"), Seq("id")))
+    assert(e.getMessage.contains("generated column event_date"))
+  }
+
+  test("generation expressions pin their base columns: rename/drop refuse; overwrite guards the contract") {
+    val t = genTable()
+    DeltaTable.enableColumnMapping(t)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTable.renameColumn(t, "ts", "ts2"))
+    assert(e1.getMessage.contains("generated column"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTable.dropColumn(t, "ts"))
+    assert(e2.getMessage.contains("generated column"))
+    // overwrite keeping the generated column but dropping its base
+    val e3 = intercept[IllegalArgumentException](DeltaTable.write(
+      Seq((1L, java.sql.Date.valueOf("2024-03-01"))).toDF("id", "event_date"),
+      t, "overwrite"))
+    assert(e3.getMessage.contains("drops base column"))
+    // overwrite without either: the contract is rewritten away
+    DeltaTable.write(Seq(Tuple1(1L)).toDF("id"), t, "overwrite")
+    assert(graft.sources.GeneratedColumns.of(
+      org.apache.spark.sql.types.DataType.fromJson(
+        DeltaLog.snapshot(t).schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).isEmpty)
+  }
+
+  test("writer gate: legacy writer version 4 (generated+CDF) now passes; 6 still refuses") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+    DeltaTable.write(employee1, t, "append") // maintained -> allowed
+    assert(DeltaTable.read(spark, t).count() === 4)
+  }
 }
