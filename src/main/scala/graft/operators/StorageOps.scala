@@ -579,7 +579,56 @@ object StorageOps {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin
 
+  /** q101 — GENERATED COLUMNS end-to-end ([EXT], the protocol's
+    * `delta.generationExpression`): events land in a delta table whose
+    * `event_date` partition column the TABLE derives (`CAST(ts AS
+    * DATE)`) — the frame never computes it. An UPDATE then shifts one
+    * day's purchases two days forward: the engine recomputes the
+    * generated column and MIGRATES the rows across partition
+    * directories (DeltaSpec proves the mechanics; the oracle proves
+    * the semantics by replaying the shift in SQL). The read filters a
+    * one-week `ts` range — the monotone-shape derivation turns that
+    * into `event_date` partition pruning in the log, the 100 TB reason
+    * this feature exists (DeltaSpec asserts the file-level pruning;
+    * at 30 daily partitions the scan touches 7). */
+  val q101GeneratedPartition: Q = (spark, dir) => {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val t = freshDir("graft-delta-gen")
+    DeltaTable.write(e, t, "overwrite", partitionBy = Seq("event_date"),
+      generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"))
+    DeltaTable.update(spark, t,
+      col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"),
+      Map("ts" -> (col("ts") + expr("INTERVAL 2 DAYS"))))
+    spark.read.format("graft-delta").load(t)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("event_id")).as("max_event"))
+      .orderBy("event_date")
+  }
+
+  val q101Oracle: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'purchase'
+      |              AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |              AND ts < TIMESTAMP '2024-01-11 00:00:00'
+      |         THEN ts + INTERVAL 2 DAY ELSE ts END AS ts
+      |  FROM events)
+      |SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users, MAX(event_id) AS max_event
+      |FROM t
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q101_generated_partition" -> q101GeneratedPartition,
     "q100_dv_delete" -> q100DvDelete,
     "q84_column_mapping" -> q84ColumnMapping,
     "q88_delta_detail" -> q88DeltaDetail,
@@ -602,6 +651,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q101_generated_partition" -> q101Oracle,
     "q100_dv_delete" -> q100Oracle,
     "q84_column_mapping" -> q84Oracle,
     "q88_delta_detail" -> q88Oracle,

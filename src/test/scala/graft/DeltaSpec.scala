@@ -2191,6 +2191,29 @@ class DeltaSpec extends SparkSpec {
         .asInstanceOf[org.apache.spark.sql.types.StructType]).isEmpty)
   }
 
+  test("validator invariant 15: generated columns gate the protocol and match the data") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = genTable()
+    DeltaTable.update(spark, t, $"id" === 2,
+      Map("ts" -> (col("ts") + expr("INTERVAL 3 DAYS"))))
+    def validate(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val (c1, o1) = validate()
+    assert(c1 === 0, s"validator failed on a healthy generated table:\n$o1")
+    // tamper: a protocol downgrade that stops gating the feature must
+    // be flagged — an unaware writer could then break the invariant
+    forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val (c2, o2) = validate()
+    assert(c2 != 0 && o2.contains("generatedColumns"),
+      s"validator missed the ungated generation expressions:\n$o2")
+  }
+
   test("writer gate: legacy writer version 4 (generated+CDF) now passes; 6 still refuses") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")

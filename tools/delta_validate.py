@@ -425,6 +425,54 @@ def validate(table):
                     "list the changeDataFeed writer feature at the features "
                     "gate (writer 7)")
 
+        # -- generated columns (invariant 15): any schema field carrying
+        # delta.generationExpression means the protocol must gate the
+        # generatedColumns writer feature (legacy writer 4 also implies
+        # it) — an unaware writer appending without maintaining the
+        # expression silently breaks the invariant for every consumer.
+        # When the expression is DuckDB-evaluable and the table is not
+        # column-mapped, also spot-check the DATA: no live row may
+        # diverge from its generation expression (partition values are
+        # recovered via hive_partitioning).
+        try:
+            _gen_fields = json.loads(full.schema or "{}").get("fields", [])
+        except Exception:
+            _gen_fields = []
+        gens = [(f["name"], (f.get("metadata") or {}).get(
+            "delta.generationExpression"))
+            for f in _gen_fields
+            if (f.get("metadata") or {}).get("delta.generationExpression")]
+        if gens:
+            pr = full.protocol or {}
+            w = pr.get("minWriterVersion", 0)
+            feats = pr.get("writerFeatures") or []
+            if not (w == 4 or (w >= 7 and "generatedColumns" in feats)):
+                problems.append(
+                    "generation expressions present but the protocol gates "
+                    "neither legacy writer 4 nor the generatedColumns "
+                    "feature (writer 7)")
+            mapped_now = full.config.get("delta.columnMapping.mode") \
+                not in (None, "none")
+            if full.live and not mapped_now:
+                files = [os.path.join(table, p) for p in sorted(full.live)]
+                for g, e in gens:
+                    try:
+                        import duckdb as _dd
+                        bad = _dd.sql(
+                            "SELECT COUNT(*) FROM read_parquet(["
+                            + ",".join("'" + f.replace("'", "''") + "'"
+                                       for f in files)
+                            + "], hive_partitioning=1, union_by_name=1) "
+                            f"WHERE NOT (CAST(\"{g}\" AS VARCHAR) IS NOT "
+                            f"DISTINCT FROM CAST(({e}) AS VARCHAR))"
+                        ).fetchone()[0]
+                        if bad:
+                            problems.append(
+                                f"generated column {g}: {bad} live rows "
+                                f"diverge from its expression ({e})")
+                    except Exception:
+                        pass  # non-DuckDB-evaluable expression: gate-only
+
         # -- column mapping (invariant 10): when
         # delta.columnMapping.mode = name, every schema field carries a
         # unique numeric id and a physicalName, maxColumnId bounds the
