@@ -2067,10 +2067,25 @@ object DeltaTable {
 
   /** One Spark job computing per-staged-file row counts and min/max of
     * every numeric/string column, keyed by file basename. */
+  /** Canonical whole-second UTC rendering for timestamp stats — the
+    * same encoding [[canonValue]] gives filter literals, so the
+    * skipping compare is bytewise sound. min floors to the second and
+    * max CEILS, so the truncation only ever widens the range
+    * (conservative). */
+  private def canonTsStat(t: java.sql.Timestamp, isMin: Boolean): String = {
+    val us = org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    val floor = Math.floorDiv(us, 1000000L) * 1000000L
+    val sec = if (isMin || us == floor) floor else floor + 1000000L
+    java.time.Instant.EPOCH.plus(sec, java.time.temporal.ChronoUnit.MICROS)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("uuuu-MM-dd HH:mm:ss"))
+  }
+
   private def collectStats(spark: SparkSession, staging: String,
       schema: StructType): Map[String, Map[String, String]] = {
     val statCols = schema.fields.filter(f => f.dataType match {
-      case _: NumericType | StringType => true
+      case _: NumericType | StringType | DateType | TimestampType => true
       case _ => false
     })
     val aggs = count(lit(1)).as("n") +: statCols.flatMap(f => Seq(
@@ -2097,7 +2112,22 @@ object DeltaTable {
         if (idx >= 0) full.substring(idx + stagingUri.length + 1)
         else full.split('/').last
       val kv = (1 until r.length).flatMap { i =>
-        Option(r.get(i)).map(v => r.schema(i).name -> v.toString)
+        Option(r.get(i)).map { v =>
+          val name = r.schema(i).name
+          val rendered = v match {
+            // temporal stats store the canonical skipping encodings
+            // (see canonValue); java.sql toString is JVM-zone-dependent
+            // and Timestamp appends ".0", both of which would break the
+            // bytewise compare
+            case t: java.sql.Timestamp =>
+              canonTsStat(t, isMin = name.startsWith("min."))
+            case d: java.sql.Date => java.time.LocalDate.ofEpochDay(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .fromJavaDate(d).toLong).toString
+            case other => other.toString
+          }
+          name -> rendered
+        }
       }.toMap
       file -> kv
     }.toMap
@@ -2122,6 +2152,14 @@ object DeltaTable {
         if (f.partitionValues.isEmpty) f.stats
         else f.stats ++ f.partitionValues.iterator
           .filter(_._2 != "__HIVE_DEFAULT_PARTITION__")
+          // a TIMESTAMP partition value was rendered in the writer's
+          // SESSION zone; canonValue renders filter literals at UTC —
+          // only comparable when the session is UTC (the engine pins
+          // it, but a foreign consumer might not)
+          .filter { case (k, _) =>
+            !typeOf(k).contains(TimestampType) ||
+              org.apache.spark.sql.internal.SQLConf.get
+                .sessionLocalTimeZone == "UTC" }
           .flatMap { case (k, v) => Seq(s"min.$k" -> v, s"max.$k" -> v) }
       filters.forall(mayMatch(stats, _, numeric, typeOf))
     }

@@ -2191,6 +2191,56 @@ class DeltaSpec extends SparkSpec {
         .asInstanceOf[org.apache.spark.sql.types.StructType]).isEmpty)
   }
 
+  test("timestamp/date stats: time-range filters skip files on unpartitioned tables") {
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan}
+    val t = freshTable()
+    // 96 hourly rows over 4 days, range-clustered into 4 files by ts;
+    // one value carries sub-second micros to exercise the max-stat CEIL
+    val df = spark.range(0, 96).select(
+      col("id"),
+      when(col("id") === 95,
+        expr("timestamp_micros(unix_micros(timestampadd(HOUR, 95, " +
+          "TIMESTAMP '2024-03-01 00:00:00')) + 500000)"))
+        .otherwise(expr("timestampadd(HOUR, CAST(id AS INT), " +
+          "TIMESTAMP '2024-03-01 00:00:00')")).as("ts2"),
+      expr("to_date(timestampadd(HOUR, CAST(id AS INT), " +
+        "TIMESTAMP '2024-03-01 00:00:00'))").as("d"))
+      .repartitionByRange(4, col("ts2"))
+    DeltaTable.write(df, t, "overwrite")
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.length === 4)
+    // stats exist in the canonical whole-second / ISO-date renderings
+    val allStats = snap.files.flatMap(f => f.stats.get("min.ts2") ++
+      f.stats.get("max.ts2") ++ f.stats.get("min.d") ++ f.stats.get("max.d"))
+    assert(allStats.nonEmpty && allStats.forall(s => !s.contains('.')),
+      s"non-canonical temporal stats: $allStats")
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // a late-range ts filter prunes to the last file
+    val late = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(GreaterThanOrEqual("ts2", ts("2024-03-04 06:00:00"))), sch)
+    assert(late.length < 4, "ts filter pruned nothing")
+    // the sub-second row survives skipping thanks to the ceiled max
+    val frac = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(GreaterThan("ts2", ts("2024-03-04 23:00:00"))), sch)
+    assert(frac.nonEmpty)
+    assert(spark.read.format("graft-delta").load(t)
+      .filter(col("ts2") > lit("2024-03-04 23:00:00").cast("timestamp"))
+      .count() === 1)
+    // a fractional-second FILTER literal abstains (conservative: keeps all)
+    val abstain = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(GreaterThan("ts2", java.sql.Timestamp.valueOf("2024-03-04 23:00:00.5"))), sch)
+    assert(abstain.length === 4)
+    // date stats prune too
+    val dearly = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(LessThan("d", java.sql.Date.valueOf("2024-03-02"))), sch)
+    assert(dearly.length < 4, "date filter pruned nothing")
+    // and the relation path returns exact results over the pruned scan
+    assert(spark.read.format("graft-delta").load(t)
+      .filter(col("ts2") >= lit("2024-03-04 06:00:00").cast("timestamp"))
+      .count() === 18)
+  }
+
   test("validator invariant 15: generated columns gate the protocol and match the data") {
     import scala.sys.process.{Process, ProcessLogger}
     val t = genTable()
