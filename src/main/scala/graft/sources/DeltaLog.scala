@@ -462,9 +462,14 @@ object DeltaLog {
   /** Commit wall-clock millis per version (from commitInfo), ascending
     * by version — the index behind `timestampAsOf` time travel. A
     * version without commitInfo (foreign/hand-written log) reports
-    * its file's mtime, so the feature degrades instead of failing. */
-  def commitTimestamps(table: String): Seq[(Long, Long)] =
-    versions(table).map { v =>
+    * its file's mtime, so the feature degrades instead of failing.
+    * Timestamps are MONOTONIZED (stock Delta's rule: each commit's
+    * effective timestamp is at least its predecessor's + 1 ms), so
+    * wall-clock skew between writers can never make `timestampAsOf`
+    * resolve non-causally — without this, a query timestamp falling in
+    * a skew window would pick a version whose successor is "older". */
+  def commitTimestamps(table: String): Seq[(Long, Long)] = {
+    val raw = versions(table).map { v =>
       val p = logDir(table).resolve(V.format(v) + ".json")
       val fromInfo = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).iterator.map(Json.parse).collectFirst {
@@ -473,6 +478,11 @@ object DeltaLog {
         }.flatten
       v -> fromInfo.getOrElse(Files.getLastModifiedTime(p).toMillis)
     }
+    raw.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (v, t)) =>
+      acc :+ (v -> acc.lastOption.map(p => math.max(t, p._2 + 1L))
+        .getOrElse(t))
+    }
+  }
 
   /** The latest version committed at or before `millis` (Delta's
     * timestampAsOf resolution). Fails loudly when every retained

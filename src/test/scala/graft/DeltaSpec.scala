@@ -2241,6 +2241,26 @@ class DeltaSpec extends SparkSpec {
       .count() === 18)
   }
 
+  test("timestampAsOf monotonizes skewed commit timestamps") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite") // v0
+    DeltaTable.write(employee1, t, "append")     // v1
+    val v0ts = DeltaLog.commitTimestamps(t).head._2
+    // skew: rewrite v1's commitInfo timestamp to 10 s BEFORE v0's (two
+    // writers with drifted clocks)
+    val p1 = java.nio.file.Paths.get(t, "_delta_log")
+      .resolve(f"${1L}%020d.json")
+    val skewed = new String(Files.readAllBytes(p1), "UTF-8")
+      .replaceFirst("\"timestamp\":\\d+",
+        "\"timestamp\":" + (v0ts - 10000L))
+    Files.write(p1, skewed.getBytes("UTF-8"))
+    val ts = DeltaLog.commitTimestamps(t)
+    assert(ts.map(_._2) === ts.map(_._2).sorted, s"not monotone: $ts")
+    assert(ts(1)._2 === v0ts + 1)
+    assert(DeltaLog.versionAtTimestamp(t, v0ts) === 0L)
+    assert(DeltaLog.versionAtTimestamp(t, v0ts + 1) === 1L)
+  }
+
   test("validator invariant 15: generated columns gate the protocol and match the data") {
     import scala.sys.process.{Process, ProcessLogger}
     val t = genTable()
