@@ -634,9 +634,36 @@ object DeltaTable {
     * old append version's files) must see the rows as they were
     * inserted, not as the CURRENT snapshot's vectors have since marked
     * them (the later delete contributes its own change rows). */
+  /** Whether every requested path sits under the table directory — a
+    * shallow clone's absolute source references don't, and partitioned
+    * reads of those must serve partition values from the LOG (no
+    * common basePath exists for directory inference). */
+  private def allUnderTable(table: String, paths: Seq[String]): Boolean = {
+    val prefix =
+      Paths.get(table).toAbsolutePath.normalize.toString.stripSuffix("/") + "/"
+    paths.forall(p => Paths.get(p).toAbsolutePath.normalize.toString
+      .startsWith(prefix))
+  }
+
+  /** The requested paths' AddFiles, from the snapshot. */
+  private def restrictTo(table: String, snap: DeltaLog.Snapshot,
+      paths: Seq[String]): Seq[DeltaLog.AddFile] = {
+    val wanted = paths.map(p =>
+      Paths.get(p).toAbsolutePath.normalize.toString).toSet
+    snap.files.filter(f => wanted.contains(
+      Paths.get(table).resolve(f.path).toAbsolutePath.normalize.toString))
+  }
+
   private def readTableFiles(spark: SparkSession, table: String,
       snap: DeltaLog.Snapshot, paths: Seq[String],
       applyDv: Boolean = true): DataFrame = {
+    if (snap.partitionColumns.nonEmpty && !allUnderTable(table, paths)) {
+      // shallow-clone shape: log-backed relation (partition values from
+      // the log; the DV-aware format subtracts dead rows in-scan)
+      val sub = restrictTo(table, snap, paths)
+      return GraftDeltaRelation.frame(spark, table, snap.copy(files =
+        if (applyDv) sub else sub.map(_.copy(dv = None))))
+    }
     if (applyDv && snap.files.exists(_.dv.isDefined))
       return readTableFilesWithPos(spark, table, snap, paths)
         .drop(PosFile, PosIdx)
@@ -667,6 +694,17 @@ object DeltaTable {
     * exact shape DV-writing DML needs. */
   private def readTableFilesWithPos(spark: SparkSession, table: String,
       snap: DeltaLog.Snapshot, paths: Seq[String]): DataFrame = {
+    if (snap.partitionColumns.nonEmpty && !allUnderTable(table, paths)) {
+      // shallow-clone shape: plain log-backed scan (DVs stripped so the
+      // physical row index is still visible), then the explicit
+      // subtraction below-equivalent — mirrors the in-table path
+      val sub = restrictTo(table, snap, paths).map(_.copy(dv = None))
+      val raw = GraftDeltaRelation.frame(spark, table,
+        snap.copy(files = sub))
+        .withColumn(PosFile, col("_metadata.file_path"))
+        .withColumn(PosIdx, col("_metadata.row_index"))
+      return subtractDeleted(raw, table, snap)
+    }
     val reader =
       if (snap.partitionColumns.isEmpty) spark.read
       else spark.read.option("basePath", table)
@@ -1058,13 +1096,16 @@ object DeltaTable {
   /** Table-relative path of an executor-reported `input_file_name()`
     * URI, e.g. `file:///…/tbl/date=x/part-0.parquet` → `date=x/part-0
     * .parquet` — the exact string the log's add actions use. */
+  /** A scanned file's LOG path: table-relative for files under the
+    * table directory, verbatim-absolute for files a shallow [[clone]]
+    * references in its source — the string must equal the add action's
+    * `path` so DML remove sets line up. */
   private def relativize(table: String, uri: String): String = {
     val tableAbs = Paths.get(table).toAbsolutePath.normalize.toUri.getPath
       .stripSuffix("/")
     val p = new java.net.URI(uri).getPath
-    require(p.startsWith(tableAbs + "/"),
-      s"file $uri is not under table $table")
-    p.stripPrefix(tableAbs + "/")
+    if (p.startsWith(tableAbs + "/")) p.stripPrefix(tableAbs + "/")
+    else p
   }
 
   /** DELETE rows matching `condition` ([EXT] Delta DML). Touched-file
@@ -2061,6 +2102,46 @@ object DeltaTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** SHALLOW CLONE (the public protocol's `CREATE TABLE … SHALLOW CLONE
+    * src [VERSION AS OF v]`): create `target` as a METADATA-ONLY copy
+    * of `source`'s snapshot — one commit carrying the source's
+    * protocol requirements, schema (generation expressions included),
+    * partition layout and configuration (constraints, CDF/DV flags,
+    * column mapping — the whole table contract), plus one add per live
+    * file REFERENCING the source's bytes by ABSOLUTE path. Zero data
+    * moves: cloning a 100 TB table costs one log write.
+    *
+    * Divergence is copy-on-write by construction: the target's own
+    * writes stage files under the target directory; DML that touches a
+    * source-referenced file removes the absolute REFERENCE (the
+    * source's bytes are never rewritten in place) and stages the
+    * post-image locally. `vacuum(target)` only ever deletes files
+    * under the target directory, so it cannot reach the source;
+    * `vacuum(source)` CAN strand clones (the protocol's documented
+    * shallow-clone caveat — the clone fails loudly at read time).
+    * The target gets a fresh metaData id; the source's history is not
+    * copied (time travel on the target starts at its clone commit,
+    * exactly stock semantics). */
+  def shallowClone(source: String, target: String,
+      versionAsOf: Option[Long] = None): Long = {
+    require(DeltaLog.versions(target).isEmpty,
+      s"clone target already exists: $target")
+    val snap = DeltaLog.snapshot(source, versionAsOf)
+    val srcAbs = Paths.get(source).toAbsolutePath.normalize
+    def abs(p: String): String =
+      if (p.startsWith("/")) p else srcAbs.resolve(p).toString
+    val actions =
+      Seq(DeltaLog.commitInfoAction("CLONE"),
+        DeltaLog.protocolAction(snap.minReaderVersion, snap.minWriterVersion,
+          snap.readerFeatures.toSeq, snap.writerFeatures.toSeq)) ++
+        snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+          DeltaLog.tableId(target), snap.configuration)).toSeq ++
+        snap.files.map(f => DeltaLog.addAction(abs(f.path), f.size, f.stats,
+          f.partitionValues, f.dv.map(d => d.copy(path = abs(d.path)))))
+    Files.createDirectories(Paths.get(target))
+    DeltaLog.commit(target, -1L, actions)
   }
 
   // -- data skipping ---------------------------------------------------

@@ -131,53 +131,8 @@ class GraftDeltaSource extends RelationProvider
     val versionAsOf = versionOpt.orElse(
       tsOpt.map(DeltaLog.versionAtTimestamp(table, _)))
     val snap = DeltaLog.snapshot(table, versionAsOf)
-    val committed = snap.schemaJson
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-      .getOrElse(spark.read.parquet(
-        snap.files.map(f => s"$table/${f.path}"): _*).schema)
-    // COLUMN MAPPING: the relation's user-facing schema is LOGICAL
-    // (mapping metadata stripped); the files store PHYSICAL names. The
-    // translation happens at the two points names actually reach the
-    // bytes: the file index's stats consult (physically-keyed stats)
-    // and the parquet reader construction (MappedParquetFileFormat
-    // hands the reader a physically-renamed requiredSchema — the
-    // returned rows/batches are positional, so nothing downstream
-    // changes). When the mapping is the identity (enabled but no
-    // rename/drop/add yet) the stock format serves unchanged.
-    val mapped = ColumnMapping.enabled(snap)
-    val l2p =
-      if (mapped) ColumnMapping.logicalToPhysical(committed)
-      else Map.empty[String, String]
-    val schema =
-      if (mapped) ColumnMapping.stripMapping(committed) else committed
-    // Partitioned layout: partition columns come out of the log's
-    // metaData, typed by the committed schema; the relation's
-    // dataSchema is the rest (they are not physical parquet columns).
-    // Catalyst then routes partition-key predicates to
-    // GraftDeltaFileIndex.listFiles as partitionFilters — directory-
-    // level pruning before any I/O, same placement as Delta's own.
-    val partitionSchema = StructType(
-      snap.partitionColumns.flatMap(c => schema.fields.find(_.name == c)))
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val skipSchema =
-      if (mapped) ColumnMapping.physicalSchema(committed) else schema
-    val liveDvs = DeletionVectors.liveVectors(table, snap)
-    val fileFormat =
-      if (liveDvs.nonEmpty) new DvParquetFileFormat(l2p, liveDvs)
-      else if (l2p.exists { case (l, p) => l != p })
-        new MappedParquetFileFormat(l2p)
-      else new ParquetFileFormat
-    HadoopFsRelation(
-      location = new GraftDeltaFileIndex(table, snap, skipSchema,
-        partitionSchema, l2p),
-      partitionSchema = partitionSchema,
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = fileFormat,
-      options = Map.empty)(spark)
+    GraftDeltaRelation.relation(spark, table, snap)
   }
-
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val p = path(parameters)
@@ -560,6 +515,70 @@ class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
   override def sizeInBytes: Long = snap.files.map(_.size).sum
 
   override def partitionSchema: StructType = partSchema
+}
+
+/** Builds the log-backed HadoopFsRelation every graft-delta read path
+  * shares: schema from the committed metaData, live files and partition
+  * VALUES served by [[GraftDeltaFileIndex]] straight from the log (zero
+  * directory listing or inference — which is also what lets a shallow
+  * clone's absolute source references scan like any other file), and
+  * the mapped/DV-aware file-format selection. */
+private[sources] object GraftDeltaRelation {
+
+  def relation(spark: SparkSession, table: String,
+      snap: DeltaLog.Snapshot): HadoopFsRelation = {
+    val committed = snap.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(spark.read.parquet(
+        snap.files.map(f => s"$table/${f.path}"): _*).schema)
+    // COLUMN MAPPING: the relation's user-facing schema is LOGICAL
+    // (mapping metadata stripped); the files store PHYSICAL names. The
+    // translation happens at the two points names actually reach the
+    // bytes: the file index's stats consult (physically-keyed stats)
+    // and the parquet reader construction (MappedParquetFileFormat
+    // hands the reader a physically-renamed requiredSchema — the
+    // returned rows/batches are positional, so nothing downstream
+    // changes). When the mapping is the identity (enabled but no
+    // rename/drop/add yet) the stock format serves unchanged.
+    val mapped = ColumnMapping.enabled(snap)
+    val l2p =
+      if (mapped) ColumnMapping.logicalToPhysical(committed)
+      else Map.empty[String, String]
+    val schema =
+      if (mapped) ColumnMapping.stripMapping(committed) else committed
+    // Partitioned layout: partition columns come out of the log's
+    // metaData, typed by the committed schema; the relation's
+    // dataSchema is the rest (they are not physical parquet columns).
+    // Catalyst then routes partition-key predicates to
+    // GraftDeltaFileIndex.listFiles as partitionFilters — directory-
+    // level pruning before any I/O, same placement as Delta's own.
+    val partitionSchema = StructType(
+      snap.partitionColumns.flatMap(c => schema.fields.find(_.name == c)))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val skipSchema =
+      if (mapped) ColumnMapping.physicalSchema(committed) else schema
+    val liveDvs = DeletionVectors.liveVectors(table, snap)
+    val fileFormat =
+      if (liveDvs.nonEmpty) new DvParquetFileFormat(l2p, liveDvs)
+      else if (l2p.exists { case (l, p) => l != p })
+        new MappedParquetFileFormat(l2p)
+      else new ParquetFileFormat
+    HadoopFsRelation(
+      location = new GraftDeltaFileIndex(table, snap, skipSchema,
+        partitionSchema, l2p),
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = fileFormat,
+      options = Map.empty)(spark)
+  }
+
+  /** The relation as a DataFrame (columns: dataSchema then partition
+    * columns, Spark's file-source convention). */
+  def frame(spark: SparkSession, table: String,
+      snap: DeltaLog.Snapshot): DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, table, snap))
 }
 
 object GraftDeltaFileIndex {

@@ -2261,6 +2261,89 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaLog.versionAtTimestamp(t, v0ts + 1) === 1L)
   }
 
+  test("shallow clone: metadata-only copy, copy-on-write divergence, vacuum safety") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val src = freshTable()
+    DeltaTable.write(employees3, src, "overwrite") // v0
+    DeltaTable.write(employee1, src, "append")     // v1
+    val tgt = freshTable()
+    DeltaTable.shallowClone(src, tgt)
+    def parquetsUnder(dir: String): Seq[String] = {
+      val st = Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator.asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toVector
+      } finally st.close()
+    }
+    // zero data bytes moved: the target directory holds no parquet
+    assert(parquetsUnder(tgt).isEmpty)
+    assert(DeltaTable.read(spark, tgt).count() === 4)
+    // version-pinned clone sees the historical snapshot
+    val tgt0 = freshTable()
+    DeltaTable.shallowClone(src, tgt0, Some(0L))
+    assert(DeltaTable.read(spark, tgt0).count() === 3)
+    // copy-on-write divergence: DML on the clone never touches the source
+    val srcFiles = parquetsUnder(src).toSet
+    DeltaTable.delete(spark, tgt, col("id") === 1)
+    assert(DeltaTable.read(spark, tgt).count() === 3)
+    assert(DeltaTable.read(spark, src).count() === 4)
+    assert(parquetsUnder(src).toSet === srcFiles, "source bytes moved")
+    // the clone's own append stages under the clone
+    DeltaTable.write(Seq((9, "Eve", 90000L, "2024-01-19"))
+      .toDF("id", "name", "salary", "date"), tgt, "append")
+    assert(DeltaTable.read(spark, tgt).count() === 4)
+    assert(parquetsUnder(tgt).nonEmpty)
+    // vacuuming the clone cannot reach outside its directory
+    DeltaTable.vacuum(tgt, 1)
+    assert(parquetsUnder(src).toSet === srcFiles)
+    assert(DeltaTable.read(spark, src).count() === 4)
+    assert(DeltaTable.read(spark, tgt).count() === 4)
+    // both tables stay wire-format valid
+    for (t <- Seq(src, tgt)) {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      assert(code === 0, s"delta_validate.py failed on $t:\n$out")
+    }
+  }
+
+  test("shallow clone carries the full table contract") {
+    val src = freshTable()
+    DeltaTable.write(eventsG, src, "overwrite",
+      partitionBy = Seq("event_date"),
+      generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"))
+    DeltaTable.addCheckConstraint(spark, src, "pos_id", "id > 0")
+    val tgt = freshTable()
+    DeltaTable.shallowClone(src, tgt)
+    val snap = DeltaLog.snapshot(tgt)
+    assert(snap.partitionColumns === Seq("event_date"))
+    assert(snap.checkConstraints.map(_._1) === Seq("pos_id"))
+    assert(snap.writerFeatures.contains("generatedColumns"))
+    // appends to the clone keep maintaining generated columns
+    DeltaTable.write(Seq((99L, ts("2024-06-01 00:00:00"))).toDF("id", "ts"),
+      tgt, "append")
+    val got = DeltaTable.read(spark, tgt)
+    assert(got.count() === eventsG.count() + 1)
+    assert(got.filter(!($"event_date" <=> to_date($"ts"))).count() === 0)
+    // and the constraint still gates
+    intercept[IllegalArgumentException](DeltaTable.write(
+      Seq((-5L, ts("2024-06-02 00:00:00"))).toDF("id", "ts"), tgt, "append"))
+    // a generated-partition filter still prunes on cloned (absolute) adds
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val derived = graft.sources.GeneratedColumns.derivePartitionFilters(
+      Seq(GreaterThanOrEqual("ts", ts("2024-06-01 00:00:00"))), sch,
+      snap.partitionColumns, java.time.ZoneId.of("UTC"))
+    val live = DeltaTable.liveFilesAfterSkipping(
+      DeltaLog.snapshot(tgt), derived, sch)
+    assert(live.nonEmpty && live.forall(
+      _.partitionValues.get("event_date").exists(_ >= "2024-06-01")))
+  }
+
   test("validator invariant 15: generated columns gate the protocol and match the data") {
     import scala.sys.process.{Process, ProcessLogger}
     val t = genTable()
