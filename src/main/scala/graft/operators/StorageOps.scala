@@ -627,7 +627,48 @@ object StorageOps {
       |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q102 — SHALLOW CLONE end-to-end ([EXT], the protocol's zero-copy
+    * branching): nation → delta, clone (one metadata commit, zero data
+    * bytes — DeltaSpec proves the target dir holds no parquet), then
+    * DIVERGE the clone only: delete region 0's rows (copy-on-write —
+    * the source-referenced file is dereferenced, survivors re-stage
+    * locally) and append a derived slice. Reading BOTH tables
+    * side-tagged proves the source is byte-untouched while the clone
+    * serves its own lineage — the oracle replays both states in SQL. */
+  val q102ShallowClone: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val src = freshDir("graft-delta-clsrc")
+    DeltaTable.write(n, src, "overwrite")
+    val tgt = freshDir("graft-delta-cltgt")
+    DeltaTable.shallowClone(src, tgt)
+    DeltaTable.delete(spark, tgt, col("n_regionkey") === 0)
+    DeltaTable.write(n.filter(col("n_regionkey") === 1)
+      .withColumn("n_nationkey", col("n_nationkey") + 100), tgt, "append")
+    val s = spark.read.format("graft-delta").load(src)
+      .withColumn("side", lit("source"))
+    val t = spark.read.format("graft-delta").load(tgt)
+      .withColumn("side", lit("clone"))
+    s.unionByName(t).groupBy("side", "n_regionkey")
+      .agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("key_sum"))
+      .orderBy("side", "n_regionkey")
+  }
+
+  val q102Oracle: String =
+    """WITH clone AS (
+      |  SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey <> 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_regionkey FROM nation WHERE n_regionkey = 1),
+      |sides AS (
+      |  SELECT 'source' AS side, n_nationkey, n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT 'clone' AS side, n_nationkey, n_regionkey FROM clone)
+      |SELECT side, n_regionkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      |FROM sides GROUP BY side, n_regionkey
+      |ORDER BY side, n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q102_shallow_clone" -> q102ShallowClone,
     "q101_generated_partition" -> q101GeneratedPartition,
     "q100_dv_delete" -> q100DvDelete,
     "q84_column_mapping" -> q84ColumnMapping,
@@ -651,6 +692,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q102_shallow_clone" -> q102Oracle,
     "q101_generated_partition" -> q101Oracle,
     "q100_dv_delete" -> q100Oracle,
     "q84_column_mapping" -> q84Oracle,
