@@ -149,6 +149,37 @@ class StreamingSpec extends SparkSpec {
     assert(DeltaLog.snapshot(table).txns.nonEmpty)
   }
 
+  test("graft-delta sink into a generated-columns table: micro-batches inherit the contract") {
+    import graft.sources.{DeltaLog, DeltaTable}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-gen")
+    val (table, ckpt) = (s"$base/tbl", s"$base/ckpt")
+    // the table declares its generated partition column up front; the
+    // STREAM never computes it - every micro-batch append inherits the
+    // committed contract through the same write path as batch
+    DeltaTable.write(
+      Seq((0L, ts("2024-01-01 10:00:00"))).toDF("event_id", "ts"),
+      table, "overwrite", partitionBy = Seq("event_date"),
+      generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("event_id", "ts")
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", ckpt)
+      .option("path", table).start()
+    mem.addData((1L, ts("2024-01-02 08:00:00")), (2L, ts("2024-01-03 09:30:00")))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-03 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val df = spark.read.format("graft-delta").load(table)
+    assert(df.select("event_id").as[Long].collect().sorted ===
+      Array(0L, 1L, 2L, 3L))
+    assert(df.filter(!($"event_date" <=> org.apache.spark.sql.functions.to_date($"ts"))).count() === 0)
+    // the generated values landed as real partitions in the log
+    assert(DeltaLog.snapshot(table).files.exists(
+      _.partitionValues.get("event_date").contains("2024-01-03")))
+  }
+
   test("graft-delta sink: replayed micro-batch commits exactly once") {
     import graft.sources.{DeltaTable, GraftDeltaStreamSink}
     val t = java.nio.file.Files.createTempDirectory("graft-sink-replay")
