@@ -946,6 +946,70 @@ object DeltaTable {
     * write(…, "overwrite") would retry by removing the newest files
     * while writing only the old rows — silently dropping the race's
     * appends.) */
+  /** OPTIMIZE WHERE (stock Delta's partition-scoped compaction): only
+    * partitions whose VALUES satisfy `where` rewrite — at 100 TB the
+    * operational shape is "compact yesterday's partition after the
+    * day's streaming ingest", never a full-table rewrite. `where` must
+    * reference partition columns only (an exact consult — partition
+    * values are min=max stats; a data-column predicate would make the
+    * selection approximate and the rewrite scope nondeterministic,
+    * hence refused loudly). Each selected partition compacts to one
+    * file; untouched partitions' files never move (spec-proven
+    * byte-identical). Selected partitions whose layout is already
+    * optimal (one file, no deletion vectors) are skipped, so the call
+    * is idempotent. Layout-only: every file action carries
+    * `dataChange=false`, streams and the change feed skip the version.
+    */
+  def compactWhere(spark: SparkSession, table: String,
+      where: Seq[Filter]): Long = {
+    require(where.nonEmpty,
+      "compactWhere needs at least one partition predicate; " +
+        "use compact() for the whole table")
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      require(snap.partitionColumns.nonEmpty,
+        s"compactWhere($table): table is not partitioned")
+      val refs = where.flatMap(_.references).distinct
+      val nonPartition = refs.filterNot(snap.partitionColumns.contains)
+      require(nonPartition.isEmpty,
+        s"compactWhere($table): predicate references non-partition " +
+          s"column(s) ${nonPartition.mkString(",")}; the rewrite scope " +
+          "must be exact, so only partition columns may appear")
+      val schema = snap.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      // exact selection: partition values answer the consult as
+      // min=max stats, and the predicate references nothing else
+      val selected = liveFilesAfterSkipping(snap, where, schema)
+      val work = selected.groupBy(_.partitionValues).filter {
+        case (_, fs) => fs.length > 1 || fs.exists(_.dv.isDefined)
+      }.values.flatten.toSeq.sortBy(_.path)
+      if (work.isEmpty) return snap.version
+      val rows = readTableFiles(spark, table, snap,
+        work.map(f => Paths.get(table).resolve(f.path).toString))
+        .repartition(snap.partitionColumns.map(col): _*)
+      val added = stageIn(rows, table, snap.partitionColumns,
+        mappingOf(snap))
+      val actions =
+        Seq(DeltaLog.commitInfoAction("COMPACT WHERE")) ++
+          snap.schemaJson.map(DeltaLog.metaDataAction(_,
+            snap.partitionColumns, DeltaLog.tableId(table),
+            snap.configuration)) ++
+          work.map(f => DeltaLog.removeAction(f.path, dataChange = false)) ++
+          added.map(f => DeltaLog.addAction(f.path, f.size, f.stats,
+            f.partitionValues, dataChange = false))
+      try return gatedCommit(table, snap, actions)
+      catch {
+        case _: IllegalStateException =>
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+      }
+    }
+    throw new IllegalStateException(
+      s"compactWhere($table): lost the commit race $maxAttempts times")
+  }
+
   def compact(spark: SparkSession, table: String,
       maxFileBytes: Long = 128L << 20): Long = {
     val maxAttempts = 8

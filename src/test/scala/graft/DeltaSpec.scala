@@ -2344,6 +2344,50 @@ class DeltaSpec extends SparkSpec {
       _.partitionValues.get("event_date").exists(_ >= "2024-06-01")))
   }
 
+  test("OPTIMIZE WHERE: only the selected partitions compact, the rest are byte-identical") {
+    import org.apache.spark.sql.sources.EqualTo
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(t)
+    employees3.write.format("graft-delta").mode("append").save(t)
+    employees3.write.format("graft-delta").mode("append").save(t)
+    val before = DeltaLog.snapshot(t)
+    def filesOf(snap: graft.sources.DeltaLog.Snapshot, date: String) =
+      snap.files.filter(_.partitionValues.get("date").contains(date))
+        .map(_.path).sorted
+    assert(filesOf(before, "2024-01-15").length === 3)
+    DeltaTable.compactWhere(spark, t, Seq(EqualTo("date", "2024-01-15")))
+    val after = DeltaLog.snapshot(t)
+    assert(filesOf(after, "2024-01-15").length === 1)
+    // the other partitions' files never moved
+    for (d <- Seq("2024-01-16", "2024-01-17"))
+      assert(filesOf(after, d) === filesOf(before, d))
+    // rows intact, layout-only commit
+    assert(DeltaTable.read(spark, t).count() === 9)
+    assert(spark.read.format("graft-delta").load(t)
+      .filter($"date" === "2024-01-15").count() === 3)
+    val lastLog = java.nio.file.Paths.get(t, "_delta_log")
+      .resolve(f"${after.version}%020d.json")
+    val lines = new String(Files.readAllBytes(lastLog), "UTF-8")
+    assert(!lines.contains("\"dataChange\":true"),
+      "OPTIMIZE WHERE must be layout-only")
+    // idempotent: a second call commits nothing
+    assert(DeltaTable.compactWhere(spark, t,
+      Seq(EqualTo("date", "2024-01-15"))) === after.version)
+    // predicates on non-partition columns refuse loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.compactWhere(spark, t, Seq(EqualTo("salary", 75000L))))
+    assert(e.getMessage.contains("non-partition"))
+    // wire format stays valid
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code === 0, s"delta_validate.py failed:\n$out")
+  }
+
   test("validator invariant 15: generated columns gate the protocol and match the data") {
     import scala.sys.process.{Process, ProcessLogger}
     val t = genTable()
