@@ -2310,6 +2310,29 @@ class DeltaSpec extends SparkSpec {
     }
   }
 
+  test("vacuuming the clone's SOURCE strands the clone LOUDLY, never silently") {
+    val src = freshTable()
+    DeltaTable.write(employees3, src, "overwrite") // v0
+    DeltaTable.write(employee1, src, "append")     // v1
+    val tgt = freshTable()
+    DeltaTable.shallowClone(src, tgt, Some(0L))    // references v0's files
+    DeltaTable.write(employee1, src, "overwrite")  // v2: v0 files now dead
+    assert(DeltaTable.read(spark, tgt).count() === 3) // still served
+    DeltaTable.vacuum(src, 1) // deletes v0/v1 files (protocol caveat)
+    // the clone's next read must FAIL, not fabricate or drop rows
+    val e = intercept[Exception](DeltaTable.read(spark, tgt).count())
+    assert(e.getMessage != null)
+    // and the independent validator flags the dangling references
+    import scala.sys.process.{Process, ProcessLogger}
+    val out = new StringBuilder
+    val code = Process(Seq("python3",
+      new java.io.File("tools/delta_validate.py").getAbsolutePath, tgt))
+      .!(ProcessLogger(s => out.append(s).append('\n'),
+        s => out.append(s).append('\n')))
+    assert(code != 0 && out.toString.contains("missing on disk"),
+      s"validator must flag the stranded clone:\n$out")
+  }
+
   test("shallow clone carries the full table contract") {
     val src = freshTable()
     DeltaTable.write(eventsG, src, "overwrite",

@@ -133,6 +133,108 @@ class DeltaStressSpec extends SparkSpec {
     }
   }
 
+  /** Generated-partition composition torture: appends that never name
+    * the partition column x a partition-MIGRATING update (the SET moves
+    * ts, the engine recomputes event_date and relocates the rows) x
+    * partition-scoped OPTIMIZE WHERE x shallow clones taken mid-race x
+    * feature upgrades. The schedule-independent invariants:
+    *
+    *   1. versions gap-free, every version replays and reads;
+    *   2. the GENERATION invariant holds at EVERY version — no
+    *      committed snapshot ever contains a row whose event_date
+    *      diverges from CAST(ts AS DATE);
+    *   3. no append is ever lost (updates move rows, never drop them);
+    *   4. the independent validator (invariant 15 included) accepts
+    *      the final history, and every mid-race clone still reads.
+    */
+  test("generated-partition torture: appends x migrating update x " +
+      "compactWhere x clone validate at every seed") {
+    import org.apache.spark.sql.sources.EqualTo
+    for (seed <- 0 until 10) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-genstress-$seed")
+      val t = base.resolve("t").toString
+      def mkTs(day: Int, id: Long) = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00").getTime +
+          (id % 86400L) * 1000L)
+      DeltaTable.write(
+        (0L until 10L).map(i => (i, mkTs(1 + (i % 3).toInt, i)))
+          .toDF("id", "ts").coalesce(1),
+        t, "overwrite", partitionBy = Seq("event_date"),
+        generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"))
+      val schedules = (0 until 3).map { w =>
+        val rnd = new scala.util.Random(seed * 577 + w)
+        (0 until 4).map(_ => rnd.nextInt(6)).toList
+      }
+      val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val clones = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (0 until 3).map { w =>
+        Future {
+          val rnd = new scala.util.Random(seed * 7919 + w)
+          for ((op, i) <- schedules(w).zipWithIndex) {
+            val idBase = 1000L + (seed.toLong * 100 + w * 25 + i * 5)
+            try op match {
+              case 0 | 1 => // append WITHOUT the generated column
+                DeltaTable.write(
+                  (idBase until idBase + 3)
+                    .map(id => (id, mkTs(1 + rnd.nextInt(5), id)))
+                    .toDF("id", "ts"), t, "append")
+                (idBase until idBase + 3).foreach(appended.add)
+              case 2 => // partition-migrating update: +2 days
+                val victim = 1000L + rnd.nextInt(2000)
+                DeltaTable.update(spark, t,
+                  col("id").between(victim, victim + 49),
+                  Map("ts" -> (col("ts") + expr("INTERVAL 2 DAYS"))))
+              case 3 =>
+                DeltaTable.compactWhere(spark, t, Seq(EqualTo("event_date",
+                  f"2024-01-${1 + rnd.nextInt(5)}%02d")))
+              case 4 =>
+                val c = base.resolve(s"clone-$w-$i").toString
+                DeltaTable.shallowClone(t, c)
+                clones.add(c)
+              case 5 => if ((seed + w + i) % 2 == 0)
+                DeltaTable.setTableProperty(
+                  t, "delta.enableChangeDataFeed", "true")
+                else DeltaTable.enableDeletionVectors(t)
+            } catch {
+              case _: IllegalStateException => aborted.incrementAndGet()
+              case _: IllegalArgumentException => aborted.incrementAndGet()
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 300.seconds)
+      val vs = DeltaLog.versions(t)
+      assert(vs === (0L until vs.length.toLong),
+        s"seed $seed: torn version sequence $vs")
+      for (v <- vs) {
+        val snap = DeltaLog.snapshot(t, Some(v))
+        assert(snap.version === v)
+        // the generation invariant holds at EVERY committed version
+        val bad = DeltaTable.read(spark, t, Some(v))
+          .filter(!($"event_date" <=>
+            org.apache.spark.sql.functions.to_date($"ts"))).count()
+        assert(bad === 0L,
+          s"seed $seed v$v: $bad rows diverge from the generation expr")
+      }
+      // no append lost (updates migrate rows, never drop them)
+      import scala.jdk.CollectionConverters._
+      val finalIds = DeltaTable.read(spark, t)
+        .select("id").as[Long].collect().toSet
+      val lost = appended.asScala.toSet -- finalIds
+      assert(lost.isEmpty,
+        s"seed $seed: appended rows lost: ${lost.toSeq.sorted.take(10)} " +
+          s"(aborted ops: ${aborted.get()})")
+      // every mid-race clone still reads (its snapshot is immutable)
+      clones.asScala.foreach(c =>
+        assert(DeltaTable.read(spark, c).count() >= 10))
+      runValidator(t)
+    }
+  }
+
   /** The append-only gate under contention: writers toggle
     * `delta.appendOnly` while others delete/update/append/compact.
     * Enforcement is race-safe through the optimistic commit — a DML
