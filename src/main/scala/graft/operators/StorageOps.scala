@@ -667,7 +667,48 @@ object StorageOps {
       |FROM sides GROUP BY side, n_regionkey
       |ORDER BY side, n_regionkey""".stripMargin
 
+  /** q103 — IDENTITY COLUMNS end-to-end ([EXT], the protocol's
+    * engine-assigned surrogate keys, legacy writer 6 / the
+    * `identityColumns` feature): nation lands WITHOUT the key; the
+    * table assigns `sk` (START WITH 1000 INCREMENT BY 10) in input
+    * order — deterministic here because the fixture is sorted into one
+    * partition, so the oracle can replay the numbering as ROW_NUMBER.
+    * A MERGE then proves the two hard guarantees: the matched row
+    * KEEPS its surrogate key while its payload updates, and the insert
+    * draws the next value beyond the committed high-water mark. */
+  val q103Identity: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"))
+      .orderBy("n_nationkey").coalesce(1)
+    val t = freshDir("graft-delta-id")
+    DeltaTable.write(n, t, "overwrite",
+      identityColumns = Map("sk" -> ((1000L, 10L))))
+    DeltaTable.merge(spark, t,
+      spark.createDataFrame(Seq((0, "ALGERIA_RENAMED"), (900, "ATLANTIS")))
+        .toDF("n_nationkey", "n_name").coalesce(1),
+      Seq("n_nationkey"))
+    spark.read.format("graft-delta").load(t)
+      .select("sk", "n_nationkey", "n_name").orderBy("sk")
+  }
+
+  /** Nation is 25 rows at every SF (TPC-H fixed table), so the
+    * insert's surrogate key is the literal 1000 + 10*25. */
+  val q103Oracle: String =
+    """WITH base AS (
+      |  SELECT 1000 + 10*(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1)
+      |    AS sk, n_nationkey, n_name FROM nation),
+      |merged AS (
+      |  SELECT sk, n_nationkey,
+      |    CASE WHEN n_nationkey = 0 THEN 'ALGERIA_RENAMED' ELSE n_name END
+      |      AS n_name
+      |  FROM base
+      |  UNION ALL SELECT 1250, 900, 'ATLANTIS')
+      |SELECT CAST(sk AS BIGINT) AS sk, n_nationkey, n_name
+      |FROM merged ORDER BY sk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q103_identity" -> q103Identity,
     "q102_shallow_clone" -> q102ShallowClone,
     "q101_generated_partition" -> q101GeneratedPartition,
     "q100_dv_delete" -> q100DvDelete,
@@ -692,6 +733,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q103_identity" -> q103Oracle,
     "q102_shallow_clone" -> q102Oracle,
     "q101_generated_partition" -> q101Oracle,
     "q100_dv_delete" -> q100Oracle,

@@ -93,7 +93,7 @@ object DeltaLog {
   val SupportedWriterVersion = 7
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++
     Set("checkConstraints", "changeDataFeed", "appendOnly",
-      "generatedColumns")
+      "generatedColumns", "identityColumns")
 
   /** Reader-side protocol gate — runs on every snapshot replay, so an
     * unreadable table fails loudly everywhere (read, stream, DML — a
@@ -118,12 +118,10 @@ object DeltaLog {
 
   /** Writer-side protocol gate, called with the snapshot a commit was
     * derived from plus the commit's own actions. Refuses: writer
-    * versions above the features gate; legacy version 6 (identity-
-    * column maintenance this engine does not implement — a writer may
-    * always refuse, and silently NOT maintaining a feature corrupts
-    * the table for other clients; version 4's generated columns + CDF
-    * ARE maintained, so 4 passes);
-    * unsupported listed writer features; and — the one ENFORCED
+    * versions above the features gate; unsupported listed writer
+    * features (the full legacy ladder 1-6 passes — generated columns,
+    * CDF, column mapping and identity columns are all maintained);
+    * and — the one ENFORCED
     * behavioral feature — `delta.appendOnly=true` tables reject any
     * commit carrying a data-changing remove (DELETE/UPDATE/MERGE/
     * overwrite/RESTORE), while appends and layout-only OPTIMIZE/ZORDER
@@ -135,16 +133,12 @@ object DeltaLog {
         s"cannot write $table: its protocol demands minWriterVersion=" +
           s"${snap.minWriterVersion}; this engine implements " +
           s"$SupportedWriterVersion")
-    // legacy writer version 4 (generated columns + change data feed) is
-    // MAINTAINED by this engine since round 9 — see GeneratedColumns and
-    // the CDF sidecar path; version 6 still refuses: identity-column
-    // maintenance is not implemented, and silently not maintaining a
-    // feature corrupts the table for other clients
-    if (snap.minWriterVersion == 6)
-      throw new UnsupportedOperationException(
-        s"cannot write $table: legacy minWriterVersion=6 implies " +
-          "identity-column maintenance this engine does not implement; " +
-          "writing anyway would silently break the table's contract")
+    // the whole legacy writer ladder is MAINTAINED since round 9:
+    // version 4's generated columns + change data feed (GeneratedColumns
+    // + the CDF sidecar path), version 5's column mapping, and version
+    // 6's identity columns (IdentityColumns — engine-assigned values,
+    // high-water mark advanced with every commit); nothing left to
+    // refuse below the features gate
     val unknown = snap.writerFeatures -- SupportedWriterFeatures
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"cannot write $table: it lists writer features " +

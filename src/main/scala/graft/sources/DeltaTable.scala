@@ -57,14 +57,41 @@ object DeltaTable {
     * streaming sink's replayed micro-batch relies on. The check runs
     * inside the optimistic-retry loop against the freshest snapshot,
     * so two racing replays of the same batch commit exactly once. */
-  /** `generatedColumns` = column → generation expression, declared at
+  /** Thrown internally when an identity-assigning append loses the
+    * commit race to ANOTHER assigner: the staged values were numbered
+    * from a stale high-water mark, so the whole write redoes (fresh
+    * mark, fresh staging). Never escapes [[write]]. */
+  private final class IdentityRangeConflict extends RuntimeException
+
+  /** `generatedColumns` = column → generation expression,
+    * `identityColumns` = column → (start, step); both declared at
     * table (re)definition time (overwrite/create only — appends and the
     * streaming sink inherit the committed contract). See
-    * [[GeneratedColumns]] for the maintained invariant. */
+    * [[GeneratedColumns]] / [[IdentityColumns]] for the maintained
+    * invariants. */
   def write(df0: DataFrame, table: String, mode: String,
       mergeSchema: Boolean = false, partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      generatedColumns: Map[String, String] = Map.empty): Long = {
+      generatedColumns: Map[String, String] = Map.empty,
+      identityColumns: Map[String, (Long, Long)] = Map.empty): Long = {
+    var attempt = 0
+    while (true) {
+      try return writeOnce(df0, table, mode, mergeSchema, partitionBy,
+        txn, generatedColumns, identityColumns)
+      catch {
+        case _: IdentityRangeConflict if attempt < 8 =>
+          attempt += 1
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def writeOnce(df0: DataFrame, table: String, mode: String,
+      mergeSchema: Boolean, partitionBy: Seq[String],
+      txn: Option[(String, Long)],
+      generatedColumns: Map[String, String],
+      identityColumns: Map[String, (Long, Long)]): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     for ((appId, version) <- txn) {
       val already = DeltaLog.versions(table).nonEmpty &&
@@ -106,7 +133,36 @@ object DeltaTable {
           }
         generatedColumns.toSeq.sortBy(_._1) ++ carried
       }
-    val (df, genChecks) = GeneratedColumns.applyToWrite(df0, gens)
+    val (dfG, genChecks) = GeneratedColumns.applyToWrite(df0, gens)
+    // IDENTITY COLUMNS: resolve the specs this write assigns under —
+    // appends inherit (values continue beyond the committed high-water
+    // mark); an overwrite (re)declares via the parameter and carries
+    // prior specs forward WITH their marks (monotonic across rewrites,
+    // so ids handed out before the overwrite never get reissued).
+    val priorIdSpecs: Seq[IdentityColumns.Spec] =
+      if (DeltaLog.versions(table).isEmpty) Nil
+      else DeltaLog.snapshot(table).schemaJson
+        .map(j => IdentityColumns.of(
+          DataType.fromJson(j).asInstanceOf[StructType]))
+        .getOrElse(Nil)
+    val idSpecs: Seq[IdentityColumns.Spec] =
+      if (mode == "append") {
+        require(identityColumns.isEmpty,
+          s"graft-delta append to $table: identityColumns are declared " +
+            "at table (re)definition (overwrite); appends inherit them")
+        priorIdSpecs
+      } else {
+        identityColumns.toSeq.sortBy(_._1).map { case (c, (start, step)) =>
+          require(step != 0, s"identity column $c: step must be nonzero")
+          IdentityColumns.Spec(c, start, step, None)
+        } ++ priorIdSpecs.filterNot(s => identityColumns.contains(s.col))
+          .filter(s => !dfG.columns.contains(s.col))
+      }
+    val (df, idHwms) = idSpecs.foldLeft((dfG, Map.empty[String, Long])) {
+      case ((d, hwms), s) =>
+        val (d2, hwm) = IdentityColumns.assign(d, s)
+        (d2, hwms + (s.col -> hwm))
+    }
     require(partitionBy.forall(c => df.schema.fieldNames.contains(c)),
       s"partitionBy columns ${partitionBy.mkString(",")} must exist in the schema")
     // Partition-layout resolution: an overwrite defines the layout (it
@@ -258,30 +314,65 @@ object DeltaTable {
               "(racing schema evolution); re-run the append")
         }
       }
-      // generated-column metadata rides the committed schema, and the
-      // protocol must GATE the feature from the commit that introduces
-      // it (legacy writer 4 / feature "generatedColumns") — a
-      // gens-unaware writer appending without maintaining the invariant
-      // would silently break every consumer that trusts it
-      val genSchema =
-        if (gens.isEmpty) tableSchema
-        else GeneratedColumns.annotate(tableSchema, gens.toMap)
+      // IDENTITY range race: if another assigner advanced the mark
+      // since our values were numbered, the staged bytes collide with
+      // its range — redo the whole write against the fresh mark
+      if (idSpecs.nonEmpty && mode == "append") {
+        val freshBases = prior.flatMap(_.schemaJson)
+          .map(j => IdentityColumns.of(
+            DataType.fromJson(j).asInstanceOf[StructType]))
+          .getOrElse(Nil).map(s => s.col -> s.base).toMap
+        if (idSpecs.exists(s => freshBases.get(s.col).exists(_ != s.base))) {
+          added.foreach(f =>
+            Files.deleteIfExists(Paths.get(table).resolve(f.path)))
+          throw new IdentityRangeConflict
+        }
+      }
+      // generated-column + identity metadata ride the committed schema
+      // (identity with the ADVANCED high-water mark — monotone even
+      // against a racing overwrite), and the protocol must GATE each
+      // feature from the commit that introduces it — an unaware writer
+      // appending without maintaining the invariant would silently
+      // break every consumer that trusts it
+      val genSchema = {
+        val g = if (gens.isEmpty) tableSchema
+          else GeneratedColumns.annotate(tableSchema, gens.toMap)
+        if (idSpecs.isEmpty) g
+        else {
+          val priorHwm = prior.flatMap(_.schemaJson)
+            .map(j => IdentityColumns.of(
+              DataType.fromJson(j).asInstanceOf[StructType]))
+            .getOrElse(Nil).flatMap(s => s.hwm.map(s.col -> _)).toMap
+          IdentityColumns.annotate(g, idSpecs.map { s =>
+            val merged = (idHwms.get(s.col), priorHwm.get(s.col)) match {
+              case (Some(a), Some(b)) =>
+                if (s.step > 0) math.max(a, b) else math.min(a, b)
+              case (a, b) => a.orElse(b).getOrElse(s.base)
+            }
+            s.copy(hwm = Some(merged))
+          })
+        }
+      }
+      val neededFeatures =
+        (if (gens.nonEmpty) Set(GeneratedColumns.Feature)
+         else Set.empty[String]) ++
+          (if (idSpecs.nonEmpty) Set(IdentityColumns.Feature)
+           else Set.empty[String])
       val protocolActions =
         if (readVersion == -1L)
-          Seq(if (gens.isEmpty) DeltaLog.protocolAction()
-          else DeltaLog.protocolAction(1, 7, Nil,
-            Seq(GeneratedColumns.Feature)))
-        else if (gens.nonEmpty && prior.exists(p =>
-            p.minWriterVersion != 4 &&
-              !p.writerFeatures.contains(GeneratedColumns.Feature)))
+          Seq(if (neededFeatures.isEmpty) DeltaLog.protocolAction()
+          else DeltaLog.protocolAction(1, 7, Nil, neededFeatures.toSeq))
+        else if (neededFeatures.nonEmpty && prior.exists(p =>
+            !(neededFeatures -- p.writerFeatures -- legacyImplied(p))
+              .isEmpty))
           Seq(DeltaLog.protocolAction(
             prior.get.minReaderVersion,
             math.max(prior.get.minWriterVersion, 7),
             if (prior.get.minReaderVersion >= 3)
               prior.get.readerFeatures.toSeq else Nil,
             (prior.get.writerFeatures ++
-              activeLegacyWriterFeatures(prior.get) +
-              GeneratedColumns.Feature).toSeq))
+              activeLegacyWriterFeatures(prior.get) ++
+              neededFeatures).toSeq))
         else Nil
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
@@ -486,7 +577,22 @@ object DeltaTable {
         Set("appendOnly") else Set.empty) ++
       (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty) ++
       (if (GeneratedColumns.anyIn(snap.schemaJson))
-        Set(GeneratedColumns.Feature) else Set.empty)
+        Set(GeneratedColumns.Feature) else Set.empty) ++
+      (if (IdentityColumns.anyIn(snap.schemaJson))
+        Set(IdentityColumns.Feature) else Set.empty)
+
+  /** Writer features a LEGACY minWriterVersion already implies (the
+    * protocol's version ladder) — no features-gate raise is needed
+    * when the ladder covers the feature. */
+  private def legacyImplied(snap: DeltaLog.Snapshot): Set[String] =
+    snap.minWriterVersion match {
+      case 4 => Set(GeneratedColumns.Feature, "changeDataFeed")
+      case 5 => Set(GeneratedColumns.Feature, "changeDataFeed",
+        "columnMapping")
+      case 6 => Set(GeneratedColumns.Feature, "changeDataFeed",
+        "columnMapping", IdentityColumns.Feature)
+      case _ => Set.empty
+    }
 
   /** ALTER TABLE SET delta.enableDeletionVectors = true: DELETEs stop
     * rewriting touched files and instead mark dead rows in sidecar
@@ -1295,6 +1401,13 @@ object DeltaTable {
       // explicitly validates like a CHECK (col <=> expr) instead
       val gensU = snap.schemaJson.map(j => GeneratedColumns.of(
         DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(Nil)
+      // identity columns are engine-owned: a SET may never touch one
+      val idColsU = snap.schemaJson.map(j => IdentityColumns.of(
+        DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(Nil)
+        .map(_.col).filter(set.contains)
+      require(idColsU.isEmpty,
+        s"update cannot SET identity column(s) ${idColsU.mkString(",")}: " +
+          "GENERATED ALWAYS values are engine-assigned")
       val genRecompute = gensU.filterNot { case (g, _) => set.contains(g) }
       val genChecks = gensU.filter { case (g, _) => set.contains(g) }
         .map { case (g, e) => s"generated column $g" -> s"`$g` <=> ($e)" }
@@ -1476,11 +1589,44 @@ object DeltaTable {
       val gensM = snap.schemaJson.map(j => GeneratedColumns.of(
         DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(Nil)
       val (sourceG, genChecksM) = GeneratedColumns.applyToWrite(source, gensM)
+      // IDENTITY COLUMNS: the source must omit them (GENERATED ALWAYS).
+      // Matched rows KEEP the target's identity (one broadcast join of
+      // the small source against the target's key+id projection);
+      // inserts get fresh values beyond the mark, which commits
+      // advanced in this merge's own metaData.
+      val idSpecsM = snap.schemaJson.map(j => IdentityColumns.of(
+        DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(Nil)
+      val (sourceI, idHwmsM) =
+        if (idSpecsM.isEmpty) (sourceG, Map.empty[String, Long])
+        else {
+          val idCols = idSpecsM.map(_.col)
+          val provided = idCols.filter(sourceG.columns.contains)
+          require(provided.isEmpty,
+            s"merge source provides identity column(s) " +
+              s"${provided.mkString(",")}: GENERATED ALWAYS values are " +
+              "engine-assigned; omit them")
+          val badKeys = idCols.intersect(keys)
+          require(badKeys.isEmpty,
+            s"merge keys ${badKeys.mkString(",")} are identity columns " +
+              "the source cannot carry; merge on a natural key instead")
+          val tgtKeyed = target.select((keys ++ idCols).map(col): _*)
+          val matched = tgtKeyed.join(broadcast(sourceG), keys, "inner")
+          val insertsRaw = sourceG.join(
+            tgtKeyed.select(keys.map(col): _*), keys, "left_anti")
+          val (inserted, hwms) = idSpecsM.foldLeft(
+            (insertsRaw, Map.empty[String, Long])) { case ((d, m), sp) =>
+              val (d2, h) = IdentityColumns.assign(d, sp)
+              (d2, m + (sp.col -> h))
+          }
+          (matched.select(target.columns.map(col): _*)
+            .unionByName(inserted.select(target.columns.map(col): _*)),
+            hwms)
+        }
       require(target.schema.fieldNames.sorted.sameElements(
-        sourceG.schema.fieldNames.sorted),
-        s"merge source schema ${sourceG.schema.simpleString} does not match " +
+        sourceI.schema.fieldNames.sorted),
+        s"merge source schema ${sourceI.schema.simpleString} does not match " +
           s"table schema ${target.schema.simpleString}")
-      val srcKeys = sourceG.select(keys.map(col): _*)
+      val srcKeys = sourceI.select(keys.map(col): _*)
       // bind input_file_name to the target scan BEFORE joining — with
       // a file-backed source in the same plan the expression is
       // otherwise ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
@@ -1514,17 +1660,17 @@ object DeltaTable {
       val rewritten =
         if (useDv) {
           // source rows + survivors of the rewrite-fallback files only
-          val src = sourceG.select(target.columns.map(col): _*)
+          val src = sourceI.select(target.columns.map(col): _*)
           if (rewriteFiles.isEmpty) src
           else src.unionByName(
             readTableFiles(spark, table, snap, rewriteFiles.map(f =>
               Paths.get(table).resolve(f.path).toString))
               .join(broadcast(srcKeys), keys, "left_anti"))
         } else touchedRows match {
-          case None => sourceG.select(target.columns.map(col): _*)
+          case None => sourceI.select(target.columns.map(col): _*)
           case Some(tr) =>
             tr.join(broadcast(srcKeys), keys, "left_anti")
-              .unionByName(sourceG.select(tr.columns.map(col): _*))
+              .unionByName(sourceI.select(tr.columns.map(col): _*))
         }
       // a racer may have committed OUR txn version since the entry
       // check (write()'s lesson): skip before staging lands twice
@@ -1543,7 +1689,7 @@ object DeltaTable {
       val cdc =
         if (!cdfEnabled(snap)) Nil
         else {
-          val src = sourceG.select(target.columns.map(col): _*)
+          val src = sourceI.select(target.columns.map(col): _*)
           val tgtKeys = target.select(keys.map(col): _*)
           val inserts = src.join(tgtKeys, keys, "left_anti")
             .withColumn("_change_type", lit("insert"))
@@ -1557,9 +1703,16 @@ object DeltaTable {
           }
           stageCdc(inserts.unionByName(matched), table, mappingOf(snap))
         }
+      val mergeSchemaJson = snap.schemaJson.map { j =>
+        if (idHwmsM.isEmpty) j
+        else IdentityColumns.annotate(
+          DataType.fromJson(j).asInstanceOf[StructType],
+          idSpecsM.map(sp => sp.copy(hwm =
+            Some(idHwmsM.getOrElse(sp.col, sp.base))))).json
+      }
       val actions =
         Seq(DeltaLog.commitInfoAction("MERGE")) ++
-          snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+          mergeSchemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
             DeltaLog.tableId(table), snap.configuration)) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++

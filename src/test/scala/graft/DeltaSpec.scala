@@ -1946,14 +1946,13 @@ class DeltaSpec extends SparkSpec {
     assert(e2.getMessage.contains("rowTracking"))
   }
 
-  test("writer gate: legacy writer versions 4/6 refuse (generated/identity)") {
+  test("writer gate: the whole legacy ladder passes now that v6's features are maintained") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
     forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
     assert(DeltaTable.read(spark, t).count() === 3)
-    val e = intercept[UnsupportedOperationException](
-      DeltaTable.write(employee1, t, "append"))
-    assert(e.getMessage.contains("identity-column"))
+    DeltaTable.write(employee1, t, "append") // identity+gens+CDF+mapping all maintained
+    assert(DeltaTable.read(spark, t).count() === 4)
   }
 
   test("delta.appendOnly: appends + layout-only OPTIMIZE pass, data removes refuse") {
@@ -2409,6 +2408,115 @@ class DeltaSpec extends SparkSpec {
       .!(ProcessLogger(s => out.append(s).append('\n'),
         s => out.append(s).append('\n')))
     assert(code === 0, s"delta_validate.py failed:\n$out")
+  }
+
+  // ---------------------------------------------------------------
+  // IDENTITY COLUMNS (delta.identity.* + the identityColumns writer
+  // feature): engine-assigned surrogate keys. See IdentityColumns.scala.
+  // ---------------------------------------------------------------
+
+  test("identity columns: engine-assigned values, high-water continuation, ALWAYS enforced") {
+    val t = freshTable()
+    DeltaTable.write(Seq("a", "b", "c").toDF("name").coalesce(1),
+      t, "overwrite", identityColumns = Map("id" -> ((100L, 10L))))
+    val got = DeltaTable.read(spark, t)
+      .select("name", "id").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 100L, "b" -> 110L, "c" -> 120L))
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.minWriterVersion === 7 &&
+      snap.writerFeatures.contains("identityColumns"))
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val md = sch("id").metadata
+    assert(md.getLong("delta.identity.start") === 100L)
+    assert(md.getLong("delta.identity.step") === 10L)
+    assert(md.getLong("delta.identity.highWaterMark") === 120L)
+    // appends inherit and continue beyond the mark
+    DeltaTable.write(Seq("d", "e").toDF("name").coalesce(1), t, "append")
+    val after = DeltaTable.read(spark, t)
+      .select("id").as[Long].collect().sorted
+    assert(after === Array(100L, 110L, 120L, 130L, 140L))
+    // a frame PROVIDING the column is refused (GENERATED ALWAYS)
+    val e = intercept[IllegalArgumentException](DeltaTable.write(
+      Seq(("f", 999L)).toDF("name", "id"), t, "append"))
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // UPDATE may not SET an identity column
+    val e2 = intercept[IllegalArgumentException](DeltaTable.update(
+      spark, t, $"name" === "a", Map("id" -> lit(7L))))
+    assert(e2.getMessage.contains("identity"))
+  }
+
+  test("identity columns: MERGE keeps matched ids, assigns fresh to inserts") {
+    val t = freshTable()
+    DeltaTable.write(Seq("a", "b", "c").toDF("name").coalesce(1),
+      t, "overwrite", identityColumns = Map("id" -> ((1L, 1L))))
+    DeltaTable.merge(spark, t,
+      Seq("b", "z").toDF("name").coalesce(1), Seq("name"))
+    val got = DeltaTable.read(spark, t)
+      .select("name", "id").as[(String, Long)].collect().toMap
+    assert(got("a") === 1L && got("b") === 2L && got("c") === 3L,
+      s"matched/unmatched target rows must keep their ids: $got")
+    assert(got("z") === 4L, s"insert must take the next value: $got")
+    // the mark advanced in the merge's own commit
+    val sch = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaLog.snapshot(t).schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sch("id").metadata.getLong("delta.identity.highWaterMark") === 4L)
+    // a source carrying the identity column is refused
+    val e = intercept[IllegalArgumentException](DeltaTable.merge(spark, t,
+      Seq(("q", 50L)).toDF("name", "id"), Seq("name")))
+    assert(e.getMessage.contains("identity"))
+  }
+
+  test("identity columns: concurrent appends never collide") {
+    val t = freshTable()
+    DeltaTable.write(Seq("seed").toDF("name").coalesce(1),
+      t, "overwrite", identityColumns = Map("id" -> ((1L, 1L))))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 3).map { w =>
+      Future {
+        for (i <- 0 until 3)
+          DeltaTable.write(
+            Seq(s"w$w-$i-x", s"w$w-$i-y").toDF("name").coalesce(1),
+            t, "append")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val ids = DeltaTable.read(spark, t).select("id").as[Long].collect()
+    assert(ids.length === 1 + 18)
+    assert(ids.distinct.length === ids.length,
+      s"identity values collided: ${ids.sorted.mkString(",")}")
+    // all on the lattice and within the committed mark
+    val sch = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaLog.snapshot(t).schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val hwm = sch("id").metadata.getLong("delta.identity.highWaterMark")
+    assert(ids.forall(i => i >= 1L && i <= hwm))
+  }
+
+  test("validator invariant 16: identity columns gate the protocol and respect the mark") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = freshTable()
+    DeltaTable.write(Seq("a", "b", "c").toDF("name").coalesce(1),
+      t, "overwrite", identityColumns = Map("id" -> ((5L, 5L))))
+    DeltaTable.write(Seq("d").toDF("name"), t, "append")
+    def validate(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val (c1, o1) = validate()
+    assert(c1 === 0, s"validator failed on a healthy identity table:\n$o1")
+    // tamper: drop the protocol gate -> flagged
+    forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val (c2, o2) = validate()
+    assert(c2 != 0 && o2.contains("identityColumns"),
+      s"validator missed the ungated identity metadata:\n$o2")
   }
 
   test("validator invariant 15: generated columns gate the protocol and match the data") {

@@ -473,6 +473,54 @@ def validate(table):
                     except Exception:
                         pass  # non-DuckDB-evaluable expression: gate-only
 
+        # -- identity columns (invariant 16): identity metadata means
+        # the protocol must gate the identityColumns writer feature
+        # (legacy writer 6 also implies it); every live value must lie
+        # on the start + k*step lattice and within the committed
+        # high-water mark — a writer assigning past the mark (or off
+        # the lattice) has broken the surrogate-key contract.
+        idents = [(f["name"], (f.get("metadata") or {}))
+                  for f in _gen_fields
+                  if (f.get("metadata") or {}).get("delta.identity.start")
+                  is not None]
+        if idents:
+            pr = full.protocol or {}
+            w = pr.get("minWriterVersion", 0)
+            feats = pr.get("writerFeatures") or []
+            if not (w == 6 or (w >= 7 and "identityColumns" in feats)):
+                problems.append(
+                    "identity metadata present but the protocol gates "
+                    "neither legacy writer 6 nor the identityColumns "
+                    "feature (writer 7)")
+            mapped_now = full.config.get("delta.columnMapping.mode") \
+                not in (None, "none")
+            if full.live and not mapped_now:
+                files = [os.path.join(table, p) for p in sorted(full.live)]
+                flist = ",".join("'" + f.replace("'", "''") + "'"
+                                 for f in files)
+                for g, md in idents:
+                    start = md.get("delta.identity.start")
+                    step = md.get("delta.identity.step", 1)
+                    hwm = md.get("delta.identity.highWaterMark")
+                    try:
+                        import duckdb as _dd
+                        reach = ("" if hwm is None else
+                                 (f" OR \"{g}\" > {hwm}" if step > 0
+                                  else f" OR \"{g}\" < {hwm}"))
+                        bad = _dd.sql(
+                            f"SELECT COUNT(*) FROM read_parquet([{flist}], "
+                            "hive_partitioning=1, union_by_name=1) "
+                            f"WHERE (\"{g}\" - {start}) % {step} != 0"
+                            + reach).fetchone()[0]
+                        if bad:
+                            problems.append(
+                                f"identity column {g}: {bad} live values "
+                                f"off the lattice (start {start} step "
+                                f"{step}) or beyond the high-water mark "
+                                f"{hwm}")
+                    except Exception:
+                        pass  # unreadable: gate-only
+
         # -- column mapping (invariant 10): when
         # delta.columnMapping.mode = name, every schema field carries a
         # unique numeric id and a physicalName, maxColumnId bounds the
