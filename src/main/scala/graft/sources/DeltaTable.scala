@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DateType, LongType, NumericType, StringType, StructField, StructType, TimestampType}
 
 /** Spark-facing Delta-equivalent table API (SURVEY.md §7-D): versioned
@@ -2542,6 +2542,13 @@ object DeltaTable {
       case GreaterThanOrEqual(c, v) => c2(c, v, mx(c)).forall(_ <= 0)
       case LessThan(c, v) => c2(c, v, mn(c)).forall(_ > 0)
       case LessThanOrEqual(c, v) => c2(c, v, mn(c)).forall(_ >= 0)
+      // IN-list: keep the file unless EVERY value provably misses the
+      // [min,max] range (a null in the list is unknowable → keep)
+      case In(c, vs) =>
+        vs.isEmpty || vs.exists { v =>
+          v == null ||
+            !(c2(c, v, mn(c)).exists(_ < 0) || c2(c, v, mx(c)).exists(_ > 0))
+        }
       case And(l, r) =>
         mayMatch(stats, l, numeric, typeOf) &&
           mayMatch(stats, r, numeric, typeOf)

@@ -606,6 +606,24 @@ object GraftDeltaFileIndex {
     case CLt(Literal(v, _), a: Attribute) => Some(GreaterThan(a.name, v))
     case CLe(a: Attribute, Literal(v, _)) => Some(LessThanOrEqual(a.name, v))
     case CLe(Literal(v, _), a: Attribute) => Some(GreaterThanOrEqual(a.name, v))
+    // IN-lists: the planner materializes small ones as In(attr, lits)
+    // and larger ones as InSet — both skip files whose [min,max] miss
+    // every value (the q47/q77 pushed-isin fetch shape, now pruned at
+    // the FILE level before the parquet reader sees row groups)
+    case in: org.apache.spark.sql.catalyst.expressions.In =>
+      in.value match {
+        case a: Attribute
+            if in.list.forall(_.isInstanceOf[Literal]) && in.list.nonEmpty =>
+          Some(org.apache.spark.sql.sources.In(a.name,
+            in.list.map(_.asInstanceOf[Literal].value).toArray))
+        case _ => None
+      }
+    case is: org.apache.spark.sql.catalyst.expressions.InSet =>
+      is.child match {
+        case a: Attribute =>
+          Some(org.apache.spark.sql.sources.In(a.name, is.hset.toArray))
+        case _ => None
+      }
     case _ => None
   }
 }

@@ -2240,6 +2240,54 @@ class DeltaSpec extends SparkSpec {
       .count() === 18)
   }
 
+  test("IN-list filters skip files at the stats consult and partition level") {
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    // 4 range-clustered files over id 0..99
+    DeltaTable.write(spark.range(0, 100).toDF("id")
+      .repartitionByRange(4, col("id")), t, "overwrite")
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.length === 4)
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // two nearby keys: both live in one range file
+    val hit = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(In("id", Array(3L, 7L))), sch)
+    assert(hit.length === 1, s"IN-list pruned to ${hit.length} files")
+    // spread keys touch two files, never all four
+    val spread = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(In("id", Array(3L, 97L))), sch)
+    assert(spread.length === 2)
+    // a null in the list keeps candidates conservative, loses no rows
+    val withNull = DeltaTable.liveFilesAfterSkipping(snap,
+      Seq(In("id", Array(3L, null))), sch)
+    assert(withNull.length === 4)
+    // end-to-end: the relation's isin scan lists only the hit files
+    val q = spark.read.format("graft-delta").load(t)
+      .filter(col("id").isin(3L, 7L))
+    assert(q.select("id").as[Long].collect().sorted === Array(3L, 7L))
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(listed.map(_.files.length).sum === 1,
+      s"isin scan listed ${listed.map(_.files.length).sum} files, expected 1")
+    // partition values answer IN too
+    val tp = freshTable()
+    employees3.write.format("graft-delta").partitionBy("date")
+      .mode("overwrite").save(tp)
+    val snapP = DeltaLog.snapshot(tp)
+    val schP = org.apache.spark.sql.types.DataType.fromJson(snapP.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val pin = DeltaTable.liveFilesAfterSkipping(snapP,
+      Seq(In("date", Array("2024-01-15", "2024-01-17"))), schP)
+    assert(pin.nonEmpty && pin.forall(f =>
+      Set("2024-01-15", "2024-01-17")
+        .contains(f.partitionValues("date"))))
+  }
+
   test("timestampAsOf monotonizes skewed commit timestamps") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite") // v0
