@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CatalystLiteral}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DateType, MetadataBuilder,
   StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -267,6 +267,14 @@ private[graft] object GeneratedColumns {
         s.render(v, zoneV).map(LessThanOrEqual(g, _))
       case LessThanOrEqual(c, v) if c == s.base =>
         s.render(v, zoneV).map(LessThanOrEqual(g, _))
+      case In(c, vs) if c == s.base && vs.nonEmpty =>
+        // every value must render, else the derived IN would wrongly
+        // exclude the partitions of the unrendered ones
+        val rendered = vs.toSeq.map(v =>
+          if (v == null) None else s.render(v, zoneV))
+        if (rendered.forall(_.isDefined))
+          Some(In(g, rendered.map(_.get).toArray))
+        else None
       case And(l, r) => (derive(l, g, s), derive(r, g, s)) match {
         case (Some(a), Some(b)) => Some(And(a, b))
         case (a, b) => a.orElse(b)

@@ -2098,6 +2098,16 @@ class DeltaSpec extends SparkSpec {
       live.forall(_.partitionValues.get("event_date").contains("2024-03-02")),
       s"expected only the 2024-03-02 partition, got " +
         live.map(_.partitionValues).mkString(","))
+    // an IN-list on the base column derives an IN on the partition
+    val inDerived = graft.sources.GeneratedColumns.derivePartitionFilters(
+      Seq(org.apache.spark.sql.sources.In("ts",
+        Array(ts("2024-03-01 10:00:00"), ts("2024-03-05 01:00:00")))),
+      sch, snap.partitionColumns, java.time.ZoneId.of("UTC"))
+    val inLive = DeltaTable.liveFilesAfterSkipping(snap, inDerived, sch)
+    assert(inLive.nonEmpty && inLive.forall(f =>
+      Set("2024-03-01", "2024-03-05")
+        .contains(f.partitionValues("event_date"))),
+      s"IN derivation missed: ${inLive.map(_.partitionValues)}")
     // relation path: the pushed Catalyst filters reach listFiles and the
     // scan touches only the one partition's files
     val q = spark.read.format("delta").load(t)
