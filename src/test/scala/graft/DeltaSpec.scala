@@ -2160,6 +2160,22 @@ class DeltaSpec extends SparkSpec {
       .filter(!($"event_date" <=> to_date($"ts"))).count() === 0)
   }
 
+  test("CDF images carry recomputed generated values through an UPDATE") {
+    val t = genTable()
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true")
+    val v0 = DeltaTable.latestVersion(t)
+    DeltaTable.update(spark, t, $"id" === 2,
+      Map("ts" -> (col("ts") + expr("INTERVAL 10 DAYS"))))
+    val feed = DeltaTable.changes(spark, t, v0 + 1, v0 + 1)
+      .filter($"id" === 2)
+      .select($"_change_type", $"event_date".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(feed === Map(
+      "update_preimage" -> "2024-03-02",
+      "update_postimage" -> "2024-03-12"),
+      s"post-image must carry the RECOMPUTED generated value: $feed")
+  }
+
   test("MERGE computes generated columns for a source that omits them, validates provided ones") {
     val t = genTable()
     // source without event_date: update id=1 onto a new day + insert id=9
