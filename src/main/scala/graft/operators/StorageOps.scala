@@ -688,24 +688,28 @@ object StorageOps {
       spark.createDataFrame(Seq((0, "ALGERIA_RENAMED"), (900, "ATLANTIS")))
         .toDF("n_nationkey", "n_name").coalesce(1),
       Seq("n_nationkey"))
+    // nation is 25 rows at every SF, so the pre-merge mark is the
+    // literal 1240; the insert's key is beyond it but (by the identity
+    // contract) not a specific value — gaps are protocol-legal — so
+    // the projection tags post-mark keys instead of printing them
     spark.read.format("graft-delta").load(t)
-      .select("sk", "n_nationkey", "n_name").orderBy("sk")
+      .select(col("n_nationkey"), col("n_name"),
+        when(col("sk") <= 1240L, col("sk")).otherwise(lit(-1L)).as("sk_tag"))
+      .orderBy("n_nationkey")
   }
 
-  /** Nation is 25 rows at every SF (TPC-H fixed table), so the
-    * insert's surrogate key is the literal 1000 + 10*25. */
   val q103Oracle: String =
     """WITH base AS (
       |  SELECT 1000 + 10*(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1)
-      |    AS sk, n_nationkey, n_name FROM nation),
+      |    AS sk_tag, n_nationkey, n_name FROM nation),
       |merged AS (
-      |  SELECT sk, n_nationkey,
+      |  SELECT sk_tag, n_nationkey,
       |    CASE WHEN n_nationkey = 0 THEN 'ALGERIA_RENAMED' ELSE n_name END
       |      AS n_name
       |  FROM base
-      |  UNION ALL SELECT 1250, 900, 'ATLANTIS')
-      |SELECT CAST(sk AS BIGINT) AS sk, n_nationkey, n_name
-      |FROM merged ORDER BY sk""".stripMargin
+      |  UNION ALL SELECT -1, 900, 'ATLANTIS')
+      |SELECT n_nationkey, n_name, CAST(sk_tag AS BIGINT) AS sk_tag
+      |FROM merged ORDER BY n_nationkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q103_identity" -> q103Identity,

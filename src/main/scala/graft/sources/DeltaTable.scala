@@ -158,11 +158,8 @@ object DeltaTable {
         } ++ priorIdSpecs.filterNot(s => identityColumns.contains(s.col))
           .filter(s => !dfG.columns.contains(s.col))
       }
-    val (df, idHwms) = idSpecs.foldLeft((dfG, Map.empty[String, Long])) {
-      case ((d, hwms), s) =>
-        val (d2, hwm) = IdentityColumns.assign(d, s)
-        (d2, hwms + (s.col -> hwm))
-    }
+    val df = idSpecs.foldLeft(dfG) { case (d, s) =>
+      IdentityColumns.assign(d, s) }
     require(partitionBy.forall(c => df.schema.fieldNames.contains(c)),
       s"partitionBy columns ${partitionBy.mkString(",")} must exist in the schema")
     // Partition-layout resolution: an overwrite defines the layout (it
@@ -220,6 +217,23 @@ object DeltaTable {
           (Some(StructType(fields)), Some(maxId))
       }
     val added = stageIn(df, table, effectivePartitionBy, writeMapping)
+    // the high-water mark each identity column actually LANDED, from
+    // the staged files' stats (fallback: one bounded agg over the
+    // staged bytes when stats collection was skipped)
+    val idHwms: Map[String, Long] = idSpecs.map { s =>
+      val phys = writeMapping
+        .map(m => ColumnMapping.logicalToPhysical(m).getOrElse(s.col, s.col))
+        .getOrElse(s.col)
+      val hwm = IdentityColumns.hwmFromStats(added.map(_.stats), phys, s.step)
+        .orElse {
+          if (added.isEmpty) None
+          else Option(df.sparkSession.read.parquet(added.map(f =>
+              Paths.get(table).resolve(f.path).toString): _*)
+            .agg(if (s.step > 0) max(col(phys)) else min(col(phys)))
+            .head().get(0)).map(_.asInstanceOf[Long])
+        }.getOrElse(s.base)
+      s.col -> hwm
+    }.toMap
     // CHECK constraints gate every row-introducing write. Validate
     // against the snapshot visible now; the retry loop re-validates
     // against each fresher snapshot, so a constraint whose ALTER wins
@@ -1596,8 +1610,8 @@ object DeltaTable {
       // advanced in this merge's own metaData.
       val idSpecsM = snap.schemaJson.map(j => IdentityColumns.of(
         DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(Nil)
-      val (sourceI, idHwmsM) =
-        if (idSpecsM.isEmpty) (sourceG, Map.empty[String, Long])
+      val sourceI =
+        if (idSpecsM.isEmpty) sourceG
         else {
           val idCols = idSpecsM.map(_.col)
           val provided = idCols.filter(sourceG.columns.contains)
@@ -1613,14 +1627,10 @@ object DeltaTable {
           val matched = tgtKeyed.join(broadcast(sourceG), keys, "inner")
           val insertsRaw = sourceG.join(
             tgtKeyed.select(keys.map(col): _*), keys, "left_anti")
-          val (inserted, hwms) = idSpecsM.foldLeft(
-            (insertsRaw, Map.empty[String, Long])) { case ((d, m), sp) =>
-              val (d2, h) = IdentityColumns.assign(d, sp)
-              (d2, m + (sp.col -> h))
-          }
-          (matched.select(target.columns.map(col): _*)
-            .unionByName(inserted.select(target.columns.map(col): _*)),
-            hwms)
+          val inserted = idSpecsM.foldLeft(insertsRaw) { case (d, sp) =>
+            IdentityColumns.assign(d, sp) }
+          matched.select(target.columns.map(col): _*)
+            .unionByName(inserted.select(target.columns.map(col): _*))
         }
       require(target.schema.fieldNames.sorted.sameElements(
         sourceI.schema.fieldNames.sorted),
@@ -1681,6 +1691,29 @@ object DeltaTable {
         (f, DeletionVectors.write(table, ndv)) }
       val added = stageIn(rewritten, table, snap.partitionColumns,
         mappingOf(snap))
+      // the mark each identity column LANDED at, from the staged stats
+      // (survivor rows sit at or below the prior mark, so the max over
+      // ALL staged rows is exactly the new mark; monotone vs prior)
+      val idHwmsM: Map[String, Long] = idSpecsM.map { sp =>
+        val phys = mappingOf(snap)
+          .map(m => ColumnMapping.logicalToPhysical(m)
+            .getOrElse(sp.col, sp.col)).getOrElse(sp.col)
+        val landed = IdentityColumns
+          .hwmFromStats(added.map(_.stats), phys, sp.step)
+          .orElse {
+            if (added.isEmpty) None
+            else Option(spark.read.parquet(added.map(f =>
+                Paths.get(table).resolve(f.path).toString): _*)
+              .agg(if (sp.step > 0) max(col(phys)) else min(col(phys)))
+              .head().get(0)).map(_.asInstanceOf[Long])
+          }.getOrElse(sp.base)
+        sp.col -> (sp.hwm match {
+          case Some(prev) =>
+            if (sp.step > 0) math.max(landed, prev)
+            else math.min(landed, prev)
+          case None => landed
+        })
+      }.toMap
       // upserted source rows must honor the table's CHECK contract
       enforceConstraints(spark, table, added,
         snap.checkConstraints ++ genChecksM, mappingOf(snap))

@@ -82,12 +82,20 @@ private[graft] object IdentityColumns {
   }
 
   /** Assign values for `spec` to every row of `df` (which must omit
-    * the column): appended as a non-null BIGINT column, values
-    * `base + step*(1..n)` in partition order. Returns the frame and
-    * the new high-water mark. Zero-copy per row (InternalRow append via
-    * [[org.apache.spark.sql.GraftSqlBridge]]); one extra narrow count
-    * job over the input. */
-  def assign(df: DataFrame, spec: Spec): (DataFrame, Long) = {
+    * the column): appended as a non-null BIGINT column. Allocation is
+    * an INTERLEAVED lattice — partition `p` of `N` takes
+    * `base + step*(1 + p + k*N)` for its k-th row — which is
+    * collision-free by construction no matter how many rows each
+    * partition yields, so a non-deterministic source (or a recount
+    * drifting between planning and execution) can never mint
+    * duplicates, and no extra counting pass runs at all. Gaps are
+    * protocol-legal. Single-partition frames get the contiguous
+    * numbering (N=1 degenerates to base + step*k). The new high-water
+    * mark is read back from the STAGED files' own stats after the
+    * write ([[hwmFromStats]]) — the values that actually landed, not a
+    * prediction. Zero-copy per row (InternalRow append via
+    * [[org.apache.spark.sql.GraftSqlBridge]]). */
+  def assign(df: DataFrame, spec: Spec): DataFrame = {
     require(!df.columns.contains(spec.col),
       s"identity column ${spec.col} is GENERATED ALWAYS: the engine " +
         "assigns its values; remove the column from the frame")
@@ -96,27 +104,35 @@ private[graft] object IdentityColumns {
     val outSchema = StructType(df.schema.fields :+
       StructField(spec.col, LongType, nullable = false))
     val rdd0 = df.queryExecution.toRdd
-    val counts: Array[Long] = spark.sparkContext.runJob(rdd0,
-      (it: Iterator[InternalRow]) => {
-        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
-      })
-    val offsets = counts.scanLeft(0L)(_ + _)
+    val nPart = math.max(1, rdd0.getNumPartitions)
     val base = spec.base
     val step = spec.step
     val nCols = inTypes.length
     val assigned = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      var k = offsets(pid)
+      var k = -1L
       it.map { r =>
         k += 1
         val vals = new Array[Any](nCols + 1)
         var i = 0
         while (i < nCols) { vals(i) = r.get(i, inTypes(i)); i += 1 }
-        vals(nCols) = base + step * k
+        vals(nCols) = base + step * (1L + pid + k * nPart)
         new GenericInternalRow(vals): InternalRow
       }
     }
-    val total = offsets.last
-    (org.apache.spark.sql.GraftSqlBridge.batchDataFrame(
-      spark, assigned, outSchema), base + step * total)
+    org.apache.spark.sql.GraftSqlBridge.batchDataFrame(
+      spark, assigned, outSchema)
+  }
+
+  /** The high-water mark actually LANDED for `col` across staged
+    * files, from their collected stats (physically keyed under column
+    * mapping — pass the physical name). None when no file carries a
+    * stat for the column (empty write, or stats collection failed) —
+    * the caller falls back to reading the staged bytes. */
+  def hwmFromStats(stats: Seq[Map[String, String]], col: String,
+      step: Long): Option[Long] = {
+    val key = if (step > 0) s"max.$col" else s"min.$col"
+    val vs = stats.flatMap(_.get(key)).flatMap(_.toLongOption)
+    if (vs.isEmpty) None
+    else Some(if (step > 0) vs.max else vs.min)
   }
 }
