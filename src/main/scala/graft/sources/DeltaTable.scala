@@ -60,8 +60,30 @@ object DeltaTable {
   /** Thrown internally when an identity-assigning append loses the
     * commit race to ANOTHER assigner: the staged values were numbered
     * from a stale high-water mark, so the whole write redoes (fresh
-    * mark, fresh staging). Never escapes [[write]]. */
+    * mark, fresh staging). [[write]] absorbs up to 8 of these before
+    * surfacing a descriptive IllegalStateException. */
   private final class IdentityRangeConflict extends RuntimeException
+
+  /** The high-water mark an identity column actually LANDED across the
+    * staged files, from their collected stats (physically keyed under
+    * column mapping); falls back to one bounded agg over the staged
+    * bytes when stats collection was skipped, and to the pre-write
+    * base for an empty staging. */
+  private def landedHwm(spark: SparkSession, table: String,
+      added: Seq[DeltaLog.AddFile], spec: IdentityColumns.Spec,
+      mapping: Option[StructType]): Long = {
+    val phys = mapping
+      .map(m => ColumnMapping.logicalToPhysical(m)
+        .getOrElse(spec.col, spec.col)).getOrElse(spec.col)
+    IdentityColumns.hwmFromStats(added.map(_.stats), phys, spec.step)
+      .orElse {
+        if (added.isEmpty) None
+        else Option(spark.read.parquet(added.map(f =>
+            Paths.get(table).resolve(f.path).toString): _*)
+          .agg(if (spec.step > 0) max(col(phys)) else min(col(phys)))
+          .head().get(0)).map(_.asInstanceOf[Long])
+      }.getOrElse(spec.base)
+  }
 
   /** `generatedColumns` = column → generation expression,
     * `identityColumns` = column → (start, step); both declared at
@@ -79,8 +101,12 @@ object DeltaTable {
       try return writeOnce(df0, table, mode, mergeSchema, partitionBy,
         txn, generatedColumns, identityColumns)
       catch {
-        case _: IdentityRangeConflict if attempt < 8 =>
+        case _: IdentityRangeConflict =>
           attempt += 1
+          if (attempt >= 8) throw new IllegalStateException(
+            s"graft-delta write to $table: lost the identity range " +
+              s"race $attempt times (sustained contention between " +
+              "assigning writers); retry the write")
           Thread.sleep(5L * attempt)
       }
     }
@@ -93,11 +119,15 @@ object DeltaTable {
       generatedColumns: Map[String, String],
       identityColumns: Map[String, (Long, Long)]): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
-    for ((appId, version) <- txn) {
-      val already = DeltaLog.versions(table).nonEmpty &&
-        DeltaLog.snapshot(table).txns.get(appId).exists(_ >= version)
-      if (already) return DeltaLog.snapshot(table).version
-    }
+    // ONE entry snapshot serves every pre-staging consult (txn ledger,
+    // generation/identity contracts, partition layout, mapping,
+    // constraints) — each DeltaLog.snapshot call is a full log replay,
+    // and the commit retry loop re-snapshots for freshness anyway
+    val entrySnap: Option[DeltaLog.Snapshot] =
+      if (DeltaLog.versions(table).isEmpty) None
+      else Some(DeltaLog.snapshot(table))
+    for ((appId, version) <- txn; snap <- entrySnap)
+      if (snap.txns.get(appId).exists(_ >= version)) return snap.version
     // GENERATED COLUMNS: resolve the generation contract this write
     // stages under — an append inherits the committed expressions; an
     // overwrite (re)declares via the parameter and carries forward the
@@ -105,8 +135,7 @@ object DeltaTable {
     // (keeping a generated column while dropping its bases would leave
     // an unmaintainable dangling expression — refused loudly).
     val priorGens: Seq[(String, String)] =
-      if (DeltaLog.versions(table).isEmpty) Nil
-      else DeltaLog.snapshot(table).schemaJson
+      entrySnap.flatMap(_.schemaJson)
         .map(j => GeneratedColumns.of(
           DataType.fromJson(j).asInstanceOf[StructType]))
         .getOrElse(Nil)
@@ -140,8 +169,7 @@ object DeltaTable {
     // prior specs forward WITH their marks (monotonic across rewrites,
     // so ids handed out before the overwrite never get reissued).
     val priorIdSpecs: Seq[IdentityColumns.Spec] =
-      if (DeltaLog.versions(table).isEmpty) Nil
-      else DeltaLog.snapshot(table).schemaJson
+      entrySnap.flatMap(_.schemaJson)
         .map(j => IdentityColumns.of(
           DataType.fromJson(j).asInstanceOf[StructType]))
         .getOrElse(Nil)
@@ -156,7 +184,18 @@ object DeltaTable {
           require(step != 0, s"identity column $c: step must be nonzero")
           IdentityColumns.Spec(c, start, step, None)
         } ++ priorIdSpecs.filterNot(s => identityColumns.contains(s.col))
-          .filter(s => !dfG.columns.contains(s.col))
+          .map { s =>
+            // GENERATED ALWAYS has no silent escape: an overwrite whose
+            // frame carries a prior identity column would land
+            // unvalidated user values AND drop the contract + mark
+            require(!dfG.columns.contains(s.col),
+              s"overwrite of $table provides identity column ${s.col}: " +
+                "GENERATED ALWAYS values are engine-assigned; drop the " +
+                "column from the frame (the contract carries forward), " +
+                "or redefine the table without it by an explicit " +
+                "schema change")
+            s
+          }
       }
     val df = idSpecs.foldLeft(dfG) { case (d, s) =>
       IdentityColumns.assign(d, s) }
@@ -167,9 +206,9 @@ object DeltaTable {
     // committed layout — silently interleaving partitioned and flat
     // files would break pruning for every future read.
     val effectivePartitionBy =
-      if (mode == "overwrite" || DeltaLog.versions(table).isEmpty) partitionBy
+      if (mode == "overwrite" || entrySnap.isEmpty) partitionBy
       else {
-        val existing = DeltaLog.snapshot(table).partitionColumns
+        val existing = entrySnap.get.partitionColumns
         require(partitionBy.isEmpty || partitionBy == existing,
           s"graft-delta append to $table: partitionBy ${partitionBy.mkString(",")} " +
             s"does not match the table's partition columns ${existing.mkString(",")}")
@@ -183,9 +222,7 @@ object DeltaTable {
     // that would declare different physical names for our columns than
     // we staged (a racing mergeSchema append of the same logical
     // column) is detected in the retry loop and aborted loudly.
-    val preSnapForMapping =
-      if (DeltaLog.versions(table).isEmpty) None
-      else Some(DeltaLog.snapshot(table))
+    val preSnapForMapping = entrySnap
     val (writeMapping, mappedMaxId): (Option[StructType], Option[Long]) =
       preSnapForMapping.flatMap(mappingOf) match {
         case None => (None, None)
@@ -218,22 +255,10 @@ object DeltaTable {
       }
     val added = stageIn(df, table, effectivePartitionBy, writeMapping)
     // the high-water mark each identity column actually LANDED, from
-    // the staged files' stats (fallback: one bounded agg over the
-    // staged bytes when stats collection was skipped)
-    val idHwms: Map[String, Long] = idSpecs.map { s =>
-      val phys = writeMapping
-        .map(m => ColumnMapping.logicalToPhysical(m).getOrElse(s.col, s.col))
-        .getOrElse(s.col)
-      val hwm = IdentityColumns.hwmFromStats(added.map(_.stats), phys, s.step)
-        .orElse {
-          if (added.isEmpty) None
-          else Option(df.sparkSession.read.parquet(added.map(f =>
-              Paths.get(table).resolve(f.path).toString): _*)
-            .agg(if (s.step > 0) max(col(phys)) else min(col(phys)))
-            .head().get(0)).map(_.asInstanceOf[Long])
-        }.getOrElse(s.base)
-      s.col -> hwm
-    }.toMap
+    // the staged files' stats
+    val idHwms: Map[String, Long] = idSpecs.map(s =>
+      s.col -> landedHwm(df.sparkSession, table, added, s, writeMapping))
+      .toMap
     // CHECK constraints gate every row-introducing write. Validate
     // against the snapshot visible now; the retry loop re-validates
     // against each fresher snapshot, so a constraint whose ALTER wins
@@ -241,11 +266,13 @@ object DeltaTable {
     // racing txn on metadata change — re-validating reaches the same
     // end state: no committed version ever holds unvalidated rows).
     var validatedConstraints: Set[(String, String)] =
-      if (DeltaLog.versions(table).nonEmpty) {
-        val cs = DeltaLog.snapshot(table).checkConstraints
-        enforceConstraints(df.sparkSession, table, added, cs, writeMapping)
-        cs.toSet
-      } else Set.empty
+      entrySnap match {
+        case Some(snap) =>
+          val cs = snap.checkConstraints
+          enforceConstraints(df.sparkSession, table, added, cs, writeMapping)
+          cs.toSet
+        case None => Set.empty
+      }
     // generated columns the caller provided precomputed validate like
     // CHECK constraints (col <=> expr) over the staged bytes
     if (genChecks.nonEmpty)
@@ -1099,9 +1126,34 @@ object DeltaTable {
       val schema = snap.schemaJson
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(new StructType())
-      // exact selection: partition values answer the consult as
-      // min=max stats, and the predicate references nothing else
-      val selected = liveFilesAfterSkipping(snap, where, schema)
+      // EXACT selection is the contract ("only partitions whose VALUES
+      // satisfy where rewrite"), and the may-match consult is merely
+      // conservative — it KEEPS files it cannot decide. Two abstain
+      // shapes would silently widen the rewrite scope, so both are
+      // excluded up front: the null partition (NULL satisfies no
+      // predicate, SQL WHERE semantics) and — since timestamp partition
+      // values only compare under a UTC session — timestamp-typed
+      // predicates in any other zone refuse loudly.
+      val tsRefs = refs.filter(c =>
+        schema.fields.find(_.name == c).exists(_.dataType == TimestampType))
+      require(tsRefs.isEmpty ||
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          == "UTC",
+        s"compactWhere($table): predicate references timestamp partition " +
+          s"column(s) ${tsRefs.mkString(",")}, whose directory rendering " +
+          "only compares under a UTC session")
+      def noNullIn(f: Filter): Boolean = f match {
+        case In(_, vs) => !vs.contains(null)
+        case And(l, r) => noNullIn(l) && noNullIn(r)
+        case _ => true
+      }
+      require(where.forall(noNullIn),
+        s"compactWhere($table): a NULL in an IN-list matches no " +
+          "partition and would only widen the rewrite scope; remove it")
+      val candidates = snap.files.filterNot(f => refs.exists(c =>
+        f.partitionValues.get(c).forall(_ == "__HIVE_DEFAULT_PARTITION__")))
+      val selected = liveFilesAfterSkipping(
+        snap.copy(files = candidates), where, schema)
       val work = selected.groupBy(_.partitionValues).filter {
         case (_, fs) => fs.length > 1 || fs.exists(_.dv.isDefined)
       }.values.flatten.toSeq.sortBy(_.path)
@@ -1695,18 +1747,7 @@ object DeltaTable {
       // (survivor rows sit at or below the prior mark, so the max over
       // ALL staged rows is exactly the new mark; monotone vs prior)
       val idHwmsM: Map[String, Long] = idSpecsM.map { sp =>
-        val phys = mappingOf(snap)
-          .map(m => ColumnMapping.logicalToPhysical(m)
-            .getOrElse(sp.col, sp.col)).getOrElse(sp.col)
-        val landed = IdentityColumns
-          .hwmFromStats(added.map(_.stats), phys, sp.step)
-          .orElse {
-            if (added.isEmpty) None
-            else Option(spark.read.parquet(added.map(f =>
-                Paths.get(table).resolve(f.path).toString): _*)
-              .agg(if (sp.step > 0) max(col(phys)) else min(col(phys)))
-              .head().get(0)).map(_.asInstanceOf[Long])
-          }.getOrElse(sp.base)
+        val landed = landedHwm(spark, table, added, sp, mappingOf(snap))
         sp.col -> (sp.hwm match {
           case Some(prev) =>
             if (sp.step > 0) math.max(landed, prev)

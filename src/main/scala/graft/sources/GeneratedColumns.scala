@@ -246,6 +246,12 @@ private[graft] object GeneratedColumns {
   def derivePartitionFilters(filters: Seq[Filter], schema: StructType,
       partitionCols: Seq[String], zone: ZoneId): Seq[Filter] = {
     if (filters.isEmpty || partitionCols.isEmpty) return Nil
+    // The generated partition VALUES were rendered under the WRITER's
+    // session zone — pinned UTC by this engine's writers. A reader in
+    // any other zone would render filter literals against a different
+    // calendar and silently prune partitions holding matching rows, so
+    // derivation only engages under UTC (losing it costs pruning only).
+    if (zone.normalized() != java.time.ZoneOffset.UTC) return Nil
     val shapes: Seq[(String, Shape)] = for {
       g <- partitionCols
       f <- schema.fields.find(_.name == g).toSeq

@@ -2572,6 +2572,55 @@ class DeltaSpec extends SparkSpec {
     assert(ids.forall(i => i >= 1L && i <= hwm))
   }
 
+  test("review regressions: identity overwrite refuses provided column; non-UTC derivation abstains; compactWhere spares the null partition") {
+    // (1) an overwrite carrying a prior identity column must refuse -
+    // silently accepting would land unvalidated keys and drop the mark
+    val t = freshTable()
+    DeltaTable.write(Seq("a", "b").toDF("name").coalesce(1),
+      t, "overwrite", identityColumns = Map("id" -> ((1L, 1L))))
+    val e = intercept[IllegalArgumentException](DeltaTable.write(
+      Seq(("c", 99L)).toDF("name", "id"), t, "overwrite"))
+    assert(e.getMessage.contains("identity"))
+    // dropping the column from the frame keeps the contract + the mark
+    DeltaTable.write(Seq("x", "y", "z").toDF("name").coalesce(1),
+      t, "overwrite")
+    val ids = DeltaTable.read(spark, t).select("id").as[Long].collect()
+    assert(ids.forall(_ > 2L), s"post-overwrite ids must stay beyond " +
+      s"the carried mark: ${ids.sorted.mkString(",")}")
+    // (2) partition-filter derivation only engages under a UTC session
+    val tg = genTable()
+    val sch = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaLog.snapshot(tg).schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val derived = graft.sources.GeneratedColumns.derivePartitionFilters(
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+        ts("2024-03-02 00:00:00"))),
+      sch, Seq("event_date"), java.time.ZoneId.of("Asia/Tokyo"))
+    assert(derived.isEmpty,
+      "derivation under a non-UTC session would prune wrong partitions")
+    // (3) compactWhere never rewrites the null partition (NULL
+    // satisfies no predicate) even though its consult abstains
+    val tn = freshTable()
+    val rows = spark.createDataFrame(Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String])))
+      .toDF("id", "d").repartition(4)
+    DeltaTable.write(rows, tn, "overwrite", partitionBy = Seq("d"))
+    DeltaTable.write(rows, tn, "append") // several files per partition
+    val before = DeltaLog.snapshot(tn).files
+      .filter(_.partitionValues.get("d")
+        .contains("__HIVE_DEFAULT_PARTITION__")).map(_.path).toSet
+    assert(before.size > 1)
+    DeltaTable.compactWhere(spark, tn,
+      Seq(org.apache.spark.sql.sources.EqualTo("d", "2024-01-01")))
+    val after = DeltaLog.snapshot(tn).files
+      .filter(_.partitionValues.get("d")
+        .contains("__HIVE_DEFAULT_PARTITION__")).map(_.path).toSet
+    assert(after === before, "null partition must never be rewritten " +
+      "by a predicate it does not satisfy")
+    assert(DeltaTable.read(spark, tn).count() === 8)
+  }
+
   test("validator invariant 16: identity columns gate the protocol and respect the mark") {
     import scala.sys.process.{Process, ProcessLogger}
     val t = freshTable()
@@ -2618,7 +2667,7 @@ class DeltaSpec extends SparkSpec {
       s"validator missed the ungated generation expressions:\n$o2")
   }
 
-  test("writer gate: legacy writer version 4 (generated+CDF) now passes; 6 still refuses") {
+  test("writer gate: legacy writer version 4 (generated+CDF) passes") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
     forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
