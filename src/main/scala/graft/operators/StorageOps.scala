@@ -711,7 +711,43 @@ object StorageOps {
       |SELECT n_nationkey, n_name, CAST(sk_tag AS BIGINT) AS sk_tag
       |FROM merged ORDER BY n_nationkey""".stripMargin
 
+  /** q104 — OPTIMIZE WHERE ([EXT], partition-scoped compaction): 4
+    * single-file-per-partition writes scatter nation into 4 files per
+    * region directory; `compactWhere(n_regionkey = 2)` rewrites ONLY
+    * that partition down to one file. The result reads the LOG's
+    * per-partition file counts alongside the data's row counts, so the
+    * oracle literal pins both the rewrite (region 2 → 1 file) and the
+    * non-rewrite (others keep 4) plus row conservation. */
+  val q104CompactWhere: Q = (spark, dir) => {
+    import org.apache.spark.sql.sources.EqualTo
+    val n = Tables.load(spark, dir, "nation").coalesce(1)
+    val t = freshDir("graft-delta-cw")
+    n.write.format("graft-delta").partitionBy("n_regionkey")
+      .mode("overwrite").save(t)
+    for (_ <- 1 to 3)
+      n.write.format("graft-delta").mode("append").save(t)
+    DeltaTable.compactWhere(spark, t, Seq(EqualTo("n_regionkey", 2)))
+    val snap = graft.sources.DeltaLog.snapshot(t)
+    val fileCounts = spark.createDataFrame(
+      snap.files.groupBy(_.partitionValues("n_regionkey")).toSeq
+        .map { case (r, fs) => (r.toInt, fs.length) })
+      .toDF("n_regionkey", "n_files")
+    val rowCounts = spark.read.format("graft-delta").load(t)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n_rows"))
+    fileCounts.join(rowCounts, "n_regionkey")
+      .select("n_regionkey", "n_files", "n_rows")
+      .orderBy("n_regionkey")
+  }
+
+  val q104Oracle: String =
+    """SELECT n_regionkey, n_files, CAST(n_rows AS BIGINT) AS n_rows
+      |FROM (VALUES (0, 4, 20), (1, 4, 20), (2, 1, 20),
+      |             (3, 4, 20), (4, 4, 20))
+      |  t(n_regionkey, n_files, n_rows)
+      |ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q104_compact_where" -> q104CompactWhere,
     "q103_identity" -> q103Identity,
     "q102_shallow_clone" -> q102ShallowClone,
     "q101_generated_partition" -> q101GeneratedPartition,
@@ -737,6 +773,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q104_compact_where" -> q104Oracle,
     "q103_identity" -> q103Oracle,
     "q102_shallow_clone" -> q102Oracle,
     "q101_generated_partition" -> q101Oracle,
