@@ -447,6 +447,34 @@ class StreamingSpec extends SparkSpec {
     assert(viewRows() === recompute())
   }
 
+  test("delta stream source serves a shallow clone: snapshot, own tail, source isolation") {
+    import graft.sources.DeltaTable
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-clone")
+    val (src, tgt, out, ckpt) =
+      (s"$base/src", s"$base/tgt", s"$base/out", s"$base/ckpt")
+    DeltaTable.write(spark.createDataFrame(Seq((1L, "a"), (2L, "b")))
+      .toDF("id", "v"), src, "overwrite")
+    DeltaTable.shallowClone(src, tgt)
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(tgt)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out).start()
+      q.processAllAvailable(); q.stop()
+    }
+    pump() // initial batch: the clone's snapshot (absolute source refs)
+    assert(spark.read.parquet(out).count() === 2)
+    // the clone's OWN append is tailed...
+    DeltaTable.write(spark.createDataFrame(Seq((3L, "c")))
+      .toDF("id", "v"), tgt, "append")
+    // ...while a source append is invisible to the clone's stream
+    DeltaTable.write(spark.createDataFrame(Seq((99L, "x")))
+      .toDF("id", "v"), src, "append")
+    pump()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+  }
+
   test("delta source rate limit: backlog spreads over micro-batches") {
     import graft.sources.DeltaLog
     val base = java.nio.file.Files.createTempDirectory("graft-delta-rate")
