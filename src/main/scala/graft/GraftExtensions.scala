@@ -22,6 +22,9 @@ import graft.functions.{CosineSimilarity, HyperplaneBits, SimHashAgg, SortedOver
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // COUNT(*) on a graft-delta table answers from the transaction
+    // log's per-file stats with zero data I/O (see MetadataOnlyCount)
+    ext.injectOptimizerRule(_ => graft.plans.MetadataOnlyCount)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

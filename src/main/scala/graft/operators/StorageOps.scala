@@ -746,7 +746,47 @@ object StorageOps {
       |  t(n_regionkey, n_files, n_rows)
       |ORDER BY n_regionkey""".stripMargin
 
+  /** q105 — METADATA-ONLY COUNT ([EXT], stock Delta's
+    * OptimizeMetadataOnlyDeltaQuery capability): `COUNT(*)` on a
+    * graft-delta table folds the log's per-file `stats.n` minus
+    * deletion-vector cardinalities — zero data I/O (the
+    * MetadataOnlyCount optimizer rule replaces the whole aggregate
+    * with a LocalRelation; DeltaSpec asserts the plan is scan-free).
+    * The query exercises the full lifecycle the count must stay exact
+    * through: overwrite, append, then a VECTORED delete (the dead rows
+    * are subtracted from a file nobody rewrote), plus a time-travel
+    * count pinned at the pre-delete version. At 100 TB this is the
+    * difference between answering `SELECT COUNT(*)` from the driver's
+    * snapshot in milliseconds and scheduling a cluster pass over every
+    * file footer. */
+  val q105MetadataCount: Q = (spark, dir) => {
+    val o = Tables.load(spark, dir, "orders")
+    val t = freshDir("graft-delta-mc")
+    DeltaTable.write(o, t, "overwrite")                        // v0
+    DeltaTable.write(o.filter(col("o_custkey") <= 100), t, "append") // v1
+    DeltaTable.enableDeletionVectors(t)                        // v2
+    DeltaTable.delete(spark, t, col("o_orderstatus") === "P")  // v3
+    val cur = spark.read.format("graft-delta").load(t)
+      .groupBy().count()
+      .select(lit("cur").as("state"), col("count").as("n_rows"))
+    val v1 = spark.read.format("graft-delta")
+      .option("versionAsOf", 1).load(t).groupBy().count()
+      .select(lit("v1").as("state"), col("count").as("n_rows"))
+    cur.unionByName(v1).orderBy("state")
+  }
+
+  val q105Oracle: String =
+    """WITH v1 AS (
+      |  SELECT * FROM orders
+      |  UNION ALL SELECT * FROM orders WHERE o_custkey <= 100)
+      |SELECT 'cur' AS state,
+      |  (SELECT COUNT(*) FROM v1 WHERE o_orderstatus <> 'P') AS n_rows
+      |UNION ALL
+      |SELECT 'v1', (SELECT COUNT(*) FROM v1)
+      |ORDER BY state""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q105_metadata_count" -> q105MetadataCount,
     "q104_compact_where" -> q104CompactWhere,
     "q103_identity" -> q103Identity,
     "q102_shallow_clone" -> q102ShallowClone,
@@ -773,6 +813,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q105_metadata_count" -> q105Oracle,
     "q104_compact_where" -> q104Oracle,
     "q103_identity" -> q103Oracle,
     "q102_shallow_clone" -> q102Oracle,

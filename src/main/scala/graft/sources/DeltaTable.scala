@@ -1011,7 +1011,7 @@ object DeltaTable {
       try stagedStream.iterator.asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       finally stagedStream.close()
-    val added = staged.zipWithIndex.map { case (p, i) =>
+    val added = staged.zipWithIndex.flatMap { case (p, i) =>
       val rel = staging.relativize(p) // e.g. c_mktsegment=BUILDING/part-0.parquet
       val partDirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
       val partitionValues = partDirs.map { seg =>
@@ -1023,17 +1023,44 @@ object DeltaTable {
           .unescapePathName(seg.drop(eq + 1))
         k -> v
       }.toMap
-      val name = (partDirs :+ f"part-$i%05d-$commitTag.parquet").mkString("/")
-      val dest = tableDir.resolve(name)
-      Files.createDirectories(dest.getParent)
-      val stats = statsByFile.getOrElse(
-        staging.relativize(p).toString, Map.empty)
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      DeltaLog.AddFile(name, Files.size(dest), stats, partitionValues)
+      // a staged file the stats job didn't see is either EMPTY (an
+      // empty input partition — groupBy(input_file_name) yields no
+      // group for it) or lost to a path-keying mismatch; one footer
+      // read resolves which. Zero-row files are dropped here instead
+      // of committed — they carry no data, and at scale they bloat
+      // the log and defeat stats-only answers (metadataRowCount
+      // refuses any snapshot holding a stats-less file).
+      val stats = {
+        val collected = statsByFile.getOrElse(rel.toString, Map.empty)
+        if (collected.nonEmpty) collected
+        else stagedRowCount(spark, p)
+          .map(c => Map("n" -> c.toString)).getOrElse(Map.empty)
+      }
+      if (stats.get("n").contains("0")) None
+      else {
+        val name = (partDirs :+ f"part-$i%05d-$commitTag.parquet").mkString("/")
+        val dest = tableDir.resolve(name)
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        Some(DeltaLog.AddFile(name, Files.size(dest), stats, partitionValues))
+      }
     }
     deleteRecursively(staging)
     added
   }
+
+  /** Exact row count of one staged parquet file from its FOOTER — the
+    * driver-side fallback for files the stats job missed. A footer is
+    * a few KB regardless of file size, and this path only runs for
+    * stats-less staged files (normally just empty partitions). */
+  private def stagedRowCount(spark: SparkSession, p: Path): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Whether the table has opted into the CHANGE DATA FEED (the public
     * Delta table property): when true, every DML commit also stages

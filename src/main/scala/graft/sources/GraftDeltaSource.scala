@@ -514,6 +514,20 @@ class GraftDeltaFileIndex(table: String, snap: DeltaLog.Snapshot,
 
   override def sizeInBytes: Long = snap.files.map(_.size).sum
 
+  /** The snapshot's exact LIVE row count from log stats alone —
+    * Σ `stats.n` (physical rows) − Σ deletion-vector cardinality
+    * (dead rows) — or None the moment any live file lacks `n`
+    * (foreign writer / skipped collection), because a partial sum
+    * would be a silent undercount. Consumed by
+    * [[graft.plans.MetadataOnlyCount]] to answer `COUNT(*)` with zero
+    * data I/O. */
+  def metadataRowCount: Option[Long] = {
+    val counts = snap.files.map(f =>
+      f.stats.get("n").flatMap(_.toLongOption)
+        .map(_ - f.dv.map(_.cardinality).getOrElse(0L)))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   override def partitionSchema: StructType = partSchema
 }
 

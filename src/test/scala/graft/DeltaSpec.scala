@@ -2674,4 +2674,65 @@ class DeltaSpec extends SparkSpec {
     DeltaTable.write(employee1, t, "append") // maintained -> allowed
     assert(DeltaTable.read(spark, t).count() === 4)
   }
+
+  // -- metadata-only COUNT(*) (MetadataOnlyCount optimizer rule) -------
+
+  /** True iff the plan never touches a file: every optimized leaf is a
+    * LocalRelation (the rewrite's output). */
+  private def scanFree(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  test("metadata-only count: COUNT(*) answers from log stats, scan-free, " +
+      "across append / vectored delete / time travel") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")            // v0
+    DeltaTable.write(employee1, t, "append")                // v1
+    DeltaTable.enableDeletionVectors(t)                     // v2
+    DeltaTable.delete(spark, t, $"salary" > 72000L)         // v3 (vectored)
+    val cnt = spark.read.format("graft-delta").load(t).groupBy().count()
+    assert(scanFree(cnt), s"count(*) still scans:\n${cnt.queryExecution}")
+    assert(cnt.as[Long].head() === 2L) // Alice(75k) + Carol(80k) dead
+    // ds.count() takes the same path
+    assert(spark.read.format("graft-delta").load(t).count() === 2L)
+    // time travel: the pinned snapshot's own count, still scan-free
+    val v1 = spark.read.format("graft-delta")
+      .option("versionAsOf", 1).load(t).groupBy().count()
+    assert(scanFree(v1))
+    assert(v1.as[Long].head() === 4L)
+  }
+
+  test("metadata-only count bails where metadata cannot answer: " +
+      "filters, COUNT(col), DISTINCT, grouping all still scan — correctly") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.write(
+      Seq((5, null.asInstanceOf[String], 60000L, "2024-01-19"))
+        .toDF("id", "name", "salary", "date"), t, "append")
+    val df = spark.read.format("graft-delta").load(t)
+    val filtered = df.filter($"salary" > 66000L).groupBy().count()
+    assert(!scanFree(filtered), "a filtered count must not shortcut")
+    assert(filtered.as[Long].head() === 2L) // Alice 75k, Carol 80k
+    val countCol = df.agg(count($"name"))
+    assert(!scanFree(countCol), "COUNT(col) skips nulls; must scan")
+    assert(countCol.as[Long].head() === 3L)
+    val distinct = df.agg(countDistinct($"salary"))
+    assert(!scanFree(distinct))
+    assert(distinct.as[Long].head() === 4L)
+    val grouped = df.groupBy($"date").count()
+    assert(!scanFree(grouped))
+    assert(grouped.count() === 4L)
+    // a stats-less add (foreign writer shape) forfeits the shortcut
+    // but never the answer
+    val t2 = freshTable()
+    DeltaTable.write(employees3, t2, "overwrite")
+    val snap = DeltaLog.snapshot(t2)
+    val stripped = snap.files.map(f =>
+      DeltaLog.addAction(f.path, f.size, Map.empty, f.partitionValues))
+    DeltaLog.commit(t2, snap.version,
+      snap.files.map(f => DeltaLog.removeAction(f.path)) ++ stripped)
+    val bare = spark.read.format("graft-delta").load(t2).groupBy().count()
+    assert(!scanFree(bare), "stats-less files must fall back to scanning")
+    assert(bare.as[Long].head() === 3L)
+  }
 }

@@ -18,6 +18,10 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // same extension wiring as Bench/Verify, so specs exercise the
+      // injected optimizer rules (MetadataOnlyCount) and native
+      // functions exactly as the harness sessions do
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
