@@ -785,7 +785,54 @@ object StorageOps {
       |SELECT 'v1', (SELECT COUNT(*) FROM v1)
       |ORDER BY state""".stripMargin
 
+  /** q106 — TYPE WIDENING end-to-end ([EXT], the protocol's
+    * `typeWidening` feature): supplier lands with INT keys and FLOAT
+    * balances; two metadata-only commits widen them to BIGINT / DOUBLE
+    * (zero data files move — DeltaSpec proves it); an append then
+    * lands keys beyond the INT range, which is the production story —
+    * "ids outgrew int32" as one log commit instead of a 100 TB
+    * rewrite. The read aggregates across BOTH encodings (old files
+    * up-convert in the reader, still vectorized), using only
+    * order-independent aggregates on the double column (float→double
+    * is exact per value; a double SUM would be order-sensitive). */
+  val q106TypeWidening: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val s = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").cast("int").as("sk"),
+        col("s_nationkey"),
+        col("s_acctbal").cast("float").as("bal"))
+    val t = freshDir("graft-delta-tw")
+    DeltaTable.write(s, t, "overwrite")               // v0 (int, float)
+    DeltaTable.alterColumnType(t, "sk", LongType)     // v1 (metadata)
+    DeltaTable.alterColumnType(t, "bal", DoubleType)  // v2 (metadata)
+    val extra = Tables.load(spark, dir, "supplier")
+      .filter(col("s_suppkey") <= 5)
+      .select((col("s_suppkey") + 4_000_000_000L).as("sk"),
+        col("s_nationkey"),
+        col("s_acctbal").cast("double").as("bal"))
+    DeltaTable.write(extra, t, "append")              // v3 (wide)
+    spark.read.format("graft-delta").load(t)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_rows"), sum(col("sk")).as("sk_sum"),
+        min(col("bal")).as("min_bal"), max(col("bal")).as("max_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val q106Oracle: String =
+    """WITH t AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS sk, s_nationkey,
+      |    CAST(CAST(s_acctbal AS REAL) AS DOUBLE) AS bal FROM supplier
+      |  UNION ALL
+      |  SELECT s_suppkey + 4000000000, s_nationkey,
+      |    CAST(s_acctbal AS DOUBLE)
+      |  FROM supplier WHERE s_suppkey <= 5)
+      |SELECT s_nationkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(sk) AS BIGINT) AS sk_sum,
+      |  MIN(bal) AS min_bal, MAX(bal) AS max_bal
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q106_type_widening" -> q106TypeWidening,
     "q105_metadata_count" -> q105MetadataCount,
     "q104_compact_where" -> q104CompactWhere,
     "q103_identity" -> q103Identity,
@@ -813,6 +860,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q106_type_widening" -> q106Oracle,
     "q105_metadata_count" -> q105Oracle,
     "q104_compact_where" -> q104Oracle,
     "q103_identity" -> q103Oracle,

@@ -89,7 +89,7 @@ object DeltaLog {
     * other client — e.g. appending without writing change data). */
   val SupportedReaderVersion = 3
   val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors")
+    Set("columnMapping", "deletionVectors", "typeWidening")
   val SupportedWriterVersion = 7
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++
     Set("checkConstraints", "changeDataFeed", "appendOnly",

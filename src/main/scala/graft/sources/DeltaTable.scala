@@ -197,8 +197,25 @@ object DeltaTable {
             s
           }
       }
-    val df = idSpecs.foldLeft(dfG) { case (d, s) =>
+    val dfI = idSpecs.foldLeft(dfG) { case (d, s) =>
       IdentityColumns.assign(d, s) }
+    // TYPE WIDENING maintenance (writer side): an append whose shared
+    // column still carries a NARROWER type than the committed
+    // (widened) one up-casts losslessly before staging — new files
+    // always store the wide encoding, so only pre-widen files need
+    // reader up-conversion. Anything not in the widening matrix falls
+    // through to the loud type-change rejection.
+    val df = entrySnap.flatMap(_.schemaJson)
+      .filter(_ => mode == "append")
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType]) match {
+      case Some(ts) =>
+        val byName = ts.fields.map(f => f.name -> f.dataType).toMap
+        val narrow = dfI.schema.fields.filter(f => byName.get(f.name)
+          .exists(t => t != f.dataType && isWideningChange(f.dataType, t)))
+        narrow.foldLeft(dfI)((d, f) =>
+          d.withColumn(f.name, col(f.name).cast(byName(f.name))))
+      case None => dfI
+    }
     require(partitionBy.forall(c => df.schema.fieldNames.contains(c)),
       s"partitionBy columns ${partitionBy.mkString(",")} must exist in the schema")
     // Partition-layout resolution: an overwrite defines the layout (it
@@ -753,6 +770,127 @@ object DeltaTable {
     }
     throw new IllegalStateException(
       s"dropColumn($table, $name): lost the commit race $maxAttempts times")
+  }
+
+  /** The public Delta `typeWidening` matrix: type changes every
+    * engine-supported parquet reader can serve WITHOUT rewriting old
+    * files (Spark 4's readers up-convert int32→int64, float→double,
+    * int→double, decimal precision/scale growth, int→decimal in both
+    * the vectorized and row paths — probed, and pinned by DeltaSpec).
+    * Integer→decimal needs enough INTEGER digits (p−s) for the source
+    * type's full range; decimal→decimal may not shrink either side.
+    * date→timestamp is deliberately absent: the engine normalizes all
+    * timestamps to session-zoned TimestampType, and the NTZ-based
+    * widening the spec defines would change query semantics here. */
+  private def isWideningChange(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case (ByteType, t: DecimalType) => t.precision - t.scale >= 3
+      case (ShortType, t: DecimalType) => t.precision - t.scale >= 5
+      case (IntegerType, t: DecimalType) => t.precision - t.scale >= 10
+      case (LongType, t: DecimalType) => t.precision - t.scale >= 20
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE — the protocol's TYPE WIDENING
+    * feature: a METADATA-ONLY commit changes the column's committed
+    * type to a wider one; every existing data file keeps its narrower
+    * physical encoding and the parquet readers up-convert at scan time
+    * (scans stay vectorized — DeltaSpec pins `Batched: true` across a
+    * widen). At 100 TB this is the difference between "ids outgrew
+    * INT32" being one log commit and being a full-table rewrite.
+    *
+    * Wrong-answer guards: only matrix widenings pass (narrowing or
+    * cross-family changes throw the typed SchemaEvolutionException);
+    * partition columns refuse (their values live as directory strings
+    * keyed by the committed type); identity columns refuse (the
+    * assignment contract is BIGINT); generated columns and their bases
+    * refuse (the generation expression's result type is pinned at
+    * definition). Old stats keep serving: the skipping comparator
+    * parses numerics via BigDecimal, so int-era min/max strings order
+    * correctly against widened-type predicates.
+    *
+    * Protocol: the commit raises the table to the features gate (3,7)
+    * listing `typeWidening` in BOTH feature sets — a reader that would
+    * scan old files expecting the wide type must know to up-convert,
+    * and per the spec the change history is recorded in the field's
+    * `delta.typeChanges` metadata. Sets `delta.enableTypeWidening`. */
+  def alterColumnType(table: String, name: String, to: DataType): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      val schema = snap.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"alterColumnType($table): table has no committed schema"))
+      val field = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"alterColumnType($table): no such column $name " +
+            s"(have ${schema.fieldNames.mkString(",")})"))
+      if (!isWideningChange(field.dataType, to))
+        throw new SchemaEvolutionException("type-change",
+          s"alterColumnType($table, $name): ${field.dataType.simpleString}" +
+            s" -> ${to.simpleString} is not a supported widening (old " +
+            "files keep their physical encoding; only changes every " +
+            "reader can up-convert are metadata-only — narrowing or " +
+            "cross-family changes need a rewrite through overwrite)")
+      require(!snap.partitionColumns.contains(name),
+        s"alterColumnType($table, $name): partition column values are " +
+          "directory strings typed by the committed schema; widening " +
+          "one requires a rewrite")
+      require(!IdentityColumns.of(schema).exists(_.col == name),
+        s"alterColumnType($table, $name): identity columns are BIGINT " +
+          "by contract")
+      val gen = GeneratedColumns.of(schema)
+      require(!gen.exists(_._1 == name) && !gen.exists { case (_, e) =>
+          GeneratedColumns.referencedColumns(e).contains(name) },
+        s"alterColumnType($table, $name): generated columns and their " +
+          "base columns have expression-pinned types; redefine the " +
+          "table first")
+      // record the change in the field's metadata per the protocol
+      // (history appends; tableVersion = the version this commit lands
+      // at — recomputed on a lost race)
+      val prior = if (field.metadata.contains("delta.typeChanges"))
+        field.metadata.getString("delta.typeChanges") else "[]"
+      val entry = s"""{"fromType":"${field.dataType.typeName}",""" +
+        s""""toType":"${to.typeName}","tableVersion":${snap.version + 1}}"""
+      val hist = prior.stripSuffix("]") +
+        (if (prior == "[]") "" else ",") + entry + "]"
+      val widened = StructType(schema.fields.map(f =>
+        if (f.name != name) f
+        else f.copy(dataType = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("delta.typeChanges", hist).build())))
+      val feats = Set("typeWidening") ++
+        (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty) ++
+        (if (dvEnabled(snap)) Set("deletionVectors") else Set.empty)
+      val actions = Seq(
+        DeltaLog.commitInfoAction("ALTER COLUMN TYPE"),
+        DeltaLog.protocolAction(
+          math.max(snap.minReaderVersion, 3),
+          math.max(snap.minWriterVersion, 7),
+          (snap.readerFeatures ++ feats).toSeq,
+          (snap.writerFeatures ++ feats ++
+            activeLegacyWriterFeatures(snap)).toSeq),
+        DeltaLog.metaDataAction(widened.json, snap.partitionColumns,
+          DeltaLog.tableId(table),
+          snap.configuration + ("delta.enableTypeWidening" -> "true")))
+      try return gatedCommit(table, snap, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"alterColumnType($table, $name): lost the commit race $maxAttempts times")
   }
 
   /** Enforce the table's CHECK constraints against freshly staged

@@ -2675,6 +2675,168 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 4)
   }
 
+  // -- type widening (ALTER COLUMN TYPE, metadata-only) ----------------
+
+  test("type widening: int->long and float->double are metadata-only — " +
+      "old files byte-untouched, reads up-convert, scans stay vectorized") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val base = Seq((1, 1.5f, "a"), (2, 2.5f, "b"))
+      .toDF("id", "score", "tag")
+    DeltaTable.write(base, t, "overwrite")                       // v0
+    val filesBefore = DeltaLog.snapshot(t).files.map(_.path).toSet
+    DeltaTable.alterColumnType(t, "id", LongType)                // v1
+    DeltaTable.alterColumnType(t, "score", DoubleType)           // v2
+    assert(DeltaLog.snapshot(t).files.map(_.path).toSet === filesBefore,
+      "a widen must move zero data files")
+    // appends land the WIDE encoding, beyond-int values included
+    DeltaTable.write(Seq((5_000_000_000L, 9.25, "c"))
+      .toDF("id", "score", "tag"), t, "append")                  // v3
+    val df = spark.read.format("graft-delta").load(t)
+    assert(df.schema("id").dataType === LongType)
+    assert(df.schema("score").dataType === DoubleType)
+    assert(df.orderBy("id").select("id", "score").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 1.5), (2L, 2.5), (5_000_000_000L, 9.25)))
+    // the mixed-encoding scan is still one vectorized parquet scan
+    val plan = df.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("Batched: true"),
+      s"widened read fell off the columnar path:\n$plan")
+    // time travel: v0 reads under its own (narrow) committed schema
+    val v0 = DeltaTable.read(spark, t, versionAsOf = Some(0L))
+    assert(v0.schema("id").dataType === IntegerType)
+    assert(v0.count() === 2)
+    // protocol: features gate listing typeWidening both sides, and the
+    // change history in the field metadata
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.readerFeatures.contains("typeWidening"))
+    assert(snap.writerFeatures.contains("typeWidening"))
+    assert(snap.configuration.get("delta.enableTypeWidening").contains("true"))
+    val idMeta = DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[StructType].apply("id").metadata
+    assert(idMeta.getString("delta.typeChanges").contains("\"fromType\":\"integer\""))
+    assert(idMeta.getString("delta.typeChanges").contains("\"toType\":\"long\""))
+  }
+
+  test("type widening: narrow appends up-cast; decimal growth; stats " +
+      "skipping still prunes int-era files under long predicates") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    DeltaTable.write(
+      Seq((1, BigDecimal("12.34"))).toDF("id", "amt")
+        .withColumn("amt", $"amt".cast(DecimalType(6, 2))),
+      t, "overwrite")                                            // v0
+    DeltaTable.alterColumnType(t, "id", LongType)                // v1
+    DeltaTable.alterColumnType(t, "amt", DecimalType(12, 4))     // v2
+    // an append still carrying the OLD narrow types up-casts losslessly
+    DeltaTable.write(
+      Seq((7, BigDecimal("45.67"))).toDF("id", "amt")
+        .withColumn("amt", $"amt".cast(DecimalType(6, 2))),
+      t, "append")                                               // v3
+    val df = spark.read.format("graft-delta").load(t).orderBy("id")
+    assert(df.schema("amt").dataType === DecimalType(12, 4))
+    assert(df.select($"id", $"amt".cast("string")).as[(Long, String)]
+      .collect().toSeq === Seq((1L, "12.3400"), (7L, "45.6700")))
+    // skipping: the v0 file's int-era stats must still serve (and
+    // prune) a long-typed predicate — BigDecimal compare is type-blind
+    val index = new graft.sources.GraftDeltaFileIndex(
+      t, DeltaLog.snapshot(t),
+      StructType(Seq(StructField("id", LongType),
+        StructField("amt", DecimalType(12, 4)))))
+    val pruned = index.listFiles(Nil, Seq(
+      org.apache.spark.sql.catalyst.expressions.GreaterThan(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "id", LongType)(),
+        org.apache.spark.sql.catalyst.expressions.Literal(5L))))
+    assert(pruned.head.files.length === 1,
+      "the id=1 file should prune under id > 5")
+  }
+
+  test("type widening: narrowing, cross-family, partition, identity and " +
+      "generated-base changes all refuse loudly") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    DeltaTable.write(
+      Seq((1L, 10, "2024-01-15 10:00:00")).toDF("id", "qty", "s")
+        .withColumn("ts", $"s".cast("timestamp")).drop("s"),
+      t, "overwrite", partitionBy = Seq("qty"),
+      generatedColumns = Map("d" -> "CAST(ts AS DATE)"))
+    intercept[graft.sources.SchemaEvolutionException] {
+      DeltaTable.alterColumnType(t, "id", IntegerType) } // narrowing
+    intercept[graft.sources.SchemaEvolutionException] {
+      DeltaTable.alterColumnType(t, "id", StringType) } // cross-family
+    intercept[graft.sources.SchemaEvolutionException] {
+      DeltaTable.alterColumnType(t, "id", DecimalType(18, 0)) } // long needs p-s>=20
+    intercept[IllegalArgumentException] {
+      DeltaTable.alterColumnType(t, "qty", LongType) } // partition col
+    intercept[IllegalArgumentException] {
+      DeltaTable.alterColumnType(t, "ts", StringType) } // generated base
+    val t2 = freshTable()
+    DeltaTable.write(Seq((1, "x")).toDF("n", "v"), t2, "overwrite",
+      identityColumns = Map("sk" -> ((1L, 1L))))
+    intercept[IllegalArgumentException] {
+      DeltaTable.alterColumnType(t2, "sk", DecimalType(38, 0)) } // identity
+    // long -> decimal(20,0) IS legal
+    DeltaTable.alterColumnType(t, "id", DecimalType(20, 0))
+    assert(spark.read.format("graft-delta").load(t)
+      .schema("id").dataType === DecimalType(20, 0))
+  }
+
+  test("type widening composes with column mapping: widen a renamed " +
+      "column; mapped reads up-convert under the physical name") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("n", "v"), t, "overwrite")
+    DeltaTable.enableColumnMapping(t)
+    DeltaTable.renameColumn(t, "n", "num")
+    DeltaTable.alterColumnType(t, "num", LongType)
+    DeltaTable.write(Seq((6_000_000_000L, "c")).toDF("num", "v"), t, "append")
+    val df = spark.read.format("graft-delta").load(t)
+    assert(df.schema("num").dataType === LongType)
+    assert(df.orderBy("num").select("num").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 6_000_000_000L))
+  }
+
+  test("delta wire format: validator passes a widened table; flags an " +
+      "ungated protocol and a narrowing in the typeChanges history") {
+    import scala.sys.process.{Process, ProcessLogger}
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.alterColumnType(t, "id", LongType)
+    def validate(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val (c1, o1) = validate()
+    assert(c1 === 0, s"validator failed a healthy widened table:\n$o1")
+    // tamper 1: downgrade the protocol below the features gate
+    forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val (c2, o2) = validate()
+    assert(c2 != 0 && o2.contains("typeWidening"),
+      s"validator missed the ungated typeChanges history:\n$o2")
+    // tamper 2: restore the gate but forge a NARROWING into the history
+    val snap = DeltaLog.snapshot(t)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val narrowed = StructType(schema.fields.map(f =>
+      if (f.name != "id") f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString("delta.typeChanges",
+          """[{"fromType":"long","toType":"integer","tableVersion":9}]""")
+        .build())))
+    DeltaLog.commit(t, snap.version, Seq(
+      DeltaLog.commitInfoAction("FORGE"),
+      DeltaLog.protocolAction(3, 7, Seq("typeWidening"), Seq("typeWidening")),
+      DeltaLog.metaDataAction(narrowed.json, snap.partitionColumns,
+        DeltaLog.tableId(t), snap.configuration)))
+    val (c3, o3) = validate()
+    assert(c3 != 0 && o3.contains("not a widening"),
+      s"validator missed the narrowing history:\n$o3")
+  }
+
   // -- metadata-only COUNT(*) (MetadataOnlyCount optimizer rule) -------
 
   /** True iff the plan never touches a file: every optimized leaf is a

@@ -47,6 +47,11 @@ and asserts the wire-format invariants the Delta Lake protocol
      (when every touched file carries row-count stats) the net row
      delta of the data files equals insert + postimage - preimage -
      delete of the change rows.
+ 17. type widening: a `delta.typeChanges` history on any schema field
+     implies the protocol lists `typeWidening` in BOTH feature sets at
+     the features gate (3,7), and every recorded change is a widening
+     per the protocol matrix — a narrowing in the history means old
+     files physically hold values the committed type cannot represent.
 
 Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
 Exit 0 = every table passes; 1 = at least one invariant violated.
@@ -520,6 +525,67 @@ def validate(table):
                                 f"{hwm}")
                     except Exception:
                         pass  # unreadable: gate-only
+
+        # -- type widening (invariant 17): any schema field carrying a
+        # delta.typeChanges history means the protocol must list the
+        # typeWidening feature in BOTH feature sets at the features
+        # gate — an unaware reader scanning pre-widen files would fail
+        # (or worse, misread) on the narrower physical encodings; and
+        # every recorded change must be a WIDENING (a narrowing in the
+        # history means a writer corrupted the contract: old files
+        # physically hold values the committed type cannot represent).
+        _widenings = {
+            ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+            ("short", "integer"), ("short", "long"),
+            ("integer", "long"), ("float", "double"),
+            ("byte", "double"), ("short", "double"), ("integer", "double")}
+
+        def _is_widening(frm, to):
+            if (frm, to) in _widenings:
+                return True
+            import re as _re
+            dec = _re.compile(r"decimal\((\d+),(\d+)\)")
+            mf, mt = dec.match(frm or ""), dec.match(to or "")
+            if mt and mf:
+                pf, sf = int(mf.group(1)), int(mf.group(2))
+                pt, st = int(mt.group(1)), int(mt.group(2))
+                return st >= sf and pt - st >= pf - sf and (
+                    pt > pf or st > sf)
+            if mt and frm in ("byte", "short", "integer", "long"):
+                need = {"byte": 3, "short": 5, "integer": 10, "long": 20}[frm]
+                return int(mt.group(1)) - int(mt.group(2)) >= need
+            return False
+
+        widened = [(f["name"],
+                    (f.get("metadata") or {}).get("delta.typeChanges"))
+                   for f in _gen_fields
+                   if (f.get("metadata") or {}).get("delta.typeChanges")]
+        if widened:
+            pr = full.protocol or {}
+            if (pr.get("minReaderVersion", 0) < 3
+                    or pr.get("minWriterVersion", 0) < 7
+                    or "typeWidening" not in (pr.get("readerFeatures") or [])
+                    or "typeWidening" not in (pr.get("writerFeatures") or [])):
+                problems.append(
+                    "delta.typeChanges history present but the protocol "
+                    "does not list typeWidening in both feature sets at "
+                    "the features gate (3,7)")
+            for name, hist in widened:
+                try:
+                    changes = json.loads(hist)
+                except Exception:
+                    problems.append(
+                        f"column {name}: unparseable delta.typeChanges "
+                        f"history ({hist!r})")
+                    continue
+                for ch in changes:
+                    if not _is_widening(ch.get("fromType"),
+                                        ch.get("toType")):
+                        problems.append(
+                            f"column {name}: recorded type change "
+                            f"{ch.get('fromType')} -> {ch.get('toType')} "
+                            "is not a widening — old files hold values "
+                            "the committed type cannot represent")
 
         # -- column mapping (invariant 10): when
         # delta.columnMapping.mode = name, every schema field carries a
