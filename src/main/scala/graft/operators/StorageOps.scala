@@ -831,7 +831,43 @@ object StorageOps {
       |  MIN(bal) AS min_bal, MAX(bal) AS max_bal
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q107 — IN-COMMIT TIMESTAMPS end-to-end ([EXT], the protocol's
+    * `inCommitTimestamp` writer feature): after enablement every
+    * commit's commitInfo carries an engine-assigned strictly-monotone
+    * timestamp, and `timestampAsOf` resolves against THAT — not file
+    * mtimes (which a backup/restore scrambles) or writer wall clocks
+    * (which skew). The query time-travels to the ICT of the middle
+    * append and must see exactly versions ≤ it (DeltaSpec additionally
+    * proves resolution survives scrambled mtimes and forged skew). */
+  val q107IctTimeTravel: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-delta-ict")
+    DeltaTable.write(n, t, "overwrite")                 // v0
+    DeltaTable.enableInCommitTimestamps(t)              // v1
+    DeltaTable.write(n.filter(col("n_regionkey") === 0)
+      .withColumn("n_nationkey", col("n_nationkey") + 50), t, "append") // v2
+    DeltaTable.write(n.filter(col("n_regionkey") === 1)
+      .withColumn("n_nationkey", col("n_nationkey") + 100), t, "append") // v3
+    val at2 = graft.sources.DeltaLog.inCommitTimestamp(t, 2L).get
+    spark.read.format("graft-delta")
+      .option("timestampAsOf", at2.toString).load(t)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
+  val q107Oracle: String =
+    """WITH v2 AS (
+      |  SELECT n_nationkey, n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey + 50, n_regionkey FROM nation
+      |  WHERE n_regionkey = 0)
+      |SELECT n_regionkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_ict_timetravel" -> q107IctTimeTravel,
     "q106_type_widening" -> q106TypeWidening,
     "q105_metadata_count" -> q105MetadataCount,
     "q104_compact_where" -> q104CompactWhere,
@@ -860,6 +896,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q107_ict_timetravel" -> q107Oracle,
     "q106_type_widening" -> q106Oracle,
     "q105_metadata_count" -> q105Oracle,
     "q104_compact_where" -> q104Oracle,

@@ -93,7 +93,7 @@ object DeltaLog {
   val SupportedWriterVersion = 7
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++
     Set("checkConstraints", "changeDataFeed", "appendOnly",
-      "generatedColumns", "identityColumns")
+      "generatedColumns", "identityColumns", "inCommitTimestamp")
 
   /** Reader-side protocol gate — runs on every snapshot replay, so an
     * unreadable table fails loudly everywhere (read, stream, DML — a
@@ -334,8 +334,9 @@ object DeltaLog {
     * commit would vanish (observed: 6 racing appends → 4 rows before
     * this was a link). On HDFS/S3 the equivalent is create-with-
     * overwrite=false / put-if-absent. */
-  def commit(table: String, readVersion: Long, actions: Seq[String]): Long = {
+  def commit(table: String, readVersion: Long, actions0: Seq[String]): Long = {
     val next = readVersion + 1
+    val actions = stampInCommitTimestamp(table, readVersion, actions0)
     val dir = logDir(table)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, s".commit-$next-", ".tmp")
@@ -359,6 +360,62 @@ object DeltaLog {
     } finally {
       try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
     }
+  }
+
+  /** The `inCommitTimestamp` a committed version's commitInfo carries,
+    * if the version file survives and was stamped. */
+  def inCommitTimestamp(table: String, v: Long): Option[Long] = {
+    val p = logDir(table).resolve(V.format(v) + ".json")
+    if (!Files.exists(p)) return None
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).iterator.map(Json.parse).collectFirst {
+        case ("commitInfo", f) =>
+          f.get("inCommitTimestamp").flatMap(_.toLongOption)
+      }.flatten
+  }
+
+  /** IN-COMMIT TIMESTAMPS (the protocol's `inCommitTimestamp` writer
+    * feature): when the table has opted in, every commit's commitInfo
+    * carries an engine-assigned `inCommitTimestamp` that is strictly
+    * greater than its predecessor's — `timestampAsOf` then resolves
+    * against WRITER-GUARANTEED monotone commit time instead of file
+    * mtimes a copy/restore can scramble or wall clocks that skew
+    * across writers. Central by design: this runs inside [[commit]],
+    * so every commit path (write/DML/OPTIMIZE/ALTER/streaming) is
+    * stamped with no per-site code.
+    *
+    * Enablement is read from the commit's OWN metaData when it carries
+    * one (every engine commit does — the carry-forward contract),
+    * falling back to "the predecessor was stamped" for raw
+    * metaData-less commits, so a mid-race property flip can never
+    * leave an unstamped hole. Per the spec the stamped commitInfo
+    * moves to the FRONT of the action list. */
+  private def stampInCommitTimestamp(table: String, readVersion: Long,
+      actions: Seq[String]): Seq[String] = {
+    val (infos, rest) = actions.partition(_.startsWith("""{"commitInfo""""))
+    // no commitInfo to stamp, or the caller (a foreign writer replaying
+    // its own log shape) already stamped one — never double-stamp
+    if (infos.isEmpty || infos.head.contains("\"inCommitTimestamp\""))
+      return actions
+    // prefix match, not a parse of every action: a commit can carry
+    // 100k add lines and the metaData (when present) leads the list;
+    // a foreign log whose metaData spells differently just falls back
+    // to the predecessor-stamp signal below
+    val declared: Option[Boolean] =
+      actions.find(_.startsWith("""{"metaData"""")).map { a =>
+        Json.parse(a)._2.get("configuration").map(Json.parseFlat)
+          .exists(_.get("delta.enableInCommitTimestamps").contains("true"))
+      }
+    val prior =
+      if (readVersion < 0) None else inCommitTimestamp(table, readVersion)
+    val enabled = declared.getOrElse(prior.isDefined)
+    if (!enabled) return actions
+    val ict = math.max(System.currentTimeMillis(),
+      prior.map(_ + 1L).getOrElse(Long.MinValue))
+    val stamped = infos.head.replaceFirst("""\{"commitInfo":\{""",
+      java.util.regex.Matcher.quoteReplacement(
+        s"""{"commitInfo":{"inCommitTimestamp":$ict,"""))
+    (stamped +: infos.tail) ++ rest
   }
 
   // -- action builders ------------------------------------------------
@@ -468,7 +525,10 @@ object DeltaLog {
       val fromInfo = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).iterator.map(Json.parse).collectFirst {
           case ("commitInfo", fields) =>
-            fields.get("timestamp").flatMap(_.toLongOption)
+            // the writer-guaranteed in-commit timestamp wins over the
+            // advisory wall-clock field when the table stamps one
+            fields.get("inCommitTimestamp").orElse(fields.get("timestamp"))
+              .flatMap(_.toLongOption)
         }.flatten
       v -> fromInfo.getOrElse(Files.getLastModifiedTime(p).toMillis)
     }

@@ -685,6 +685,48 @@ object DeltaTable {
       s"enableDeletionVectors($table): lost the commit race $maxAttempts times")
   }
 
+  /** Opt the table into IN-COMMIT TIMESTAMPS (the protocol's
+    * `inCommitTimestamp` writer feature): from the next commit on,
+    * every commitInfo carries an engine-assigned, strictly-monotone
+    * `inCommitTimestamp` (stamped centrally in [[DeltaLog.commit]]),
+    * and `timestampAsOf` resolves against it — immune to file-mtime
+    * scrambling (backup/restore, copies) and writer clock skew, which
+    * the pre-ICT path can only monotonize after the fact. Records the
+    * spec's enablement provenance (version + wall time) so consumers
+    * know which historical versions predate the guarantee. */
+  def enableInCommitTimestamps(table: String): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      if (snap.configuration.get("delta.enableInCommitTimestamps")
+          .contains("true")) return snap.version
+      val wfeats = Set("inCommitTimestamp") ++ snap.writerFeatures ++
+        activeLegacyWriterFeatures(snap) ++
+        (if (ColumnMapping.enabled(snap)) Set("columnMapping")
+         else Set.empty[String]) ++
+        (if (dvEnabled(snap)) Set("deletionVectors") else Set.empty[String])
+      val actions = Seq(
+        DeltaLog.commitInfoAction("SET IN-COMMIT TIMESTAMPS"),
+        DeltaLog.protocolAction(snap.minReaderVersion,
+          math.max(snap.minWriterVersion, 7),
+          snap.readerFeatures.toSeq, wfeats.toSeq),
+        DeltaLog.metaDataAction(snap.schemaJson.getOrElse(
+            new StructType().json), snap.partitionColumns,
+          DeltaLog.tableId(table),
+          snap.configuration ++ Map(
+            "delta.enableInCommitTimestamps" -> "true",
+            "delta.inCommitTimestampEnablementVersion" ->
+              (snap.version + 1).toString,
+            "delta.inCommitTimestampEnablementTimestamp" ->
+              System.currentTimeMillis().toString)))
+      try return gatedCommit(table, snap, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"enableInCommitTimestamps($table): lost the commit race " +
+        s"$maxAttempts times")
+  }
+
   /** Guard shared by rename/drop: mapping on, column exists, column is
     * not load-bearing for the physical layout (partition dirs use its
     * name) or the table contract (a CHECK constraint's expression would

@@ -2675,6 +2675,103 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 4)
   }
 
+  // -- in-commit timestamps --------------------------------------------
+
+  test("in-commit timestamps: every post-enablement commit is stamped " +
+      "monotone, commitInfo leads the version file, and timestampAsOf " +
+      "ignores scrambled file mtimes") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                 // v0
+    DeltaTable.enableInCommitTimestamps(t)                       // v1
+    DeltaTable.write(employee1, t, "append")                     // v2
+    DeltaTable.delete(spark, t, $"id" === 1)                     // v3
+    // v0 predates enablement: unstamped; v1..v3 stamped strictly rising
+    assert(DeltaLog.inCommitTimestamp(t, 0L).isEmpty)
+    val icts = (1L to 3L).map(v => DeltaLog.inCommitTimestamp(t, v))
+    assert(icts.forall(_.isDefined), s"unstamped post-enablement commit: $icts")
+    assert(icts.flatten.sliding(2).forall(p => p(0) < p(1)))
+    // spec shape: the stamped commitInfo is the FIRST action line
+    for (v <- 1L to 3L) {
+      val first = Files.readAllLines(
+        DeltaLog.logDir(t).resolve(f"$v%020d.json")).get(0)
+      assert(first.startsWith("""{"commitInfo":{"inCommitTimestamp":"""),
+        s"v$v does not lead with the stamped commitInfo: $first")
+    }
+    // provenance properties recorded at enablement
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.writerFeatures.contains("inCommitTimestamp"))
+    assert(snap.configuration.get(
+      "delta.inCommitTimestampEnablementVersion").contains("1"))
+    // timestampAsOf binds to the ICTs even after file mtimes scramble
+    // (a backup/restore or copy rewrites them arbitrarily)
+    val tsOfV2 = DeltaLog.inCommitTimestamp(t, 2L).get
+    for (v <- 0L to 3L)
+      Files.setLastModifiedTime(
+        DeltaLog.logDir(t).resolve(f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1_000_000_000L + v))
+    assert(DeltaLog.versionAtTimestamp(t, tsOfV2) === 2L)
+    assert(DeltaLog.versionAtTimestamp(t, tsOfV2 - 1) === 1L)
+    assert(DeltaTable.read(spark, t,
+      versionAsOf = Some(DeltaLog.versionAtTimestamp(t, tsOfV2))).count() === 4)
+  }
+
+  test("in-commit timestamps: a forged future ICT cannot break " +
+      "monotonicity — the next commit stamps predecessor+1; untouched " +
+      "tables stay unstamped") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.enableInCommitTimestamps(t)
+    // forge: stamp v2 a day into the future (writer clock skew)
+    val future = System.currentTimeMillis() + 86_400_000L
+    DeltaLog.commit(t, DeltaTable.latestVersion(t), Seq(
+      s"""{"commitInfo":{"inCommitTimestamp":$future,"operation":"SKEWED"}}"""))
+    DeltaTable.write(employee1, t, "append")
+    val v3 = DeltaLog.inCommitTimestamp(t, 3L).get
+    assert(v3 === future + 1,
+      s"expected predecessor+1 under skew, got $v3 (future=$future)")
+    // a table that never opted in is never stamped
+    val t2 = freshTable()
+    DeltaTable.write(employees3, t2, "overwrite")
+    DeltaTable.write(employee1, t2, "append")
+    assert((0L to 1L).forall(v => DeltaLog.inCommitTimestamp(t2, v).isEmpty))
+  }
+
+  test("delta wire format: validator passes an ICT table; flags a " +
+      "regressing stamp and a missing post-enablement stamp") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")
+    DeltaTable.enableInCommitTimestamps(t)
+    DeltaTable.write(employee1, t, "append")
+    def validate(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val (c1, o1) = validate()
+    assert(c1 === 0, s"validator failed a healthy ICT table:\n$o1")
+    // tamper: rewrite v2's stamp BELOW v1's (regression) — the commit
+    // path can't produce this, so forge the version file directly
+    val v2 = DeltaLog.logDir(t).resolve(f"${2L}%020d.json")
+    val v1Ict = DeltaLog.inCommitTimestamp(t, 1L).get
+    val forged = new String(Files.readAllBytes(v2), "UTF-8")
+      .replaceFirst(""""inCommitTimestamp":\d+""",
+        s""""inCommitTimestamp":${v1Ict - 5}""")
+    Files.write(v2, forged.getBytes("UTF-8"))
+    val (c2, o2) = validate()
+    assert(c2 != 0 && o2.contains("not greater than"),
+      s"validator missed the regressing stamp:\n$o2")
+    // tamper: strip the stamp entirely
+    Files.write(v2, new String(Files.readAllBytes(v2), "UTF-8")
+      .replaceFirst(""""inCommitTimestamp":-?\d+,""", "").getBytes("UTF-8"))
+    val (c3, o3) = validate()
+    assert(c3 != 0 && o3.contains("lacks an"),
+      s"validator missed the unstamped commit:\n$o3")
+  }
+
   // -- type widening (ALTER COLUMN TYPE, metadata-only) ----------------
 
   test("type widening: int->long and float->double are metadata-only — " +

@@ -52,6 +52,10 @@ and asserts the wire-format invariants the Delta Lake protocol
      the features gate (3,7), and every recorded change is a widening
      per the protocol matrix — a narrowing in the history means old
      files physically hold values the committed type cannot represent.
+ 18. in-commit timestamps: `delta.enableInCommitTimestamps=true`
+     implies the `inCommitTimestamp` writer feature is gated, every
+     version at or after the enablement version carries a stamped
+     commitInfo, and the stamps are strictly monotone.
 
 Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
 Exit 0 = every table passes; 1 = at least one invariant violated.
@@ -586,6 +590,46 @@ def validate(table):
                             f"{ch.get('fromType')} -> {ch.get('toType')} "
                             "is not a widening — old files hold values "
                             "the committed type cannot represent")
+
+        # -- in-commit timestamps (invariant 18): the property means the
+        # protocol lists the inCommitTimestamp writer feature, every
+        # version at or after the recorded enablement version carries a
+        # stamped commitInfo, and the stamps are STRICTLY monotone — a
+        # flat or regressing stamp breaks timestampAsOf resolution for
+        # every consumer.
+        if full.config.get("delta.enableInCommitTimestamps") == "true":
+            pr = full.protocol or {}
+            if (pr.get("minWriterVersion", 0) < 7
+                    or "inCommitTimestamp"
+                    not in (pr.get("writerFeatures") or [])):
+                problems.append(
+                    "delta.enableInCommitTimestamps=true but the protocol "
+                    "does not list the inCommitTimestamp writer feature "
+                    "(writer 7)")
+            try:
+                enable_v = int(full.config.get(
+                    "delta.inCommitTimestampEnablementVersion", "0"))
+            except ValueError:
+                enable_v = 0
+            prev_ict = None
+            for v in versions:
+                if v < enable_v:
+                    continue
+                icts = [a["commitInfo"].get("inCommitTimestamp")
+                        for a in load_actions(vfiles[v])
+                        if "commitInfo" in a]
+                ict = next((i for i in icts if i is not None), None)
+                if ict is None:
+                    problems.append(
+                        f"v{v}: post-enablement commit lacks an "
+                        "inCommitTimestamp")
+                    prev_ict = None
+                    continue
+                if prev_ict is not None and ict <= prev_ict:
+                    problems.append(
+                        f"v{v}: inCommitTimestamp {ict} not greater than "
+                        f"its predecessor's {prev_ict}")
+                prev_ict = ict
 
         # -- column mapping (invariant 10): when
         # delta.columnMapping.mode = name, every schema field carries a
