@@ -187,6 +187,55 @@ object DeltaLog {
   def parquetCheckpointPath(table: String, version: Long): Path =
     logDir(table).resolve(V.format(version) + ".checkpoint.parquet")
 
+  private val P = "%010d"
+  private val MultiPartRe =
+    """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+
+  /** Part `k` of `p` of a MULTI-PART classic checkpoint
+    * (`N.checkpoint.0000000001.0000000003.parquet` — the protocol's
+    * answer to tables whose live-file set outgrows one parquet file:
+    * a 100 TB table holds millions of add actions, and writing —
+    * then replaying — them through a single file serializes the one
+    * part of the log path that has to scale with table size). */
+  def multiPartCheckpointPath(table: String, version: Long,
+      part: Int, parts: Int): Path =
+    logDir(table).resolve(
+      s"${V.format(version)}.checkpoint.${P.format(part)}.${P.format(parts)}.parquet")
+
+  /** Existing multi-part files for `version`, as (path, part, parts).
+    * Includes incomplete sets — [[completeMultiPart]] decides
+    * usability; vacuum cleanup deletes whatever exists. */
+  def multiPartCheckpointFiles(table: String,
+      version: Long): Seq[(Path, Int, Int)] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try s.iterator.asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case MultiPartRe(v, k, n) if v.toLong == version =>
+          Some((p, k.toInt, n.toInt))
+        case _ => None
+      }
+    }.toSeq
+    finally s.close()
+  }
+
+  /** The complete part list of `version`'s multi-part checkpoint in
+    * part order, or None when no COMPLETE set exists (a crash mid-write
+    * leaves a partial set — the protocol says ignore it; replay then
+    * uses an older checkpoint or the raw version files). */
+  def completeMultiPart(table: String, version: Long): Option[Seq[Path]] = {
+    val files = multiPartCheckpointFiles(table, version)
+    files.map(_._3).distinct match {
+      case Seq(n) =>
+        val byPart = files.map(f => f._2 -> f._1).toMap
+        if ((1 to n).forall(byPart.contains))
+          Some((1 to n).map(byPart))
+        else None
+      case _ => None // no files, or conflicting totals: unusable
+    }
+  }
+
   /** Stable table id for the metaData action (the protocol requires
     * one): derived from the absolute table path, so every commit of a
     * table carries the same id with no id-registry state. */
@@ -205,15 +254,23 @@ object DeltaLog {
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val s = Files.list(d)
-      try s.iterator.asScala.flatMap { p =>
-        val n = p.getFileName.toString
-        if (n.endsWith(".checkpoint.json"))
-          n.stripSuffix(".checkpoint.json").toLongOption
-        else if (n.endsWith(".checkpoint.parquet"))
-          n.stripSuffix(".checkpoint.parquet").toLongOption
-        else None
-      }.toSeq.distinct.sorted
-      finally s.close()
+      val (whole, multi) =
+        try {
+          val names = s.iterator.asScala.map(_.getFileName.toString).toSeq
+          (names.flatMap { n =>
+            if (n.endsWith(".checkpoint.json"))
+              n.stripSuffix(".checkpoint.json").toLongOption
+            else if (n.endsWith(".checkpoint.parquet"))
+              n.stripSuffix(".checkpoint.parquet").toLongOption
+            else None
+          },
+            names.collect { case MultiPartRe(v, _, _) => v.toLong }.distinct)
+        } finally s.close()
+      // a multi-part set only counts when COMPLETE (crash mid-write
+      // leaves a partial set the protocol says to ignore)
+      (whole ++ multi.filter(v =>
+        whole.contains(v) || completeMultiPart(table, v).isDefined))
+        .distinct.sorted
     }
   }
 
@@ -229,13 +286,22 @@ object DeltaLog {
     if (Files.exists(json))
       return Files.readAllLines(json, StandardCharsets.UTF_8).asScala.toSeq
     val pq = parquetCheckpointPath(table, version)
-    require(Files.exists(pq),
-      s"checkpoint $version of $table listed but both formats missing")
+    val paths: Seq[String] =
+      if (Files.exists(pq)) Seq(pq.toString)
+      else completeMultiPart(table, version)
+        .map(_.map(_.toString))
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint $version of $table listed but no readable format " +
+            "exists (json/parquet missing, multi-part set incomplete)"))
     val spark = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(
-        s"decoding parquet checkpoint $pq requires an active SparkSession"))
-    spark.read.parquet(pq.toString).toJSON.collect().toSeq
+        s"decoding parquet checkpoint of $table@$version requires an " +
+          "active SparkSession"))
+    // one scan over all parts; action order across parts is free (a
+    // checkpoint carries exactly one metaData/protocol, so the
+    // last-wins replay rule has nothing to disambiguate)
+    spark.read.parquet(paths: _*).toJSON.collect().toSeq
   }
 
   /** Replay the log up to `versionAsOf` (inclusive; latest if None):

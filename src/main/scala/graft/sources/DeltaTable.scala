@@ -2073,8 +2073,18 @@ object DeltaTable {
     * Our own replay decodes these rows back into action lines via
     * `toJSON` (see [[DeltaLog.snapshot]]), so either checkpoint format
     * alone reconstructs the table. */
+  /** Returns the number of parquet files written: 1 = the classic
+    * single `N.checkpoint.parquet`; >1 = a MULTI-PART classic
+    * checkpoint (`N.checkpoint.K.P.parquet`, the protocol's shape for
+    * tables whose action count outgrows one file — at 100 TB the live
+    * add-set is millions of rows and a single-file checkpoint is the
+    * one log-path cost that scales with table size). The threshold is
+    * `spark.graft.checkpoint.maxActionsPerFile` (default 100k). Parts
+    * move into place one by one; discovery ignores an INCOMPLETE set
+    * (crash mid-write), so replay falls back to an older checkpoint or
+    * the raw version files — never a half-read snapshot. */
   private def writeParquetCheckpoint(spark: SparkSession, table: String,
-      version: Long, snap: DeltaLog.Snapshot): Unit = {
+      version: Long, snap: DeltaLog.Snapshot): Int = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
       LongType, MapType, StructField}
@@ -2134,26 +2144,38 @@ object DeltaTable {
             f.dv.map(d => Row("p", d.path, d.sizeInBytes, d.cardinality))
               .orNull),
           null, null, null))
-    val tmpDir = Files.createTempDirectory(DeltaLog.logDir(table), ".pckpt-")
-    try {
-      spark.createDataFrame(rows.asJava, schema).coalesce(1)
-        .write.mode("overwrite").parquet(tmpDir.toString)
-      val s = Files.list(tmpDir)
-      val part =
-        try s.iterator.asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"parquet checkpoint write produced no part file in $tmpDir"))
+    val maxPer = spark.conf
+      .getOption("spark.graft.checkpoint.maxActionsPerFile")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100_000)
+    val groups: Seq[Seq[Row]] =
+      if (rows.length <= maxPer) Seq(rows)
+      else rows.grouped(maxPer).toSeq
+    val targets: Seq[Path] =
+      if (groups.length == 1) Seq(DeltaLog.parquetCheckpointPath(table, version))
+      else (1 to groups.length).map(k =>
+        DeltaLog.multiPartCheckpointPath(table, version, k, groups.length))
+    groups.zip(targets).foreach { case (group, target) =>
+      val tmpDir = Files.createTempDirectory(DeltaLog.logDir(table), ".pckpt-")
+      try {
+        spark.createDataFrame(group.asJava, schema).coalesce(1)
+          .write.mode("overwrite").parquet(tmpDir.toString)
+        val s = Files.list(tmpDir)
+        val part =
+          try s.iterator.asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"parquet checkpoint write produced no part file in $tmpDir"))
+          finally s.close()
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      } finally {
+        val s = Files.walk(tmpDir)
+        try s.iterator.asScala.toSeq.reverse.foreach(p =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
         finally s.close()
-      Files.move(part, DeltaLog.parquetCheckpointPath(table, version),
-        StandardCopyOption.REPLACE_EXISTING)
-    } finally {
-      val s = Files.walk(tmpDir)
-      try s.iterator.asScala.toSeq.reverse.foreach(p =>
-        try Files.deleteIfExists(p)
-        catch { case _: java.io.IOException => () })
-      finally s.close()
+      }
     }
+    groups.length
   }
 
   /** Garbage-collect data files that no retained version references:
@@ -2226,14 +2248,18 @@ object DeltaTable {
     // the PROTOCOL-format checkpoint: the same snapshot as parquet
     // action rows — what a stock delta reader replays. Needs a session
     // for the parquet codec (best-effort skip otherwise: the JSON side
-    // file already guarantees our own replay).
-    org.apache.spark.sql.SparkSession.getActiveSession
+    // file already guarantees our own replay). Large snapshots split
+    // into the protocol's multi-part shape (see writeParquetCheckpoint).
+    val parts: Option[Int] = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach(writeParquetCheckpoint(_, table, version, snap))
+      .map(writeParquetCheckpoint(_, table, version, snap))
     // _last_checkpoint hint (the protocol's fast-path pointer;
-    // discovery by listing remains the source of truth)
+    // discovery by listing remains the source of truth); multi-part
+    // checkpoints advertise their part count per the spec
+    val partsField = parts.filter(_ > 1).map(p => s""","parts":$p""").getOrElse("")
     val hint = Files.createTempFile(logDir, ".lastckpt-", ".tmp")
-    Files.write(hint, s"""{"version":$version,"size":${checkpoint.length}}"""
+    Files.write(hint,
+      s"""{"version":$version,"size":${checkpoint.length}$partsField}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(hint, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -2292,6 +2318,8 @@ object DeltaTable {
     DeltaLog.checkpointVersions(table).filter(_ < horizon).foreach { v =>
       Files.deleteIfExists(DeltaLog.checkpointPath(table, v))
       Files.deleteIfExists(DeltaLog.parquetCheckpointPath(table, v))
+      DeltaLog.multiPartCheckpointFiles(table, v)
+        .foreach(f => Files.deleteIfExists(f._1))
     }
     // 4. delete unreferenced data files (recursive: partitioned
     // layouts keep data in col=value/ subdirs; paths compared

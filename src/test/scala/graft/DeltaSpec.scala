@@ -2675,6 +2675,56 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 4)
   }
 
+  // -- multi-part checkpoints ------------------------------------------
+
+  test("multi-part checkpoint: a snapshot over the per-file action cap " +
+      "splits into K-of-P parts; parts alone replay; an incomplete set " +
+      "is ignored and fails loudly past a pruned prefix") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = freshTable()
+    spark.conf.set("spark.graft.checkpoint.maxActionsPerFile", "8")
+    try {
+      DeltaTable.write(employees3, t, "overwrite")               // v0
+      for (i <- 1 to 19)                                         // v1..v19
+        DeltaTable.write(Seq((100 + i, s"W$i", 1000L * i, "2024-02-01"))
+          .toDF("id", "name", "salary", "date"), t, "append")
+      DeltaTable.vacuum(t, 3)                                    // horizon v17
+      val horizon = 17L
+      val parts = DeltaLog.multiPartCheckpointFiles(t, horizon)
+      assert(parts.nonEmpty, "expected a multi-part checkpoint at the horizon")
+      val total = parts.head._3
+      assert(total > 1 && parts.map(_._2).sorted == (1 to total),
+        s"incomplete part set: ${parts.map(_._2).sorted} of $total")
+      assert(DeltaLog.completeMultiPart(t, horizon).isDefined)
+      // no single parquet was written for the over-cap snapshot
+      assert(!Files.exists(DeltaLog.parquetCheckpointPath(t, horizon)))
+      // the hint advertises the part count
+      assert(new String(Files.readAllBytes(
+        DeltaLog.logDir(t).resolve("_last_checkpoint")), "UTF-8")
+        .contains(s""""parts":$total"""))
+      // superseded checkpoints below the horizon are fully collected
+      assert(DeltaLog.checkpointVersions(t) === Seq(horizon))
+      assert(DeltaLog.multiPartCheckpointFiles(t, 10L).isEmpty)
+      // the independent validator passes the multi-part table
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      assert(code === 0, s"validator failed a healthy multi-part table:\n$out")
+      // parts-only replay: drop the JSON side file — the snapshot must
+      // reconstruct from the parquet parts (22 rows = 3 + 19 appends)
+      Files.delete(DeltaLog.checkpointPath(t, horizon))
+      assert(DeltaTable.read(spark, t).count() === 22)
+      // an INCOMPLETE set is not a checkpoint: with part 2 gone and
+      // the prefix pruned, replay refuses instead of fabricating state
+      Files.delete(DeltaLog.multiPartCheckpointPath(t, horizon, 2, total))
+      val e = intercept[IllegalArgumentException](DeltaLog.snapshot(t))
+      assert(e.getMessage.contains("no preceding checkpoint"),
+        s"unexpected failure mode: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.checkpoint.maxActionsPerFile")
+  }
+
   // -- in-commit timestamps --------------------------------------------
 
   test("in-commit timestamps: every post-enablement commit is stamped " +

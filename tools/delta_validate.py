@@ -27,7 +27,12 @@ and asserts the wire-format invariants the Delta Lake protocol
      dataChange=false, and — when the full version prefix survives —
      the checkpoint equals an independent replay of versions 0..C;
   8. `_last_checkpoint` (when present) points at an existing
-     checkpoint.
+     checkpoint; a declared `parts` count matches the multi-part files
+     on disk. Multi-part classic checkpoints
+     (`N.checkpoint.K-of-P.parquet`) count only when COMPLETE; an
+     incomplete set is ignored per the protocol, conflicting part
+     totals are corruption, and a complete set must agree with the
+     other formats and the replay like any checkpoint.
   9. partitioned layout: every live add's `partitionValues` keys equal
      the metaData `partitionColumns`; each file's path carries the
      hive `col=value` directory segment its partitionValues claim;
@@ -64,6 +69,7 @@ import sys, os, json, re
 
 V_RE = re.compile(r"^(\d{20})\.json$")
 CP_RE = re.compile(r"^(\d{20})\.checkpoint\.(json|parquet)$")
+MP_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
 
 def load_actions(path):
@@ -255,7 +261,7 @@ def validate(table):
     if not os.path.isdir(logdir):
         return [f"{table}: no _delta_log directory"]
     names = sorted(os.listdir(logdir))
-    vfiles, cps = {}, {}
+    vfiles, cps, mparts = {}, {}, {}
     for n in names:
         m = V_RE.match(n)
         if m:
@@ -265,8 +271,27 @@ def validate(table):
         if m:
             cps.setdefault(int(m.group(1)), set()).add(m.group(2))
             continue
+        m = MP_RE.match(n)
+        if m:
+            mparts.setdefault(int(m.group(1)), {})[int(m.group(2))] = (
+                os.path.join(logdir, n), int(m.group(3)))
+            continue
         if n.endswith(".json") or n.endswith(".parquet"):
             problems.append(f"misnamed log entry: {n} (version files are %020d.json)")
+    # multi-part classic checkpoints: a COMPLETE set (all parts 1..P
+    # present, totals agreeing) is a checkpoint; an incomplete set is a
+    # crash leftover the protocol says to IGNORE (not an error) — but
+    # conflicting part totals for one version mean two writers
+    # interleaved incompatibly, which is corruption
+    for v, parts in sorted(mparts.items()):
+        totals = {t for _, t in parts.values()}
+        if len(totals) > 1:
+            problems.append(
+                f"multi-part checkpoint {v}: conflicting part totals {sorted(totals)}")
+            continue
+        total = next(iter(totals))
+        if set(parts.keys()) == set(range(1, total + 1)):
+            cps.setdefault(v, set()).add("multipart")
     versions = sorted(vfiles)
     if not versions and not cps:
         return [f"{table}: no committed versions and no checkpoints"]
@@ -748,6 +773,14 @@ def validate(table):
                     os.path.join(logdir, "%020d.checkpoint.parquet" % c))
             except Exception as e:
                 problems.append(f"checkpoint {c}: parquet undecodable: {e}")
+        if "multipart" in formats:
+            try:
+                acts = []
+                for k in sorted(mparts[c]):
+                    acts += checkpoint_parquet_actions(mparts[c][k][0])
+                sides["multipart"] = acts
+            except Exception as e:
+                problems.append(f"checkpoint {c}: multi-part undecodable: {e}")
         states = {}
         for fmt, acts in sides.items():
             r = Replay()
@@ -758,22 +791,25 @@ def validate(table):
                 problems.append(f"checkpoint {c} ({fmt}): no protocol action")
             if r.schema is None:
                 problems.append(f"checkpoint {c} ({fmt}): no metaData action")
-        if "parquet" in sides:
-            for a in sides["parquet"]:
+        for fmt in ("parquet", "multipart"):
+            for a in sides.get(fmt, []):
                 if "add" in a and a["add"].get("dataChange"):
-                    problems.append(f"checkpoint {c}: add with dataChange=true "
-                                    f"({a['add'].get('path')})")
+                    problems.append(f"checkpoint {c} ({fmt}): add with "
+                                    f"dataChange=true ({a['add'].get('path')})")
         def fingerprint(r):
             return (tuple(sorted((p, f.get("size")) for p, f in r.live.items())),
                     r.schema, tuple(r.part_cols), tuple(sorted(r.config.items())),
                     (r.protocol or {}).get("minReaderVersion"),
                     (r.protocol or {}).get("minWriterVersion"),
                     tuple(sorted(r.txns.items())))
-        if len(states) == 2:
-            fj, fp = fingerprint(states["json"]), fingerprint(states["parquet"])
-            if fj != fp:
-                problems.append(f"checkpoint {c}: json and parquet forms disagree:"
-                                f"\n  json:    {fj}\n  parquet: {fp}")
+        if len(states) >= 2:
+            fps = {fmt: fingerprint(r) for fmt, r in states.items()}
+            ref = sorted(fps)[0]
+            for fmt in sorted(fps):
+                if fps[fmt] != fps[ref]:
+                    problems.append(f"checkpoint {c}: {ref} and {fmt} forms "
+                                    f"disagree:\n  {ref}: {fps[ref]}"
+                                    f"\n  {fmt}: {fps[fmt]}")
         # completeness: the checkpoint must equal an independent replay
         # of versions 0..c whenever that prefix survives on disk
         if full is not None and c in versions and states:
@@ -790,9 +826,17 @@ def validate(table):
     hint = os.path.join(logdir, "_last_checkpoint")
     if os.path.isfile(hint):
         try:
-            hv = json.load(open(hint)).get("version")
+            h = json.load(open(hint))
+            hv = h.get("version")
             if hv not in cps:
                 problems.append(f"_last_checkpoint points at missing checkpoint {hv}")
+            hp = h.get("parts")
+            if hp is not None:
+                have = mparts.get(hv, {})
+                if sorted(have.keys()) != list(range(1, hp + 1)):
+                    problems.append(
+                        f"_last_checkpoint declares {hp} parts for {hv} but "
+                        f"parts {sorted(have.keys())} exist")
         except Exception as e:
             problems.append(f"_last_checkpoint unreadable: {e}")
 
