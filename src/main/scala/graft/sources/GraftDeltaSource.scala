@@ -83,9 +83,16 @@ class GraftDeltaSource extends RelationProvider
     require(!(cdf && ignore),
       "readChangeFeed and ignoreChanges are mutually exclusive: the " +
         "change feed DELIVERS rewrites row-level; ignoreChanges drops them")
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
+    require(!(cdf && maxFiles.isDefined),
+      "maxFilesPerTrigger does not apply to readChangeFeed streams " +
+        "(change rows are version-granular); use maxVersionsPerTrigger")
+    require(!(maxFiles.isDefined &&
+        parameters.contains("maxVersionsPerTrigger")),
+      "set at most one of maxFilesPerTrigger / maxVersionsPerTrigger")
     new GraftDeltaStreamSource(sqlContext, path(parameters), ignore,
       parameters.get("maxVersionsPerTrigger").map(_.toLong), cdf,
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong), maxFiles)
   }
 
   /** `writeStream.format("graft-delta")` — continuous exactly-once
@@ -188,10 +195,23 @@ class GraftDeltaSource extends RelationProvider
   * micro-batch serves versions N..latest (added files, or change rows
   * under `readChangeFeed`) — the "resume a consumer from a known
   * version" entry point, same as stock Delta's option. */
+/** `maxFilesPerTrigger=N` — FILE-granular admission control (stock
+  * Delta's option): offsets become (version, fileIndex) pairs, so one
+  * oversized commit — or the initial snapshot of a 100 TB table —
+  * spreads across as many micro-batches as it needs instead of
+  * arriving as one giant batch that overwhelms executor memory and
+  * checkpoint latency. The initial snapshot is the pseudo-version at
+  * the source's creation snapshot (`snap:true` in the offset json),
+  * consumed index-by-index before the tail versions flow. Restart
+  * resumes EXACTLY at the checkpointed (version, index) — files
+  * already delivered are never re-read. Removing the option against a
+  * checkpoint parked mid-version is refused loudly (serving the whole
+  * version again would duplicate rows downstream). */
 class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None,
     readChangeFeed: Boolean = false,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -219,6 +239,65 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     * batch may be larger; documented trade, same as Delta's). */
   private var lastOffered: Option[Long] = None
 
+  /** File-granular admission cursor (`maxFilesPerTrigger`): the last
+    * (version, fileIndex) boundary offered. Source-local like
+    * `lastOffered`; a restart resumes from the CHECKPOINTED composite
+    * offset, so delivery stays exact either way. */
+  private var lastOfferedPos: Option[GraftFileOffset] = None
+
+  /** Whether this stream opened with an initial-snapshot batch (no
+    * startingVersion): the source's creation snapshot is then served
+    * as pseudo-version `initialSnap.version`, file by file under the
+    * cap, before tail versions flow. */
+  private def snapMode: Boolean = startingVersion.isEmpty
+
+  /** The file list position (version, index) indexes into, under the
+    * cap. `snapPhase` = v is the stream's initial-snapshot
+    * pseudo-version: serve the HISTORICAL snapshot at v — pinned by
+    * the offset, not by this source instance's creation time, so a
+    * RESTARTED query parked mid-snapshot resumes over exactly the file
+    * list the original batches indexed into (the current snapshot may
+    * have compacted/appended since; log replay order is
+    * deterministic). Otherwise: a version's added files (layout-only
+    * versions contribute nothing; genuine rewrites fail loudly unless
+    * `ignoreChanges`, same contract as the uncapped path). */
+  private def capListFor(v: Long, snapPhase: Boolean): Seq[DeltaLog.AddFile] =
+    if (snapPhase)
+      (if (v == initialSnap.version) initialSnap
+       else DeltaLog.snapshot(table, Some(v))).files
+    else {
+      val vc = DeltaLog.versionChanges(table, v)
+      if (vc.layoutOnly) Nil
+      else {
+        if (vc.removesFiles && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft-delta stream source: version $v of $table rewrites " +
+              "data (overwrite/restore/DML); streaming needs append-only " +
+              "versions — set option ignoreChanges=true to receive only " +
+              "the added files, or readChangeFeed=true for row-level " +
+              "changes (CDF-enabled tables)")
+        vc.adds
+      }
+    }
+
+  /** Decode any offset this source (or a pre-option checkpoint) may
+    * have produced: composite json, LongOffset, or a serialized bare
+    * long. A bare long means "version fully delivered" (index = MAX). */
+  private def pos(o: org.apache.spark.sql.execution.streaming.Offset)
+      : GraftFileOffset = o match {
+    case g: GraftFileOffset => g
+    case l: LongOffset => GraftFileOffset(l.offset, Long.MaxValue)
+    case other =>
+      val s = other.json.trim
+      s.toLongOption match {
+        case Some(v) => GraftFileOffset(v, Long.MaxValue)
+        case None =>
+          val f = DeltaLog.Json.parseFlat(s)
+          GraftFileOffset(f("version").toLong, f("index").toLong,
+            f.get("snap").contains("true"))
+      }
+  }
+
   /** The pinned TABLE schema (mapping metadata retained — its physical
     * rendering drives the mid-stream drop guard). */
   private val tableSchema: StructType = initialSnap.schemaJson
@@ -235,21 +314,51 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
         org.apache.spark.sql.types.LongType, nullable = true)))
 
   private def ver(o: org.apache.spark.sql.execution.streaming.Offset): Long =
-    o match {
-      case l: LongOffset => l.offset
-      case other => other.json.trim.toLong // SerializedOffset after restart
-    }
+    pos(o).version
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val vs = DeltaLog.versions(table)
     if (vs.isEmpty) return None
     val latest = vs.max
-    val next = (maxVersionsPerTrigger, lastOffered) match {
-      case (Some(cap), Some(prev)) => math.min(latest, prev + cap)
-      case _ => latest
+    maxFilesPerTrigger match {
+      case None =>
+        val next = (maxVersionsPerTrigger, lastOffered) match {
+          case (Some(cap), Some(prev)) => math.min(latest, prev + cap)
+          case _ => latest
+        }
+        lastOffered = Some(next)
+        Some(LongOffset(next))
+      case Some(cap) =>
+        // walk forward from the cursor admitting at most `cap` files;
+        // a fully-consumed version normalizes to (v, fileCount) so the
+        // offered json is stable when the log is idle. The snap flag
+        // rides on the cursor: true only on the stream's first-ever
+        // pseudo-version (fresh start in snapshot mode, or a restart
+        // whose checkpointed offset still says so).
+        var cur = lastOfferedPos.getOrElse(
+          if (snapMode) GraftFileOffset(initialSnap.version, 0, snap = true)
+          else GraftFileOffset(math.min(startingVersion.get, latest), 0))
+        if (cur.index == Long.MaxValue)
+          cur = GraftFileOffset(cur.version + 1, 0)
+        var offered = lastOfferedPos
+        var budget = cap.toLong
+        while (budget > 0 && cur.version <= latest) {
+          val fs = capListFor(cur.version, cur.snap)
+          val lo = math.min(cur.index, fs.length.toLong)
+          val remaining = fs.length - lo
+          if (remaining <= budget) {
+            budget -= remaining
+            offered = Some(GraftFileOffset(cur.version, fs.length, cur.snap))
+            cur = GraftFileOffset(cur.version + 1, 0)
+          } else {
+            offered = Some(GraftFileOffset(cur.version, lo + budget, cur.snap))
+            cur = offered.get
+            budget = 0
+          }
+        }
+        lastOfferedPos = offered
+        offered
     }
-    lastOffered = Some(next)
-    Some(LongOffset(next))
   }
 
   override def getBatch(
@@ -297,11 +406,63 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
       return org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(
         sqlContext, ordered.queryExecution.toRdd, ordered.schema)
     }
-    val files: Seq[DeltaLog.AddFile] = start match {
-      case None if startingVersion.isDefined =>
-        tailAdds(math.min(startingVersion.get, endV))
-      case None => DeltaLog.snapshot(table, Some(endV)).files
-      case Some(s) => tailAdds(ver(s) + 1)
+    val files: Seq[DeltaLog.AddFile] = maxFilesPerTrigger match {
+      case Some(_) =>
+        // file-granular window (from, end]: slice each version's list
+        // by index; the snapshot pseudo-version serves the pinned
+        // creation snapshot
+        val endP = pos(end)
+        // RESUME the admission cursor from the engine's offsets: on
+        // restart MicroBatchExecution re-primes the source by calling
+        // getBatch with the checkpointed range BEFORE the next
+        // getOffset — without this, a fresh source would re-offer
+        // ranges BEHIND the checkpoint and overlapping batches would
+        // duplicate rows downstream (caught by StreamingSpec)
+        def lex(p: GraftFileOffset) =
+          (p.version, if (p.index == Long.MaxValue) Long.MaxValue else p.index)
+        if (lastOfferedPos.forall(p =>
+            implicitly[Ordering[(Long, Long)]].lt(lex(p), lex(endP))))
+          lastOfferedPos = Some(endP)
+        val from = start.map(pos) match {
+          case Some(p) if p.index == Long.MaxValue =>
+            GraftFileOffset(p.version + 1, 0)
+          case Some(p) => p
+          case None =>
+            if (snapMode) GraftFileOffset(initialSnap.version, 0, snap = true)
+            else GraftFileOffset(math.min(startingVersion.get, endP.version), 0)
+        }
+        val out = Seq.newBuilder[DeltaLog.AddFile]
+        var v = from.version
+        while (v <= endP.version) {
+          val snapPhase = (v == from.version && from.snap) ||
+            (v == endP.version && endP.snap)
+          val fs = capListFor(v, snapPhase)
+          val lo =
+            if (v == from.version) math.min(from.index, fs.length.toLong).toInt
+            else 0
+          val hi =
+            if (v == endP.version) math.min(endP.index, fs.length.toLong).toInt
+            else fs.length
+          if (hi > lo) out ++= fs.slice(lo, hi)
+          v += 1
+        }
+        out.result()
+      case None => start match {
+        case None if startingVersion.isDefined =>
+          tailAdds(math.min(startingVersion.get, endV))
+        case None => DeltaLog.snapshot(table, Some(endV)).files
+        case Some(s) =>
+          val p = pos(s)
+          if (p.index != Long.MaxValue &&
+              p.index < capListFor(p.version, p.snap).length)
+            throw new IllegalStateException(
+              "graft-delta stream source: the checkpoint is parked " +
+                s"mid-version (${p.version} @ file ${p.index}) from a " +
+                "maxFilesPerTrigger run; restarting without the option " +
+                "would re-deliver the whole version (duplicate rows " +
+                "downstream) — keep maxFilesPerTrigger set")
+          tailAdds(p.version + 1)
+      }
     }
     // pinned-schema guard: every pinned column's PHYSICAL name must
     // still exist in the table's current physical schema — a rename is
@@ -405,6 +566,20 @@ class GraftDeltaStreamSink(table: String, partitionColumns: Seq[String],
   }
 
   override def toString: String = s"GraftDeltaStreamSink[$table]"
+}
+
+/** Composite streaming offset for file-granular admission: versions
+  * strictly below `version` are fully delivered, plus the first
+  * `index` files of `version` itself. `index = Long.MaxValue` encodes
+  * a bare-long (version-granular) offset from a pre-option checkpoint.
+  * `snap` marks `version` as the stream's initial-snapshot
+  * pseudo-version (informational — the source derives the phase from
+  * its own mode; kept in the json for checkpoint debuggability). */
+private[sources] case class GraftFileOffset(version: Long, index: Long,
+    snap: Boolean = false)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String =
+    s"""{"version":$version,"index":$index,"snap":$snap}"""
 }
 
 /** The reference calls the format by its real short name —

@@ -501,6 +501,65 @@ class StreamingSpec extends SparkSpec {
       s"expected >=4 sink versions, got ${DeltaLog.versions(dst)}")
   }
 
+  test("maxFilesPerTrigger: snapshot and multi-file commits split by " +
+      "file; Trigger.Once parks mid-version; restart resumes exactly; " +
+      "dropping the option mid-version refuses loudly") {
+    import graft.sources.DeltaLog
+    val base = java.nio.file.Files.createTempDirectory("graft-delta-frate")
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    def events(ids: Range) = ids.map(i =>
+      Event(i.toLong, ts("2024-01-01 10:00:00"), 1, "click", 1.0)).toDF()
+    // v0: a 4-file snapshot
+    events(0 until 8).repartition(4)
+      .write.format("graft-delta").save(src)
+    assert(DeltaLog.snapshot(src).files.length === 4)
+    def capped() = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "3").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+    // ONE trigger under cap 3 parks the offset mid-snapshot (3 of 4)
+    val q1 = capped().trigger(
+      org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    val delivered1 = spark.read.format("graft-delta").load(dst).count()
+    assert(delivered1 > 0L && delivered1 < 8L,
+      s"expected a strict subset of the snapshot after one trigger, got $delivered1 rows")
+    // the checkpointed offset is parked at file 3 of the snapshot
+    // pseudo-version
+    val offset0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "offsets", "0")), "UTF-8")
+    assert(offset0.contains("\"index\":3") && offset0.contains("\"snap\":true"),
+      s"unexpected first offset: $offset0")
+    // restarting WITHOUT the option against the mid-version park refuses
+    val qBad = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.processAllAvailable() }
+    assert(e.getMessage.contains("parked mid-version") ||
+      Option(e.getCause).exists(_.getMessage.contains("parked mid-version")))
+    // resume WITH the option: remainder of the snapshot, then a
+    // 5-file backlog (4-file append + 1-file append, with a compact
+    // in between that must contribute nothing), each batch <= 3 files
+    events(8 until 16).repartition(4)
+      .write.format("graft-delta").mode("append").save(src) // v1: 4 files
+    graft.sources.DeltaTable.compact(spark, src)            // v2: layout-only
+    events(16 until 18).coalesce(1)
+      .write.format("graft-delta").mode("append").save(src) // v3: 1 file
+    val q2 = capped().start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.format("graft-delta").load(dst)
+      .select("event_id").as[Long].collect().sorted
+    assert(got === (0L until 18L).toArray,
+      s"lost or duplicated rows: ${got.toSeq}")
+    // the cap forced multiple sink commits (batches), not one giant one
+    assert(DeltaLog.versions(dst).length >= 4,
+      s"expected >=4 sink versions under the cap, got ${DeltaLog.versions(dst)}")
+  }
+
   test("streaming dedup: each fingerprint emitted once across batches and restarts") {
     import graft.streaming.StreamingOps.Doc
     val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
