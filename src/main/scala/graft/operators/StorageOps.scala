@@ -866,7 +866,52 @@ object StorageOps {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
       |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q108 — ROW TRACKING end-to-end ([EXT], the protocol's stable row
+    * identity, writer feature `rowTracking` + `domainMetadata`):
+    * nation lands single-file in key order, enablement BACKFILLS ids
+    * 0..24 (deterministic, so the oracle replays them as
+    * ROW_NUMBER-1), a vectored DELETE kills region 3 (survivors keep
+    * their ids — no rows move), COMPACT absorbs the vector while
+    * MATERIALIZING the survivors' original ids into the rewritten
+    * file (the feature's core promise: layout maintenance never
+    * invalidates id-keyed consumers), and an append draws fresh ids
+    * beyond the high-water mark. The read surfaces `_row_id` next to
+    * the business key — hash-verified end to end. */
+  val q108RowTracking: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey").coalesce(1)
+    val t = freshDir("graft-delta-rowtrack")
+    DeltaTable.write(n, t, "overwrite")                   // v0
+    DeltaTable.enableRowTracking(t)                       // v1: ids 0..24
+    DeltaTable.enableDeletionVectors(t)                   // v2
+    DeltaTable.delete(spark, t, col("n_regionkey") === 3) // v3 (vectored)
+    DeltaTable.compact(spark, t)                          // v4 (materialize)
+    DeltaTable.write(n.filter(col("n_regionkey") === 0)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+      .orderBy("n_nationkey").coalesce(1), t, "append")   // v5: ids 25..29
+    DeltaTable.readWithRowIds(spark, t)
+      .select(col("n_nationkey"), col("n_name"), col("_row_id"))
+      .orderBy("n_nationkey")
+  }
+
+  val q108Oracle: String =
+    """WITH base AS (
+      |  SELECT n_nationkey, n_name, n_regionkey,
+      |    ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+      |  FROM nation),
+      |app AS (
+      |  SELECT n_nationkey + 100 AS n_nationkey, n_name,
+      |    24 + ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rid
+      |  FROM nation WHERE n_regionkey = 0)
+      |SELECT n_nationkey, n_name, CAST(rid AS BIGINT) AS _row_id
+      |FROM (SELECT n_nationkey, n_name, rid FROM base WHERE n_regionkey <> 3
+      |      UNION ALL SELECT * FROM app)
+      |ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q108_row_tracking" -> q108RowTracking,
     "q107_ict_timetravel" -> q107IctTimeTravel,
     "q106_type_widening" -> q106TypeWidening,
     "q105_metadata_count" -> q105MetadataCount,
@@ -896,6 +941,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q108_row_tracking" -> q108Oracle,
     "q107_ict_timetravel" -> q107Oracle,
     "q106_type_widening" -> q106Oracle,
     "q105_metadata_count" -> q105Oracle,

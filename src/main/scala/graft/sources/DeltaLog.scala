@@ -51,10 +51,18 @@ object DeltaLog {
     * the marked row indexes; `stats.n` stays the PHYSICAL row count
     * (protocol: tightBounds=false in spirit — skipping stays
     * conservative). */
+  /** `baseRowId`/`defaultRowCommitVersion` = ROW TRACKING (the
+    * protocol's stable row identity): fresh row id of physical row i
+    * in this file = baseRowId + i; the commit version rows in this
+    * file default to. Files REWRITTEN from others (compaction) carry
+    * the surviving rows' original ids in a materialized column
+    * instead — see [[RowTracking]]. */
   final case class AddFile(path: String, size: Long,
       stats: Map[String, String] = Map.empty,
       partitionValues: Map[String, String] = Map.empty,
-      dv: Option[DeletionVectors.Descriptor] = None)
+      dv: Option[DeletionVectors.Descriptor] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
   /** `txns` = latest committed streaming-transaction version per
     * application id (the Delta protocol's SetTransaction action) — the
     * idempotence ledger the streaming sink checks before re-applying a
@@ -64,13 +72,19 @@ object DeltaLog {
     * (`delta.constraints.<name>` → expression). Every writer must
     * CARRY IT FORWARD into the metaData it commits, or the property
     * would silently vanish on the next append. */
+  /** `domainMetadata` = the protocol's named-domain key/value state
+    * (domain → configuration JSON string): system features park their
+    * bookkeeping here (row tracking keeps `rowIdHighWaterMark` under
+    * `delta.rowTracking`), replayed last-wins with `removed` acting as
+    * a tombstone, checkpointed like any action. */
   final case class Snapshot(version: Long, schemaJson: Option[String],
       files: Seq[AddFile], partitionColumns: Seq[String] = Nil,
       txns: Map[String, Long] = Map.empty,
       configuration: Map[String, String] = Map.empty,
       minReaderVersion: Int = 1, minWriterVersion: Int = 2,
       readerFeatures: Set[String] = Set.empty,
-      writerFeatures: Set[String] = Set.empty) {
+      writerFeatures: Set[String] = Set.empty,
+      domainMetadata: Map[String, String] = Map.empty) {
     /** (name, sql expression) of every CHECK constraint on the table. */
     def checkConstraints: Seq[(String, String)] =
       configuration.collect {
@@ -93,7 +107,8 @@ object DeltaLog {
   val SupportedWriterVersion = 7
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++
     Set("checkConstraints", "changeDataFeed", "appendOnly",
-      "generatedColumns", "identityColumns", "inCommitTimestamp")
+      "generatedColumns", "identityColumns", "inCommitTimestamp",
+      "domainMetadata", "rowTracking")
 
   /** Reader-side protocol gate — runs on every snapshot replay, so an
     * unreadable table fails loudly everywhere (read, stream, DML — a
@@ -353,6 +368,7 @@ object DeltaLog {
     var readerFeats = Set.empty[String]
     var writerFeats = Set.empty[String]
     val txns = scala.collection.mutable.Map[String, Long]()
+    val domains = scala.collection.mutable.Map[String, String]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     for (line <- replay if line.nonEmpty) {
       Json.parse(line) match {
@@ -370,6 +386,10 @@ object DeltaLog {
           for (app <- fields.get("appId"); v <- fields.get("version")
                .flatMap(_.toLongOption))
             txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
+        case ("domainMetadata", fields) =>
+          for (d <- fields.get("domain"))
+            if (fields.get("removed").contains("true")) domains.remove(d)
+            else domains(d) = fields.getOrElse("configuration", "")
         case ("protocol", fields) =>
           // last protocol action wins (an upgrade commit replaces it)
           for (v <- fields.get("minReaderVersion").flatMap(_.toIntOption))
@@ -385,7 +405,7 @@ object DeltaLog {
     }
     assertReadable(table, minReader, readerFeats)
     Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config,
-      minReader, minWriter, readerFeats, writerFeats)
+      minReader, minWriter, readerFeats, writerFeats, domains.toMap)
   }
 
   /** Atomically commit `actions` as the next version after
@@ -494,7 +514,9 @@ object DeltaLog {
       stats: Map[String, String] = Map.empty,
       partitionValues: Map[String, String] = Map.empty,
       dv: Option[DeletionVectors.Descriptor] = None,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None): String = {
     val statsField =
       if (stats.isEmpty) ""
       else {
@@ -510,8 +532,19 @@ object DeltaLog {
     val dvField = dv.map(d =>
       s""","deletionVector":{"storageType":"p","pathOrInlineDv":${Json.str(d.path)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
       .getOrElse("")
-    s"""{"add":{"path":${Json.str(path)},"partitionValues":$pv,"size":$size$statsField$dvField,"dataChange":$dataChange}}"""
+    val ridField = baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+      defaultRowCommitVersion.map(v => s""","defaultRowCommitVersion":$v""")
+        .getOrElse("")
+    s"""{"add":{"path":${Json.str(path)},"partitionValues":$pv,"size":$size$statsField$dvField$ridField,"dataChange":$dataChange}}"""
   }
+
+  /** Serialize an existing AddFile back into an add action with EVERY
+    * field carried — the re-add shape (DV re-adds, restore, clone,
+    * checkpoints, row-tracking backfill) must never silently drop a
+    * field a newer feature added. */
+  def addActionOf(f: AddFile, dataChange: Boolean = true): String =
+    addAction(f.path, f.size, f.stats, f.partitionValues, f.dv,
+      dataChange, f.baseRowId, f.defaultRowCommitVersion)
 
   /** Decode an add action's flat fields back into an AddFile (shared
     * by snapshot replay and versionChanges). */
@@ -525,7 +558,9 @@ object DeltaLog {
         d.get("sizeInBytes").flatMap(_.toLongOption).getOrElse(0L),
         d.get("cardinality").flatMap(_.toLongOption).getOrElse(0L)))
     AddFile(fields("path"),
-      fields.get("size").map(_.toLong).getOrElse(0L), stats, pv, dv)
+      fields.get("size").map(_.toLong).getOrElse(0L), stats, pv, dv,
+      fields.get("baseRowId").flatMap(_.toLongOption),
+      fields.get("defaultRowCommitVersion").flatMap(_.toLongOption))
   }
 
   /** `dataChange=false` marks a LAYOUT-ONLY action (compaction/zorder
@@ -620,6 +655,15 @@ object DeltaLog {
     * `appId` as applied, making micro-batch replays detectable. */
   def txnAction(appId: String, version: Long): String =
     s"""{"txn":{"appId":${Json.str(appId)},"version":$version}}"""
+
+  /** DomainMetadata (Delta protocol): set — or tombstone — one named
+    * domain's configuration. Writers must carry live domains through
+    * checkpoints (done in writeCheckpoint); conflicting concurrent
+    * updates to one domain surface as ordinary commit conflicts. */
+  def domainMetadataAction(domain: String, configuration: String,
+      removed: Boolean = false): String =
+    s"""{"domainMetadata":{"domain":${Json.str(domain)},"configuration":${
+      Json.str(configuration)},"removed":$removed}}"""
 
   /** `cdc` action (Delta CDF): references a change-data sidecar file
     * under `_change_data/` carrying row-level pre/post images for a DML

@@ -432,6 +432,13 @@ object DeltaTable {
               activeLegacyWriterFeatures(prior.get) ++
               neededFeatures).toSeq))
         else Nil
+      // ROW TRACKING: fresh id ranges from the freshest high-water
+      // mark, re-derived on every retry attempt (a racer may have
+      // advanced the mark)
+      val (addedR, ridActs) = prior match {
+        case Some(p) => RowTracking.assignFresh(p, added, readVersion + 1)
+        case None => (added, Nil)
+      }
       val actions =
         Seq(DeltaLog.commitInfoAction(mode.toUpperCase)) ++
           // protocol belongs in a table's FIRST commit (Delta spec);
@@ -446,8 +453,8 @@ object DeltaTable {
               mappedMaxId.map(ColumnMapping.MaxIdKey -> _.toString))) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           removes ++
-          added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues))
+          ridActs ++
+          addedR.map(DeltaLog.addActionOf(_))
       // a racer may have committed OUR txn version between attempts:
       // re-check before re-committing, else the batch lands twice
       val racedTxn = txn.exists { case (appId, v) =>
@@ -577,6 +584,10 @@ object DeltaTable {
     for (_ <- 1 to maxAttempts) {
       val snap = DeltaLog.snapshot(table)
       if (ColumnMapping.enabled(snap)) return snap.version
+      require(!RowTracking.enabled(snap),
+        s"enableColumnMapping($table): not supported on row-tracked " +
+          "tables (see enableRowTracking — the composition is refused " +
+          "both ways)")
       val schema = snap.schemaJson
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(throw new IllegalStateException(
@@ -725,6 +736,57 @@ object DeltaTable {
     throw new IllegalStateException(
       s"enableInCommitTimestamps($table): lost the commit race " +
         s"$maxAttempts times")
+  }
+
+  /** Opt the table into ROW TRACKING (see [[RowTracking]]): one commit
+    * BACKFILLS a baseRowId onto every live file (metadata-only
+    * re-adds — zero data bytes move; ranges assigned in the
+    * deterministic live-file order, sized by each file's row-count
+    * stat), parks the high-water mark in the `delta.rowTracking`
+    * domain, and gates `rowTracking` + `domainMetadata` at writer 7.
+    * From then on every committed add carries an id range. Column
+    * mapping composition is not implemented — refused loudly (the
+    * materialized-column plumbing would need physical-name awareness). */
+  def enableRowTracking(table: String): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      if (RowTracking.enabled(snap)) return snap.version
+      require(!ColumnMapping.enabled(snap),
+        s"enableRowTracking($table): not supported on column-mapped " +
+          "tables (materialized row-id columns are physically named)")
+      var next = RowTracking.highWaterMark(snap) + 1
+      val backfilled = snap.files.map { f =>
+        val n = f.stats.get("n").flatMap(_.toLongOption).getOrElse(
+          throw new IllegalStateException(
+            s"enableRowTracking($table): live file ${f.path} lacks a " +
+              "row-count stat; cannot size its id range (foreign " +
+              "writer?) — OPTIMIZE the table first"))
+        val withId = f.copy(baseRowId = Some(next),
+          defaultRowCommitVersion = Some(snap.version + 1))
+        next += n
+        withId
+      }
+      val wfeats = snap.writerFeatures ++
+        activeLegacyWriterFeatures(snap) ++
+        Set("rowTracking", "domainMetadata") ++
+        (if (dvEnabled(snap)) Set("deletionVectors") else Set.empty[String])
+      val actions = Seq(
+        DeltaLog.commitInfoAction("SET ROW TRACKING"),
+        DeltaLog.protocolAction(snap.minReaderVersion,
+          math.max(snap.minWriterVersion, 7),
+          snap.readerFeatures.toSeq, wfeats.toSeq),
+        DeltaLog.metaDataAction(snap.schemaJson.getOrElse(
+            new StructType().json), snap.partitionColumns,
+          DeltaLog.tableId(table),
+          snap.configuration + (RowTracking.PropKey -> "true")),
+        RowTracking.domainAction(next - 1)) ++
+        backfilled.map(DeltaLog.addActionOf(_, dataChange = false))
+      try return gatedCommit(table, snap, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"enableRowTracking($table): lost the commit race $maxAttempts times")
   }
 
   /** Guard shared by rename/drop: mapping on, column exists, column is
@@ -1107,6 +1169,67 @@ object DeltaTable {
     * deleted-row count) and broadcast once; the per-row check is a
     * binary search — no shuffle, no join, the filter rides the scan
     * stage. */
+  /** `files` of `snap` as a LOGICAL frame carrying two extra columns:
+    * `_row_id` — the row's stable ROW TRACKING id — and
+    * `_row_commit_version`. Resolution per row: the materialized
+    * [[RowTracking.IdCol]] column when the file carries one (a
+    * compacted rewrite), else the file's `baseRowId` + the row's
+    * physical index (`_metadata.row_index`, so deletion-vector
+    * deletes leave survivor ids untouched). The per-file base map is
+    * log-sized and enters the plan as a literal — no join, no
+    * shuffle; the scan stays one distributed parquet read. */
+  private def rowIdFrame(spark: SparkSession, table: String,
+      snap: DeltaLog.Snapshot, files: Seq[DeltaLog.AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, element_at, lit, map, split}
+    import org.apache.spark.sql.types.LongType
+    val logical = snap.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"readWithRowIds($table): no committed schema"))
+    val outSchema = StructType(logical.fields ++ Seq(
+      StructField("_row_id", LongType), StructField("_row_commit_version",
+        LongType)))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row], outSchema)
+    val readSchema = StructType(logical.fields ++ Seq(
+      StructField(RowTracking.IdCol, LongType),
+      StructField(RowTracking.VerCol, LongType)))
+    val reader =
+      if (snap.partitionColumns.isEmpty) spark.read
+      else spark.read.option("basePath", table)
+    val raw = reader.schema(readSchema).parquet(
+      files.map(f => Paths.get(table).resolve(f.path).toString): _*)
+      .withColumn(PosFile, col("_metadata.file_path"))
+      .withColumn(PosIdx, col("_metadata.row_index"))
+    val live = subtractDeleted(raw, table, snap)
+    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val fname = element_at(split(col(PosFile), "/"), -1)
+    def lookup(pairs: Seq[(String, Long)]) =
+      if (pairs.isEmpty) lit(null).cast(LongType)
+      else element_at(map(pairs.flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*), fname)
+    val baseL = lookup(files.flatMap(f =>
+      f.baseRowId.map(basename(f.path) -> _)))
+    val verL = lookup(files.flatMap(f =>
+      f.defaultRowCommitVersion.map(basename(f.path) -> _)))
+    live.select(logical.fieldNames.map(col).toIndexedSeq ++ Seq(
+      coalesce(col(RowTracking.IdCol), baseL + col(PosIdx)).as("_row_id"),
+      coalesce(col(RowTracking.VerCol), verL).as("_row_commit_version")): _*)
+  }
+
+  /** The row-tracked table as a DataFrame with `_row_id` /
+    * `_row_commit_version` appended — the public read surface of
+    * [[RowTracking]]. Requires the table to have opted in. */
+  def readWithRowIds(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = DeltaLog.snapshot(table, versionAsOf)
+    require(RowTracking.enabled(snap),
+      s"readWithRowIds($table): the table has not enabled row " +
+        "tracking (enableRowTracking)")
+    rowIdFrame(spark, table, snap, snap.files)
+  }
+
   private def subtractDeleted(df: DataFrame, table: String,
       snap: DeltaLog.Snapshot): DataFrame = {
     val dvs = DeletionVectors.liveVectors(table, snap)
@@ -1365,8 +1488,12 @@ object DeltaTable {
         case (_, fs) => fs.length > 1 || fs.exists(_.dv.isDefined)
       }.values.flatten.toSeq.sortBy(_.path)
       if (work.isEmpty) return snap.version
-      val rows = readTableFiles(spark, table, snap,
-        work.map(f => Paths.get(table).resolve(f.path).toString))
+      val rows = (if (!RowTracking.enabled(snap))
+          readTableFiles(spark, table, snap,
+            work.map(f => Paths.get(table).resolve(f.path).toString))
+        else rowIdFrame(spark, table, snap, work)
+          .withColumnRenamed("_row_id", RowTracking.IdCol)
+          .withColumnRenamed("_row_commit_version", RowTracking.VerCol))
         .repartition(snap.partitionColumns.map(col): _*)
       val added = stageIn(rows, table, snap.partitionColumns,
         mappingOf(snap))
@@ -1413,7 +1540,15 @@ object DeltaTable {
       // and re-stage with the same partitionBy. An unpartitioned
       // coalesce here would silently flatten the layout and break
       // pruning for every later read.
-      val snapDf = read(spark, table, Some(snap.version))
+      // ROW TRACKING: a compacted file carries the survivors' ORIGINAL
+      // ids in the materialized columns, so OPTIMIZE preserves row
+      // identity (the feature's core promise — layout maintenance must
+      // not invalidate id-keyed consumers)
+      val snapDf =
+        if (!RowTracking.enabled(snap)) read(spark, table, Some(snap.version))
+        else rowIdFrame(spark, table, snap, snap.files)
+          .withColumnRenamed("_row_id", RowTracking.IdCol)
+          .withColumnRenamed("_row_commit_version", RowTracking.VerCol)
       val compacted =
         if (snap.partitionColumns.isEmpty) snapDf.coalesce(nOut)
         else snapDf.repartition(snap.partitionColumns.map(
@@ -1602,10 +1737,11 @@ object DeltaTable {
             // removes precede adds: replay is line-ordered, and the
             // vectored files RE-ADD their own path with the new DV
             touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
-            dvDescs.map { case (f, d) => DeltaLog.addAction(
-              f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
-            rewriteAdds.map(f => DeltaLog.addAction(
-              f.path, f.size, f.stats, f.partitionValues)) ++
+            dvDescs.map { case (f, d) =>
+              DeltaLog.addActionOf(f.copy(dv = Some(d))) } ++
+            { val (fr, da) = RowTracking.assignFresh(
+                snap, rewriteAdds, snap.version + 1)
+              da ++ fr.map(DeltaLog.addActionOf(_)) } ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
         try return gatedCommit(table, snap, actions)
         catch {
@@ -1632,8 +1768,9 @@ object DeltaTable {
             snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
               DeltaLog.tableId(table), snap.configuration)) ++
             touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
-            added.map(f =>
-              DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+            { val (fr, da) = RowTracking.assignFresh(
+                snap, added, snap.version + 1)
+              da ++ fr.map(DeltaLog.addActionOf(_)) } ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
         try return gatedCommit(table, snap, actions)
         catch {
@@ -1769,10 +1906,11 @@ object DeltaTable {
               snap.partitionColumns, DeltaLog.tableId(table),
               snap.configuration)) ++
             touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
-            dvDescs.map { case (f, d) => DeltaLog.addAction(
-              f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
-            added.map(f =>
-              DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+            dvDescs.map { case (f, d) =>
+              DeltaLog.addActionOf(f.copy(dv = Some(d))) } ++
+            { val (fr, da) = RowTracking.assignFresh(
+                snap, added, snap.version + 1)
+              da ++ fr.map(DeltaLog.addActionOf(_)) } ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
         try return gatedCommit(table, snap, actions)
         catch {
@@ -1807,8 +1945,9 @@ object DeltaTable {
             snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
               DeltaLog.tableId(table), snap.configuration)) ++
             touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
-            added.map(f =>
-              DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+            { val (fr, da) = RowTracking.assignFresh(
+                snap, added, snap.version + 1)
+              da ++ fr.map(DeltaLog.addActionOf(_)) } ++
             cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
         try return gatedCommit(table, snap, actions)
         catch {
@@ -1997,10 +2136,11 @@ object DeltaTable {
             DeltaLog.tableId(table), snap.configuration)) ++
           txn.map { case (appId, v) => DeltaLog.txnAction(appId, v) }.toSeq ++
           touched.toSeq.sorted.map(DeltaLog.removeAction(_)) ++
-          dvDescs.map { case (f, d) => DeltaLog.addAction(
-            f.path, f.size, f.stats, f.partitionValues, Some(d)) } ++
-          added.map(f =>
-            DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues)) ++
+          dvDescs.map { case (f, d) =>
+            DeltaLog.addActionOf(f.copy(dv = Some(d))) } ++
+          { val (fr, da) = RowTracking.assignFresh(
+              snap, added, snap.version + 1)
+            da ++ fr.map(DeltaLog.addActionOf(_)) } ++
           cdc.map(f => DeltaLog.cdcAction(f.path, f.size))
       try return gatedCommit(table, snap, actions)
       catch {
@@ -2103,7 +2243,13 @@ object DeltaTable {
           StructField("storageType", StringType),
           StructField("pathOrInlineDv", StringType),
           StructField("sizeInBytes", LongType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -2128,22 +2274,26 @@ object DeltaTable {
           s"${DeltaLog.Json.str(k)}:${DeltaLog.Json.str(v)}" }
         .mkString("{", ",", "}")
     val rows: Seq[Row] =
-      Seq(Row(null, null, null, null,
+      Seq(Row(null, null, null, null, null,
         Row(snap.minReaderVersion, snap.minWriterVersion,
           if (snap.readerFeatures.isEmpty) null
           else snap.readerFeatures.toSeq.sorted,
           if (snap.writerFeatures.isEmpty) null
           else snap.writerFeatures.toSeq.sorted))) ++
-        snap.schemaJson.map(sj => Row(null, null, null,
+        snap.schemaJson.map(sj => Row(null, null, null, null,
           Row(DeltaLog.tableId(table), Row("parquet", Map.empty[String, String]),
             sj, snap.partitionColumns, snap.configuration), null)).toSeq ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Row(Row(app, v), null, null, null, null) } ++
+          Row(Row(app, v), null, null, null, null, null) } ++
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) =>
+          Row(null, null, Row(d, c, false), null, null, null) } ++
         snap.files.map(f => Row(null,
           Row(f.path, f.partitionValues, f.size, 0L, false, statsJson(f),
             f.dv.map(d => Row("p", d.path, d.sizeInBytes, d.cardinality))
-              .orNull),
-          null, null, null))
+              .orNull,
+            f.baseRowId.map(Long.box).orNull,
+            f.defaultRowCommitVersion.map(Long.box).orNull),
+          null, null, null, null))
     val maxPer = spark.conf
       .getOption("spark.graft.checkpoint.maxActionsPerFile")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100_000)
@@ -2238,8 +2388,9 @@ object DeltaTable {
         // let a restarted streaming query re-apply old micro-batches
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           DeltaLog.txnAction(app, v) } ++
-        snap.files.map(f =>
-          DeltaLog.addAction(f.path, f.size, f.stats, f.partitionValues, f.dv))
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) =>
+          DeltaLog.domainMetadataAction(d, c) } ++
+        snap.files.map(DeltaLog.addActionOf(_, dataChange = false))
     val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
     Files.write(tmp, checkpoint.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2619,8 +2770,7 @@ object DeltaTable {
           // restored version must get ITS vector state back)
           target.files.filter(f => !curPaths(f.path) ||
               cur.files.find(_.path == f.path).exists(_.dv != f.dv))
-            .map(f => DeltaLog.addAction(f.path, f.size, f.stats,
-              f.partitionValues, f.dv))
+            .map(DeltaLog.addActionOf(_))
       try return gatedCommit(table, cur, actions)
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>
@@ -2664,8 +2814,10 @@ object DeltaTable {
           snap.readerFeatures.toSeq, snap.writerFeatures.toSeq)) ++
         snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
           DeltaLog.tableId(target), snap.configuration)).toSeq ++
-        snap.files.map(f => DeltaLog.addAction(abs(f.path), f.size, f.stats,
-          f.partitionValues, f.dv.map(d => d.copy(path = abs(d.path)))))
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) =>
+          DeltaLog.domainMetadataAction(d, c) } ++
+        snap.files.map(f => DeltaLog.addActionOf(f.copy(path = abs(f.path),
+          dv = f.dv.map(d => d.copy(path = abs(d.path))))))
     Files.createDirectories(Paths.get(target))
     DeltaLog.commit(target, -1L, actions)
   }

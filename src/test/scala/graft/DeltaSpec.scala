@@ -1935,15 +1935,15 @@ class DeltaSpec extends SparkSpec {
     DeltaTable.write(employees3, t, "overwrite")
     forgeProtocol(t,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"writerFeatures":["rowTracking"]}}""")
-    // a reader-only client is unaffected: rowTracking is writer-side
+        """"writerFeatures":["liquidClustering"]}}""")
+    // a reader-only client is unaffected: the feature is writer-side
     assert(DeltaTable.read(spark, t).count() === 3)
     val e = intercept[UnsupportedOperationException](
       DeltaTable.write(employee1, t, "append"))
-    assert(e.getMessage.contains("rowTracking"))
+    assert(e.getMessage.contains("liquidClustering"))
     val e2 = intercept[UnsupportedOperationException](
       DeltaTable.delete(spark, t, col("id") === 1))
-    assert(e2.getMessage.contains("rowTracking"))
+    assert(e2.getMessage.contains("liquidClustering"))
   }
 
   test("writer gate: the whole legacy ladder passes now that v6's features are maintained") {
@@ -2673,6 +2673,158 @@ class DeltaSpec extends SparkSpec {
     forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
     DeltaTable.write(employee1, t, "append") // maintained -> allowed
     assert(DeltaTable.read(spark, t).count() === 4)
+  }
+
+  // -- row tracking ----------------------------------------------------
+
+  /** (business key -> row id) of a row-tracked table right now. */
+  private def idsOf(t: String): Map[Int, Long] =
+    DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_id").as[(Int, Long)].collect().toMap
+
+  test("row tracking: ids stable across append, vectored delete and " +
+      "compact; update draws fresh; high-water mark never reuses") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableRowTracking(t)                              // v1 backfill
+    val snap1 = DeltaLog.snapshot(t)
+    assert(snap1.writerFeatures.contains("rowTracking"))
+    assert(snap1.writerFeatures.contains("domainMetadata"))
+    assert(graft.sources.RowTracking.highWaterMark(snap1) === 2L)
+    val base = idsOf(t)
+    assert(base.values.toSeq.sorted === Seq(0L, 1L, 2L))
+    // append: fresh range beyond the mark
+    DeltaTable.write(employee1.coalesce(1), t, "append")         // v2
+    val afterAppend = idsOf(t)
+    assert(afterAppend.filterKeys(base.contains).toMap === base)
+    assert(afterAppend(4) === 3L)
+    // commit versions: backfilled rows stamp v1, the append v2
+    val vers = DeltaTable.readWithRowIds(spark, t)
+      .select($"id", $"_row_commit_version").as[(Int, Long)].collect().toMap
+    assert(vers(1) === 1L && vers(4) === 2L)
+    // vectored delete: survivors keep their ids (no rows move)
+    DeltaTable.enableDeletionVectors(t)                          // v3
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v4
+    val afterDelete = idsOf(t)
+    assert(afterDelete === afterAppend - 2)
+    // compact absorbs the vector; the rewritten file MATERIALIZES the
+    // survivors' original ids — identity survives layout maintenance
+    DeltaTable.compact(spark, t)                                 // v5
+    assert(DeltaLog.snapshot(t).files.forall(_.dv.isEmpty))
+    assert(idsOf(t) === afterDelete,
+      "compaction must not reassign row ids")
+    // update rewrites the row: the post-image is a NEW row version and
+    // draws a fresh id beyond the mark; untouched rows keep theirs
+    val hwmBefore = graft.sources.RowTracking.highWaterMark(DeltaLog.snapshot(t))
+    DeltaTable.update(spark, t, $"id" === 1,
+      Map("salary" -> lit(99000L)))                              // v6
+    val afterUpdate = idsOf(t)
+    assert(afterUpdate.filterKeys(_ != 1).toMap ===
+      afterDelete.filterKeys(_ != 1).toMap)
+    assert(afterUpdate(1) > hwmBefore, s"updated row id ${afterUpdate(1)} " +
+      s"should be fresh (mark was $hwmBefore)")
+    // ids are never reused: every id ever observed is distinct from
+    // every later-allocated one
+    assert(afterUpdate.values.toSet.size === afterUpdate.size)
+  }
+
+  test("row tracking: domain metadata survives checkpoint replay and " +
+      "vacuum; clone carries ids; mapping composition refuses both ways") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")
+    DeltaTable.enableRowTracking(t)
+    for (i <- 1 to 3)
+      DeltaTable.write(Seq((100 + i, s"W$i", 1000L * i, "2024-02-01"))
+        .toDF("id", "name", "salary", "date").coalesce(1), t, "append")
+    val before = idsOf(t)
+    DeltaTable.vacuum(t, 1) // checkpoint at horizon; prefix pruned
+    assert(idsOf(t) === before)
+    assert(graft.sources.RowTracking.highWaterMark(DeltaLog.snapshot(t)) === 5L)
+    // another append continues beyond the checkpoint-replayed mark
+    DeltaTable.write(Seq((200, "Z", 1L, "2024-02-02"))
+      .toDF("id", "name", "salary", "date").coalesce(1), t, "append")
+    assert(idsOf(t)(200) === 6L)
+    // clone: id ranges and the mark carry to the target
+    val tgt = freshTable()
+    DeltaTable.shallowClone(t, tgt)
+    assert(idsOf(tgt) === idsOf(t))
+    // composition refusals
+    intercept[IllegalArgumentException] { DeltaTable.enableColumnMapping(t) }
+    val tm = freshTable()
+    DeltaTable.write(employees3, tm, "overwrite")
+    DeltaTable.enableColumnMapping(tm)
+    intercept[IllegalArgumentException] { DeltaTable.enableRowTracking(tm) }
+  }
+
+  test("row tracking: concurrent appenders never collide id ranges") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")
+    DeltaTable.enableRowTracking(t)
+    val threads = (0 until 6).map { k =>
+      new Thread(() => {
+        DeltaTable.write(
+          Seq((1000 + k, s"T$k", 1L, "2024-03-01"))
+            .toDF("id", "name", "salary", "date").coalesce(1), t, "append")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val ids = DeltaTable.readWithRowIds(spark, t)
+      .select($"_row_id").as[Long].collect()
+    assert(ids.length === 9)
+    assert(ids.toSet.size === 9, s"colliding row ids: ${ids.sorted.toSeq}")
+    assert(graft.sources.RowTracking.highWaterMark(DeltaLog.snapshot(t)) === 8L)
+  }
+
+  test("delta wire format: validator passes a row-tracked table; flags " +
+      "an ungated protocol and overlapping id ranges") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")
+    DeltaTable.enableRowTracking(t)
+    DeltaTable.write(employee1.coalesce(1), t, "append")
+    DeltaTable.compact(spark, t) // materialized-column branch covered
+    DeltaTable.write(Seq((9, "I", 1L, "2024-03-02"))
+      .toDF("id", "name", "salary", "date").coalesce(1), t, "append")
+    def validate(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val (c1, o1) = validate()
+    assert(c1 === 0, s"validator failed a healthy row-tracked table:\n$o1")
+    // tamper 1: protocol downgrade
+    forgeProtocol(t, """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val (c2, o2) = validate()
+    assert(c2 != 0 && o2.contains("rowTracking"),
+      s"validator missed the ungated row tracking:\n$o2")
+    // tamper 2: on a fresh two-range table, forge the second file's
+    // base INTO the first file's range
+    val t2 = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t2, "overwrite")
+    DeltaTable.enableRowTracking(t2) // backfill range [0,2]
+    DeltaTable.write(employee1.coalesce(1), t2, "append") // range [3,3]
+    def validate2(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t2))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val snap = DeltaLog.snapshot(t2)
+    val last = snap.files.maxBy(_.baseRowId.getOrElse(-1L))
+    DeltaLog.commit(t2, snap.version, Seq(
+      DeltaLog.commitInfoAction("FORGE"),
+      DeltaLog.metaDataAction(snap.schemaJson.get, snap.partitionColumns,
+        DeltaLog.tableId(t2), snap.configuration),
+      DeltaLog.removeAction(last.path),
+      DeltaLog.addActionOf(last.copy(baseRowId = Some(1L)))))
+    val (c3, o3) = validate2()
+    assert(c3 != 0 && o3.contains("overlap"),
+      s"validator missed the overlapping id ranges:\n$o3")
   }
 
   // -- multi-part checkpoints ------------------------------------------

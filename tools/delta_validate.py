@@ -61,6 +61,12 @@ and asserts the wire-format invariants the Delta Lake protocol
      implies the `inCommitTimestamp` writer feature is gated, every
      version at or after the enablement version carries a stamped
      commitInfo, and the stamps are strictly monotone.
+ 19. row tracking: the property implies rowTracking + domainMetadata
+     at the writer-features gate; the `delta.rowTracking` domain holds
+     the id high-water mark; every live add carries a baseRowId whose
+     [base, base+n) range stays under the mark and overlaps no other
+     file's — or physically carries the materialized __graft_row_id
+     column (a compacted rewrite).
 
 Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
 Exit 0 = every table passes; 1 = at least one invariant violated.
@@ -99,6 +105,7 @@ class Replay:
         self.meta_ids = set()
         self.problems = []
         self.cdc = {}           # version -> [cdc action fields]
+        self.domains = {}       # domainMetadata: domain -> configuration
         self.net_rows = {}      # version -> adds_n - removes_n, or None
 
     def _rows_of(self, add_fields):
@@ -192,6 +199,14 @@ class Replay:
                     self.problems.append(f"v{v}: malformed txn {t}")
                 else:
                     self.txns[app] = max(ver, self.txns.get(app, ver))
+            elif "domainMetadata" in a:
+                d = a["domainMetadata"]
+                if d.get("domain") is None:
+                    self.problems.append(f"v{v}: domainMetadata without domain")
+                elif d.get("removed"):
+                    self.domains.pop(d["domain"], None)
+                else:
+                    self.domains[d["domain"]] = d.get("configuration", "")
             elif "commitInfo" in a:
                 pass
             else:
@@ -656,6 +671,71 @@ def validate(table):
                         f"its predecessor's {prev_ict}")
                 prev_ict = ict
 
+        # -- row tracking (invariant 19): the property implies the
+        # rowTracking + domainMetadata writer features at the gate;
+        # the delta.rowTracking domain must hold the high-water mark;
+        # every live add either carries a baseRowId whose range
+        # [base, base+n) stays under the mark and overlaps no other
+        # file's, or (a compacted rewrite) physically carries the
+        # materialized __graft_row_id column — a file with neither has
+        # unreadable row identity, and overlapping ranges mean two
+        # rows share an id.
+        if full.config.get("delta.enableRowTracking") == "true":
+            pr = full.protocol or {}
+            feats = pr.get("writerFeatures") or []
+            if (pr.get("minWriterVersion", 0) < 7
+                    or "rowTracking" not in feats
+                    or "domainMetadata" not in feats):
+                problems.append(
+                    "delta.enableRowTracking=true but the protocol does "
+                    "not list rowTracking + domainMetadata (writer 7)")
+            hwm = None
+            try:
+                hwm = json.loads(full.domains.get("delta.rowTracking", "") or
+                                 "{}").get("rowIdHighWaterMark")
+            except Exception:
+                pass
+            if hwm is None:
+                problems.append(
+                    "row tracking enabled but no rowIdHighWaterMark in "
+                    "the delta.rowTracking domain")
+            ranges = []
+            for p, f in sorted(full.live.items()):
+                b = f.get("baseRowId")
+                if b is None:
+                    try:
+                        import duckdb as _dd
+                        cols = [d[0] for d in _dd.sql(
+                            "DESCRIBE SELECT * FROM '"
+                            + os.path.join(table, p).replace("'", "''")
+                            + "'").fetchall()]
+                        if "__graft_row_id" not in cols:
+                            problems.append(
+                                f"row tracking: live file {p} has neither "
+                                "a baseRowId nor the materialized "
+                                "__graft_row_id column")
+                    except Exception:
+                        pass  # unreadable: other invariants flag it
+                    continue
+                try:
+                    n = int(json.loads(f["stats"])["n"])
+                except Exception:
+                    problems.append(
+                        f"row tracking: file {p} has a baseRowId but no "
+                        "row-count stat to size its range")
+                    continue
+                if hwm is not None and b + n - 1 > hwm:
+                    problems.append(
+                        f"row tracking: file {p} range [{b},{b + n - 1}] "
+                        f"exceeds the high-water mark {hwm}")
+                ranges.append((b, b + n - 1, p))
+            ranges.sort()
+            for (a1, z1, p1), (a2, z2, p2) in zip(ranges, ranges[1:]):
+                if a2 <= z1:
+                    problems.append(
+                        f"row tracking: id ranges of {p1} [{a1},{z1}] and "
+                        f"{p2} [{a2},{z2}] overlap")
+
         # -- column mapping (invariant 10): when
         # delta.columnMapping.mode = name, every schema field carries a
         # unique numeric id and a physicalName, maxColumnId bounds the
@@ -801,7 +881,8 @@ def validate(table):
                     r.schema, tuple(r.part_cols), tuple(sorted(r.config.items())),
                     (r.protocol or {}).get("minReaderVersion"),
                     (r.protocol or {}).get("minWriterVersion"),
-                    tuple(sorted(r.txns.items())))
+                    tuple(sorted(r.txns.items())),
+                    tuple(sorted(r.domains.items())))
         if len(states) >= 2:
             fps = {fmt: fingerprint(r) for fmt, r in states.items()}
             ref = sorted(fps)[0]
