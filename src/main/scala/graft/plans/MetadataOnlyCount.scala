@@ -73,15 +73,26 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** A literal companion column (CollapseProject folds tag projections
+    * like `lit("cur").as("state")` INTO the aggregate list — the
+    * common shape of `count().select(lit(tag), col("count"))`). Its
+    * value is input-independent, so the rewrite just replays it. */
+  private def literalValue(e: NamedExpression): Option[Any] = e match {
+    case Alias(Literal(v, _), _) => Some(v)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty &&
-          agg.aggregateExpressions.nonEmpty &&
-          agg.aggregateExpressions.forall(isCountStar) =>
+          agg.aggregateExpressions.exists(isCountStar) &&
+          agg.aggregateExpressions.forall(e =>
+            isCountStar(e) || literalValue(e).isDefined) =>
       statCount(agg.child) match {
         case Some(n) =>
-          LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+          val values = agg.aggregateExpressions.map(e =>
+            if (isCountStar(e)) n else literalValue(e).get)
+          LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
         case None => agg
       }
   }

@@ -3156,6 +3156,12 @@ class DeltaSpec extends SparkSpec {
     assert(cnt.as[Long].head() === 2L) // Alice(75k) + Carol(80k) dead
     // ds.count() takes the same path
     assert(spark.read.format("graft-delta").load(t).count() === 2L)
+    // the TAGGED shape (q105's): CollapseProject folds the literal tag
+    // into the aggregate list — must still rewrite scan-free
+    val tagged = spark.read.format("graft-delta").load(t).groupBy().count()
+      .select(lit("cur").as("state"), col("count").as("n_rows"))
+    assert(scanFree(tagged), s"tagged count still scans:\n${tagged.queryExecution}")
+    assert(tagged.as[(String, Long)].head() === (("cur", 2L)))
     // time travel: the pinned snapshot's own count, still scan-free
     val v1 = spark.read.format("graft-delta")
       .option("versionAsOf", 1).load(t).groupBy().count()
