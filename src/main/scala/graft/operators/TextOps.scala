@@ -837,7 +837,48 @@ object TextOps {
       |  verdict, COUNT(*) AS n_docs
       |FROM v GROUP BY verdict ORDER BY stage""".stripMargin
 
+  /** q109 — SEMI-STRUCTURED METADATA analytics ([EXT]): every serious
+    * training-data pipeline carries a per-document JSON metadata
+    * sidecar; this exercises Spark's whole semi-structured surface
+    * over one: `to_json(struct(...))` builds the nested sidecar
+    * (`{"src":…,"stats":{"chars":…,"words":…}}`), `parse_json` lifts
+    * it into a VARIANT (Spark 4's binary semi-structured type — parse
+    * once, extract many), `try_variant_get` does TYPED path extraction
+    * (string and long), and `get_json_object` covers the string-path
+    * API on the same document. The oracle computes the aggregates
+    * straight from the source columns, so any lossiness in the
+    * build→parse→extract round-trip hash-fails. Token counting uses
+    * the pinned q21 whitespace convention. */
+  val q109JsonMetadata: Q = (spark, dir) => {
+    val d = Tables.load(spark, dir, "documents")
+    val meta = d.select(col("lang"),
+      to_json(struct(col("source").as("src"),
+        struct(col("n_chars").as("chars"),
+          size(tokens(col("text"))).as("words")).as("stats"))).as("meta"))
+    val v = parse_json(col("meta"))
+    meta.select(col("lang"),
+      try_variant_get(v, "$.src", "string").as("src"),
+      try_variant_get(v, "$.stats.chars", "long").as("chars"),
+      get_json_object(col("meta"), "$.stats.words").cast("long").as("words"))
+      .groupBy("lang", "src")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars").as("total_chars"),
+        max("words").as("max_words"),
+        round(avg("words"), 4).as("avg_words"))
+      .orderBy("lang", "src")
+  }
+
+  val q109Oracle: String =
+    """SELECT lang, source AS src, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(MAX(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')))
+      |    AS BIGINT) AS max_words,
+      |  ROUND(AVG(LEN(string_split_regex(TRIM(LOWER(text)), '\s+'))), 4)
+      |    AS avg_words
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q109_json_metadata" -> q109JsonMetadata,
     "q76_bpe_trainer" -> q76BpeTrainer,
     "q79_bpe_encode" -> q79BpeEncode,
     "q89_curation_funnel" -> q89CurationFunnel,
@@ -857,6 +898,7 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q109_json_metadata" -> q109Oracle,
     "q76_bpe_trainer" -> q76Oracle,
     "q79_bpe_encode" -> q79Oracle,
     "q89_curation_funnel" -> q89Oracle,

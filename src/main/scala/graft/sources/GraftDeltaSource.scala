@@ -84,15 +84,18 @@ class GraftDeltaSource extends RelationProvider
       "readChangeFeed and ignoreChanges are mutually exclusive: the " +
         "change feed DELIVERS rewrites row-level; ignoreChanges drops them")
     val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
-    require(!(cdf && maxFiles.isDefined),
-      "maxFilesPerTrigger does not apply to readChangeFeed streams " +
-        "(change rows are version-granular); use maxVersionsPerTrigger")
-    require(!(maxFiles.isDefined &&
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    require(!(cdf && (maxFiles.isDefined || maxBytes.isDefined)),
+      "maxFilesPerTrigger/maxBytesPerTrigger do not apply to " +
+        "readChangeFeed streams (change rows are version-granular); " +
+        "use maxVersionsPerTrigger")
+    require(!((maxFiles.isDefined || maxBytes.isDefined) &&
         parameters.contains("maxVersionsPerTrigger")),
-      "set at most one of maxFilesPerTrigger / maxVersionsPerTrigger")
+      "maxVersionsPerTrigger cannot combine with " +
+        "maxFilesPerTrigger/maxBytesPerTrigger")
     new GraftDeltaStreamSource(sqlContext, path(parameters), ignore,
       parameters.get("maxVersionsPerTrigger").map(_.toLong), cdf,
-      parameters.get("startingVersion").map(_.toLong), maxFiles)
+      parameters.get("startingVersion").map(_.toLong), maxFiles, maxBytes)
   }
 
   /** `writeStream.format("graft-delta")` — continuous exactly-once
@@ -207,13 +210,22 @@ class GraftDeltaSource extends RelationProvider
   * already delivered are never re-read. Removing the option against a
   * checkpoint parked mid-version is refused loudly (serving the whole
   * version again would duplicate rows downstream). */
+/** `maxBytesPerTrigger=N` — the byte-budget analog (combinable with
+  * maxFilesPerTrigger; a batch closes when EITHER budget is hit,
+  * always admitting at least one file so an oversized file cannot
+  * stall the stream — stock Delta's soft-max semantics). */
 class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None,
     readChangeFeed: Boolean = false,
     startingVersion: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  /** File-granular admission active? (either budget opts in) */
+  private def fileCapped: Boolean =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
   private val initialSnap = DeltaLog.snapshot(table)
   private val partitionColumns = initialSnap.partitionColumns
@@ -320,44 +332,55 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     val vs = DeltaLog.versions(table)
     if (vs.isEmpty) return None
     val latest = vs.max
-    maxFilesPerTrigger match {
-      case None =>
-        val next = (maxVersionsPerTrigger, lastOffered) match {
-          case (Some(cap), Some(prev)) => math.min(latest, prev + cap)
-          case _ => latest
-        }
-        lastOffered = Some(next)
-        Some(LongOffset(next))
-      case Some(cap) =>
-        // walk forward from the cursor admitting at most `cap` files;
-        // a fully-consumed version normalizes to (v, fileCount) so the
-        // offered json is stable when the log is idle. The snap flag
-        // rides on the cursor: true only on the stream's first-ever
-        // pseudo-version (fresh start in snapshot mode, or a restart
-        // whose checkpointed offset still says so).
-        var cur = lastOfferedPos.getOrElse(
-          if (snapMode) GraftFileOffset(initialSnap.version, 0, snap = true)
-          else GraftFileOffset(math.min(startingVersion.get, latest), 0))
-        if (cur.index == Long.MaxValue)
-          cur = GraftFileOffset(cur.version + 1, 0)
-        var offered = lastOfferedPos
-        var budget = cap.toLong
-        while (budget > 0 && cur.version <= latest) {
-          val fs = capListFor(cur.version, cur.snap)
-          val lo = math.min(cur.index, fs.length.toLong)
-          val remaining = fs.length - lo
-          if (remaining <= budget) {
-            budget -= remaining
-            offered = Some(GraftFileOffset(cur.version, fs.length, cur.snap))
-            cur = GraftFileOffset(cur.version + 1, 0)
+    if (!fileCapped) {
+      val next = (maxVersionsPerTrigger, lastOffered) match {
+        case (Some(cap), Some(prev)) => math.min(latest, prev + cap)
+        case _ => latest
+      }
+      lastOffered = Some(next)
+      Some(LongOffset(next))
+    } else {
+      // walk forward file-by-file from the cursor until EITHER budget
+      // (file count / byte sum) is exhausted — always admitting at
+      // least one file so an oversized file cannot stall the stream; a
+      // fully-consumed version normalizes to (v, fileCount) so the
+      // offered json is stable when the log is idle. The snap flag
+      // rides on the cursor: true only on the stream's first-ever
+      // pseudo-version (fresh start in snapshot mode, or a restart
+      // whose checkpointed offset still says so).
+      var cur = lastOfferedPos.getOrElse(
+        if (snapMode) GraftFileOffset(initialSnap.version, 0, snap = true)
+        else GraftFileOffset(math.min(startingVersion.get, latest), 0))
+      if (cur.index == Long.MaxValue)
+        cur = GraftFileOffset(cur.version + 1, 0)
+      var offered = lastOfferedPos
+      var nFiles = 0L
+      var nBytes = 0L
+      var open = true
+      while (open && cur.version <= latest) {
+        val fs = capListFor(cur.version, cur.snap)
+        var idx = math.min(cur.index, fs.length.toLong).toInt
+        while (open && idx < fs.length) {
+          val f = fs(idx)
+          val overFiles = maxFilesPerTrigger.exists(nFiles + 1 > _)
+          val overBytes = maxBytesPerTrigger.exists(nBytes + f.size > _)
+          if ((overFiles || overBytes) && nFiles > 0) {
+            offered = Some(GraftFileOffset(cur.version, idx, cur.snap))
+            open = false
           } else {
-            offered = Some(GraftFileOffset(cur.version, lo + budget, cur.snap))
-            cur = offered.get
-            budget = 0
+            nFiles += 1; nBytes += f.size; idx += 1
           }
         }
-        lastOfferedPos = offered
-        offered
+        if (open) {
+          offered = Some(GraftFileOffset(cur.version, fs.length, cur.snap))
+          cur = GraftFileOffset(cur.version + 1, 0)
+          // both budgets exactly consumed at a version boundary still
+          // closes the batch on the next over-budget file (loop guard)
+          if (maxFilesPerTrigger.exists(nFiles >= _)) open = false
+        }
+      }
+      lastOfferedPos = offered
+      offered
     }
   }
 
@@ -406,7 +429,7 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
       return org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(
         sqlContext, ordered.queryExecution.toRdd, ordered.schema)
     }
-    val files: Seq[DeltaLog.AddFile] = maxFilesPerTrigger match {
+    val files: Seq[DeltaLog.AddFile] = (if (fileCapped) Some(()) else None) match {
       case Some(_) =>
         // file-granular window (from, end]: slice each version's list
         // by index; the snapshot pseudo-version serves the pinned
@@ -458,7 +481,8 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
             throw new IllegalStateException(
               "graft-delta stream source: the checkpoint is parked " +
                 s"mid-version (${p.version} @ file ${p.index}) from a " +
-                "maxFilesPerTrigger run; restarting without the option " +
+                "file-capped (maxFilesPerTrigger/maxBytesPerTrigger) " +
+                "run; restarting without the option " +
                 "would re-deliver the whole version (duplicate rows " +
                 "downstream) — keep maxFilesPerTrigger set")
           tailAdds(p.version + 1)

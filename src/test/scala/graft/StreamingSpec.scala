@@ -560,6 +560,31 @@ class StreamingSpec extends SparkSpec {
       s"expected >=4 sink versions under the cap, got ${DeltaLog.versions(dst)}")
   }
 
+  test("maxBytesPerTrigger: a byte budget below any file size admits " +
+      "exactly one file per batch — oversized files never stall") {
+    import graft.sources.DeltaLog
+    val base = java.nio.file.Files.createTempDirectory("graft-delta-brate")
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    (0 until 6).map(i =>
+      Event(i.toLong, ts("2024-01-01 10:00:00"), 1, "click", 1.0)).toDF()
+      .repartition(3).write.format("graft-delta").save(src) // 3-file snapshot
+    val nFiles = DeltaLog.snapshot(src).files.length
+    assert(nFiles === 3)
+    val q = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", "1").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.format("graft-delta").load(dst)
+      .select("event_id").as[Long].collect().sorted === (0L until 6L).toArray)
+    // one sink commit per source file: the at-least-one rule admitted
+    // exactly one over-budget file per batch
+    assert(DeltaLog.versions(dst).length === nFiles,
+      s"expected $nFiles one-file batches, got ${DeltaLog.versions(dst)}")
+  }
+
   test("streaming dedup: each fingerprint emitted once across batches and restarts") {
     import graft.streaming.StreamingOps.Doc
     val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
