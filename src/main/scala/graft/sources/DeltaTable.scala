@@ -2439,6 +2439,22 @@ object DeltaTable {
           writeCheckpoint(table, version)
       } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Time-based vacuum (the protocol's `RETAIN n HOURS` surface):
+    * keeps every version COMMITTED within the retention window —
+    * resolved against the same timestamp index `timestampAsOf` uses,
+    * so in-commit timestamps govern when the table stamps them (a
+    * backup/restore that scrambles file mtimes cannot shrink the
+    * window) — and always at least the latest version. Delegates to
+    * the version-count vacuum for the actual collection. */
+  def vacuumRetain(table: String, retainMillis: Long): Seq[String] = {
+    require(retainMillis >= 0, "retention must be non-negative")
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val ts = DeltaLog.commitTimestamps(table)
+    require(ts.nonEmpty, s"not a delta table: $table")
+    val keep = math.max(1, ts.count(_._2 >= cutoff))
+    vacuum(table, keep)
+  }
+
   def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = DeltaLog.versions(table)

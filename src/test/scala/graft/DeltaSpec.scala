@@ -2675,6 +2675,31 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 4)
   }
 
+  test("vacuumRetain: the retention window keeps recent versions " +
+      "readable, collects the rest, and binds to in-commit timestamps") {
+    val t = freshTable()
+    DeltaTable.write(employees3, t, "overwrite")                // v0
+    DeltaTable.enableInCommitTimestamps(t)                      // v1
+    DeltaTable.write(employee1, t, "append")                    // v2
+    DeltaTable.write(Seq((5, "Eve", 50000L, "2024-01-19"))
+      .toDF("id", "name", "salary", "date"), t, "append")       // v3
+    // a huge window keeps everything: no-op
+    assert(DeltaTable.vacuumRetain(t, 86_400_000L) === Seq.empty)
+    assert(DeltaLog.versions(t) === (0L to 3L))
+    // backdate v0..v1's STAMPS far into the past by forging the index
+    // the resolution uses? No — stamps are immutable; instead use a
+    // zero-length window: only the latest version survives
+    val deleted = DeltaTable.vacuumRetain(t, 0L)
+    val vs = DeltaLog.versions(t)
+    assert(vs.nonEmpty && vs.head >= 3L,
+      s"expected only the latest version retained, got $vs")
+    assert(DeltaTable.read(spark, t).count() === 5)
+    // pre-horizon time travel now fails loudly
+    intercept[IllegalArgumentException] {
+      DeltaTable.read(spark, t, versionAsOf = Some(0L)).count() }
+    assert(deleted.isEmpty || deleted.forall(_.endsWith(".parquet")))
+  }
+
   // -- row tracking ----------------------------------------------------
 
   /** (business key -> row id) of a row-tracked table right now. */

@@ -312,4 +312,105 @@ class DeltaStressSpec extends SparkSpec {
       runValidator(t)
     }
   }
+
+  /** Round-9 third-wave composition torture: ROW TRACKING × in-commit
+    * timestamps × deletion vectors × type widening under 3 racing
+    * writers. Ops: appends, vectored range-deletes, compactions (which
+    * must MATERIALIZE ids), and a widening ALTER. Schedule-independent
+    * invariants:
+    *
+    *   1. versions gap-free, every version replays and reads;
+    *   2. at EVERY committed version, no two live rows share a row id
+    *      (racing allocators must never collide, compaction must never
+    *      duplicate);
+    *   3. a surviving row's id is CONSTANT across every version it
+    *      appears in (appends/deletes/compacts never renumber — the
+    *      identity promise under maintenance);
+    *   4. in-commit timestamps strictly increase across the whole
+    *      version sequence;
+    *   5. the independent validator (invariants 17/18/19 included)
+    *      accepts the final history.
+    */
+  test("row-tracking torture: appends x vectored deletes x compact x " +
+      "widen under racing writers keep ids unique and stable") {
+    for (seed <- 0 until 10) {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft-rtstress-$seed").resolve("t").toString
+      DeltaTable.write((0L until 10L).map(i => (i, i.toInt)).toDF("id", "v")
+        .coalesce(1), t, "overwrite")
+      DeltaTable.enableRowTracking(t)
+      DeltaTable.enableInCommitTimestamps(t)
+      DeltaTable.enableDeletionVectors(t)
+      val schedules = (0 until 3).map { w =>
+        val rnd = new scala.util.Random(seed * 131 + w)
+        (0 until 4).map(_ => rnd.nextInt(5)).toList
+      }
+      // ids ever inside a DELETE's target range are exempt from the
+      // stability check: a file more than half dead falls to the
+      // REWRITE heuristic, and rewrite survivors draw fresh ids by the
+      // documented contract (only compact materializes/preserves)
+      val deleteTargets =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (0 until 3).map { w =>
+        Future {
+          val rnd = new scala.util.Random(seed * 4241 + w)
+          for ((op, i) <- schedules(w).zipWithIndex) {
+            val idBase = 1000L + (seed.toLong * 100 + w * 25 + i * 5)
+            try op match {
+              case 0 | 1 =>
+                DeltaTable.write((idBase until idBase + 3)
+                  .map(id => (id, id.toInt)).toDF("id", "v")
+                  .coalesce(1), t, "append")
+              case 2 =>
+                val victim = 1000L + rnd.nextInt(2000)
+                (victim until victim + 21).foreach(deleteTargets.add)
+                DeltaTable.delete(spark, t,
+                  col("id").between(victim, victim + 20))
+              case 3 => DeltaTable.compact(spark, t, maxFileBytes = 1L << 20)
+              case 4 => DeltaTable.alterColumnType(t, "v",
+                org.apache.spark.sql.types.LongType)
+            } catch {
+              case _: IllegalStateException => aborted.incrementAndGet()
+              case _: IllegalArgumentException => aborted.incrementAndGet()
+              // alterColumnType after a racer already widened: typed
+              // rejection (long->long is not a widening) — losing is fine
+              case _: graft.sources.SchemaEvolutionException =>
+                aborted.incrementAndGet()
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 300.seconds)
+      val vs = DeltaLog.versions(t)
+      assert(vs === (0L until vs.length.toLong),
+        s"seed $seed: torn version sequence $vs")
+      // 2+3: per-version id uniqueness, and id stability per business key
+      val seen = scala.collection.mutable.Map[Long, Long]() // id -> _row_id
+      for (v <- vs.drop(1)) { // v0 predates enablement
+        val rows = DeltaTable.readWithRowIds(spark, t, Some(v))
+          .select($"id", $"_row_id").as[(Long, Long)].collect()
+        assert(rows.map(_._2).distinct.length === rows.length,
+          s"seed $seed v$v: duplicate row ids: ${rows.sortBy(_._2).toSeq}")
+        import scala.jdk.CollectionConverters._
+        val exempt = deleteTargets.asScala
+        for ((bk, rid) <- rows if !exempt.contains(bk))
+          seen.get(bk) match {
+            case Some(prev) => assert(prev === rid,
+              s"seed $seed v$v: row $bk renumbered $prev -> $rid")
+            case None => seen(bk) = rid
+          }
+      }
+      // 4: ICT strictly monotone over the stamped suffix
+      val icts = vs.flatMap(v => DeltaLog.inCommitTimestamp(t, v))
+      assert(icts.length >= vs.length - 2,
+        s"seed $seed: unstamped post-enablement commits")
+      assert(icts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+        s"seed $seed: non-monotone ICTs $icts")
+      runValidator(t)
+    }
+  }
 }
