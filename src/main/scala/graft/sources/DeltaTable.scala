@@ -1624,7 +1624,14 @@ object DeltaTable {
       require(snap.partitionColumns.isEmpty,
         s"zorder($table): partitioned tables cluster within partitions " +
           "by the partition key already; zorder supports unpartitioned")
-      val df = read(spark, table, Some(snap.version))
+      // ROW TRACKING: like compact, the clustered rewrite MATERIALIZES
+      // every row's original id — a layout optimization must never
+      // renumber identity
+      val df =
+        if (!RowTracking.enabled(snap)) read(spark, table, Some(snap.version))
+        else rowIdFrame(spark, table, snap, snap.files)
+          .withColumnRenamed("_row_id", RowTracking.IdCol)
+          .withColumnRenamed("_row_commit_version", RowTracking.VerCol)
       val aggs = cols.flatMap(c => Seq(
         smin(col(c)).cast("double"), smax(col(c)).cast("double")))
       val r = df.agg(aggs.head, aggs.tail: _*).head() // 2k scalars

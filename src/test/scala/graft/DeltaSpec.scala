@@ -2751,6 +2751,11 @@ class DeltaSpec extends SparkSpec {
     // ids are never reused: every id ever observed is distinct from
     // every later-allocated one
     assert(afterUpdate.values.toSet.size === afterUpdate.size)
+    // ZORDER is layout-only like compact: the clustered rewrite
+    // materializes ids — identity survives this maintenance path too
+    DeltaTable.zorder(spark, t, Seq("id", "salary"), targetFiles = 2)
+    assert(idsOf(t) === afterUpdate,
+      "zorder must not reassign row ids")
   }
 
   test("row tracking: domain metadata survives checkpoint replay and " +
