@@ -348,6 +348,7 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
       // rides on the cursor: true only on the stream's first-ever
       // pseudo-version (fresh start in snapshot mode, or a restart
       // whose checkpointed offset still says so).
+      val firstOffer = lastOfferedPos.isEmpty
       var cur = lastOfferedPos.getOrElse(
         if (snapMode) GraftFileOffset(initialSnap.version, 0, snap = true)
         else GraftFileOffset(math.min(startingVersion.get, latest), 0))
@@ -373,10 +374,19 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
         }
         if (open) {
           offered = Some(GraftFileOffset(cur.version, fs.length, cur.snap))
+          // the STREAM'S FIRST offer never spans past the snapshot
+          // pseudo-version: getBatch(start=None, end) after a restart
+          // can only reconstruct the batch from the end offset itself,
+          // so a first offset must pin (version = snapshot version,
+          // snap = true) — spanning would lose the snapshot boundary
+          // and replay the wrong file set (or none: silent data loss
+          // if the table committed between the offer and the restart)
+          val atSnapBoundary = firstOffer && cur.snap
           cur = GraftFileOffset(cur.version + 1, 0)
           // both budgets exactly consumed at a version boundary still
           // closes the batch on the next over-budget file (loop guard)
-          if (maxFilesPerTrigger.exists(nFiles >= _)) open = false
+          if (atSnapBoundary || maxFilesPerTrigger.exists(nFiles >= _))
+            open = false
         }
       }
       lastOfferedPos = offered
@@ -451,7 +461,16 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
             GraftFileOffset(p.version + 1, 0)
           case Some(p) => p
           case None =>
-            if (snapMode) GraftFileOffset(initialSnap.version, 0, snap = true)
+            // Replaying an UNCOMMITTED first batch after restart: the
+            // checkpointed end offset — not this (restarted) source's
+            // current snapshot — defines the batch. If the table took a
+            // commit between the original getOffset and the restart,
+            // initialSnap.version would exceed endP.version and an
+            // initialSnap-derived `from` would deliver ZERO rows while
+            // marking [0, endP.index) delivered — silent data loss.
+            // The end offset's own (version, snap) is the authoritative
+            // start of a first batch.
+            if (snapMode) GraftFileOffset(endP.version, 0, snap = true)
             else GraftFileOffset(math.min(startingVersion.get, endP.version), 0)
         }
         val out = Seq.newBuilder[DeltaLog.AddFile]

@@ -560,6 +560,62 @@ class StreamingSpec extends SparkSpec {
       s"expected >=4 sink versions under the cap, got ${DeltaLog.versions(dst)}")
   }
 
+  test("file-capped restart: an UNCOMMITTED first batch replays from the " +
+      "checkpointed offset even when the table committed before the " +
+      "restart — no silent row loss") {
+    // The failure this pins (round-10 ADVICE high): getBatch(start=None)
+    // used to derive `from` from the RESTARTED source's current snapshot;
+    // a commit landing between the original offer and the restart made
+    // from.version > end.version, the replay delivered zero rows, and
+    // the first <cap> snapshot files were marked delivered forever.
+    import graft.sources.DeltaLog
+    val base = java.nio.file.Files.createTempDirectory("graft-delta-uncommitted")
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    def events(ids: Range) = ids.map(i =>
+      Event(i.toLong, ts("2024-01-01 10:00:00"), 1, "click", 1.0)).toDF()
+    // v0: a 4-file snapshot (8 rows)
+    events(0 until 8).repartition(4).write.format("graft-delta").save(src)
+    assert(DeltaLog.snapshot(src).files.length === 4)
+    def capped = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "3").load(src)
+    // first run: the sink THROWS, so offsets/0 is WAL'd (3 of 4
+    // snapshot files) but the batch never commits
+    val q1 = capped.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("die before commit") }
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination() }
+    val offset0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "offsets", "0")), "UTF-8")
+    assert(offset0.contains("\"snap\":true") && !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "commits", "0")),
+      s"test setup: expected an uncommitted snapshot-mode first offset, got $offset0")
+    // the table takes a commit BETWEEN the offer and the restart
+    events(8 until 10).coalesce(1)
+      .write.format("graft-delta").mode("append").save(src) // v1
+    // restart: batch 0 must redeliver exactly the checkpointed range
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q2 = capped.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.select("event_id").collect().foreach(r =>
+          got.synchronized { got += ((id, r.getLong(0))) }); () }
+      .outputMode(OutputMode.Append()).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val batch0 = got.filter(_._1 == 0L).map(_._2).sorted
+    // the buggy path delivered ZERO rows here (file sizes are uneven
+    // under hash partitioning, so assert membership not cardinality)
+    assert(batch0.nonEmpty && batch0.forall(_ < 8L),
+      s"replayed first batch must carry the checkpointed snapshot files, " +
+        s"got ${batch0.toSeq}")
+    assert(got.map(_._2).sorted.toSeq === (0L until 10L).toSeq,
+      s"rows lost or duplicated across the restart: ${got.toSeq.sorted}")
+  }
+
   test("maxBytesPerTrigger: a byte budget below any file size admits " +
       "exactly one file per batch — oversized files never stall") {
     import graft.sources.DeltaLog
