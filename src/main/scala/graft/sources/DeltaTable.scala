@@ -966,8 +966,15 @@ object DeltaTable {
       // at — recomputed on a lost race)
       val prior = if (field.metadata.contains("delta.typeChanges"))
         field.metadata.getString("delta.typeChanges") else "[]"
-      val entry = s"""{"fromType":"${field.dataType.typeName}",""" +
-        s""""toType":"${to.typeName}","tableVersion":${snap.version + 1}}"""
+      // the protocol records PARAMETERIZED type strings — typeName
+      // flattens decimal(10,2) to just "decimal", logging the widening
+      // ambiguously for any reader consulting the history
+      def protoType(dt: DataType): String = dt match {
+        case d: org.apache.spark.sql.types.DecimalType => d.simpleString
+        case other => other.typeName
+      }
+      val entry = s"""{"fromType":"${protoType(field.dataType)}",""" +
+        s""""toType":"${protoType(to)}","tableVersion":${snap.version + 1}}"""
       val hist = prior.stripSuffix("]") +
         (if (prior == "[]") "" else ",") + entry + "]"
       val widened = StructType(schema.fields.map(f =>
@@ -1180,7 +1187,7 @@ object DeltaTable {
     * shuffle; the scan stays one distributed parquet read. */
   private def rowIdFrame(spark: SparkSession, table: String,
       snap: DeltaLog.Snapshot, files: Seq[DeltaLog.AddFile]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, element_at, lit, map, split}
+    import org.apache.spark.sql.functions.{coalesce, element_at, lit, map}
     import org.apache.spark.sql.types.LongType
     val logical = snap.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -1203,16 +1210,25 @@ object DeltaTable {
       .withColumn(PosFile, col("_metadata.file_path"))
       .withColumn(PosIdx, col("_metadata.row_index"))
     val live = subtractDeleted(raw, table, snap)
-    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val fname = element_at(split(col(PosFile), "/"), -1)
+    // Key the per-file literal map by FULL normalized absolute path,
+    // not basename: basenames carry only ~32 bits of commitTag entropy
+    // (birthday collision around 2^16 commits) and two partition dirs
+    // can legitimately hold files with equal names — either would
+    // silently assign one file's base ids to another's rows.
+    // `_metadata.file_path` renders as a file: URI; normalize its
+    // scheme prefix to a plain absolute path to match the resolved key.
+    import org.apache.spark.sql.functions.regexp_replace
+    val fname = regexp_replace(col(PosFile), "^file:/*", "/")
+    def absKey(p: String): String =
+      Paths.get(table).resolve(p).toAbsolutePath.normalize.toString
     def lookup(pairs: Seq[(String, Long)]) =
       if (pairs.isEmpty) lit(null).cast(LongType)
       else element_at(map(pairs.flatMap { case (k, v) =>
         Seq(lit(k), lit(v)) }: _*), fname)
     val baseL = lookup(files.flatMap(f =>
-      f.baseRowId.map(basename(f.path) -> _)))
+      f.baseRowId.map(absKey(f.path) -> _)))
     val verL = lookup(files.flatMap(f =>
-      f.defaultRowCommitVersion.map(basename(f.path) -> _)))
+      f.defaultRowCommitVersion.map(absKey(f.path) -> _)))
     live.select(logical.fieldNames.map(col).toIndexedSeq ++ Seq(
       coalesce(col(RowTracking.IdCol), baseL + col(PosIdx)).as("_row_id"),
       coalesce(col(RowTracking.VerCol), verL).as("_row_commit_version")): _*)
@@ -1229,6 +1245,52 @@ object DeltaTable {
         "tracking (enableRowTracking)")
     rowIdFrame(spark, table, snap, snap.files)
   }
+
+  /** Touched-file rows for a DML rewrite, carrying the MATERIALIZED
+    * row-tracking columns when the table opted in: survivors re-staged
+    * from this frame keep their ORIGINAL ids (the protocol's preserved
+    * row tracking — only logically-modified rows may renumber; a
+    * DELETE that rewrites a file must not invalidate id-keyed
+    * consumers of the file's untouched rows). Plain read when tracking
+    * is off. `relPaths` are log-relative. */
+  private def dmlRowsWithIds(spark: SparkSession, table: String,
+      snap: DeltaLog.Snapshot, relPaths: Iterable[String]): DataFrame = {
+    val sorted = relPaths.toSeq.distinct.sorted
+    if (!RowTracking.enabled(snap))
+      readTableFiles(spark, table, snap,
+        sorted.map(f => Paths.get(table).resolve(f).toString))
+    else {
+      val wanted = sorted.toSet
+      rowIdFrame(spark, table, snap, snap.files.filter(f =>
+        wanted.contains(f.path)))
+        .withColumnRenamed("_row_id", RowTracking.IdCol)
+        .withColumnRenamed("_row_commit_version", RowTracking.VerCol)
+    }
+  }
+
+  /** Null out the materialized row-tracking columns on rows `matched`
+    * by a DML condition: post-images are logically NEW row versions
+    * and draw fresh ids from the staged file's baseRowId range
+    * (rowIdFrame's coalesce falls through null to baseRowId +
+    * row_index); survivors keep theirs. No-op when the frame carries
+    * no tracking columns. `matched` must read PRE-image values — call
+    * this before any SET projection. */
+  private def renumberMatched(d: DataFrame,
+      matched: org.apache.spark.sql.Column): DataFrame =
+    if (!d.columns.contains(RowTracking.IdCol)) d
+    else {
+      import org.apache.spark.sql.functions.when
+      val nul = lit(null).cast(LongType)
+      d.withColumn(RowTracking.IdCol,
+          when(matched, nul).otherwise(col(RowTracking.IdCol)))
+        .withColumn(RowTracking.VerCol,
+          when(matched, nul).otherwise(col(RowTracking.VerCol)))
+    }
+
+  /** Strip the materialized tracking columns (CDC sidecars and other
+    * logical-schema surfaces must never carry them). */
+  private def dropIdCols(d: DataFrame): DataFrame =
+    d.drop(RowTracking.IdCol, RowTracking.VerCol)
 
   private def subtractDeleted(df: DataFrame, table: String,
       snap: DeltaLog.Snapshot): DataFrame = {
@@ -1726,8 +1788,9 @@ object DeltaTable {
         val rewriteAdds =
           if (rewriteFiles.isEmpty) Seq.empty[DeltaLog.AddFile]
           else stageIn(
-            readTableFiles(spark, table, snap, rewriteFiles.map(f =>
-              Paths.get(table).resolve(f.path).toString))
+            // survivors of a rewrite-fallback file are merely COPIED:
+            // they keep their row ids (materialized into the new file)
+            dmlRowsWithIds(spark, table, snap, rewriteFiles.map(_.path))
               .filter(!condition),
             table, snap.partitionColumns, mappingOf(snap))
         val cdc =
@@ -1759,7 +1822,9 @@ object DeltaTable {
               Files.deleteIfExists(Paths.get(table).resolve(d.path)) }
         }
       } else {
-        val touchedRows = readTableFiles(spark, table, snap, touchedPaths)
+        // row-tracked survivors carry their ORIGINAL ids into the
+        // rewritten files — a delete must never renumber untouched rows
+        val touchedRows = dmlRowsWithIds(spark, table, snap, touched)
         // survivors of ONLY the touched files, original schema/layout
         val survivors = touchedRows.filter(!condition)
         val added = stageIn(survivors, table, snap.partitionColumns,
@@ -1768,7 +1833,7 @@ object DeltaTable {
         // what lets an incremental consumer cross this rewrite version
         val cdc =
           if (!cdfEnabled(snap)) Nil
-          else stageCdc(touchedRows.filter(condition)
+          else stageCdc(dropIdCols(touchedRows.filter(condition))
             .withColumn("_change_type", lit("delete")), table, mappingOf(snap))
         val actions =
           Seq(DeltaLog.commitInfoAction("DELETE")) ++
@@ -1836,6 +1901,11 @@ object DeltaTable {
         .map(f => Paths.get(table).resolve(f).toString)
       def applySet(d: DataFrame, always: Boolean): DataFrame = {
         import org.apache.spark.sql.functions.{when, expr}
+        // project over the INPUT's columns, not df's: a row-tracked
+        // rewrite threads the materialized id columns through the SET
+        // untouched (they are never in `set` — the __graft prefix is
+        // outside the user namespace)
+        val inCols = d.columns
         // conditional path with recomputes: the match flag is frozen
         // BEFORE the SET lands (the SET may change the very columns the
         // condition reads), then generated columns recompute over the
@@ -1846,7 +1916,7 @@ object DeltaTable {
           else d.withColumn(flag, condition)
         val cond: org.apache.spark.sql.Column =
           if (always || genRecompute.isEmpty) condition else col(flag)
-        val afterSet = flagged.select((df.columns.map { c =>
+        val afterSet = flagged.select((inCols.map { c =>
           set.get(c) match {
             case Some(e) if always => e.as(c)
             case Some(e) => when(cond, e).otherwise(col(c)).as(c)
@@ -1861,7 +1931,7 @@ object DeltaTable {
               when(col(flag), expr(e)).otherwise(col(g)))
         }
         if (always || genRecompute.isEmpty) recomputed
-        else recomputed.select(df.columns.map(col): _*)
+        else recomputed.select(inCols.map(col).toIndexedSeq: _*)
       }
       if (dvEnabled(snap)) {
         // DELETION-VECTOR update: mark the matched rows dead in place,
@@ -1881,14 +1951,20 @@ object DeltaTable {
           always = true)
         val rewriteRows =
           if (rewriteFiles.isEmpty) None
-          else Some(applySet(readTableFiles(spark, table, snap,
-            rewriteFiles.map(f =>
-              Paths.get(table).resolve(f.path).toString)), always = false))
+          // rewrite-fallback survivors keep their row ids; matched rows
+          // (post-images) renumber — null their materialized ids so the
+          // staged file's baseRowId range covers them
+          else Some(applySet(renumberMatched(
+            dmlRowsWithIds(spark, table, snap, rewriteFiles.map(_.path)),
+            condition), always = false))
         // when every touched file fell to the rewrite heuristic there
         // are no vectored post-images — don't stage an empty file
+        // (allowMissingColumns: the vectored post-images carry no
+        // tracking columns — they null out and draw fresh ids)
         val newData = (dvPlans.isEmpty, rewriteRows) match {
           case (true, Some(rw)) => rw
-          case (_, Some(rw)) => postRows.unionByName(rw)
+          case (_, Some(rw)) =>
+            postRows.unionByName(rw, allowMissingColumns = true)
           case (_, None) => postRows
         }
         val added = stageIn(newData, table, snap.partitionColumns,
@@ -1928,8 +2004,12 @@ object DeltaTable {
               Files.deleteIfExists(Paths.get(table).resolve(d.path)) }
         }
       } else {
-        val touchedRows = readTableFiles(spark, table, snap, touchedPaths)
-        val updated = applySet(touchedRows, always = false)
+        // row-tracked: untouched rows of touched files keep their ids
+        // (materialized); matched rows renumber (post-image = new row
+        // version). The nulling reads PRE-set values — before applySet.
+        val touchedRows = dmlRowsWithIds(spark, table, snap, touched)
+        val updated = applySet(renumberMatched(touchedRows, condition),
+          always = false)
         val added = stageIn(updated, table, snap.partitionColumns,
           mappingOf(snap))
         // a SET can push rows outside the table's CHECK contract
@@ -1940,7 +2020,7 @@ object DeltaTable {
         val cdc =
           if (!cdfEnabled(snap)) Nil
           else {
-            val pre = touchedRows.filter(condition)
+            val pre = dropIdCols(touchedRows.filter(condition))
             stageCdc(
               pre.withColumn("_change_type", lit("update_preimage"))
                 .unionByName(applySet(pre, always = true)
@@ -2063,7 +2143,7 @@ object DeltaTable {
         if (!useDv) {
           val tr =
             if (touched.isEmpty) None
-            else Some(readTableFiles(spark, table, snap, touchedPaths))
+            else Some(dmlRowsWithIds(spark, table, snap, touched))
           (Seq.empty[(DeltaLog.AddFile, Array[Int])],
             Seq.empty[DeltaLog.AddFile], tr)
         } else {
@@ -2072,20 +2152,26 @@ object DeltaTable {
           val (dv, rw) = planDvDml(table, snap, touched, matched)
           (dv, rw, Some(withPos.drop(PosFile, PosIdx)))
         }
+      // ROW TRACKING: survivors of a touched file are merely copied —
+      // they carry their ORIGINAL ids into the rewritten files; source
+      // rows (inserts and matched post-images) carry no tracking
+      // columns, so allowMissingColumns nulls them and they draw fresh
+      // ids from the staged baseRowId ranges.
       val rewritten =
         if (useDv) {
           // source rows + survivors of the rewrite-fallback files only
           val src = sourceI.select(target.columns.map(col): _*)
           if (rewriteFiles.isEmpty) src
           else src.unionByName(
-            readTableFiles(spark, table, snap, rewriteFiles.map(f =>
-              Paths.get(table).resolve(f.path).toString))
-              .join(broadcast(srcKeys), keys, "left_anti"))
+            dmlRowsWithIds(spark, table, snap, rewriteFiles.map(_.path))
+              .join(broadcast(srcKeys), keys, "left_anti"),
+            allowMissingColumns = true)
         } else touchedRows match {
           case None => sourceI.select(target.columns.map(col): _*)
           case Some(tr) =>
             tr.join(broadcast(srcKeys), keys, "left_anti")
-              .unionByName(sourceI.select(tr.columns.map(col): _*))
+              .unionByName(sourceI.select(target.columns.map(col): _*),
+                allowMissingColumns = true)
         }
       // a racer may have committed OUR txn version since the entry
       // check (write()'s lesson): skip before staging lands twice
@@ -2123,7 +2209,7 @@ object DeltaTable {
           val matched = touchedRows match {
             case None => inserts.limit(0)
             case Some(tr) =>
-              tr.join(broadcast(srcKeys), keys, "left_semi")
+              dropIdCols(tr).join(broadcast(srcKeys), keys, "left_semi")
                 .withColumn("_change_type", lit("update_preimage"))
                 .unionByName(src.join(tgtKeys, keys, "left_semi")
                   .withColumn("_change_type", lit("update_postimage")))

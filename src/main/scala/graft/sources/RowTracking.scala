@@ -23,8 +23,11 @@ package graft.sources
   *     invalidated by layout maintenance.
   *
   * Contract pinned by DeltaSpec: ids are stable across append,
-  * vectored DELETE and COMPACT; rows REWRITTEN by UPDATE/MERGE (the
-  * post-image is logically a new row version) draw fresh ids.
+  * vectored DELETE, COMPACT, and for every row a DML rewrite merely
+  * COPIES (survivors of DELETE/UPDATE/MERGE file rewrites keep their
+  * ids, materialized into the new files); only logically-modified
+  * rows renumber — UPDATE/MERGE post-images and MERGE inserts draw
+  * fresh ids.
   * Allocation happens inside each commit's optimistic-retry loop —
   * two racing writers re-derive from the freshest high-water mark,
   * so ranges never collide (DeltaStressSpec-style torture applies).

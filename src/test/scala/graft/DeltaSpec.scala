@@ -2758,6 +2758,50 @@ class DeltaSpec extends SparkSpec {
       "zorder must not reassign row ids")
   }
 
+  test("row tracking: DML file rewrites preserve survivor ids — " +
+      "non-vectored delete/update/merge renumber ONLY modified rows") {
+    // The protocol's preserved row tracking: rows a rewrite merely
+    // COPIES keep their ids (round-10 ADVICE fix; previously every
+    // survivor of a non-DV rewrite drew fresh ids)
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0: 1 file
+    DeltaTable.enableRowTracking(t)                              // v1
+    DeltaTable.write(employee1.coalesce(1), t, "append")         // v2
+    val base = idsOf(t) // ids 0,1,2 + 3
+    // non-DV DELETE rewrites the whole touched file: survivors of the
+    // file keep their original ids
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v3
+    val afterDelete = idsOf(t)
+    assert(afterDelete === base - 2,
+      s"delete renumbered copied rows: $base -> $afterDelete")
+    // non-DV UPDATE: the post-image renumbers, file-mates keep ids
+    val hwm = graft.sources.RowTracking.highWaterMark(DeltaLog.snapshot(t))
+    DeltaTable.update(spark, t, $"id" === 1,
+      Map("salary" -> lit(77000L)))                              // v4
+    val afterUpdate = idsOf(t)
+    assert(afterUpdate.filterKeys(_ != 1).toMap ===
+      afterDelete.filterKeys(_ != 1).toMap,
+      s"update renumbered copied rows: $afterDelete -> $afterUpdate")
+    assert(afterUpdate(1) > hwm,
+      s"update post-image must draw fresh: ${afterUpdate(1)} <= $hwm")
+    // MERGE: matched post-image fresh, copied file-mates stable,
+    // inserts fresh
+    val hwm2 = graft.sources.RowTracking.highWaterMark(DeltaLog.snapshot(t))
+    DeltaTable.merge(spark, t,
+      Seq((3, "Carol2", 88000L, "2024-04-01"), (9, "New", 1000L, "2024-04-01"))
+        .toDF("id", "name", "salary", "date"), Seq("id"))        // v5
+    val afterMerge = idsOf(t)
+    assert(afterMerge.filterKeys(k => k != 3 && k != 9).toMap ===
+      afterUpdate.filterKeys(_ != 3).toMap,
+      s"merge renumbered copied rows: $afterUpdate -> $afterMerge")
+    assert(afterMerge(3) > hwm2 && afterMerge(9) > hwm2,
+      s"merge post-image/insert must draw fresh ids beyond $hwm2: $afterMerge")
+    // ids never collide across the whole history
+    assert(afterMerge.values.toSet.size === afterMerge.size)
+    // the validator accepts the preserved-id history
+    runValidator(t)
+  }
+
   test("row tracking: domain metadata survives checkpoint replay and " +
       "vacuum; clone carries ids; mapping composition refuses both ways") {
     val t = freshTable()
@@ -3065,6 +3109,15 @@ class DeltaSpec extends SparkSpec {
     assert(df.schema("amt").dataType === DecimalType(12, 4))
     assert(df.select($"id", $"amt".cast("string")).as[(Long, String)]
       .collect().toSeq === Seq((1L, "12.3400"), (7L, "45.6700")))
+    // the history records PARAMETERIZED decimal types (typeName
+    // flattens to just "decimal", logging the widening ambiguously)
+    val amtMeta = DataType.fromJson(DeltaLog.snapshot(t).schemaJson.get)
+      .asInstanceOf[StructType].apply("amt").metadata
+    assert(amtMeta.getString("delta.typeChanges")
+      .contains("\"fromType\":\"decimal(6,2)\""),
+      amtMeta.getString("delta.typeChanges"))
+    assert(amtMeta.getString("delta.typeChanges")
+      .contains("\"toType\":\"decimal(12,4)\""))
     // skipping: the v0 file's int-era stats must still serve (and
     // prune) a long-typed predicate — BigDecimal compare is type-blind
     val index = new graft.sources.GraftDeltaFileIndex(

@@ -345,12 +345,10 @@ class DeltaStressSpec extends SparkSpec {
         val rnd = new scala.util.Random(seed * 131 + w)
         (0 until 4).map(_ => rnd.nextInt(5)).toList
       }
-      // ids ever inside a DELETE's target range are exempt from the
-      // stability check: a file more than half dead falls to the
-      // REWRITE heuristic, and rewrite survivors draw fresh ids by the
-      // documented contract (only compact materializes/preserves)
-      val deleteTargets =
-        java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      // NO exemptions (round 10): even when a half-dead file falls to
+      // the DELETE's REWRITE heuristic, the surviving rows are merely
+      // copied and keep their ids (materialized into the new file) —
+      // every live row's id must be stable at every version
       val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
@@ -367,7 +365,6 @@ class DeltaStressSpec extends SparkSpec {
                   .coalesce(1), t, "append")
               case 2 =>
                 val victim = 1000L + rnd.nextInt(2000)
-                (victim until victim + 21).foreach(deleteTargets.add)
                 DeltaTable.delete(spark, t,
                   col("id").between(victim, victim + 20))
               case 3 => DeltaTable.compact(spark, t, maxFileBytes = 1L << 20)
@@ -395,9 +392,7 @@ class DeltaStressSpec extends SparkSpec {
           .select($"id", $"_row_id").as[(Long, Long)].collect()
         assert(rows.map(_._2).distinct.length === rows.length,
           s"seed $seed v$v: duplicate row ids: ${rows.sortBy(_._2).toSeq}")
-        import scala.jdk.CollectionConverters._
-        val exempt = deleteTargets.asScala
-        for ((bk, rid) <- rows if !exempt.contains(bk))
+        for ((bk, rid) <- rows)
           seen.get(bk) match {
             case Some(prev) => assert(prev === rid,
               s"seed $seed v$v: row $bk renumbered $prev -> $rid")
