@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // COUNT(*) on a graft-delta table answers from the transaction
     // log's per-file stats with zero data I/O (see MetadataOnlyCount)
     ext.injectOptimizerRule(_ => graft.plans.MetadataOnlyCount)
+    // a snapshot carrying live deletion vectors re-plans as a fully
+    // VECTORIZED scan + codegen'd row_index bitmap filter instead of
+    // the row-based DvParquetFileFormat fallback (see DvScanRewrite;
+    // injected AFTER MetadataOnlyCount so COUNT(*) over a vectored
+    // table still answers from the log with zero I/O)
+    ext.injectOptimizerRule(_ => graft.plans.DvScanRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -914,8 +914,8 @@ class MappedParquetFileFormat(l2p: Map[String, String])
   *
   * Handles column mapping too (same schema translation as
   * [[MappedParquetFileFormat]]) so DV × mapping composes. */
-class DvParquetFileFormat(l2p: Map[String, String],
-    dvs: Map[String, Array[Int]]) extends ParquetFileFormat {
+class DvParquetFileFormat(val l2p: Map[String, String],
+    val dvs: Map[String, Array[Int]]) extends ParquetFileFormat {
   private def phys(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
 

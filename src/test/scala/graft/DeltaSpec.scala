@@ -1404,6 +1404,43 @@ class DeltaSpec extends SparkSpec {
     runValidator(t)
   }
 
+  test("deletion vectors: scans stay VECTORIZED under a live vector — " +
+      "Batched: true, pushdown reaches the reader, splits allowed") {
+    // Round 10: DvScanRewrite (GraftExtensions) re-plans the row-based
+    // DV format as a vectorized scan + codegen'd row_index bitmap
+    // filter. Correctness never depends on the rule (the row-based
+    // format remains the no-extension fallback) — this pins the PLAN.
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v2 vectored
+    assert(DeltaLog.snapshot(t).files.exists(_.dv.isDefined),
+      "test setup: the delete must vector, not rewrite")
+    val df = spark.read.format("graft-delta").load(t)
+      .filter($"salary" > 60000L).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Batched: true") && !plan.contains("Batched: false"),
+      s"a DV-carrying scan must stay columnar:\n$plan")
+    assert(plan.contains("dv_row_deleted"),
+      s"the bitmap filter must guard the vectorized scan:\n$plan")
+    assert(plan.contains("GreaterThan(salary,60000)"),
+      s"pushdown must reach the parquet reader on a vectored file:\n$plan")
+    assert(df.as[Int].collect().sorted === Array(1, 3))
+    // the rewrite composes with column mapping (physical-name files)
+    val tm = freshTable()
+    DeltaTable.write(employees3.coalesce(1), tm, "overwrite")
+    DeltaTable.enableColumnMapping(tm)
+    DeltaTable.renameColumn(tm, "salary", "base_pay")
+    DeltaTable.enableDeletionVectors(tm)
+    DeltaTable.delete(spark, tm, $"id" === 1)
+    val dfm = spark.read.format("graft-delta").load(tm)
+    val planM = dfm.queryExecution.executedPlan.toString
+    assert(planM.contains("Batched: true") && !planM.contains("Batched: false"),
+      s"DV x mapping must stay columnar too:\n$planM")
+    assert(dfm.select("id", "base_pay").as[(Int, Long)].collect().sorted
+      === Array((2, 65000L), (3, 80000L)))
+  }
+
   test("deletion vectors: re-delete unions into the existing vector; " +
       "update/merge on a vectored file rewrites and drops it") {
     val t = freshTable()
