@@ -512,32 +512,38 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Staged as a MULTI-STATEMENT script (round 10): nested array CTEs
+    * let DuckDB inline/duplicate the exploded N x 64 x 16 relation and
+    * made this the driver harness's repeat OOM offender; CREATE TEMP
+    * TABLE stages bound the peak to one step at a time (each step can
+    * spill) while computing the identical ordered-SUM arithmetic —
+    * the hash contract is unchanged. */
   val q45Oracle: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      |contrib AS (
+    """CREATE TEMP TABLE o45_contrib AS
       |  SELECT vec_id, k,
       |    SUM(embedding[i+1]::DOUBLE *
       |      ((('0x' || substr(md5(k::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)
       |      ORDER BY i) AS dot
-      |  FROM e, UNNEST(range(LEN(embedding))) g(i), UNNEST(range(16)) h(k)
-      |  GROUP BY vec_id, k),
-      |bands AS (
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i), UNNEST(range(16)) h(k)
+      |  GROUP BY vec_id, k;
+      |CREATE TEMP TABLE o45_bands AS
       |  SELECT vec_id, k // 4 AS band,
       |    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << (k % 4)) ELSE 0 END) AS bsig
-      |  FROM contrib GROUP BY vec_id, k // 4),
-      |cand AS (
+      |  FROM o45_contrib GROUP BY vec_id, k // 4;
+      |CREATE TEMP TABLE o45_cand AS
       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-      |  FROM bands x JOIN bands y
-      |    ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id),
-      |p AS (
+      |  FROM o45_bands x JOIN o45_bands y
+      |    ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id;
+      |CREATE TEMP TABLE o45_p AS
       |  SELECT c.id_a, c.id_b,
       |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
       |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
       |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
-      |  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b,
+      |  FROM o45_cand c JOIN embeddings a ON a.vec_id = c.id_a
+      |    JOIN embeddings b ON b.vec_id = c.id_b,
       |       UNNEST(range(LEN(a.embedding))) g(i)
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM p
+      |  GROUP BY 1, 2;
+      |SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM o45_p
       |WHERE ROUND(dot / (na * nb), 4) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
@@ -837,47 +843,50 @@ object SimilarityOps {
   val q47RerankedAnn: Q = (spark, dir) =>
     exactRerank(spark, dir, sqShortlist(spark, dir))
 
+  /** Staged as a MULTI-STATEMENT script (round 10, like [[q45Oracle]]):
+    * the exploded corpus relation `o47_v` is REUSED three times (stats,
+    * reconstruction, query side) instead of re-inlined per CTE
+    * reference — the other repeat OOM offender in the driver harness.
+    * Arithmetic identical; hash contract unchanged. */
   val q47Oracle: String =
-    """WITH v AS (
+    """CREATE TEMP TABLE o47_v AS
       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
-      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
-      |stats AS (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM v GROUP BY pos),
-      |recon AS (
-      |  SELECT vec_id, v.pos,
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i);
+      |CREATE TEMP TABLE o47_stats AS
+      |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o47_v GROUP BY pos;
+      |CREATE TEMP TABLE o47_recon AS
+      |  SELECT vec_id, o47_v.pos,
       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
       |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
       |         * (dmax - dmin) / 255.0 AS r
-      |  FROM v JOIN stats ON v.pos = stats.pos),
-      |d AS (
+      |  FROM o47_v JOIN o47_stats ON o47_v.pos = o47_stats.pos;
+      |CREATE TEMP TABLE o47_d AS
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
-      |  FROM v q JOIN recon c ON q.pos = c.pos
+      |  FROM o47_v q JOIN o47_recon c ON q.pos = c.pos
       |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
-      |  GROUP BY 1, 2),
-      |shortlist AS (
-      |  SELECT query_id, neighbor_id
-      |  FROM (SELECT query_id, neighbor_id,
-      |          ROW_NUMBER() OVER (PARTITION BY query_id
-      |            ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC,
-      |              neighbor_id) AS srank
-      |        FROM d)
-      |  WHERE srank <= 20),
-      |exact AS (
+      |  GROUP BY 1, 2;
+      |CREATE TEMP TABLE o47_exact AS
       |  SELECT s.query_id, s.neighbor_id,
       |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
       |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
       |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
-      |  FROM shortlist s
+      |  FROM (SELECT query_id, neighbor_id
+      |        FROM (SELECT query_id, neighbor_id,
+      |                ROW_NUMBER() OVER (PARTITION BY query_id
+      |                  ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC,
+      |                    neighbor_id) AS srank
+      |              FROM o47_d)
+      |        WHERE srank <= 20) s
       |  JOIN embeddings a ON a.vec_id = s.query_id
       |  JOIN embeddings b ON b.vec_id = s.neighbor_id,
       |       UNNEST(range(LEN(a.embedding))) g(i)
-      |  GROUP BY 1, 2),
-      |ranked AS (
+      |  GROUP BY 1, 2;
+      |SELECT query_id, neighbor_id, cosine, rank FROM (
       |  SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
       |    ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
-      |  FROM exact)
-      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |  FROM o47_exact)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** The IVF × SQ8 serving index: the SQ8 codes table PARTITIONED BY
