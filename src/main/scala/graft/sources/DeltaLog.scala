@@ -289,17 +289,64 @@ object DeltaLog {
     }
   }
 
-  /** A checkpoint's content as action LINES. The JSON side file is the
-    * fast path (no Spark job); absent that, the protocol parquet
-    * checkpoint is decoded through the session's parquet reader —
-    * `toJSON` re-emits each row as exactly the action-line shape the
-    * replay loop already parses (null action columns are omitted).
-    * Either file alone fully reconstructs the snapshot; DeltaSpec
-    * proves parquet-only replay. */
-  private def checkpointLines(table: String, version: Long): Seq[String] = {
+  /** The typed replay events [[snapshot]] folds — one constructor per
+    * action kind the fold reacts to (commitInfo/cdc decode to None). */
+  private sealed trait ReplayAction
+  private final case class AddA(f: AddFile) extends ReplayAction
+  private final case class RemoveA(path: String) extends ReplayAction
+  private final case class MetaA(schema: Option[String],
+      partCols: Seq[String], config: Map[String, String]) extends ReplayAction
+  private final case class TxnA(app: String, v: Long) extends ReplayAction
+  private final case class DomainA(domain: String, config: String,
+      removed: Boolean) extends ReplayAction
+  private final case class ProtocolA(minReader: Option[Int],
+      minWriter: Option[Int], readerFeats: Set[String],
+      writerFeats: Set[String]) extends ReplayAction
+
+  /** One JSON action line as a typed replay event (None for the kinds
+    * replay ignores). */
+  private def parseActionLine(line: String): Option[ReplayAction] =
+    Json.parse(line) match {
+      case ("add", fields) => Some(AddA(addFileOf(fields)))
+      case ("remove", fields) => Some(RemoveA(fields("path")))
+      case ("metaData", fields) => Some(MetaA(
+        fields.get("schemaString"),
+        fields.get("partitionColumns").map(Json.parseStringArray)
+          .getOrElse(Nil),
+        fields.get("configuration").map(Json.parseFlat).getOrElse(Map.empty)))
+      case ("txn", fields) =>
+        for (app <- fields.get("appId");
+             v <- fields.get("version").flatMap(_.toLongOption))
+          yield TxnA(app, v)
+      case ("domainMetadata", fields) =>
+        fields.get("domain").map(d => DomainA(d,
+          fields.getOrElse("configuration", ""),
+          fields.get("removed").contains("true")))
+      case ("protocol", fields) => Some(ProtocolA(
+        fields.get("minReaderVersion").flatMap(_.toIntOption),
+        fields.get("minWriterVersion").flatMap(_.toIntOption),
+        fields.get("readerFeatures").map(Json.parseStringArray(_).toSet)
+          .getOrElse(Set.empty),
+        fields.get("writerFeatures").map(Json.parseStringArray(_).toSet)
+          .getOrElse(Set.empty)))
+      case _ => None
+    }
+
+  /** A checkpoint's content as typed replay events. The JSON side file
+    * is the fast path (no Spark job); absent that, the protocol
+    * parquet checkpoint's rows decode STRAIGHT to typed actions —
+    * round 10: the old path collected every row as a JSON string
+    * (`toJSON.collect()`) and re-parsed it, roughly doubling the
+    * snapshot's driver footprint at millions of live files. Rows now
+    * stream through `toLocalIterator` (one partition in memory at a
+    * time) into [[AddFile]]s directly. Either file alone fully
+    * reconstructs the snapshot; DeltaSpec proves parquet-only replay. */
+  private def checkpointActions(table: String,
+      version: Long): Iterator[ReplayAction] = {
     val json = checkpointPath(table, version)
     if (Files.exists(json))
-      return Files.readAllLines(json, StandardCharsets.UTF_8).asScala.toSeq
+      return Files.readAllLines(json, StandardCharsets.UTF_8).asScala
+        .iterator.filter(_.nonEmpty).flatMap(parseActionLine)
     val pq = parquetCheckpointPath(table, version)
     val paths: Seq[String] =
       if (Files.exists(pq)) Seq(pq.toString)
@@ -316,7 +363,74 @@ object DeltaLog {
     // one scan over all parts; action order across parts is free (a
     // checkpoint carries exactly one metaData/protocol, so the
     // last-wins replay rule has nothing to disambiguate)
-    spark.read.parquet(paths: _*).toJSON.collect().toSeq
+    val df = spark.read.parquet(paths: _*)
+    val schema = df.schema
+    def ord(name: String): Option[Int] =
+      if (schema.fieldNames.contains(name)) Some(schema.fieldIndex(name))
+      else None
+    val (addO, removeO, metaO, txnO, domainO, protoO) =
+      (ord("add"), ord("remove"), ord("metaData"), ord("txn"),
+        ord("domainMetadata"), ord("protocol"))
+    def sub(r: org.apache.spark.sql.Row, o: Option[Int])
+        : Option[org.apache.spark.sql.Row] =
+      o.filter(!r.isNullAt(_)).map(r.getStruct)
+    def strOpt(r: org.apache.spark.sql.Row, n: String): Option[String] =
+      if (r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+        Some(r.getString(r.fieldIndex(n)))
+      else None
+    def longOpt(r: org.apache.spark.sql.Row, n: String): Option[Long] =
+      if (r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+        Some(r.getLong(r.fieldIndex(n)))
+      else None
+    def mapOf(r: org.apache.spark.sql.Row, n: String): Map[String, String] =
+      if (r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+        r.getMap[String, String](r.fieldIndex(n)).toMap
+      else Map.empty
+    def seqOf(r: org.apache.spark.sql.Row, n: String): Seq[String] =
+      if (r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+        r.getSeq[String](r.fieldIndex(n))
+      else Nil
+    df.toLocalIterator().asScala.flatMap { row =>
+      sub(row, addO).map { a =>
+        val dv =
+          if (a.schema.fieldNames.contains("deletionVector") &&
+              !a.isNullAt(a.fieldIndex("deletionVector"))) {
+            val d = a.getStruct(a.fieldIndex("deletionVector"))
+            strOpt(d, "pathOrInlineDv").map(p =>
+              DeletionVectors.Descriptor(p,
+                longOpt(d, "sizeInBytes").getOrElse(0L),
+                longOpt(d, "cardinality").getOrElse(0L)))
+          } else None
+        AddA(AddFile(
+          strOpt(a, "path").getOrElse(throw new IllegalStateException(
+            s"checkpoint $version of $table: add row without a path")),
+          longOpt(a, "size").getOrElse(0L),
+          strOpt(a, "stats").map(Json.parseFlat).getOrElse(Map.empty),
+          mapOf(a, "partitionValues"), dv,
+          longOpt(a, "baseRowId"), longOpt(a, "defaultRowCommitVersion")))
+      }.orElse(sub(row, removeO).flatMap(r =>
+        strOpt(r, "path").map(RemoveA)))
+        .orElse(sub(row, metaO).map(m => MetaA(
+          strOpt(m, "schemaString"), seqOf(m, "partitionColumns"),
+          mapOf(m, "configuration"))))
+        .orElse(sub(row, txnO).flatMap(t =>
+          for (app <- strOpt(t, "appId"); v <- longOpt(t, "version"))
+            yield TxnA(app, v)))
+        .orElse(sub(row, domainO).flatMap(d =>
+          strOpt(d, "domain").map(dm => DomainA(dm,
+            strOpt(d, "configuration").getOrElse(""),
+            d.schema.fieldNames.contains("removed") &&
+              !d.isNullAt(d.fieldIndex("removed")) &&
+              d.getBoolean(d.fieldIndex("removed"))))))
+        .orElse(sub(row, protoO).map(p => ProtocolA(
+          if (p.schema.fieldNames.contains("minReaderVersion") &&
+              !p.isNullAt(p.fieldIndex("minReaderVersion")))
+            Some(p.getInt(p.fieldIndex("minReaderVersion"))) else None,
+          if (p.schema.fieldNames.contains("minWriterVersion") &&
+              !p.isNullAt(p.fieldIndex("minWriterVersion")))
+            Some(p.getInt(p.fieldIndex("minWriterVersion"))) else None,
+          seqOf(p, "readerFeatures").toSet, seqOf(p, "writerFeatures").toSet)))
+    }
   }
 
   /** Replay the log up to `versionAsOf` (inclusive; latest if None):
@@ -355,11 +469,12 @@ object DeltaLog {
     require(base.isDefined || walked.headOption.forall(_ == 0L),
       s"torn _delta_log in $table: earliest version ${walked.headOption.orNull} " +
         "has no preceding checkpoint (log prefix pruned without one?)")
-    val replay: Seq[String] =
-      base.toSeq.flatMap(checkpointLines(table, _)) ++
-        walked.flatMap(v => Files.readAllLines(
+    val replay: Iterator[ReplayAction] =
+      base.iterator.flatMap(checkpointActions(table, _)) ++
+        walked.iterator.flatMap(v => Files.readAllLines(
           logDir(table).resolve(V.format(v) + ".json"),
-          StandardCharsets.UTF_8).asScala)
+          StandardCharsets.UTF_8).asScala.iterator
+          .filter(_.nonEmpty).flatMap(parseActionLine))
     var schema: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
@@ -370,38 +485,21 @@ object DeltaLog {
     val txns = scala.collection.mutable.Map[String, Long]()
     val domains = scala.collection.mutable.Map[String, String]()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    for (line <- replay if line.nonEmpty) {
-      Json.parse(line) match {
-        case ("add", fields) =>
-          val f = addFileOf(fields)
-          live(f.path) = f
-        case ("remove", fields) => live.remove(fields("path"))
-        case ("metaData", fields) =>
-          schema = fields.get("schemaString")
-          partCols = fields.get("partitionColumns")
-            .map(Json.parseStringArray).getOrElse(Nil)
-          config = fields.get("configuration")
-            .map(Json.parseFlat).getOrElse(Map.empty)
-        case ("txn", fields) =>
-          for (app <- fields.get("appId"); v <- fields.get("version")
-               .flatMap(_.toLongOption))
-            txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
-        case ("domainMetadata", fields) =>
-          for (d <- fields.get("domain"))
-            if (fields.get("removed").contains("true")) domains.remove(d)
-            else domains(d) = fields.getOrElse("configuration", "")
-        case ("protocol", fields) =>
-          // last protocol action wins (an upgrade commit replaces it)
-          for (v <- fields.get("minReaderVersion").flatMap(_.toIntOption))
-            minReader = v
-          for (v <- fields.get("minWriterVersion").flatMap(_.toIntOption))
-            minWriter = v
-          readerFeats = fields.get("readerFeatures")
-            .map(Json.parseStringArray(_).toSet).getOrElse(Set.empty)
-          writerFeats = fields.get("writerFeatures")
-            .map(Json.parseStringArray(_).toSet).getOrElse(Set.empty)
-        case _ => ()
-      }
+    for (action <- replay) action match {
+      case AddA(f) => live(f.path) = f
+      case RemoveA(path) => live.remove(path)
+      case MetaA(s, pc, cfg) =>
+        schema = s; partCols = pc; config = cfg
+      case TxnA(app, v) =>
+        txns(app) = math.max(v, txns.getOrElse(app, Long.MinValue))
+      case DomainA(d, _, true) => domains.remove(d)
+      case DomainA(d, cfg, false) => domains(d) = cfg
+      case ProtocolA(mr, mw, rf, wf) =>
+        // last protocol action wins (an upgrade commit replaces it)
+        mr.foreach(minReader = _)
+        mw.foreach(minWriter = _)
+        readerFeats = rf
+        writerFeats = wf
     }
     assertReadable(table, minReader, readerFeats)
     Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config,
