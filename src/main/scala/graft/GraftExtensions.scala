@@ -31,6 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // injected AFTER MetadataOnlyCount so COUNT(*) over a vectored
     // table still answers from the log with zero I/O)
     ext.injectOptimizerRule(_ => graft.plans.DvScanRewrite)
+    // SQL DDL surface for path-addressed Delta maintenance (round 10):
+    // OPTIMIZE [WHERE|ZORDER BY], VACUUM [RETAIN], DESCRIBE
+    // HISTORY/DETAIL, RESTORE, ALTER TABLE ADD CONSTRAINT / SET
+    // TBLPROPERTIES / RENAME|DROP|ALTER COLUMN — the reference's users
+    // speak SQL strings (examples/read_deltalake_hdfs.py:100-118);
+    // everything else delegates to Spark's parser untouched
+    // ... and `SELECT ... FROM delta.`/path`` relations substitute the
+    // graft-delta relation at parse time (Spark's ResolveSQLOnFile
+    // only serves FileFormat providers; see GraftPathTableResolution)
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -910,7 +910,53 @@ object StorageOps {
       |      UNION ALL SELECT * FROM app)
       |ORDER BY n_nationkey""".stripMargin
 
+  /** q110 — SQL DDL surface end-to-end ([EXT], round 10: the
+    * reference's users speak SQL strings,
+    * examples/read_deltalake_hdfs.py:100-118): the full maintenance
+    * lifecycle driven through `spark.sql` and the injected
+    * [[graft.sources.GraftSqlParser]] — ALTER TABLE ADD CONSTRAINT,
+    * SET TBLPROPERTIES, OPTIMIZE, DESCRIBE HISTORY, DESCRIBE DETAIL,
+    * and a `delta.`path`` SELECT. The result is the table's history
+    * (operation + file movement per version) plus a summary row
+    * (row count, final file count), all literal-pinned by the oracle:
+    * the constraint/property commits move zero files, OPTIMIZE swaps
+    * 4-for-1, and the data survives untouched. */
+  val q110SqlDdl: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation").coalesce(1)
+    val t = freshDir("graft-delta-sqlddl")
+    n.write.format("graft-delta").mode("overwrite").save(t)        // v0
+    for (_ <- 1 to 3)
+      n.write.format("graft-delta").mode("append").save(t)         // v1-v3
+    spark.sql(s"ALTER TABLE delta.`$t` ADD CONSTRAINT valid_region " +
+      "CHECK (n_regionkey >= 0)")                                  // v4
+    spark.sql(s"ALTER TABLE delta.`$t` SET TBLPROPERTIES " +
+      "('graft.pipeline' = 'ddl-demo')")                           // v5
+    spark.sql(s"OPTIMIZE delta.`$t`").collect()                    // v6
+    val hist = spark.sql(s"DESCRIBE HISTORY delta.`$t`")
+      .select(col("version"), col("operation"),
+        col("num_adds"), col("num_removes"))
+    val nFiles = spark.sql(s"DESCRIBE DETAIL delta.`$t`")
+      .select("num_files").head.getLong(0)
+    val summary = spark.sql(s"SELECT COUNT(*) AS c FROM delta.`$t`")
+      .select(lit(100L).as("version"), lit("SUMMARY").as("operation"),
+        col("c").as("num_adds"), lit(nFiles).as("num_removes"))
+    hist.unionByName(summary).orderBy("version")
+  }
+
+  val q110Oracle: String =
+    """SELECT version, operation, num_adds, num_removes FROM (
+      |  SELECT * FROM (
+      |    VALUES (0, 'OVERWRITE', 1, 0), (1, 'APPEND', 1, 0),
+      |           (2, 'APPEND', 1, 0), (3, 'APPEND', 1, 0),
+      |           (4, 'ADD CONSTRAINT', 0, 0),
+      |           (5, 'SET TBLPROPERTIES', 0, 0), (6, 'COMPACT', 1, 4))
+      |    t(version, operation, num_adds, num_removes)
+      |  UNION ALL
+      |  SELECT 100, 'SUMMARY', (SELECT COUNT(*) * 4 FROM nation), 1)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q110_sql_ddl" -> q110SqlDdl,
     "q108_row_tracking" -> q108RowTracking,
     "q107_ict_timetravel" -> q107IctTimeTravel,
     "q106_type_widening" -> q106TypeWidening,
@@ -941,6 +987,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q110_sql_ddl" -> q110Oracle,
     "q108_row_tracking" -> q108Oracle,
     "q107_ict_timetravel" -> q107Oracle,
     "q106_type_widening" -> q106Oracle,
