@@ -540,10 +540,62 @@ object DeltaLog {
       // JSON prefix). Post-commit and best-effort by construction: the
       // version file IS committed, the checkpoint is derived data.
       DeltaTable.maybeAutoCheckpoint(table, next, actions)
+      // VERSION CHECKSUM (the protocol's N.crc sidecar): summary of
+      // the post-commit snapshot for integrity cross-checks — also
+      // derived data, also best-effort
+      writeVersionChecksum(table, next)
       next
     } finally {
       try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
     }
+  }
+
+  /** VERSION CHECKSUM (the public protocol's `N.crc` file): after each
+    * commit, a one-line JSON summary of the POST-commit snapshot —
+    * table size, live file count, txn/domain counts, protocol — lands
+    * beside the version file via temp + ATOMIC_MOVE. A replay alone
+    * cannot detect a torn or bit-rotted log that still parses (a
+    * dropped `add` line just means a smaller table); cross-checking
+    * the replayed snapshot against the writer's recorded summary can.
+    * `tools/delta_validate.py` invariant 20 does exactly that, and
+    * DeltaSpec proves a tampered checksum is rejected. Best-effort
+    * derived data like the periodic checkpoint: a failed write never
+    * fails the commit. */
+  def checksumPath(table: String, version: Long): Path =
+    logDir(table).resolve(V.format(version) + ".crc")
+
+  def writeVersionChecksum(table: String, version: Long): Unit =
+    try {
+      val snap = snapshot(table, Some(version))
+      val json =
+        s"""{"tableSizeBytes":${snap.files.map(_.size).sum},""" +
+          s""""numFiles":${snap.files.length},""" +
+          s""""numDeletedRecordsOpt":${snap.files
+            .flatMap(_.dv.map(_.cardinality)).sum},""" +
+          s""""numMetadata":1,"numProtocol":1,""" +
+          s""""setTransactions":${snap.txns.size},""" +
+          s""""domainMetadata":${snap.domainMetadata.size},""" +
+          s""""protocol":{"minReaderVersion":${snap.minReaderVersion},""" +
+          s""""minWriterVersion":${snap.minWriterVersion}}}"""
+      val dir = logDir(table)
+      val tmp = Files.createTempFile(dir, s".crc-$version-", ".tmp")
+      try {
+        Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, checksumPath(table, version),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally {
+        try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
+      }
+    } catch { case NonFatal(_) => () }
+
+  /** A version's recorded checksum, parsed flat (absent file → None). */
+  def versionChecksum(table: String, version: Long)
+      : Option[Map[String, String]] = {
+    val p = checksumPath(table, version)
+    if (!Files.exists(p)) None
+    else Some(Json.parseFlat(new String(
+      Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
   /** The `inCommitTimestamp` a committed version's commitInfo carries,

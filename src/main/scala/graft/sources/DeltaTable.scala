@@ -2574,6 +2574,8 @@ object DeltaTable {
     // loudly; retained N.json files are never touched)
     vs.dropRight(keepVersions).foreach { v =>
       Files.deleteIfExists(logDir.resolve(f"$v%020d.json"))
+      // the pruned version's checksum sidecar goes with it
+      Files.deleteIfExists(DeltaLog.checksumPath(table, v))
     }
     DeltaLog.checkpointVersions(table).filter(_ < horizon).foreach { v =>
       Files.deleteIfExists(DeltaLog.checkpointPath(table, v))

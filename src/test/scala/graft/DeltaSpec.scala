@@ -3215,6 +3215,52 @@ class DeltaSpec extends SparkSpec {
       Seq(1L, 2L, 6_000_000_000L))
   }
 
+  test("version checksums: every commit writes an N.crc summarizing " +
+      "the post-commit snapshot; the validator rejects a tampered one; " +
+      "vacuum prunes them with their versions") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.write(employee1.coalesce(1), t, "append")         // v1
+    DeltaTable.enableDeletionVectors(t)                          // v2
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v3 vectored
+    for (v <- 0L to 3L)
+      assert(java.nio.file.Files.exists(DeltaLog.checksumPath(t, v)),
+        s"commit $v wrote no checksum sidecar")
+    val crc3 = DeltaLog.versionChecksum(t, 3L).get
+    assert(crc3("numFiles") === "2")
+    assert(crc3("numDeletedRecordsOpt") === "1")
+    assert(crc3("protocol").contains("\"minReaderVersion\":3"),
+      crc3("protocol")) // DV features gate
+    def validate(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val (c1, o1) = validate()
+    assert(c1 === 0, s"validator failed a healthy checksummed table:\n$o1")
+    // tamper: misstate the file count — the log still parses, only the
+    // checksum cross-check can notice
+    val p = DeltaLog.checksumPath(t, 3L)
+    val forged = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"numFiles\":2", "\"numFiles\":7")
+    java.nio.file.Files.write(p, forged.getBytes("UTF-8"))
+    val (c2, o2) = validate()
+    assert(c2 != 0 && o2.contains("numFiles"),
+      s"validator missed the forged checksum:\n$o2")
+    java.nio.file.Files.write(p, forged.replace("\"numFiles\":7",
+      "\"numFiles\":2").getBytes("UTF-8"))
+    // vacuum prunes the sidecars of pruned versions, keeps the rest
+    DeltaTable.vacuum(t, 1)
+    assert(!java.nio.file.Files.exists(DeltaLog.checksumPath(t, 0L)))
+    assert(java.nio.file.Files.exists(DeltaLog.checksumPath(t, 3L)))
+    val (c3, o3) = validate()
+    assert(c3 === 0, s"validator failed the vacuumed table:\n$o3")
+  }
+
   test("delta wire format: validator passes a widened table; flags an " +
       "ungated protocol and a narrowing in the typeChanges history") {
     import scala.sys.process.{Process, ProcessLogger}

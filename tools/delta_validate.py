@@ -67,6 +67,10 @@ and asserts the wire-format invariants the Delta Lake protocol
      [base, base+n) range stays under the mark and overlaps no other
      file's — or physically carries the materialized __graft_row_id
      column (a compacted rewrite).
+ 20. version checksums: each `N.crc` (when the full version prefix
+     survives) equals an independent replay of versions 0..N —
+     tableSizeBytes, numFiles, deleted-record count, protocol; a
+     mismatch means the log was torn or bit-rotted after commit.
 
 Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
 Exit 0 = every table passes; 1 = at least one invariant violated.
@@ -333,6 +337,48 @@ def validate(table):
         full = Replay()
         for v in versions:
             full.apply_version(v, load_actions(vfiles[v]))
+            # -- version checksums (invariant 20): each N.crc, when
+            # present, must equal this independent replay of versions
+            # 0..N — tableSizeBytes, numFiles, deleted-record count,
+            # protocol. A replay alone cannot detect a torn/bit-rotted
+            # log that still parses (a dropped add line is just a
+            # smaller table); the writer's recorded summary can.
+            crc_path = os.path.join(logdir, "%020d.crc" % v)
+            if os.path.exists(crc_path):
+                try:
+                    crc = json.load(open(crc_path))
+                except Exception as e:
+                    problems.append(f"version checksum {v}: unreadable ({e})")
+                    crc = None
+                if crc is not None:
+                    size = sum(int(f.get("size") or 0)
+                               for f in full.live.values())
+                    ndel = sum(int((f.get("deletionVector") or {})
+                                   .get("cardinality") or 0)
+                               for f in full.live.values())
+                    if crc.get("numFiles") != len(full.live):
+                        problems.append(
+                            f"version checksum {v}: numFiles "
+                            f"{crc.get('numFiles')} != replayed "
+                            f"{len(full.live)}")
+                    if crc.get("tableSizeBytes") != size:
+                        problems.append(
+                            f"version checksum {v}: tableSizeBytes "
+                            f"{crc.get('tableSizeBytes')} != replayed {size}")
+                    if ("numDeletedRecordsOpt" in crc
+                            and crc["numDeletedRecordsOpt"] != ndel):
+                        problems.append(
+                            f"version checksum {v}: numDeletedRecordsOpt "
+                            f"{crc['numDeletedRecordsOpt']} != replayed "
+                            f"{ndel}")
+                    cpr = crc.get("protocol") or {}
+                    rpr = full.protocol or {}
+                    for k in ("minReaderVersion", "minWriterVersion"):
+                        if cpr.get(k) is not None and rpr.get(k) is not None \
+                                and cpr[k] != rpr[k]:
+                            problems.append(
+                                f"version checksum {v}: protocol {k} "
+                                f"{cpr[k]} != replayed {rpr[k]}")
         problems += full.problems
         if len(full.meta_ids) > 1:
             problems.append(f"metaData.id unstable across history: {sorted(full.meta_ids)}")
