@@ -116,39 +116,73 @@ object SimilarityOps {
     val spark = e.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    var centroids: Seq[(Int, Array[Float])] = e.orderBy("vec_id").limit(k)
-      .select("embedding").as[Array[Float]].collect()
-      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-    var assign: DataFrame = null
-    for (it <- 1 to iters) {
-      val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
-      assign = e
+    // Lloyd iterations TRAIN on a bounded deterministic sample when the
+    // corpus outgrows it (round 10, with corpus-scaled k): a
+    // full-corpus n×k assignment PER ITERATION would be O(n²/64) once
+    // k grows ~n/64; training the coarse quantizer on max(4096, 8k)
+    // hash-sampled rows caps every update round, and the corpus pays
+    // exactly ONE final n×k assignment against the frozen centroids —
+    // the standard IVF recipe (train on a sample, assign everything
+    // once). Fixtures (n ≤ 4096) train on the full corpus, where this
+    // restructuring is algebraically identical to the round-9 loop
+    // (the last iteration's assignment == a fresh assignment against
+    // the final centroids, which see no further update).
+    val n = e.count()
+    val trainCap = math.max(4096L, 8L * k)
+    val train =
+      if (n <= trainCap) e
+      else e.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("vec_id")),
+        lit(math.max(1L, n / trainCap))) === 0L)
+    def argmaxAssign(corpus: DataFrame, centDf: DataFrame): DataFrame =
+      corpus
         .crossJoin(broadcast(centDf))
         .select(col("vec_id"),
           struct(cosine("embedding", "centroid").as("sim"),
             col("cell").as("cell")).as("sc"))
         .groupBy("vec_id").agg(max(col("sc")).as("best"))
         .select(col("vec_id"), col("best.cell").as("cell"))
-      if (it < iters) {
-        // element-wise mean per cell; empty cells keep their centroid
-        val updated = assign.join(e, "vec_id")
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-          .select(col("cell"),
-            expr("transform(ps, x -> cast(x.m AS float))").as("centroid"))
-          .as[(Int, Array[Float])].collect().toMap
-        centroids = centroids.map { case (c, old) =>
-          (c, updated.getOrElse(c, old)) }
-      }
+    var centroids: Seq[(Int, Array[Float])] = e.orderBy("vec_id").limit(k)
+      .select("embedding").as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 1 until iters) {
+      val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+      val trainAssign = argmaxAssign(train, centDf)
+      // element-wise mean per cell; empty cells keep their centroid
+      val updated = trainAssign.join(train, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"),
+          expr("transform(ps, x -> cast(x.m AS float))").as("centroid"))
+        .as[(Int, Array[Float])].collect().toMap
+      centroids = centroids.map { case (c, old) =>
+        (c, updated.getOrElse(c, old)) }
     }
     val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
-    (assign, centDf)
+    (argmaxAssign(e, centDf), centDf)
   }
 
-  private val IvfK = 16
   private val IvfIters = 3
+
+  /** IVF cell count SCALES WITH THE CORPUS (round 10, found by the
+    * sf1 rehearsal): a fixed k=16 made every cell's membership grow
+    * linearly with n, so the q43 cell self-join — O(Σ|cell|²) — went
+    * QUADRATIC in corpus size (224 s at a 20k-vector sf1 vs 2.5 s at
+    * 2k; at 100 TB it would never finish). Target ~64 members per
+    * (cell × probe) keeps per-cell work constant: candidates grow
+    * linearly with n, which is the whole point of IVF bucketing.
+    * Floor 16 preserves the round-9 behavior (and the recorded specs/
+    * bench) on every driver fixture; cap 4096 bounds the centroid
+    * broadcast (k × dim floats) and the per-iter n×k assign join. */
+  private def ivfKFor(n: Long): Int =
+    math.max(16, math.min(4096, (n / 64L).toInt))
+
+  /** Corpus-sized IVF k for a fixture dir (footer-metadata count — a
+    * cheap driver job; the k-means build itself is memoized per k). */
+  private def ivfK(spark: SparkSession, dir: String): Int =
+    ivfKFor(Tables.load(spark, dir, "embeddings").count())
 
   /** The k-means index is MEMOIZED per (session, corpus path, corpus
     * mtime, k, iters) — the same rationale as the dedup trio's staged
@@ -272,8 +306,9 @@ object SimilarityOps {
     * never a silent drop. Returns the delta dir iff one was
     * registered. */
   def refreshIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
-      k: Int = IvfK, iters: Int = IvfIters): Option[String] = {
-    val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
+      k: Int = -1, iters: Int = IvfIters): Option[String] = {
+    val kk = if (k > 0) k else ivfK(spark, dir)
+    val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, kk, iters)
     var delta: Option[String] = None
     kmeansIndexCache.compute(pathKey, (_, cur) =>
       if (cur == null) cur
@@ -306,9 +341,10 @@ object SimilarityOps {
     * the centroids never saw scores ~1. One broadcast argmax over the
     * batch — k×dim traffic, never a corpus pass. */
   def ivfDriftFraction(spark: SparkSession, dir: String,
-      newVecs: DataFrame, k: Int = IvfK, iters: Int = IvfIters): Double = {
+      newVecs: DataFrame, k: Int = -1, iters: Int = IvfIters): Double = {
     GraftFunctions.register(spark)
-    val entry = kmeansIndexEntry(spark, dir, k, iters)
+    val kk = if (k > 0) k else ivfK(spark, dir)
+    val entry = kmeansIndexEntry(spark, dir, kk, iters)
     val p10 = ivfQualityBaseline(spark, dir, entry)
     val row = newVecs
       .crossJoin(broadcast(spark.read.parquet(entry._3)))
@@ -339,13 +375,14 @@ object SimilarityOps {
     * the swap is a POLICY decision (drift past threshold) and not an
     * every-append event. Returns true iff a rebuild was swapped in. */
   def maybeRebuildIvfIndex(spark: SparkSession, dir: String,
-      newVecs: DataFrame, threshold: Double = 0.5, k: Int = IvfK,
+      newVecs: DataFrame, threshold: Double = 0.5, k: Int = -1,
       iters: Int = IvfIters): Boolean = {
-    val drift = ivfDriftFraction(spark, dir, newVecs, k, iters)
+    val kk = if (k > 0) k else ivfK(spark, dir)
+    val drift = ivfDriftFraction(spark, dir, newVecs, kk, iters)
     if (drift <= threshold) false
     else {
-      val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, k, iters)
-      val (aDirs, cDir, n) = stageKmeansBuild(spark, dir, k, iters)
+      val (pathKey, stateKey) = kmeansIndexKeys(spark, dir, kk, iters)
+      val (aDirs, cDir, n) = stageKmeansBuild(spark, dir, kk, iters)
       kmeansIndexCache.put(pathKey, (stateKey, aDirs, cDir, n))
       celledReconCache.remove(celledIndexKeys(spark, dir)._1)
       true
@@ -359,7 +396,8 @@ object SimilarityOps {
     * fewer; the knob trades duplication factor for recall. */
   private val NearDupProbes = 4
 
-  /** q42 — IVF ANN: cells = k-means(16, 3 Lloyd iterations) built with
+  /** q42 — IVF ANN: cells = k-means(ivfK(n), 3 Lloyd iterations — 16
+    * cells on the driver fixtures, growing ~n/64 at scale) built with
     * [[kmeans]]; per-cell centroids; each query probes its 5 nearest
     * cells and searches only those (the synthetic driver embeddings
     * are quasi-uniform in 64-dim, where distance concentration caps any
@@ -380,7 +418,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    val (assign, cent) = stagedKmeans(spark, dir, IvfK, IvfIters)
+    val (assign, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
     val corpus = e.join(assign, "vec_id")
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cell_sim").desc, col("cell"))
@@ -422,7 +460,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    val (_, cent) = stagedKmeans(spark, dir, IvfK, IvfIters)
+    val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
     val wCells = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell"))
     // Stage the bucket assignment: the candidate generator self-joins
@@ -478,26 +516,46 @@ object SimilarityOps {
     * confirm: no model state, no driver traffic, and — unlike k-means
     * — bit-replayable in DuckDB, so the ORACLE verifies the whole LSH
     * path by hash equality. */
+  /** Band WIDTH scales with the corpus (round 10, found by the sf1
+    * rehearsal): a fixed 4-bit band has only 16 buckets, so each
+    * band's bucket membership — and with it the candidate self-join —
+    * grows as n²/16 PER BAND at any corpus size (62 s at a 20k-vector
+    * sf1; at 100 TB the join never finishes). Bits per band B =
+    * max(4, ceil(log2 n) - 7) keeps the expected bucket at ≤ ~128
+    * members, so candidates grow linearly; 4 bands as before, planes
+    * = 4·B (a 64-plane cap = B ≤ 16 bounds the packed long). On every
+    * driver fixture (n ≤ 2000) B stays 4 and the pipeline — and its
+    * fixed 16-plane DuckDB oracle — is bit-identical to round 9's. */
+  private def lshBandBits(n: Long): Int =
+    math.max(4, math.min(16,
+      (math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)) - 7)
+        .toInt))
+
   val q45HyperplaneLsh: Q = (spark, dir) => {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    // 16 sign bits per vector in ONE narrow projection via the native
+    // sign bits per vector in ONE narrow projection via the native
     // graft_hyperplane_bits Expression (round 5): the declarative form
-    // exploded every vector into dim × 16 rows — 5.1M at sf0.1 — and
-    // ran two hash aggregates to recover 16 bits; it was the heaviest
-    // remaining bench query (3.5 s). The ±1 components and the
-    // ascending-i dot fold replicate the exploded pipeline (and its
-    // DuckDB oracle, which replays the identical md5 arithmetic with
-    // ordered SUMs) bit-for-bit — the oracle's hash-equality is the
-    // proof. Banding stays 4×4: one cheap 4-rows-per-vector explode of
-    // the packed signature.
+    // exploded every vector into dim × planes rows — 5.1M at sf0.1 —
+    // and ran two hash aggregates to recover the bits; it was the
+    // heaviest remaining bench query (3.5 s). The ±1 components and
+    // the ascending-i dot fold replicate the exploded pipeline (and
+    // its DuckDB oracle, which replays the identical md5 arithmetic
+    // with ordered SUMs) bit-for-bit — the oracle's hash-equality is
+    // the proof. Banding is 4 bands × B bits (B corpus-scaled, 4 on
+    // the fixtures): one cheap 4-rows-per-vector explode of the
+    // packed signature.
+    val bits = lshBandBits(e.count())
+    val planes = 4 * bits
+    val mask = (1L << bits) - 1
     val bands = e
       .select(col("vec_id"),
-        expr("graft_hyperplane_bits(embedding, 16)").as("sig"))
+        expr(s"graft_hyperplane_bits(embedding, $planes)").as("sig"))
       .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("band"),
         col("sig"))
       .select(col("vec_id"), col("band"),
-        expr("shiftright(sig, CAST(band * 4 AS INT)) & 15").as("bsig"))
+        expr(s"shiftright(sig, CAST(band * $bits AS INT)) & $mask")
+          .as("bsig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -917,7 +975,7 @@ object SimilarityOps {
     val (pathKey, stateKey) = celledIndexKeys(spark, dir)
     def build(): (String, Seq[String], Long) = {
       val recon = stagedSqRecon(spark, dir)
-      val (assign, _) = stagedKmeans(spark, dir, IvfK, IvfIters)
+      val (assign, _) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
       val t = graft.Scratch.dir("graft-ivfsq").resolve("c").toString
       recon.join(assign, "vec_id")
         .write.partitionBy("cell").parquet(t)
@@ -1004,7 +1062,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    val (_, cent) = stagedKmeans(spark, dir, IvfK, IvfIters)
+    val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy("query_id")
