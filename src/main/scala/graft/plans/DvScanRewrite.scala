@@ -98,8 +98,9 @@ object DvScanRewrite extends Rule[LogicalPlan] {
   * log-sized — one sorted int array per VECTORED file, total bytes =
   * 4 x deleted rows — and ships once per task via the codegen
   * reference object, same footprint class as the row-based path's
-  * broadcast. */
-final class DvLookup(dvs: Map[String, Array[Int]]) extends Serializable {
+  * broadcast. Path-keyed via [[graft.sources.DvMap]] (round 10 — no
+  * basename collisions). */
+final class DvLookup(dvs: graft.sources.DvMap) extends Serializable {
   @transient private var lastFile: UTF8String = _
   @transient private var lastArr: Array[Int] = _
   @transient private var primed: Boolean = false
@@ -109,8 +110,7 @@ final class DvLookup(dvs: Map[String, Array[Int]]) extends Serializable {
       // clone: vectorized readers may reuse the backing buffer of the
       // constant metadata UTF8String across batches
       lastFile = file.clone()
-      val s = file.toString
-      lastArr = dvs.getOrElse(s.substring(s.lastIndexOf('/') + 1), null)
+      lastArr = dvs.vectorFor(file.toString)
       primed = true
     }
     (lastArr ne null) && idx <= Int.MaxValue &&

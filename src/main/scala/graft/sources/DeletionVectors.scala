@@ -97,12 +97,57 @@ private[graft] object DeletionVectors {
     idx
   }
 
-  /** All live vectors of a snapshot, keyed by the data file's BASENAME
-    * (the join key every `input_file_name`/`_metadata.file_path`
-    * consumer uses — staged names are UUID-unique per table). Log-sized:
-    * one entry per vectored file. */
-  def liveVectors(table: String, snap: DeltaLog.Snapshot)
-      : Map[String, Array[Int]] =
-    snap.files.flatMap(f => f.dv.map(d =>
-      Paths.get(f.path).getFileName.toString -> read(table, d))).toMap
+  /** All live vectors of a snapshot as a [[DvMap]]. Log-sized: one
+    * entry per vectored file. */
+  def liveVectors(table: String, snap: DeltaLog.Snapshot): DvMap = {
+    val entries = snap.files.flatMap(f => f.dv.map(d =>
+      f.path -> read(table, d)))
+    new DvMap(
+      entries.map { case (rel, v) =>
+        Paths.get(table).resolve(rel).toAbsolutePath.normalize.toString -> v
+      }.toMap,
+      entries.map { case (rel, v) =>
+        Paths.get(rel).getFileName.toString -> v }.toMap)
+  }
+}
+
+/** Log-sized deletion-vector lookup for scan-side subtraction, keyed
+  * by ABSOLUTE normalized path (round 10 — basenames carry only the
+  * staged name's ~32-bit commitTag entropy, a birthday collision
+  * around 2^16 commits, and partition directories can legitimately
+  * hold same-named files) with a basename FALLBACK: the scan side
+  * renders paths through `_metadata.file_path` / Hadoop `Path` /
+  * `PartitionedFile`, whose URI rendering of exotic characters need
+  * not match `java.nio.Path` byte-for-byte — a full-path miss falls
+  * back to today's basename behavior rather than silently serving
+  * deleted rows. Total size = 4 bytes per deleted row, ships once per
+  * task. */
+final class DvMap(byPath: Map[String, Array[Int]],
+    byBase: Map[String, Array[Int]]) extends Serializable {
+
+  def isEmpty: Boolean = byPath.isEmpty
+  def nonEmpty: Boolean = byPath.nonEmpty
+
+  /** The vector for a scan-side path render (file: URI or plain),
+    * null when the file carries none. The basename fallback only
+    * engages when the render carries a URI escape ('%') — for plain
+    * paths the exact key is authoritative, so a same-named file in
+    * another partition directory can no longer pick up a foreign
+    * vector. */
+  def vectorFor(fileRender: String): Array[Int] = {
+    val norm =
+      if (fileRender.startsWith("file:"))
+        "/" + fileRender.substring(5).dropWhile(_ == '/')
+      else fileRender
+    byPath.get(norm).orElse(
+      if (norm.indexOf('%') >= 0)
+        byBase.get(norm.substring(norm.lastIndexOf('/') + 1))
+      else None).orNull
+  }
+
+  /** True iff `idx` of the rendered file is marked dead. */
+  def deleted(fileRender: String, idx: Long): Boolean = {
+    val v = vectorFor(fileRender)
+    (v ne null) && DeletionVectors.contains(v, idx)
+  }
 }

@@ -1142,34 +1142,46 @@ object DeltaTable {
   private def planDvDml(table: String, snap: DeltaLog.Snapshot,
       touched: Set[String], matched: DataFrame)
       : (Seq[(DeltaLog.AddFile, Array[Int])], Seq[DeltaLog.AddFile]) = {
+    // keys are FULL normalized absolute paths (round 10 — same fix as
+    // rowIdFrame: a basename collision across commits/partition dirs
+    // would attribute one file's dead positions to another)
     val perFile: Map[String, Array[Int]] = matched
       .groupBy(col(PosFile))
       .agg(org.apache.spark.sql.functions.sort_array(
         org.apache.spark.sql.functions.collect_list(col(PosIdx))).as("pos"))
       .collect().map { r =>
-        val f = r.getString(0)
-        f.substring(f.lastIndexOf('/') + 1) ->
+        normalizeScanPath(r.getString(0)) ->
           r.getSeq[Long](1).map(_.toInt).toArray
       }.toMap
-    val byBase = snap.files
-      .map(f => Paths.get(f.path).getFileName.toString -> f).toMap
+    def absKey(rel: String): String =
+      Paths.get(table).resolve(rel).toAbsolutePath.normalize.toString
+    val byPath = snap.files.map(f => absKey(f.path) -> f).toMap
     val plans = touched.toSeq.sorted.map { rel =>
-      val base = Paths.get(rel).getFileName.toString
-      val f = byBase(base)
+      val key = absKey(rel)
+      val f = byPath(key)
       val old = f.dv.map(DeletionVectors.read(table, _))
         .getOrElse(Array.empty[Int])
-      (f, DeletionVectors.union(old, perFile.getOrElse(base, Array.empty)))
+      (f, DeletionVectors.union(old, perFile.getOrElse(key, Array.empty)))
     }
     val (dv, rw) = plans.partition { case (f, ndv) =>
       f.stats.get("n").flatMap(_.toLongOption).forall(ndv.length * 2L <= _) }
     (dv, rw.map(_._1))
   }
 
+  /** Normalize a scan-side path render (`_metadata.file_path`'s
+    * `file:` URI or a plain path) to the plain absolute form
+    * [[java.nio.file.Path]] produces — the shared key form of every
+    * per-file literal map (round 10). */
+  private def normalizeScanPath(p: String): String =
+    if (p.startsWith("file:")) "/" + p.substring(5).dropWhile(_ == '/')
+    else p
+
   /** Restrict a [[readTableFilesWithPos]] frame to rows scanned from
-    * the given file basenames. */
-  private def rowsFromFiles(df: DataFrame, bases: Set[String]): DataFrame =
-    df.filter(org.apache.spark.sql.functions.regexp_extract(
-      col(PosFile), "[^/]+$", 0).isin(bases.toSeq: _*))
+    * the given files (FULL normalized absolute paths — basenames
+    * collide across partition dirs / commits). */
+  private def rowsFromFiles(df: DataFrame, paths: Set[String]): DataFrame =
+    df.filter(org.apache.spark.sql.functions.regexp_replace(
+      col(PosFile), "^file:/*", "/").isin(paths.toSeq: _*))
 
   /** Filter out rows a live deletion vector marks dead. The vector map
     * is log-sized (one sorted int array per vectored file, total size =
@@ -1298,10 +1310,7 @@ object DeltaTable {
     if (dvs.isEmpty) return df
     val bc = df.sparkSession.sparkContext.broadcast(dvs)
     val deleted = org.apache.spark.sql.functions.udf(
-      (file: String, idx: Long) => {
-        val base = file.substring(file.lastIndexOf('/') + 1)
-        bc.value.get(base).exists(DeletionVectors.contains(_, idx))
-      })
+      (file: String, idx: Long) => bc.value.deleted(file, idx))
     df.filter(!deleted(col(PosFile), col(PosIdx)))
   }
 
@@ -1941,13 +1950,13 @@ object DeltaTable {
         val withPos = readTableFilesWithPos(spark, table, snap, touchedPaths)
         val matched = withPos.filter(condition)
         val (dvPlans, rewriteFiles) = planDvDml(table, snap, touched, matched)
-        val dvBases = dvPlans
-          .map(p => Paths.get(p._1.path).getFileName.toString).toSet
+        val dvPaths = dvPlans.map(p => Paths.get(table).resolve(p._1.path)
+          .toAbsolutePath.normalize.toString).toSet
         // post-images of rows in vectored files → a new small file;
         // rewrite-fallback files (more than half matched) re-stage
         // whole with the CASE WHEN applied in place
         val postRows = applySet(
-          rowsFromFiles(matched, dvBases).drop(PosFile, PosIdx),
+          rowsFromFiles(matched, dvPaths).drop(PosFile, PosIdx),
           always = true)
         val rewriteRows =
           if (rewriteFiles.isEmpty) None

@@ -547,18 +547,20 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
     // ignoreChanges) — its dead rows must not reach the stream. The
     // filter runs on the RAW scan (before any projection) so
     // `_metadata` is still resolvable.
-    val dvs: Map[String, Array[Int]] = files.flatMap(f => f.dv.map(d =>
-      java.nio.file.Paths.get(f.path).getFileName.toString ->
-        DeletionVectors.read(table, d))).toMap
+    val dvEntries = files.flatMap(f => f.dv.map(d =>
+      f.path -> DeletionVectors.read(table, d)))
+    val dvs = new DvMap(
+      dvEntries.map { case (rel, v) =>
+        java.nio.file.Paths.get(table).resolve(rel)
+          .toAbsolutePath.normalize.toString -> v }.toMap,
+      dvEntries.map { case (rel, v) =>
+        java.nio.file.Paths.get(rel).getFileName.toString -> v }.toMap)
     val live =
       if (dvs.isEmpty) raw
       else {
         val bc = spark.sparkContext.broadcast(dvs)
         val dead = org.apache.spark.sql.functions.udf(
-          (file: String, idx: Long) => {
-            val b = file.substring(file.lastIndexOf('/') + 1)
-            bc.value.get(b).exists(DeletionVectors.contains(_, idx))
-          })
+          (file: String, idx: Long) => bc.value.deleted(file, idx))
         raw.filter(!dead(
           org.apache.spark.sql.functions.col("_metadata.file_path"),
           org.apache.spark.sql.functions.col("_metadata.row_index")))
@@ -915,7 +917,7 @@ class MappedParquetFileFormat(l2p: Map[String, String])
   * Handles column mapping too (same schema translation as
   * [[MappedParquetFileFormat]]) so DV × mapping composes. */
 class DvParquetFileFormat(val l2p: Map[String, String],
-    val dvs: Map[String, Array[Int]]) extends ParquetFileFormat {
+    val dvs: DvMap) extends ParquetFileFormat {
   private def phys(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
 
@@ -925,7 +927,7 @@ class DvParquetFileFormat(val l2p: Map[String, String],
   override def isSplitable(sparkSession: SparkSession,
       options: Map[String, String],
       path: org.apache.hadoop.fs.Path): Boolean =
-    !dvs.contains(path.getName)
+    dvs.vectorFor(path.toString) eq null
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -951,11 +953,7 @@ class DvParquetFileFormat(val l2p: Map[String, String],
       phys(dataSchema), partitionSchema, phys(requiredSchema),
       Nil, options, hadoopConf)
     file => {
-      val base = {
-        val p = file.filePath.toString
-        p.substring(p.lastIndexOf('/') + 1)
-      }
-      dvs.get(base) match {
+      Option(dvs.vectorFor(file.filePath.toString)) match {
         case None => fast(file)
         case Some(dv) =>
           require(file.start == 0,
