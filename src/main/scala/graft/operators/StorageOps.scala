@@ -955,7 +955,39 @@ object StorageOps {
       |  SELECT 100, 'SUMMARY', (SELECT COUNT(*) * 4 FROM nation), 1)
       |ORDER BY version""".stripMargin
 
+  /** q111 — V2 CHECKPOINTS end-to-end ([EXT], the protocol's
+    * `v2Checkpoint` feature, round 10): enable the policy, append,
+    * vacuum (which snapshots the horizon as a MANIFEST + SIDECARS and
+    * prunes the prefix), then append past the checkpoint and read the
+    * table back — the replay crosses the v2 checkpoint through its
+    * sidecar references plus the tail version file. The oracle derives
+    * the per-region counts from the same append arithmetic, so a
+    * half-replayed snapshot (manifest without sidecars, or vice versa)
+    * hash-fails. DeltaSpec pins the file shapes; validator invariant
+    * 21 guards the wire format. */
+  val q111V2Checkpoint: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation").coalesce(1)
+    val t = freshDir("graft-delta-v2c")
+    DeltaTable.write(n, t, "overwrite")                         // v0
+    DeltaTable.enableV2Checkpoints(t)                           // v1
+    n.filter(col("n_regionkey") === 2)
+      .write.format("graft-delta").mode("append").save(t)      // v2
+    DeltaTable.vacuum(t, 1) // v2-shape checkpoint at v2, prefix pruned
+    n.filter(col("n_regionkey") === 0)
+      .write.format("graft-delta").mode("append").save(t)      // v3
+    spark.read.format("graft-delta").load(t)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n_rows"))
+      .orderBy("n_regionkey")
+  }
+
+  val q111Oracle: String =
+    """SELECT n_regionkey,
+      |  CAST(COUNT(*) + CASE WHEN n_regionkey IN (0, 2)
+      |                  THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_rows
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q111_v2_checkpoint" -> q111V2Checkpoint,
     "q110_sql_ddl" -> q110SqlDdl,
     "q108_row_tracking" -> q108RowTracking,
     "q107_ict_timetravel" -> q107IctTimeTravel,
@@ -987,6 +1019,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q111_v2_checkpoint" -> q111Oracle,
     "q110_sql_ddl" -> q110Oracle,
     "q108_row_tracking" -> q108Oracle,
     "q107_ict_timetravel" -> q107Oracle,

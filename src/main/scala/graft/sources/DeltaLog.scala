@@ -103,7 +103,7 @@ object DeltaLog {
     * other client — e.g. appending without writing change data). */
   val SupportedReaderVersion = 3
   val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors", "typeWidening")
+    Set("columnMapping", "deletionVectors", "typeWidening", "v2Checkpoint")
   val SupportedWriterVersion = 7
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++
     Set("checkConstraints", "changeDataFeed", "appendOnly",
@@ -235,6 +235,63 @@ object DeltaLog {
     finally s.close()
   }
 
+  /** V2 CHECKPOINTS (the protocol's `v2Checkpoint` reader-writer
+    * feature, policy property `delta.checkpointPolicy=v2`): the
+    * checkpoint is a MANIFEST (`N.checkpoint.<uuid>.json` — one
+    * checkpointMetadata action, the protocol/metaData/txn/domain
+    * actions, and `sidecar` references) plus SIDECAR parquet files
+    * under `_delta_log/_sidecars/` holding the add actions. The
+    * manifest is tiny and rewritten atomically LAST (sidecars first),
+    * so a listed manifest implies durable sidecars; file actions
+    * split across sidecars by the same per-file action cap the
+    * multi-part classic shape uses. */
+  private val V2ManifestRe =
+    """^(\d{20})\.checkpoint\.([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})\.json$""".r
+
+  def sidecarDir(table: String): Path =
+    logDir(table).resolve("_sidecars")
+
+  def v2ManifestPath(table: String, version: Long, uuid: String): Path =
+    logDir(table).resolve(s"${V.format(version)}.checkpoint.$uuid.json")
+
+  /** The NEWEST v2 manifest for `version` (uuid order breaks the tie
+    * between racing identical checkpointers — both are correct). */
+  def v2Manifest(table: String, version: Long): Option[Path] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) return None
+    val s = Files.list(d)
+    try s.iterator.asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case V2ManifestRe(v, _) if v.toLong == version => Some(p)
+        case _ => None
+      }
+    }.toSeq.sortBy(_.getFileName.toString).lastOption
+    finally s.close()
+  }
+
+  /** All v2 manifest files, as (version, path). */
+  def v2Manifests(table: String): Seq[(Long, Path)] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try s.iterator.asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case V2ManifestRe(v, _) => Some((v.toLong, p))
+        case _ => None
+      }
+    }.toSeq
+    finally s.close()
+  }
+
+  /** The sidecar paths a v2 manifest references (log-relative to
+    * `_sidecars/`). */
+  def v2SidecarRefs(manifest: Path): Seq[String] =
+    Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).flatMap(l => Json.parse(l) match {
+        case ("sidecar", f) => f.get("path")
+        case _ => None
+      }).toSeq
+
   /** The complete part list of `version`'s multi-part checkpoint in
     * part order, or None when no COMPLETE set exists (a crash mid-write
     * leaves a partial set — the protocol says ignore it; replay then
@@ -269,22 +326,30 @@ object DeltaLog {
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val s = Files.list(d)
-      val (whole, multi) =
+      val (whole, multi, v2) =
         try {
           val names = s.iterator.asScala.map(_.getFileName.toString).toSeq
           (names.flatMap { n =>
-            if (n.endsWith(".checkpoint.json"))
+            if (n.endsWith(".checkpoint.json") &&
+                V2ManifestRe.findFirstIn(n).isEmpty)
               n.stripSuffix(".checkpoint.json").toLongOption
             else if (n.endsWith(".checkpoint.parquet"))
               n.stripSuffix(".checkpoint.parquet").toLongOption
             else None
           },
-            names.collect { case MultiPartRe(v, _, _) => v.toLong }.distinct)
+            names.collect { case MultiPartRe(v, _, _) => v.toLong }.distinct,
+            names.collect { case V2ManifestRe(v, _) => v.toLong }.distinct)
         } finally s.close()
       // a multi-part set only counts when COMPLETE (crash mid-write
-      // leaves a partial set the protocol says to ignore)
+      // leaves a partial set the protocol says to ignore); a v2
+      // manifest counts when every referenced sidecar survives
+      // (manifests land atomically AFTER their sidecars, so a missing
+      // sidecar means tampering/partial restore — unusable)
       (whole ++ multi.filter(v =>
-        whole.contains(v) || completeMultiPart(table, v).isDefined))
+        whole.contains(v) || completeMultiPart(table, v).isDefined) ++
+        v2.filter(v => whole.contains(v) || v2Manifest(table, v).exists(m =>
+          v2SidecarRefs(m).forall(r =>
+            Files.exists(sidecarDir(table).resolve(r))))))
         .distinct.sorted
     }
   }
@@ -347,6 +412,18 @@ object DeltaLog {
     if (Files.exists(json))
       return Files.readAllLines(json, StandardCharsets.UTF_8).asScala
         .iterator.filter(_.nonEmpty).flatMap(parseActionLine)
+    // V2 checkpoint: typed actions straight off the manifest lines,
+    // file actions from the referenced sidecar parquet files
+    v2Manifest(table, version) match {
+      case Some(m) =>
+        val manifestActions = Files.readAllLines(m, StandardCharsets.UTF_8)
+          .asScala.iterator.filter(_.nonEmpty).flatMap(parseActionLine)
+        val sidecars = v2SidecarRefs(m)
+          .map(r => sidecarDir(table).resolve(r).toString)
+        return manifestActions ++ sidecars.iterator.flatMap(p =>
+          decodeActionRows(table, version, Seq(p)))
+      case None => ()
+    }
     val pq = parquetCheckpointPath(table, version)
     val paths: Seq[String] =
       if (Files.exists(pq)) Seq(pq.toString)
@@ -355,6 +432,13 @@ object DeltaLog {
         .getOrElse(throw new IllegalStateException(
           s"checkpoint $version of $table listed but no readable format " +
             "exists (json/parquet missing, multi-part set incomplete)"))
+    decodeActionRows(table, version, paths)
+  }
+
+  /** Parquet action rows (classic checkpoint parts or v2 sidecars) as
+    * typed replay events, streamed via toLocalIterator. */
+  private def decodeActionRows(table: String, version: Long,
+      paths: Seq[String]): Iterator[ReplayAction] = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(

@@ -696,6 +696,46 @@ object DeltaTable {
       s"enableDeletionVectors($table): lost the commit race $maxAttempts times")
   }
 
+  /** Opt the table into V2 CHECKPOINTS (the protocol's `v2Checkpoint`
+    * reader-writer feature + `delta.checkpointPolicy=v2`): from the
+    * next checkpoint on, [[writeCheckpoint]] writes the MANIFEST +
+    * SIDECARS shape — the tiny manifest carries checkpointMetadata /
+    * protocol / metaData / txn / domain actions and `sidecar`
+    * references; the file actions live in `_delta_log/_sidecars/`
+    * parquet files, split by the same per-file action cap the
+    * multi-part classic shape uses. The protocol rises to the
+    * features gate LISTING v2Checkpoint in BOTH feature sets — a
+    * reader that cannot follow sidecar references must refuse the
+    * table rather than replay half a snapshot. */
+  def enableV2Checkpoints(table: String): Long = {
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      if (snap.configuration.get("delta.checkpointPolicy").contains("v2"))
+        return snap.version
+      val feats = Set("v2Checkpoint") ++
+        (if (ColumnMapping.enabled(snap)) Set("columnMapping") else Set.empty) ++
+        (if (dvEnabled(snap)) Set("deletionVectors") else Set.empty)
+      val wfeats = feats ++ snap.writerFeatures ++
+        activeLegacyWriterFeatures(snap)
+      val actions = Seq(
+        DeltaLog.commitInfoAction("SET CHECKPOINT POLICY"),
+        DeltaLog.protocolAction(
+          math.max(snap.minReaderVersion, 3),
+          math.max(snap.minWriterVersion, 7),
+          (snap.readerFeatures ++ feats).toSeq,
+          wfeats.toSeq),
+        DeltaLog.metaDataAction(snap.schemaJson.getOrElse(
+            new StructType().json), snap.partitionColumns,
+          DeltaLog.tableId(table),
+          snap.configuration + ("delta.checkpointPolicy" -> "v2")))
+      try return gatedCommit(table, snap, actions)
+      catch { case _: IllegalStateException => Thread.sleep(5L) }
+    }
+    throw new IllegalStateException(
+      s"enableV2Checkpoints($table): lost the commit race $maxAttempts times")
+  }
+
   /** Opt the table into IN-COMMIT TIMESTAMPS (the protocol's
     * `inCommitTimestamp` writer feature): from the next commit on,
     * every commitInfo carries an engine-assigned, strictly-monotone
@@ -2325,6 +2365,42 @@ object DeltaTable {
     * move into place one by one; discovery ignores an INCOMPLETE set
     * (crash mid-write), so replay falls back to an older checkpoint or
     * the raw version files — never a half-read snapshot. */
+  /** The checkpoint-row form of an `add` action — shared by the
+    * classic parquet checkpoint and v2 sidecar files. */
+  private def ckptAddType: StructType = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, MapType,
+      StructField}
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
+  }
+
+  private def ckptStatsJson(f: DeltaLog.AddFile): String =
+    if (f.stats.isEmpty) null
+    else f.stats.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s"${DeltaLog.Json.str(k)}:${DeltaLog.Json.str(v)}" }
+      .mkString("{", ",", "}")
+
+  private def ckptAddRow(f: DeltaLog.AddFile): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(
+      f.path, f.partitionValues, f.size, 0L, false, ckptStatsJson(f),
+      f.dv.map(d => org.apache.spark.sql.Row(
+        "p", d.path, d.sizeInBytes, d.cardinality)).orNull,
+      f.baseRowId.map(Long.box).orNull,
+      f.defaultRowCommitVersion.map(Long.box).orNull)
+
   private def writeParquetCheckpoint(spark: SparkSession, table: String,
       version: Long, snap: DeltaLog.Snapshot): Int = {
     import org.apache.spark.sql.Row
@@ -2334,20 +2410,7 @@ object DeltaTable {
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType)))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", MapType(StringType, StringType)),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType),
-        StructField("stats", StringType),
-        StructField("deletionVector", StructType(Seq(
-          StructField("storageType", StringType),
-          StructField("pathOrInlineDv", StringType),
-          StructField("sizeInBytes", LongType),
-          StructField("cardinality", LongType)))),
-        StructField("baseRowId", LongType),
-        StructField("defaultRowCommitVersion", LongType)))),
+      StructField("add", ckptAddType),
       StructField("domainMetadata", StructType(Seq(
         StructField("domain", StringType),
         StructField("configuration", StringType),
@@ -2369,12 +2432,6 @@ object DeltaTable {
         StructField("minWriterVersion", IntegerType),
         StructField("readerFeatures", ArrayType(StringType)),
         StructField("writerFeatures", ArrayType(StringType)))))))
-    def statsJson(f: DeltaLog.AddFile): String =
-      if (f.stats.isEmpty) null
-      else f.stats.toSeq.sortBy(_._1)
-        .map { case (k, v) =>
-          s"${DeltaLog.Json.str(k)}:${DeltaLog.Json.str(v)}" }
-        .mkString("{", ",", "}")
     val rows: Seq[Row] =
       Seq(Row(null, null, null, null, null,
         Row(snap.minReaderVersion, snap.minWriterVersion,
@@ -2389,12 +2446,7 @@ object DeltaTable {
           Row(Row(app, v), null, null, null, null, null) } ++
         snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) =>
           Row(null, null, Row(d, c, false), null, null, null) } ++
-        snap.files.map(f => Row(null,
-          Row(f.path, f.partitionValues, f.size, 0L, false, statsJson(f),
-            f.dv.map(d => Row("p", d.path, d.sizeInBytes, d.cardinality))
-              .orNull,
-            f.baseRowId.map(Long.box).orNull,
-            f.defaultRowCommitVersion.map(Long.box).orNull),
+        snap.files.map(f => Row(null, ckptAddRow(f),
           null, null, null, null))
     val maxPer = spark.conf
       .getOption("spark.graft.checkpoint.maxActionsPerFile")
@@ -2475,6 +2527,15 @@ object DeltaTable {
     * committed. */
   private[sources] def writeCheckpoint(table: String, version: Long): Unit = {
     val snap = DeltaLog.snapshot(table, Some(version))
+    // v2 policy: manifest + sidecars (falls back to the classic shape
+    // when no session can write parquet sidecars — correctness first)
+    if (snap.configuration.get("delta.checkpointPolicy").contains("v2") &&
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .isDefined) {
+      writeV2Checkpoint(table, version, snap)
+      return
+    }
     val logDir = DeltaLog.logDir(table)
     val checkpoint =
       Seq(DeltaLog.commitInfoAction("CHECKPOINT"),
@@ -2513,6 +2574,92 @@ object DeltaTable {
     val hint = Files.createTempFile(logDir, ".lastckpt-", ".tmp")
     Files.write(hint,
       s"""{"version":$version,"size":${checkpoint.length}$partsField}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(hint, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The V2 checkpoint writer (policy `delta.checkpointPolicy=v2`):
+    * sidecar parquet files land FIRST under `_delta_log/_sidecars/`
+    * (uuid-named, file actions only, split by the per-file action
+    * cap), then the tiny MANIFEST (`N.checkpoint.<uuid>.json`:
+    * checkpointMetadata + protocol + metaData + txn/domain actions +
+    * `sidecar` references) moves into place atomically — a listed
+    * manifest therefore implies durable sidecars; a crash mid-write
+    * leaves unreferenced sidecars that the next vacuum collects.
+    * Replay follows the references ([[DeltaLog]] checkpointActions);
+    * discovery refuses a manifest whose sidecars are missing. */
+  private def writeV2Checkpoint(table: String, version: Long,
+      snap: DeltaLog.Snapshot): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructField
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).get
+    val logDir = DeltaLog.logDir(table)
+    val scDir = DeltaLog.sidecarDir(table)
+    Files.createDirectories(scDir)
+    val sidecarSchema = StructType(Seq(
+      StructField("add", ckptAddType),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType))))))
+    val rows: Seq[Row] = snap.files.map(f => Row(ckptAddRow(f), null))
+    val maxPer = spark.conf
+      .getOption("spark.graft.checkpoint.maxActionsPerFile")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100_000)
+    val groups: Seq[Seq[Row]] =
+      if (rows.isEmpty) Seq(Seq.empty)
+      else if (rows.length <= maxPer) Seq(rows)
+      else rows.grouped(maxPer).toSeq
+    val sidecarNames = groups.map { group =>
+      val name = java.util.UUID.randomUUID().toString + ".parquet"
+      val tmpDir = Files.createTempDirectory(logDir, ".v2sc-")
+      try {
+        spark.createDataFrame(group.asJava, sidecarSchema).coalesce(1)
+          .write.mode("overwrite").parquet(tmpDir.toString)
+        val s = Files.list(tmpDir)
+        val part =
+          try s.iterator.asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"v2 sidecar write produced no part file in $tmpDir"))
+          finally s.close()
+        Files.move(part, scDir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally {
+        val s = Files.walk(tmpDir)
+        try s.iterator.asScala.toSeq.reverse.foreach(p =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+        finally s.close()
+      }
+      name
+    }
+    val manifest: Seq[String] =
+      Seq(s"""{"checkpointMetadata":{"version":$version}}""",
+        DeltaLog.protocolAction(snap.minReaderVersion,
+          snap.minWriterVersion, snap.readerFeatures.toSeq,
+          snap.writerFeatures.toSeq)) ++
+        snap.schemaJson.map(DeltaLog.metaDataAction(_, snap.partitionColumns,
+          DeltaLog.tableId(table), snap.configuration)) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          DeltaLog.txnAction(app, v) } ++
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) =>
+          DeltaLog.domainMetadataAction(d, c) } ++
+        sidecarNames.map { n =>
+          val sz = Files.size(scDir.resolve(n))
+          s"""{"sidecar":{"path":${DeltaLog.Json.str(n)},""" +
+            s""""sizeInBytes":$sz,""" +
+            s""""modificationTime":${System.currentTimeMillis()}}}"""
+        }
+    val manifestUuid = java.util.UUID.randomUUID().toString
+    val tmp = Files.createTempFile(logDir, ".v2m-", ".tmp")
+    Files.write(tmp, manifest.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, DeltaLog.v2ManifestPath(table, version, manifestUuid),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val hint = Files.createTempFile(logDir, ".lastckpt-", ".tmp")
+    Files.write(hint,
+      s"""{"version":$version,"size":${manifest.length + rows.length}}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(hint, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -2591,6 +2738,21 @@ object DeltaTable {
       Files.deleteIfExists(DeltaLog.parquetCheckpointPath(table, v))
       DeltaLog.multiPartCheckpointFiles(table, v)
         .foreach(f => Files.deleteIfExists(f._1))
+    }
+    // v2 checkpoints: drop superseded manifests, then every sidecar no
+    // SURVIVING manifest references (includes crash leftovers — a
+    // sidecar written before a manifest move that never happened)
+    val v2All = DeltaLog.v2Manifests(table)
+    v2All.filter(_._1 < horizon).foreach(m => Files.deleteIfExists(m._2))
+    val referenced2 = DeltaLog.v2Manifests(table)
+      .flatMap(m => DeltaLog.v2SidecarRefs(m._2)).toSet
+    val scDir = DeltaLog.sidecarDir(table)
+    if (Files.isDirectory(scDir)) {
+      val s = Files.list(scDir)
+      try s.iterator.asScala.toSeq
+        .filterNot(p => referenced2.contains(p.getFileName.toString))
+        .foreach(p => Files.deleteIfExists(p))
+      finally s.close()
     }
     // 4. delete unreferenced data files (recursive: partitioned
     // layouts keep data in col=value/ subdirs; paths compared

@@ -3215,6 +3215,75 @@ class DeltaSpec extends SparkSpec {
       Seq(1L, 2L, 6_000_000_000L))
   }
 
+  test("v2 checkpoints: manifest + sidecars replace the classic shape; " +
+      "replay crosses a pruned prefix through sidecar references; " +
+      "vacuum collects superseded manifests and orphaned sidecars; " +
+      "validator invariant 21 accepts healthy and rejects tampered") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableV2Checkpoints(t)                            // v1
+    val snap1 = DeltaLog.snapshot(t)
+    assert(snap1.readerFeatures.contains("v2Checkpoint") &&
+      snap1.writerFeatures.contains("v2Checkpoint"),
+      s"protocol must gate v2: ${snap1.readerFeatures}/${snap1.writerFeatures}")
+    DeltaTable.write(employee1.coalesce(1), t, "append")         // v2
+    DeltaTable.write(Seq((9, "Eve", 90000L, "2024-01-19"))
+      .toDF("id", "name", "salary", "date").coalesce(1), t, "append") // v3
+    DeltaTable.vacuum(t, 1) // checkpoint at v3 (v2 shape), prune prefix
+    assert(DeltaLog.v2Manifest(t, 3L).isDefined, "no v2 manifest at v3")
+    assert(!java.nio.file.Files.exists(DeltaLog.checkpointPath(t, 3L)) &&
+      !java.nio.file.Files.exists(DeltaLog.parquetCheckpointPath(t, 3L)),
+      "the v2 policy must replace the classic checkpoint shape")
+    val refs = DeltaLog.v2SidecarRefs(DeltaLog.v2Manifest(t, 3L).get)
+    assert(refs.nonEmpty && refs.forall(r => java.nio.file.Files.exists(
+      DeltaLog.sidecarDir(t).resolve(r))), s"sidecars missing: $refs")
+    // the prefix is pruned: this read replays manifest + sidecars only
+    assert(spark.read.format("graft-delta").load(t).count() === 5)
+    assert(DeltaLog.snapshot(t).configuration
+      .get("delta.checkpointPolicy").contains("v2"))
+    // appends continue past the checkpoint; a later vacuum re-snapshots
+    // (new manifest) and collects the superseded manifest + sidecars
+    DeltaTable.write(Seq((10, "Zed", 1000L, "2024-01-20"))
+      .toDF("id", "name", "salary", "date").coalesce(1), t, "append") // v4
+    DeltaTable.vacuum(t, 1) // horizon v4
+    assert(DeltaLog.v2Manifest(t, 3L).isEmpty,
+      "superseded v2 manifest must be collected")
+    val live = DeltaLog.v2SidecarRefs(DeltaLog.v2Manifest(t, 4L).get).toSet
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(DeltaLog.sidecarDir(t))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(onDisk === live,
+      s"orphaned sidecars must be collected: disk=$onDisk live=$live")
+    assert(spark.read.format("graft-delta").load(t).count() === 6)
+    def validate(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3",
+        new java.io.File("tools/delta_validate.py").getAbsolutePath, t))
+        .!(ProcessLogger(s => out.append(s).append('\n'),
+          s => out.append(s).append('\n')))
+      (code, out.toString)
+    }
+    val (c1, o1) = validate()
+    assert(c1 === 0, s"validator failed a healthy v2 table:\n$o1")
+    // tamper: delete a sidecar — discovery must refuse the checkpoint
+    // and the validator must flag the dangling reference
+    val victim = DeltaLog.sidecarDir(t).resolve(live.head)
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.delete(victim)
+    val (c2, o2) = validate()
+    assert(c2 != 0 && o2.contains("sidecar"),
+      s"validator missed the missing sidecar:\n$o2")
+    assert(!DeltaLog.checkpointVersions(t).contains(4L),
+      "discovery must refuse a v2 checkpoint with missing sidecars")
+    java.nio.file.Files.write(victim, bytes)
+    assert(DeltaLog.checkpointVersions(t).contains(4L))
+    runValidator(t)
+  }
+
   test("version checksums: every commit writes an N.crc summarizing " +
       "the post-commit snapshot; the validator rejects a tampered one; " +
       "vacuum prunes them with their versions") {

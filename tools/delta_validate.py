@@ -71,6 +71,13 @@ and asserts the wire-format invariants the Delta Lake protocol
      survives) equals an independent replay of versions 0..N —
      tableSizeBytes, numFiles, deleted-record count, protocol; a
      mismatch means the log was torn or bit-rotted after commit.
+ 21. v2 checkpoints: a `N.checkpoint.<uuid>.json` manifest carries
+     exactly one checkpointMetadata with the matching version; every
+     `sidecar` reference exists under `_sidecars/` with the logged
+     size; the manifest ∪ sidecar actions pass the same cross-format
+     and replay-equality checks as any checkpoint; and a v2 checkpoint
+     (or `delta.checkpointPolicy=v2`) implies the protocol lists
+     `v2Checkpoint` in BOTH feature sets at the features gate.
 
 Usage: python3 tools/delta_validate.py TABLE_DIR [TABLE_DIR...]
 Exit 0 = every table passes; 1 = at least one invariant violated.
@@ -80,6 +87,9 @@ import sys, os, json, re
 V_RE = re.compile(r"^(\d{20})\.json$")
 CP_RE = re.compile(r"^(\d{20})\.checkpoint\.(json|parquet)$")
 MP_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\."
+    r"([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})\.json$")
 
 
 def load_actions(path):
@@ -280,11 +290,18 @@ def validate(table):
     if not os.path.isdir(logdir):
         return [f"{table}: no _delta_log directory"]
     names = sorted(os.listdir(logdir))
-    vfiles, cps, mparts = {}, {}, {}
+    vfiles, cps, mparts, v2ms = {}, {}, {}, {}
     for n in names:
         m = V_RE.match(n)
         if m:
             vfiles[int(m.group(1))] = os.path.join(logdir, n)
+            continue
+        m = V2_RE.match(n)
+        if m:
+            # newest uuid wins, matching the engine's tie-break
+            v2ms.setdefault(int(m.group(1)), []).append(
+                os.path.join(logdir, n))
+            cps.setdefault(int(m.group(1)), set()).add("v2")
             continue
         m = CP_RE.match(n)
         if m:
@@ -907,6 +924,43 @@ def validate(table):
                 sides["multipart"] = acts
             except Exception as e:
                 problems.append(f"checkpoint {c}: multi-part undecodable: {e}")
+        if "v2" in formats:
+            # -- invariant 21: v2 checkpoint shape — exactly one
+            # checkpointMetadata carrying THIS version, every sidecar
+            # reference existing under _sidecars/ with the logged size,
+            # and the manifest ∪ sidecar actions passing the same
+            # cross-format / replay-equality checks as any checkpoint.
+            try:
+                mpath = sorted(v2ms[c])[-1]
+                macts = load_actions(mpath)
+                cms = [a["checkpointMetadata"] for a in macts
+                       if "checkpointMetadata" in a]
+                if len(cms) != 1 or cms[0].get("version") != c:
+                    problems.append(
+                        f"v2 checkpoint {c}: expected exactly one "
+                        f"checkpointMetadata with version={c}, got {cms}")
+                acts = [a for a in macts
+                        if "sidecar" not in a
+                        and "checkpointMetadata" not in a]
+                for a in macts:
+                    sc = a.get("sidecar")
+                    if not sc:
+                        continue
+                    sp = os.path.join(logdir, "_sidecars", sc["path"])
+                    if not os.path.isfile(sp):
+                        problems.append(
+                            f"v2 checkpoint {c}: sidecar {sc['path']} missing")
+                        continue
+                    logged = sc.get("sizeInBytes")
+                    if logged is not None and os.path.getsize(sp) != logged:
+                        problems.append(
+                            f"v2 checkpoint {c}: sidecar {sc['path']} size "
+                            f"{os.path.getsize(sp)} != logged {logged}")
+                    acts += [a2 for a2 in checkpoint_parquet_actions(sp)
+                             if a2]
+                sides["v2"] = acts
+            except Exception as e:
+                problems.append(f"v2 checkpoint {c}: undecodable: {e}")
         states = {}
         for fmt, acts in sides.items():
             r = Replay()
@@ -917,7 +971,7 @@ def validate(table):
                 problems.append(f"checkpoint {c} ({fmt}): no protocol action")
             if r.schema is None:
                 problems.append(f"checkpoint {c} ({fmt}): no metaData action")
-        for fmt in ("parquet", "multipart"):
+        for fmt in ("parquet", "multipart", "v2"):
             for a in sides.get(fmt, []):
                 if "add" in a and a["add"].get("dataChange"):
                     problems.append(f"checkpoint {c} ({fmt}): add with "
@@ -948,6 +1002,21 @@ def validate(table):
                 problems.append(f"checkpoint {c} incomplete vs replay of 0..{c}:"
                                 f"\n  replay:     {fingerprint(upto)}"
                                 f"\n  checkpoint: {fingerprint(any_state)}")
+
+    # -- invariant 21 (gate): a v2 checkpoint on disk or the v2 policy
+    # in the configuration means the protocol must list v2Checkpoint in
+    # BOTH feature sets at the features gate — a reader that cannot
+    # follow sidecar references would replay half a snapshot
+    if full is not None and (
+            v2ms or full.config.get("delta.checkpointPolicy") == "v2"):
+        pr = full.protocol or {}
+        if (pr.get("minReaderVersion", 0) < 3
+                or "v2Checkpoint" not in (pr.get("readerFeatures") or [])
+                or "v2Checkpoint" not in (pr.get("writerFeatures") or [])):
+            problems.append(
+                "v2 checkpoint present (or delta.checkpointPolicy=v2) but "
+                "the protocol does not list v2Checkpoint in both feature "
+                "sets at the features gate (3,7)")
 
     # -- _last_checkpoint hint must point at a real checkpoint
     hint = os.path.join(logdir, "_last_checkpoint")
