@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Dev-only sf1 SCALE REHEARSAL for the STREAMING ingest pipelines —
+  * the batch surface got its 10× rehearsal in round 10 (BASELINE.md),
+  * this drives the streaming side over the same /tmp/graft-sf1 corpus
+  * (50k docs, 20k vectors) once and reports per-batch latency + state
+  * growth, so a super-linear cliff in the incremental paths shows up
+  * the same way q43/q45's did.
+  *
+  * Usage: runMain graft.StreamRehearsal /tmp/graft-sf1
+  * Prints one JSON line per micro-batch:
+  *   {"pipeline":"neardup","batch":k,"rows":n,"sec":s,
+  *    "staged_bytes":b,"out_rows":m}
+  * and a final summary line per pipeline. Results are transcribed to
+  * BASELINE.md; this main is NOT part of Bench (the driver's bench
+  * contract stays batch-only).
+  */
+object StreamRehearsal {
+
+  private def dirBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size).sum
+      finally s.close()
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.sources.DeltaTable
+
+    val scratch = Files.createTempDirectory("graft-stream-sf1")
+    def p(s: String) = scratch.resolve(s).toString
+
+    // ---------------- near-dup ingest over 50k-doc seed corpus ------
+    {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      // seed staging builds the memoized shingle index ONCE (the
+      // pipeline's steady-state serving posture); timed separately
+      val t0 = System.nanoTime()
+      graft.operators.DedupOps.stagedShingleArrays(spark, sfDir).count()
+      println(f"""{"pipeline":"neardup","seed_index_sec":${
+        (System.nanoTime() - t0) / 1e9}%.1f}""")
+      val src = p("neardup-src")
+      // batches: 2k derived docs each — near-dup against the corpus by
+      // construction (text reused, id shifted), the worst case for the
+      // candidate join
+      val batches = (0 until 5).map { k =>
+        docs.filter(pmod(col("doc_id"), lit(25)) === k)
+          .limit(2000)
+          .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
+            col("text"))
+      }
+      DeltaTable.write(batches.head.limit(1), src, "overwrite")
+      val q = graft.streaming.StreamingOps.nearDupIngestPipeline(
+        spark, sfDir, src, p("neardup-pairs"), p("neardup-ckpt"),
+        p("neardup-stage"))
+      try {
+        q.processAllAvailable() // drain the 1-row priming batch
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val outRows = DeltaTable.read(spark, p("neardup-pairs")).count()
+          println(f"""{"pipeline":"neardup","batch":$k,"rows":$rows,""" +
+            f""""sec":$sec%.1f,"staged_bytes":${
+              dirBytes(scratch.resolve("neardup-stage"))},""" +
+            f""""out_rows":$outRows}""")
+        }
+      } finally q.stop()
+    }
+
+    // ---------------- SQ8 ingest over 20k-vector seed index ---------
+    {
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      graft.operators.SimilarityOps.stagedSqStats(spark, sfDir).count()
+      println(f"""{"pipeline":"sq8","seed_index_sec":${
+        (System.nanoTime() - t0) / 1e9}%.1f}""")
+      val src = p("sq8-src")
+      val batches = (0 until 5).map { k =>
+        vecs.filter(pmod(col("vec_id"), lit(10)) === k)
+          .limit(2000)
+          .select((col("vec_id") + 1000000L * (k + 1)).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+      }
+      DeltaTable.write(batches.head.limit(1), src, "overwrite")
+      val q = graft.streaming.StreamingOps.sqIngestPipeline(
+        spark, sfDir, src, p("sq8-codes"), p("sq8-ckpt"), p("sq8-stage"))
+      try {
+        q.processAllAvailable()
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val outRows = DeltaTable.read(spark, p("sq8-codes")).count()
+          println(f"""{"pipeline":"sq8","batch":$k,"rows":$rows,""" +
+            f""""sec":$sec%.1f,"staged_bytes":${
+              dirBytes(scratch.resolve("sq8-stage"))},""" +
+            f""""out_rows":$outRows}""")
+        }
+      } finally q.stop()
+    }
+
+    // -------- maxFilesPerTrigger admission over the 1M-event table --
+    {
+      val events = Tables.load(spark, sfDir, "events")
+      val src = p("mft-src")
+      // 32 files via repartition so admission has real granularity
+      DeltaTable.write(events.repartition(32), src, "overwrite")
+      val t0 = System.nanoTime()
+      var batches = 0L
+      var rows = 0L
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "8").load(src)
+        .writeStream.option("checkpointLocation", p("mft-ckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batches += 1; rows += b.count(); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      println(f"""{"pipeline":"maxFilesPerTrigger","batches":$batches,""" +
+        f""""rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    }
+
+    spark.stop()
+    Scratch.purge()
+  }
+}

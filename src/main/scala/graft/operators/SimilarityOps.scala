@@ -524,12 +524,17 @@ object SimilarityOps {
     * max(4, ceil(log2 n) - 7) keeps the expected bucket at ≤ ~128
     * members, so candidates grow linearly; 4 bands as before, planes
     * = 4·B (a 64-plane cap = B ≤ 16 bounds the packed long). On every
-    * driver fixture (n ≤ 2000) B stays 4 and the pipeline — and its
-    * fixed 16-plane DuckDB oracle — is bit-identical to round 9's. */
-  private def lshBandBits(n: Long): Int =
-    math.max(4, math.min(16,
-      (math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)) - 7)
-        .toInt))
+    * driver fixture (n ≤ 2000) B stays 4. ceil(log2 n) is computed
+    * with INTEGER bit arithmetic (round 11) — the float form
+    * ceil(log/log 2) can land on k±ε at exact powers of two and
+    * diverge from the DuckDB oracle, which derives THE SAME B from the
+    * same corpus count via LENGTH(bin(n-1)) (== ceil(log2 n) for
+    * n ≥ 2), so oracle and production scale together at any size
+    * instead of the oracle silently pinning 16 planes. */
+  private[graft] def lshBandBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1)
+    math.max(4, math.min(16, ceilLog2 - 7))
+  }
 
   val q45HyperplaneLsh: Q = (spark, dir) => {
     GraftFunctions.register(spark)
@@ -577,22 +582,31 @@ object SimilarityOps {
     * spill) while computing the identical ordered-SUM arithmetic —
     * the hash contract is unchanged. */
   val q45Oracle: String =
-    """CREATE TEMP TABLE o45_contrib AS
+    """CREATE OR REPLACE TEMP TABLE o45_params AS
+      |  SELECT GREATEST(4, LEAST(16,
+      |           LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)) AS bits
+      |  FROM embeddings;
+      |CREATE OR REPLACE TEMP TABLE o45_contrib AS
       |  SELECT vec_id, k,
       |    SUM(embedding[i+1]::DOUBLE *
       |      ((('0x' || substr(md5(k::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)
       |      ORDER BY i) AS dot
-      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i), UNNEST(range(16)) h(k)
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i),
+      |       UNNEST(range(4 * (SELECT bits FROM o45_params))) h(k)
       |  GROUP BY vec_id, k;
-      |CREATE TEMP TABLE o45_bands AS
-      |  SELECT vec_id, k // 4 AS band,
-      |    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << (k % 4)) ELSE 0 END) AS bsig
-      |  FROM o45_contrib GROUP BY vec_id, k // 4;
-      |CREATE TEMP TABLE o45_cand AS
+      |CREATE OR REPLACE TEMP TABLE o45_bands AS
+      |  SELECT vec_id, k // (SELECT bits FROM o45_params) AS band,
+      |    SUM(CASE WHEN dot > 0
+      |        THEN (1::BIGINT << (k % (SELECT bits FROM o45_params)))
+      |        ELSE 0 END) AS bsig
+      |  FROM o45_contrib GROUP BY 1, 2;
+      |DROP TABLE o45_contrib; DROP TABLE o45_params;
+      |CREATE OR REPLACE TEMP TABLE o45_cand AS
       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
       |  FROM o45_bands x JOIN o45_bands y
       |    ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id;
-      |CREATE TEMP TABLE o45_p AS
+      |DROP TABLE o45_bands;
+      |CREATE OR REPLACE TEMP TABLE o45_p AS
       |  SELECT c.id_a, c.id_b,
       |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
       |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
@@ -601,9 +615,12 @@ object SimilarityOps {
       |    JOIN embeddings b ON b.vec_id = c.id_b,
       |       UNNEST(range(LEN(a.embedding))) g(i)
       |  GROUP BY 1, 2;
-      |SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM o45_p
-      |WHERE ROUND(dot / (na * nb), 4) >= 0.45
-      |ORDER BY id_a, id_b""".stripMargin
+      |DROP TABLE o45_cand;
+      |CREATE OR REPLACE TEMP TABLE o45_out AS
+      |  SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM o45_p
+      |  WHERE ROUND(dot / (na * nb), 4) >= 0.45;
+      |DROP TABLE o45_p;
+      |SELECT * FROM o45_out ORDER BY id_a, id_b""".stripMargin
 
   /** q46 — SCALAR-QUANTIZED (SQ8) ANN: the compressed-domain search
     * family beside partition-pruning (q42 IVF) and hashing (q45 LSH).
@@ -907,24 +924,26 @@ object SimilarityOps {
     * reference — the other repeat OOM offender in the driver harness.
     * Arithmetic identical; hash contract unchanged. */
   val q47Oracle: String =
-    """CREATE TEMP TABLE o47_v AS
+    """CREATE OR REPLACE TEMP TABLE o47_v AS
       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
       |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i);
-      |CREATE TEMP TABLE o47_stats AS
+      |CREATE OR REPLACE TEMP TABLE o47_stats AS
       |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o47_v GROUP BY pos;
-      |CREATE TEMP TABLE o47_recon AS
+      |CREATE OR REPLACE TEMP TABLE o47_recon AS
       |  SELECT vec_id, o47_v.pos,
       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
       |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
       |         * (dmax - dmin) / 255.0 AS r
       |  FROM o47_v JOIN o47_stats ON o47_v.pos = o47_stats.pos;
-      |CREATE TEMP TABLE o47_d AS
+      |DROP TABLE o47_stats;
+      |CREATE OR REPLACE TEMP TABLE o47_d AS
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
       |  FROM o47_v q JOIN o47_recon c ON q.pos = c.pos
       |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
       |  GROUP BY 1, 2;
-      |CREATE TEMP TABLE o47_exact AS
+      |DROP TABLE o47_v; DROP TABLE o47_recon;
+      |CREATE OR REPLACE TEMP TABLE o47_exact AS
       |  SELECT s.query_id, s.neighbor_id,
       |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
       |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
@@ -940,12 +959,16 @@ object SimilarityOps {
       |  JOIN embeddings b ON b.vec_id = s.neighbor_id,
       |       UNNEST(range(LEN(a.embedding))) g(i)
       |  GROUP BY 1, 2;
-      |SELECT query_id, neighbor_id, cosine, rank FROM (
-      |  SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id
-      |      ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
-      |  FROM o47_exact)
-      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |DROP TABLE o47_d;
+      |CREATE OR REPLACE TEMP TABLE o47_out AS
+      |  SELECT query_id, neighbor_id, cosine, rank FROM (
+      |    SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
+      |    FROM o47_exact)
+      |  WHERE rank <= 10;
+      |DROP TABLE o47_exact;
+      |SELECT * FROM o47_out ORDER BY query_id, rank""".stripMargin
 
   /** The IVF × SQ8 serving index: the SQ8 codes table PARTITIONED BY
     * k-means cell — at billion-vector scale this layout is the whole
@@ -1154,44 +1177,50 @@ object SimilarityOps {
 
   /** Replays build (stats over the ORIGINAL corpus only), batch
     * derivation (reversed = pos arithmetic on the exploded rows),
-    * frozen-param clamped quantization, and the fused search. */
+    * frozen-param clamped quantization, and the fused search. Staged
+    * as temp-table steps with eager drops (round 11): the CTE form
+    * kept every exploded relation alive at once and OOM'd the
+    * driver's memory-capped checker — same remedy as q45/q47/q57. */
   val q78Oracle: String =
-    """WITH v AS (
+    """CREATE OR REPLACE TEMP TABLE o78_v AS
       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
-      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
-      |bv AS (
-      |  SELECT vec_id + 1000000 AS vec_id, LEN(embedding) - 1 - i AS pos,
-      |    embedding[i+1]::DOUBLE AS v
-      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
-      |stats AS (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM v GROUP BY pos),
-      |recon AS (
-      |  SELECT vec_id, v.pos,
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i);
+      |CREATE OR REPLACE TEMP TABLE o78_stats AS
+      |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o78_v GROUP BY pos;
+      |CREATE OR REPLACE TEMP TABLE o78_allr AS
+      |  SELECT vec_id, o78_v.pos,
       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
       |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
       |         * (dmax - dmin) / 255.0 AS r
-      |  FROM v JOIN stats ON v.pos = stats.pos),
-      |brecon AS (
-      |  SELECT vec_id, bv.pos,
+      |  FROM o78_v JOIN o78_stats ON o78_v.pos = o78_stats.pos
+      |  UNION ALL
+      |  SELECT bv.vec_id, bv.pos,
       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
       |            ELSE GREATEST(0, LEAST(255,
       |              ROUND((v - dmin) / (dmax - dmin) * 255))) END)
       |         * (dmax - dmin) / 255.0 AS r
-      |  FROM bv JOIN stats ON bv.pos = stats.pos),
-      |allr AS (SELECT * FROM recon UNION ALL SELECT * FROM brecon),
-      |d AS (
+      |  FROM (SELECT vec_id + 1000000 AS vec_id, LEN(embedding) - 1 - i AS pos,
+      |          embedding[i+1]::DOUBLE AS v
+      |        FROM embeddings, UNNEST(range(LEN(embedding))) g(i)) bv
+      |  JOIN o78_stats ON bv.pos = o78_stats.pos;
+      |DROP TABLE o78_stats;
+      |CREATE OR REPLACE TEMP TABLE o78_d AS
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
-      |  FROM v q JOIN allr c ON q.pos = c.pos
+      |  FROM o78_v q JOIN o78_allr c ON q.pos = c.pos
       |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
-      |  GROUP BY 1, 2),
-      |ranked AS (
-      |  SELECT query_id, neighbor_id,
-      |    ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) AS cosine_sq,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id
-      |      ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC, neighbor_id) AS rank
-      |  FROM d)
-      |SELECT query_id, neighbor_id, cosine_sq, rank FROM ranked
-      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |  GROUP BY 1, 2;
+      |DROP TABLE o78_v; DROP TABLE o78_allr;
+      |CREATE OR REPLACE TEMP TABLE o78_out AS
+      |  SELECT query_id, neighbor_id, cosine_sq, rank FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) AS cosine_sq,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC, neighbor_id) AS rank
+      |    FROM o78_d)
+      |  WHERE rank <= 10;
+      |DROP TABLE o78_d;
+      |SELECT * FROM o78_out ORDER BY query_id, rank""".stripMargin
 
   /** q44 — grouped vector centroids: element-wise mean embedding per
     * label (cluster/topic summaries — the reduction behind centroid

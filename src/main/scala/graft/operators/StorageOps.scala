@@ -986,7 +986,125 @@ object StorageOps {
       |                  THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_rows
       |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q112 — SQL DML surface end-to-end ([EXT], round 11, completing
+    * q110's DDL arc): DELETE FROM / UPDATE … SET / MERGE INTO on a
+    * `delta.`path`` table, driven purely through `spark.sql` and the
+    * injected [[graft.sources.GraftSqlParser]]. The fixture is the
+    * nation table; the statements delete region 3, give region 0 a
+    * derived comment-length column bump, and MERGE-upsert a source
+    * that updates 5 existing keys and inserts 5 new ones — then the
+    * final table reads back through a `delta.`path`` SELECT with the
+    * per-region aggregate the oracle replays over the same DML
+    * algebra. Every statement's committed version is also asserted
+    * (the history length pins that each DML was exactly one commit). */
+  val q112SqlDml: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"),
+        org.apache.spark.sql.functions.length(col("n_name"))
+          .cast("long").as("clen"))
+      .coalesce(1)
+    val t = freshDir("graft-delta-sqldml")
+    n.write.format("graft-delta").mode("overwrite").save(t)      // v0
+    spark.sql(s"DELETE FROM delta.`$t` WHERE n_regionkey = 3")   // v1
+    spark.sql(s"UPDATE delta.`$t` SET clen = clen + 1000 " +
+      "WHERE n_regionkey = 0")                                   // v2
+    // merge source: 5 updated keys (0..4 with clen = -1) and 5 fresh
+    // keys (100..104), derived deterministically from the fixture
+    spark.sql(
+      s"""SELECT n_nationkey, n_name, n_regionkey, CAST(-1 AS BIGINT) AS clen
+         |FROM delta.`$t` WHERE n_nationkey < 5
+         |UNION ALL
+         |SELECT n_nationkey + 100, concat(n_name, '_NEW'), n_regionkey,
+         |  CAST(7 AS BIGINT) AS clen
+         |FROM delta.`$t` WHERE n_nationkey < 5""".stripMargin)
+      .createOrReplaceTempView("q112_src")
+    spark.sql(s"MERGE INTO delta.`$t` AS tgt USING q112_src AS src " +
+      "ON tgt.n_nationkey = src.n_nationkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")                          // v3
+    val nVersions = spark.sql(s"DESCRIBE HISTORY delta.`$t`").count()
+    spark.sql(
+      s"""SELECT n_regionkey, COUNT(*) AS n_rows,
+         |  CAST(SUM(clen) AS BIGINT) AS clen_sum,
+         |  CAST($nVersions AS BIGINT) AS n_versions
+         |FROM delta.`$t` GROUP BY n_regionkey
+         |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  val q112Oracle: String =
+    """WITH base AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |    CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      |    CAST(LENGTH(n_name) AS BIGINT) AS clen
+      |  FROM nation),
+      |deleted AS (SELECT * FROM base WHERE n_regionkey <> 3),
+      |updated AS (
+      |  SELECT n_nationkey, n_name, n_regionkey,
+      |    CASE WHEN n_regionkey = 0 THEN clen + 1000 ELSE clen END AS clen
+      |  FROM deleted),
+      |merged AS (
+      |  SELECT n_nationkey, n_name, n_regionkey,
+      |    CASE WHEN n_nationkey < 5 THEN -1 ELSE clen END AS clen
+      |  FROM updated
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name || '_NEW', n_regionkey, 7
+      |  FROM updated WHERE n_nationkey < 5)
+      |SELECT n_regionkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(clen) AS BIGINT) AS clen_sum,
+      |  CAST(4 AS BIGINT) AS n_versions
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q113 — SQL TIME TRAVEL ([EXT], round 11): `VERSION AS OF n` and
+    * `TIMESTAMP AS OF ts` on `delta.`path`` relations, resolved at
+    * parse time against the same version/timestamp index the options
+    * API uses. The fixture commits three versions (overwrite, append,
+    * vectored delete); the query reads v0, v1 and the latest PLUS a
+    * `TIMESTAMP AS OF` read pinned to v1's recorded commit timestamp
+    * — all four through pure SQL — and emits one count row per read.
+    * v2 is a DV delete, so the latest read also proves time travel
+    * composes with deletion vectors. */
+  val q113SqlTimeTravel: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation").coalesce(1)
+    val t = freshDir("graft-delta-sqltt")
+    DeltaTable.write(n, t, "overwrite")                          // v0
+    DeltaTable.write(n.filter(col("n_regionkey") === 1).coalesce(1),
+      t, "append")                                               // v1
+    DeltaTable.enableDeletionVectors(t)                          // v2
+    DeltaTable.delete(spark, t, col("n_regionkey") === 2)        // v3
+    val v1Ts = new java.sql.Timestamp(
+      graft.sources.DeltaLog.commitTimestamps(t)
+        .find(_._1 == 1L).get._2)
+    spark.sql(
+      s"""SELECT 'v0' AS at, COUNT(*) AS n_rows
+         |FROM delta.`$t` VERSION AS OF 0
+         |UNION ALL
+         |SELECT 'v1', COUNT(*) FROM delta.`$t` VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'v1_ts', COUNT(*) FROM delta.`$t`
+         |  TIMESTAMP AS OF '$v1Ts'
+         |UNION ALL
+         |SELECT 'latest', COUNT(*) FROM delta.`$t`
+         |ORDER BY at""".stripMargin)
+  }
+
+  val q113Oracle: String =
+    """SELECT at, CAST(n_rows AS BIGINT) AS n_rows FROM (
+      |  SELECT 'v0' AS at, COUNT(*) AS n_rows FROM nation
+      |  UNION ALL
+      |  SELECT 'v1', COUNT(*) + SUM(CASE WHEN n_regionkey = 1 THEN 1
+      |    ELSE 0 END) FROM nation
+      |  UNION ALL
+      |  SELECT 'v1_ts', COUNT(*) + SUM(CASE WHEN n_regionkey = 1 THEN 1
+      |    ELSE 0 END) FROM nation
+      |  UNION ALL
+      |  SELECT 'latest', COUNT(*) + SUM(CASE WHEN n_regionkey = 1 THEN 1
+      |    WHEN n_regionkey = 2 THEN -1 ELSE 0 END) FROM nation)
+      |ORDER BY at""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_sql_timetravel" -> q113SqlTimeTravel,
+    "q112_sql_dml" -> q112SqlDml,
     "q111_v2_checkpoint" -> q111V2Checkpoint,
     "q110_sql_ddl" -> q110SqlDdl,
     "q108_row_tracking" -> q108RowTracking,
@@ -1019,6 +1137,8 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q113_sql_timetravel" -> q113Oracle,
+    "q112_sql_dml" -> q112Oracle,
     "q111_v2_checkpoint" -> q111Oracle,
     "q110_sql_ddl" -> q110Oracle,
     "q108_row_tracking" -> q108Oracle,

@@ -654,72 +654,85 @@ object TextOps {
 
   /** One unrolled oracle round: argmax pair off toks{k-1}, run-parity
     * merge flags, rewritten toks{k}. Same windows, same tie-break.
-    * Every CTE is AS MATERIALIZED: each round references its
-    * predecessor several times, and DuckDB's default CTE INLINING
-    * multiplies the whole upstream chain per reference — measured as
-    * "too many open files" (the base parquet re-opened per expansion)
-    * before any round finished. Materialization makes the oracle
-    * evaluate each round exactly once, like the Spark side's staging. */
+    * Round 10 shipped this as AS-MATERIALIZED CTEs (plain CTE inlining
+    * re-opened the base parquet per expansion — "too many open
+    * files"); round 11 restages each step as a TEMP TABLE and DROPs
+    * the predecessor as soon as round k is built, because even the
+    * materialized chain keeps all 10 rounds' relations alive at once
+    * and OOM'd the driver's memory-capped checker (the q45/q47 remedy
+    * from round 9). Peak allocation is now ~2 token relations; the
+    * window algebra and hash contract are unchanged. */
   private def bpeRoundSql(k: Int): String = {
     val p = k - 1
-    s""",
-       |mrg$k AS MATERIALIZED (
+    s"""CREATE OR REPLACE TEMP TABLE obpe_mrg$k AS
        |  SELECT tok AS x, next_tok AS y, COUNT(*) AS n
        |  FROM (SELECT doc_id, pos, tok,
        |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
-       |        FROM toks$p)
+       |        FROM obpe_toks$p)
        |  WHERE next_tok IS NOT NULL
        |  GROUP BY 1, 2
-       |  ORDER BY n DESC, x, y LIMIT 1),
-       |f$k AS MATERIALIZED (
+       |  ORDER BY n DESC, x, y LIMIT 1;
+       |CREATE OR REPLACE TEMP TABLE obpe_f$k AS
        |  SELECT doc_id, pos, tok, hit AND
        |      (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS do_merge
        |  FROM (SELECT doc_id, pos, tok, hit,
        |          CASE WHEN hit THEN pos - ROW_NUMBER()
        |            OVER (PARTITION BY doc_id, hit ORDER BY pos) END AS grp
        |        FROM (SELECT doc_id, pos, tok,
-       |                COALESCE(tok = (SELECT x FROM mrg$k) AND
+       |                COALESCE(tok = (SELECT x FROM obpe_mrg$k) AND
        |                  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
-       |                    = (SELECT y FROM mrg$k), FALSE) AS hit
-       |              FROM toks$p))),
-       |toks$k AS MATERIALIZED (
+       |                    = (SELECT y FROM obpe_mrg$k), FALSE) AS hit
+       |              FROM obpe_toks$p));
+       |DROP TABLE obpe_toks$p;
+       |CREATE OR REPLACE TEMP TABLE obpe_toks$k AS
        |  SELECT doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
        |    CASE WHEN do_merge THEN tok || ' ' || next_tok ELSE tok END AS tok
        |  FROM (SELECT doc_id, pos, tok, do_merge,
        |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok,
        |          LAG(do_merge) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_merge
-       |        FROM f$k)
-       |  WHERE NOT COALESCE(prev_merge, FALSE))""".stripMargin
+       |        FROM obpe_f$k)
+       |  WHERE NOT COALESCE(prev_merge, FALSE);
+       |DROP TABLE obpe_f$k;
+       |""".stripMargin
   }
 
-  /** Shared oracle prefix: toks0 + the full unrolled round chain. */
+  /** Shared oracle prefix: toks0 + the full unrolled round chain as a
+    * multi-statement temp-table script (see [[bpeRoundSql]]). */
   private def bpeChainSql: String = {
     val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString
-    s"""WITH toks0 AS MATERIALIZED (
+    s"""CREATE OR REPLACE TEMP TABLE obpe_toks0 AS
        |  SELECT doc_id, i AS pos, t[i+1] AS tok
        |  FROM (SELECT doc_id,
        |          string_split_regex(LOWER(TRIM(text)), '\\s+') AS t
        |        FROM documents),
-       |       UNNEST(range(LEN(t))) g(i))$rounds""".stripMargin
+       |       UNNEST(range(LEN(t))) g(i);
+       |$rounds""".stripMargin
   }
 
   val q76Oracle: String = {
     val sel = (1 to BpeRounds).map(k =>
-      s"SELECT $k AS merge_round, x || ' ' || y AS pair, n AS n_occurrences FROM mrg$k")
+      s"SELECT $k AS merge_round, x || ' ' || y AS pair, n AS n_occurrences FROM obpe_mrg$k")
       .mkString("\n", "\nUNION ALL\n", "")
-    s"""$bpeChainSql$sel
-       |ORDER BY merge_round""".stripMargin
+    val drops = (1 to BpeRounds).map(k => s"DROP TABLE obpe_mrg$k;").mkString(" ")
+    s"""${bpeChainSql}DROP TABLE obpe_toks$BpeRounds;
+       |CREATE OR REPLACE TEMP TABLE obpe_merges AS$sel;
+       |$drops
+       |SELECT * FROM obpe_merges ORDER BY merge_round""".stripMargin
   }
 
   /** Replays the identical chain, then aggregates the FINAL
     * tokenization per doc — merged tokens carry the pair separator. */
-  val q79Oracle: String =
-    s"""$bpeChainSql
-       |SELECT doc_id, COUNT(*) AS n_tokens,
-       |  CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_merged
-       |FROM toks$BpeRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  val q79Oracle: String = {
+    val drops = (1 to BpeRounds).map(k => s"DROP TABLE obpe_mrg$k;").mkString(" ")
+    s"""${bpeChainSql}CREATE OR REPLACE TEMP TABLE obpe_enc AS
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_merged
+       |  FROM obpe_toks$BpeRounds GROUP BY doc_id;
+       |DROP TABLE obpe_toks$BpeRounds; $drops
+       |SELECT * FROM obpe_enc ORDER BY doc_id""".stripMargin
+  }
 
   /** q49 — FEATURE HASHING (the hashing trick): every doc mapped to a
     * 16-dimension signed-count vector with zero vocabulary state —

@@ -559,16 +559,32 @@ object DeltaLog {
           logDir(table).resolve(V.format(v) + ".json"),
           StandardCharsets.UTF_8).asScala.iterator
           .filter(_.nonEmpty).flatMap(parseActionLine))
-    var schema: Option[String] = None
-    var partCols: Seq[String] = Nil
-    var config: Map[String, String] = Map.empty
-    var minReader = 1
-    var minWriter = 2
-    var readerFeats = Set.empty[String]
-    var writerFeats = Set.empty[String]
-    val txns = scala.collection.mutable.Map[String, Long]()
-    val domains = scala.collection.mutable.Map[String, String]()
-    val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val snap = foldReplay(Snapshot(target, None, Nil), replay)
+    assertReadable(table, snap.minReaderVersion, snap.readerFeatures)
+    snap
+  }
+
+  /** Fold replay actions over an initial state — the shared core of a
+    * full log replay ([[snapshot]], from the empty state) and the
+    * INCREMENTAL post-commit derivation ([[commit]]'s checksum path,
+    * from the pre-commit snapshot; round 11 — the checksum previously
+    * re-replayed the whole log inside every commit, O(versions) work
+    * per commit between checkpoints). */
+  private def foldReplay(initial: Snapshot,
+      replay: Iterator[ReplayAction]): Snapshot = {
+    var schema: Option[String] = initial.schemaJson
+    var partCols: Seq[String] = initial.partitionColumns
+    var config: Map[String, String] = initial.configuration
+    var minReader = initial.minReaderVersion
+    var minWriter = initial.minWriterVersion
+    var readerFeats = initial.readerFeatures
+    var writerFeats = initial.writerFeatures
+    val txns = scala.collection.mutable.Map[String, Long](
+      initial.txns.toSeq: _*)
+    val domains = scala.collection.mutable.Map[String, String](
+      initial.domainMetadata.toSeq: _*)
+    val live = scala.collection.mutable.LinkedHashMap[String, AddFile](
+      initial.files.map(f => f.path -> f): _*)
     for (action <- replay) action match {
       case AddA(f) => live(f.path) = f
       case RemoveA(path) => live.remove(path)
@@ -585,9 +601,9 @@ object DeltaLog {
         readerFeats = rf
         writerFeats = wf
     }
-    assertReadable(table, minReader, readerFeats)
-    Snapshot(target, schema, live.values.toSeq, partCols, txns.toMap, config,
-      minReader, minWriter, readerFeats, writerFeats, domains.toMap)
+    Snapshot(initial.version, schema, live.values.toSeq, partCols,
+      txns.toMap, config, minReader, minWriter, readerFeats, writerFeats,
+      domains.toMap)
   }
 
   /** Atomically commit `actions` as the next version after
@@ -602,7 +618,8 @@ object DeltaLog {
     * commit would vanish (observed: 6 racing appends → 4 rows before
     * this was a link). On HDFS/S3 the equivalent is create-with-
     * overwrite=false / put-if-absent. */
-  def commit(table: String, readVersion: Long, actions0: Seq[String]): Long = {
+  def commit(table: String, readVersion: Long, actions0: Seq[String],
+      preSnap: Option[Snapshot] = None): Long = {
     val next = readVersion + 1
     val actions = stampInCommitTimestamp(table, readVersion, actions0)
     val dir = logDir(table)
@@ -626,8 +643,24 @@ object DeltaLog {
       DeltaTable.maybeAutoCheckpoint(table, next, actions)
       // VERSION CHECKSUM (the protocol's N.crc sidecar): summary of
       // the post-commit snapshot for integrity cross-checks — also
-      // derived data, also best-effort
-      writeVersionChecksum(table, next)
+      // derived data, also best-effort. Derived INCREMENTALLY when the
+      // caller supplies the snapshot it committed against (or the
+      // table is fresh): pre-state + this commit's actions, O(actions)
+      // — a full log replay here made commit latency grow with log
+      // length (round 11). The replay fallback covers direct
+      // commit() callers that pass no snapshot.
+      val postSnap: Option[Snapshot] =
+        if (readVersion == -1L)
+          Some(foldReplay(Snapshot(next, None, Nil),
+            actions.iterator.filter(_.nonEmpty).flatMap(parseActionLine)))
+        else preSnap.filter(_.version == readVersion).map(s =>
+          foldReplay(s.copy(version = next),
+            actions.iterator.filter(_.nonEmpty).flatMap(parseActionLine)))
+      postSnap match {
+        case Some(s) => try writeChecksumOf(table, s)
+          catch { case NonFatal(_) => () }
+        case None => writeVersionChecksum(table, next)
+      }
       next
     } finally {
       try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
@@ -649,29 +682,36 @@ object DeltaLog {
     logDir(table).resolve(V.format(version) + ".crc")
 
   def writeVersionChecksum(table: String, version: Long): Unit =
+    try writeChecksumOf(table, snapshot(table, Some(version)))
+    catch { case NonFatal(_) => () }
+
+  /** Serialize + atomically place a snapshot's checksum sidecar. The
+    * snapshot may come from a full replay ([[writeVersionChecksum]])
+    * or the incremental post-commit fold ([[commit]]) — identical
+    * bytes either way (DeltaSpec pins the equivalence). */
+  private def writeChecksumOf(table: String, snap: Snapshot): Unit = {
+    val version = snap.version
+    val json =
+      s"""{"tableSizeBytes":${snap.files.map(_.size).sum},""" +
+        s""""numFiles":${snap.files.length},""" +
+        s""""numDeletedRecordsOpt":${snap.files
+          .flatMap(_.dv.map(_.cardinality)).sum},""" +
+        s""""numMetadata":1,"numProtocol":1,""" +
+        s""""setTransactions":${snap.txns.size},""" +
+        s""""domainMetadata":${snap.domainMetadata.size},""" +
+        s""""protocol":{"minReaderVersion":${snap.minReaderVersion},""" +
+        s""""minWriterVersion":${snap.minWriterVersion}}}"""
+    val dir = logDir(table)
+    val tmp = Files.createTempFile(dir, s".crc-$version-", ".tmp")
     try {
-      val snap = snapshot(table, Some(version))
-      val json =
-        s"""{"tableSizeBytes":${snap.files.map(_.size).sum},""" +
-          s""""numFiles":${snap.files.length},""" +
-          s""""numDeletedRecordsOpt":${snap.files
-            .flatMap(_.dv.map(_.cardinality)).sum},""" +
-          s""""numMetadata":1,"numProtocol":1,""" +
-          s""""setTransactions":${snap.txns.size},""" +
-          s""""domainMetadata":${snap.domainMetadata.size},""" +
-          s""""protocol":{"minReaderVersion":${snap.minReaderVersion},""" +
-          s""""minWriterVersion":${snap.minWriterVersion}}}"""
-      val dir = logDir(table)
-      val tmp = Files.createTempFile(dir, s".crc-$version-", ".tmp")
-      try {
-        Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, checksumPath(table, version),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally {
-        try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
-      }
-    } catch { case NonFatal(_) => () }
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, checksumPath(table, version),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
+    }
+  }
 
   /** A version's recorded checksum, parsed flat (absent file → None). */
   def versionChecksum(table: String, version: Long)

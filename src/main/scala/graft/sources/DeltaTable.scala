@@ -468,7 +468,7 @@ object DeltaTable {
       // writer-side protocol gate (a fresh table, prior=None, has no
       // protocol to violate yet — its first commit writes one)
       prior.foreach(p => DeltaLog.assertWritable(table, p, actions))
-      try return DeltaLog.commit(table, readVersion, actions)
+      try return DeltaLog.commit(table, readVersion, actions, prior)
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>
           // lost the race — re-read the log and re-derive the commit
@@ -529,16 +529,27 @@ object DeltaTable {
     * lifecycle APIs are rejected here: constraints need existing-data
     * validation ([[addCheckConstraint]]) and column mapping needs the
     * schema annotation + protocol upgrade ([[enableColumnMapping]]). */
-  def setTableProperty(table: String, key: String, value: String): Long = {
-    require(!key.startsWith("delta.constraints."),
-      s"setTableProperty($key): use addCheckConstraint (existing data " +
-        "must be validated)")
-    require(!key.startsWith("delta.columnMapping."),
-      s"setTableProperty($key): use enableColumnMapping (schema " +
-        "annotation + protocol upgrade)")
-    require(key != DeletionVectors.PropKey,
-      s"setTableProperty($key): use enableDeletionVectors (protocol " +
-        "must rise to the table-features gate atomically)")
+  def setTableProperty(table: String, key: String, value: String): Long =
+    setTableProperties(table, Seq(key -> value))
+
+  /** Set several table properties in ONE commit — a multi-key
+    * `ALTER TABLE … SET TBLPROPERTIES ('a'='1','b'='2')` must be a
+    * single atomic version (round 11; the per-key loop could leave
+    * half the properties applied on a crash or lost race). */
+  def setTableProperties(table: String,
+      kvs: Seq[(String, String)]): Long = {
+    require(kvs.nonEmpty, "setTableProperties: no properties given")
+    kvs.foreach { case (key, _) =>
+      require(!key.startsWith("delta.constraints."),
+        s"setTableProperty($key): use addCheckConstraint (existing data " +
+          "must be validated)")
+      require(!key.startsWith("delta.columnMapping."),
+        s"setTableProperty($key): use enableColumnMapping (schema " +
+          "annotation + protocol upgrade)")
+      require(key != DeletionVectors.PropKey,
+        s"setTableProperty($key): use enableDeletionVectors (protocol " +
+          "must rise to the table-features gate atomically)")
+    }
     val maxAttempts = 8
     for (_ <- 1 to maxAttempts) {
       val snap = DeltaLog.snapshot(table)
@@ -550,7 +561,7 @@ object DeltaTable {
       // LISTING the feature (plus every other legacy feature the
       // table already uses), exactly like enableDeletionVectors.
       val protocolRise =
-        if (key == "delta.enableChangeDataFeed" && value == "true" &&
+        if (kvs.contains("delta.enableChangeDataFeed" -> "true") &&
             !cdfEnabled(snap))
           Seq(DeltaLog.protocolAction(
             snap.minReaderVersion,
@@ -564,12 +575,13 @@ object DeltaTable {
         DeltaLog.commitInfoAction("SET TBLPROPERTIES")) ++ protocolRise ++ Seq(
         DeltaLog.metaDataAction(snap.schemaJson.getOrElse(
             new StructType().json), snap.partitionColumns,
-          DeltaLog.tableId(table), snap.configuration + (key -> value)))
+          DeltaLog.tableId(table), snap.configuration ++ kvs))
       try return gatedCommit(table, snap, actions)
       catch { case _: IllegalStateException => Thread.sleep(5L) }
     }
     throw new IllegalStateException(
-      s"setTableProperty($table, $key): lost the commit race $maxAttempts times")
+      s"setTableProperties($table, ${kvs.map(_._1).mkString(",")}): " +
+        s"lost the commit race $maxAttempts times")
   }
 
   /** ALTER TABLE SET delta.columnMapping.mode = 'name' — the one-way
@@ -629,7 +641,10 @@ object DeltaTable {
   private def gatedCommit(table: String, snap: DeltaLog.Snapshot,
       actions: Seq[String]): Long = {
     DeltaLog.assertWritable(table, snap, actions)
-    DeltaLog.commit(table, snap.version, actions)
+    // passing the scanned snapshot lets commit derive the N.crc
+    // checksum incrementally (pre-state + actions) instead of
+    // re-replaying the log — O(actions) per commit
+    DeltaLog.commit(table, snap.version, actions, Some(snap))
   }
 
   /** Legacy writer capabilities ACTIVE on this snapshot — the set a
@@ -1211,17 +1226,38 @@ object DeltaTable {
   /** Normalize a scan-side path render (`_metadata.file_path`'s
     * `file:` URI or a plain path) to the plain absolute form
     * [[java.nio.file.Path]] produces — the shared key form of every
-    * per-file literal map (round 10). */
-  private def normalizeScanPath(p: String): String =
-    if (p.startsWith("file:")) "/" + p.substring(5).dropWhile(_ == '/')
-    else p
+    * per-file literal map (round 10). The URI render is PERCENT-
+    * ENCODED (a space becomes `%20`), so the scheme strip alone left
+    * keys that never match on paths with spaces/non-ASCII chars and
+    * DV DML silently no-op'd there (round 11): decode, protecting
+    * literal `+` (path encoding keeps it, URLDecoder's query rules
+    * don't) and falling back to the stripped form if the string turns
+    * out not to be %-encoded at all. */
+  private def normalizeScanPath(p: String): String = {
+    val noScheme =
+      if (p.startsWith("file:")) "/" + p.substring(5).dropWhile(_ == '/')
+      else p
+    try java.net.URLDecoder.decode(noScheme.replace("+", "%2B"), "UTF-8")
+    catch { case _: IllegalArgumentException => noScheme }
+  }
+
+  /** Both renders a scan may produce for one absolute file path — the
+    * plain decoded form and the percent-encoded URI path form
+    * `_metadata.file_path`/`input_file_name` use — so column-side
+    * lookups keyed on driver-resolved paths hit under either
+    * convention (they only diverge on paths with spaces/non-ASCII). */
+  private def scanKeyForms(p: String): Seq[String] = {
+    val enc = Paths.get(p).toUri.getRawPath
+    if (enc == p) Seq(p) else Seq(p, enc)
+  }
 
   /** Restrict a [[readTableFilesWithPos]] frame to rows scanned from
     * the given files (FULL normalized absolute paths — basenames
     * collide across partition dirs / commits). */
   private def rowsFromFiles(df: DataFrame, paths: Set[String]): DataFrame =
     df.filter(org.apache.spark.sql.functions.regexp_replace(
-      col(PosFile), "^file:/*", "/").isin(paths.toSeq: _*))
+      col(PosFile), "^file:/*", "/")
+      .isin(paths.toSeq.flatMap(scanKeyForms): _*))
 
   /** Filter out rows a live deletion vector marks dead. The vector map
     * is log-sized (one sorted int array per vectored file, total size =
@@ -1273,10 +1309,13 @@ object DeltaTable {
     val fname = regexp_replace(col(PosFile), "^file:/*", "/")
     def absKey(p: String): String =
       Paths.get(table).resolve(p).toAbsolutePath.normalize.toString
+    // Each key enters under BOTH its plain and percent-encoded render
+    // (scanKeyForms): `_metadata.file_path` arrives URI-encoded, so a
+    // path with a space would otherwise miss the map and null the id.
     def lookup(pairs: Seq[(String, Long)]) =
       if (pairs.isEmpty) lit(null).cast(LongType)
       else element_at(map(pairs.flatMap { case (k, v) =>
-        Seq(lit(k), lit(v)) }: _*), fname)
+        scanKeyForms(k).flatMap(kk => Seq(lit(kk), lit(v))) }: _*), fname)
     val baseL = lookup(files.flatMap(f =>
       f.baseRowId.map(absKey(f.path) -> _)))
     val verL = lookup(files.flatMap(f =>

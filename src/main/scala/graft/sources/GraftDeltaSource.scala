@@ -125,10 +125,7 @@ class GraftDeltaSource extends RelationProvider
     * (resolved in the session's local clock sense — commit timestamps
     * are wall-clock millis, same as Delta's). */
   private def parseTimestampAsOf(s: String): Long =
-    s.toLongOption.getOrElse {
-      val t = if (s.length == 10) s + " 00:00:00" else s
-      java.sql.Timestamp.valueOf(t).getTime
-    }
+    GraftDeltaSource.parseTimestampAsOf(s)
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -169,6 +166,18 @@ class GraftDeltaSource extends RelationProvider
     DeltaTable.write(data, p, deltaMode, mergeSchema, partitionBy)
     createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
   }
+}
+
+object GraftDeltaSource {
+  /** `timestampAsOf` accepts epoch millis or `yyyy-MM-dd[ HH:mm:ss]`
+    * — shared by the options API above and SQL `TIMESTAMP AS OF`
+    * ([[GraftPathTableResolution]]), so the two idioms resolve
+    * identically by construction. */
+  private[sources] def parseTimestampAsOf(s: String): Long =
+    s.toLongOption.getOrElse {
+      val t = if (s.length == 10) s + " 00:00:00" else s
+      java.sql.Timestamp.valueOf(t).getTime
+    }
 }
 
 /** V1 streaming source tailing a graft-delta log. Offsets are log

@@ -1,9 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{StringType, TimestampType}
 
 /** Resolve `delta.`/path`` (and `graft.`/path``) RELATIONS inside any
   * SQL statement — `SELECT * FROM delta.`/data/events``, joins,
@@ -24,12 +26,53 @@ object GraftPathTableResolution {
 
   def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
+      // SQL TIME TRAVEL (round 11): `FROM delta.`/p`` VERSION AS OF n /
+      // TIMESTAMP AS OF ts` — Spark's parser wraps the unresolved
+      // relation in RelationTimeTravel; resolve it against the SAME
+      // version/timestamp resolvers the options API uses
+      // (DeltaLog.snapshot / versionAtTimestamp), so SQL and
+      // `spark.read.option("versionAsOf", …)` can never diverge.
+      case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if resolvable(u) =>
+        val path = u.multipartIdentifier(1)
+        val versionAsOf = (ver, ts) match {
+          case (Some(v), _) => v.trim.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"VERSION AS OF '$v' on delta.`$path`: expected an " +
+                "integer version"))
+          case (None, Some(e)) =>
+            DeltaLog.versionAtTimestamp(path, timestampMillis(path, e))
+          case (None, None) => throw new IllegalArgumentException(
+            s"time travel on delta.`$path`: no version or timestamp")
+        }
+        LogicalRelation(
+          GraftDeltaRelation.relation(spark, path,
+            DeltaLog.snapshot(path, Some(versionAsOf))),
+          isStreaming = false)
       case u: UnresolvedRelation if resolvable(u) =>
         val path = u.multipartIdentifier(1)
         LogicalRelation(
           GraftDeltaRelation.relation(spark, path, DeltaLog.snapshot(path)),
           isStreaming = false)
     }
+
+  /** Evaluate a parse-time TIMESTAMP AS OF expression to epoch millis:
+    * a string literal goes through the option API's format
+    * (`yyyy-MM-dd[ HH:mm:ss]` or epoch millis), a timestamp-typed
+    * foldable expression through its micros value. */
+  private def timestampMillis(path: String, e: Expression): Long = {
+    require(e.foldable,
+      s"TIMESTAMP AS OF on delta.`$path`: expression must be a literal")
+    (e.eval(), e.dataType) match {
+      case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        GraftDeltaSource.parseTimestampAsOf(s.toString)
+      case (micros: java.lang.Long, TimestampType) => micros / 1000L
+      case (v, t) => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF on delta.`$path`: unsupported literal $v of " +
+          s"type $t (use a 'yyyy-MM-dd[ HH:mm:ss]' string, epoch " +
+          "millis, or a timestamp)")
+    }
+  }
 
   private def resolvable(u: UnresolvedRelation): Boolean =
     !u.isStreaming && u.multipartIdentifier.length == 2 &&

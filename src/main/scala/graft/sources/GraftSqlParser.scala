@@ -75,6 +75,28 @@ object GraftSqlParser {
 
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Tbl + """\s*(.*?)\s*;?\s*$""").r
+  private val DeleteRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+""" + Tbl +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+  private val UpdateRe =
+    ("""(?is)^\s*UPDATE\s+""" + Tbl +
+      """\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+  private val MergeRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+""" + Tbl +
+      """(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)""" +
+      """\s+(WHEN\s.+?)\s*;?\s*$""").r
+  private val UpsertWhenTail =
+    """(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$"""
+  private val MergeSourceTbl = ("""(?is)^""" + Tbl +
+    """(?:\s+(?:AS\s+)?(\w+))?$""").r
+  private val MergeSourceSub =
+    """(?is)^\((.+)\)(?:\s+(?:AS\s+)?(\w+))?$""".r
+  private val MergeSourceIdent = """(?is)^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?$""".r
+  private val OnEquality =
+    """(?is)^\s*(?:(\w+)\s*\.\s*)?`?(\w+)`?\s*=\s*(?:(\w+)\s*\.\s*)?`?(\w+)`?\s*$""".r
+  private val Assignment =
+    """(?is)^\s*`?(\w+)`?\s*=\s*(.+?)\s*$""".r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Tbl +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
@@ -101,6 +123,50 @@ object GraftSqlParser {
 
   private def pathOf(g1: String, g2: String, g3: String): String =
     Seq(g1, g2, g3).find(_ != null).get
+
+  /** Split on `sep` at nesting depth 0, outside quotes — SQL commas in
+    * function calls / string literals never split an assignment list. */
+  private[sources] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var inS = false; var inD = false; var start = 0
+    for (i <- s.indices) s(i) match {
+      case '\'' if !inD => inS = !inS
+      case '"' if !inS => inD = !inD
+      case '(' if !inS && !inD => depth += 1
+      case ')' if !inS && !inD => depth -= 1
+      case ch if ch == sep && depth == 0 && !inS && !inD =>
+        out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Split an ON conjunction on top-level AND (case-insensitive,
+    * word-bounded, outside quotes/parens). */
+  private def splitOnAnd(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var inS = false; var inD = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '(' if !inS && !inD => depth += 1
+        case ')' if !inS && !inD => depth -= 1
+        case ch if depth == 0 && !inS && !inD &&
+            (ch == 'a' || ch == 'A') && i + 3 <= s.length &&
+            s.substring(i, i + 3).equalsIgnoreCase("and") &&
+            (i == 0 || !Character.isLetterOrDigit(s(i - 1))) &&
+            (i + 3 == s.length || !Character.isLetterOrDigit(s(i + 3))) =>
+          out += s.substring(start, i); start = i + 3; i += 2
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
 
   private[sources] def parseGraftStatement(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
@@ -129,6 +195,64 @@ object GraftSqlParser {
     case VacuumRe(a, b, c, hours) =>
       Some(GraftVacuum(pathOf(a, b, c),
         Option(hours).map(_.toLong)))
+    case DeleteRe(a, b, c, pred) =>
+      // parse the predicate NOW so syntax errors surface at parse time
+      // (the OPTIMIZE WHERE pattern); the SQL string travels because an
+      // Expression on a leaf command has no child to resolve against
+      Option(pred).foreach(delegate.parseExpression)
+      Some(GraftDelete(pathOf(a, b, c), Option(pred)))
+    case UpdateRe(a, b, c, sets, pred) =>
+      val assignments = splitTopLevel(sets, ',').map(_.trim).map {
+        case Assignment(colName, exprSql) =>
+          delegate.parseExpression(exprSql)
+          colName -> exprSql
+        case other => throw new IllegalArgumentException(
+          s"UPDATE SET: cannot parse assignment '$other' " +
+            "(expected col = expression)")
+      }
+      require(assignments.nonEmpty, "UPDATE needs at least one SET column")
+      Option(pred).foreach(delegate.parseExpression)
+      Some(GraftUpdate(pathOf(a, b, c), assignments, Option(pred)))
+    case MergeRe(a, b, c, tgtAlias, source, on, whenTail) =>
+      require(whenTail.matches(UpsertWhenTail),
+        "MERGE INTO on a path table supports the key-upsert form only: " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+          s"(got '${whenTail.trim}'). Finer clause control is the Scala " +
+          "DeltaTable.delete/update API's job")
+      val src = source.trim match {
+        case MergeSourceTbl(sa, sb, sc, alias) =>
+          MergeSource.PathTable(pathOf(sa, sb, sc), Option(alias))
+        case MergeSourceSub(sub, alias) =>
+          delegate.parsePlan(sub) // surface syntax errors at parse time
+          MergeSource.Subquery(sub, Option(alias))
+        case MergeSourceIdent(ident, alias) =>
+          MergeSource.View(ident, Option(alias))
+        case other => throw new IllegalArgumentException(
+          s"MERGE USING: cannot parse source '$other' (expected a " +
+            "delta.`path` table, a view/table identifier, or a " +
+            "parenthesized subquery, each with an optional alias)")
+      }
+      val srcAlias = src.alias
+      val aliases = Set(Option(tgtAlias), srcAlias).flatten.map(_.toLowerCase)
+      val keys = splitTopLevel(on, ',') match {
+        case Seq(one) => splitOnAnd(one).map(_.trim).map {
+          case OnEquality(q1, c1, q2, c2) =>
+            for (q <- Seq(q1, q2); if q != null)
+              require(aliases.contains(q.toLowerCase) ||
+                  Option(tgtAlias).isEmpty || srcAlias.isEmpty,
+                s"MERGE ON references unknown alias '$q'")
+            require(c1.equalsIgnoreCase(c2),
+              s"MERGE ON: the key-upsert form needs same-named key " +
+                s"columns on both sides, got '$c1 = $c2'")
+            c1
+          case other => throw new IllegalArgumentException(
+            s"MERGE ON: expected a conjunction of t.k = s.k equalities, " +
+              s"got '$other'")
+        }
+        case _ => throw new IllegalArgumentException(
+          "MERGE ON: expected a conjunction of equalities, not a comma")
+      }
+      Some(GraftMerge(pathOf(a, b, c), src, keys))
     case DescribeRe(kind, a, b, c) =>
       if (kind.equalsIgnoreCase("HISTORY"))
         Some(GraftDescribeHistory(pathOf(a, b, c)))
@@ -186,18 +310,80 @@ case class GraftOptimize(path: String, whereSql: Option[String],
   }
 }
 
-/** `VACUUM path [RETAIN n HOURS]` → [[DeltaTable.vacuum]] /
-  * [[DeltaTable.vacuumRetain]]. One row per deleted data file. */
+/** `VACUUM path [RETAIN n HOURS]` → [[DeltaTable.vacuumRetain]]. One
+  * row per deleted data file. A bare `VACUUM` defaults to the public
+  * protocol's 7-day retention (round 11) — it previously mapped to the
+  * full-prune `DeltaTable.vacuum(path)`, which deletes every
+  * historical data file and destroys time travel, a far more
+  * destructive operation than the SQL idiom implies. The full prune
+  * stays reachable, but only by saying so: `RETAIN 0 HOURS`. */
 case class GraftVacuum(path: String, retainHours: Option[Long])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_path", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val deleted = retainHours match {
-      case Some(h) => DeltaTable.vacuumRetain(path, h * 3600L * 1000L)
-      case None => DeltaTable.vacuum(path)
+    val hours = retainHours.getOrElse(7L * 24L)
+    DeltaTable.vacuumRetain(path, hours * 3600L * 1000L).map(Row(_))
+  }
+}
+
+/** The source clause of a path-table MERGE: another path table, a
+  * registered view/table identifier, or a parenthesized subquery. */
+sealed trait MergeSource { def alias: Option[String] }
+object MergeSource {
+  final case class PathTable(path: String, alias: Option[String])
+      extends MergeSource
+  final case class Subquery(sql: String, alias: Option[String])
+      extends MergeSource
+  final case class View(ident: String, alias: Option[String])
+      extends MergeSource
+}
+
+/** `DELETE FROM path [WHERE pred]` → [[DeltaTable.delete]] ([EXT]
+  * round 11: the reference's SQL idiom reaching DML). Returns the
+  * committed version. */
+case class GraftDelete(path: String, whereSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    Seq(Row(DeltaTable.delete(session, path,
+      whereSql.map(expr).getOrElse(lit(true)))))
+  }
+}
+
+/** `UPDATE path SET a = e1, b = e2 [WHERE pred]` →
+  * [[DeltaTable.update]]. Returns the committed version. */
+case class GraftUpdate(path: String, sets: Seq[(String, String)],
+    whereSql: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    Seq(Row(DeltaTable.update(session, path,
+      whereSql.map(expr).getOrElse(lit(true)),
+      sets.map { case (c, e) => c -> expr(e) }.toMap)))
+  }
+}
+
+/** `MERGE INTO path USING src ON t.k = s.k [AND …] WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
+  * [[DeltaTable.merge]] — the key-upsert form (matched rows replaced
+  * by their source row, unmatched source rows inserted), which is
+  * exactly the engine's merge contract. Other WHEN shapes refuse at
+  * parse time. Returns the committed version. */
+case class GraftMerge(path: String, source: MergeSource,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = source match {
+      case MergeSource.PathTable(p, _) => DeltaTable.read(session, p)
+      case MergeSource.Subquery(sql, _) => session.sql(sql)
+      case MergeSource.View(ident, _) => session.table(ident)
     }
-    deleted.map(Row(_))
+    Seq(Row(DeltaTable.merge(session, path, src, keys)))
   }
 }
 
@@ -245,17 +431,15 @@ case class GraftAddConstraint(path: String, name: String, expr: String)
     Seq(Row(DeltaTable.addCheckConstraint(session, path, name, expr)))
 }
 
-/** `ALTER TABLE path SET TBLPROPERTIES ('k'='v', ...)` — one commit
-  * per property, last committed version returned (the engine's
-  * property commits are each atomic; a multi-key SET is rare and
-  * idempotent on retry). */
+/** `ALTER TABLE path SET TBLPROPERTIES ('k'='v', ...)` — ALL pairs in
+  * one atomic commit (round 11; the per-key loop could leave half the
+  * properties applied on a crash or lost race mid-statement). */
 case class GraftSetProperties(path: String, props: Seq[(String, String)])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(props.map { case (k, v) =>
-      DeltaTable.setTableProperty(path, k, v) }.last))
+    Seq(Row(DeltaTable.setTableProperties(path, props)))
 }
 
 /** `ALTER TABLE path RENAME COLUMN a TO b` (column mapping). */

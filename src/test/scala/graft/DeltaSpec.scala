@@ -1404,6 +1404,49 @@ class DeltaSpec extends SparkSpec {
     runValidator(t)
   }
 
+  test("deletion vectors: DML works under a table path containing a " +
+      "space — the scan's %-encoded file_path render still matches " +
+      "the driver-resolved plan keys") {
+    // `_metadata.file_path` renders percent-encoded ("dir with space"
+    // → dir%20with%20space); before round 11 the DV DML plan keyed
+    // per-file maps by the DECODED path, so on such tables the keys
+    // never matched and DELETE/UPDATE silently no-op'd (empty new-
+    // deletion sets). This pins the decode at every DML call site.
+    val t = Files.createTempDirectory("graft dv spec")
+      .resolve("t with space").toString
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    val filesBefore = DeltaLog.snapshot(t).files.map(_.path).toSet
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v2
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.map(_.path).toSet === filesBefore,
+      "the delete must take the DV path (no file rewrite)")
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum === 1L,
+      "the delete must actually mark a row dead, not silently no-op")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(1, 3))
+    // UPDATE on the same table: marks the old row dead + stages the new
+    DeltaTable.update(spark, t, $"id" === 3,
+      Map("salary" -> (lit(90000L): org.apache.spark.sql.Column)))
+    assert(DeltaTable.read(spark, t).filter($"id" === 3)
+      .select("salary").as[Long].head() === 90000L)
+    runValidator(t)
+    // row tracking under a spaced PARTITION dir: the per-file base-id
+    // literal map must hit even though the scan renders the partition
+    // value's space as %20
+    val tp = Files.createTempDirectory("graft dv spec").resolve("p").toString
+    DeltaTable.write(
+      Seq((1, "a b", 10L), (2, "a b", 20L), (3, "c", 30L))
+        .toDF("id", "grp", "v"),
+      tp, "overwrite", partitionBy = Seq("grp"))
+    DeltaTable.enableRowTracking(tp)
+    val ids = DeltaTable.readWithRowIds(spark, tp)
+      .select("_row_id").as[Long].collect()
+    assert(ids.length === 3 && ids.distinct.length === 3,
+      s"row ids must resolve (not null-collapse) under encoded " +
+        s"partition dirs; got ${ids.toSeq}")
+  }
+
   test("deletion vectors: scans stay VECTORIZED under a live vector — " +
       "Batched: true, pushdown reaches the reader, splits allowed") {
     // Round 10: DvScanRewrite (GraftExtensions) re-plans the row-based
@@ -1948,15 +1991,19 @@ class DeltaSpec extends SparkSpec {
   test("reader gate: unknown reader feature refuses the table loudly") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
+    // a reserved test-only feature name: it can never become supported,
+    // so this gate test cannot be silently legitimized by a future
+    // implementation (v2Checkpoint was, in round 10)
     forgeProtocol(t,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+        """"readerFeatures":["graftTestUnknownReaderFeature"],""" +
+        """"writerFeatures":["graftTestUnknownReaderFeature"]}}""")
     val e = intercept[IllegalStateException](DeltaTable.read(spark, t).count())
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("graftTestUnknownReaderFeature"))
     assert(e.getMessage.contains("cannot read"))
     // the stream source is a reader too
     val e2 = intercept[IllegalStateException](DeltaTable.latestVersion(t))
-    assert(e2.getMessage.contains("v2Checkpoint"))
+    assert(e2.getMessage.contains("graftTestUnknownReaderFeature"))
   }
 
   test("reader gate: minReaderVersion above supported refuses") {
@@ -1970,17 +2017,19 @@ class DeltaSpec extends SparkSpec {
   test("writer gate: unknown writer feature blocks writes, reads stay fine") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
+    // reserved test-only name — a future feature implementation can
+    // never make this forge silently pass (see reader-gate test above)
     forgeProtocol(t,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"writerFeatures":["liquidClustering"]}}""")
+        """"writerFeatures":["graftTestUnknownWriterFeature"]}}""")
     // a reader-only client is unaffected: the feature is writer-side
     assert(DeltaTable.read(spark, t).count() === 3)
     val e = intercept[UnsupportedOperationException](
       DeltaTable.write(employee1, t, "append"))
-    assert(e.getMessage.contains("liquidClustering"))
+    assert(e.getMessage.contains("graftTestUnknownWriterFeature"))
     val e2 = intercept[UnsupportedOperationException](
       DeltaTable.delete(spark, t, col("id") === 1))
-    assert(e2.getMessage.contains("liquidClustering"))
+    assert(e2.getMessage.contains("graftTestUnknownWriterFeature"))
   }
 
   test("writer gate: the whole legacy ladder passes now that v6's features are maintained") {
@@ -3301,6 +3350,19 @@ class DeltaSpec extends SparkSpec {
     assert(crc3("numDeletedRecordsOpt") === "1")
     assert(crc3("protocol").contains("\"minReaderVersion\":3"),
       crc3("protocol")) // DV features gate
+    // the commit path derives these INCREMENTALLY (pre-snapshot +
+    // actions, round 11); a full log replay must serialize the
+    // identical bytes for every version — the two derivations can
+    // never drift
+    for (v <- 0L to 3L) {
+      val incremental = new String(java.nio.file.Files.readAllBytes(
+        DeltaLog.checksumPath(t, v)), "UTF-8")
+      DeltaLog.writeVersionChecksum(t, v) // full-replay form
+      val replayed = new String(java.nio.file.Files.readAllBytes(
+        DeltaLog.checksumPath(t, v)), "UTF-8")
+      assert(incremental === replayed,
+        s"v$v: incremental checksum drifted from the replay form")
+    }
     def validate(): (Int, String) = {
       val out = new StringBuilder
       val code = Process(Seq("python3",

@@ -61,17 +61,24 @@ class GraftSqlSpec extends SparkSpec {
   }
 
   test("VACUUM collects unreferenced files; RETAIN n HOURS keeps " +
-      "recent versions") {
+      "recent versions; the bare form defaults to 7-day retention") {
     val t = freshTable()
     DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v0
     DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v1
     // everything is recent: a 168-hour retention deletes nothing
     assert(spark.sql(s"VACUUM delta.`$t` RETAIN 168 HOURS").collect()
       .isEmpty)
-    // default vacuum keeps only the latest version
-    val deleted = spark.sql(s"VACUUM delta.`$t`").collect()
+    // BARE VACUUM = the reference's safe default (7-day retention),
+    // NOT a full history prune: on an all-recent table it deletes
+    // nothing and time travel stays intact (round 11 — it previously
+    // mapped to keepVersions=1 and silently destroyed history)
+    assert(spark.sql(s"VACUUM delta.`$t`").collect().isEmpty)
+    assert(DeltaTable.read(spark, t, Some(0L)).count() === 3,
+      "time travel must survive a bare VACUUM")
+    // the destructive prune now requires saying so explicitly
+    val deleted = spark.sql(s"VACUUM delta.`$t` RETAIN 0 HOURS").collect()
       .map(_.getString(0))
-    assert(deleted.nonEmpty, "v0's file must be collected")
+    assert(deleted.nonEmpty, "v0's file must be collected at RETAIN 0")
     assert(spark.read.format("graft-delta").load(t).count() === 3)
   }
 
@@ -112,6 +119,16 @@ class GraftSqlSpec extends SparkSpec {
       "('delta.enableChangeDataFeed' = 'true')").collect()
     assert(DeltaLog.snapshot(t).configuration
       .get("delta.enableChangeDataFeed").contains("true"))
+    // a multi-key SET is ONE atomic version (round 11): both keys land
+    // and the log grows by exactly one commit
+    val before = DeltaTable.latestVersion(t)
+    spark.sql(s"ALTER TABLE delta.`$t` SET TBLPROPERTIES " +
+      "('graft.owner' = 'team-a', 'graft.tier' = 'gold')").collect()
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.version === before + 1,
+      "multi-key SET TBLPROPERTIES must commit exactly one version")
+    assert(snap.configuration.get("graft.owner").contains("team-a") &&
+      snap.configuration.get("graft.tier").contains("gold"))
   }
 
   test("ALTER TABLE RENAME/DROP/ALTER COLUMN map onto mapping and " +
@@ -154,6 +171,115 @@ class GraftSqlSpec extends SparkSpec {
       .as[Int].collect().toSeq === Seq(1, 3))
   }
 
+  test("DELETE FROM / UPDATE on a path table commit through the " +
+      "DeltaTable DML engine; bare forms touch every row") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v0
+    val v1 = spark.sql(s"DELETE FROM delta.`$t` WHERE id = 2")
+      .as[Long].head()
+    assert(v1 === 1L)
+    assert(spark.sql(s"SELECT id FROM delta.`$t` ORDER BY id")
+      .as[Int].collect().toSeq === Seq(1, 3))
+    val v2 = spark.sql(
+      s"UPDATE delta.`$t` SET salary = salary + 1000, " +
+        s"name = concat(name, '!') WHERE id = 1").as[Long].head()
+    assert(v2 === 2L)
+    assert(spark.sql(s"SELECT name, salary FROM delta.`$t` WHERE id = 1")
+      .as[(String, Long)].head() === ("Alice!", 76000L))
+    // un-WHERE'd UPDATE touches every row; un-WHERE'd DELETE empties
+    spark.sql(s"UPDATE delta.`$t` SET salary = 0")
+    assert(spark.sql(s"SELECT SUM(salary) AS s FROM delta.`$t`")
+      .as[Long].head() === 0L)
+    spark.sql(s"DELETE FROM delta.`$t`")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM delta.`$t`")
+      .as[Long].head() === 0L)
+    // history records one version per statement
+    assert(DeltaTable.latestVersion(t) === 4L)
+  }
+
+  test("MERGE INTO upserts from a view, a subquery, and another path " +
+      "table; non-upsert WHEN shapes refuse at parse time") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")
+    // view source: update Bob, insert Dave
+    Seq((2, "Bob2", 1L), (4, "Dave", 2L)).toDF("id", "name", "salary")
+      .createOrReplaceTempView("sqlspec_merge_src")
+    spark.sql(s"MERGE INTO delta.`$t` AS tgt USING sqlspec_merge_src " +
+      "AS src ON tgt.id = src.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT name FROM delta.`$t` ORDER BY id")
+      .as[String].collect().toSeq === Seq("Alice", "Bob2", "Carol", "Dave"))
+    // subquery source (no aliases, bare column equality)
+    spark.sql(s"MERGE INTO delta.`$t` USING " +
+      "(SELECT 5 AS id, 'Eve' AS name, CAST(9 AS BIGINT) AS salary) s " +
+      "ON id = id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM delta.`$t`")
+      .as[Long].head() === 5L)
+    // path-table source
+    val s2 = freshTable()
+    DeltaTable.write(Seq((6, "Frank", 1L)).toDF("id", "name", "salary"),
+      s2, "overwrite")
+    spark.sql(s"MERGE INTO delta.`$t` USING delta.`$s2` ON id = id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM delta.`$t`")
+      .as[Long].head() === 6L)
+    // finer WHEN control is not the upsert form: refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO delta.`$t` USING sqlspec_merge_src AS src " +
+        "ON id = id WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("key-upsert"), e.getMessage)
+    // a non-equi ON refuses too
+    val e2 = intercept[Exception] {
+      spark.sql(s"MERGE INTO delta.`$t` USING sqlspec_merge_src AS src " +
+        "ON tgt.id > src.id WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("conjunction of"), e2.getMessage)
+  }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve on " +
+      "path tables — including mapped and DV'd tables") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v0
+    DeltaTable.write(Seq((4, "Dave", 1L)).toDF("id", "name", "salary"),
+      t, "append")                                               // v1
+    DeltaTable.enableDeletionVectors(t)                          // v2
+    DeltaTable.delete(spark, t, col("id") === 1)                 // v3 (DV)
+    DeltaTable.enableColumnMapping(t)                            // v4
+    DeltaTable.renameColumn(t, "salary", "base_pay")             // v5
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM delta.`$t` " +
+      "VERSION AS OF 0").as[Long].head() === 3L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM delta.`$t` " +
+      "VERSION AS OF 1").as[Long].head() === 4L)
+    // v3 subtracts the DV'd row; v5 serves the renamed schema
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM delta.`$t` " +
+      "VERSION AS OF 3").as[Long].head() === 3L)
+    assert(spark.sql(s"SELECT base_pay FROM delta.`$t` VERSION AS OF 5 " +
+      "WHERE id = 4").as[Long].head() === 1L)
+    // the pre-rename column name is what version 1 serves
+    assert(spark.sql(s"SELECT salary FROM delta.`$t` VERSION AS OF 1 " +
+      "WHERE id = 4").as[Long].head() === 1L)
+    // TIMESTAMP AS OF through the same index the options API uses
+    val ts1 = new java.sql.Timestamp(
+      DeltaLog.commitTimestamps(t).find(_._1 == 1L).get._2)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM delta.`$t` " +
+      s"TIMESTAMP AS OF '$ts1'").as[Long].head() === 4L)
+    // SQL and the options API resolve identically
+    val viaSql = spark.sql(
+      s"SELECT id FROM delta.`$t` VERSION AS OF 3 ORDER BY id")
+      .as[Int].collect().toSeq
+    val viaOpt = spark.read.format("graft-delta").option("versionAsOf", 3)
+      .load(t).select("id").as[Int].collect().toSeq.sorted
+    assert(viaSql === viaOpt)
+    // a non-integer version refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM delta.`$t` VERSION AS OF 'abc'").collect()
+    }
+    assert(e.getMessage.contains("integer version"), e.getMessage)
+  }
+
   test("everything else delegates: plain SQL and catalog-identifier " +
       "DDL reach Spark's parser untouched") {
     threeRows.createOrReplaceTempView("sqlspec_emp")
@@ -167,5 +293,17 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(!e.getMessage.contains("unrecognized clause"),
       s"catalog identifiers must delegate: ${e.getMessage}")
+    // catalog-identifier DML is NOT ours either: Spark's own
+    // resolution error (unsupported/not-found), never a graft one
+    for (dml <- Seq(
+        "DELETE FROM sqlspec_emp WHERE id = 1",
+        "UPDATE sqlspec_emp SET salary = 0",
+        "MERGE INTO sqlspec_emp USING sqlspec_emp s ON 1=1 " +
+          "WHEN MATCHED THEN UPDATE SET *")) {
+      val ex = intercept[Exception](spark.sql(dml))
+      assert(!ex.getMessage.contains("graft") &&
+        !ex.getMessage.contains("key-upsert"),
+        s"catalog DML must delegate to Spark: $dml -> ${ex.getMessage}")
+    }
   }
 }
