@@ -3333,6 +3333,45 @@ class DeltaSpec extends SparkSpec {
     runValidator(t)
   }
 
+  test("v2 checkpoints: sidecars split by the per-file action cap; DV " +
+      "descriptors survive v2 replay; the periodic auto-checkpoint " +
+      "takes the v2 shape under the policy") {
+    val t = freshTable()
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableV2Checkpoints(t)                            // v1
+    DeltaTable.enableDeletionVectors(t)                          // v2
+    DeltaTable.write(employee1.coalesce(1), t, "append")         // v3
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v4 (DV)
+    spark.conf.set("spark.graft.checkpoint.maxActionsPerFile", "1")
+    try {
+      DeltaTable.vacuum(t, 1) // v2 checkpoint at v4, split sidecars
+      val refs = DeltaLog.v2SidecarRefs(DeltaLog.v2Manifest(t, 4L).get)
+      assert(refs.length >= 2,
+        s"2 live files at cap 1 must split across sidecars: $refs")
+      // the DV descriptor crossed the v2 checkpoint: the replayed
+      // snapshot still knows the dead row, and reads subtract it
+      val snap = DeltaLog.snapshot(t)
+      assert(snap.files.flatMap(_.dv).map(_.cardinality).sum === 1L,
+        "deletionVector descriptor lost across v2 sidecar replay")
+      assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+        === Array(1, 3, 4))
+    } finally spark.conf.unset("spark.graft.checkpoint.maxActionsPerFile")
+    runValidator(t)
+    // the PERIODIC auto-checkpoint honors the v2 policy: with
+    // delta.checkpointInterval=2, the next even version checkpoints as
+    // a manifest + sidecars, never the classic shape
+    DeltaTable.setTableProperty(t, "delta.checkpointInterval", "2") // v5
+    DeltaTable.write(employee1.coalesce(1)
+      .withColumn("id", lit(8)), t, "append")                    // v6
+    assert(DeltaLog.v2Manifest(t, 6L).isDefined,
+      "auto-checkpoint under the v2 policy must write a v2 manifest")
+    assert(!java.nio.file.Files.exists(DeltaLog.checkpointPath(t, 6L)) &&
+      !java.nio.file.Files.exists(DeltaLog.parquetCheckpointPath(t, 6L)),
+      "the v2 policy must not write classic checkpoint files")
+    assert(DeltaTable.read(spark, t).count() === 4)
+    runValidator(t)
+  }
+
   test("version checksums: every commit writes an N.crc summarizing " +
       "the post-commit snapshot; the validator rejects a tampered one; " +
       "vacuum prunes them with their versions") {

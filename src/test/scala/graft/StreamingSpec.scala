@@ -318,6 +318,45 @@ class StreamingSpec extends SparkSpec {
     assert(ids(dst).toSet === (0L to 6L).toSet)
   }
 
+  test("delta stream source: a v2-checkpointed, prefix-pruned table " +
+      "serves its initial snapshot through the manifest + sidecars " +
+      "and tails past the checkpoint") {
+    import graft.sources.{DeltaLog, DeltaTable}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-v2c")
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    Seq(Event(0, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      .toDF().write.format("graft-delta").save(src)              // v0
+    DeltaTable.enableV2Checkpoints(src)                          // v1
+    Seq(Event(2, ts("2024-01-01 10:02:00"), 2, "click", 3.0))
+      .toDF().write.format("graft-delta").mode("append").save(src) // v2
+    DeltaTable.vacuum(src, 1) // v2 checkpoint at v2, prefix pruned
+    assert(DeltaLog.v2Manifest(src, 2L).isDefined &&
+      DeltaLog.versions(src) === Seq(2L),
+      "fixture must force the stream's snapshot through the v2 manifest")
+    def ids(t: String): Seq[Long] =
+      spark.read.format("graft-delta").load(t)
+        .select("event_id").as[Long].collect().sorted.toSeq
+    val q1 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(ids(dst) === Seq(0L, 1L, 2L),
+      "initial snapshot must replay across the v2 checkpoint")
+    // tail past the checkpoint; restart resumes without replays
+    Seq(Event(3, ts("2024-01-01 10:03:00"), 2, "view", 4.0))
+      .toDF().write.format("graft-delta").mode("append").save(src) // v3
+    val q2 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ids(dst) === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("delta stream source x deletion vectors: the initial snapshot " +
       "and ignoreChanges re-deliveries subtract vector-dead rows") {
     import graft.sources.{DeltaLog, DeltaTable}
