@@ -819,7 +819,66 @@ object DedupOps {
       |FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
 
+  /** q115 — EDIT-DISTANCE near-dup ([EXT], round 11): the fifth
+    * candidate-generation family beside shingle-Jaccard (q31),
+    * MinHash (q32), SimHash (q33) and embedding cells (q43) —
+    * classic record-linkage BLOCKING + a bounded Levenshtein
+    * confirm. Blocking key = the normalized text's first 16 chars
+    * (an equi-join bucket: candidates must share it — the standard
+    * prefix-block; mutations past the head still match, head
+    * mutations are the other families' job). Guards that keep it
+    * linear at 100 TB: (a) candidate pairs only within a bucket —
+    * never all-pairs; (b) a DEGENERATE-BUCKET cap: buckets over
+    * 4096 members (boilerplate prefixes — the classic blocking
+    * failure mode) are excluded from pairing entirely rather than
+    * silently exploding the join (the cap is part of the declared
+    * semantics and the oracle replays it); (c) a length-band prune
+    * (|len diff| > 64 can't be within distance 48 anyway — the
+    * distance lower bound); (d) the distance itself runs on the
+    * 256-char HEAD window, bounding the O(m·n) DP per pair.
+    * Output: (doc_a, doc_b, dist ≤ 48). Levenshtein is exact
+    * character-level DP on both engines, so the whole operator is
+    * DuckDB hash-verified. */
+  val q115EditDistanceNearDup: Q = (spark, dir) => {
+    val b = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), col("t"),
+        substring(col("t"), 1, 16).as("p"), length(col("t")).as("len"))
+    // degenerate-bucket cap: windowed count per blocking key; the
+    // count shuffles 16-byte keys only, never text payloads twice
+    val capped = b.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("p")))
+      .filter(col("bucket_n") <= 4096).drop("bucket_n")
+    capped.as("a").join(capped.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 64)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(substring(col("a.t"), 1, 256),
+          substring(col("b.t"), 1, 256)).cast("long").as("dist"))
+      .filter(col("dist") <= 48)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q115Oracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id, t, substr(t, 1, 16) AS p, LENGTH(t) AS len,
+      |    COUNT(*) OVER (PARTITION BY substr(t, 1, 16)) AS bucket_n
+      |  FROM n),
+      |capped AS (SELECT * FROM b WHERE bucket_n <= 4096)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(substr(a.t, 1, 256), substr(b.t, 1, 256))
+      |    AS BIGINT) AS dist
+      |FROM capped a JOIN capped b
+      |  ON a.p = b.p AND a.doc_id < b.doc_id
+      |  AND abs(a.len - b.len) <= 64
+      |WHERE levenshtein(substr(a.t, 1, 256), substr(b.t, 1, 256)) <= 48
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q115_editdist_neardup" -> q115EditDistanceNearDup,
     "q36_decontamination" -> q36Decontamination,
     "q30_exact_dedup" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
@@ -829,6 +888,7 @@ object DedupOps {
     "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "q115_editdist_neardup" -> q115Oracle,
     "q36_decontamination" -> q36Oracle,
     "q30_exact_dedup" -> q30Oracle,
     "q31_ngram_jaccard" -> q31Oracle,

@@ -890,7 +890,119 @@ object TextOps {
       |    AS avg_words
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q114 — RAG/CONTEXT CHUNKING ([EXT], round 11): sliding-window
+    * chunking of every document into overlapping token windows
+    * (W=64 tokens, stride S=48 — ~25% overlap, the standard
+    * retrieval / pretraining chunk shape), emitting per chunk a
+    * stable id, its
+    * token offsets and an md5 content fingerprint (the chunk-level
+    * dedup/caching key an embedding pipeline feeds from). Chunk
+    * count per doc = 1 + max(0, ceil((n−W)/S)) — every token is
+    * covered and the tail chunk is never empty. Shapes at scale: one
+    * narrow projection computes the token array ONCE per doc, the
+    * explode fans ~n/S chunk rows (bounded fan-out, no shuffle — a
+    * per-doc map), and the fingerprint is codegen'd md5 over the
+    * sliced window. Fully deterministic integer/hash arithmetic, so
+    * the whole operator is DuckDB hash-verified. */
+  val q114RagChunking: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(
+          "sequence(0, int(greatest(0, ceil((n - 64) / 48.0))))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 48).cast("long").as("start_tok"),
+        expr("slice(t, chunk_id * 48 + 1, 64)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        substring(md5(concat_ws(" ", col("ctoks"))), 1, 16).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+
+  val q114Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, t,
+      |    UNNEST(range(1 + GREATEST(0,
+      |      CAST(CEIL((LEN(t) - 64) / 48.0) AS INT)))) AS chunk_id
+      |  FROM toks)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+      |  CAST(LEN(t[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT)
+      |    AS n_tokens,
+      |  substr(md5(array_to_string(
+      |    t[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')), 1, 16) AS fp
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q116 — TOKEN-BUDGETED corpus mixing ([EXT], round 11): the other
+    * half of data mixing beside q26's rate-based stratified sample —
+    * a pretraining mixture is specified as "take N tokens from source
+    * S" (budgets, not rates), and the selection must be deterministic
+    * so re-runs and incremental consumers touch the same rows. Per
+    * source: docs order by their salted 60-bit hash (a deterministic
+    * shuffle), the running token total accumulates in a window, and a
+    * doc is kept iff it STARTS under the budget (standard take-until-
+    * budget; the boundary doc may overflow it, never undershoot).
+    * Budgets here: src1 6000 / src2 3000 / src3 1500 / src4 750 /
+    * src5 0 tokens — exercising full-keep, partial and zero strata.
+    * Scale shape: one narrow projection (tokens counted, hash
+    * computed), ONE shuffle on source for the cumulative window —
+    * source cardinality is small, but the window is per-source
+    * sequential; at extreme per-source row counts the same budget cut
+    * is served by a two-pass quantile-on-hash prefilter (documented
+    * here), the window form being exact and what the oracle replays.
+    * Output: kept docs with their position and the running total —
+    * hash-verified end to end. */
+  val q116TokenBudgetMix: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        conv(substring(md5(concat(lit("mix:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("budget",
+        when(col("source") === "src1", 6000L)
+          .when(col("source") === "src2", 3000L)
+          .when(col("source") === "src3", 1500L)
+          .when(col("source") === "src4", 750L)
+          .otherwise(0L))
+      .filter(col("cum_tok") - col("n_tok") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("cum_tok"))
+      .orderBy("source", "cum_tok")
+  }
+
+  val q116Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+'))
+      |      AS BIGINT) AS n_tok,
+      |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      |      AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+      |    CASE source WHEN 'src1' THEN 6000 WHEN 'src2' THEN 3000
+      |      WHEN 'src3' THEN 1500 WHEN 'src4' THEN 750 ELSE 0 END
+      |      AS budget
+      |  FROM d)
+      |SELECT doc_id, source, n_tok, cum_tok
+      |FROM c WHERE cum_tok - n_tok < budget
+      |ORDER BY source, cum_tok""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q116_token_budget_mix" -> q116TokenBudgetMix,
+    "q114_rag_chunking" -> q114RagChunking,
     "q109_json_metadata" -> q109JsonMetadata,
     "q76_bpe_trainer" -> q76BpeTrainer,
     "q79_bpe_encode" -> q79BpeEncode,
@@ -911,6 +1023,8 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q116_token_budget_mix" -> q116Oracle,
+    "q114_rag_chunking" -> q114Oracle,
     "q109_json_metadata" -> q109Oracle,
     "q76_bpe_trainer" -> q76Oracle,
     "q79_bpe_encode" -> q79Oracle,

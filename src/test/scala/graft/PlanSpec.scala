@@ -214,4 +214,28 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"band-bucket candidate join must be an equi join:\n$p")
   }
+
+  test("q115 edit-distance near-dup: prefix-block join is an equi join, " +
+      "never a nested loop; q114 chunking is shuffle-free per doc") {
+    val p115 = plan(
+      DedupOps.queries("q115_editdist_neardup")(spark, sf)).toString
+    assert(!p115.contains("NestedLoop") && !p115.contains("CartesianProduct"),
+      s"prefix blocking must never plan all-pairs:\n$p115")
+    assert(p115.contains("SortMergeJoin") ||
+      p115.contains("ShuffledHashJoin") || p115.contains("BroadcastHashJoin"),
+      s"the candidate join must be an equi join on the blocking key:\n$p115")
+    assert(fallbacks(plan(DedupOps.queries(
+      "q115_editdist_neardup")(spark, sf))).isEmpty,
+      "levenshtein confirm must stay codegen'd")
+    // q114: the chunk fan-out is a per-doc map — the ONLY exchange in
+    // the plan is the final presentation orderBy's range partitioning
+    val p114 = plan(
+      graft.operators.TextOps.queries("q114_rag_chunking")(spark, sf))
+    val exchanges = p114.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1 &&
+      exchanges.forall(_.outputPartitioning.toString.contains("range")),
+      s"chunking must not shuffle except the final sort:\n$p114")
+  }
 }
