@@ -549,7 +549,33 @@ object DedupOps {
     * receives the changed-count scalar — cluster-legal at any scale.
     * Oracle: DuckDB recursive CTE computes min-reachable-id per node
     * over the identical confirmed-pair graph. */
-  val q34DedupClusters: Q = (spark, dir) => {
+  /** The converged cluster-label relation (id, label) STAGED and
+    * MEMOIZED per (session, corpus, mtime) like the shingle and ANN
+    * indexes (round 11): cluster resolution is an index a pipeline
+    * builds once and consults many times — q34 serves the labels,
+    * q117 joins them against quality. */
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)] // stateKey, labelsDir
+
+  private[graft] def stagedClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val pathKey = System.identityHashCode(spark).toString + ":cc:" +
+      src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val entry = StagedCache.getOrBuild[(String, String)](
+      clusterCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => (stateKey, buildClusterLabels(spark, dir)))
+    spark.read.parquet(entry._2)
+  }
+
+  /** Pointer-doubling label propagation over the confirmed-pair graph
+    * (the q34 loop); returns the staged dir of the converged (id,
+    * label) relation. */
+  private def buildClusterLabels(spark: SparkSession, dir: String): String = {
     val pairs = minHashConfirmedPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     val edgesDir = graft.Scratch.dir("graft-cc-edges").resolve("e").toString
@@ -591,11 +617,14 @@ object DedupOps {
     // ship un-converged labels as if they were clusters
     require(changed == 0,
       s"dedup-cluster label propagation not converged after $iter rounds")
-    spark.read.parquet(labelsDir)
+    labelsDir
+  }
+
+  val q34DedupClusters: Q = (spark, dir) =>
+    stagedClusterLabels(spark, dir)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
-  }
 
   /** Recursive reachability over the same confirmed-pair graph; a
     * node's cluster = min doc_id it can reach (including itself). */
@@ -877,7 +906,109 @@ object DedupOps {
       |WHERE levenshtein(substr(a.t, 1, 256), substr(b.t, 1, 256)) <= 48
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q117 — QUALITY-AWARE cluster curation ([EXT], round 11): the
+    * composed decision a real curation pipeline makes — q34 resolves
+    * WHO is a duplicate of whom, q22 scores quality, and the keeper
+    * per cluster should be the BEST member, not the arbitrary
+    * min-doc_id: keeper = argmax(stop_ratio, then n_tokens, then min
+    * doc_id) within each connected component. Emits one row per
+    * cluster: size, total member tokens, the chosen keeper and its
+    * score. Serves the MEMOIZED cluster-label index (built once,
+    * shared with q34); the quality join is one doc_id equi-join of a
+    * cluster-member-sized relation against the narrow quality
+    * projection, the keeper pick one small per-cluster window. Both
+    * ingredients are deterministic, so the composition is DuckDB
+    * hash-verified (the oracle replays LSH → reachability → argmax,
+    * staged as temp tables to bound checker memory). */
+  val q117ClusterQualityKeeper: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = stagedClusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val quality = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_hits") / col("n_tokens"), 4).as("stop_ratio"))
+    val members = clusters.join(quality, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("stop_ratio").desc, col("n_tokens").desc, col("doc_id"))
+    val keepers = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_doc"),
+        col("stop_ratio").as("keeper_stop_ratio"))
+    members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).cast("long").as("cluster_tokens"))
+      .join(keepers, "cluster_id")
+      .orderBy("cluster_id")
+  }
+
+  val q117Oracle: String =
+    "CREATE OR REPLACE TEMP TABLE o117_clusters AS WITH RECURSIVE " +
+    oracleShingleCtes.stripPrefix("WITH ") +
+    """,
+      |mh AS (
+      |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
+      |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
+      |bands AS (
+      |  SELECT doc_id, s // 3 AS band,
+      |    md5(MAX(CASE WHEN s % 3 = 0 THEN mh END)
+      |     || MAX(CASE WHEN s % 3 = 1 THEN mh END)
+      |     || MAX(CASE WHEN s % 3 = 2 THEN mh END)) AS bh
+      |  FROM mh GROUP BY doc_id, s // 3),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i.doc_a, i.doc_b
+      |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+      |  JOIN sizes sb ON sb.doc_id = i.doc_b
+      |  WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+      |FROM (SELECT DISTINCT src FROM edges) n
+      |JOIN reach r ON r.src = n.src
+      |GROUP BY n.src;
+      |CREATE OR REPLACE TEMP TABLE o117_m AS
+      |  SELECT c.cluster_id, c.doc_id,
+      |    LEN(string_split_regex(LOWER(TRIM(d.text)), '\s+')) AS n_tokens,
+      |    ROUND(LEN(regexp_extract_all(LOWER(d.text),
+      |        '\b(the|a|of|and|to|in|is)\b'))
+      |      / LEN(string_split_regex(LOWER(TRIM(d.text)), '\s+')), 4)
+      |      AS stop_ratio
+      |  FROM o117_clusters c JOIN documents d ON d.doc_id = c.doc_id;
+      |DROP TABLE o117_clusters;
+      |CREATE OR REPLACE TEMP TABLE o117_out AS
+      |  SELECT g.cluster_id, g.n_members, g.cluster_tokens,
+      |    k.doc_id AS keeper_doc, k.stop_ratio AS keeper_stop_ratio
+      |  FROM (SELECT cluster_id, COUNT(*) AS n_members,
+      |          CAST(SUM(n_tokens) AS BIGINT) AS cluster_tokens
+      |        FROM o117_m GROUP BY 1) g
+      |  JOIN (SELECT cluster_id, doc_id, stop_ratio FROM (
+      |          SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |            ORDER BY stop_ratio DESC, n_tokens DESC, doc_id) AS rk
+      |          FROM o117_m) WHERE rk = 1) k
+      |    ON k.cluster_id = g.cluster_id;
+      |DROP TABLE o117_m;
+      |SELECT * FROM o117_out ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q117_cluster_keeper" -> q117ClusterQualityKeeper,
     "q115_editdist_neardup" -> q115EditDistanceNearDup,
     "q36_decontamination" -> q36Decontamination,
     "q30_exact_dedup" -> q30ExactDedup,
@@ -888,6 +1019,7 @@ object DedupOps {
     "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "q117_cluster_keeper" -> q117Oracle,
     "q115_editdist_neardup" -> q115Oracle,
     "q36_decontamination" -> q36Oracle,
     "q30_exact_dedup" -> q30Oracle,
