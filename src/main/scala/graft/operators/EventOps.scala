@@ -388,7 +388,61 @@ object EventOps {
       |FROM fact JOIN stats USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q118 — FUNNEL ANALYSIS ([EXT], round 11): the classic ordered-
+    * sequence metric over the event stream — per user, the FIRST-TOUCH
+    * click → view → purchase progression: t1 = the user's first click,
+    * t2 = first view at-or-after t1, t3 = first purchase at-or-after
+    * t2; the funnel completes iff t3 − t1 ≤ 1 hour. First-touch
+    * anchoring (vs maximal-window search) is the standard product
+    * metric and — unlike per-row patterns — is a pure composition of
+    * conditional MINs, so the whole operator is engine-replayable and
+    * hash-verified. Emits one row per user who clicked, with stage
+    * timestamps (epoch micros, null if never reached) and the
+    * completion flag. Shapes at scale: three filtered aggregations all
+    * keyed by user_id — ONE shuffle family, co-partitioned joins (AQE
+    * merges them); no windows over the full stream, no event-order
+    * state. */
+  val q118Funnel: Q = (spark, dir) => {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val c1 = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val v2 = e.filter(col("event_type") === "view")
+      .join(c1, "user_id").filter(col("us") >= col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val p3 = e.filter(col("event_type") === "purchase")
+      .join(v2, "user_id").filter(col("us") >= col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    c1.join(v2, Seq("user_id"), "left")
+      .join(p3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (col("t3").isNotNull &&
+          col("t3") - col("t1") <= 3600L * 1000000L).as("completed"))
+      .orderBy("user_id")
+  }
+
+  val q118Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |c1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'click' GROUP BY 1),
+      |v2 AS (SELECT e.user_id, MIN(us) AS t2
+      |  FROM e JOIN c1 ON c1.user_id = e.user_id
+      |  WHERE event_type = 'view' AND us >= t1 GROUP BY 1),
+      |p3 AS (SELECT e.user_id, MIN(us) AS t3
+      |  FROM e JOIN v2 ON v2.user_id = e.user_id
+      |  WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+      |SELECT c1.user_id, t1, t2, t3,
+      |  COALESCE(t3 - t1 <= 3600000000, FALSE) AS completed
+      |FROM c1 LEFT JOIN v2 ON v2.user_id = c1.user_id
+      |LEFT JOIN p3 ON p3.user_id = c1.user_id
+      |ORDER BY c1.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q118_funnel" -> q118Funnel,
     "q82_salted_join" -> q82SaltedJoin,
     "q54_asof_join" -> q54AsofJoin,
     "q55_range_join" -> q55RangeJoin,
@@ -400,6 +454,7 @@ object EventOps {
     "q53_approx_users" -> q53ApproxUsers)
 
   val oracles: Map[String, String] = Map(
+    "q118_funnel" -> q118Oracle,
     "q82_salted_join" -> q82Oracle,
     "q54_asof_join" -> q54Oracle,
     "q55_range_join" -> q55Oracle,
