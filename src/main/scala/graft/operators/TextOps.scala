@@ -1000,7 +1000,237 @@ object TextOps {
       |FROM c WHERE cum_tok - n_tok < budget
       |ORDER BY source, cum_tok""".stripMargin
 
+  /** q119 — N-GRAM LANGUAGE-MODEL PERPLEXITY buckets ([EXT], round
+    * 11): the CCNet-style fluency filter — train an add-k-smoothed
+    * bigram LM on the corpus itself, score every document by its
+    * average negative log-likelihood, and cut each language into
+    * head/middle/tail thirds by percent_rank (the bucket a mixing
+    * pipeline up-/down-weights). P(w2|w1) = (c(w1,w2)+0.5) /
+    * (c(w1)+0.5·V) with V = distinct unigram types; all counts are
+    * exact integers, so the only float math per bigram is two ln's on
+    * identical IEEE inputs in both engines, summed then ROUNDed (the
+    * q35 determinism argument), and ties in the percent_rank ordering
+    * break on doc_id.
+    *
+    * Shape at 100 TB: doc-side bigrams collapse to per-doc TF rows
+    * BEFORE the model join (repetitive text shrinks, worst case 1:1),
+    * staged ONCE per (session, corpus, mtime) so the corpus is
+    * tokenized a single time however many relations consume it; the
+    * LM relations (c2 keyed by bigram, c1 by unigram) are
+    * vocabulary-sized, not corpus-sized — they come off two hash aggs
+    * with map-side combine and broadcast when they fit, otherwise the
+    * score join is a plain bigram-keyed shuffle. V is one memoized
+    * scalar from the build (bounded driver traffic, the q34 license).
+    * The only window is per-language percent_rank (the q27 shape); at
+    * extreme single-language skew the same thirds come from sampled
+    * cutpoints — the exact window form is what the oracle replays. */
+  /** q119's per-doc bigram-TF relation, STAGED and MEMOIZED per
+    * (session, corpus, mtime) like the shingle/BPE indexes: the model
+    * counts (c2, c1), and the score join all consume the same
+    * relation, and Spark does not dedupe common subplans — unstaged,
+    * the corpus would be tokenized four times per run. The vocabulary
+    * size V (one scalar) is computed at build time and memoized with
+    * the entry — a bounded one-row driver value, the q34 license. */
+  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, java.lang.Long)] // stateKey, tfDir, V
+
+  private def stagedLmTf(spark: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val pathKey = System.identityHashCode(spark) + ":lmtf:" + src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    def build(): (String, String, java.lang.Long) = {
+      val toksAll = Tables.load(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      val t = graft.Scratch.dir("graft-lm").resolve("tf").toString
+      toksAll.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+            .as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+        .groupBy("doc_id", "lang", "w1", "w2")
+        .agg(count(lit(1)).as("tf"))
+        .write.parquet(t)
+      val v = toksAll.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w"))).head.getLong(0)
+      (stateKey, t, java.lang.Long.valueOf(v))
+    }
+    val entry = StagedCache.getOrBuild[(String, String, java.lang.Long)](
+      lmCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => build())
+    (spark.read.parquet(entry._2), entry._3.longValue)
+  }
+
+  val q119LmPerplexity: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, v) = stagedLmTf(spark, dir)
+    val c2 = tf.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = tf.groupBy("w1").agg(sum("tf").as("c1"))
+    val sc = tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum("tf").cast("long").as("n_bigrams"),
+        round(-sum(col("tf") *
+          (log(col("c2") + lit(0.5)) - log(col("c1") + lit(0.5) * lit(v.toDouble))))
+          / sum(col("tf")), 4).as("nll"))
+    val w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    sc.withColumn("pr", round(percent_rank().over(w), 4))
+      .withColumn("bucket",
+        when(col("pr") < 0.3333, "head")
+          .when(col("pr") < 0.6667, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "n_bigrams", "nll", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val q119Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |v AS (
+      |  SELECT COUNT(DISTINCT w) AS v
+      |  FROM (SELECT UNNEST(t) AS w FROM tok)),
+      |bg AS (
+      |  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
+      |  FROM tok, UNNEST(range(LEN(t) - 1)) g(i)
+      |  WHERE LEN(t) >= 2),
+      |tf AS (
+      |  SELECT doc_id, lang, w1, w2, COUNT(*) AS tf
+      |  FROM bg GROUP BY ALL),
+      |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT f.doc_id, f.lang,
+      |    CAST(SUM(f.tf) AS BIGINT) AS n_bigrams,
+      |    ROUND(-SUM(f.tf * (LN(c2.c2 + 0.5) - LN(c1.c1 + 0.5 * v.v)))
+      |      / SUM(f.tf), 4) AS nll
+      |  FROM tf f
+      |  JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT *, ROUND(PERCENT_RANK() OVER (
+      |    PARTITION BY lang ORDER BY nll, doc_id), 4) AS pr
+      |  FROM sc)
+      |SELECT doc_id, lang, n_bigrams, nll,
+      |  CASE WHEN pr < 0.3333 THEN 'head'
+      |       WHEN pr < 0.6667 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM pr ORDER BY doc_id""".stripMargin
+
+  /** q120 — TRAINING-SHARD MANIFEST ([EXT], round 11): the handoff
+    * artifact between a curation pipeline and a trainer — every doc
+    * is assigned to one of 16 shards by a salted 60-bit hash (stable
+    * across re-runs, executor counts and engines — the q26 sampling
+    * key), and the manifest records per shard what a loader needs to
+    * plan an epoch: doc count, token total, the id range, and an
+    * ADDITIVE content fingerprint (the sum of per-doc 40-bit hashes —
+    * commutative, so it needs no collect_list/sort and stays O(1)
+    * state per shard; 40 bits keeps the BIGINT sum overflow-free to
+    * ~10^12 docs/shard). Scale shape: one narrow codegen'd projection,
+    * ONE 16-group hash agg with map-side combine — the manifest is
+    * O(shards) regardless of corpus size; no per-shard data movement
+    * happens here (writers consume the assignment column). */
+  val q120ShardManifest: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 16).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        conv(substring(md5(concat(lit("fp:"),
+          col("doc_id").cast("string"))), 1, 10), 16, 10)
+          .cast("long").as("fph"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("total_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum("fph").cast("long").as("manifest_fp"))
+      .orderBy("shard")
+
+  val q120Oracle: String =
+    """SELECT
+      |  ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16
+      |    AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+'))
+      |    AS BIGINT)) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc,
+      |  CAST(SUM(('0x' || substr(md5('fp:' || doc_id::VARCHAR), 1, 10))::BIGINT)
+      |    AS BIGINT) AS manifest_fp
+      |FROM documents
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** q121 — TEMPERATURE-BASED domain mixing ([EXT], round 11): the
+    * multinomial re-weighting (alpha = 0.5) that up-samples small
+    * domains for pretraining — weight_s ∝ count_s^alpha, a target
+    * total of half the corpus is split by weight, and each domain's
+    * acceptance ratio is capped at 1 (no upsampling-by-duplication
+    * here; the cap is reported so a loader knows which domains need
+    * repetition instead). The per-doc keep decision is the q26
+    * deterministic-hash coin (u = 24-bit salted md5 / 2^24) compared
+    * against the ROUNDED ratio, so both engines compare identical
+    * doubles — sqrt is IEEE-exact on integer counts and the only
+    * order-dependent sum (Σ count^alpha over domains) sits behind a
+    * 6-decimal round with ~1e-16 spread. Scale shape: domain stats
+    * are one tiny hash agg broadcast back onto a narrow per-row
+    * filter — no corpus shuffle at all; the kept-count audit agg is
+    * map-side-combined on ~|domains| keys. */
+  val q121TemperatureMix: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    val tot = w.agg(sum(sqrt(col("c"))).as("s"), sum("c").as("n"))
+    val r = w.crossJoin(broadcast(tot))
+      .withColumn("weight", round(sqrt(col("c")) / col("s"), 6))
+      .withColumn("accept_ratio",
+        round(least(lit(1.0),
+          lit(0.5) * col("n") * sqrt(col("c")) / col("s") / col("c")), 6))
+    val kept = docs
+      .withColumn("u",
+        conv(substring(md5(concat(lit("temp:"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") / lit(16777216.0))
+      .join(broadcast(r.select("source", "accept_ratio")), "source")
+      .filter(col("u") < col("accept_ratio"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    r.join(broadcast(kept), Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .select(col("source"), col("c").as("n_docs"), col("weight"),
+        col("accept_ratio"), col("n_kept"))
+      .orderBy("source")
+  }
+
+  val q121Oracle: String =
+    """WITH w AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(SQRT(c)) AS s, SUM(c) AS n FROM w),
+      |r AS (
+      |  SELECT source, c, ROUND(SQRT(c) / t.s, 6) AS weight,
+      |    ROUND(LEAST(1.0, 0.5 * t.n * SQRT(c) / t.s / c), 6) AS accept_ratio
+      |  FROM w CROSS JOIN tot t),
+      |kept AS (
+      |  SELECT d.source, COUNT(*) AS n_kept
+      |  FROM documents d JOIN r USING (source)
+      |  WHERE (('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 6))::BIGINT
+      |    / 16777216.0) < r.accept_ratio
+      |  GROUP BY 1)
+      |SELECT r.source, r.c AS n_docs, r.weight, r.accept_ratio,
+      |  COALESCE(k.n_kept, 0) AS n_kept
+      |FROM r LEFT JOIN kept k USING (source)
+      |ORDER BY r.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q119_lm_perplexity" -> q119LmPerplexity,
+    "q120_shard_manifest" -> q120ShardManifest,
+    "q121_temperature_mix" -> q121TemperatureMix,
     "q116_token_budget_mix" -> q116TokenBudgetMix,
     "q114_rag_chunking" -> q114RagChunking,
     "q109_json_metadata" -> q109JsonMetadata,
@@ -1023,6 +1253,9 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q119_lm_perplexity" -> q119Oracle,
+    "q120_shard_manifest" -> q120Oracle,
+    "q121_temperature_mix" -> q121Oracle,
     "q116_token_budget_mix" -> q116Oracle,
     "q114_rag_chunking" -> q114Oracle,
     "q109_json_metadata" -> q109Oracle,

@@ -143,4 +143,30 @@ class DegenerateDocsSpec extends SparkSpec {
       s"real vocabulary must rank: $terms")
     assert(!terms.contains(null), "null never becomes a term")
   }
+
+  test("lm perplexity: sub-bigram and null docs absent, twins score identically") {
+    val rows = TextOps.q119LmPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // docs with >= 2 tokens score: 4, 6, 7 — AND the whitespace-only
+    // doc 2, whose split keeps the two boundary empties ("","") in
+    // BOTH engines (Spark split limit=-1 == DuckDB string_split_regex;
+    // verified cross-engine), making one degenerate bigram. Null (0,5),
+    // empty (1, one "" token) and single-token (3) docs are absent.
+    assert(rows.keySet === Set(2L, 4L, 6L, 7L), s"scored docs: ${rows.keySet}")
+    assert(rows(6L) === rows(7L), "identical twins get the identical nll")
+    assert(rows.values.forall(v => !v.isNaN && !v.isInfinity))
+  }
+
+  test("shard manifest covers degenerate docs; null-text token sum well-defined") {
+    val m = TextOps.q120ShardManifest(spark, dir).collect()
+    assert(m.map(_.getLong(1)).sum === 8L, "all 8 docs assigned a shard")
+  }
+
+  test("temperature mix on a single degenerate-heavy domain: exact half kept target") {
+    val rows = TextOps.q121TemperatureMix(spark, dir).collect()
+    assert(rows.length === 1)
+    // one domain: ratio = 0.5 * n * sqrt(c)/sqrt(c) / c = 0.5 exactly
+    assert(rows.head.getDouble(3) === 0.5)
+    assert(rows.head.getLong(4) <= rows.head.getLong(1))
+  }
 }

@@ -310,4 +310,59 @@ class EventTextSpec extends SparkSpec {
     assert(det(1L) === "es")
     assert(det(2L) === "de")
   }
+
+  test("lm perplexity: every multi-token doc scored, per-lang thirds, repeated text is head") {
+    val rows = TextOps.q119LmPerplexity(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    val docs = Tables.load(spark, sf, "documents")
+    val eligible = docs.filter(
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+        .split(org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("text"))), "\\s+")) >= 2)
+      .count()
+    assert(rows.length.toLong === eligible,
+      "one score row per doc with >= 1 bigram")
+    assert(rows.forall(r => r._4 > 0 && !r._4.isNaN),
+      "nll is positive and finite (smoothed LM never assigns P=1 or 0)")
+    // per-language bucket split is thirds (by percent_rank construction)
+    for ((lang, rs) <- rows.groupBy(_._2) if rs.length >= 9) {
+      val n = rs.length
+      val byB = rs.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(Set("head", "middle", "tail").subsetOf(byB.keySet),
+        s"$lang has all three buckets: $byB")
+      assert(byB.values.forall(c => math.abs(c - n / 3.0) <= n / 3.0 * 0.5 + 2),
+        s"$lang buckets near thirds: $byB")
+    }
+  }
+
+  test("shard manifest: partitions the corpus, additive fingerprint is stable") {
+    val m1 = TextOps.q120ShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(m1.map(_._2).sum === total, "shards partition the corpus exactly")
+    assert(m1.map(_._1).toSet.subsetOf((0L until 16L).toSet))
+    assert(m1.forall(_._3 > 0), "every shard carries tokens")
+    // deterministic: a re-run books the identical manifest fingerprints
+    val m2 = TextOps.q120ShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(5)))
+    assert(m1.map(t => (t._1, t._4)).toSeq === m2.toSeq)
+  }
+
+  test("temperature mix: ratios capped at 1, small domains upweighted, kept <= docs") {
+    val rows = TextOps.q121TemperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.forall(r => r._4 <= 1.0 && r._4 > 0.0))
+    assert(rows.forall(r => r._5 <= r._2))
+    // alpha < 1 flattens: acceptance ratio is non-increasing in domain size
+    // (ratio ∝ c^(alpha-1) until the cap)
+    val bySize = rows.sortBy(_._2)
+    for (Array(a, b) <- bySize.sliding(2) if a._2 < b._2)
+      assert(a._4 >= b._4 - 1e-9,
+        s"smaller domain ${a._1} must not have lower acceptance than ${b._1}")
+    // weights are a distribution
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+  }
 }
