@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, HyperplaneBits, SimHashAgg, SortedOverlap, WordShingles}
+import graft.functions.{BloomContains, BloomFilterAgg, CosineSimilarity, HyperplaneBits, SimHashAgg, SortedOverlap, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions first-class session citizens, so
@@ -91,6 +91,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"graft_simhash_agg requires exactly 1 argument, got ${children.length}")
         SimHashAgg(children.head).toAggregateExpression()
+      }))
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"graft_bloom_agg requires exactly 3 arguments, got ${children.length}")
+        BloomFilterAgg(children.head,
+          intLit(children(1), "graft_bloom_agg mBits"),
+          intLit(children(2), "graft_bloom_agg k")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"graft_bloom_contains requires exactly 3 arguments, got ${children.length}")
+        BloomContains(children.head, children(1),
+          intLit(children(2), "graft_bloom_contains k"))
       }))
   }
 }

@@ -163,5 +163,28 @@ object GraftFunctions {
         SimHashAgg(exprs.head).toAggregateExpression()
       },
       "built-in")
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_bloom_agg requires exactly 3 arguments, got ${exprs.length}")
+        BloomFilterAgg(exprs.head, intLit(exprs(1), "graft_bloom_agg mBits"),
+          intLit(exprs(2), "graft_bloom_agg k")).toAggregateExpression()
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_bloom_contains requires exactly 3 arguments, got ${exprs.length}")
+        BloomContains(exprs.head, exprs(1),
+          intLit(exprs(2), "graft_bloom_contains k"))
+      },
+      "built-in")
   }
 }

@@ -848,6 +848,76 @@ object DedupOps {
       |FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
 
+  /** q122 — BLOOM-PRUNED decontamination ([EXT], round 11): q36's
+    * semantics (which training docs share a 5-gram with a held-out
+    * eval set — here `src7`) behind a BLOOM PREFILTER, the shape that
+    * survives when the eval set itself is too large to broadcast as a
+    * distinct-gram relation: the eval grams fold into an m-bit bitset
+    * via the native `graft_bloom_agg` (k=7 probes; partial states
+    * OR-merge, so the agg map-combines like any other), the train side
+    * probes the BROADCAST bitset with the codegen'd
+    * `graft_bloom_contains` (a fixed-size byte[] — ~8 KB here, 2 MB at
+    * m=2^24 — instead of a gram table), and only the surviving
+    * candidates reach the exact confirm join. No false negatives by
+    * construction, false positives die in the confirm, so the COMPOSED
+    * operator is exact — the oracle is the plain exact SQL and never
+    * needs to model the filter. m auto-scales with the eval set
+    * (16 bits/gram, clamped to [2^16, 2^27] — ~0.04% FPR at design
+    * load, the q42/q45 corpus-scaled-parameter lesson), sized by one
+    * bounded driver count of the eval gram relation.
+    *
+    * Shape at 100 TB: the train side stays a narrow scan → probe →
+    * confirm pipeline with NO shuffle before the per-doc hit agg; the
+    * broadcast is O(m) bits regardless of eval cardinality; the
+    * confirm join's right side is the eval distinct grams — only
+    * needed for the (tiny) candidate stream. */
+  val q122BloomDecontam: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.register(spark)
+    val evalSrc = "src7"
+    val g = stagedDeconGrams(spark, dir)
+    val ev = g.filter(col("source") === evalSrc).select("shingle").distinct()
+    val nEv = ev.count() // one bounded driver scalar, sizes the filter
+    val mBits = {
+      val want = 16L * math.max(nEv, 1L)
+      var m = 1L << 16
+      while (m < want && m < (1L << 27)) m <<= 1
+      m.toInt
+    }
+    val bloom = ev.agg(expr(s"graft_bloom_agg(shingle, $mBits, 7)").as("bloom"))
+    val train = g.filter(col("source") =!= evalSrc)
+    val candidates = train.crossJoin(broadcast(bloom))
+      .filter(expr("graft_bloom_contains(bloom, shingle, 7)"))
+      .drop("bloom")
+    val hits = candidates.join(broadcast(ev), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    hits.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits") / col("n_shingles"), 4).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val q122Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]), 1, 15))::BIGINT AS shingle
+      |  FROM tok, UNNEST(range(GREATEST(LEN(t)-4, 0))) g(i)),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src7'),
+      |sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+      |  WHERE source <> 'src7' GROUP BY 1),
+      |hits AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_hits
+      |  FROM sh s JOIN ev ON s.shingle = ev.shingle
+      |  WHERE s.source <> 'src7' GROUP BY 1)
+      |SELECT h.doc_id, h.n_hits, z.n_shingles,
+      |  ROUND(h.n_hits / z.n_shingles, 4) AS contamination
+      |FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
   /** q115 — EDIT-DISTANCE near-dup ([EXT], round 11): the fifth
     * candidate-generation family beside shingle-Jaccard (q31),
     * MinHash (q32), SimHash (q33) and embedding cells (q43) —
@@ -1008,6 +1078,7 @@ object DedupOps {
       |SELECT * FROM o117_out ORDER BY cluster_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q122_bloom_decontam" -> q122BloomDecontam,
     "q117_cluster_keeper" -> q117ClusterQualityKeeper,
     "q115_editdist_neardup" -> q115EditDistanceNearDup,
     "q36_decontamination" -> q36Decontamination,
@@ -1019,6 +1090,7 @@ object DedupOps {
     "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "q122_bloom_decontam" -> q122Oracle,
     "q117_cluster_keeper" -> q117Oracle,
     "q115_editdist_neardup" -> q115Oracle,
     "q36_decontamination" -> q36Oracle,

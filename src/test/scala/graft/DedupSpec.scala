@@ -382,6 +382,61 @@ class DedupSpec extends SparkSpec {
     assert(selfPairs === expected)
   }
 
+  test("bloom filter: zero false negatives, bounded false positives, build==probe layout") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // 2,000 member hashes folded into a 2^16-bit filter (k=7): every
+    // member MUST probe true (the no-false-negative guarantee the
+    // exact-confirm composition relies on); disjoint non-members probe
+    // true at ~the design FPR (<< 1% at 32 bits/element) — assert a
+    // generous 5% ceiling so the test never flakes on hash accidents
+    val members = spark.range(0, 2000)
+      .select((col("id") * 2654435761L + 12345L).as("h"))
+    members.createOrReplaceTempView("bloom_members")
+    val bloom = spark.sql(
+      "SELECT graft_bloom_agg(h, 65536, 7) AS bloom FROM bloom_members")
+    val withBloom = members.crossJoin(broadcast(bloom))
+    assert(withBloom.filter(expr("graft_bloom_contains(bloom, h, 7)")).count()
+      === 2000L, "every inserted hash must be contained")
+    val nonMembers = spark.range(0, 10000)
+      .select((col("id") * 987654321987L + 777L).as("h"))
+      .crossJoin(broadcast(bloom))
+    val fp = nonMembers.filter(expr("graft_bloom_contains(bloom, h, 7)")).count()
+    assert(fp <= 500L, s"false-positive count $fp exceeds 5% of 10k probes")
+  }
+
+  test("bloom decontamination == exact decontamination; the prefilter actually prunes") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // q122 (bloom-pruned, src7 eval) must equal the plain exact
+    // formulation computed independently here — the bloom is a
+    // transparent optimization
+    val dir = sf
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(expr("graft_shingles(text, 5)")).as("shingle"))
+    val ev = grams.filter(col("source") === "src7").select("shingle").distinct()
+    val train = grams.filter(col("source") =!= "src7")
+    val exact = train.join(broadcast(ev), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .join(train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles")), "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits") / col("n_shingles"), 4).as("contamination"))
+      .orderBy("doc_id")
+    val got = DedupOps.q122BloomDecontam(spark, dir)
+    assert(got.collect().toSeq === exact.collect().toSeq)
+    // pruning: probes passing the filter are a small fraction of the
+    // train grams (eval stratum is ~5% of the corpus)
+    val nEv = ev.count()
+    val mBits = { var m = 1L << 16; while (m < 16L * nEv && m < (1L << 27)) m <<= 1; m }
+    val bloom = ev.agg(expr(s"graft_bloom_agg(shingle, $mBits, 7)").as("bloom"))
+    val total = train.count()
+    val passed = train.crossJoin(broadcast(bloom))
+      .filter(expr("graft_bloom_contains(bloom, shingle, 7)")).count()
+    assert(passed < total / 2,
+      s"bloom prefilter must prune the train side: $passed of $total passed")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val docs = Seq(
       (0L, "hello   world", "en", "s", 13L),
