@@ -1102,7 +1102,79 @@ object StorageOps {
       |    WHEN n_regionkey = 2 THEN -1 ELSE 0 END) FROM nation)
       |ORDER BY at""".stripMargin
 
+  /** q123 — CONVERT TO DELTA ([EXT], round 11, stock Delta's in-place
+    * parquet adoption): a pre-existing Hive-partitioned plain-parquet
+    * dataset becomes a delta table with ONE metadata commit — no byte
+    * of data moves (at 100 TB the difference between a day-long
+    * rewrite and a listing walk). The converted table is then proven a
+    * full citizen: SQL DELETE rewrites one partition's files, the read
+    * back prunes on the partition column, and the final aggregate
+    * replays the convert + DML algebra against the source table. The
+    * PARTITIONED BY clause cross-checks the declared layout against
+    * the directories (a mismatch refuses loudly — StorageSpec). */
+  val q123ConvertToDelta: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val t = freshDir("graft-convert")
+    c.write.partitionBy("c_mktsegment").parquet(t) // NOT a delta table
+    spark.sql(s"CONVERT TO DELTA parquet.`$t` " +
+      "PARTITIONED BY (c_mktsegment STRING)").collect()          // v0
+    spark.sql(s"DELETE FROM delta.`$t` WHERE c_custkey <= 100")
+      .collect()                                                 // v1
+    DeltaTable.read(spark, t)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q123Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer WHERE c_custkey > 100
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q124 — SQL CTAS + SHALLOW CLONE ([EXT], round 11, completing the
+    * SQL DDL arc): `CREATE TABLE delta.`path` … AS SELECT` routes a
+    * full Spark SELECT into a partitioned delta sink, `CREATE OR
+    * REPLACE` overwrites it (the replaced version stays
+    * time-travelable), and `CREATE TABLE … SHALLOW CLONE … VERSION AS
+    * OF 0` snapshots the pre-replace state as a zero-copy metadata
+    * table. The result reads the clone per-region plus the replaced
+    * table's count — so a clone that resolved the wrong version, or a
+    * replace that merged instead of overwrote, hash-fails. */
+  val q124SqlCtas: Q = (spark, dir) => {
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("q124_nation")
+    val t = freshDir("graft-ctas")
+    val t2 = freshDir("graft-ctas-clone")
+    spark.sql(s"CREATE TABLE delta.`$t` USING DELTA " +
+      "PARTITIONED BY (n_regionkey) AS " +
+      "SELECT n_nationkey, n_name, n_regionkey FROM q124_nation")
+      .collect()                                                 // v0
+    spark.sql(s"CREATE OR REPLACE TABLE delta.`$t` AS " +
+      "SELECT n_nationkey, n_name, n_regionkey FROM q124_nation " +
+      "WHERE n_regionkey <= 2").collect()                        // v1
+    spark.sql(s"CREATE TABLE delta.`$t2` SHALLOW CLONE delta.`$t` " +
+      "VERSION AS OF 0").collect()
+    spark.sql(
+      s"""SELECT CONCAT('clone_r', n_regionkey) AS at,
+         |  COUNT(*) AS n_rows
+         |FROM delta.`$t2` GROUP BY n_regionkey
+         |UNION ALL
+         |SELECT 'replaced', COUNT(*) FROM delta.`$t`
+         |ORDER BY at""".stripMargin)
+  }
+
+  val q124Oracle: String =
+    """SELECT CONCAT('clone_r', n_regionkey) AS at,
+      |  COUNT(*) AS n_rows
+      |FROM nation GROUP BY n_regionkey
+      |UNION ALL
+      |SELECT 'replaced', COUNT(*) FROM nation WHERE n_regionkey <= 2
+      |ORDER BY at""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q124_sql_ctas" -> q124SqlCtas,
+    "q123_convert_to_delta" -> q123ConvertToDelta,
     "q113_sql_timetravel" -> q113SqlTimeTravel,
     "q112_sql_dml" -> q112SqlDml,
     "q111_v2_checkpoint" -> q111V2Checkpoint,
@@ -1137,6 +1209,8 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q124_sql_ctas" -> q124Oracle,
+    "q123_convert_to_delta" -> q123Oracle,
     "q113_sql_timetravel" -> q113Oracle,
     "q112_sql_dml" -> q112Oracle,
     "q111_v2_checkpoint" -> q111Oracle,

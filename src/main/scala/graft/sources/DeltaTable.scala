@@ -3143,6 +3143,93 @@ object DeltaTable {
     DeltaLog.commit(target, -1L, actions)
   }
 
+  /** CONVERT TO DELTA (the public protocol's in-place adoption of an
+    * existing parquet directory, optionally Hive-partitioned): no byte
+    * of data moves or is rewritten — version 0 commits one `add` per
+    * existing parquet file, with the schema (partition columns
+    * included) inferred by Spark's own parquet reader. At 100 TB this
+    * is the difference between a day-long rewrite and one metadata
+    * commit: the conversion cost is one footer-less listing walk plus
+    * one distributed stats job (itself optional best-effort), never a
+    * data read. Partition directories (`col=value/`) become
+    * partitionValues exactly as [[stageIn]] records them for native
+    * writes, so pruning, stats-based skipping and every later DML work
+    * identically on converted and natively-written tables.
+    *
+    * Like stock Delta's `CONVERT TO DELTA parquet.`…``, the operation
+    * refuses a directory that is already a delta table, and is
+    * IDEMPOTENT ONLY by that refusal (a second convert fails loudly
+    * rather than double-adding). Zero-row files are adopted (they
+    * exist; dropping them would make vacuum treat them as garbage
+    * while a concurrent plain-parquet reader still lists them). */
+  def convertToDelta(spark: SparkSession, table: String,
+      declaredPartCols: Option[Seq[String]] = None): Long = {
+    require(DeltaLog.versions(table).isEmpty,
+      s"convert: $table is already a delta table")
+    val tableDir = Paths.get(table).toAbsolutePath.normalize
+    require(Files.isDirectory(tableDir), s"convert: not a directory: $table")
+    val walk = Files.walk(tableDir)
+    val files =
+      try walk.iterator.asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq.sortBy(_.toString)
+      finally walk.close()
+    require(files.nonEmpty, s"convert: no parquet files under $table")
+    // Spark's reader infers the FULL logical schema — data columns
+    // from footers, partition columns (typed) from the directory
+    // layout — which is exactly what the metaData must declare.
+    val df = spark.read.parquet(tableDir.toString)
+    val partCols: Seq[String] = {
+      val rel = tableDir.relativize(files.head)
+      (0 until rel.getNameCount - 1).map { i =>
+        val seg = rel.getName(i).toString
+        val eq = seg.indexOf('=')
+        require(eq > 0,
+          s"convert: non-Hive directory level '$seg' under $table " +
+            "(expected col=value)")
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.take(eq))
+      }
+    }
+    for (declared <- declaredPartCols)
+      require(declared.map(_.toLowerCase) == partCols.map(_.toLowerCase),
+        s"convert: PARTITIONED BY (${declared.mkString(",")}) does not " +
+          s"match the directory layout (${partCols.mkString(",")})")
+    // same one-job stats pass a native write gets; keys are paths
+    // relative to the table root, identical to the adds below
+    val statsByFile = collectStats(spark, tableDir.toString, df.schema)
+    val adds = files.map { p =>
+      val rel = tableDir.relativize(p)
+      val partitionValues = (0 until rel.getNameCount - 1).map { i =>
+        val seg = rel.getName(i).toString
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"convert: unexpected directory level '$seg'")
+        val k = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.take(eq))
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(eq + 1))
+        k -> v
+      }.toMap
+      require(partitionValues.keySet == partCols.toSet,
+        s"convert: inconsistent partition layout at $rel " +
+          s"(expected ${partCols.mkString(",")})")
+      val stats = {
+        val collected = statsByFile.getOrElse(rel.toString, Map.empty)
+        if (collected.nonEmpty) collected
+        else stagedRowCount(spark, p)
+          .map(c => Map("n" -> c.toString)).getOrElse(Map.empty)
+      }
+      DeltaLog.AddFile(rel.toString, Files.size(p), stats, partitionValues)
+    }
+    val actions =
+      Seq(DeltaLog.commitInfoAction("CONVERT"),
+        DeltaLog.protocolAction(),
+        DeltaLog.metaDataAction(df.schema.json, partCols,
+          DeltaLog.tableId(table))) ++ adds.map(DeltaLog.addActionOf(_))
+    DeltaLog.commit(table, -1L, actions)
+  }
+
   // -- data skipping ---------------------------------------------------
 
   /** One Spark job computing per-staged-file row counts and min/max of

@@ -108,6 +108,20 @@ object GraftSqlParser {
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val AlterRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl + """\s+(.+?)\s*;?\s*$""").r
+  /** `parquet.`/p`` — CONVERT's source idiom (a parquet directory, not
+    * yet a delta table); the plain quoted forms also accepted. */
+  private val PqTbl =
+    """(?:parquet\s*\.\s*`([^`]+)`|'([^']+)'|"([^"]+)")"""
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+""" + PqTbl +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val CtasRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Tbl +
+      """(?:\s+USING\s+(?:graft[-_]?)?delta)?""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.+?)\s*;?\s*$""").r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + Tbl + """\s+SHALLOW\s+CLONE\s+""" +
+      Tbl + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   private val ZorderTail = """(?is)^ZORDER\s+BY\s+\(?\s*([^)]+?)\s*\)?$""".r
   private val WhereTail = """(?is)^WHERE\s+(.+)$""".r
@@ -253,6 +267,22 @@ object GraftSqlParser {
           "MERGE ON: expected a conjunction of equalities, not a comma")
       }
       Some(GraftMerge(pathOf(a, b, c), src, keys))
+    case ConvertRe(a, b, c, partCols) =>
+      Some(GraftConvertToDelta(pathOf(a, b, c),
+        Option(partCols).map(splitTopLevel(_, ',').map(_.trim)
+          // stock CONVERT declares `col type`; only the name gates
+          // (the engine re-infers the type from the directory layout)
+          .map(_.split("""\s+""")(0).stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq)))
+    case CloneRe(a, b, c, sa, sb, sc, v) =>
+      Some(GraftShallowClone(pathOf(sa, sb, sc), pathOf(a, b, c),
+        Option(v).map(_.toLong)))
+    case CtasRe(orReplace, a, b, c, partCols, select) =>
+      delegate.parsePlan(select) // surface syntax errors at parse time
+      Some(GraftCreateTableAs(pathOf(a, b, c), select,
+        replace = orReplace != null,
+        Option(partCols).toSeq.flatMap(splitTopLevel(_, ',').map(_.trim)
+          .map(_.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
     case DescribeRe(kind, a, b, c) =>
       if (kind.equalsIgnoreCase("HISTORY"))
         Some(GraftDescribeHistory(pathOf(a, b, c)))
@@ -467,4 +497,51 @@ case class GraftAlterColumnType(path: String, col: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(DeltaTable.alterColumnType(path, col, to)))
+}
+
+/** `CONVERT TO DELTA parquet.`/path` [PARTITIONED BY (col type, …)]`
+  * → [[DeltaTable.convertToDelta]]: in-place adoption, zero data
+  * movement (one add per existing file). The PARTITIONED BY names are
+  * a cross-check against the inferred directory layout — stock
+  * CONVERT's contract that a caller's partition expectation and the
+  * physical layout cannot silently diverge. */
+case class GraftConvertToDelta(path: String,
+    declaredPartCols: Option[Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(DeltaTable.convertToDelta(session, path, declaredPartCols)))
+}
+
+/** `CREATE TABLE delta.`/t2` SHALLOW CLONE delta.`/t1` [VERSION AS OF
+  * n]` → [[DeltaTable.shallowClone]]: metadata-only copy, one commit,
+  * zero bytes moved. */
+case class GraftShallowClone(source: String, target: String,
+    versionAsOf: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(DeltaTable.shallowClone(source, target, versionAsOf)))
+}
+
+/** `CREATE [OR REPLACE] TABLE delta.`/path` [USING DELTA] [PARTITIONED
+  * BY (cols)] AS SELECT …` → a distributed write of the SELECT's
+  * result through [[DeltaTable.write]]. Plain CREATE refuses an
+  * existing table (stock semantics); OR REPLACE overwrites — the
+  * replaced version stays time-travelable like any overwrite. The
+  * SELECT itself is Spark's own plan (parsed by the delegate), so the
+  * full query surface — joins, windows, subqueries — works unchanged;
+  * this command only routes the sink. */
+case class GraftCreateTableAs(path: String, selectSql: String,
+    replace: Boolean, partitionBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(replace || DeltaLog.versions(path).isEmpty,
+      s"CREATE TABLE: $path already exists (use CREATE OR REPLACE)")
+    val df = session.sql(selectSql)
+    Seq(Row(DeltaTable.write(df, path, "overwrite",
+      partitionBy = partitionBy)))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions.{col, lit}
 import graft.sources.{DeltaLog, DeltaTable}
+import scala.jdk.CollectionConverters._
 
 /** The round-10 SQL DDL surface (GraftSqlParser via GraftExtensions):
   * every path-addressed maintenance statement must hit the same
@@ -305,5 +306,100 @@ class GraftSqlSpec extends SparkSpec {
         !ex.getMessage.contains("key-upsert"),
         s"catalog DML must delegate to Spark: $dml -> ${ex.getMessage}")
     }
+  }
+
+  test("CONVERT TO DELTA adopts a partitioned parquet dir in place; " +
+      "refuses re-convert and a mismatched PARTITIONED BY") {
+    val t = freshTable()
+    threeRows.withColumn("seg", col("id") % 2)
+      .write.partitionBy("seg").parquet(t)
+    val dataFilesBefore = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      try w.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toList
+      finally w.close()
+    }
+    spark.sql(s"CONVERT TO DELTA parquet.`$t` PARTITIONED BY (seg BIGINT)")
+      .collect()
+    // version 0, one add per file, partition values decoded
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.version === 0L)
+    assert(snap.files.length === dataFilesBefore.length)
+    assert(snap.partitionColumns === Seq("seg"))
+    assert(snap.files.forall(f => Set("0", "1")(f.partitionValues("seg"))))
+    // zero data movement: every pre-existing file still in place, unmodified
+    dataFilesBefore.foreach { case (p, mtime) =>
+      assert(java.nio.file.Files.getLastModifiedTime(p) === mtime,
+        s"convert must not rewrite $p")
+    }
+    // the converted table reads identically to the parquet original
+    assert(DeltaTable.read(spark, t).orderBy("id")
+      .select("id", "name", "salary", "seg").collect().toSeq ===
+      spark.read.parquet(t).orderBy("id")
+        .select("id", "name", "salary", "seg").collect().toSeq)
+    // full citizen: DML works post-convert
+    spark.sql(s"DELETE FROM delta.`$t` WHERE id = 1").collect()
+    assert(DeltaTable.read(spark, t).count() === 2)
+    // refusals: re-convert, and a declared layout that contradicts disk
+    intercept[IllegalArgumentException](
+      spark.sql(s"CONVERT TO DELTA parquet.`$t`"))
+    val t2 = freshTable()
+    threeRows.write.parquet(t2)
+    intercept[IllegalArgumentException](
+      spark.sql(s"CONVERT TO DELTA parquet.`$t2` PARTITIONED BY (seg INT)"))
+  }
+
+  test("CONVERT TO DELTA on an unpartitioned dir; stats support skipping") {
+    val t = freshTable()
+    threeRows.coalesce(1).write.parquet(t)
+    spark.sql(s"CONVERT TO DELTA '$t'").collect()
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.partitionColumns.isEmpty)
+    // the convert-time stats job recorded per-file min/max + n
+    assert(snap.files.forall(_.stats.get("n").contains("3")),
+      snap.files.map(_.stats).toString)
+    assert(snap.files.head.stats.get("min.id").contains("1"))
+    assert(snap.files.head.stats.get("max.salary").contains("80000"))
+  }
+
+  test("CREATE TABLE AS SELECT routes to a delta sink; plain CREATE " +
+      "refuses an existing target; OR REPLACE overwrites") {
+    val t = freshTable()
+    threeRows.createOrReplaceTempView("sqlspec_ctas_src")
+    spark.sql(s"CREATE TABLE delta.`$t` USING DELTA PARTITIONED BY (name) " +
+      "AS SELECT id, name, salary FROM sqlspec_ctas_src").collect()
+    assert(DeltaLog.snapshot(t).partitionColumns === Seq("name"))
+    assert(DeltaTable.read(spark, t).count() === 3)
+    val ex = intercept[IllegalArgumentException](
+      spark.sql(s"CREATE TABLE delta.`$t` AS " +
+        "SELECT * FROM sqlspec_ctas_src"))
+    assert(ex.getMessage.contains("already exists"))
+    spark.sql(s"CREATE OR REPLACE TABLE delta.`$t` AS " +
+      "SELECT id FROM sqlspec_ctas_src WHERE id <= 2").collect()
+    assert(DeltaTable.read(spark, t).columns.toSeq === Seq("id"))
+    assert(DeltaTable.read(spark, t).count() === 2)
+    // the replaced version stays time-travelable
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(0L)).count() === 3)
+    // catalog CTAS delegates to Spark untouched
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE sqlspec_nodb.t AS SELECT 1"))
+    assert(!e2.getMessage.contains("graft"), e2.getMessage)
+  }
+
+  test("CREATE TABLE SHALLOW CLONE via SQL, with VERSION AS OF") {
+    val src = freshTable()
+    DeltaTable.write(threeRows, src, "overwrite")          // v0
+    DeltaTable.write(threeRows.filter(col("id") === 1), src, "append") // v1
+    val clone0 = freshTable()
+    val cloneHead = freshTable()
+    spark.sql(s"CREATE TABLE delta.`$clone0` SHALLOW CLONE delta.`$src` " +
+      "VERSION AS OF 0").collect()
+    spark.sql(s"CREATE TABLE delta.`$cloneHead` SHALLOW CLONE " +
+      s"delta.`$src`").collect()
+    assert(DeltaTable.read(spark, clone0).count() === 3)
+    assert(DeltaTable.read(spark, cloneHead).count() === 4)
+    // zero-copy: the clone's adds reference the source's bytes
+    assert(DeltaLog.snapshot(clone0).files.forall(_.path.startsWith("/")))
   }
 }
