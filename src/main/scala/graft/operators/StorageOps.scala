@@ -1172,7 +1172,42 @@ object StorageOps {
       |SELECT 'replaced', COUNT(*) FROM nation WHERE n_regionkey <= 2
       |ORDER BY at""".stripMargin
 
+  /** q125 — COPY INTO ([EXT], round 11, the SQL ingestion idiom): a
+    * growing landing zone loads into a delta table exactly once per
+    * source file, the ledger riding the table's own log (per-file
+    * domainMetadata committed atomically with the data). The fixture
+    * loads batch 1, RE-RUNS the same statement (must be a 0-file
+    * no-op — that row is part of the oracle), drops batch 2 into the
+    * zone and runs again (must load ONLY the gain). The per-region
+    * counts then match the source exactly: any double-load or skip
+    * hash-fails. */
+  val q125CopyInto: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val t = freshDir("graft-copyinto")
+    val src = freshDir("graft-copyinto-src")
+    DeltaTable.write(n.limit(0).coalesce(1), t, "overwrite") // empty shell
+    n.filter(col("n_regionkey") <= 1).coalesce(1)
+      .write.parquet(s"$src/batch1")
+    spark.sql(s"COPY INTO delta.`$t` FROM '$src'").collect()
+    val rerun = spark.sql(
+      s"COPY INTO delta.`$t` FROM '$src' FILEFORMAT = PARQUET")
+      .head.getLong(1) // idempotent re-run: 0 files
+    n.filter(col("n_regionkey") >= 2).coalesce(1)
+      .write.parquet(s"$src/batch2")
+    spark.sql(s"COPY INTO delta.`$t` FROM '$src'").collect()
+    DeltaTable.read(spark, t)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n_rows"))
+      .withColumn("rerun_files", lit(rerun))
+      .orderBy("n_regionkey")
+  }
+
+  val q125Oracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS rerun_files
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_copy_into" -> q125CopyInto,
     "q124_sql_ctas" -> q124SqlCtas,
     "q123_convert_to_delta" -> q123ConvertToDelta,
     "q113_sql_timetravel" -> q113SqlTimeTravel,
@@ -1209,6 +1244,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q125_copy_into" -> q125Oracle,
     "q124_sql_ctas" -> q124Oracle,
     "q123_convert_to_delta" -> q123Oracle,
     "q113_sql_timetravel" -> q113Oracle,

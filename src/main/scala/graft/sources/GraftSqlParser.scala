@@ -122,6 +122,9 @@ object GraftSqlParser {
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Tbl + """\s+SHALLOW\s+CLONE\s+""" +
       Tbl + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + Tbl + """\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
 
   private val ZorderTail = """(?is)^ZORDER\s+BY\s+\(?\s*([^)]+?)\s*\)?$""".r
   private val WhereTail = """(?is)^WHERE\s+(.+)$""".r
@@ -274,6 +277,8 @@ object GraftSqlParser {
           // (the engine re-infers the type from the directory layout)
           .map(_.split("""\s+""")(0).stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq)))
+    case CopyIntoRe(a, b, c, src) =>
+      Some(GraftCopyInto(pathOf(a, b, c), src))
     case CloneRe(a, b, c, sa, sb, sc, v) =>
       Some(GraftShallowClone(pathOf(sa, sb, sc), pathOf(a, b, c),
         Option(v).map(_.toLong)))
@@ -543,5 +548,21 @@ case class GraftCreateTableAs(path: String, selectSql: String,
     val df = session.sql(selectSql)
     Seq(Row(DeltaTable.write(df, path, "overwrite",
       partitionBy = partitionBy)))
+  }
+}
+
+/** `COPY INTO delta.`/t` FROM '/src' [FILEFORMAT = PARQUET]` →
+  * [[DeltaTable.copyInto]]: exactly-once-per-source-file append, the
+  * ledger riding the target's own log (per-file domainMetadata) so a
+  * re-run — or a crash-and-rerun — loads nothing twice. Returns
+  * (version, files_loaded). */
+case class GraftCopyInto(path: String, source: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, n) = DeltaTable.copyInto(session, path, source)
+    Seq(Row(v, n.toLong))
   }
 }

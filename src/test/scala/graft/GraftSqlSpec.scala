@@ -402,4 +402,73 @@ class GraftSqlSpec extends SparkSpec {
     // zero-copy: the clone's adds reference the source's bytes
     assert(DeltaLog.snapshot(clone0).files.forall(_.path.startsWith("/")))
   }
+
+  test("COPY INTO loads each source file exactly once; a rewritten " +
+      "source file counts as new; schema mismatch refuses") {
+    val t = freshTable()
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyinto").toString
+    DeltaTable.write(threeRows.limit(0), t, "overwrite") // empty shell
+    threeRows.filter(col("id") <= 2).coalesce(1)
+      .write.parquet(s"$src/b1")
+    val r1 = spark.sql(s"COPY INTO delta.`$t` FROM '$src'").head
+    assert(r1.getLong(1) === 1L, "one staged part file loaded")
+    assert(DeltaTable.read(spark, t).count() === 2)
+    // exact re-run: nothing loads, no commit
+    val vBefore = DeltaLog.snapshot(t).version
+    val r2 = spark.sql(s"COPY INTO delta.`$t` FROM '$src'").head
+    assert(r2.getLong(1) === 0L && r2.getLong(0) === vBefore)
+    assert(DeltaTable.read(spark, t).count() === 2)
+    // the zone grows: only the gain loads
+    threeRows.filter(col("id") === 3).coalesce(1)
+      .write.parquet(s"$src/b2")
+    assert(spark.sql(s"COPY INTO delta.`$t` FROM '$src'")
+      .head.getLong(1) === 1L)
+    assert(DeltaTable.read(spark, t).orderBy("id")
+      .select("id").as[Int].collect().toSeq === Seq(1, 2, 3))
+    // rewriting a source file (same path, new mtime/size) = new file
+    threeRows.filter(col("id") === 3).coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/b2")
+    assert(spark.sql(s"COPY INTO delta.`$t` FROM '$src'")
+      .head.getLong(1) === 1L)
+    assert(DeltaTable.read(spark, t).count() === 4)
+    // the ledger rides the log: one domain per loaded file
+    assert(DeltaLog.snapshot(t).domainMetadata.keys
+      .count(_.startsWith("graft.copyInto.")) === 3)
+    // schema mismatch refuses loudly
+    val badSrc = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyinto-bad").toString
+    threeRows.withColumnRenamed("salary", "wage").coalesce(1)
+      .write.parquet(s"$badSrc/b")
+    val ex = intercept[IllegalArgumentException](
+      spark.sql(s"COPY INTO delta.`$t` FROM '$badSrc'").collect())
+    assert(ex.getMessage.contains("does not match"))
+    // a missing target refuses (stock contract: CREATE first)
+    intercept[IllegalArgumentException](
+      spark.sql(s"COPY INTO delta.`${freshTable()}` FROM '$src'").collect())
+  }
+
+  test("COPY INTO enforces CHECK constraints and respects partitioning") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.withColumn("seg", col("id") % 2),
+      t, "overwrite", partitionBy = Seq("seg"))
+    spark.sql(s"ALTER TABLE delta.`$t` ADD CONSTRAINT pos " +
+      "CHECK (salary > 0)")
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyinto-c").toString
+    Seq((9, "Niner", 1000L, 1)).toDF("id", "name", "salary", "seg")
+      .coalesce(1).write.parquet(s"$src/ok")
+    spark.sql(s"COPY INTO delta.`$t` FROM '$src'").collect()
+    // the ingested rows landed under the table's partition layout
+    val f9 = DeltaLog.snapshot(t).files
+      .filter(_.partitionValues.get("seg").contains("1"))
+    assert(f9.nonEmpty)
+    assert(DeltaTable.read(spark, t).count() === 4)
+    Seq((10, "Bad", -5L, 0)).toDF("id", "name", "salary", "seg")
+      .coalesce(1).write.parquet(s"$src/bad")
+    val ex = intercept[IllegalArgumentException](
+      spark.sql(s"COPY INTO delta.`$t` FROM '$src'").collect())
+    assert(ex.getMessage.contains("CHECK constraint"))
+    assert(DeltaTable.read(spark, t).count() === 4, "aborted load adds nothing")
+  }
 }
