@@ -39,6 +39,8 @@ object SparkEntry {
   def rowsOnlyByDesign: Map[String, String] = Map(
     "q42_ann_ivf" ->
       "approximate by construction (k-means IVF is engine-internal); verified by the recall-vs-brute-force bounds in SimilaritySpec",
+    "q126_pq_ann" ->
+      "approximate by construction (k-means PQ codebooks are engine-internal); SimilaritySpec pins ADC==reconstructed-cosine equality and recall vs exact q40",
     "q43_cell_neardup" ->
       "index-backed; SimilaritySpec proves output EQUALITY with the exact all-pairs q41 on both fixtures",
     "q53_approx_users" ->

@@ -837,6 +837,127 @@ object SimilarityOps {
       |SELECT query_id, neighbor_id, cosine_sq, rank FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // -- product quantization (PQ/ADC) -----------------------------------
+
+  /** PQ SUBSPACE COUNT and per-subspace codebook size. m=4 splits the
+    * 64-dim embedding into 16-dim sub-vectors; ksub scales with the
+    * corpus like the IVF cell count (more vectors → more codebook
+    * resolution buys real recall), capped so the codebook broadcast
+    * (m × ksub × dim/m = dim × ksub floats) stays trivially small.
+    * Compression at ksub ≤ 256: one BYTE per subspace → m bytes per
+    * vector vs 4·dim — 64× smaller than float32 at these shapes, the
+    * reason PQ is the billion-vector serving format. */
+  private val PqM = 4
+  private def pqKsubFor(n: Long): Int =
+    math.max(16, math.min(256, (n / 32L).toInt))
+
+  /** The staged PQ index — codes (vec_id, sub, code) + codebooks
+    * (sub, code, centroid) — memoized per (session, corpus, mtime,
+    * ksub) like the SQ8 and IVF indexes: built once, served from
+    * parquet. Each subspace trains its own deterministic Lloyd
+    * codebook (the [[kmeans]] helper over SLICED sub-vectors — seeds =
+    * k lowest vec_ids, cosine assignment, the engine's standing
+    * deterministic-k-means recipe), so the whole build is m bounded
+    * k-means runs over (n × dim/m) slices; the corpus pays one
+    * assignment pass per subspace and nothing is ever all-pairs. */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String)] // state, codesDir, centsDir
+
+  private def pqIndexEntry(spark: SparkSession,
+      dir: String): (String, String, String) = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val pathKey = System.identityHashCode(spark) + ":pq:" + src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    def build(): (String, String, String) = {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      require(dim % PqM == 0, s"PQ: dim $dim not divisible by m=$PqM")
+      val subDim = dim / PqM
+      val ksub = pqKsubFor(e.count())
+      val parts = (0 until PqM).map { s =>
+        val eSub = e.select(col("vec_id"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+        val (assign, cent) = kmeans(eSub, ksub, IvfIters)
+        (assign.withColumn("sub", lit(s))
+           .select(col("vec_id"), col("sub"), col("cell").as("code")),
+         cent.withColumn("sub", lit(s))
+           .select(col("sub"), col("cell").as("code"), col("centroid")))
+      }
+      val base = graft.Scratch.dir("graft-pq")
+      val codesDir = base.resolve("codes").toString
+      val centsDir = base.resolve("cents").toString
+      parts.map(_._1).reduce(_ unionByName _).write.parquet(codesDir)
+      parts.map(_._2).reduce(_ unionByName _).coalesce(1)
+        .write.parquet(centsDir)
+      (stateKey, codesDir, centsDir)
+    }
+    StagedCache.getOrBuild[(String, String, String)](
+      pqIndexCache, pathKey,
+      cur => cur._1 == stateKey && Seq(cur._2, cur._3).forall(d =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
+      () => build())
+  }
+
+  private[graft] def stagedPqCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(pqIndexEntry(spark, dir)._2)
+  private[graft] def stagedPqCents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(pqIndexEntry(spark, dir)._3)
+
+  /** q126 — PRODUCT-QUANTIZED (PQ/ADC) ANN: the fourth compressed
+    * search family beside IVF partition pruning (q42), scalar
+    * quantization (q46) and hyperplane LSH (q45) — and the standard
+    * billion-vector serving format (m bytes/vector vs 4·dim float32;
+    * 64× compression at these shapes). Search is faiss-style
+    * ASYMMETRIC DISTANCE COMPUTATION: the full-precision query
+    * precomputes one lookup table of per-(sub, code) partial dot
+    * products and centroid norms — |Q| × m × ksub rows, broadcast —
+    * and each corpus vector's score is the SUM of m table lookups
+    * along its codes. The corpus pass never touches a float vector:
+    * one narrow join of the codes table against the broadcast LUT +
+    * one hash agg, the plan that scans a 100 TB corpus as a ~1.5 TB
+    * codes table. Scoring is algebraically IDENTICAL to cosine against
+    * the concatenated-centroid reconstruction (SimilaritySpec pins the
+    * equality, plus recall vs exact q40); k-means codebooks are
+    * engine-internal → rows-only by design, like q42. */
+  val q126PqAnn: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val codes = stagedPqCodes(spark, dir)
+    val cents = stagedPqCents(spark, dir)
+    val e = Tables.load(spark, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val subDim = dim / PqM
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("query_id"), col("pos"), col("v").cast("double").as("v"))
+    // ADC lookup table: partial dot of each query sub-vector with each
+    // sub-codebook centroid, plus the centroid's own norm contribution
+    val cvals = cents.select(col("sub"), col("code"),
+        posexplode(col("centroid")).as(Seq("cpos", "cv")))
+      .select((col("sub") * subDim + col("cpos")).as("pos"),
+        col("sub"), col("code"), col("cv").cast("double").as("cv"))
+    val lut = qv.join(broadcast(cvals), "pos")
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(sum(col("v") * col("cv")).as("qdot"),
+        sum(col("cv") * col("cv")).as("c2"))
+    val nq = qv.groupBy("query_id").agg(sum(col("v") * col("v")).as("nq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_pq").desc, col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qdot")).as("dot"), sum(col("c2")).as("r2"))
+      .join(broadcast(nq), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("r2"))), 4)
+          .as("cosine_pq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** q47's stage 1 as a standalone relation — q46's fused SQ8 search
     * widened to a top-20 (query_id, neighbor_id) shortlist. Kept
     * declarative (and separately plan-guarded in PlanSpec: ONE fused
@@ -1304,6 +1425,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q126_pq_ann" -> q126PqAnn,
     "q40_ann_bruteforce" -> q40AnnBruteForce,
     "q41_embed_neardup" -> q41EmbedNearDup,
     "q81_ivf_maintenance" -> q81IvfMaintenance,

@@ -478,4 +478,63 @@ class SimilaritySpec extends SparkSpec {
     val again = SimilarityOps.q81IvfMaintenance(spark, sf).collect()
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
+
+  test("PQ/ADC search: score equals cosine against the reconstructed " +
+      "vector, codes are complete, recall vs exact is measured") {
+    val pq = SimilarityOps.q126PqAnn(spark, sf).collect()
+    val byQuery = pq.groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach(rs => assert(rs.length === 10))
+    // codes table shape: one code per (vector, subspace)
+    val codes = SimilarityOps.stagedPqCodes(spark, sf)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(codes.count() === n * 4)
+    assert(codes.groupBy("sub").count().collect()
+      .forall(_.getLong(1) === n))
+    // ADC identity: the LUT-sum score IS the cosine of the query
+    // against the concatenated-centroid reconstruction — rebuild the
+    // reconstruction explicitly and compare scores exactly (both
+    // rounded to the same 4 decimals the query emits)
+    val cents = SimilarityOps.stagedPqCents(spark, sf)
+    val recon = codes.join(cents, Seq("sub", "code"))
+      .select(col("vec_id"), col("sub"),
+        posexplode(col("centroid")).as(Seq("cpos", "cv")))
+      .select(col("vec_id"), (col("sub") * 16 + col("cpos")).as("pos"),
+        col("cv").cast("double").as("rv"))
+    val qv = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("query_id"), col("pos"), col("v").cast("double").as("v"))
+    val direct = qv.join(recon, "pos")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("v") * col("rv")).as("dot"),
+        sum(col("v") * col("v")).as("nq"),
+        sum(col("rv") * col("rv")).as("nr"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("nr"))), 4)
+          .as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    pq.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val adc = r.getDouble(2)
+      assert(math.abs(direct(k) - adc) <= 1e-9,
+        s"ADC score must equal reconstructed cosine at $k: " +
+          s"adc=$adc direct=${direct(k)}")
+    }
+    // recall vs exact brute force: PQ scans everything (no pruning),
+    // so even coarse 16-way sub-codebooks on quasi-uniform synthetic
+    // data must beat random (10/500 = 2%) by a wide margin
+    val brute = SimilarityOps.q40AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pqSet).size.toDouble / brute.size
+    // measured 0.32 on the driver fixture (m=4, ksub=16, quasi-uniform
+    // 64-dim synthetic data) — 16x better than random top-10 (2%);
+    // floor at 0.2 for robustness to fixture regeneration
+    assert(recall >= 0.2, s"PQ recall too low: $recall")
+    assert(pqSet.forall { case (q, nb) => q != nb })
+  }
 }
