@@ -230,6 +230,70 @@ object DedupOps {
       |      UNION ALL SELECT * FROM documents WHERE doc_id % 2 = 0)
       |GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
+  /** q127 — LEAKAGE-SAFE train/val/test split: the eval-hygiene twin
+    * of decontamination (q36/q122). A naive per-document hash split
+    * puts exact duplicates on BOTH sides of the train/test boundary —
+    * the classic self-contamination bug (a 100 TB web corpus is
+    * 20-40% near-duplicate). The fix is to split by CONTENT GROUP:
+    * the assignment hash is keyed on the q30 content fingerprint, so
+    * every copy of a text follows its group into one split, by
+    * construction. The fixture duplicates half the corpus under fresh
+    * doc_ids to make the hazard real; the output carries a computed
+    * leakage audit (groups straddling >1 split — the check a real
+    * pipeline runs before training) which must be 0, plus per-split
+    * doc/group counts. Scale shape: one md5-key groupBy shuffle and
+    * two hash aggs — no windows, no driver traffic; the 80/10/10
+    * bucket arithmetic is the q26 md5 technique, replayed exactly by
+    * the DuckDB oracle (hash-green, unlike a random split). */
+  val q127LeakageSafeSplit: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val withDups = docs.unionByName(docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+    val assigned = withDups
+      .withColumn("fingerprint", md5(normText(col("text"))))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), col("fingerprint"))),
+          1, 15), 16, 10).cast("long") % 10)
+      .withColumn("split", when(col("bucket") < 8, "train")
+        .when(col("bucket") === 8, "val").otherwise("test"))
+    val leaky = assigned.groupBy("fingerprint")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .agg(count(lit(1)).as("leaky_groups"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fingerprint")).as("n_groups"))
+      .crossJoin(broadcast(leaky))
+      .orderBy("split")
+  }
+
+  val q127Oracle: String =
+    """WITH corpus AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |s AS (
+      |  SELECT doc_id, fingerprint,
+      |    CASE WHEN bucket < 8 THEN 'train'
+      |         WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id, fingerprint,
+      |      ('0x' || substr(md5('split:' || fingerprint), 1, 15))::BIGINT
+      |        % 10 AS bucket
+      |    FROM (SELECT doc_id,
+      |            md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+      |              AS fingerprint
+      |          FROM corpus))),
+      |leak AS (
+      |  SELECT COUNT(*) AS leaky_groups FROM (
+      |    SELECT fingerprint FROM s GROUP BY fingerprint
+      |    HAVING COUNT(DISTINCT split) > 1))
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT fingerprint) AS n_groups,
+      |  (SELECT leaky_groups FROM leak) AS leaky_groups
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   /** q31 — n-gram Jaccard near-dup, EXACT, via prefix filtering
     * (AllPairs/PPJoin): a naive shared-shingle join fans out
     * quadratically on frequent shingles (measured: 80 s of an
@@ -1078,6 +1142,7 @@ object DedupOps {
       |SELECT * FROM o117_out ORDER BY cluster_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q127_leakage_safe_split" -> q127LeakageSafeSplit,
     "q122_bloom_decontam" -> q122BloomDecontam,
     "q117_cluster_keeper" -> q117ClusterQualityKeeper,
     "q115_editdist_neardup" -> q115EditDistanceNearDup,
@@ -1090,6 +1155,7 @@ object DedupOps {
     "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "q127_leakage_safe_split" -> q127Oracle,
     "q122_bloom_decontam" -> q122Oracle,
     "q117_cluster_keeper" -> q117Oracle,
     "q115_editdist_neardup" -> q115Oracle,

@@ -450,4 +450,21 @@ class DedupSpec extends SparkSpec {
     assert(fps(0L) === fps(1L))
     assert(fps(0L) !== fps(2L))
   }
+
+  test("leakage-safe split (q127): duplicates never straddle splits; " +
+      "80/10/10 shape holds roughly") {
+    val rows = DedupOps.q127LeakageSafeSplit(spark, sf).collect()
+    val bySplit = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // the computed audit: zero content groups straddle a split boundary
+    assert(rows.forall(_.getLong(3) === 0L),
+      s"leaky groups must be 0: ${rows.toSeq}")
+    // hash-split shape: train holds the large majority of groups
+    val total = bySplit.values.map(_._2).sum.toDouble
+    assert(bySplit("train")._2 / total > 0.6,
+      s"train share off: $bySplit")
+    // duplicated docs (the +100000 ids) inflate docs above groups
+    assert(bySplit.values.map(_._1).sum > total)
+  }
 }
