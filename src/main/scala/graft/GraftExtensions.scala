@@ -42,6 +42,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // only serves FileFormat providers; see GraftPathTableResolution)
     ext.injectParser((session, delegate) =>
       new graft.sources.GraftSqlParser(session, delegate))
+    // table_changes('/path', from [, to]) — the public CDF SQL idiom
+    // over path tables: the TVF resolves to the SAME plan
+    // DeltaTable.changes builds (appends from add actions, DML from
+    // _change_data sidecars), so SQL and Scala consumers cannot
+    // diverge. Versions are long literals; `to` defaults to the
+    // table's latest version at resolution time.
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.sources.DeltaTable.getClass.getName,
+        "table_changes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        require(children.length == 2 || children.length == 3,
+          "table_changes requires (path, fromVersion[, toVersion]), " +
+            s"got ${children.length} arguments")
+        val path = children.head match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes path must be a string literal, got $other")
+        }
+        def ver(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"table_changes $what must be an integer literal, got $other")
+        }
+        val from = ver(children(1), "fromVersion")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val to =
+          if (children.length == 3) ver(children(2), "toVersion")
+          else graft.sources.DeltaTable.latestVersion(path)
+        graft.sources.DeltaTable.changes(spark, path, from, to)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

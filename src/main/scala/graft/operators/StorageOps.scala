@@ -1206,7 +1206,41 @@ object StorageOps {
       |  CAST(0 AS BIGINT) AS rerun_files
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** q128 — table_changes TVF ([EXT], round 11): the public CDF SQL
+    * idiom — `SELECT … FROM table_changes('/path', from, to)` —
+    * resolved by the injected table function to the SAME plan
+    * `DeltaTable.changes` builds, so the SQL and Scala feeds cannot
+    * diverge. Fixture: CDF-enabled nation table, append (v2) + DELETE
+    * (v3); the query aggregates the feed per (change type, region) —
+    * inserts from the append's add actions, deletes from the DML's
+    * `_change_data` sidecar — and the oracle replays the same algebra
+    * over the source table. */
+  val q128TableChangesSql: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation").coalesce(1)
+    val t = freshDir("graft-tvf-cdf")
+    DeltaTable.write(n, t, "overwrite")                            // v0
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v1
+    DeltaTable.write(n.filter(col("n_regionkey") <= 1).coalesce(1),
+      t, "append")                                                 // v2
+    DeltaTable.delete(spark, t, col("n_regionkey") === 3)          // v3
+    spark.sql(
+      s"""SELECT _change_type, n_regionkey, COUNT(*) AS n
+         |FROM table_changes('$t', 2, 3)
+         |GROUP BY _change_type, n_regionkey
+         |ORDER BY _change_type, n_regionkey""".stripMargin)
+  }
+
+  val q128Oracle: String =
+    """SELECT _change_type, n_regionkey, COUNT(*) AS n FROM (
+      |  SELECT 'insert' AS _change_type, n_regionkey FROM nation
+      |  WHERE n_regionkey <= 1
+      |  UNION ALL
+      |  SELECT 'delete', n_regionkey FROM nation WHERE n_regionkey = 3)
+      |GROUP BY _change_type, n_regionkey
+      |ORDER BY _change_type, n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q128_table_changes_sql" -> q128TableChangesSql,
     "q125_copy_into" -> q125CopyInto,
     "q124_sql_ctas" -> q124SqlCtas,
     "q123_convert_to_delta" -> q123ConvertToDelta,
@@ -1244,6 +1278,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q128_table_changes_sql" -> q128Oracle,
     "q125_copy_into" -> q125Oracle,
     "q124_sql_ctas" -> q124Oracle,
     "q123_convert_to_delta" -> q123Oracle,

@@ -524,6 +524,34 @@ object DeltaTable {
       s"addCheckConstraint($table, $name): lost the commit race $maxAttempts times")
   }
 
+  /** ALTER TABLE DROP CONSTRAINT — remove `delta.constraints.<name>`
+    * from the metaData configuration in one commit. Dropping an
+    * unknown constraint refuses loudly (stock's IF EXISTS is the
+    * caller's conditional, not silent tolerance here). The protocol
+    * stays at writer ≥3 — the version gate is a high-water mark, not a
+    * live count, matching stock Delta. */
+  def dropCheckConstraint(table: String, name: String): Long = {
+    val key = s"delta.constraints.$name"
+    val maxAttempts = 8
+    for (_ <- 1 to maxAttempts) {
+      val snap = DeltaLog.snapshot(table)
+      require(snap.configuration.contains(key),
+        s"no CHECK constraint named $name on $table " +
+          s"(have: ${snap.checkConstraints.map(_._1).sorted.mkString(",")})")
+      val actions = Seq(DeltaLog.commitInfoAction("DROP CONSTRAINT")) ++
+        snap.schemaJson.map(DeltaLog.metaDataAction(_,
+          snap.partitionColumns, DeltaLog.tableId(table),
+          snap.configuration - key))
+      try return gatedCommit(table, snap, actions)
+      catch {
+        case _: IllegalStateException => Thread.sleep(5L)
+      }
+    }
+    throw new IllegalStateException(
+      s"dropCheckConstraint($table, $name): lost the commit race " +
+        s"$maxAttempts times")
+  }
+
   /** ALTER TABLE SET TBLPROPERTIES (k = v) — a plain metadata commit
     * carrying the updated configuration. Properties with their own
     * lifecycle APIs are rejected here: constraints need existing-data
@@ -2734,16 +2762,22 @@ object DeltaTable {
     * backup/restore that scrambles file mtimes cannot shrink the
     * window) — and always at least the latest version. Delegates to
     * the version-count vacuum for the actual collection. */
-  def vacuumRetain(table: String, retainMillis: Long): Seq[String] = {
+  def vacuumRetain(table: String, retainMillis: Long,
+      dryRun: Boolean = false): Seq[String] = {
     require(retainMillis >= 0, "retention must be non-negative")
     val cutoff = System.currentTimeMillis() - retainMillis
     val ts = DeltaLog.commitTimestamps(table)
     require(ts.nonEmpty, s"not a delta table: $table")
     val keep = math.max(1, ts.count(_._2 >= cutoff))
-    vacuum(table, keep)
+    vacuum(table, keep, dryRun)
   }
 
-  def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
+  /** `dryRun = true` (the public `VACUUM … DRY RUN`): return the data
+    * files the equivalent real vacuum would delete, touching NOTHING —
+    * no checkpoint write, no log prune, no deletion. The operator's
+    * audit mode: run it before a retention change on a 100 TB table. */
+  def vacuum(table: String, keepVersions: Int = 1,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = DeltaLog.versions(table)
     if (vs.length <= keepVersions) return Seq.empty
@@ -2761,6 +2795,22 @@ object DeltaTable {
       keepSnaps.flatMap(_.files.flatMap(_.dv.map(_.path)))
     val horizon = keep.head
     val logDir = DeltaLog.logDir(table)
+    if (dryRun) {
+      // list, never touch: same walk + same referenced-set subtraction
+      // the destructive path runs at its step 4
+      val tableDir = Paths.get(table)
+      val w = Files.walk(tableDir)
+      val onDisk =
+        try w.iterator.asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") ||
+            p.getFileName.toString.endsWith(".bin"))
+          .map(p => tableDir.relativize(p).toString)
+          .filterNot(rel => rel.startsWith(".staging-") ||
+            rel.startsWith("_delta_log"))
+          .toSeq
+        finally w.close()
+      return onDisk.filterNot(referenced).sorted
+    }
     // 1+2. both checkpoint formats + the _last_checkpoint hint for the
     // horizon (shared with the periodic auto-checkpoint policy)
     writeCheckpoint(table, horizon)

@@ -99,7 +99,7 @@ object GraftSqlParser {
     """(?is)^\s*`?(\w+)`?\s*=\s*(.+?)\s*$""".r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Tbl +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""").r
   private val DescribeRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+""" + Tbl +
       """\s*;?\s*$""").r
@@ -135,6 +135,8 @@ object GraftSqlParser {
   private val RenameColTail =
     """(?is)^RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?$""".r
   private val DropColTail = """(?is)^DROP\s+COLUMN\s+`?(\w+)`?$""".r
+  private val DropConstraintTail =
+    """(?is)^DROP\s+CONSTRAINT\s+(\w+)$""".r
   private val AlterColTail =
     """(?is)^ALTER\s+COLUMN\s+`?(\w+)`?\s+(?:SET\s+)?(?:DATA\s+)?TYPE\s+(.+)$""".r
 
@@ -209,9 +211,9 @@ object GraftSqlParser {
           s"OPTIMIZE: unrecognized clause '$other' (expected nothing, " +
             "WHERE <partition predicate>, or ZORDER BY (cols))")
       }
-    case VacuumRe(a, b, c, hours) =>
+    case VacuumRe(a, b, c, hours, dry) =>
       Some(GraftVacuum(pathOf(a, b, c),
-        Option(hours).map(_.toLong)))
+        Option(hours).map(_.toLong), dryRun = dry != null))
     case DeleteRe(a, b, c, pred) =>
       // parse the predicate NOW so syntax errors surface at parse time
       // (the OPTIMIZE WHERE pattern); the SQL string travels because an
@@ -299,6 +301,8 @@ object GraftSqlParser {
       tail match {
         case AddConstraintTail(name, expr) =>
           Some(GraftAddConstraint(path, name, expr.trim))
+        case DropConstraintTail(name) =>
+          Some(GraftDropConstraint(path, name))
         case SetPropsTail(pairs) =>
           val kvs = PropPair.findAllMatchIn(pairs)
             .map(m => m.group(1) -> m.group(2)).toSeq
@@ -314,7 +318,7 @@ object GraftSqlParser {
             delegate.parseDataType(tpe.trim)))
         case other => throw new IllegalArgumentException(
           s"ALTER TABLE on a path table: unrecognized clause '$other' " +
-            "(supported: ADD CONSTRAINT, SET TBLPROPERTIES, RENAME " +
+            "(supported: ADD/DROP CONSTRAINT, SET TBLPROPERTIES, RENAME " +
             "COLUMN, DROP COLUMN, ALTER COLUMN ... TYPE)")
       }
     case _ => None
@@ -352,14 +356,24 @@ case class GraftOptimize(path: String, whereSql: Option[String],
   * historical data file and destroys time travel, a far more
   * destructive operation than the SQL idiom implies. The full prune
   * stays reachable, but only by saying so: `RETAIN 0 HOURS`. */
-case class GraftVacuum(path: String, retainHours: Option[Long])
-    extends LeafRunnableCommand {
+case class GraftVacuum(path: String, retainHours: Option[Long],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_path", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val hours = retainHours.getOrElse(7L * 24L)
-    DeltaTable.vacuumRetain(path, hours * 3600L * 1000L).map(Row(_))
+    DeltaTable.vacuumRetain(path, hours * 3600L * 1000L, dryRun).map(Row(_))
   }
+}
+
+/** `ALTER TABLE path DROP CONSTRAINT name` →
+  * [[DeltaTable.dropCheckConstraint]]. */
+case class GraftDropConstraint(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(DeltaTable.dropCheckConstraint(path, name)))
 }
 
 /** The source clause of a path-table MERGE: another path table, a

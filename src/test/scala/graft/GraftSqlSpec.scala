@@ -471,4 +471,67 @@ class GraftSqlSpec extends SparkSpec {
     assert(ex.getMessage.contains("CHECK constraint"))
     assert(DeltaTable.read(spark, t).count() === 4, "aborted load adds nothing")
   }
+
+  test("VACUUM DRY RUN lists without deleting; the real run deletes " +
+      "exactly the listed files") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v0
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v1
+    val listed = spark.sql(s"VACUUM delta.`$t` RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(listed.nonEmpty, "v0's file must be listed at RETAIN 0")
+    // nothing moved: files still on disk, full history still readable
+    listed.foreach(f => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t).resolve(f)), s"dry run must not delete $f"))
+    assert(DeltaTable.read(spark, t, Some(0L)).count() === 3,
+      "time travel must survive a dry run")
+    // the destructive run deletes exactly what the dry run predicted
+    val deleted = spark.sql(s"VACUUM delta.`$t` RETAIN 0 HOURS")
+      .collect().map(_.getString(0)).toSeq
+    assert(deleted.sorted === listed.sorted)
+    listed.foreach(f => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t).resolve(f))))
+  }
+
+  test("ALTER TABLE DROP CONSTRAINT lifts enforcement; unknown name " +
+      "refuses") {
+    val t = freshTable()
+    DeltaTable.write(threeRows, t, "overwrite")
+    spark.sql(s"ALTER TABLE delta.`$t` ADD CONSTRAINT pos " +
+      "CHECK (salary > 0)").collect()
+    val bad = Seq((9, "Z", -5L)).toDF("id", "name", "salary")
+    intercept[IllegalArgumentException](DeltaTable.write(bad, t, "append"))
+    spark.sql(s"ALTER TABLE delta.`$t` DROP CONSTRAINT pos").collect()
+    DeltaTable.write(bad, t, "append") // enforcement lifted
+    assert(DeltaTable.read(spark, t).count() === 4)
+    assert(!DeltaLog.snapshot(t).configuration.contains(
+      "delta.constraints.pos"))
+    val ex = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE delta.`$t` DROP CONSTRAINT nope").collect())
+    assert(ex.getMessage.contains("no CHECK constraint"))
+  }
+
+  test("table_changes TVF serves the change feed through pure SQL") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v0
+    DeltaTable.setTableProperty(t, "delta.enableChangeDataFeed", "true") // v1
+    DeltaTable.write(threeRows.filter(col("id") === 1).coalesce(1),
+      t, "append")                                               // v2
+    DeltaTable.delete(spark, t, col("id") === 2)                 // v3
+    val viaSql = spark.sql(
+      s"SELECT * FROM table_changes('$t', 2, 3) ORDER BY id, _change_type")
+      .collect().toSeq
+    val viaApi = DeltaTable.changes(spark, t, 2, 3)
+      .orderBy("id", "_change_type").collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.nonEmpty)
+    // two-arg form defaults to the latest version
+    val openEnded = spark.sql(
+      s"SELECT COUNT(*) AS n FROM table_changes('$t', 2)").head.getLong(0)
+    assert(openEnded === viaApi.length)
+    // a non-literal path refuses loudly at resolution
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes(1, 2)").collect())
+    assert(ex.getMessage.contains("string literal"))
+  }
 }
