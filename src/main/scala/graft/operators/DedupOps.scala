@@ -1008,33 +1008,27 @@ object DedupOps {
       .select(col("doc_id"), col("t"),
         substring(col("t"), 1, 16).as("p"), length(col("t")).as("len"))
     // degenerate-bucket cap: windowed count per blocking key; the
-    // count shuffles 16-byte keys only, never text payloads twice.
-    // STAGED once (round-11 profile, the q43 bucketsDir pattern):
-    // Spark does not dedupe common subplans, so the unstaged self-join
-    // executed the scan→window subtree TWICE and re-planned both sides
-    // — over half of q115's measured cost at sf0.1.
-    val cappedDir = graft.Scratch.dir("graft-editdist").resolve("c").toString
-    b.withColumn("bucket_n",
+    // count shuffles 16-byte keys only, never text payloads twice
+    val capped = b.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("p")))
       .filter(col("bucket_n") <= 4096).drop("bucket_n")
-      .write.parquet(cappedDir)
-    val capped = spark.read.parquet(cappedDir)
+    // The Levenshtein confirm lives INSIDE the self-authored join
+    // condition, LAST in the conjunction (round-11 profile): written
+    // as a post-join .filter, Catalyst pushed it into the join
+    // condition AHEAD of the cheap doc_id/length conjuncts, so every
+    // same-bucket pair paid the full 256x256 DP — and AQE coalesces
+    // this tiny probe side to ONE task, serializing those DPs
+    // (measured 5.98 s at sf0.1; cheap-conjuncts-first books 0.93 s —
+    // the DP runs only on the ~370 length-banded candidates). The
+    // projection recomputes the distance for survivors only.
+    val lev = levenshtein(substring(col("a.t"), 1, 256),
+      substring(col("b.t"), 1, 256))
     capped.as("a").join(capped.as("b"),
         col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.len") - col("b.len")) <= 64)
+          abs(col("a.len") - col("b.len")) <= 64 && lev <= 48)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        // THRESHOLD-BANDED Levenshtein (round 11 profile): Catalyst
-        // pushes the distance filter into the join condition AHEAD of
-        // the cheap doc_id/length conjuncts, so every same-bucket pair
-        // pays the DP — unbounded that is O(256²) per pair (measured
-        // 2.3 s of q115's 5.7 s at sf0.1). The 3-arg form runs the
-        // banded O(256·49) algorithm with early exit and returns -1
-        // above the threshold — EXACT for every surviving distance,
-        // so the unbounded DuckDB oracle still hash-matches.
-        levenshtein(substring(col("a.t"), 1, 256),
-          substring(col("b.t"), 1, 256), 49).cast("long").as("dist"))
-      .filter(col("dist").between(0, 48))
+        lev.cast("long").as("dist"))
       .orderBy("doc_a", "doc_b")
   }
 
