@@ -3222,7 +3222,13 @@ object DeltaTable {
     val files =
       try walk.iterator.asScala.filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") &&
+          // never adopt log/staging internals as data (a checkpoint
+          // parquet inside _delta_log, a racer's staged file)
+          !tableDir.relativize(p).iterator.asScala.exists { seg =>
+            val s = seg.toString
+            s == "_delta_log" || s.startsWith(".staging-")
+          }
       }.toSeq.sortBy(_.toString)
       finally walk.close()
     require(files.nonEmpty, s"convert: no parquet files under $table")
@@ -3313,7 +3319,13 @@ object DeltaTable {
     val srcFiles =
       try walk.iterator.asScala.filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") &&
+          // a landing zone that happens to hold delta/staging internals
+          // must never leak them into the load
+          !srcDir.relativize(p).iterator.asScala.exists { seg =>
+            val s = seg.toString
+            s == "_delta_log" || s.startsWith(".staging-")
+          }
       }.toSeq.sortBy(_.toString)
       finally walk.close()
     def domainOf(p: Path): String = {

@@ -534,4 +534,47 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM table_changes(1, 2)").collect())
     assert(ex.getMessage.contains("string literal"))
   }
+
+  test("COPY INTO ledger survives checkpoint + vacuum; convert/copy " +
+      "walks never adopt log or staging internals") {
+    val t = freshTable()
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyinto-ck").toString
+    DeltaTable.write(threeRows.limit(0), t, "overwrite")
+    threeRows.coalesce(1).write.parquet(s"$src/b1")
+    spark.sql(s"COPY INTO delta.`$t` FROM '$src'").collect()
+    // checkpoint the horizon and prune the log prefix: the per-file
+    // ledger domains must replay from the checkpoint
+    DeltaTable.write(threeRows.filter(col("id") === 1).coalesce(1),
+      t, "append")
+    DeltaTable.vacuum(t, 1)
+    assert(spark.sql(s"COPY INTO delta.`$t` FROM '$src'")
+      .head.getLong(1) === 0L,
+      "re-run after checkpoint+vacuum must still be a no-op")
+    assert(DeltaTable.read(spark, t).count() === 4)
+    // a landing zone polluted with delta/staging internals loads only
+    // the real files
+    val src2 = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyinto-dirty").toString
+    threeRows.filter(col("id") === 2).coalesce(1)
+      .write.parquet(s"$src2/real")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$src2/_delta_log"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$src2/.staging-zz"))
+    threeRows.coalesce(1).write.parquet(s"$src2/_delta_log/cp")
+    threeRows.coalesce(1).write.parquet(s"$src2/.staging-zz/s")
+    assert(spark.sql(s"COPY INTO delta.`$t` FROM '$src2'")
+      .head.getLong(1) === 1L, "only the real file loads")
+    assert(DeltaTable.read(spark, t).count() === 5)
+    // CONVERT refuses to adopt internals too: a parquet dir whose only
+    // extra content is staging/log internals converts to just its data
+    val t2 = freshTable()
+    threeRows.coalesce(1).write.parquet(t2)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$t2/.staging-ab"))
+    threeRows.coalesce(1).write.parquet(s"$t2/.staging-ab/x")
+    spark.sql(s"CONVERT TO DELTA parquet.`$t2`").collect()
+    assert(DeltaTable.read(spark, t2).count() === 3)
+  }
 }
