@@ -1024,7 +1024,18 @@ object DedupOps {
     // projection recomputes the distance for survivors only.
     val lev = levenshtein(substring(col("a.t"), 1, 256),
       substring(col("b.t"), 1, 256))
-    capped.as("a").join(capped.as("b"),
+    // PROBE-SIDE PARALLELISM (round-11 sf1 rehearsal): the blocked
+    // relation is tiny in BYTES (50k rows ≈ a few MB at sf1), so AQE
+    // coalesces its exchange to ~1 task — and that one task then runs
+    // EVERY surviving candidate's Levenshtein DP serially (measured
+    // 32 s at sf1, where the 10-member near-dup clusters make ~half a
+    // million length-banded candidates). A user-specified repartition
+    // count is exempt from AQE coalescing, so the DP spreads across
+    // the full executor width; at fixture scale the extra exchange of
+    // 5k narrow rows is noise.
+    val probe = capped.repartition(
+      spark.sparkContext.defaultParallelism, col("doc_id"))
+    probe.as("a").join(capped.as("b"),
         col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= 64 && lev <= 48)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
