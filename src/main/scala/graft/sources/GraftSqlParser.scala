@@ -105,7 +105,8 @@ object GraftSqlParser {
       """\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Tbl +
-      """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+      """\s+(?:TO\s+)?(?:VERSION\s+AS\s+OF\s+(\d+)""" +
+      """|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
   private val AlterRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl + """\s+(.+?)\s*;?\s*$""").r
   /** `parquet.`/p`` — CONVERT's source idiom (a parquet directory, not
@@ -121,7 +122,10 @@ object GraftSqlParser {
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.+?)\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Tbl + """\s+SHALLOW\s+CLONE\s+""" +
-      Tbl + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+      Tbl + """(?:\s+VERSION\s+AS\s+OF\s+(\d+)""" +
+      """|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
+  private val ShowPropsRe =
+    ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + Tbl + """\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + Tbl + """\s+FROM\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
@@ -281,9 +285,9 @@ object GraftSqlParser {
           .filter(_.nonEmpty).toSeq)))
     case CopyIntoRe(a, b, c, src) =>
       Some(GraftCopyInto(pathOf(a, b, c), src))
-    case CloneRe(a, b, c, sa, sb, sc, v) =>
+    case CloneRe(a, b, c, sa, sb, sc, v, ts) =>
       Some(GraftShallowClone(pathOf(sa, sb, sc), pathOf(a, b, c),
-        Option(v).map(_.toLong)))
+        Option(v).map(_.toLong), Option(ts)))
     case CtasRe(orReplace, a, b, c, partCols, select) =>
       delegate.parsePlan(select) // surface syntax errors at parse time
       Some(GraftCreateTableAs(pathOf(a, b, c), select,
@@ -294,8 +298,11 @@ object GraftSqlParser {
       if (kind.equalsIgnoreCase("HISTORY"))
         Some(GraftDescribeHistory(pathOf(a, b, c)))
       else Some(GraftDescribeDetail(pathOf(a, b, c)))
-    case RestoreRe(a, b, c, v) =>
-      Some(GraftRestore(pathOf(a, b, c), v.toLong))
+    case RestoreRe(a, b, c, v, ts) =>
+      Some(GraftRestore(pathOf(a, b, c),
+        Option(v).map(_.toLong), Option(ts)))
+    case ShowPropsRe(a, b, c) =>
+      Some(GraftShowTblProperties(pathOf(a, b, c)))
     case AlterRe(a, b, c, tail) =>
       val path = pathOf(a, b, c)
       tail match {
@@ -463,12 +470,27 @@ case class GraftDescribeDetail(path: String) extends LeafRunnableCommand {
 }
 
 /** `RESTORE path [TO] VERSION AS OF n` → [[DeltaTable.restore]]. */
-case class GraftRestore(path: String, version: Long)
-    extends LeafRunnableCommand {
+case class GraftRestore(path: String, version: Option[Long],
+    timestamp: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = version.getOrElse(DeltaLog.versionAtTimestamp(path,
+      GraftDeltaSource.parseTimestampAsOf(timestamp.get)))
+    Seq(Row(DeltaTable.restore(path, v)))
+  }
+}
+
+/** `SHOW TBLPROPERTIES delta.`/path`` — the committed metaData
+  * configuration as (key, value) rows, sorted by key. */
+case class GraftShowTblProperties(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(DeltaTable.restore(path, version)))
+    DeltaLog.snapshot(path).configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** `ALTER TABLE path ADD CONSTRAINT name CHECK (expr)`. */
@@ -536,11 +558,16 @@ case class GraftConvertToDelta(path: String,
   * n]` → [[DeltaTable.shallowClone]]: metadata-only copy, one commit,
   * zero bytes moved. */
 case class GraftShallowClone(source: String, target: String,
-    versionAsOf: Option[Long]) extends LeafRunnableCommand {
+    versionAsOf: Option[Long], timestampAsOf: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(DeltaTable.shallowClone(source, target, versionAsOf)))
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = versionAsOf.orElse(timestampAsOf.map(ts =>
+      DeltaLog.versionAtTimestamp(source,
+        GraftDeltaSource.parseTimestampAsOf(ts))))
+    Seq(Row(DeltaTable.shallowClone(source, target, v)))
+  }
 }
 
 /** `CREATE [OR REPLACE] TABLE delta.`/path` [USING DELTA] [PARTITIONED

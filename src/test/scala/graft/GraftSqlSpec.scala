@@ -577,4 +577,34 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql(s"CONVERT TO DELTA parquet.`$t2`").collect()
     assert(DeltaTable.read(spark, t2).count() === 3)
   }
+
+  test("RESTORE / SHALLOW CLONE accept TIMESTAMP AS OF; SHOW " +
+      "TBLPROPERTIES lists the configuration") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")      // v0
+    DeltaTable.write(threeRows.filter(col("id") === 1).coalesce(1),
+      t, "append")                                               // v1
+    val v0Ts = new java.sql.Timestamp(
+      DeltaLog.commitTimestamps(t).find(_._1 == 0L).get._2)
+    // timestamp-addressed clone resolves against the SAME index the
+    // read path uses
+    val clone = freshTable()
+    spark.sql(s"CREATE TABLE delta.`$clone` SHALLOW CLONE delta.`$t` " +
+      s"TIMESTAMP AS OF '$v0Ts'").collect()
+    assert(DeltaTable.read(spark, clone).count() === 3)
+    // timestamp-addressed restore rolls back to v0
+    spark.sql(s"RESTORE delta.`$t` TO TIMESTAMP AS OF '$v0Ts'").collect()
+    assert(DeltaTable.read(spark, t).count() === 3)
+    // SHOW TBLPROPERTIES reflects the committed configuration
+    spark.sql(s"ALTER TABLE delta.`$t` SET TBLPROPERTIES " +
+      "('graft.tier' = 'gold', 'graft.owner' = 'a-team')").collect()
+    val props = spark.sql(s"SHOW TBLPROPERTIES delta.`$t`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.tier") === "gold" &&
+      props("graft.owner") === "a-team")
+    // catalog SHOW TBLPROPERTIES delegates untouched
+    val ex = intercept[Exception](
+      spark.sql("SHOW TBLPROPERTIES sqlspec_no_such_table").collect())
+    assert(!ex.getMessage.contains("graft"), ex.getMessage)
+  }
 }
