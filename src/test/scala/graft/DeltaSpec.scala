@@ -3538,4 +3538,32 @@ class DeltaSpec extends SparkSpec {
     assert(!scanFree(bare), "stats-less files must fall back to scanning")
     assert(bare.as[Long].head() === 3L)
   }
+
+  test("delta wire format: the validator passes a CONVERTED table and " +
+      "a COPY INTO history (per-file ledger domains incl. checkpoint)") {
+    // CONVERT: a pre-existing hive-partitioned parquet dir adopted
+    // in place — the v0 commit must be protocol-complete and every
+    // adopted add must reconcile against the on-disk layout
+    val t = freshTable()
+    employees3.withColumn("seg", $"id" % 2)
+      .write.partitionBy("seg").parquet(t)
+    DeltaTable.convertToDelta(spark, t)
+    spark.sql(s"DELETE FROM delta.`$t` WHERE id = 1").collect()
+    runValidator(t)
+    // COPY INTO: ledger domains committed atomically with data, then
+    // carried across a checkpoint+vacuum — the validator's domain and
+    // checkpoint invariants must hold over the whole history
+    val t2 = freshTable()
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-validator-copy").toString
+    DeltaTable.write(employees3.limit(0), t2, "overwrite")
+    employees3.coalesce(1).write.parquet(s"$src/b1")
+    DeltaTable.copyInto(spark, t2, src)
+    employees3.filter($"id" === 1).coalesce(1)
+      .write.parquet(s"$src/b2")
+    DeltaTable.copyInto(spark, t2, src)
+    DeltaTable.vacuum(t2, 1) // checkpoint horizon; domains must survive
+    runValidator(t2)
+    assert(DeltaTable.copyInto(spark, t2, src)._2 === 0)
+  }
 }
