@@ -408,4 +408,54 @@ class DeltaStressSpec extends SparkSpec {
       runValidator(t)
     }
   }
+
+  test("COPY INTO race: concurrent loads of one landing zone land " +
+      "every file exactly once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    for (seed <- 1 to 3) {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft-copy-race-$seed").resolve("t").toString
+      val src = java.nio.file.Files
+        .createTempDirectory(s"graft-copy-race-src-$seed").toString
+      DeltaTable.write(Seq.empty[(Long, Long)].toDF("id", "v"),
+        t, "overwrite")
+      // 4 source files x 5 rows, distinct id ranges
+      for (f <- 0 until 4)
+        (f * 5L until f * 5L + 5).map(id => (id, id)).toDF("id", "v")
+          .coalesce(1).write.parquet(s"$src/b$f")
+      // 4 racers copy the SAME zone concurrently; the ledger + commit
+      // conflict detection must make the union land exactly once
+      val loaded = Await.result(Future.sequence((0 until 4).map(_ =>
+        Future(DeltaTable.copyInto(spark, t, src)._2))), 300.seconds).sum
+      val rows = DeltaTable.read(spark, t).orderBy("id")
+        .select("id").as[Long].collect().toSeq
+      assert(rows === (0L until 20L),
+        s"seed $seed: every row exactly once, got ${rows.length}: $rows")
+      assert(loaded === 4,
+        s"seed $seed: the 4 files must load exactly 4 times total " +
+          s"across all racers, got $loaded")
+      // ledger complete; a later re-run is a no-op
+      assert(DeltaLog.snapshot(t).domainMetadata.keys
+        .count(_.startsWith("graft.copyInto.")) === 4)
+      assert(DeltaTable.copyInto(spark, t, src)._2 === 0)
+      // no orphaned staged bytes beyond the committed adds (losers
+      // must clean up): every on-disk parquet is a committed add
+      val tableDir = java.nio.file.Paths.get(t)
+      val w = java.nio.file.Files.walk(tableDir)
+      val onDisk =
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => tableDir.relativize(p).toString)
+            .filterNot(r => r.startsWith("_delta_log") ||
+              r.startsWith(".staging-")).toSet
+        } finally w.close()
+      assert(onDisk === DeltaLog.snapshot(t).files.map(_.path).toSet,
+        s"seed $seed: orphaned staged files left behind")
+    }
+  }
 }
