@@ -958,6 +958,119 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q129 — CONTRASTIVE PAIR MINING ([EXT], round 11): the embedding-
+    * training prep step — for each anchor, a HARD POSITIVE (its top-1
+    * compressed-domain neighbor) and a RANDOM NEGATIVE (deterministic
+    * md5-hash argmin over the corpus, the q26 sampling technique), with
+    * the similarity margin the loss will see. Both similarities run
+    * the SQ8 asymmetric formulation over the SAME staged codes q46
+    * serves — quantization is a pure function of corpus stats, so the
+    * ENTIRE mining path (positive choice, negative choice, both
+    * cosines, the margin) is replayed in DuckDB and hash-verified —
+    * the verification an IVF-based miner cannot have. Scale shape: the
+    * positive side is q46's one fused hash-agg + top-1 window; the
+    * negative side is one pass over (corpus ids × |Q|) 16-byte hash
+    * rows (argmin agg, map-side combined) + one recon-join agg for
+    * |Q| negative cosines. Anchors are bounded (broadcast); the corpus
+    * never self-joins. */
+  val q129ContrastivePairs: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val recon = stagedSqRecon(spark, dir)
+    val e = Tables.load(spark, dir, "embeddings")
+    val qrows = explodedVals(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+    // positive: q46's fused dot+norms agg, kept at rank 1
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("pos_cos").desc, col("pos_id"))
+    val positives = recon.join(broadcast(qrows), "pos")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("pos_id"))
+      .agg(sum(col("qv") * col("r")).as("dot"),
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("r") * col("r")).as("nr"))
+      .select(col("query_id"), col("pos_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("nr"))), 4)
+          .as("pos_cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    // negative: deterministic hash argmin over corpus ids per anchor
+    val anchors = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"))
+    val negatives = e.select(col("vec_id"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), struct(
+        md5(concat(lit("neg:"), col("query_id").cast("string"),
+          lit(":"), col("vec_id").cast("string"))).as("h"),
+        col("vec_id").as("vec_id")).as("hv"))
+      .groupBy("query_id").agg(min(col("hv")).as("best"))
+      .select(col("query_id"), col("best.vec_id").as("neg_id"))
+    val negCos = negatives
+      .join(recon.withColumnRenamed("vec_id", "neg_id"), "neg_id")
+      .join(broadcast(qrows), Seq("query_id", "pos"))
+      .groupBy("query_id", "neg_id")
+      .agg(sum(col("qv") * col("r")).as("dot"),
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("r") * col("r")).as("nr"))
+      .select(col("query_id"), col("neg_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("nr"))), 4)
+          .as("neg_cos"))
+    positives.join(negCos, "query_id")
+      .select(col("query_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+      .orderBy("query_id")
+  }
+
+  /** Staged like the q45/q47 oracles: temp tables bound DuckDB's peak
+    * to one step (the recon relation is shared by both cosine legs). */
+  val q129Oracle: String =
+    """CREATE OR REPLACE TEMP TABLE o129_v AS
+      |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i);
+      |CREATE OR REPLACE TEMP TABLE o129_recon AS
+      |  SELECT vec_id, v.pos,
+      |    dmin + (CASE WHEN dmax = dmin THEN 0.0
+      |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
+      |         * (dmax - dmin) / 255.0 AS r
+      |  FROM o129_v v JOIN (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax
+      |                      FROM o129_v GROUP BY pos) s
+      |    ON v.pos = s.pos;
+      |CREATE OR REPLACE TEMP TABLE o129_pos AS
+      |  SELECT query_id, pos_id, pos_cos FROM (
+      |    SELECT query_id, pos_id, pos_cos, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY pos_cos DESC, pos_id) AS rk
+      |    FROM (
+      |      SELECT q.vec_id AS query_id, c.vec_id AS pos_id,
+      |        ROUND(SUM(q.v * c.r)
+      |          / (sqrt(SUM(q.v * q.v)) * sqrt(SUM(c.r * c.r))), 4)
+      |          AS pos_cos
+      |      FROM o129_v q JOIN o129_recon c ON q.pos = c.pos
+      |        AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |      GROUP BY 1, 2))
+      |  WHERE rk = 1;
+      |CREATE OR REPLACE TEMP TABLE o129_neg AS
+      |  SELECT query_id, vec_id AS neg_id FROM (
+      |    SELECT a.vec_id AS query_id, e.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        md5('neg:' || a.vec_id::VARCHAR || ':' || e.vec_id::VARCHAR),
+      |        e.vec_id) AS rk
+      |    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) a,
+      |         (SELECT vec_id FROM embeddings) e
+      |    WHERE e.vec_id <> a.vec_id)
+      |  WHERE rk = 1;
+      |SELECT p.query_id, p.pos_id, p.pos_cos, n.neg_id,
+      |  ROUND(SUM(q.v * c.r)
+      |    / (sqrt(SUM(q.v * q.v)) * sqrt(SUM(c.r * c.r))), 4) AS neg_cos,
+      |  ROUND(p.pos_cos - ROUND(SUM(q.v * c.r)
+      |    / (sqrt(SUM(q.v * q.v)) * sqrt(SUM(c.r * c.r))), 4), 4) AS margin
+      |FROM o129_pos p
+      |JOIN o129_neg n ON n.query_id = p.query_id
+      |JOIN o129_v q ON q.vec_id = p.query_id
+      |JOIN o129_recon c ON c.vec_id = n.neg_id AND c.pos = q.pos
+      |GROUP BY p.query_id, p.pos_id, p.pos_cos, n.neg_id
+      |ORDER BY p.query_id""".stripMargin
+
   /** q47's stage 1 as a standalone relation — q46's fused SQ8 search
     * widened to a top-20 (query_id, neighbor_id) shortlist. Kept
     * declarative (and separately plan-guarded in PlanSpec: ONE fused
@@ -1425,6 +1538,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q129_contrastive_pairs" -> q129ContrastivePairs,
     "q126_pq_ann" -> q126PqAnn,
     "q40_ann_bruteforce" -> q40AnnBruteForce,
     "q41_embed_neardup" -> q41EmbedNearDup,
@@ -1447,6 +1561,7 @@ object SimilarityOps {
     "q44_label_centroids" -> q44Oracle,
     "q45_hyperplane_lsh" -> q45Oracle,
     "q46_sq_ann" -> q46Oracle,
+    "q129_contrastive_pairs" -> q129Oracle,
     "q47_reranked_ann" -> q47Oracle,
     "q78_incremental_sq8" -> q78Oracle)
 }

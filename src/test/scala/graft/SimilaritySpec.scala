@@ -537,4 +537,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall too low: $recall")
     assert(pqSet.forall { case (q, nb) => q != nb })
   }
+
+  test("contrastive pairs (q129): hard positive beats the random " +
+      "negative for every anchor; positive is the true SQ8 top-1") {
+    val rows = SimilarityOps.q129ContrastivePairs(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (q, pos, neg) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(pos != q && neg != q)
+      assert(r.getDouble(5) > 0,
+        s"anchor $q: top-1 positive must beat a random negative " +
+          s"(margin ${r.getDouble(5)})")
+    }
+    // the positive IS q46's rank-1 neighbor
+    val top1 = SimilarityOps.q46SqAnn(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(top1(r.getLong(0)) === r.getLong(1),
+        s"anchor ${r.getLong(0)}: positive must be the SQ8 top-1"))
+  }
 }
