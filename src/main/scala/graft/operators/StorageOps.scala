@@ -1239,7 +1239,54 @@ object StorageOps {
       |GROUP BY _change_type, n_regionkey
       |ORDER BY _change_type, n_regionkey""".stripMargin
 
+  /** q130 — SQL INSERT ([EXT], round 11, the standard write idiom):
+    * `INSERT INTO delta.`path`` with a VALUES list and with a SELECT,
+    * then `INSERT OVERWRITE` on a PARTITIONED table — which must
+    * replace the data while KEEPING the committed partition layout,
+    * and the pre-overwrite state stays time-travelable. The final
+    * result unions the overwritten table's per-region counts with the
+    * v-before-overwrite count, so a positional-cast bug, a dropped
+    * partition layout, or an overwrite that merged instead of
+    * replaced all hash-fail. */
+  val q130SqlInsert: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    n.createOrReplaceTempView("q130_nation")
+    val t = freshDir("graft-sql-insert")
+    spark.sql(s"CREATE TABLE delta.`$t` PARTITIONED BY (n_regionkey) AS " +
+      "SELECT n_nationkey, n_name, n_regionkey FROM q130_nation " +
+      "WHERE n_regionkey = 0").collect()                          // v0
+    spark.sql(s"INSERT INTO delta.`$t` VALUES " +
+      "(900, 'ATLANTIS', 9), (901, 'ELDORADO', 9)").collect()    // v1
+    spark.sql(s"INSERT INTO delta.`$t` SELECT n_nationkey, n_name, " +
+      "n_regionkey FROM q130_nation WHERE n_regionkey = 1").collect() // v2
+    val nBefore = spark.sql(s"SELECT COUNT(*) FROM delta.`$t`")
+      .head.getLong(0)
+    spark.sql(s"INSERT OVERWRITE delta.`$t` SELECT n_nationkey, " +
+      "n_name, n_regionkey FROM q130_nation WHERE n_regionkey >= 3")
+      .collect()                                                  // v3
+    val perRegion = spark.sql(
+      s"""SELECT CONCAT('r', n_regionkey) AS at, COUNT(*) AS n_rows
+         |FROM delta.`$t` GROUP BY n_regionkey""".stripMargin)
+    perRegion.unionByName(spark.sql(
+        s"SELECT 'pre_overwrite' AS at, COUNT(*) AS n_rows " +
+          s"FROM delta.`$t` VERSION AS OF 2"))
+      .withColumn("check_pre", lit(nBefore))
+      .orderBy("at")
+  }
+
+  val q130Oracle: String =
+    """WITH pre AS (
+      |  SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n FROM nation
+      |  WHERE n_regionkey <= 1)
+      |SELECT at, n_rows, (SELECT n FROM pre) AS check_pre FROM (
+      |  SELECT CONCAT('r', n_regionkey) AS at, COUNT(*) AS n_rows
+      |  FROM nation WHERE n_regionkey >= 3 GROUP BY n_regionkey
+      |  UNION ALL
+      |  SELECT 'pre_overwrite', (SELECT n FROM pre))
+      |ORDER BY at""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q130_sql_insert" -> q130SqlInsert,
     "q128_table_changes_sql" -> q128TableChangesSql,
     "q125_copy_into" -> q125CopyInto,
     "q124_sql_ctas" -> q124SqlCtas,
@@ -1278,6 +1325,7 @@ object StorageOps {
     "q63_parquet_overwrite" -> q63ParquetOverwrite)
 
   val oracles: Map[String, String] = Map(
+    "q130_sql_insert" -> q130Oracle,
     "q128_table_changes_sql" -> q128Oracle,
     "q125_copy_into" -> q125Oracle,
     "q124_sql_ctas" -> q124Oracle,

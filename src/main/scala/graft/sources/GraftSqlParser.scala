@@ -126,6 +126,9 @@ object GraftSqlParser {
       """|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val ShowPropsRe =
     ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + Tbl + """\s*;?\s*$""").r
+  private val InsertRe =
+    ("""(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Tbl +
+      """\s+(VALUES\s.+?|SELECT\s.+?|TABLE\s.+?|FROM\s.+?)\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + Tbl + """\s+FROM\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
@@ -283,6 +286,14 @@ object GraftSqlParser {
           // (the engine re-infers the type from the directory layout)
           .map(_.split("""\s+""")(0).stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq)))
+    case InsertRe(mode, a, b, c, query) =>
+      val sel =
+        if (query.trim.toUpperCase.startsWith("VALUES"))
+          s"SELECT * FROM $query"
+        else query
+      delegate.parsePlan(sel) // surface syntax errors at parse time
+      Some(GraftInsert(pathOf(a, b, c), sel,
+        overwrite = mode.equalsIgnoreCase("OVERWRITE")))
     case CopyIntoRe(a, b, c, src) =>
       Some(GraftCopyInto(pathOf(a, b, c), src))
     case CloneRe(a, b, c, sa, sb, sc, v, ts) =>
@@ -605,5 +616,43 @@ case class GraftCopyInto(path: String, source: String)
   override def run(session: SparkSession): Seq[Row] = {
     val (v, n) = DeltaTable.copyInto(session, path, source)
     Seq(Row(v, n.toLong))
+  }
+}
+
+/** `INSERT INTO | OVERWRITE delta.`/path`` VALUES …|SELECT …` — the
+  * standard SQL write idiom, routed through [[DeltaTable.write]] (the
+  * ONLY way bytes may enter a delta table; Spark's own
+  * InsertIntoHadoopFsRelationCommand would write parquet past the
+  * log). Store-assignment is POSITIONAL when the query's column count
+  * matches the table width (names renamed, types cast — the SQL
+  * standard's INSERT semantics); a narrower/wider query passes
+  * through BY NAME so the engine's schema enforcement (and the
+  * identity/generated-column contracts, which require omitting
+  * engine-assigned columns) decides loudly. */
+case class GraftInsert(path: String, selectSql: String,
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = session.sql(selectSql)
+    val snap = DeltaLog.snapshot(path)
+    val schema = snap.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"INSERT: $path has no committed schema"))
+    val aligned =
+      if (df.columns.length == schema.length) {
+        import org.apache.spark.sql.functions.col
+        df.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      } else df
+    // INSERT OVERWRITE replaces the DATA, not the table's layout: the
+    // committed partition columns carry through (write's bare
+    // overwrite would otherwise re-declare the table unpartitioned)
+    Seq(Row(DeltaTable.write(aligned, path,
+      if (overwrite) "overwrite" else "append",
+      partitionBy = if (overwrite) snap.partitionColumns else Nil)))
   }
 }

@@ -607,4 +607,50 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("SHOW TBLPROPERTIES sqlspec_no_such_table").collect())
     assert(!ex.getMessage.contains("graft"), ex.getMessage)
   }
+
+  test("INSERT INTO / OVERWRITE on path tables: positional casts, " +
+      "layout preserved, every byte enters through the log") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.withColumn("seg", col("id") % 2),
+      t, "overwrite", partitionBy = Seq("seg"))
+    // VALUES insert, positional store-assignment (string -> bigint
+    // salary cast, int -> int seg)
+    spark.sql(s"INSERT INTO delta.`$t` VALUES (9, 'Dee', '90000', 1)")
+      .collect()
+    assert(DeltaTable.read(spark, t).count() === 4)
+    assert(DeltaTable.read(spark, t).filter(col("id") === 9)
+      .head.getLong(2) === 90000L)
+    // SELECT insert
+    threeRows.createOrReplaceTempView("sqlspec_ins_src")
+    spark.sql(s"INSERT INTO delta.`$t` SELECT id + 10, name, salary, " +
+      "id % 2 FROM sqlspec_ins_src").collect()
+    assert(DeltaTable.read(spark, t).count() === 7)
+    // INSERT OVERWRITE replaces data, KEEPS the partition layout, and
+    // the pre-overwrite state stays time-travelable
+    val vPre = DeltaLog.snapshot(t).version
+    spark.sql(s"INSERT OVERWRITE delta.`$t` " +
+      "SELECT id, name, salary, id % 2 FROM sqlspec_ins_src").collect()
+    assert(DeltaTable.read(spark, t).count() === 3)
+    assert(DeltaLog.snapshot(t).partitionColumns === Seq("seg"),
+      "INSERT OVERWRITE must keep the committed partition layout")
+    assert(DeltaTable.read(spark, t, Some(vPre)).count() === 7)
+    // EVERY on-disk parquet is a committed add at some version (no
+    // stock InsertIntoHadoopFsRelation bytes past the log)
+    val committed = (0L to DeltaLog.snapshot(t).version)
+      .flatMap(v => DeltaLog.snapshot(t, Some(v)).files.map(_.path)).toSet
+    val tableDir = java.nio.file.Paths.get(t)
+    val w = java.nio.file.Files.walk(tableDir)
+    val onDisk =
+      try w.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => tableDir.relativize(p).toString)
+        .filterNot(r => r.startsWith("_delta_log") ||
+          r.startsWith(".staging-")).toSet
+      finally w.close()
+    assert(onDisk.subsetOf(committed), s"unlogged bytes: ${onDisk -- committed}")
+    // catalog-identifier INSERT delegates to Spark untouched
+    val ex = intercept[Exception](
+      spark.sql("INSERT INTO sqlspec_no_table VALUES (1)").collect())
+    assert(!ex.getMessage.contains("graft"), ex.getMessage)
+  }
 }
