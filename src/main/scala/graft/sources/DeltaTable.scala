@@ -1232,9 +1232,9 @@ object DeltaTable {
       .groupBy(col(PosFile))
       .agg(org.apache.spark.sql.functions.sort_array(
         org.apache.spark.sql.functions.collect_list(col(PosIdx))).as("pos"))
-      .collect().map { r =>
-        normalizeScanPath(r.getString(0)) ->
-          r.getSeq[Long](1).map(_.toInt).toArray
+      .collect().flatMap { r =>
+        val pos = r.getSeq[Long](1).map(_.toInt).toArray
+        scanPathForms(r.getString(0)).map(_ -> pos)
       }.toMap
     def absKey(rel: String): String =
       Paths.get(table).resolve(rel).toAbsolutePath.normalize.toString
@@ -1251,22 +1251,30 @@ object DeltaTable {
     (dv, rw.map(_._1))
   }
 
-  /** Normalize a scan-side path render (`_metadata.file_path`'s
-    * `file:` URI or a plain path) to the plain absolute form
-    * [[java.nio.file.Path]] produces — the shared key form of every
-    * per-file literal map (round 10). The URI render is PERCENT-
-    * ENCODED (a space becomes `%20`), so the scheme strip alone left
-    * keys that never match on paths with spaces/non-ASCII chars and
-    * DV DML silently no-op'd there (round 11): decode, protecting
-    * literal `+` (path encoding keeps it, URLDecoder's query rules
-    * don't) and falling back to the stripped form if the string turns
-    * out not to be %-encoded at all. */
-  private def normalizeScanPath(p: String): String = {
+  /** Both candidate key forms of a scan-side path render
+    * (`_metadata.file_path`'s `file:` URI or a plain path) against the
+    * plain absolute form [[java.nio.file.Path]] produces — the shared
+    * key form of every per-file literal map (round 10). The URI render
+    * is PERCENT-ENCODED (a space becomes `%20`), so the scheme strip
+    * alone left keys that never match on paths with spaces/non-ASCII
+    * chars and DV DML silently no-op'd there (round 11). But an
+    * UNCONDITIONAL decode re-introduces the same silent-no-op class
+    * for a path legitimately containing a valid %-escape (a directory
+    * literally named `sale%20off`, reaching the scan as a PLAIN
+    * render): it mis-decodes to a space and never matches either. So —
+    * mirroring [[scanKeyForms]] on the driver side — emit BOTH the raw
+    * stripped form and its decoded form (decoded last: it wins a map
+    * collision, matching the common URI-render case) and let the
+    * driver-resolved key hit whichever is right. `+` is protected
+    * (path encoding keeps it; URLDecoder's query rules don't). */
+  private def scanPathForms(p: String): Seq[String] = {
     val noScheme =
       if (p.startsWith("file:")) "/" + p.substring(5).dropWhile(_ == '/')
       else p
-    try java.net.URLDecoder.decode(noScheme.replace("+", "%2B"), "UTF-8")
-    catch { case _: IllegalArgumentException => noScheme }
+    val decoded =
+      try java.net.URLDecoder.decode(noScheme.replace("+", "%2B"), "UTF-8")
+      catch { case _: IllegalArgumentException => noScheme }
+    if (decoded == noScheme) Seq(noScheme) else Seq(noScheme, decoded)
   }
 
   /** Both renders a scan may produce for one absolute file path — the

@@ -26,6 +26,25 @@ object GraftPathTableResolution {
 
   def resolve(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
+      // WRITE-PATH GUARD: an INSERT form [[GraftSqlParser.InsertRe]]
+      // does not intercept (column list used to hit this; PARTITION
+      // spec, BY NAME, …) parses to Spark's own InsertIntoStatement —
+      // and the substitution below would hand it a writable
+      // HadoopFsRelation, so Spark would plan
+      // InsertIntoHadoopFsRelationCommand: parquet written past the
+      // delta log (invisible to readers, vacuumed as orphans), and a
+      // static-partition OVERWRITE could delete live committed files.
+      // Refuse loudly instead; bytes enter a delta table only through
+      // DeltaTable.write. (transformUp rewrites the child relation
+      // first, so match both the pre- and post-substitution target.)
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if isGraftPathTarget(i.table) =>
+        throw new UnsupportedOperationException(
+          "unsupported INSERT form on a delta path table (supported: " +
+            "INSERT INTO | OVERWRITE delta.`/p` [(col, …)] " +
+            "VALUES/SELECT/TABLE/FROM …; PARTITION specs and BY NAME " +
+            "are not). Routing this through Spark's parquet insert " +
+            "would write past the delta log.")
       // SQL TIME TRAVEL (round 11): `FROM delta.`/p`` VERSION AS OF n /
       // TIMESTAMP AS OF ts` — Spark's parser wraps the unresolved
       // relation in RelationTimeTravel; resolve it against the SAME
@@ -72,6 +91,19 @@ object GraftPathTableResolution {
           s"type $t (use a 'yyyy-MM-dd[ HH:mm:ss]' string, epoch " +
           "millis, or a timestamp)")
     }
+  }
+
+  /** Is this INSERT target a graft path table — either still
+    * unresolved (bare rule order) or already substituted by the
+    * relation case below (bottom-up transform order)? */
+  private def isGraftPathTarget(t: LogicalPlan): Boolean = t match {
+    case u: UnresolvedRelation => resolvable(u)
+    case lr: LogicalRelation => lr.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.isInstanceOf[GraftDeltaFileIndex]
+      case _ => false
+    }
+    case _ => false
   }
 
   private def resolvable(u: UnresolvedRelation): Boolean =

@@ -76,11 +76,12 @@ object GraftSqlParser {
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Tbl + """\s*(.*?)\s*;?\s*$""").r
   private val DeleteRe =
-    ("""(?is)^\s*DELETE\s+FROM\s+""" + Tbl +
-      """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+    ("""(?is)^\s*DELETE\s+FROM\s+""" + Tbl + """\s*(.*?)\s*;?\s*$""").r
+  // SET/WHERE split happens in code (splitOnKeyword), not here: a lazy
+  // regex split at ` WHERE ` fires inside string literals too — `SET
+  // note = 'as where x'` would truncate the assignment at parse time
   private val UpdateRe =
-    ("""(?is)^\s*UPDATE\s+""" + Tbl +
-      """\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+    ("""(?is)^\s*UPDATE\s+""" + Tbl + """\s+SET\s+(.+?)\s*;?\s*$""").r
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+""" + Tbl +
       """(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)""" +
@@ -128,6 +129,7 @@ object GraftSqlParser {
     ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + Tbl + """\s*;?\s*$""").r
   private val InsertRe =
     ("""(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Tbl +
+      """(?:\s*\(([\w`\s,]+)\))?""" +
       """\s+(VALUES\s.+?|SELECT\s.+?|TABLE\s.+?|FROM\s.+?)\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + Tbl + """\s+FROM\s+'([^']+)'""" +
@@ -194,6 +196,35 @@ object GraftSqlParser {
     out.toSeq
   }
 
+  /** Split `s` at the FIRST top-level occurrence of word `kw`
+    * (case-insensitive, word-bounded, outside quotes/parens) →
+    * (before, Some(after)) or (s, None). The quote-aware twin of the
+    * regex `(?:\s+WHERE\s+...)` idiom, which fires inside string
+    * literals. */
+  private[sources] def splitOnKeyword(s: String, kw: String)
+      : (String, Option[String]) = {
+    var depth = 0; var inS = false; var inD = false; var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '(' if !inS && !inD => depth += 1
+        case ')' if !inS && !inD => depth -= 1
+        case _ if depth == 0 && !inS && !inD &&
+            i + kw.length <= s.length &&
+            s.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
+            (i == 0 || !Character.isLetterOrDigit(s(i - 1))) &&
+            (i + kw.length == s.length ||
+              !Character.isLetterOrDigit(s(i + kw.length))) =>
+          return (s.substring(0, i).trim,
+            Some(s.substring(i + kw.length).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, None)
+  }
+
   private[sources] def parseGraftStatement(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(a, b, c, tail) =>
@@ -221,13 +252,21 @@ object GraftSqlParser {
     case VacuumRe(a, b, c, hours, dry) =>
       Some(GraftVacuum(pathOf(a, b, c),
         Option(hours).map(_.toLong), dryRun = dry != null))
-    case DeleteRe(a, b, c, pred) =>
+    case DeleteRe(a, b, c, tail) =>
       // parse the predicate NOW so syntax errors surface at parse time
       // (the OPTIMIZE WHERE pattern); the SQL string travels because an
       // Expression on a leaf command has no child to resolve against
-      Option(pred).foreach(delegate.parseExpression)
-      Some(GraftDelete(pathOf(a, b, c), Option(pred)))
-    case UpdateRe(a, b, c, sets, pred) =>
+      val pred = tail.trim match {
+        case "" => None
+        case WhereTail(p) => Some(p)
+        case other => throw new IllegalArgumentException(
+          s"DELETE FROM a path table: unrecognized clause '$other' " +
+            "(expected nothing or WHERE <predicate>)")
+      }
+      pred.foreach(delegate.parseExpression)
+      Some(GraftDelete(pathOf(a, b, c), pred))
+    case UpdateRe(a, b, c, tail) =>
+      val (sets, pred) = splitOnKeyword(tail, "WHERE")
       val assignments = splitTopLevel(sets, ',').map(_.trim).map {
         case Assignment(colName, exprSql) =>
           delegate.parseExpression(exprSql)
@@ -237,8 +276,8 @@ object GraftSqlParser {
             "(expected col = expression)")
       }
       require(assignments.nonEmpty, "UPDATE needs at least one SET column")
-      Option(pred).foreach(delegate.parseExpression)
-      Some(GraftUpdate(pathOf(a, b, c), assignments, Option(pred)))
+      pred.foreach(delegate.parseExpression)
+      Some(GraftUpdate(pathOf(a, b, c), assignments, pred))
     case MergeRe(a, b, c, tgtAlias, source, on, whenTail) =>
       require(whenTail.matches(UpsertWhenTail),
         "MERGE INTO on a path table supports the key-upsert form only: " +
@@ -259,14 +298,26 @@ object GraftSqlParser {
             "parenthesized subquery, each with an optional alias)")
       }
       val srcAlias = src.alias
+      // Known qualifiers = declared aliases, plus the bare identifier a
+      // view/table source may legitimately be referenced by when it has
+      // no alias. Validated UNCONDITIONALLY: the old isEmpty escape
+      // hatches accepted any bogus qualifier whenever either side
+      // lacked an alias, and refused a legitimate table-name qualifier
+      // when both were present.
       val aliases = Set(Option(tgtAlias), srcAlias).flatten.map(_.toLowerCase)
+      val knownQualifiers = aliases ++ (src match {
+        case MergeSource.View(ident, _) =>
+          Set(ident.toLowerCase, ident.split('.').last.toLowerCase)
+        case _ => Set.empty[String]
+      })
       val keys = splitTopLevel(on, ',') match {
         case Seq(one) => splitOnAnd(one).map(_.trim).map {
           case OnEquality(q1, c1, q2, c2) =>
             for (q <- Seq(q1, q2); if q != null)
-              require(aliases.contains(q.toLowerCase) ||
-                  Option(tgtAlias).isEmpty || srcAlias.isEmpty,
-                s"MERGE ON references unknown alias '$q'")
+              require(knownQualifiers.contains(q.toLowerCase),
+                s"MERGE ON references unknown qualifier '$q' " +
+                  s"(known: ${knownQualifiers.toSeq.sorted.mkString(", ")
+                  }; alias the target/source to qualify its columns)")
             require(c1.equalsIgnoreCase(c2),
               s"MERGE ON: the key-upsert form needs same-named key " +
                 s"columns on both sides, got '$c1 = $c2'")
@@ -286,14 +337,16 @@ object GraftSqlParser {
           // (the engine re-infers the type from the directory layout)
           .map(_.split("""\s+""")(0).stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq)))
-    case InsertRe(mode, a, b, c, query) =>
+    case InsertRe(mode, a, b, c, cols, query) =>
       val sel =
         if (query.trim.toUpperCase.startsWith("VALUES"))
           s"SELECT * FROM $query"
         else query
       delegate.parsePlan(sel) // surface syntax errors at parse time
+      val columnList = Option(cols).toSeq.flatMap(_.split(',').map(_.trim
+        .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       Some(GraftInsert(pathOf(a, b, c), sel,
-        overwrite = mode.equalsIgnoreCase("OVERWRITE")))
+        overwrite = mode.equalsIgnoreCase("OVERWRITE"), columnList))
     case CopyIntoRe(a, b, c, src) =>
       Some(GraftCopyInto(pathOf(a, b, c), src))
     case CloneRe(a, b, c, sa, sb, sc, v, ts) =>
@@ -619,35 +672,47 @@ case class GraftCopyInto(path: String, source: String)
   }
 }
 
-/** `INSERT INTO | OVERWRITE delta.`/path`` VALUES …|SELECT …` — the
-  * standard SQL write idiom, routed through [[DeltaTable.write]] (the
-  * ONLY way bytes may enter a delta table; Spark's own
+/** `INSERT INTO | OVERWRITE delta.`/path`` [(cols)] VALUES …|SELECT …`
+  * — the standard SQL write idiom, routed through [[DeltaTable.write]]
+  * (the ONLY way bytes may enter a delta table; Spark's own
   * InsertIntoHadoopFsRelationCommand would write parquet past the
-  * log). Store-assignment is POSITIONAL when the query's column count
-  * matches the table width (names renamed, types cast — the SQL
-  * standard's INSERT semantics); a narrower/wider query passes
-  * through BY NAME so the engine's schema enforcement (and the
-  * identity/generated-column contracts, which require omitting
-  * engine-assigned columns) decides loudly. */
+  * log). Without a column list, store-assignment is POSITIONAL when
+  * the query's column count matches the table width (names renamed,
+  * types cast — the SQL standard's INSERT semantics); a narrower/wider
+  * query passes through BY NAME so the engine's schema enforcement
+  * (and the identity/generated-column contracts, which require
+  * omitting engine-assigned columns) decides loudly. With an explicit
+  * column list, the query's columns bind to the LISTED names
+  * positionally (any order); a full-width list is reordered+cast to
+  * the table layout, a partial list passes through by name. */
 case class GraftInsert(path: String, selectSql: String,
-    overwrite: Boolean) extends LeafRunnableCommand {
+    overwrite: Boolean, columns: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val df = session.sql(selectSql)
+    val df0 = session.sql(selectSql)
+    require(columns.isEmpty || columns.length == df0.columns.length,
+      s"INSERT: column list names ${columns.length} columns but the " +
+        s"query produces ${df0.columns.length}")
+    val df = if (columns.isEmpty) df0 else df0.toDF(columns: _*)
     val snap = DeltaLog.snapshot(path)
     val schema = snap.schemaJson
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"INSERT: $path has no committed schema"))
+    import org.apache.spark.sql.functions.col
     val aligned =
-      if (df.columns.length == schema.length) {
-        import org.apache.spark.sql.functions.col
+      if (columns.nonEmpty && columns.length == schema.length)
+        // explicit full-width list: names authoritative, table order
+        df.select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      else if (columns.isEmpty && df.columns.length == schema.length)
         df.toDF(schema.fieldNames.toIndexedSeq: _*)
           .select(schema.fields.map(f =>
             col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-      } else df
+      else df
     // INSERT OVERWRITE replaces the DATA, not the table's layout: the
     // committed partition columns carry through (write's bare
     // overwrite would otherwise re-declare the table unpartitioned)

@@ -1447,6 +1447,35 @@ class DeltaSpec extends SparkSpec {
         s"partition dirs; got ${ids.toSeq}")
   }
 
+  test("deletion vectors: DML works under a table path containing a " +
+      "LITERAL percent escape — the dual-form scan key matches " +
+      "whichever render the scan produces") {
+    // A directory literally named `sale%20off` is a valid path. The
+    // round-11 fix decoded the scan render UNCONDITIONALLY, so a PLAIN
+    // render of this path would mis-decode `%20` to a space and the
+    // per-file DV map keys would never match — the same silent-no-op
+    // DML class, reintroduced for literal-% paths. The map now carries
+    // BOTH the raw and decoded forms, so either render hits.
+    val t = Files.createTempDirectory("graft-dv-pct")
+      .resolve("sale%20off").resolve("t").toString
+    DeltaTable.write(employees3.coalesce(1), t, "overwrite")     // v0
+    DeltaTable.enableDeletionVectors(t)                          // v1
+    val filesBefore = DeltaLog.snapshot(t).files.map(_.path).toSet
+    DeltaTable.delete(spark, t, $"id" === 2)                     // v2
+    val snap = DeltaLog.snapshot(t)
+    assert(snap.files.map(_.path).toSet === filesBefore,
+      "the delete must take the DV path (no file rewrite)")
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum === 1L,
+      "the delete must actually mark a row dead, not silently no-op")
+    assert(DeltaTable.read(spark, t).select("id").as[Int].collect().sorted
+      === Array(1, 3))
+    DeltaTable.update(spark, t, $"id" === 3,
+      Map("salary" -> (lit(90000L): org.apache.spark.sql.Column)))
+    assert(DeltaTable.read(spark, t).filter($"id" === 3)
+      .select("salary").as[Long].head() === 90000L)
+    runValidator(t)
+  }
+
   test("deletion vectors: scans stay VECTORIZED under a live vector — " +
       "Batched: true, pushdown reaches the reader, splits allowed") {
     // Round 10: DvScanRewrite (GraftExtensions) re-plans the row-based

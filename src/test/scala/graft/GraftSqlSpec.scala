@@ -653,4 +653,96 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("INSERT INTO sqlspec_no_table VALUES (1)").collect())
     assert(!ex.getMessage.contains("graft"), ex.getMessage)
   }
+
+  test("INSERT with a column list binds positionally to the LISTED " +
+      "names; unrouteable INSERT forms refuse instead of writing " +
+      "past the log") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")
+    // full-width list in NON-table order: values must land under the
+    // listed names, reordered + cast into the table layout
+    spark.sql(s"INSERT INTO delta.`$t` (salary, id, name) " +
+      "VALUES ('90000', 9, 'Dee')").collect()
+    val dee = DeltaTable.read(spark, t).filter(col("id") === 9).head
+    assert(dee.getString(1) === "Dee" && dee.getLong(2) === 90000L)
+    // column-list count mismatch refuses
+    val eMismatch = intercept[Exception](
+      spark.sql(s"INSERT INTO delta.`$t` (id, name) VALUES (1, 'x', 2)")
+        .collect())
+    assert(eMismatch.getMessage.contains("column list"),
+      eMismatch.getMessage)
+    // an INSERT form the graft parser can't route (PARTITION spec)
+    // must refuse LOUDLY — before this guard, Spark planned its own
+    // InsertIntoHadoopFsRelationCommand over the substituted relation
+    // and wrote parquet past the delta log (orphan bytes; a static-
+    // partition OVERWRITE could even delete live committed files)
+    val vBefore = DeltaLog.snapshot(t).version
+    val ePart = intercept[Exception](
+      spark.sql(s"INSERT OVERWRITE delta.`$t` PARTITION (id=1) " +
+        "SELECT 'x' AS name, CAST(1 AS BIGINT) AS salary").collect())
+    assert(ePart.getMessage.contains("delta path table"), ePart.getMessage)
+    assert(DeltaLog.snapshot(t).version === vBefore,
+      "a refused INSERT must not commit")
+    // ... and no unlogged parquet appeared on disk
+    val committed = (0L to vBefore)
+      .flatMap(v => DeltaLog.snapshot(t, Some(v)).files.map(_.path)).toSet
+    val tableDir = java.nio.file.Paths.get(t)
+    val w = java.nio.file.Files.walk(tableDir)
+    val onDisk =
+      try w.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => tableDir.relativize(p).toString)
+        .filterNot(r => r.startsWith("_delta_log") ||
+          r.startsWith(".staging-")).toSet
+      finally w.close()
+    assert(onDisk.subsetOf(committed),
+      s"refused INSERT left unlogged bytes: ${onDisk -- committed}")
+  }
+
+  test("UPDATE SET/WHERE split is quote-aware: a ' where ' inside a " +
+      "string literal neither truncates the assignment nor fakes a " +
+      "predicate") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")
+    // literal containing ' where ' + a real WHERE (the lazy-regex
+    // split used to break the assignment at the literal's ' where ')
+    spark.sql(s"UPDATE delta.`$t` SET name = 'as where x' WHERE id = 1")
+      .collect()
+    assert(DeltaTable.read(spark, t).filter(col("id") === 1)
+      .select("name").as[String].head() === "as where x")
+    assert(DeltaTable.read(spark, t).filter(col("id") === 2)
+      .select("name").as[String].head() === "Bob",
+      "rows outside the WHERE must be untouched")
+    // same literal with NO where clause: applies to every row
+    spark.sql(s"UPDATE delta.`$t` SET name = 'a where b'").collect()
+    assert(DeltaTable.read(spark, t).select("name").as[String]
+      .collect().toSet === Set("a where b"))
+    // DELETE: an unrecognized clause refuses instead of silently
+    // delegating to Spark's parser
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM delta.`$t` LIMIT 1"))
+    assert(e.getMessage.contains("unrecognized clause"), e.getMessage)
+  }
+
+  test("MERGE ON qualifiers validate unconditionally: bogus qualifiers " +
+      "refuse even when a side lacks an alias; the source's own " +
+      "identifier stays a legal qualifier") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")
+    Seq((2, "Bob2", 1L)).toDF("id", "name", "salary")
+      .createOrReplaceTempView("sqlspec_qual_src")
+    // bogus qualifier with an UNALIASED target: the old isEmpty escape
+    // hatch accepted this silently
+    val e = intercept[Exception](
+      spark.sql(s"MERGE INTO delta.`$t` USING sqlspec_qual_src AS s " +
+        "ON bogus.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(e.getMessage.contains("unknown qualifier"), e.getMessage)
+    // the view's own name qualifies its columns even alongside an alias
+    spark.sql(s"MERGE INTO delta.`$t` AS tgt USING sqlspec_qual_src AS s " +
+      "ON tgt.id = sqlspec_qual_src.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(DeltaTable.read(spark, t).filter(col("id") === 2)
+      .select("name").as[String].head() === "Bob2")
+  }
 }
