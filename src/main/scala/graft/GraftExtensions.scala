@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomContains, BloomFilterAgg, CosineSimilarity, HyperplaneBits, SimHashAgg, SortedOverlap, WordShingles}
+import graft.functions.{BloomContains, BloomFilterAgg, CosineSimilarity, HyperplaneBits, SimHashAgg, SortedOverlap, WordShingleSeq, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions first-class session citizens, so
@@ -98,6 +98,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_shingles n must be an integer literal, got $other")
         }
         WordShingles(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_seq"),
+      new ExpressionInfo(classOf[WordShingleSeq].getName, "graft_shingle_seq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_shingle_seq requires exactly 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_seq n must be an integer literal, got $other")
+        }
+        WordShingleSeq(children.head, n)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_overlap"),

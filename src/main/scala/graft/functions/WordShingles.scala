@@ -67,10 +67,77 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       newChild: Expression): WordShingles = copy(child = newChild)
 }
 
+/** Positional sibling of [[WordShingles]]: text → the FULL shingle
+  * hash SEQUENCE, one entry per window start index, duplicates kept,
+  * in token order — so `posexplode` yields (start_pos, hash) pairs.
+  *
+  * Exists for the exact-substring dedup family (q131, the Lee et al.
+  * "Deduplicating Training Data" step): span removal needs to know
+  * WHERE a duplicated window sits, which the distinct-set form throws
+  * away. Same tokenization and 60-bit hash arithmetic as
+  * [[WordShingles]] (shared [[WordShinglesUtil]] kernel), so the
+  * DuckDB oracle replay recipe is unchanged —
+  * ('0x'||substr(md5(array_to_string(toks[i+1:i+n], ' ')),1,15))::BIGINT
+  * at 0-based start i. */
+case class WordShingleSeq(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_seq expects (string, positive int literal), got " +
+        s"(${child.dataType.simpleString}, $n)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_seq"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesUtil.computeSeq(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShinglesUtil.computeSeq($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordShingleSeq = copy(child = newChild)
+}
+
 /** Static helper the generated code calls (Scala object methods become
   * static forwarders, so whole-stage codegen references it directly). */
 object WordShinglesUtil {
   private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** The shared window-hash kernel: 60-bit hash of the n tokens
+    * starting at i (space-joined, md5, first 15 hex digits as long). */
+  private def windowHash(toks: Array[String], i: Int, n: Int,
+      sb: java.lang.StringBuilder): Long = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(i + j))
+      j += 1
+    }
+    val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** [[WordShingleSeq]]'s kernel: positional hash sequence, duplicates
+    * kept, index = window start. <n-token docs → empty array. */
+  def computeSeq(text: UTF8String, n: Int): ArrayData = {
+    val s = text.trim.toLowerCase.toString
+    val toks = WS.split(s, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      out(i) = windowHash(toks, i, n, sb)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   def compute(text: UTF8String, n: Int): ArrayData = {
     // trim = SQL space-only trim; toLowerCase = Spark's lower — both
@@ -82,16 +149,7 @@ object WordShinglesUtil {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      seen.add(java.lang.Long.parseLong(hex.substring(0, 15), 16))
+      seen.add(windowHash(toks, i, n, sb))
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -1161,7 +1161,106 @@ object DedupOps {
       |DROP TABLE o117_m;
       |SELECT * FROM o117_out ORDER BY cluster_id""".stripMargin
 
+  /** q131 — EXACT-SUBSTRING dedup ([EXT], round 12): the published
+    * pipeline step the whole-document/chunk families (q30–q34, q115)
+    * don't cover — REPEATED SPANS inside otherwise-distinct documents
+    * (the Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" ExactSubstr step; their suffix-array build is a
+    * single-machine construction, re-expressed here as a Spark
+    * rolling-window pipeline). Semantics:
+    *
+    *   1. Every W=30-token window (word tokens, the engine's standing
+    *      normalization) is hashed positionally — the codegen'd
+    *      [[graft.functions.WordShingleSeq]] kernel, one narrow
+    *      projection, so the corpus pass is scan → project →
+    *      posexplode into (doc_id, pos, h) rows ~20 bytes each.
+    *   2. A window hash occurring in >1 document is DUPLICATED text;
+    *      the single KEEPER occurrence is the (min doc_id, min pos)
+    *      one (rank-1 over the hash), every other occurrence is
+    *      flagged for removal. Hashes with > [[substrOccCap]]
+    *      occurrences are boilerplate (license blocks, headers) and
+    *      are excluded from flagging — the q31/q115 skew-cap stance,
+    *      declared in the semantics and replayed by the oracle, so
+    *      the hot-key quadratic never happens.
+    *   3. Flagged windows merge into MAXIMAL REMOVAL SPANS per doc
+    *      (overlapping/adjacent windows union: gaps-and-islands over
+    *      pos with break at gap > W), emitting one row per span:
+    *      (doc_id, span_start, span_end, n_windows) in token indices,
+    *      end exclusive.
+    *
+    * 100 TB shape: one groupBy on the 60-bit hash (map-side partial
+    * count/min), one equi-join of the window relation against the
+    * dup-hash set (size-conditional broadcast — duplicated hashes are
+    * a small fraction of windows), two narrow windows (rank over h,
+    * islands over doc_id) — no all-pairs, no text payload past the
+    * first projection. Every step is deterministic md5 arithmetic →
+    * DuckDB hash-verified end to end. */
+  private val SubstrW = 30
+  private val substrOccCap = 4096
+
+  val q131SubstringDedup: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_shingle_seq(text, $SubstrW)"))
+          .as(Seq("pos", "h")))
+    val dup = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+      .filter(col("nd") > 1 && col("occ") <= substrOccCap)
+      .select("h")
+    val flagged = w.join(Hints.broadcastIfSmall(dup), "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rk") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = flagged
+      .withColumn("newi",
+        (col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
+          lit(-SubstrW - 1)) > SubstrW).cast("int"))
+      .withColumn("island", sum(col("newi")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SubstrW).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val q131Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[i+1:i+30], ' ')), 1, 15))::BIGINT AS h
+      |  FROM t, UNNEST(range(GREATEST(LEN(toks) - 29, 0))) g(i)),
+      |dup AS (
+      |  SELECT h FROM w GROUP BY h
+      |  HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(*) <= 4096),
+      |fl AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      |  FROM w JOIN dup USING (h)),
+      |gaps AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - COALESCE(LAG(pos) OVER
+      |        (PARTITION BY doc_id ORDER BY pos), -31) > 30
+      |      THEN 1 ELSE 0 END AS newi
+      |  FROM fl WHERE rk > 1),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
+      |                    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM gaps)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end,
+      |  COUNT(*) AS n_windows
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_substring_dedup" -> q131SubstringDedup,
     "q127_leakage_safe_split" -> q127LeakageSafeSplit,
     "q122_bloom_decontam" -> q122BloomDecontam,
     "q117_cluster_keeper" -> q117ClusterQualityKeeper,
@@ -1175,6 +1274,7 @@ object DedupOps {
     "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "q131_substring_dedup" -> q131Oracle,
     "q127_leakage_safe_split" -> q127Oracle,
     "q122_bloom_decontam" -> q122Oracle,
     "q117_cluster_keeper" -> q117Oracle,

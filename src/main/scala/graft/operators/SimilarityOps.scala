@@ -915,13 +915,22 @@ object SimilarityOps {
     * products and centroid norms — |Q| × m × ksub rows, broadcast —
     * and each corpus vector's score is the SUM of m table lookups
     * along its codes. The corpus pass never touches a float vector:
-    * one narrow join of the codes table against the broadcast LUT +
-    * one hash agg, the plan that scans a 100 TB corpus as a ~1.5 TB
-    * codes table. Scoring is algebraically IDENTICAL to cosine against
-    * the concatenated-centroid reconstruction (SimilaritySpec pins the
+    * one narrow join of the codes table against the LUT + one hash
+    * agg, the plan that scans a 100 TB corpus as a ~1.5 TB codes
+    * table. The LUT broadcast is SIZE-CONDITIONAL (the q31/q43/q47
+    * precedent): at |Q| × m × ksub ≲ 1M rows it broadcasts and the
+    * corpus join is map-side; past the cap — a big offline query
+    * batch — the hint is withheld and the SAME equi-join degrades to
+    * a shuffle on (sub, code), graceful instead of a driver OOM
+    * (SimilaritySpec drives both paths bit-identical). Scoring is
+    * algebraically IDENTICAL to cosine against the
+    * concatenated-centroid reconstruction (SimilaritySpec pins the
     * equality, plus recall vs exact q40); k-means codebooks are
     * engine-internal → rows-only by design, like q42. */
-  val q126PqAnn: Q = (spark, dir) => {
+  val q126PqAnn: Q = (spark, dir) => pqAdcTopK(spark, dir)
+
+  private[graft] def pqAdcTopK(spark: SparkSession, dir: String,
+      lutCapBytes: Long = Hints.BroadcastCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val codes = stagedPqCodes(spark, dir)
     val cents = stagedPqCents(spark, dir)
@@ -945,7 +954,7 @@ object SimilarityOps {
     val nq = qv.groupBy("query_id").agg(sum(col("v") * col("v")).as("nq"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_pq").desc, col("neighbor_id"))
-    codes.join(broadcast(lut), Seq("sub", "code"))
+    codes.join(Hints.broadcastIfSmall(lut, lutCapBytes), Seq("sub", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("qdot")).as("dot"), sum(col("c2")).as("r2"))

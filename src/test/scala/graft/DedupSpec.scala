@@ -451,6 +451,51 @@ class DedupSpec extends SparkSpec {
     assert(fps(0L) !== fps(2L))
   }
 
+  test("exact-substring dedup (q131): spans are well-formed, disjoint, " +
+      "and each really is duplicated text — the 30-token head of every " +
+      "removal span occurs token-aligned in another document") {
+    val W = 30
+    val spans = DedupOps.queries("q131_substring_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.nonEmpty, "fixture must contain duplicated spans")
+    // well-formed: a span covers at least one full window; the flagged
+    // window count fits the span's window capacity
+    spans.foreach { case (doc, start, end, nw) =>
+      assert(start >= 0 && end >= start + W, s"degenerate span $doc/$start/$end")
+      assert(nw >= 1 && nw <= end - start - W + 1,
+        s"window count $nw outside span capacity at $doc/$start/$end")
+    }
+    // maximal: per doc, consecutive spans have a gap (> W between
+    // flagged window starts means strictly start > previous end) —
+    // touching spans would mean the island merge failed
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (d, s2, _, _)) =>
+          assert(s2 > e1, s"doc $d: spans touch/overlap ($e1 vs $s2)")
+        case _ =>
+      }
+    }
+    // ground truth, no hashes involved: the first window of every span
+    // appears verbatim (token-aligned) in some OTHER document, or at a
+    // DIFFERENT position of the same document — i.e. the flagged text
+    // is genuinely repeated, not a hash artifact
+    val norm = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+", -1)).toMap
+    val joined = norm.view.mapValues(t => " " + t.mkString(" ") + " ").toMap
+    spans.foreach { case (doc, start, _, _) =>
+      val win = " " + norm(doc).slice(start, start + W).mkString(" ") + " "
+      val selfText = joined(doc)
+      val dupElsewhere = joined.exists { case (d, t) =>
+        d != doc && t.contains(win) }
+      val dupWithin = selfText.indexOf(win) < selfText.lastIndexOf(win)
+      assert(dupElsewhere || dupWithin,
+        s"span head at doc=$doc start=$start is not duplicated anywhere")
+    }
+  }
+
   test("leakage-safe split (q127): duplicates never straddle splits; " +
       "80/10/10 shape holds roughly") {
     val rows = DedupOps.q127LeakageSafeSplit(spark, sf).collect()

@@ -227,6 +227,31 @@ class PlanSpec extends SparkSpec {
     assert(fallbacks(plan(DedupOps.queries(
       "q115_editdist_neardup")(spark, sf))).isEmpty,
       "levenshtein confirm must stay codegen'd")
+    // CONJUNCT-ORDER TRIPWIRE (round 12): the 6x win of round 11's
+    // profile fix depends on the join-condition conjunction keeping
+    // the cheap doc_id/length guards BEFORE the levenshtein DP —
+    // evaluation order inside a join condition is not a documented
+    // Spark contract, so a Catalyst change that reorders it would
+    // come back as a mystery slowdown. Pin it as a plan assertion:
+    // the physical join's residual condition must render the cheap
+    // conjuncts first and the DP last.
+    val levJoins = plan(
+      DedupOps.queries("q115_editdist_neardup")(spark, sf)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.condition.exists(_.toString.contains("levenshtein")) => j
+    }
+    assert(levJoins.nonEmpty, "the levenshtein confirm must live in a " +
+      "join condition (a pushed post-join filter re-creates the " +
+      "round-11 6x slowdown)")
+    levJoins.foreach { j =>
+      val cond = j.condition.get.toString
+      val iLev = cond.indexOf("levenshtein")
+      val iDoc = cond.indexOf("doc_id")
+      val iLen = cond.indexOf("abs(")
+      assert(iDoc >= 0 && iDoc < iLev && iLen >= 0 && iLen < iLev,
+        s"cheap conjuncts must precede the levenshtein DP in the join " +
+          s"condition (evaluation is left-to-right): $cond")
+    }
     // q114: the chunk fan-out is a per-doc map — the ONLY exchange in
     // the plan is the final presentation orderBy's range partitioning
     val p114 = plan(

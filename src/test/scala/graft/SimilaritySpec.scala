@@ -538,6 +538,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pqSet.forall { case (q, nb) => q != nb })
   }
 
+  test("PQ/ADC LUT broadcast is size-conditional: past the cap the " +
+      "codes join degrades to a shuffle on (sub, code), bit-identical " +
+      "to the broadcast path") {
+    // The ADC lookup table is |Q| x m x ksub rows — broadcastable for
+    // online query batches, NOT for a big offline batch. Force the
+    // past-the-cap regime (cap = 1 byte, auto-broadcast off so Spark's
+    // own threshold can't silently re-broadcast the tiny fixture LUT)
+    // and require the exact same rows from the shuffle plan.
+    val broadcastPath = SimilarityOps.q126PqAnn(spark, sf).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SimilarityOps.pqAdcTopK(spark, sf, lutCapBytes = 1L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"withheld hint must leave a shuffled LUT join:\n${plan.take(2000)}")
+      val shufflePath = df.collect()
+      assert(shufflePath.map(_.toString).toSeq ===
+        broadcastPath.map(_.toString).toSeq,
+        "shuffle and broadcast LUT paths must be bit-identical")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("contrastive pairs (q129): hard positive beats the random " +
       "negative for every anchor; positive is the true SQ8 top-1") {
     val rows = SimilarityOps.q129ContrastivePairs(spark, sf).collect()

@@ -135,6 +135,14 @@ def _child(q, sf_dir, d, name, oracle):
         q.put(check_one(sf_dir, d, name, oracle))
     except duckdb.OutOfMemoryException:
         os._exit(3)
+    except Exception as e:
+        # A binder/parse/conversion error is a DETERMINISTIC oracle
+        # defect, not an environment crash — report it as a fail so it
+        # can't hide behind the [ENV] retry loop (a nested-window
+        # binder error spent three retries masquerading as OOM before
+        # this branch existed).
+        q.put(("fail", f"  [FAIL] {name}: {type(e).__name__}: "
+               f"{str(e)[:300]}"))
 
 def check_one(sf_dir, d, name, oracle):
         con = with_oom_retry(lambda: fresh_con(sf_dir))  # noqa: indent kept to minimize diff
