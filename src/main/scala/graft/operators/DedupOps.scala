@@ -1198,7 +1198,10 @@ object DedupOps {
   private val SubstrW = 30
   private val substrOccCap = 4096
 
-  val q131SubstringDedup: Q = (spark, dir) => {
+  /** The q131 span pipeline as a reusable frame (doc_id, span_start,
+    * span_end, n_windows) — q132 consumes it to apply the removals. */
+  private[graft] def substringRemovalSpans(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1225,8 +1228,112 @@ object DedupOps {
         (max(col("pos")) + SubstrW).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
-      .orderBy("doc_id", "span_start")
   }
+
+  val q131SubstringDedup: Q = (spark, dir) =>
+    substringRemovalSpans(spark, dir)
+      .orderBy("doc_id", "span_start")
+
+  /** q132 — SPAN EXCISION ([EXT], round 12): APPLY q131's removal
+    * lists — the second half of the Lee et al. ExactSubstr step
+    * (detect, then excise). For every affected document: drop the
+    * tokens inside any removal span and emit the audit a pipeline
+    * gates on — (n_tokens, n_removed, n_kept) plus a POSITION-WEIGHTED
+    * CHECKSUM of the surviving tokens, Σ ((pos+1 mod M) · (hash60(tok)
+    * mod M)) mod M over kept tokens (M = 1000003). The checksum pins
+    * WHICH token survived at WHICH position — the property excision
+    * can get wrong — without reconstructing strings: no collect_list,
+    * no higher-order lambda (both would sever codegen), just one
+    * map-side-combinable SUM. Fully deterministic md5 arithmetic →
+    * DuckDB hash-verified.
+    *
+    * 100 TB shape: spans re-derive via the q131 pipeline (shared
+    * helper); the token explode runs over AFFECTED docs only (inner
+    * join against the distinct span doc ids, broadcast when small);
+    * the anti-join is doc_id-equi with a range residual (spans per doc
+    * are few and disjoint); both aggs are narrow partial+final. */
+  val q132SpanExcision: Q = (spark, dir) => {
+    val spans = substringRemovalSpans(spark, dir)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val affected = spans.select("doc_id").distinct()
+    val tok = Tables.load(spark, dir, "documents")
+      .join(Hints.broadcastIfSmall(affected), "doc_id")
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+", -1))
+          .as(Seq("pos", "tok")))
+    val kept = tok.as("t").join(spans.as("s"),
+      col("t.doc_id") === col("s.doc_id") &&
+        col("t.pos") >= col("s.span_start") &&
+        col("t.pos") < col("s.span_end"),
+      "left_anti")
+    val M = 1000003L
+    val h60 = expr(
+      "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+    val term = ((col("pos") + 1) % M) * (h60 % M) % M
+    val totals = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"))
+    val keptStats = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(term).cast("long").as("kept_checksum"))
+    totals.join(keptStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+      .orderBy("doc_id")
+  }
+
+  val q132Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[i+1:i+30], ' ')), 1, 15))::BIGINT AS h
+      |  FROM t, UNNEST(range(GREATEST(LEN(toks) - 29, 0))) g(i)),
+      |dup AS (
+      |  SELECT h FROM w GROUP BY h
+      |  HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(*) <= 4096),
+      |fl AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      |  FROM w JOIN dup USING (h)),
+      |gaps AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - COALESCE(LAG(pos) OVER
+      |        (PARTITION BY doc_id ORDER BY pos), -31) > 30
+      |      THEN 1 ELSE 0 END AS newi
+      |  FROM fl WHERE rk > 1),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
+      |                    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM gaps),
+      |spans AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 30 AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |tok AS (
+      |  SELECT t.doc_id, i AS pos, toks[i+1] AS tok
+      |  FROM t JOIN (SELECT DISTINCT doc_id FROM spans) a USING (doc_id),
+      |       UNNEST(range(LEN(toks))) g(i)),
+      |kept AS (
+      |  SELECT tok.doc_id, pos, tok FROM tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = tok.doc_id AND pos >= sp.s AND pos < sp.e)),
+      |ks AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    CAST(SUM(((pos + 1) % 1000003) *
+      |      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003)
+      |      % 1000003) AS BIGINT) AS kept_checksum
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+      |SELECT tot.doc_id, n_tokens,
+      |  n_tokens - COALESCE(n_kept, 0) AS n_removed,
+      |  COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(kept_checksum, 0) AS kept_checksum
+      |FROM tot LEFT JOIN ks USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   val q131Oracle: String =
     """WITH t AS (
@@ -1260,6 +1367,7 @@ object DedupOps {
       |ORDER BY doc_id, span_start""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q132_span_excision" -> q132SpanExcision,
     "q131_substring_dedup" -> q131SubstringDedup,
     "q127_leakage_safe_split" -> q127LeakageSafeSplit,
     "q122_bloom_decontam" -> q122BloomDecontam,
@@ -1274,6 +1382,7 @@ object DedupOps {
     "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "q132_span_excision" -> q132Oracle,
     "q131_substring_dedup" -> q131Oracle,
     "q127_leakage_safe_split" -> q127Oracle,
     "q122_bloom_decontam" -> q122Oracle,

@@ -82,10 +82,13 @@ object GraftSqlParser {
   // note = 'as where x'` would truncate the assignment at parse time
   private val UpdateRe =
     ("""(?is)^\s*UPDATE\s+""" + Tbl + """\s+SET\s+(.+?)\s*;?\s*$""").r
+  // USING/ON/WHEN boundaries are located in code (splitOnKeyword), not
+  // by lazy regex groups: `USING (SELECT ... WHERE note = 'turn on x')`
+  // would split at the literal's ' on ' otherwise — the same
+  // quote-blindness class as the UPDATE SET/WHERE split
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+""" + Tbl +
-      """(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)""" +
-      """\s+(WHEN\s.+?)\s*;?\s*$""").r
+      """(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+?)\s*;?\s*$""").r
   private val UpsertWhenTail =
     """(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$"""
@@ -197,20 +200,23 @@ object GraftSqlParser {
   }
 
   /** Split `s` at the FIRST top-level occurrence of word `kw`
-    * (case-insensitive, word-bounded, outside quotes/parens) →
-    * (before, Some(after)) or (s, None). The quote-aware twin of the
+    * (case-insensitive, word-bounded, outside quotes/backticks/parens)
+    * → (before, Some(after)) or (s, None). The quote-aware twin of the
     * regex `(?:\s+WHERE\s+...)` idiom, which fires inside string
-    * literals. */
+    * literals — and inside backticked paths (`delta.`/data/on disk``),
+    * hence the backtick tracking. */
   private[sources] def splitOnKeyword(s: String, kw: String)
       : (String, Option[String]) = {
-    var depth = 0; var inS = false; var inD = false; var i = 0
+    var depth = 0; var inS = false; var inD = false; var inB = false
+    var i = 0
     while (i < s.length) {
       s(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
-        case '(' if !inS && !inD => depth += 1
-        case ')' if !inS && !inD => depth -= 1
-        case _ if depth == 0 && !inS && !inD &&
+        case '\'' if !inD && !inB => inS = !inS
+        case '"' if !inS && !inB => inD = !inD
+        case '`' if !inS && !inD => inB = !inB
+        case '(' if !inS && !inD && !inB => depth += 1
+        case ')' if !inS && !inD && !inB => depth -= 1
+        case _ if depth == 0 && !inS && !inD && !inB &&
             i + kw.length <= s.length &&
             s.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
             (i == 0 || !Character.isLetterOrDigit(s(i - 1))) &&
@@ -278,7 +284,14 @@ object GraftSqlParser {
       require(assignments.nonEmpty, "UPDATE needs at least one SET column")
       pred.foreach(delegate.parseExpression)
       Some(GraftUpdate(pathOf(a, b, c), assignments, pred))
-    case MergeRe(a, b, c, tgtAlias, source, on, whenTail) =>
+    case MergeRe(a, b, c, tgtAlias, usingTail) =>
+      val (source, afterOn) = splitOnKeyword(usingTail, "ON")
+      val (on, afterWhen) = afterOn.map(splitOnKeyword(_, "WHEN"))
+        .getOrElse(throw new IllegalArgumentException(
+          "MERGE INTO needs an ON clause"))
+      val whenTail = "WHEN " + afterWhen.getOrElse(
+        throw new IllegalArgumentException(
+          "MERGE INTO needs WHEN MATCHED/NOT MATCHED clauses"))
       require(whenTail.matches(UpsertWhenTail),
         "MERGE INTO on a path table supports the key-upsert form only: " +
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +

@@ -496,6 +496,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span excision (q132): removal counts reconcile with q131's " +
+      "spans exactly, and the kept-token checksum matches an " +
+      "independent driver-side replay of the interval exclusion") {
+    val spans = DedupOps.queries("q131_substring_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val out = DedupOps.queries("q132_span_excision")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // affected-doc sets agree; per-doc removed == sum of span lengths
+    val byDoc = spans.groupBy(_._1)
+    assert(out.keySet === byDoc.keySet)
+    byDoc.foreach { case (doc, ss) =>
+      val expectRemoved = ss.map(s => s._3 - s._2).sum.toLong
+      val (nTok, nRem, nKept, _) = out(doc)
+      assert(nRem === expectRemoved,
+        s"doc $doc: removed $nRem != span total $expectRemoved")
+      assert(nTok === nRem + nKept)
+      assert(nRem >= 30, s"doc $doc: a span removes at least one window")
+    }
+    // independent replay: driver-side interval exclusion over the raw
+    // tokens must reproduce the SQL checksum bit-for-bit
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val M = 1000003L
+    out.foreach { case (doc, (_, _, _, checksum)) =>
+      val toks = texts(doc).trim.toLowerCase.split("\\s+", -1)
+      val ss = byDoc(doc)
+      val replay = toks.indices.filterNot(p =>
+        ss.exists(s => p >= s._2 && p < s._3)).map { p =>
+        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          toks(p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        ((p + 1) % M) * (h % M) % M
+      }.sum
+      assert(replay === checksum,
+        s"doc $doc: checksum $checksum != driver replay $replay")
+    }
+  }
+
   test("leakage-safe split (q127): duplicates never straddle splits; " +
       "80/10/10 shape holds roughly") {
     val rows = DedupOps.q127LeakageSafeSplit(spark, sf).collect()

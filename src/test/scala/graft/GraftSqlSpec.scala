@@ -744,5 +744,14 @@ class GraftSqlSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT *")
     assert(DeltaTable.read(spark, t).filter(col("id") === 2)
       .select("name").as[String].head() === "Bob2")
+    // USING/ON/WHEN boundaries are quote-aware: a source-subquery
+    // literal containing ' on ' and ' when ' must not break the split
+    // (the old lazy regex split at the literal's ' on ')
+    spark.sql(s"MERGE INTO delta.`$t` USING " +
+      "(SELECT 7 AS id, 'turn on x when ready' AS name, " +
+      "CAST(1 AS BIGINT) AS salary) s ON id = id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(DeltaTable.read(spark, t).filter(col("id") === 7)
+      .select("name").as[String].head() === "turn on x when ready")
   }
 }
