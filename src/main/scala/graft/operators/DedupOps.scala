@@ -1195,18 +1195,72 @@ object DedupOps {
     * islands over doc_id) — no all-pairs, no text payload past the
     * first projection. Every step is deterministic md5 arithmetic →
     * DuckDB hash-verified end to end. */
-  private val SubstrW = 30
-  private val substrOccCap = 4096
+  private[graft] val SubstrW = 30
+  private[graft] val substrOccCap = 4096
 
   /** The q131 span pipeline as a reusable frame (doc_id, span_start,
     * span_end, n_windows) — q132 consumes it to apply the removals. */
+  /** Positional window-hash relation (doc_id, pos, h) of a (doc_id,
+    * text) frame — the raw material of the exact-substring family. */
+  private[graft] def windowHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(expr(s"graft_shingle_seq(text, $SubstrW)"))
+        .as(Seq("pos", "h")))
+
+  /** Merge flagged window starts (doc_id, pos) into MAXIMAL removal
+    * spans: gaps-and-islands over pos per doc, island break at gap >
+    * W (strictly disjoint output spans). Shared by the batch q131 and
+    * the streaming ingest twin. */
+  private[graft] def mergeRemovalSpans(flagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("newi",
+        (col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
+          lit(-SubstrW - 1)) > SubstrW).cast("int"))
+      .withColumn("island", sum(col("newi")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SubstrW).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** The seed corpus's DISTINCT window-hash set, staged once per
+    * (session, corpus, mtime) like the shingle/SQ8 indexes — the
+    * membership relation the STREAMING substring-dedup ingest probes
+    * each micro-batch against (existence is all the incoming side
+    * needs: any corpus occurrence makes the incoming one a removal
+    * candidate; positions matter only within the batch). */
+  private val windowHashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  private[graft] def stagedWindowHashSet(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val pathKey =
+      System.identityHashCode(spark) + ":substr:" + src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    def build(): (String, String) = {
+      val t = graft.Scratch.dir("graft-substr").resolve("h").toString
+      windowHashes(Tables.load(spark, dir, "documents"))
+        .select("h").distinct().write.parquet(t)
+      (stateKey, t)
+    }
+    val entry = StagedCache.getOrBuild[(String, String)](
+      windowHashCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => build())
+    spark.read.parquet(entry._2)
+  }
+
   private[graft] def substringRemovalSpans(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(expr(s"graft_shingle_seq(text, $SubstrW)"))
-          .as(Seq("pos", "h")))
+    val w = windowHashes(Tables.load(spark, dir, "documents"))
     val dup = w.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
       .filter(col("nd") > 1 && col("occ") <= substrOccCap)
@@ -1216,22 +1270,38 @@ object DedupOps {
         Window.partitionBy("h").orderBy("doc_id", "pos")))
       .filter(col("rk") > 1)
       .select("doc_id", "pos")
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val islands = flagged
-      .withColumn("newi",
-        (col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
-          lit(-SubstrW - 1)) > SubstrW).cast("int"))
-      .withColumn("island", sum(col("newi")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + SubstrW).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select("doc_id", "span_start", "span_end", "n_windows")
+    mergeRemovalSpans(flagged)
+  }
+
+  /** The span relation, STAGED once per (session, corpus, mtime) —
+    * the q34/q117 precedent: q131 and q132 share one build, and q132's
+    * plan references spans TWICE (affected-doc gate + anti-join) which
+    * Spark would otherwise compute twice (no common-subplan dedup). */
+  private val spanIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  private[graft] def stagedRemovalSpans(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val pathKey =
+      System.identityHashCode(spark) + ":spans:" + src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    def build(): (String, String) = {
+      val t = graft.Scratch.dir("graft-substr").resolve("spans").toString
+      substringRemovalSpans(spark, dir).write.parquet(t)
+      (stateKey, t)
+    }
+    val entry = StagedCache.getOrBuild[(String, String)](
+      spanIndexCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => build())
+    spark.read.parquet(entry._2)
   }
 
   val q131SubstringDedup: Q = (spark, dir) =>
-    substringRemovalSpans(spark, dir)
+    stagedRemovalSpans(spark, dir)
       .orderBy("doc_id", "span_start")
 
   /** q132 — SPAN EXCISION ([EXT], round 12): APPLY q131's removal
@@ -1253,7 +1323,7 @@ object DedupOps {
     * the anti-join is doc_id-equi with a range residual (spans per doc
     * are few and disjoint); both aggs are narrow partial+final. */
   val q132SpanExcision: Q = (spark, dir) => {
-    val spans = substringRemovalSpans(spark, dir)
+    val spans = stagedRemovalSpans(spark, dir)
       .select(col("doc_id"), col("span_start"), col("span_end"))
     val affected = spans.select("doc_id").distinct()
     val tok = Tables.load(spark, dir, "documents")

@@ -403,6 +403,94 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING EXACT-SUBSTRING DEDUP — the ingest twin of the batch
+    * q131 ([[graft.operators.DedupOps.substringRemovalSpans]]): tail a
+    * graft-delta documents table and, per micro-batch, flag every
+    * incoming 30-token window whose hash already exists in the corpus
+    * (seed ∪ previously staged batches — the corpus occurrence is the
+    * keeper) or that repeats ACROSS documents within the batch
+    * (keeper = first (doc_id, pos), the batch-mode rank rule), then
+    * merge flagged windows into maximal removal spans and append them
+    * to a downstream graft-delta spans table.
+    *
+    * Semantics vs batch q131: identical whenever ingest order follows
+    * doc_id order (the batch keeper is the min (doc_id, pos)
+    * occurrence, the streaming keeper the first-arrived —
+    * StreamingSpec pins span-set equality on such a fixture). One
+    * declared divergence: the boilerplate occurrence cap applies to
+    * the BATCH-side occurrence count (a stream cannot know a hash's
+    * final global count); the guard still prevents any single
+    * micro-batch from going quadratic on a hot hash.
+    *
+    * Scale shape per batch: batch windows are one codegen'd
+    * projection + posexplode (never the corpus); the corpus probe is
+    * a LEFT SEMI equi-join on the 60-bit hash against the staged hash
+    * set (hash-partitioned, no payloads); the within-batch pass is
+    * one rank window over batch-sized rows. The corpus is never
+    * re-scanned — its hash set is staged once (seed) plus one small
+    * parquet per ingested batch. Exactly-once via SetTransaction
+    * keyed by (checkpoint, batchId); staged batch dirs OVERWRITE on
+    * replay; the staging root carries the checkpoint-identity stamp
+    * shared with the other ingest pipelines. */
+  def substrIngestPipeline(spark: SparkSession, seedDir: String,
+      srcTable: String, spansTable: String, ckptDir: String,
+      stageRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupOps
+    import graft.sources.{DeltaLog, DeltaTable}
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Paths.get(stageRoot)
+    java.nio.file.Files.createDirectories(root)
+    validateStageRoot(root, ckptDir, batchDirs(root, Long.MaxValue).nonEmpty)
+    val q = spark.readStream.format("graft-delta").load(srcTable)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bdir = root.resolve(s"batch-$batchId").toString
+        val bw0 = DedupOps.windowHashes(
+          batch.select(col("doc_id"), col("text")))
+        // boilerplate guard, batch-grained (see scaladoc): a hash
+        // occurring absurdly often in ONE batch is excluded before
+        // any join can fan out on it
+        val occ = bw0.groupBy("h")
+          .agg(count(lit(1)).as("occ"),
+            countDistinct(col("doc_id")).as("nd"))
+        val bw = bw0.join(
+          occ.filter(col("occ") <= DedupOps.substrOccCap)
+            .select("h", "nd"), "h")
+        // stage this batch's distinct hashes for LATER batches
+        // (overwrite -> replay-idempotent)
+        bw.select("h").distinct()
+          .write.mode("overwrite").parquet(bdir)
+        val corpusH = batchDirs(root, batchId)
+          .foldLeft(DedupOps.stagedWindowHashSet(spark, seedDir))(
+            (acc, d) => acc.unionByName(spark.read.parquet(d)))
+        val vsCorpus = bw.join(corpusH, Seq("h"), "left_semi")
+          .select("doc_id", "pos")
+        // within-batch: cross-document hashes only (nd > 1, the batch
+        // q131 rule — a hash repeating inside a single new doc and
+        // nowhere else is NOT duplicated text), keeper = rank 1
+        val withinBatch = bw.filter(col("nd") > 1)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("h").orderBy("doc_id", "pos")))
+          .filter(col("rk") > 1)
+          .select("doc_id", "pos")
+        val spans = DedupOps.mergeRemovalSpans(
+          vsCorpus.unionByName(withinBatch).distinct())
+          .withColumn("batch_id", lit(batchId))
+        val mode =
+          if (DeltaLog.versions(spansTable).isEmpty) "overwrite" else "append"
+        DeltaTable.write(spans, spansTable, mode,
+          txn = Some((s"substr:$ckptDir", batchId)))
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    java.nio.file.Files.write(root.resolve("_graft_checkpoint"),
+      q.id.toString.getBytes("UTF-8"))
+    q
+  }
+
   /** The live SQ8 serving relation a [[sqIngestPipeline]] maintains:
     * the seed corpus's staged reconstruction rows ∪ every staged
     * batch's — the same (vec_id, pos, r) shape q46/q47/q78 search

@@ -162,6 +162,36 @@ class DegenerateDocsSpec extends SparkSpec {
     assert(m.map(_.getLong(1)).sum === 8L, "all 8 docs assigned a shard")
   }
 
+  test("substring dedup: sub-window docs produce no spans; the " +
+      "excision pass returns cleanly empty without touching anything") {
+    // every doc here is under the 30-token window — even the identical
+    // twins can't form a single complete window, so both halves of the
+    // exact-substring family must return empty (never throw, never
+    // fabricate a span from the empty-array explode)
+    assert(DedupOps.queries("q131_substring_dedup")(spark, dir)
+      .collect().isEmpty)
+    assert(DedupOps.queries("q132_span_excision")(spark, dir)
+      .collect().isEmpty)
+  }
+
+  test("graft_shingle_seq contract: null→null, short→empty, positional " +
+      "length n-W+1, and its distinct set equals graft_shingles") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "graft_shingle_seq(text, 3) AS seq",
+        "graft_shingles(text, 3) AS set")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (Option(r.getSeq[Long](1)), Option(r.getSeq[Long](2)))).toMap
+    assert(rows(0L)._1.isEmpty, "null text nulls out")
+    assert(rows(1L)._1.get.isEmpty && rows(3L)._1.get.isEmpty,
+      "sub-trigram docs yield an empty sequence")
+    // doc 6: 9 tokens -> exactly 7 positional trigram hashes, and the
+    // sequence's distinct sorted form IS the set kernel's output (the
+    // two expressions share one hash arithmetic by construction)
+    val (seq6, set6) = (rows(6L)._1.get, rows(6L)._2.get)
+    assert(seq6.length === 7)
+    assert(seq6.distinct.sorted === set6)
+  }
+
   test("temperature mix on a single degenerate-heavy domain: exact half kept target") {
     val rows = TextOps.q121TemperatureMix(spark, dir).collect()
     assert(rows.length === 1)

@@ -780,6 +780,84 @@ class StreamingSpec extends SparkSpec {
       assert(fileMtime(f) === m, s"seed index file rewritten: $f") }
   }
 
+  test("streaming exact-substring dedup: batch spans == the batch q131 " +
+      "recompute on streamed docs, exactly-once across restarts") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-substr")
+    val (src, spansT, ckpt, stage) =
+      (s"$base/src", s"$base/spans", s"$base/ckpt", s"$base/stage")
+    val seedDir = s"$base/seed"
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val seedRun = toks("alpha", 40)          // 40 tokens, 11 windows
+    val novelRun = toks("nova", 40)
+    val sharedRun = toks("shared", 32)       // 32 tokens, 3 windows
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    Seq(doc(0, seedRun), doc(1, toks("beta", 35)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$seedDir/documents.parquet")
+    def appendDocs(rows: (Long, String)*): Unit = rows.toSeq
+      .map { case (i, t) => doc(i, t) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.format("graft-delta").mode("append").save(src)
+    def spanRows() = spark.read.format("graft-delta").load(spansT)
+      .select("doc_id", "span_start", "span_end", "n_windows").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    // batch 1: doc 100 copies the first 34 tokens of seed doc 0 (5
+    // shared windows -> one [0, 34) span); 101 is novel; 102/103 share
+    // a 32-token run that exists NOWHERE else (within-batch rule:
+    // keeper 102, span only on 103); 104 repeats a window INSIDE
+    // itself only (single-doc hash, must NOT flag — the nd>1 rule)
+    val selfRepeat = toks("selfy", 30) + " bridgetok " + toks("selfy", 30)
+    appendDocs(
+      100L -> (seedRun.split(" ").take(34).mkString(" ") + " " +
+        toks("tail", 6)),
+      101L -> novelRun,
+      102L -> (sharedRun + " " + toks("left", 4)),
+      103L -> (sharedRun + " " + toks("right", 4)),
+      104L -> selfRepeat)
+    val q1 = StreamingOps.substrIngestPipeline(
+      spark, seedDir, src, spansT, ckpt, stage)
+    q1.processAllAvailable()
+    val after1 = spanRows()
+    assert(after1.exists(_._1 == 100L), "seed-copy span must flag")
+    assert(after1.exists(_._1 == 103L) && !after1.exists(_._1 == 102L),
+      "within-batch keeper: first doc keeps, second flags")
+    assert(!after1.exists(_._1 == 101L), "novel doc has no span yet")
+    assert(!after1.exists(_._1 == 104L),
+      "a hash repeating only inside ONE doc is not duplicated text")
+    // batch 2: doc 200 copies batch-1's novel doc — findable only
+    // because the staged hash set grew; the seed is never re-hashed
+    appendDocs(200L -> novelRun)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spanRows().exists(s => s._1 == 200L && s._2 == 0 && s._3 == 40))
+    // restart on the same checkpoint; batch 3 copies doc 200's text
+    // plus a fresh tail
+    appendDocs(300L -> (novelRun + " " + toks("extra", 3)))
+    val q2 = StreamingOps.substrIngestPipeline(
+      spark, seedDir, src, spansT, ckpt, stage)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spanRows()
+    assert(got.size === got.toSet.size, "replays must not duplicate spans")
+    // ground truth: the batch q131 over seed ∪ every streamed doc,
+    // restricted to streamed ids (ingest order == id order here, so
+    // the streaming first-arrival keeper IS the batch min-id keeper)
+    val combined = s"$base/combined"
+    spark.read.parquet(s"$seedDir/documents.parquet")
+      .unionByName(spark.read.format("graft-delta").load(src))
+      .write.parquet(s"$combined/documents.parquet")
+    val expected = DedupOps.queries("q131_substring_dedup")(spark, combined)
+      .filter(col("doc_id") >= 100L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got.toSet === expected,
+      s"stream/batch span divergence:\n got ${got.toSet}\n exp $expected")
+  }
+
   test("streaming incremental SQ8: frozen-codebook batches, exactly-once " +
       "across restarts, serving index == batch refresh") {
     import graft.operators.SimilarityOps
