@@ -44,9 +44,14 @@ object StreamRehearsal {
 
     val scratch = Files.createTempDirectory("graft-stream-sf1")
     def p(s: String) = scratch.resolve(s).toString
+    // dev-only subset filter (comma-separated pipeline names); unset
+    // runs everything
+    val only = sys.env.get("SPARK_GRAFT_PIPELINES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(name: String): Boolean = only.forall(_.contains(name))
 
     // ---------------- near-dup ingest over 50k-doc seed corpus ------
-    {
+    if (enabled("neardup")) {
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
       // seed staging builds the memoized shingle index ONCE (the
@@ -87,7 +92,7 @@ object StreamRehearsal {
     }
 
     // ---------------- SQ8 ingest over 20k-vector seed index ---------
-    {
+    if (enabled("sq8")) {
       val vecs = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val t0 = System.nanoTime()
@@ -121,8 +126,49 @@ object StreamRehearsal {
       } finally q.stop()
     }
 
+    // -------- exact-substring ingest over the 50k-doc seed corpus ---
+    if (enabled("substr")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      // seed staging hashes the corpus windows ONCE (steady-state
+      // serving posture); timed separately like the other seeds
+      val t0 = System.nanoTime()
+      graft.operators.DedupOps.stagedWindowHashSet(spark, sfDir).count()
+      println(f"""{"pipeline":"substr","seed_index_sec":${
+        (System.nanoTime() - t0) / 1e9}%.1f}""")
+      val src = p("substr-src")
+      // batches: 2k corpus-derived docs each — every window already in
+      // the seed by construction, the worst case for flag volume AND
+      // the span-merge windows
+      val batches = (0 until 5).map { k =>
+        docs.filter(pmod(col("doc_id"), lit(25)) === (k + 5))
+          .limit(2000)
+          .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
+            col("text"))
+      }
+      DeltaTable.write(batches.head.limit(1), src, "overwrite")
+      val q = graft.streaming.StreamingOps.substrIngestPipeline(
+        spark, sfDir, src, p("substr-spans"), p("substr-ckpt"),
+        p("substr-stage"))
+      try {
+        q.processAllAvailable()
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val outRows = DeltaTable.read(spark, p("substr-spans")).count()
+          println(f"""{"pipeline":"substr","batch":$k,"rows":$rows,""" +
+            f""""sec":$sec%.1f,"staged_bytes":${
+              dirBytes(scratch.resolve("substr-stage"))},""" +
+            f""""out_rows":$outRows}""")
+        }
+      } finally q.stop()
+    }
+
     // -------- maxFilesPerTrigger admission over the 1M-event table --
-    {
+    if (enabled("maxFilesPerTrigger")) {
       val events = Tables.load(spark, sfDir, "events")
       val src = p("mft-src")
       // 32 files via repartition so admission has real granularity
