@@ -252,8 +252,18 @@ class PlanSpec extends SparkSpec {
         s"cheap conjuncts must precede the levenshtein DP in the join " +
           s"condition (evaluation is left-to-right): $cond")
     }
-    // q114: the chunk fan-out is a per-doc map — the ONLY exchange in
-    // the plan is the final presentation orderBy's range partitioning
+    // q131's span BUILD plan (the staged index's one-time cost): the
+    // window relation is one codegen'd projection + posexplode; the
+    // dup-hash detection is hash aggregation; the flag join is an
+    // equi join on the 60-bit hash — never an all-pairs shape
+    val p131 = plan(DedupOps.substringRemovalSpans(spark, sf))
+    val s131 = p131.toString
+    assert(!s131.contains("CartesianProduct") && !s131.contains("NestedLoop"),
+      s"substring dedup must never plan all-pairs:\n$s131")
+    assert(s131.contains("HashAggregate"),
+      s"dup-hash detection must be hash aggregation:\n$s131")
+    assert(fallbacks(p131).isEmpty,
+      "graft_shingle_seq and the span merge must stay codegen'd")
     val p114 = plan(
       graft.operators.TextOps.queries("q114_rag_chunking")(spark, sf))
     val exchanges = p114.collect {
