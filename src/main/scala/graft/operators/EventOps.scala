@@ -269,34 +269,32 @@ object EventOps {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "start_us")
 
-  /** Staged as temp-table steps (round 11): the CTE form OOM'd the
-    * driver's memory-capped checker in round 10 (the q45/q47 remedy
-    * from round 9) — each step now evaluates exactly once and the
-    * predecessor is dropped, so peak allocation is one window pass.
-    * Identical window algebra; the hash contract is unchanged. */
+  /** ONE statement, AS-MATERIALIZED stages (round 13): each window
+    * pass still evaluates exactly once (no CTE re-inlining — the
+    * round-10 OOM), but inside a single statement so the driver
+    * checker's multi-statement handling (the round-12 empty-file
+    * incident) can't be tripped. Identical window algebra; the hash
+    * contract is unchanged. */
   val q57Oracle: String =
-    """CREATE OR REPLACE TEMP TABLE o57_flagged AS
+    """WITH o57_flagged AS MATERIALIZED (
       |  SELECT *,
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
       |        FROM events)
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id);
-      |CREATE OR REPLACE TEMP TABLE o57_sessions AS
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |o57_sessions AS MATERIALIZED (
       |  SELECT user_id, ts, value, CAST(SUM(new_session) OVER (PARTITION BY user_id
       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      |  FROM o57_flagged;
-      |DROP TABLE o57_flagged;
-      |CREATE OR REPLACE TEMP TABLE o57_out AS
-      |  SELECT user_id,
-      |    epoch_us(MIN(ts)) AS start_us,
-      |    epoch_us(MAX(ts)) + 1800000000 AS end_us,
-      |    COUNT(*) AS n_events,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-      |  FROM o57_sessions GROUP BY user_id, session_seq;
-      |DROP TABLE o57_sessions;
-      |SELECT * FROM o57_out ORDER BY user_id, start_us""".stripMargin
+      |  FROM o57_flagged)
+      |SELECT user_id,
+      |  epoch_us(MIN(ts)) AS start_us,
+      |  epoch_us(MAX(ts)) + 1800000000 AS end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM o57_sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, start_us""".stripMargin
 
   /** q56 — JSON property extraction + rollup over the `props` column
     * (every event carries a JSON payload; training-data events always

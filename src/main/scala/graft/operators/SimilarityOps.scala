@@ -575,38 +575,38 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** Staged as a MULTI-STATEMENT script (round 10): nested array CTEs
-    * let DuckDB inline/duplicate the exploded N x 64 x 16 relation and
-    * made this the driver harness's repeat OOM offender; CREATE TEMP
-    * TABLE stages bound the peak to one step at a time (each step can
-    * spill) while computing the identical ordered-SUM arithmetic —
-    * the hash contract is unchanged. */
+  /** ONE statement, staged via AS MATERIALIZED (round 13): plain CTEs
+    * let DuckDB inline/duplicate the exploded N x 64 x 16 relation
+    * (the round-9 OOM), the round-10/11 temp-table script tripped the
+    * driver checker's multi-statement handling in round 12, and
+    * MATERIALIZED chains give temp-table evaluation (each stage
+    * computed exactly once, spillable) inside a single statement.
+    * Replayed against the script form at sf0.01: identical rows under
+    * a 512 MB cap; the ordered-SUM arithmetic is unchanged. */
   val q45Oracle: String =
-    """CREATE OR REPLACE TEMP TABLE o45_params AS
+    """WITH o45_params AS MATERIALIZED (
       |  SELECT GREATEST(4, LEAST(16,
       |           LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)) AS bits
-      |  FROM embeddings;
-      |CREATE OR REPLACE TEMP TABLE o45_contrib AS
+      |  FROM embeddings),
+      |o45_contrib AS MATERIALIZED (
       |  SELECT vec_id, k,
       |    SUM(embedding[i+1]::DOUBLE *
       |      ((('0x' || substr(md5(k::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)
       |      ORDER BY i) AS dot
       |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i),
       |       UNNEST(range(4 * (SELECT bits FROM o45_params))) h(k)
-      |  GROUP BY vec_id, k;
-      |CREATE OR REPLACE TEMP TABLE o45_bands AS
+      |  GROUP BY vec_id, k),
+      |o45_bands AS MATERIALIZED (
       |  SELECT vec_id, k // (SELECT bits FROM o45_params) AS band,
       |    SUM(CASE WHEN dot > 0
       |        THEN (1::BIGINT << (k % (SELECT bits FROM o45_params)))
       |        ELSE 0 END) AS bsig
-      |  FROM o45_contrib GROUP BY 1, 2;
-      |DROP TABLE o45_contrib; DROP TABLE o45_params;
-      |CREATE OR REPLACE TEMP TABLE o45_cand AS
+      |  FROM o45_contrib GROUP BY 1, 2),
+      |o45_cand AS MATERIALIZED (
       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
       |  FROM o45_bands x JOIN o45_bands y
-      |    ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id;
-      |DROP TABLE o45_bands;
-      |CREATE OR REPLACE TEMP TABLE o45_p AS
+      |    ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id),
+      |o45_p AS MATERIALIZED (
       |  SELECT c.id_a, c.id_b,
       |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
       |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
@@ -614,13 +614,10 @@ object SimilarityOps {
       |  FROM o45_cand c JOIN embeddings a ON a.vec_id = c.id_a
       |    JOIN embeddings b ON b.vec_id = c.id_b,
       |       UNNEST(range(LEN(a.embedding))) g(i)
-      |  GROUP BY 1, 2;
-      |DROP TABLE o45_cand;
-      |CREATE OR REPLACE TEMP TABLE o45_out AS
-      |  SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM o45_p
-      |  WHERE ROUND(dot / (na * nb), 4) >= 0.45;
-      |DROP TABLE o45_p;
-      |SELECT * FROM o45_out ORDER BY id_a, id_b""".stripMargin
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM o45_p
+      |WHERE ROUND(dot / (na * nb), 4) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** q46 — SCALAR-QUANTIZED (SQ8) ANN: the compressed-domain search
     * family beside partition-pruning (q42 IVF) and hashing (q45 LSH).
@@ -861,21 +858,29 @@ object SimilarityOps {
     * k-means runs over (n × dim/m) slices; the corpus pays one
     * assignment pass per subspace and nothing is ever all-pairs. */
   private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, String)] // state, codesDir, centsDir
+    String, (String, Seq[String], String, Long)]
+    // state, code dirs (base + deltas), centsDir, registered vec count
 
-  private def pqIndexEntry(spark: SparkSession,
-      dir: String): (String, String, String) = {
+  /** (corpus identity key, corpus state key) — state adds the mtime.
+    * The PQ twin of [[sqIndexKeys]]. */
+  private def pqIndexKeys(spark: SparkSession, dir: String): (String, String) = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val pathKey = System.identityHashCode(spark) + ":pq:" + src.toAbsolutePath
-    val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
-    def build(): (String, String, String) = {
+    (pathKey, pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+  }
+
+  private def pqIndexEntry(spark: SparkSession,
+      dir: String): (String, Seq[String], String, Long) = {
+    val (pathKey, stateKey) = pqIndexKeys(spark, dir)
+    def build(): (String, Seq[String], String, Long) = {
       val e = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val dim = e.select(size(col("embedding"))).head.getInt(0)
       require(dim % PqM == 0, s"PQ: dim $dim not divisible by m=$PqM")
       val subDim = dim / PqM
-      val ksub = pqKsubFor(e.count())
+      val n = e.count()
+      val ksub = pqKsubFor(n)
       val parts = (0 until PqM).map { s =>
         val eSub = e.select(col("vec_id"),
           slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
@@ -891,19 +896,79 @@ object SimilarityOps {
       parts.map(_._1).reduce(_ unionByName _).write.parquet(codesDir)
       parts.map(_._2).reduce(_ unionByName _).coalesce(1)
         .write.parquet(centsDir)
-      (stateKey, codesDir, centsDir)
+      (stateKey, Seq(codesDir), centsDir, n)
     }
-    StagedCache.getOrBuild[(String, String, String)](
+    StagedCache.getOrBuild[(String, Seq[String], String, Long)](
       pqIndexCache, pathKey,
-      cur => cur._1 == stateKey && Seq(cur._2, cur._3).forall(d =>
+      cur => cur._1 == stateKey && (cur._3 +: cur._2).forall(d =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
       () => build())
   }
 
   private[graft] def stagedPqCodes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(pqIndexEntry(spark, dir)._2)
+    spark.read.parquet(pqIndexEntry(spark, dir)._2: _*)
   private[graft] def stagedPqCents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(pqIndexEntry(spark, dir)._3)
+
+  /** Incremental PQ index refresh — the product-quantization member of
+    * the refresh family ([[refreshSqIndex]] scalar codes,
+    * [[refreshIvfIndex]] coarse cells, this one sub-vector codes):
+    * after `newVecs` (vec_id, embedding) were appended to `dir`'s
+    * embeddings table, ENCODE ONLY the new vectors against the FROZEN
+    * sub-codebooks (one broadcast argmax per subspace — the kmeans
+    * assign step, never a retrain) into a delta codes dir, registering
+    * old ∪ delta under the corpus's new mtime state. The serving
+    * contract this preserves is the same one q78 pins for SQ8: codes
+    * already served stay byte-identical and the codebook never
+    * rescales/retrains on append — at 100 TB a PQ codebook refresh
+    * re-encodes the appended slice, not the billion-vector corpus.
+    *
+    * Same reconciliation contract as [[refreshSqIndex]]: `newVecs`
+    * must be exactly the rows appended since the registered state,
+    * checked by row count (registered + batch == corpus); any
+    * mismatch (multi-batch gap, replayed mtime, purged staging)
+    * clears the entry so the next consumer full-rebuilds with
+    * combined-corpus codebooks — never a silent drop. Returns the
+    * staged delta dir iff a delta was registered. */
+  def refreshPqIndex(spark: SparkSession, dir: String,
+      newVecs: DataFrame): Option[String] = {
+    val (pathKey, stateKey) = pqIndexKeys(spark, dir)
+    var delta: Option[String] = None
+    pqIndexCache.compute(pathKey, (_, cur) =>
+      if (cur == null) cur
+      else if (!(cur._3 +: cur._2).forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
+        null // staging purged: clear, next consumer full-rebuilds
+      else {
+        val curN = Tables.load(spark, dir, "embeddings").count()
+        if (cur._1 == stateKey) {
+          if (cur._4 == curN) cur // replay / already current
+          else null // corpus changed without an mtime advance: rebuild
+        } else if (cur._4 + newVecs.count() != curN) {
+          null // unregistered appends beyond this batch: rebuild
+        } else {
+          val cents = spark.read.parquet(cur._3)
+          val dim = newVecs.select(size(col("embedding"))).head.getInt(0)
+          require(dim % PqM == 0, s"PQ: dim $dim not divisible by m=$PqM")
+          val subDim = dim / PqM
+          val codes = (0 until PqM).map { s =>
+            val eSub = newVecs.select(col("vec_id"),
+              slice(col("embedding"), s * subDim + 1, subDim)
+                .as("embedding"))
+            assignToFrozen(eSub,
+              cents.filter(col("sub") === s)
+                .select(col("code").as("cell"), col("centroid")))
+              .withColumn("sub", lit(s))
+              .select(col("vec_id"), col("sub"), col("cell").as("code"))
+          }.reduce(_ unionByName _)
+          val d = graft.Scratch.dir("graft-pq").resolve("delta").toString
+          codes.write.parquet(d)
+          delta = Some(d)
+          (stateKey, cur._2 :+ d, cur._3, curN)
+        }
+      })
+    delta
+  }
 
   /** q126 — PRODUCT-QUANTIZED (PQ/ADC) ANN: the fourth compressed
     * search family beside IVF partition pruning (q42), scalar
@@ -1031,21 +1096,23 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
-  /** Staged like the q45/q47 oracles: temp tables bound DuckDB's peak
-    * to one step (the recon relation is shared by both cosine legs). */
+  /** ONE statement, AS-MATERIALIZED stages (round 13, like the q45/q47
+    * oracles): the recon relation is shared by both cosine legs and
+    * MATERIALIZED evaluates it once without needing a multi-statement
+    * temp-table script (the round-12 checker incompatibility). */
   val q129Oracle: String =
-    """CREATE OR REPLACE TEMP TABLE o129_v AS
+    """WITH o129_v AS MATERIALIZED (
       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
-      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i);
-      |CREATE OR REPLACE TEMP TABLE o129_recon AS
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+      |o129_recon AS MATERIALIZED (
       |  SELECT vec_id, v.pos,
       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
       |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
       |         * (dmax - dmin) / 255.0 AS r
       |  FROM o129_v v JOIN (SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax
       |                      FROM o129_v GROUP BY pos) s
-      |    ON v.pos = s.pos;
-      |CREATE OR REPLACE TEMP TABLE o129_pos AS
+      |    ON v.pos = s.pos),
+      |o129_pos AS MATERIALIZED (
       |  SELECT query_id, pos_id, pos_cos FROM (
       |    SELECT query_id, pos_id, pos_cos, ROW_NUMBER() OVER (
       |      PARTITION BY query_id ORDER BY pos_cos DESC, pos_id) AS rk
@@ -1057,8 +1124,8 @@ object SimilarityOps {
       |      FROM o129_v q JOIN o129_recon c ON q.pos = c.pos
       |        AND q.vec_id < 5 AND c.vec_id <> q.vec_id
       |      GROUP BY 1, 2))
-      |  WHERE rk = 1;
-      |CREATE OR REPLACE TEMP TABLE o129_neg AS
+      |  WHERE rk = 1),
+      |o129_neg AS MATERIALIZED (
       |  SELECT query_id, vec_id AS neg_id FROM (
       |    SELECT a.vec_id AS query_id, e.vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
@@ -1067,7 +1134,7 @@ object SimilarityOps {
       |    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) a,
       |         (SELECT vec_id FROM embeddings) e
       |    WHERE e.vec_id <> a.vec_id)
-      |  WHERE rk = 1;
+      |  WHERE rk = 1)
       |SELECT p.query_id, p.pos_id, p.pos_cos, n.neg_id,
       |  ROUND(SUM(q.v * c.r)
       |    / (sqrt(SUM(q.v * q.v)) * sqrt(SUM(c.r * c.r))), 4) AS neg_cos,
@@ -1161,32 +1228,33 @@ object SimilarityOps {
   val q47RerankedAnn: Q = (spark, dir) =>
     exactRerank(spark, dir, sqShortlist(spark, dir))
 
-  /** Staged as a MULTI-STATEMENT script (round 10, like [[q45Oracle]]):
-    * the exploded corpus relation `o47_v` is REUSED three times (stats,
-    * reconstruction, query side) instead of re-inlined per CTE
-    * reference — the other repeat OOM offender in the driver harness.
-    * Arithmetic identical; hash contract unchanged. */
+  /** ONE statement, AS-MATERIALIZED stages (round 13, like
+    * [[q45Oracle]]): the exploded corpus relation `o47_v` is REUSED
+    * three times (stats, reconstruction, query side) and MATERIALIZED
+    * stops DuckDB re-inlining it per reference — the round-9 OOM —
+    * while staying single-statement (the round-12 checker
+    * incompatibility was multi-statement scripts). Arithmetic
+    * identical; hash contract unchanged; replayed vs the script form
+    * at sf0.01 under a 512 MB cap. */
   val q47Oracle: String =
-    """CREATE OR REPLACE TEMP TABLE o47_v AS
+    """WITH o47_v AS MATERIALIZED (
       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
-      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i);
-      |CREATE OR REPLACE TEMP TABLE o47_stats AS
-      |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o47_v GROUP BY pos;
-      |CREATE OR REPLACE TEMP TABLE o47_recon AS
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+      |o47_stats AS MATERIALIZED (
+      |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o47_v GROUP BY pos),
+      |o47_recon AS MATERIALIZED (
       |  SELECT vec_id, o47_v.pos,
       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
       |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
       |         * (dmax - dmin) / 255.0 AS r
-      |  FROM o47_v JOIN o47_stats ON o47_v.pos = o47_stats.pos;
-      |DROP TABLE o47_stats;
-      |CREATE OR REPLACE TEMP TABLE o47_d AS
+      |  FROM o47_v JOIN o47_stats ON o47_v.pos = o47_stats.pos),
+      |o47_d AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
       |  FROM o47_v q JOIN o47_recon c ON q.pos = c.pos
       |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
-      |  GROUP BY 1, 2;
-      |DROP TABLE o47_v; DROP TABLE o47_recon;
-      |CREATE OR REPLACE TEMP TABLE o47_exact AS
+      |  GROUP BY 1, 2),
+      |o47_exact AS MATERIALIZED (
       |  SELECT s.query_id, s.neighbor_id,
       |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
       |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
@@ -1201,17 +1269,14 @@ object SimilarityOps {
       |  JOIN embeddings a ON a.vec_id = s.query_id
       |  JOIN embeddings b ON b.vec_id = s.neighbor_id,
       |       UNNEST(range(LEN(a.embedding))) g(i)
-      |  GROUP BY 1, 2;
-      |DROP TABLE o47_d;
-      |CREATE OR REPLACE TEMP TABLE o47_out AS
-      |  SELECT query_id, neighbor_id, cosine, rank FROM (
-      |    SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id
-      |        ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
-      |    FROM o47_exact)
-      |  WHERE rank <= 10;
-      |DROP TABLE o47_exact;
-      |SELECT * FROM o47_out ORDER BY query_id, rank""".stripMargin
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cosine, rank FROM (
+      |  SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
+      |  FROM o47_exact)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   /** The IVF × SQ8 serving index: the SQ8 codes table PARTITIONED BY
     * k-means cell — at billion-vector scale this layout is the whole
@@ -1420,17 +1485,19 @@ object SimilarityOps {
 
   /** Replays build (stats over the ORIGINAL corpus only), batch
     * derivation (reversed = pos arithmetic on the exploded rows),
-    * frozen-param clamped quantization, and the fused search. Staged
-    * as temp-table steps with eager drops (round 11): the CTE form
-    * kept every exploded relation alive at once and OOM'd the
-    * driver's memory-capped checker — same remedy as q45/q47/q57. */
+    * frozen-param clamped quantization, and the fused search. ONE
+    * statement, AS-MATERIALIZED stages (round 13): plain CTEs
+    * re-inlined every exploded relation per reference (the round-9
+    * OOM), and the round-11 temp-table script tripped the driver
+    * checker's multi-statement handling in round 12 — MATERIALIZED
+    * gives compute-once staging inside a single statement. */
   val q78Oracle: String =
-    """CREATE OR REPLACE TEMP TABLE o78_v AS
+    """WITH o78_v AS MATERIALIZED (
       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
-      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i);
-      |CREATE OR REPLACE TEMP TABLE o78_stats AS
-      |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o78_v GROUP BY pos;
-      |CREATE OR REPLACE TEMP TABLE o78_allr AS
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+      |o78_stats AS MATERIALIZED (
+      |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o78_v GROUP BY pos),
+      |o78_allr AS MATERIALIZED (
       |  SELECT vec_id, o78_v.pos,
       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
       |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
@@ -1445,25 +1512,21 @@ object SimilarityOps {
       |  FROM (SELECT vec_id + 1000000 AS vec_id, LEN(embedding) - 1 - i AS pos,
       |          embedding[i+1]::DOUBLE AS v
       |        FROM embeddings, UNNEST(range(LEN(embedding))) g(i)) bv
-      |  JOIN o78_stats ON bv.pos = o78_stats.pos;
-      |DROP TABLE o78_stats;
-      |CREATE OR REPLACE TEMP TABLE o78_d AS
+      |  JOIN o78_stats ON bv.pos = o78_stats.pos),
+      |o78_d AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    SUM(q.v * c.r) AS dot, SUM(q.v * q.v) AS nq, SUM(c.r * c.r) AS nr
       |  FROM o78_v q JOIN o78_allr c ON q.pos = c.pos
       |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
-      |  GROUP BY 1, 2;
-      |DROP TABLE o78_v; DROP TABLE o78_allr;
-      |CREATE OR REPLACE TEMP TABLE o78_out AS
-      |  SELECT query_id, neighbor_id, cosine_sq, rank FROM (
-      |    SELECT query_id, neighbor_id,
-      |      ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) AS cosine_sq,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id
-      |        ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC, neighbor_id) AS rank
-      |    FROM o78_d)
-      |  WHERE rank <= 10;
-      |DROP TABLE o78_d;
-      |SELECT * FROM o78_out ORDER BY query_id, rank""".stripMargin
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cosine_sq, rank FROM (
+      |  SELECT query_id, neighbor_id,
+      |    ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) AS cosine_sq,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC, neighbor_id) AS rank
+      |  FROM o78_d)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   /** q44 — grouped vector centroids: element-wise mean embedding per
     * label (cluster/topic summaries — the reduction behind centroid

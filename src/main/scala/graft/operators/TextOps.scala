@@ -654,25 +654,27 @@ object TextOps {
 
   /** One unrolled oracle round: argmax pair off toks{k-1}, run-parity
     * merge flags, rewritten toks{k}. Same windows, same tie-break.
-    * Round 10 shipped this as AS-MATERIALIZED CTEs (plain CTE inlining
-    * re-opened the base parquet per expansion — "too many open
-    * files"); round 11 restages each step as a TEMP TABLE and DROPs
-    * the predecessor as soon as round k is built, because even the
-    * materialized chain keeps all 10 rounds' relations alive at once
-    * and OOM'd the driver's memory-capped checker (the q45/q47 remedy
-    * from round 9). Peak allocation is now ~2 token relations; the
-    * window algebra and hash contract are unchanged. */
+    * History of the staging form: round 10's PLAIN CTEs re-opened the
+    * base parquet per inlined expansion ("too many open files");
+    * round 11's TEMP-TABLE script bounded peak memory but tripped the
+    * driver checker's multi-statement handling in round 12 (empty
+    * CORRECTNESS file). Round 13 lands on AS MATERIALIZED inside ONE
+    * statement: every stage computes exactly once (no re-inlining),
+    * and at sf0.01 the whole 10-round chain is ~31 relations of
+    * ≤27k rows — replayed vs the script form under a 512 MB cap,
+    * identical output. The window algebra and hash contract are
+    * unchanged. */
   private def bpeRoundSql(k: Int): String = {
     val p = k - 1
-    s"""CREATE OR REPLACE TEMP TABLE obpe_mrg$k AS
+    s"""obpe_mrg$k AS MATERIALIZED (
        |  SELECT tok AS x, next_tok AS y, COUNT(*) AS n
        |  FROM (SELECT doc_id, pos, tok,
        |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
        |        FROM obpe_toks$p)
        |  WHERE next_tok IS NOT NULL
        |  GROUP BY 1, 2
-       |  ORDER BY n DESC, x, y LIMIT 1;
-       |CREATE OR REPLACE TEMP TABLE obpe_f$k AS
+       |  ORDER BY n DESC, x, y LIMIT 1),
+       |obpe_f$k AS MATERIALIZED (
        |  SELECT doc_id, pos, tok, hit AND
        |      (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS do_merge
        |  FROM (SELECT doc_id, pos, tok, hit,
@@ -682,9 +684,8 @@ object TextOps {
        |                COALESCE(tok = (SELECT x FROM obpe_mrg$k) AND
        |                  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
        |                    = (SELECT y FROM obpe_mrg$k), FALSE) AS hit
-       |              FROM obpe_toks$p));
-       |DROP TABLE obpe_toks$p;
-       |CREATE OR REPLACE TEMP TABLE obpe_toks$k AS
+       |              FROM obpe_toks$p))),
+       |obpe_toks$k AS MATERIALIZED (
        |  SELECT doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
        |    CASE WHEN do_merge THEN tok || ' ' || next_tok ELSE tok END AS tok
@@ -692,21 +693,22 @@ object TextOps {
        |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok,
        |          LAG(do_merge) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_merge
        |        FROM obpe_f$k)
-       |  WHERE NOT COALESCE(prev_merge, FALSE);
-       |DROP TABLE obpe_f$k;
+       |  WHERE NOT COALESCE(prev_merge, FALSE)),
        |""".stripMargin
   }
 
   /** Shared oracle prefix: toks0 + the full unrolled round chain as a
-    * multi-statement temp-table script (see [[bpeRoundSql]]). */
+    * single-statement MATERIALIZED CTE chain (see [[bpeRoundSql]]).
+    * Ends with a trailing comma so callers append their final CTE or
+    * SELECT. */
   private def bpeChainSql: String = {
     val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString
-    s"""CREATE OR REPLACE TEMP TABLE obpe_toks0 AS
+    s"""WITH obpe_toks0 AS MATERIALIZED (
        |  SELECT doc_id, i AS pos, t[i+1] AS tok
        |  FROM (SELECT doc_id,
        |          string_split_regex(LOWER(TRIM(text)), '\\s+') AS t
        |        FROM documents),
-       |       UNNEST(range(LEN(t))) g(i);
+       |       UNNEST(range(LEN(t))) g(i)),
        |$rounds""".stripMargin
   }
 
@@ -714,23 +716,18 @@ object TextOps {
     val sel = (1 to BpeRounds).map(k =>
       s"SELECT $k AS merge_round, x || ' ' || y AS pair, n AS n_occurrences FROM obpe_mrg$k")
       .mkString("\n", "\nUNION ALL\n", "")
-    val drops = (1 to BpeRounds).map(k => s"DROP TABLE obpe_mrg$k;").mkString(" ")
-    s"""${bpeChainSql}DROP TABLE obpe_toks$BpeRounds;
-       |CREATE OR REPLACE TEMP TABLE obpe_merges AS$sel;
-       |$drops
+    s"""${bpeChainSql}obpe_merges AS MATERIALIZED ($sel)
        |SELECT * FROM obpe_merges ORDER BY merge_round""".stripMargin
   }
 
   /** Replays the identical chain, then aggregates the FINAL
     * tokenization per doc — merged tokens carry the pair separator. */
   val q79Oracle: String = {
-    val drops = (1 to BpeRounds).map(k => s"DROP TABLE obpe_mrg$k;").mkString(" ")
-    s"""${bpeChainSql}CREATE OR REPLACE TEMP TABLE obpe_enc AS
+    s"""${bpeChainSql}obpe_enc AS MATERIALIZED (
        |  SELECT doc_id, COUNT(*) AS n_tokens,
        |    CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_merged
-       |  FROM obpe_toks$BpeRounds GROUP BY doc_id;
-       |DROP TABLE obpe_toks$BpeRounds; $drops
+       |  FROM obpe_toks$BpeRounds GROUP BY doc_id)
        |SELECT * FROM obpe_enc ORDER BY doc_id""".stripMargin
   }
 

@@ -1228,14 +1228,27 @@ object DeltaTable {
     // keys are FULL normalized absolute paths (round 10 — same fix as
     // rowIdFrame: a basename collision across commits/partition dirs
     // would attribute one file's dead positions to another)
-    val perFile: Map[String, Array[Int]] = matched
+    val pathPos: Seq[(String, (String, Array[Int]))] = matched
       .groupBy(col(PosFile))
       .agg(org.apache.spark.sql.functions.sort_array(
         org.apache.spark.sql.functions.collect_list(col(PosIdx))).as("pos"))
-      .collect().flatMap { r =>
+      .collect().toSeq.flatMap { r =>
         val pos = r.getSeq[Long](1).map(_.toInt).toArray
-        scanPathForms(r.getString(0)).map(_ -> pos)
-      }.toMap
+        scanPathForms(r.getString(0)).map(_ -> (r.getString(0), pos))
+      }
+    // Fail loudly if two scanned files' path forms collide on one key
+    // (one file's raw render decoding to another file's plain path —
+    // e.g. sibling dirs literally named 'a%20b' and 'a b'): a silent
+    // last-wins toMap would attribute dead positions to the wrong file.
+    val perFile: Map[String, Array[Int]] =
+      pathPos.groupBy(_._1).map { case (k, vs) =>
+        val srcs = vs.map(_._2._1).distinct
+        require(srcs.size == 1,
+          s"DV DML: scanned file paths ${srcs.mkString("'", "', '", "'")} " +
+            s"both resolve to key '$k' after percent-decode; cannot " +
+            "attribute deleted row positions unambiguously")
+        k -> vs.head._2._2
+      }
     def absKey(rel: String): String =
       Paths.get(table).resolve(rel).toAbsolutePath.normalize.toString
     val byPath = snap.files.map(f => absKey(f.path) -> f).toMap

@@ -156,18 +156,25 @@ object GraftSqlParser {
     Seq(g1, g2, g3).find(_ != null).get
 
   /** Split on `sep` at nesting depth 0, outside quotes — SQL commas in
-    * function calls / string literals never split an assignment list. */
+    * function calls / string literals never split an assignment list.
+    * Backslash-escaped quotes inside literals ('don\'t') do NOT end
+    * the literal — Spark's default string-literal escaping. */
   private[sources] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.Buffer[String]()
     var depth = 0; var inS = false; var inD = false; var start = 0
-    for (i <- s.indices) s(i) match {
-      case '\'' if !inD => inS = !inS
-      case '"' if !inS => inD = !inD
-      case '(' if !inS && !inD => depth += 1
-      case ')' if !inS && !inD => depth -= 1
-      case ch if ch == sep && depth == 0 && !inS && !inD =>
-        out += s.substring(start, i); start = i + 1
-      case _ =>
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\\' if inS || inD => i += 1 // skip the escaped char
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '(' if !inS && !inD => depth += 1
+        case ')' if !inS && !inD => depth -= 1
+        case ch if ch == sep && depth == 0 && !inS && !inD =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
     }
     out += s.substring(start)
     out.toSeq
@@ -181,6 +188,7 @@ object GraftSqlParser {
     var i = 0
     while (i < s.length) {
       s(i) match {
+        case '\\' if inS || inD => i += 1 // escaped char inside literal
         case '\'' if !inD => inS = !inS
         case '"' if !inS => inD = !inD
         case '(' if !inS && !inD => depth += 1
@@ -211,6 +219,7 @@ object GraftSqlParser {
     var i = 0
     while (i < s.length) {
       s(i) match {
+        case '\\' if inS || inD => i += 1 // escaped char inside literal
         case '\'' if !inD && !inB => inS = !inS
         case '"' if !inS && !inB => inD = !inD
         case '`' if !inS && !inD => inB = !inB

@@ -531,9 +531,47 @@ class DedupSpec extends SparkSpec {
           toks(p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
         ((p + 1) % M) * (h % M) % M
-      }.sum
+      }.sum % M // the published checksum is reduced mod M (round 13)
       assert(replay === checksum,
         s"doc $doc: checksum $checksum != driver replay $replay")
+    }
+  }
+
+  test("cleaned-text emission (q133): affected docs rebuild to exactly " +
+      "the kept tokens in order; clean docs hash their canonical text; " +
+      "kept counts reconcile with q132") {
+    val spans = DedupOps.queries("q131_substring_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = spans.groupBy(_._1)
+    val q132 = DedupOps.queries("q132_span_excision")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // n_kept
+    val out = DedupOps.queries("q133_cleaned_text")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === texts.keySet, "q133 must emit EVERY document")
+    def md5hex(s: String): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    texts.foreach { case (doc, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+", -1)
+      val (nKept, hash) = out(doc)
+      if (byDoc.contains(doc)) {
+        val ss = byDoc(doc)
+        val kept = toks.indices.filterNot(p =>
+          ss.exists(s => p >= s._2 && p < s._3)).map(toks)
+        assert(nKept === kept.length.toLong)
+        assert(nKept === q132(doc), s"doc $doc: q133/q132 n_kept differ")
+        assert(hash === md5hex(kept.mkString(" ")),
+          s"doc $doc: cleaned hash != ordered kept-token replay")
+        assert(hash !== md5hex(toks.mkString(" ")),
+          s"doc $doc: an affected doc's cleaned text must differ")
+      } else {
+        assert(nKept === toks.length.toLong)
+        assert(hash === md5hex(toks.mkString(" ")),
+          s"doc $doc: clean doc must hash its canonical text")
+      }
     }
   }
 

@@ -243,14 +243,40 @@ class PlanSpec extends SparkSpec {
     assert(levJoins.nonEmpty, "the levenshtein confirm must live in a " +
       "join condition (a pushed post-join filter re-creates the " +
       "round-11 6x slowdown)")
+    // Walk the condition TREE (not its rendered string — a Catalyst
+    // render change must not flip this test either way): split the
+    // And-chain into conjuncts in evaluation order and require the
+    // levenshtein predicate to be the LAST one, with the cheap
+    // doc_id / length-band guards somewhere before it.
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
     levJoins.foreach { j =>
-      val cond = j.condition.get.toString
-      val iLev = cond.indexOf("levenshtein")
-      val iDoc = cond.indexOf("doc_id")
-      val iLen = cond.indexOf("abs(")
-      assert(iDoc >= 0 && iDoc < iLev && iLen >= 0 && iLen < iLev,
-        s"cheap conjuncts must precede the levenshtein DP in the join " +
-          s"condition (evaluation is left-to-right): $cond")
+      val cs = conjuncts(j.condition.get)
+      val levIdx = cs.indexWhere(c => c.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.Levenshtein => true
+        case _ => false
+      })
+      assert(levIdx >= 0, s"no levenshtein conjunct in: ${j.condition.get}")
+      assert(levIdx == cs.size - 1 && cs.size >= 3,
+        s"the levenshtein DP must be the LAST conjunct (evaluation is " +
+          s"left-to-right) with the cheap guards before it; got conjunct " +
+          s"$levIdx of ${cs.size} in: ${cs.mkString(" AND ")}")
+      val before = cs.take(levIdx)
+      assert(before.exists(c => c.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          => a.name.contains("doc_id")
+        case _ => false
+      }), s"a doc_id guard must precede the DP: ${cs.mkString(" AND ")}")
+      assert(before.exists(c => c.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.Abs => true
+        case _ => false
+      }), s"the length-band abs() guard must precede the DP: " +
+        s"${cs.mkString(" AND ")}")
     }
     // q131's span BUILD plan (the staged index's one-time cost): the
     // window relation is one codegen'd projection + posexplode; the

@@ -581,4 +581,86 @@ class SimilaritySpec extends SparkSpec {
       assert(top1(r.getLong(0)) === r.getLong(1),
         s"anchor ${r.getLong(0)}: positive must be the SQ8 top-1"))
   }
+
+  test("incremental PQ: appended vectors are encoded against the FROZEN " +
+      "sub-codebooks; existing codes byte-untouched; gaps degrade to a " +
+      "full rebuild") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val dir = JF.createTempDirectory("graft-pq-incr").toString
+    val rnd = new scala.util.Random(13)
+    val dims = 16; val kC = 4; val perC = 20
+    val centers = Array.fill(kC, dims)(rnd.nextGaussian().toFloat)
+    val rows = for (c <- 0 until kC; i <- 0 until perC) yield {
+      val v = centers(c).map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+      ((c * perC + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // initial build: codes + frozen sub-codebooks
+    val before = SimilarityOps.stagedPqCodes(spark, dir)
+    val beforeFiles = before.inputFiles.toSet
+    val beforeCodes = before.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val cents = SimilarityOps.stagedPqCents(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+    val m = cents.map(_._1._1).max + 1
+    val subDim = dims / m
+    // append near-copies of corpus members and refresh
+    val batch = rows.take(10).map { case (id, v, l) =>
+      (id + 9000L, v.map(_ + 0.01f), l) }
+      .toDF("vec_id", "embedding", "label")
+    batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val p = JP.get(s"$dir/embeddings.parquet")
+    JF.setLastModifiedTime(p, FileTime.fromMillis(
+      JF.getLastModifiedTime(p).toMillis + 1500))
+    val delta = SimilarityOps.refreshPqIndex(spark, dir, batch)
+    assert(delta.nonEmpty, "a count-consistent append must stage a delta")
+    val after = SimilarityOps.stagedPqCodes(spark, dir)
+    assert(beforeFiles.subsetOf(after.inputFiles.toSet),
+      "existing code files must be reused byte-for-byte")
+    assert(after.select("vec_id").distinct().count() === rows.length + 10L)
+    val afterCodes = after.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    beforeCodes.foreach { case (k, c) =>
+      assert(afterCodes(k) === c, s"served code for $k changed on append") }
+    // every appended code IS the frozen-codebook argmax (independent
+    // replay against the STAGED centroids — the codebook never retrains)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    batch.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      for (s <- 0 until m) {
+        val sub = v.slice(s * subDim, (s + 1) * subDim)
+        val want = cents.filter(_._1._1 == s)
+          .map { case ((_, code), cent) => (cos(sub, cent), code) }
+          .maxBy(x => (x._1, x._2))._2
+        assert(afterCodes((id, s)) === want,
+          s"vec $id sub $s: delta code must be the frozen argmax")
+      }
+    }
+    // a second unregistered append makes the NEXT refresh
+    // count-inconsistent: it must refuse and clear for a full rebuild
+    val gapA = Seq((9500L, Array.fill(dims)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val gapB = Seq((9600L, Array.fill(dims)(0.7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    gapA.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    gapB.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    JF.setLastModifiedTime(p, FileTime.fromMillis(
+      JF.getLastModifiedTime(p).toMillis + 3000))
+    assert(SimilarityOps.refreshPqIndex(spark, dir, gapA).isEmpty,
+      "a count-inconsistent refresh must not register a delta")
+    val rebuilt = SimilarityOps.stagedPqCodes(spark, dir)
+    assert(rebuilt.select("vec_id").distinct().count() ===
+      rows.length + 12L,
+      "the next consumer must full-rebuild over the whole corpus")
+    assert(rebuilt.inputFiles.toSet.intersect(beforeFiles).isEmpty,
+      "a rebuild must not mix old-codebook files into the new index")
+  }
 }

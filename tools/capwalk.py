@@ -10,10 +10,11 @@ duckdb also segfaults under sustained in-process load) and reports
 which genuinely exceed the cap.
 
 Measured at sf0.01 (round 12): 512MB -> 0 fails; 256MB -> only
-q34/q117 (recursive-CTE connected components) fail. That measurement
-justifies the 1GB `SparkEntry.oraclePrologue` now embedded in every
-oracle; this script strips that prologue so the cap under test is the
-one applied, not the embedded one.
+q34/q117 (recursive-CTE connected components) fail. Round 13 REMOVED
+the embedded SET prologue (its multi-statement form coincided with
+the driver checker recording zero rows in round 12 — every oracle is
+now a single statement), so this walk is the only memory-cap evidence;
+the prologue strip below is kept for replaying old oracle dumps.
 
 Usage: python3 tools/capwalk.py <sfDir> <oracle_sql.json> <cap> [cap...]
 e.g.:  python3 tools/capwalk.py /root/testdata/sf0.01 \

@@ -70,6 +70,14 @@ def main(sf_dir, out_dir, json_out=None):
     queries retry up to 3 times and report [ENV] if still unlucky."""
     import multiprocessing as mp
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Round-13 delivery contract: every oracle is exactly ONE statement
+    # (the round-12 multi-statement SET prologue coincided with the
+    # driver checker recording zero rows). Enforce it here too, so a
+    # regression fails the selfcheck loudly before any driver run.
+    bad = [n for n, s in oracle.items() if not _single_statement(s)]
+    if bad:
+        print(f"CONTRACT VIOLATION: multi-statement oracles: {bad}")
+        return 1
     n_pass = n_fail = n_env = 0
     record = {}
     ctx = mp.get_context("fork")
@@ -129,6 +137,19 @@ def main(sf_dir, out_dir, json_out=None):
             }, fh, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     return 1 if n_fail else (2 if n_env else 0)
+
+def _single_statement(sql):
+    """True iff sql has no top-level ';' (outside single-quoted
+    literals) and starts with SELECT/WITH."""
+    in_s = False
+    for ch in sql:
+        if ch == "'":
+            in_s = not in_s
+        elif ch == ';' and not in_s:
+            return False
+    head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+    return head in ("SELECT", "WITH")
+
 
 def _child(q, sf_dir, d, name, oracle):
     try:
@@ -194,6 +215,16 @@ def check_one(sf_dir, d, name, oracle):
                             min(len(gs), len(es)) - 1)
                 status = "FAIL"
                 detail = f"first value diff @sorted-row {diff}:\n    got {gs[diff][:200]}\n    exp {es[diff][:200]}"
+        # Contract-test BOTH duckdb execution styles: the driver's
+        # checker may use the cursor API (con.execute) rather than the
+        # relational API (con.sql) — a single-statement oracle must
+        # return the identical relation either way.
+        if status.startswith("PASS"):
+            cur_rows = with_oom_retry(
+                lambda: con.execute(oracle[name]).fetchall())
+            if cur_rows != exp_rows:
+                status = "FAIL"
+                detail = "execute()-style replay differs from sql()-style"
         con.close()
         return ("pass" if status.startswith("PASS") else "fail",
                 f"  [{status}] {name} ({len(got_rows)} rows) {detail}")
