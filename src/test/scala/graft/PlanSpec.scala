@@ -290,6 +290,16 @@ class PlanSpec extends SparkSpec {
       s"dup-hash detection must be hash aggregation:\n$s131")
     assert(fallbacks(p131).isEmpty,
       "graft_shingle_seq and the span merge must stay codegen'd")
+    // q133's emit plan: the affected-docs gate must stay equi-join
+    // shaped (never all-pairs), and the per-doc rebuild is the one
+    // sanctioned ObjectHashAggregate (collect_list bounded by the
+    // doc's own input row — see the q133 scaladoc)
+    val p133 = plan(DedupOps.queries("q133_cleaned_text")(spark, sf))
+    val s133 = p133.toString
+    assert(!s133.contains("CartesianProduct") && !s133.contains("NestedLoop"),
+      s"cleaned-text emission must never plan all-pairs:\n$s133")
+    assert(s133.contains("ObjectHashAggregate"),
+      s"the per-doc rebuild must be a hash-based list aggregate:\n$s133")
     val p114 = plan(
       graft.operators.TextOps.queries("q114_rag_chunking")(spark, sf))
     val exchanges = p114.collect {
