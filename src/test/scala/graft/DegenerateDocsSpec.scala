@@ -174,6 +174,31 @@ class DegenerateDocsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("cleaned-text emission (q133) on degenerate docs: one row per " +
+      "doc, null text stays null, blanks hash their canonical forms") {
+    val rows = DedupOps.queries("q133_cleaned_text")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Option(r.getString(2)))).toMap
+    assert(rows.size === 8, "every document must be emitted")
+    // null text: tokenization is null → null count, null hash (the
+    // same contract the whole text family pins for null docs)
+    assert(rows(0L) === ((None, None)))
+    assert(rows(5L) === ((None, None)))
+    // empty text → one empty token, md5(""); whitespace-only "   \t  "
+    // → SQL trim is space-only, leaving "\t", which \s+-splits into
+    // TWO empty tokens → join " " → md5(" ") (identical in DuckDB:
+    // string_split_regex('\t','\s+') = ['',''])
+    assert(rows(1L) ===
+      ((Some(1L), Some("d41d8cd98f00b204e9800998ecf8427e"))))
+    assert(rows(2L) ===
+      ((Some(2L), Some("7215ee9c7d9dc229d2921a40e899ec5f"))))
+    // sub-window real docs: unaffected (no spans possible), canonical
+    // hash of the full text; the identical twins hash identically
+    assert(rows(6L) === rows(7L))
+    assert(rows(6L)._1 === Some(9L))
+  }
+
   test("graft_shingle_seq contract: null→null, short→empty, positional " +
       "length n-W+1, and its distinct set equals graft_shingles") {
     val df = spark.read.parquet(s"$dir/documents.parquet")
