@@ -1434,11 +1434,24 @@ object DedupOps {
     * their canonical hash is one codegen'd regexp_replace projection,
     * so at 100 TB with sparse duplication the heavy path touches only
     * the duplicated slice. No driver-side collect anywhere. */
-  val q133CleanedText: Q = (spark, dir) => {
-    val spans = stagedRemovalSpans(spark, dir)
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+  val q133CleanedText: Q = (spark, dir) =>
+    cleanedTextOver(Tables.load(spark, dir, "documents"),
+      stagedRemovalSpans(spark, dir))
+      .orderBy("doc_id")
+
+  /** The shared emit kernel behind q133 and the streaming ingest twin
+    * ([[graft.streaming.StreamingOps.substrCleanIngestPipeline]]):
+    * given (doc_id, text) docs and their removal spans, emit
+    * (doc_id, n_kept, cleaned_hash) for EVERY doc — affected docs
+    * rebuilt from kept tokens, clean docs hashed via one canonical
+    * regexp_replace projection (never exploded). See [[q133CleanedText]]
+    * for the scale contract. */
+  private[graft] def cleanedTextOver(docs0: DataFrame,
+      spans0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val spans = spans0.select(
+      col("doc_id"), col("span_start"), col("span_end"))
     val affected = spans.select("doc_id").distinct()
-    val docs = Tables.load(spark, dir, "documents")
     val tok = docs
       .join(Hints.broadcastIfSmall(affected), "doc_id")
       .select(col("doc_id"),
@@ -1468,7 +1481,6 @@ object DedupOps {
         when(col("is_affected").isNull, md5(canon))
           .otherwise(coalesce(col("cleaned_hash"), md5(lit(""))))
           .as("cleaned_hash"))
-      .orderBy("doc_id")
   }
 
   val q133Oracle: String =

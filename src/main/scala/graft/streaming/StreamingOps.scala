@@ -435,6 +435,33 @@ object StreamingOps {
   def substrIngestPipeline(spark: SparkSession, seedDir: String,
       srcTable: String, spansTable: String, ckptDir: String,
       stageRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    substrPipeline(spark, seedDir, srcTable, spansTable, None,
+      ckptDir, stageRoot)
+
+  /** [[substrIngestPipeline]] PLUS per-batch cleaned-corpus emission —
+    * the streaming twin of q133, completing detect → excise → emit
+    * parity with the batch family: each micro-batch additionally
+    * appends (doc_id, n_kept, cleaned_hash, batch_id) for EVERY batch
+    * doc to `cleanTable` via the shared
+    * [[graft.operators.DedupOps.cleanedTextOver]] kernel (affected
+    * docs rebuilt from kept tokens, clean docs one canonical
+    * projection — the batch's spans are already in hand, so emission
+    * adds no second detection pass). Exactly-once per table: the
+    * spans write and the clean write each carry their own
+    * SetTransaction ledger keyed by (checkpoint, batchId), so a crash
+    * between the two writes replays idempotently — the spans write
+    * no-ops, the clean write completes. */
+  def substrCleanIngestPipeline(spark: SparkSession, seedDir: String,
+      srcTable: String, spansTable: String, cleanTable: String,
+      ckptDir: String, stageRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    substrPipeline(spark, seedDir, srcTable, spansTable, Some(cleanTable),
+      ckptDir, stageRoot)
+
+  private def substrPipeline(spark: SparkSession, seedDir: String,
+      srcTable: String, spansTable: String, cleanTable: Option[String],
+      ckptDir: String, stageRoot: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.DedupOps
     import graft.sources.{DeltaLog, DeltaTable}
@@ -447,8 +474,8 @@ object StreamingOps {
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bdir = root.resolve(s"batch-$batchId").toString
-        val bw0 = DedupOps.windowHashes(
-          batch.select(col("doc_id"), col("text")))
+        val docs = batch.select(col("doc_id"), col("text"))
+        val bw0 = DedupOps.windowHashes(docs)
         // boilerplate guard, batch-grained (see scaladoc): a hash
         // occurring absurdly often in ONE batch is excluded before
         // any join can fan out on it
@@ -482,6 +509,15 @@ object StreamingOps {
           if (DeltaLog.versions(spansTable).isEmpty) "overwrite" else "append"
         DeltaTable.write(spans, spansTable, mode,
           txn = Some((s"substr:$ckptDir", batchId)))
+        cleanTable.foreach { ct =>
+          val cleaned = DedupOps.cleanedTextOver(docs,
+            spans.select("doc_id", "span_start", "span_end"))
+            .withColumn("batch_id", lit(batchId))
+          val cmode =
+            if (DeltaLog.versions(ct).isEmpty) "overwrite" else "append"
+          DeltaTable.write(cleaned, ct, cmode,
+            txn = Some((s"substrclean:$ckptDir", batchId)))
+        }
         ()
       }
       .outputMode(OutputMode.Append())

@@ -858,6 +858,76 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch span divergence:\n got ${got.toSet}\n exp $expected")
   }
 
+  test("streaming cleaned-corpus emission: per-batch cleaned rows == the " +
+      "batch q133 recompute on streamed docs, exactly-once across restarts") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-clean")
+    val (src, spansT, cleanT, ckpt, stage) =
+      (s"$base/src", s"$base/spans", s"$base/clean", s"$base/ckpt",
+        s"$base/stage")
+    val seedDir = s"$base/seed"
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val seedRun = toks("alpha", 40)
+    val novelRun = toks("nova", 40)
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    Seq(doc(0, seedRun), doc(1, toks("beta", 35)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$seedDir/documents.parquet")
+    def appendDocs(rows: (Long, String)*): Unit = rows.toSeq
+      .map { case (i, t) => doc(i, t) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.format("graft-delta").mode("append").save(src)
+    // batch 1: a seed-copy (affected), a novel doc (clean), a
+    // within-batch pair (keeper clean, second affected)
+    val sharedRun = toks("shared", 32)
+    appendDocs(
+      100L -> (seedRun.split(" ").take(34).mkString(" ") + " " +
+        toks("tail", 6)),
+      101L -> novelRun,
+      102L -> (sharedRun + " " + toks("left", 4)),
+      103L -> (sharedRun + " " + toks("right", 4)))
+    val q1 = StreamingOps.substrCleanIngestPipeline(
+      spark, seedDir, src, spansT, cleanT, ckpt, stage)
+    q1.processAllAvailable()
+    // batch 2: copy batch-1's novel doc (affected via the staged set)
+    appendDocs(200L -> novelRun)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart on the same checkpoint; one more batch
+    appendDocs(300L -> (novelRun + " " + toks("extra", 3)))
+    val q2 = StreamingOps.substrCleanIngestPipeline(
+      spark, seedDir, src, spansT, cleanT, ckpt, stage)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.format("graft-delta").load(cleanT)
+      .select("doc_id", "n_kept", "cleaned_hash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got.size === got.toSet.size,
+      "replays must not duplicate cleaned rows")
+    assert(got.map(_._1).toSet ===
+      Set(100L, 101L, 102L, 103L, 200L, 300L),
+      "every streamed doc gets exactly one cleaned row")
+    // ground truth: batch q133 over seed ∪ every streamed doc,
+    // restricted to streamed ids (ingest order == id order, so the
+    // streaming first-arrival keeper IS the batch min-id keeper)
+    val combined = s"$base/combined"
+    spark.read.parquet(s"$seedDir/documents.parquet")
+      .unionByName(spark.read.format("graft-delta").load(src))
+      .write.parquet(s"$combined/documents.parquet")
+    val expected = DedupOps.queries("q133_cleaned_text")(spark, combined)
+      .filter(col("doc_id") >= 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.toSet === expected,
+      s"stream/batch cleaned divergence:\n got ${got.toSet}\n exp $expected")
+    // the affected/clean split is the constructed one
+    val affected = got.filter(g =>
+      spark.read.format("graft-delta").load(spansT)
+        .filter(col("doc_id") === g._1).count() > 0).map(_._1).toSet
+    assert(affected === Set(100L, 103L, 200L, 300L))
+  }
+
   test("streaming incremental SQ8: frozen-codebook batches, exactly-once " +
       "across restarts, serving index == batch refresh") {
     import graft.operators.SimilarityOps
