@@ -724,6 +724,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unrecognized clause"), e.getMessage)
   }
 
+  test("statement scanners honor backslash-escaped quotes: a literal " +
+      "containing \\' with keyword-lookalike text still splits at the " +
+      "real clause boundaries") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")
+    // the escaped quote used to INVERT the scanner's in-string state,
+    // so the literal's ' where ' read as a real WHERE and the split
+    // refused a perfectly valid statement
+    spark.sql(s"UPDATE delta.`$t` " +
+      "SET name = 'don\\'t stop where x = 1' WHERE id = 1").collect()
+    assert(DeltaTable.read(spark, t).filter(col("id") === 1)
+      .select("name").as[String].head() === "don't stop where x = 1")
+    assert(DeltaTable.read(spark, t).filter(col("id") === 2)
+      .select("name").as[String].head() === "Bob",
+      "rows outside the WHERE must be untouched")
+    // MERGE: an escaped quote inside the source literal must not
+    // derail the USING/ON/WHEN boundary scan
+    spark.sql(s"MERGE INTO delta.`$t` USING " +
+      "(SELECT 8 AS id, 'it\\'s on when ready' AS name, " +
+      "CAST(1 AS BIGINT) AS salary) s ON id = id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(DeltaTable.read(spark, t).filter(col("id") === 8)
+      .select("name").as[String].head() === "it's on when ready")
+    // comma scanner: an escaped quote inside one assignment must not
+    // swallow the next assignment in the SET list
+    spark.sql(s"UPDATE delta.`$t` " +
+      "SET name = 'a\\'b, c', salary = 99 WHERE id = 2").collect()
+    val r2 = DeltaTable.read(spark, t).filter(col("id") === 2)
+      .select("name", "salary").head()
+    assert(r2.getString(0) === "a'b, c" && r2.getLong(1) === 99L)
+  }
+
   test("MERGE ON qualifiers validate unconditionally: bogus qualifiers " +
       "refuse even when a side lacks an alias; the source's own " +
       "identifier stays a legal qualifier") {
