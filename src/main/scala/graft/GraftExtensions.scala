@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomContains, BloomFilterAgg, CosineSimilarity, HyperplaneBits, SimHashAgg, SortedOverlap, WordShingleSeq, WordShingles}
+import graft.functions.{BloomContains, BloomFilterAgg, CosineSimilarity, HyperplaneBits, RandomProjection, SimHashAgg, SortedOverlap, WordShingleSeq, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions first-class session citizens, so
@@ -132,6 +132,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_hyperplane_bits nPlanes must be an integer literal, got $other")
         }
         HyperplaneBits(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_project"),
+      new ExpressionInfo(classOf[RandomProjection].getName, "graft_project"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_project requires exactly 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_project k must be an integer literal, got $other")
+        }
+        RandomProjection(children.head, n)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_agg"),

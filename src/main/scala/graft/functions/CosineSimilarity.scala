@@ -156,6 +156,19 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_project",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_project requires exactly 2 arguments, got ${exprs.length}")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_project k must be an integer literal, got $other")
+        }
+        RandomProjection(exprs.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1,

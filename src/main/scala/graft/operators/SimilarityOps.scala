@@ -575,6 +575,49 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** q134 — RANDOM-PROJECTION (Johnson–Lindenstrauss) DIMENSIONALITY
+    * REDUCTION ([EXT], round 13): project every embedding to k=16
+    * dimensions with the deterministic ±1 hyperplane matrix — the
+    * standard pre-reduction in front of ANN indexing and clustering
+    * (64→16 dims quarters every downstream distance computation while
+    * JL bounds the pairwise-distance distortion). Emitted LONG-FORM
+    * (vec_id, dim, value) with the 1/√k JL scale and round-4, the
+    * repo's hash-stable vector convention (q44/q47).
+    *
+    * The projection matrix is EXACTLY q45's hyperplane family
+    * (component (j,i) = md5("j:i") low bit → ±1), so q45's LSH
+    * signature is the SIGN VECTOR of this projection — a consumer can
+    * route q134 outputs through q45's band buckets with zero
+    * re-hashing (SimilaritySpec pins the sign identity per vector).
+    *
+    * 100 TB shape: ONE codegen'd scan-stage projection (the native
+    * `graft_project` expression — no dim×k explode, no higher-order
+    * lambda), a bounded k-row posexplode per vector, zero shuffles
+    * before the presentation sort. Deterministic md5 arithmetic with
+    * an ascending-i fold → DuckDB hash-verified (ordered SUMs). */
+  val q134RandomProjection: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val k = 16
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_project(embedding, $k)"))
+          .as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim"),
+        round(col("value") / math.sqrt(k), 4).as("value"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val q134Oracle: String =
+    """SELECT vec_id, j AS dim,
+      |  ROUND(SUM(embedding[i+1]::DOUBLE *
+      |      ((('0x' || substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)
+      |    ORDER BY i) / sqrt(16.0), 4) AS value
+      |FROM embeddings,
+      |     UNNEST(range(LEN(embedding))) g(i),
+      |     UNNEST(range(16)) h(j)
+      |GROUP BY vec_id, j
+      |ORDER BY vec_id, dim""".stripMargin
+
   /** ONE statement, staged via AS MATERIALIZED (round 13): plain CTEs
     * let DuckDB inline/duplicate the exploded N x 64 x 16 relation
     * (the round-9 OOM), the round-10/11 temp-table script tripped the
@@ -1619,6 +1662,7 @@ object SimilarityOps {
     "q43_cell_neardup" -> q43CellNearDup,
     "q44_label_centroids" -> q44LabelCentroids,
     "q45_hyperplane_lsh" -> q45HyperplaneLsh,
+    "q134_random_projection" -> q134RandomProjection,
     "q46_sq_ann" -> q46SqAnn,
     "q47_reranked_ann" -> q47RerankedAnn,
     "q77_ivf_sq_ann" -> q77IvfSqAnn,
@@ -1632,6 +1676,7 @@ object SimilarityOps {
     "q41_embed_neardup" -> q41Oracle,
     "q44_label_centroids" -> q44Oracle,
     "q45_hyperplane_lsh" -> q45Oracle,
+    "q134_random_projection" -> q134Oracle,
     "q46_sq_ann" -> q46Oracle,
     "q129_contrastive_pairs" -> q129Oracle,
     "q47_reranked_ann" -> q47Oracle,

@@ -290,6 +290,18 @@ class PlanSpec extends SparkSpec {
       s"dup-hash detection must be hash aggregation:\n$s131")
     assert(fallbacks(p131).isEmpty,
       "graft_shingle_seq and the span merge must stay codegen'd")
+    // q134's projection plan: ONE codegen'd scan-stage projection +
+    // bounded posexplode, zero shuffles before the presentation sort
+    val p134 = plan(graft.operators.SimilarityOps
+      .queries("q134_random_projection")(spark, sf))
+    assert(fallbacks(p134).isEmpty,
+      "graft_project must stay codegen'd")
+    val ex134 = p134.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex134.size <= 1 &&
+      ex134.forall(_.outputPartitioning.toString.contains("range")),
+      s"projection must not shuffle except the final sort:\n$p134")
     // q133's emit plan: the affected-docs gate must stay equi-join
     // shaped (never all-pairs), and the per-doc rebuild is the one
     // sanctioned ObjectHashAggregate (collect_list bounded by the

@@ -582,6 +582,39 @@ class SimilaritySpec extends SparkSpec {
         s"anchor ${r.getLong(0)}: positive must be the SQ8 top-1"))
   }
 
+  test("random projection (q134): the dots replay driver-side exactly, " +
+      "and q45's LSH signature IS the projection's sign vector") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding",
+        "graft_project(embedding, 16) AS p",
+        "graft_hyperplane_bits(embedding, 16) AS sig")
+      .collect()
+    assert(rows.nonEmpty)
+    def sign(j: Int, i: Int): Double = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2) * 2 - 1)
+        .toDouble
+    }
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val p = r.getSeq[Double](2)
+      val sig = r.getLong(3)
+      assert(p.length === 16)
+      (0 until 16).foreach { j =>
+        // ascending-i fold, double arithmetic — must replay EXACTLY
+        var dot = 0.0
+        v.indices.foreach(i => dot += v(i).toDouble * sign(j, i))
+        assert(p(j) === dot,
+          s"vec ${r.getLong(0)} dim $j: ${p(j)} != driver replay $dot")
+        // the shared hyperplane family: q45's bit j == sign of dot j
+        assert(((sig >> j) & 1L) === (if (p(j) > 0) 1L else 0L),
+          s"vec ${r.getLong(0)} dim $j: LSH bit != projection sign")
+      }
+    }
+  }
+
   test("incremental PQ: appended vectors are encoded against the FROZEN " +
       "sub-codebooks; existing codes byte-untouched; gaps degrade to a " +
       "full rebuild") {
