@@ -167,6 +167,47 @@ object StreamRehearsal {
       } finally q.stop()
     }
 
+    // -------- substring ingest + cleaned-corpus emission twin -------
+    // the q133 streaming twin at the emission's WORST case: every
+    // batch doc is a corpus copy, so every doc carries spans and the
+    // per-batch emit explodes + rebuilds the full batch
+    if (enabled("substrclean")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      graft.operators.DedupOps.stagedWindowHashSet(spark, sfDir).count()
+      println(f"""{"pipeline":"substrclean","seed_index_sec":${
+        (System.nanoTime() - t0) / 1e9}%.1f}""")
+      val src = p("substrclean-src")
+      val batches = (0 until 5).map { k =>
+        docs.filter(pmod(col("doc_id"), lit(25)) === (k + 10))
+          .limit(2000)
+          .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
+            col("text"))
+      }
+      DeltaTable.write(batches.head.limit(1), src, "overwrite")
+      val q = graft.streaming.StreamingOps.substrCleanIngestPipeline(
+        spark, sfDir, src, p("substrclean-spans"), p("substrclean-out"),
+        p("substrclean-ckpt"), p("substrclean-stage"))
+      try {
+        q.processAllAvailable()
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val spanRows =
+            DeltaTable.read(spark, p("substrclean-spans")).count()
+          val cleanRows =
+            DeltaTable.read(spark, p("substrclean-out")).count()
+          println(f"""{"pipeline":"substrclean","batch":$k,""" +
+            f""""rows":$rows,"sec":$sec%.1f,""" +
+            f""""span_rows":$spanRows,"clean_rows":$cleanRows}""")
+        }
+      } finally q.stop()
+    }
+
     // -------- maxFilesPerTrigger admission over the 1M-event table --
     if (enabled("maxFilesPerTrigger")) {
       val events = Tables.load(spark, sfDir, "events")
