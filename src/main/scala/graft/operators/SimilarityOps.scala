@@ -618,6 +618,91 @@ object SimilarityOps {
       |GROUP BY vec_id, j
       |ORDER BY vec_id, dim""".stripMargin
 
+  /** q135 — PROJECTED (JL) TWO-STAGE ANN ([EXT], round 13): q134's
+    * projection made load-bearing — the shortlist stage searches the
+    * 16-dim PROJECTED space (4× fewer multiplies than the full
+    * vectors, and at scale the projected table is the only thing the
+    * first stage ever scans), the re-rank stage is q47's exact
+    * pushed-fetch over the |queries|×40 shortlist (twice q47's width:
+    * a 16-dim JL sketch is coarser than SQ8's 64-dim codes, so the
+    * shortlist widens to buy the recall back — the knob a production
+    * deployment tunes per sketch). This completes the
+    * compressed-search family: coarse partitioning (IVF q42), scalar
+    * quantization (SQ8 q46), product quantization (PQ q126), hashing
+    * (LSH q45), and now projection (JL) — each a different
+    * memory/recall point over the same serving skeleton. The 1/√k JL
+    * scale cancels inside cosine and is omitted. Both stages
+    * deterministic → end-to-end DuckDB hash-verified, including which
+    * candidates survive the shortlist cut (the q47 property IVF
+    * pipelines can't have). */
+  val q135ProjectedAnn: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val k = 16
+    val pd = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_project(embedding, $k)"))
+          .as(Seq("dim", "pv")))
+    val qd = pd.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("dim"), col("pv").as("qv"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("proj_cos").desc, col("neighbor_id"))
+    val shortlist = pd.join(broadcast(qd), "dim")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qv") * col("pv")).as("dot"),
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("pv") * col("pv")).as("np"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot") / (sqrt(col("nq")) * sqrt(col("np"))), 4)
+          .as("proj_cos"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= 40)
+      .select("query_id", "neighbor_id")
+    exactRerank(spark, dir, shortlist)
+  }
+
+  val q135Oracle: String =
+    """WITH o135_p AS MATERIALIZED (
+      |  SELECT vec_id, j AS dim,
+      |    SUM(embedding[i+1]::DOUBLE *
+      |        ((('0x' || substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)
+      |      ORDER BY i) AS pv
+      |  FROM embeddings,
+      |       UNNEST(range(LEN(embedding))) g(i),
+      |       UNNEST(range(16)) h(j)
+      |  GROUP BY vec_id, j),
+      |o135_d AS MATERIALIZED (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    SUM(q.pv * c.pv) AS dot, SUM(q.pv * q.pv) AS nq,
+      |    SUM(c.pv * c.pv) AS np
+      |  FROM o135_p q JOIN o135_p c ON q.dim = c.dim
+      |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |o135_s AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (sqrt(nq) * sqrt(np)), 4) DESC,
+      |        neighbor_id) AS srank
+      |    FROM o135_d) WHERE srank <= 40),
+      |o135_exact AS MATERIALIZED (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
+      |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
+      |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
+      |  FROM o135_s s JOIN embeddings a ON a.vec_id = s.query_id
+      |    JOIN embeddings b ON b.vec_id = s.neighbor_id,
+      |       UNNEST(range(LEN(a.embedding))) g(i)
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cosine, rank FROM (
+      |  SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
+      |  FROM o135_exact)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** ONE statement, staged via AS MATERIALIZED (round 13): plain CTEs
     * let DuckDB inline/duplicate the exploded N x 64 x 16 relation
     * (the round-9 OOM), the round-10/11 temp-table script tripped the
@@ -1663,6 +1748,7 @@ object SimilarityOps {
     "q44_label_centroids" -> q44LabelCentroids,
     "q45_hyperplane_lsh" -> q45HyperplaneLsh,
     "q134_random_projection" -> q134RandomProjection,
+    "q135_projected_ann" -> q135ProjectedAnn,
     "q46_sq_ann" -> q46SqAnn,
     "q47_reranked_ann" -> q47RerankedAnn,
     "q77_ivf_sq_ann" -> q77IvfSqAnn,
@@ -1677,6 +1763,7 @@ object SimilarityOps {
     "q44_label_centroids" -> q44Oracle,
     "q45_hyperplane_lsh" -> q45Oracle,
     "q134_random_projection" -> q134Oracle,
+    "q135_projected_ann" -> q135Oracle,
     "q46_sq_ann" -> q46Oracle,
     "q129_contrastive_pairs" -> q129Oracle,
     "q47_reranked_ann" -> q47Oracle,

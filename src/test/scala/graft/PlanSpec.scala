@@ -182,7 +182,8 @@ class PlanSpec extends SparkSpec {
     // by collected shortlist ids; both the query-side and the
     // neighbor-side embedding scans must carry a pushed IN(vec_id …)
     // filter so parquet row-group pruning makes the fetch an id lookup.
-    for (name <- Seq("q47_reranked_ann", "q77_ivf_sq_ann")) {
+    for (name <- Seq("q47_reranked_ann", "q77_ivf_sq_ann",
+        "q135_projected_ann")) {
       val ex = explainStr(SimilarityOps.queries(name)(spark, sf))
       val pushed = "PushedFilters: \\[[^\\]]*vec_id".r
       assert(pushed.findAllIn(ex).size >= 2,

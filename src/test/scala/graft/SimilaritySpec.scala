@@ -615,6 +615,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("projected two-stage ANN (q135): exact-ranked top-10 per query, " +
+      "stage-2 cosines are the true cosines, recall beats the floor") {
+    val rows = SimilarityOps.queries("q135_projected_ann")(spark, sf)
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.length === 10)
+      val ranked = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ranked.sliding(2).forall(p => p.head >= p.last),
+        "re-ranked cosines must descend")
+    }
+    // stage-2 exactness: every emitted cosine IS the true full-vector
+    // cosine (round-4), not a projected approximation
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val c = cosD(e(r.getLong(0)), e(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - c) <= 5.001e-5,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): emitted " +
+          s"${r.getDouble(2)} is not the exact cosine $c")
+    }
+    // recall vs the exact top-10 (random baseline at this corpus is
+    // ~0.5%): the 16-dim JL shortlist must carry most of the truth
+    val exact = SimilarityOps.q40AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall below floor")
+  }
+
   test("incremental PQ: appended vectors are encoded against the FROZEN " +
       "sub-codebooks; existing codes byte-untouched; gaps degrade to a " +
       "full rebuild") {
