@@ -215,16 +215,29 @@ def check_one(sf_dir, d, name, oracle):
                             min(len(gs), len(es)) - 1)
                 status = "FAIL"
                 detail = f"first value diff @sorted-row {diff}:\n    got {gs[diff][:200]}\n    exp {es[diff][:200]}"
-        # Contract-test BOTH duckdb execution styles: the driver's
-        # checker may use the cursor API (con.execute) rather than the
-        # relational API (con.sql) — a single-statement oracle must
-        # return the identical relation either way.
+        # Contract-test the OTHER plausible checker styles: the cursor
+        # API (con.execute) must return the identical relation, and the
+        # oracle must survive being WRAPPED as a subquery (a checker
+        # that composes `SELECT ... FROM (<oracle>)` — legal for a
+        # single WITH/SELECT statement, impossible for the round-12
+        # prologue scripts).
         if status.startswith("PASS"):
             cur_rows = with_oom_retry(
                 lambda: con.execute(oracle[name]).fetchall())
             if cur_rows != exp_rows:
                 status = "FAIL"
                 detail = "execute()-style replay differs from sql()-style"
+            else:
+                try:
+                    with_oom_retry(lambda: con.sql(
+                        f"SELECT * FROM ({oracle[name]}) _wrap LIMIT 1"
+                    ).fetchall())
+                except duckdb.OutOfMemoryException:
+                    raise
+                except Exception as e:
+                    status = "FAIL"
+                    detail = (f"oracle is not wrappable as a subquery: "
+                              f"{type(e).__name__}: {str(e)[:150]}")
         con.close()
         return ("pass" if status.startswith("PASS") else "fail",
                 f"  [{status}] {name} ({len(got_rows)} rows) {detail}")
