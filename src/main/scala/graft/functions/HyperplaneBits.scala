@@ -72,7 +72,11 @@ object HyperplaneBitsUtil {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
 
-  private def signs(planes: Int, dim: Int): Array[Array[Double]] =
+  /** Shared with [[RandomProjectionUtil]]: the q45↔q134 sign-vector
+    * identity (LSH bit j == sign of projection dot j) holds BECAUSE
+    * both expressions read this one matrix — keep it the single
+    * source of the ±1 convention. */
+  private[functions] def signs(planes: Int, dim: Int): Array[Array[Double]] =
     cache.computeIfAbsent((planes, dim), _ => {
       Array.tabulate(planes, dim) { (k, i) =>
         val hex = org.apache.commons.codec.digest.DigestUtils

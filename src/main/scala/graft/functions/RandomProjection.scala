@@ -65,27 +65,15 @@ case class RandomProjection(child: Expression, k: Int)
 }
 
 object RandomProjectionUtil {
-  /** ±1 components via [[HyperplaneBitsUtil]]'s exact convention,
-    * shared cache semantics (per (k, dim), per JVM). Kept separate so
-    * the two expressions stay independently testable. */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
-
-  private def signs(k: Int, dim: Int): Array[Array[Double]] =
-    cache.computeIfAbsent((k, dim), _ => {
-      Array.tabulate(k, dim) { (j, i) =>
-        val hex = org.apache.commons.codec.digest.DigestUtils
-          .md5Hex(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        ((h % 2) * 2 - 1).toDouble
-      }
-    })
-
   /** Null on a null element — codegen branches on it. Each output dot
-    * folds over i in ASCENDING order (the oracle's ORDER BY i). */
+    * folds over i in ASCENDING order (the oracle's ORDER BY i). The
+    * ±1 matrix is [[HyperplaneBitsUtil.signs]] ITSELF (one source of
+    * the convention and one per-JVM cache), which is what makes the
+    * spec-pinned q45↔q134 sign-vector identity structural rather than
+    * coincidental. */
   def project(v: ArrayData, k: Int): ArrayData = {
     val dim = v.numElements()
-    val s = signs(k, dim)
+    val s = HyperplaneBitsUtil.signs(k, dim)
     val out = new Array[Double](k)
     var j = 0
     while (j < k) {

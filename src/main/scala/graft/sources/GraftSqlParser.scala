@@ -155,6 +155,16 @@ object GraftSqlParser {
   private def pathOf(g1: String, g2: String, g3: String): String =
     Seq(g1, g2, g3).find(_ != null).get
 
+
+  /** Spark's string-literal BOUNDARIES are parser-mode-independent:
+    * the lexer always consumes `\X` as one unit inside a literal —
+    * `spark.sql.parser.escapedStringLiterals=true` only skips escape
+    * INTERPRETATION ('a\'b' stays one literal with the backslash
+    * retained in the value; a literal can never end in a bare
+    * backslash in either mode — both facts pinned by GraftSqlSpec).
+    * The scanners therefore skip the char after a backslash
+    * unconditionally, exactly matching the lexer. */
+
   /** Split on `sep` at nesting depth 0, outside quotes — SQL commas in
     * function calls / string literals never split an assignment list.
     * Backslash-escaped quotes inside literals ('don\'t') do NOT end

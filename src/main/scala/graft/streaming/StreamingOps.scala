@@ -505,18 +505,28 @@ object StreamingOps {
         val spans = DedupOps.mergeRemovalSpans(
           vsCorpus.unionByName(withinBatch).distinct())
           .withColumn("batch_id", lit(batchId))
-        val mode =
-          if (DeltaLog.versions(spansTable).isEmpty) "overwrite" else "append"
-        DeltaTable.write(spans, spansTable, mode,
-          txn = Some((s"substr:$ckptDir", batchId)))
-        cleanTable.foreach { ct =>
-          val cleaned = DedupOps.cleanedTextOver(docs,
-            spans.select("doc_id", "span_start", "span_end"))
-            .withColumn("batch_id", lit(batchId))
-          val cmode =
-            if (DeltaLog.versions(ct).isEmpty) "overwrite" else "append"
-          DeltaTable.write(cleaned, ct, cmode,
-            txn = Some((s"substrclean:$ckptDir", batchId)))
+        // With a clean sink the span relation is consumed FOUR times
+        // (the spans write + three subtrees inside cleanedTextOver);
+        // persist it so span detection — hashing, occurrence cap,
+        // corpus probe — executes once per batch, not per consumer.
+        if (cleanTable.isDefined) spans.persist()
+        try {
+          val mode =
+            if (DeltaLog.versions(spansTable).isEmpty) "overwrite"
+            else "append"
+          DeltaTable.write(spans, spansTable, mode,
+            txn = Some((s"substr:$ckptDir", batchId)))
+          cleanTable.foreach { ct =>
+            val cleaned = DedupOps.cleanedTextOver(docs,
+              spans.select("doc_id", "span_start", "span_end"))
+              .withColumn("batch_id", lit(batchId))
+            val cmode =
+              if (DeltaLog.versions(ct).isEmpty) "overwrite" else "append"
+            DeltaTable.write(cleaned, ct, cmode,
+              txn = Some((s"substrclean:$ckptDir", batchId)))
+          }
+        } finally {
+          if (cleanTable.isDefined) spans.unpersist()
         }
         ()
       }

@@ -756,6 +756,36 @@ class GraftSqlSpec extends SparkSpec {
     assert(r2.getString(0) === "a'b, c" && r2.getLong(1) === 99L)
   }
 
+  test("legacy escapedStringLiterals=true: literal BOUNDARIES are " +
+      "mode-independent, so the scanners' unconditional \\-skip " +
+      "matches the lexer in both modes") {
+    val t = freshTable()
+    DeltaTable.write(threeRows.coalesce(1), t, "overwrite")
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      // under the legacy flag the lexer still consumes \' as one unit
+      // (only escape INTERPRETATION is skipped — the value keeps the
+      // backslash), so the scanner must not end the literal there and
+      // the real WHERE still splits
+      spark.sql(s"UPDATE delta.`$t` " +
+        "SET name = 'a\\'b where x' WHERE id = 1").collect()
+      assert(DeltaTable.read(spark, t).filter(col("id") === 1)
+        .select("name").as[String].head() === "a\\'b where x",
+        "legacy mode keeps the backslash in the value")
+      assert(DeltaTable.read(spark, t).filter(col("id") === 2)
+        .select("name").as[String].head() === "Bob",
+        "rows outside the WHERE must be untouched")
+      // a literal can never END in a bare backslash in EITHER mode —
+      // Spark's own expression parser refuses it, loudly, so the
+      // scanner's skip can't create a silent divergence there
+      val e = intercept[Exception](spark.sql(
+        s"UPDATE delta.`$t` SET name = 'C:\\dir\\' WHERE id = 1"))
+      assert(e.getMessage != null)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("MERGE ON qualifiers validate unconditionally: bogus qualifiers " +
       "refuse even when a side lacks an alias; the source's own " +
       "identifier stays a legal qualifier") {

@@ -224,7 +224,10 @@ def check_one(sf_dir, d, name, oracle):
         if status.startswith("PASS"):
             cur_rows = with_oom_retry(
                 lambda: con.execute(oracle[name]).fetchall())
-            if cur_rows != exp_rows:
+            # order-insensitive compare (the PASS* normalization): rows
+            # tied on every ORDER BY key may legally permute between
+            # two parallel executions of the same query
+            if sorted(map(repr, cur_rows)) != sorted(map(repr, exp_rows)):
                 status = "FAIL"
                 detail = "execute()-style replay differs from sql()-style"
             else:
