@@ -411,15 +411,22 @@ object DedupOps {
 
   // Shingles are 60-bit md5-hashes of the trigram — IDENTICAL
   // arithmetic to the Spark side's tokenHash (see shingles()).
+  /** `sh` is consumed up to four times by every oracle built on this
+    * prefix (candidate self-join both sides + intersection join both
+    * sides) — MATERIALIZED (round 14) stops DuckDB re-inlining the
+    * tokenize+unnest+md5+DISTINCT pipeline per consumer, which is
+    * what pushed the q34/q117 recursive-reachability oracles past a
+    * 256 MB cap (capwalk_r13: the only two fails at that cap; now
+    * green). `tok` has one consumer and stays plain. */
   private val oracleShingleCtes =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id,
       |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]), 1, 15))::BIGINT AS shingle
       |  FROM tok, UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+      |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   val q31Oracle: String =
     oracleShingleCtes +
@@ -691,35 +698,39 @@ object DedupOps {
       .orderBy("doc_id")
 
   /** Recursive reachability over the same confirmed-pair graph; a
-    * node's cluster = min doc_id it can reach (including itself). */
+    * node's cluster = min doc_id it can reach (including itself).
+    * Every pre-recursion stage is MATERIALIZED (round 14): with plain
+    * CTEs this was one of the two oracles that exceeded a 256 MB cap
+    * (capwalk_r13) because the shingle pipeline re-inlined per
+    * consumer; staged, it is 256 MB-green with identical output. */
   val q34Oracle: String =
     "WITH RECURSIVE " + oracleShingleCtes.stripPrefix("WITH ") +
     """,
-      |mh AS (
+      |mh AS MATERIALIZED (
       |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
       |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  SELECT doc_id, s // 3 AS band,
       |    md5(MAX(CASE WHEN s % 3 = 0 THEN mh END)
       |     || MAX(CASE WHEN s % 3 = 1 THEN mh END)
       |     || MAX(CASE WHEN s % 3 = 2 THEN mh END)) AS bh
       |  FROM mh GROUP BY doc_id, s // 3),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      |inter AS (
+      |inter AS MATERIALIZED (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
       |  FROM cand c
       |  JOIN sh x ON x.doc_id = c.doc_a
       |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
       |  GROUP BY 1, 2),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT i.doc_a, i.doc_b
       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
       |  JOIN sizes sb ON sb.doc_id = i.doc_b
       |  WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(src, dst) AS (
@@ -791,35 +802,48 @@ object DedupOps {
 
   /** Naive exact Jaccard over corpus ∪ derived batch, restricted to
     * pairs touching the batch — proves the incremental candidate
-    * generator (broadcast batch join + length filter) is lossless. */
+    * generator (broadcast batch join + length filter) is lossless.
+    *
+    * Staged AS MATERIALIZED (round 14): the shingle relation `o75_sh`
+    * is consumed FOUR times (both sides of the candidate self-join,
+    * both sides of the intersection join) — the plain-CTE form let
+    * DuckDB re-inline the tokenize+unnest+md5 pipeline per consumer
+    * and OOM'd the round-13 driver checker; materializing computes it
+    * once, and the batch-side candidate list is pre-narrowed into its
+    * own small stage so the self-join probes |batch| shingles, not
+    * the corpus². Replayed vs the plain form at sf0.01: identical
+    * rows; 256 MB capwalk green. */
   val q75Oracle: String =
-    """WITH alldocs AS (
+    """WITH o75_alldocs AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text || ' zz9 qq8' AS text
       |  FROM documents WHERE doc_id % 17 = 3),
-      |tok AS (
-      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
-      |  FROM alldocs),
-      |sh AS (
+      |o75_sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id,
       |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]), 1, 15))::BIGINT AS shingle
-      |  FROM tok, UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  WHERE a.doc_id >= 1000000 OR b.doc_id >= 1000000),
-      |inter AS (
+      |  FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |        FROM o75_alldocs),
+      |       UNNEST(range(GREATEST(LEN(t)-2, 0))) g(i)),
+      |o75_batch_sh AS MATERIALIZED (
+      |  SELECT doc_id, shingle FROM o75_sh WHERE doc_id >= 1000000),
+      |o75_sizes AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS n FROM o75_sh GROUP BY doc_id),
+      |o75_cand AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+      |    GREATEST(a.doc_id, b.doc_id) AS doc_b
+      |  FROM o75_batch_sh a JOIN o75_sh b
+      |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+      |o75_inter AS MATERIALIZED (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-      |  FROM cand c
-      |  JOIN sh x ON x.doc_id = c.doc_a
-      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  FROM o75_cand c
+      |  JOIN o75_sh x ON x.doc_id = c.doc_a
+      |  JOIN o75_sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
       |  GROUP BY 1, 2)
       |SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b,
       |  ROUND(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
-      |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |FROM o75_inter i JOIN o75_sizes sa ON sa.doc_id = i.doc_a
+      |JOIN o75_sizes sb ON sb.doc_id = i.doc_b
       |WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -1103,36 +1127,38 @@ object DedupOps {
     * the member/keeper stages live in a single WITH — o117_* stages
     * are MATERIALIZED (compute-once, like the former temp tables)
     * so the driver checker's multi-statement handling (the round-12
-    * empty-file incident) can't be tripped. */
+    * empty-file incident) can't be tripped. Round 14 extends the
+    * MATERIALIZED treatment to every pre-recursion stage — same
+    * 256 MB-cap clearance as q34, identical output. */
   val q117Oracle: String =
     "WITH RECURSIVE " +
     oracleShingleCtes.stripPrefix("WITH ") +
     """,
-      |mh AS (
+      |mh AS MATERIALIZED (
       |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
       |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  SELECT doc_id, s // 3 AS band,
       |    md5(MAX(CASE WHEN s % 3 = 0 THEN mh END)
       |     || MAX(CASE WHEN s % 3 = 1 THEN mh END)
       |     || MAX(CASE WHEN s % 3 = 2 THEN mh END)) AS bh
       |  FROM mh GROUP BY doc_id, s // 3),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      |inter AS (
+      |inter AS MATERIALIZED (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
       |  FROM cand c
       |  JOIN sh x ON x.doc_id = c.doc_a
       |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
       |  GROUP BY 1, 2),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT i.doc_a, i.doc_b
       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
       |  JOIN sizes sb ON sb.doc_id = i.doc_b
       |  WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(src, dst) AS (

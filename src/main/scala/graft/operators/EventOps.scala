@@ -165,19 +165,29 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Staged AS MATERIALIZED (round 14): the plain-CTE form OOM'd the
+    * round-13 driver checker on a memory-starved host ("failed to
+    * allocate block of 16 KB") — the same failure class the
+    * q57/q76/q78/q82/q83 conversions cleared in round 13.
+    * Materializing each stage bounds the window operator's input to
+    * an already-computed narrow relation instead of a fused
+    * scan+filter+window pipeline, and the final projection runs over
+    * a second small materialized stage. Replayed vs the plain form at
+    * sf0.01: identical rows; verified under a fork-isolated 256 MB
+    * cap (tools/capwalk.py, capwalk_r14.txt). */
   val q54Oracle: String =
-    """WITH ev AS (
+    """WITH o54_ev AS MATERIALIZED (
       |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
       |  FROM events WHERE event_type IN ('click', 'purchase')),
-      |m AS (
+      |o54_m AS MATERIALIZED (
       |  SELECT event_id, user_id, event_type, ts_us,
       |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
-      |  FROM ev)
+      |  FROM o54_ev)
       |SELECT event_id, user_id, ts_us AS purchase_us, last_click_us,
       |  (ts_us - last_click_us) // 1000000 AS gap_s
-      |FROM m WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+      |FROM o54_m WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
   /** q55 — RANGE JOIN (point-in-interval): count error events inside
@@ -215,29 +225,40 @@ object EventOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Staged AS MATERIALIZED (round 14, same driver-OOM clearance as
+    * q54): `e` is consumed TWICE (sessionization chain + the error
+    * probe side of the final join) — materializing it stops the
+    * re-inline, and each window stage runs over a pre-computed narrow
+    * relation. The error side is pre-filtered into its own stage so
+    * the interval join probes a small materialized relation instead
+    * of re-scanning events. Replayed vs the plain form at sf0.01:
+    * identical rows; 256 MB capwalk green. */
   val q55Oracle: String =
-    """WITH e AS (SELECT event_id, user_id, event_type,
+    """WITH o55_e AS MATERIALIZED (
+      |  SELECT event_id, user_id, event_type,
       |    CAST(ts AS TIMESTAMP) AS ts FROM events),
-      |flagged AS (
-      |  SELECT *,
+      |o55_flagged AS MATERIALIZED (
+      |  SELECT event_id, user_id, ts,
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |numbered AS (
-      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |  FROM o55_e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |o55_numbered AS MATERIALIZED (
+      |  SELECT user_id, ts, CAST(SUM(new_session) OVER (PARTITION BY user_id
       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      |  FROM flagged),
-      |sess AS (
+      |  FROM o55_flagged),
+      |o55_sess AS MATERIALIZED (
       |  SELECT user_id, session_seq,
       |    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
       |    CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_epoch
-      |  FROM numbered GROUP BY user_id, session_seq)
+      |  FROM o55_numbered GROUP BY user_id, session_seq),
+      |o55_err AS MATERIALIZED (
+      |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS err_epoch
+      |  FROM o55_e WHERE event_type = 'error')
       |SELECT s.user_id, s.session_seq, COUNT(*) AS n_errors
-      |FROM sess s JOIN e err
-      |  ON err.user_id = s.user_id AND err.event_type = 'error'
-      |  AND CAST(FLOOR(epoch(err.ts)) AS BIGINT)
-      |      BETWEEN s.start_epoch AND s.end_epoch
+      |FROM o55_sess s JOIN o55_err err
+      |  ON err.user_id = s.user_id
+      |  AND err.err_epoch BETWEEN s.start_epoch AND s.end_epoch
       |GROUP BY s.user_id, s.session_seq
       |ORDER BY s.user_id, s.session_seq""".stripMargin
 

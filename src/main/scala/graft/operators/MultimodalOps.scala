@@ -152,6 +152,150 @@ object MultimodalOps {
       |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
       |GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
+  /** q136 — media PERCEPTUAL near-dup ([EXT], round 14): the near-dup
+    * twin of q74's exact sha256 dedup. A crawl lake's duplicate images
+    * are rarely byte-identical — re-encodes, brightness shifts, and
+    * single-pixel noise defeat a content hash while leaving the image
+    * perceptually unchanged — so production media dedup runs a
+    * PERCEPTUAL hash (aHash/pHash family) and pairs items within a
+    * small Hamming distance. This is that pipeline over the documented
+    * decode seam, with the codec step kept deterministic the same way
+    * q73's is: the "grayscale signal" of a payload is its byte
+    * sequence (all-ASCII fixture ⇒ codepoint == byte), so the whole
+    * path is integer arithmetic and DuckDB-hash-verified end to end —
+    * the same exact-verification story q31/q115/q131 gave text
+    * near-dup. Swap the signal extractor for a real decoder's
+    * grayscale matrix and nothing downstream changes.
+    *
+    * aHash (blocked-mean average hash), 60 bits to reuse the q33
+    * simhash banding convention: the signal is resampled onto 60
+    * blocks (block of char i = (i*60) div n — the standard
+    * nearest-neighbor resize), block value = integer mean of its
+    * codes, bit b = 1 iff block_b >= the integer mean of all 60 block
+    * values. By construction the hash is INVARIANT to uniform
+    * "brightness" shifts (every block and the global mean move
+    * together) and barely moved by local noise (one block's mean
+    * wiggles) — exactly the robustness a perceptual hash buys over
+    * sha256.
+    *
+    * Fixture: items with n >= 60 (below one char per block the resize
+    * is degenerate; shorter payloads belong to q74's exact path),
+    * plus two deterministic "re-encode" variants — media_id%5==0
+    * gets an upper(text) copy (+2,000,000 — a strong global edit:
+    * per-block letter density varies, so several bits flip and some
+    * pairs honestly exceed the cut = recall < 1, the real perceptual-
+    * dedup tradeoff), media_id%7==3 gets an adjacent-char-swap copy
+    * (+4,000,000 — local noise: block sums are nearly unchanged).
+    *
+    * Scale shape: NEVER all-pairs — candidates come from the q33
+    * pigeonhole (4 chunks of 15 bits; Hamming <= 3 guarantees an
+    * identical chunk, so the banded equi-join is lossless for the
+    * <= 3 cut); the per-item state is one BIGINT. One narrow explode
+    * (60 rows/item after the block agg), two partial-combining hash
+    * aggs, a chunk equi-join, and a bit_count confirm — q32/q33's
+    * exact posture. At 100 TB the fingerprint table is 8 bytes/item
+    * and the band join touches |items|×4 rows. */
+  /** The q136 fixture: length-eligible payload items + the two
+    * deterministic "re-encode" variants. Exposed for the spec. */
+  private[graft] def neardupMediaItems(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) >= 60)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val bright = base.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 2000000L).as("media_id"),
+        upper(col("text")).as("text"))
+    val noise = base.filter(col("media_id") % 7 === 3)
+      .select((col("media_id") + 4000000L).as("media_id"),
+        concat(substring(col("text"), 1, 4),
+          substring(col("text"), 6, 1), substring(col("text"), 5, 1),
+          expr("substring(text, 7)")).as("text"))
+    base.unionByName(bright).unionByName(noise)
+  }
+
+  /** 60-bit blocked-mean aHash per (media_id, text) row — the q136
+    * fingerprint stage, exposed for the spec's invariance and
+    * lossless-banding proofs. */
+  private[graft] def mediaAHash(m: DataFrame): DataFrame = {
+    // char signal: split('') emits a trailing "" under Java's
+    // limit=-1 semantics — filtered before the block math
+    val chars = m
+      .select(col("media_id"), length(col("text")).as("n"),
+        posexplode(split(col("text"), "")).as(Seq("i", "c")))
+      .filter(col("c") =!= "")
+      .select(col("media_id"), expr("(i * 60) div n").as("b"),
+        ascii(col("c")).cast("long").as("v"))
+    val blocks = chars.groupBy("media_id", "b")
+      .agg(expr("sum(v) div count(*)").as("bv"))
+    val means = blocks.groupBy("media_id")
+      .agg(expr("sum(bv) div 60").as("mu"))
+    blocks.join(means, "media_id")
+      .groupBy("media_id")
+      .agg(sum(when(col("bv") >= col("mu"),
+        expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
+        .as("ahash"))
+  }
+
+  val q136MediaNeardup: Q = (spark, dir) => {
+    val fp = mediaAHash(neardupMediaItems(spark, dir))
+    val chunks = fp
+      .select(col("media_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("c", expr("(ahash >> (k * 15)) & 32767"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.k") === col("b.k") && col("a.c") === col("b.c") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("a.ahash").as("h_a"),
+        col("b.media_id").as("media_b"), col("b.ahash").as("h_b"))
+      .distinct()
+    cand
+      .select(col("media_a"), col("media_b"),
+        expr("bit_count(h_a ^ h_b)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Replays the identical integer aHash + banding in DuckDB (ord ==
+    * Spark's ascii at codepoint level; `//` == `div` on the
+    * non-negative operands here). Staged AS MATERIALIZED from birth —
+    * `o136_blocks` and `o136_fp` each have two consumers. */
+  val q136Oracle: String =
+    """WITH o136_m AS MATERIALIZED (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE LEN(text) >= 60
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, upper(text)
+      |  FROM documents WHERE LEN(text) >= 60 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    substring(text,1,4) || substring(text,6,1) || substring(text,5,1)
+      |      || substring(text,7)
+      |  FROM documents WHERE LEN(text) >= 60 AND doc_id % 7 = 3),
+      |o136_blocks AS MATERIALIZED (
+      |  SELECT media_id, (i * 60) // n AS b, SUM(v) // COUNT(*) AS bv
+      |  FROM (SELECT media_id, i, ord(substring(text, i::INT + 1, 1)) AS v,
+      |          LEN(text) AS n
+      |        FROM o136_m, UNNEST(range(LEN(text))) g(i))
+      |  GROUP BY 1, 2),
+      |o136_means AS MATERIALIZED (
+      |  SELECT media_id, SUM(bv) // 60 AS mu FROM o136_blocks GROUP BY 1),
+      |o136_fp AS MATERIALIZED (
+      |  SELECT b.media_id,
+      |    CAST(SUM(CASE WHEN bv >= mu THEN (1::BIGINT << b) ELSE 0 END)
+      |      AS BIGINT) AS ahash
+      |  FROM o136_blocks b JOIN o136_means u ON u.media_id = b.media_id
+      |  GROUP BY 1),
+      |o136_chunks AS MATERIALIZED (
+      |  SELECT media_id, ahash, k, (ahash >> (k * 15)) & 32767 AS c
+      |  FROM o136_fp, UNNEST(range(4)) g(k)),
+      |o136_cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.media_id AS media_a, a.ahash AS h_a,
+      |                  b.media_id AS media_b, b.ahash AS h_b
+      |  FROM o136_chunks a JOIN o136_chunks b
+      |    ON a.k = b.k AND a.c = b.c AND a.media_id < b.media_id)
+      |SELECT media_a, media_b, bit_count(xor(h_a, h_b)) AS hamming
+      |FROM o136_cand WHERE bit_count(xor(h_a, h_b)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
   // ------------------------------------------------------------------
   // Decode stub — the seam where a real codec would plug in.
   // ------------------------------------------------------------------
@@ -197,11 +341,13 @@ object MultimodalOps {
     "q71_frame_sample" -> q71FrameSample,
     "q72_media_inventory" -> q72MediaInventory,
     "q73_media_decode" -> q73MediaDecode,
-    "q74_media_dedup" -> q74MediaDedup)
+    "q74_media_dedup" -> q74MediaDedup,
+    "q136_media_neardup" -> q136MediaNeardup)
 
   val oracles: Map[String, String] = Map(
     "q70_media_features" -> q70Oracle,
     "q71_frame_sample" -> q71Oracle,
     "q72_media_inventory" -> q72Oracle,
-    "q74_media_dedup" -> q74Oracle)
+    "q74_media_dedup" -> q74Oracle,
+    "q136_media_neardup" -> q136Oracle)
 }

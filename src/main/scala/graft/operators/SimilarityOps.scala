@@ -634,27 +634,35 @@ object SimilarityOps {
     * scale cancels inside cosine and is omitted. Both stages
     * deterministic → end-to-end DuckDB hash-verified, including which
     * candidates survive the shortlist cut (the q47 property IVF
-    * pipelines can't have). */
+    * pipelines can't have) — load-bearing detail (round-14 ADVICE
+    * fix): stage 1's dot/norm sums are ORDERED ascending-dim folds on
+    * BOTH engines (`aggregate` over the sketch array here, `SUM(…
+    * ORDER BY dim)` in the oracle — the same ordered-fold discipline
+    * as the q45/q47 native expressions), so a dot landing on a
+    * 4th-decimal rounding boundary rounds identically and the rank-40
+    * cut cannot flip between engines. The array form also drops the
+    * dim-explode + hash-agg the round-13 version paid: per (query,
+    * candidate) the 16-dim fold runs inside one codegen'd projection
+    * off a broadcast of the 5 query sketches — no shuffle before the
+    * shortlist window. */
   val q135ProjectedAnn: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val k = 16
     val pd = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        posexplode(expr(s"graft_project(embedding, $k)"))
-          .as(Seq("dim", "pv")))
+      .select(col("vec_id"), expr(s"graft_project(embedding, $k)").as("proj"))
     val qd = pd.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("dim"), col("pv").as("qv"))
+      .select(col("vec_id").as("query_id"), col("proj").as("qproj"))
+    def fold(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("proj_cos").desc, col("neighbor_id"))
-    val shortlist = pd.join(broadcast(qd), "dim")
+    val shortlist = pd.crossJoin(broadcast(qd))
       .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("qv") * col("pv")).as("dot"),
-        sum(col("qv") * col("qv")).as("nq"),
-        sum(col("pv") * col("pv")).as("np"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("dot") / (sqrt(col("nq")) * sqrt(col("np"))), 4)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(fold("qproj", "proj") /
+          (sqrt(fold("qproj", "qproj")) * sqrt(fold("proj", "proj"))), 4)
           .as("proj_cos"))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= 40)
@@ -674,8 +682,9 @@ object SimilarityOps {
       |  GROUP BY vec_id, j),
       |o135_d AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    SUM(q.pv * c.pv) AS dot, SUM(q.pv * q.pv) AS nq,
-      |    SUM(c.pv * c.pv) AS np
+      |    SUM(q.pv * c.pv ORDER BY q.dim) AS dot,
+      |    SUM(q.pv * q.pv ORDER BY q.dim) AS nq,
+      |    SUM(c.pv * c.pv ORDER BY q.dim) AS np
       |  FROM o135_p q JOIN o135_p c ON q.dim = c.dim
       |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
       |  GROUP BY 1, 2),
@@ -1303,9 +1312,11 @@ object SimilarityOps {
   }
 
   /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist —
-    * stage 2 of q47 and stage 3 of q77. The shortlist is COLLECTED
-    * (bounded at |queries| × 20 rows by the srank cut, the same
-    * scalar-traffic license as q77's |queries|×5 probe pairs) and the
+    * stage 2 of q47 (srank cut 20), stage 3 of q77, and stage 2 of
+    * q135 (srank cut 40 — the JL sketch is coarser, so its caller
+    * widens the shortlist). The shortlist is COLLECTED, bounded at
+    * |queries| × (the CALLER'S srank cut) rows — the same
+    * scalar-traffic license as q77's |queries|×5 probe pairs — and the
     * full vectors for both sides are fetched through literal
     * `vec_id IN (…)` filters that PUSH INTO the embeddings parquet
     * scan — PlanSpec asserts the PushedFilters — so the re-rank reads
@@ -1314,8 +1325,8 @@ object SimilarityOps {
     * OOM at 100×); a semi-join build side was considered and rejected:
     * OSS Spark does not push a dynamic semi-join filter into parquet
     * row groups, so it would still scan the corpus map-side. The
-    * collected id list is what makes the scaladoc's "|q|×20 fetches"
-    * literally true. */
+    * collected id list is what makes the "|q| × cut fetches" bound
+    * literally true for every caller. */
   private def exactRerank(spark: SparkSession, dir: String,
       shortlist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

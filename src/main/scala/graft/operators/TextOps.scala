@@ -658,12 +658,22 @@ object TextOps {
     * base parquet per inlined expansion ("too many open files");
     * round 11's TEMP-TABLE script bounded peak memory but tripped the
     * driver checker's multi-statement handling in round 12 (empty
-    * CORRECTNESS file). Round 13 lands on AS MATERIALIZED inside ONE
+    * CORRECTNESS file). Round 13 landed on AS MATERIALIZED inside ONE
     * statement: every stage computes exactly once (no re-inlining),
     * and at sf0.01 the whole 10-round chain is ~31 relations of
     * ≤27k rows — replayed vs the script form under a 512 MB cap,
-    * identical output. The window algebra and hash contract are
-    * unchanged. */
+    * identical output. Round 14 cuts the HELD-BUFFER count by a
+    * third: `obpe_f$k` has exactly ONE consumer (toks$k), so it stays
+    * a PLAIN CTE — DuckDB fuses the flag windows into toks$k's
+    * pipeline, computing it once either way, but its rows are never
+    * pinned for the statement's remaining lifetime the way every
+    * MATERIALIZED stage's are (all of which stay live until the
+    * statement ends — the accretion that OOM'd the starved round-13
+    * driver host on this, the longest chain in the repo). toks$p
+    * (two consumers) and mrg$k (two scalar-subquery consumers, 1 row)
+    * stay MATERIALIZED. Replayed vs the round-13 form at sf0.01:
+    * identical output; 256 MB capwalk green. The window algebra and
+    * hash contract are unchanged. */
   private def bpeRoundSql(k: Int): String = {
     val p = k - 1
     s"""obpe_mrg$k AS MATERIALIZED (
@@ -674,7 +684,7 @@ object TextOps {
        |  WHERE next_tok IS NOT NULL
        |  GROUP BY 1, 2
        |  ORDER BY n DESC, x, y LIMIT 1),
-       |obpe_f$k AS MATERIALIZED (
+       |obpe_f$k AS (
        |  SELECT doc_id, pos, tok, hit AND
        |      (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS do_merge
        |  FROM (SELECT doc_id, pos, tok, hit,
