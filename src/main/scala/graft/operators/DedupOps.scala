@@ -294,6 +294,254 @@ object DedupOps {
       |  (SELECT leaky_groups FROM leak) AS leaky_groups
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  /** q137 — COMPOSED CURATION PIPELINE ([EXT], round 14): the
+    * end-to-end audit artifact a corpus owner actually reviews. Every
+    * stage already exists and is individually hash-green — exact
+    * dedup (q30), near-dup cluster keeper (q32/q34), benchmark
+    * decontamination (q36), the q89 quality bars, leakage-safe split
+    * (q127), shard manifest (q120) — but a pipeline is judged by its
+    * FUNNEL: docs in, per-stage casualties, docs out, and a final
+    * manifest fingerprint, one row per stage. This runs the amplified
+    * corpus (the q30/q127 fixture: every even doc duplicated under a
+    * shifted id, so dedup has real work) through the full chain and
+    * emits exactly that report.
+    *
+    * Semantics: each document is charged to the FIRST stage that
+    * drops it (the q89 funnel discipline extended across the whole
+    * pipeline) — exact-dup non-keeper → near-dup cluster non-keeper →
+    * eval-stratum holdout (src5) → contaminated (shares a 5-gram with
+    * the eval union) → the four q89 quality bars in their pinned
+    * order → split holdout (val/test buckets of the
+    * fingerprint-keyed q127 hash) → train. Stage thresholds, hash
+    * salts, and gram conventions are IDENTICAL to the standalone
+    * operators (same md5 keying, same q21 whitespace tokens, same
+    * trigram/5-gram kernels), so the composed funnel is consistent
+    * with each per-stage query. Near-dup labels come from the
+    * memoized q34 cluster index over the base corpus — sound under
+    * composition because stage-2 casualties are exact duplicates,
+    * whose shingle sets are identical to their keeper's: removing one
+    * never disconnects a component, so clusters over the survivor set
+    * equal clusters over the base set restricted to survivors.
+    *
+    * Scale shape: ONE labeled projection over the corpus (window min
+    * on the 16-byte fingerprint partition — the q30 shuffle; the
+    * cluster/contamination joins are small-side joins against staged
+    * index relations; quality bars are row-local codegen'd
+    * arithmetic) followed by one ~13-row hash agg; the report
+    * assembly collects that bounded aggregate (≤ |stages|+3 rows —
+    * the one-scalar-per-round license) and the train-side manifest
+    * sums are one more map-combined agg. No stage materializes an
+    * intermediate corpus copy; at 100 TB this is the same one-pass
+    * cost as q89 plus the dedup shuffle.
+    *
+    * All-deterministic components ⇒ the ENTIRE funnel, split sizes,
+    * and manifest fingerprint are hash-verified by one DuckDB oracle
+    * replaying the identical chain (the round-13 verdict's "handoff
+    * artifact" item). */
+  val q137CurationPipeline: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      .withColumn("fingerprint", md5(normText(col("text"))))
+    val labels = stagedClusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val g = stagedDeconGrams(spark, dir)
+    val ev = g.filter(col("source") === "src5").select("shingle").distinct()
+    val contam = g.filter(col("source") =!= "src5")
+      .join(broadcast(ev), "shingle")
+      .select("doc_id").distinct()
+      .withColumn("is_contam", lit(true))
+    val lab = corpus
+      .withColumn("keeper_id",
+        min("doc_id").over(Window.partitionBy("fingerprint")))
+      .join(labels, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("n_tokens",
+        coalesce(size(split(lower(trim(col("text"))), "\\s+")), lit(0)))
+      .withColumn("n_distinct",
+        coalesce(size(expr("graft_shingles(text, 3)")), lit(0)))
+      .withColumn("stop_hits",
+        coalesce(size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))), lit(0)))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), col("fingerprint"))),
+          1, 15), 16, 10).cast("long") % 10)
+      .withColumn("verdict",
+        when(col("doc_id") =!= col("keeper_id"), "exact_dedup")
+          .when(col("cluster_id").isNotNull &&
+            col("cluster_id") =!= col("doc_id"), "neardup")
+          .when(col("source") === "src5", "eval_holdout")
+          .when(coalesce(col("is_contam"), lit(false)), "decontaminated")
+          .when(col("n_tokens") < 30, "too_short")
+          .when(!col("lang").isin("en", "de", "es", "fr"), "lang_excluded")
+          .when((col("n_tokens") - 2 - col("n_distinct")) * 50 >
+            col("n_tokens") - 2, "repetitive")
+          .when(col("lang") === "en" &&
+            round(col("stop_hits") / col("n_tokens"), 4) < 0.05,
+            "low_quality")
+          .when(col("bucket") === 8, "val")
+          .when(col("bucket") === 9, "test")
+          .otherwise("train"))
+    // bounded driver traffic: one ≤13-row verdict histogram + one
+    // 4-scalar train manifest agg — the report itself is 11 rows
+    val cnt = lab.groupBy("verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = lab.filter(col("verdict") === "train")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok"),
+        (conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 16).as("shard"),
+        conv(substring(md5(concat(lit("fp:"),
+          col("doc_id").cast("string"))), 1, 10), 16, 10)
+          .cast("long").as("fph"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("shard")).as("s"),
+        sum("n_tok").cast("long").as("t"), sum("fph").cast("long").as("f"))
+      .head()
+    val (nTrain, nShards, totTok, manFp) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+    val total = cnt.values.sum
+    val funnelStages = Seq("exact_dedup", "neardup", "eval_holdout",
+      "decontaminated", "too_short", "lang_excluded", "repetitive",
+      "low_quality")
+    val rows = Seq.newBuilder[(Long, String, Long, Long, Long, String)]
+    rows += ((1L, "input", total, 0L, total, null))
+    var in = total
+    funnelStages.zipWithIndex.foreach { case (s, i) =>
+      val dropped = cnt.getOrElse(s, 0L)
+      rows += ((i + 2L, s, in, dropped, in - dropped, null))
+      in -= dropped
+    }
+    val (v, t) = (cnt.getOrElse("val", 0L), cnt.getOrElse("test", 0L))
+    rows += ((10L, "split_holdout", in, v + t, in - v - t, s"val=$v,test=$t"))
+    rows += ((11L, "shard_manifest", nTrain, 0L, nTrain,
+      s"shards=$nShards,total_tokens=$totTok,manifest_fp=$manFp"))
+    rows.result().toDF("stage_seq", "stage", "docs_in", "docs_dropped",
+      "docs_out", "detail")
+      .orderBy("stage_seq")
+  }
+
+  /** Replays the identical composed chain in ONE statement: the
+    * shared recursive-CC prefix over the base corpus (clusters), the
+    * q36 5-gram contamination relation, the q89 quality arithmetic,
+    * the q127/q120 hash keying, then the funnel assembly as a window
+    * cumsum over the per-verdict histogram. Everything MATERIALIZED
+    * (the deepest composed oracle in the repo — capwalk-verified). */
+  val q137Oracle: String =
+    "WITH RECURSIVE " + oracleClusterCtes +
+    """,
+      |o137_corpus AS MATERIALIZED (
+      |  SELECT doc_id, text, lang, source,
+      |    md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM (SELECT doc_id, text, lang, source FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 100000, text, lang, source
+      |        FROM documents WHERE doc_id % 2 = 0)),
+      |o137_keep AS MATERIALIZED (
+      |  SELECT doc_id, text, lang, source, fingerprint,
+      |    MIN(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id
+      |  FROM o137_corpus),
+      |o137_g AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, source,
+      |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]), 1, 15))::BIGINT AS shingle
+      |  FROM (SELECT doc_id, source, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+      |        FROM documents),
+      |       UNNEST(range(GREATEST(LEN(t)-4, 0))) g(i)),
+      |o137_contam AS MATERIALIZED (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM o137_g g
+      |  JOIN (SELECT DISTINCT shingle FROM o137_g WHERE source = 'src5') e
+      |    ON g.shingle = e.shingle
+      |  WHERE g.source <> 'src5'),
+      |o137_lab AS MATERIALIZED (
+      |  SELECT k.doc_id,
+      |    COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0)
+      |      AS n_tokens,
+      |    CASE
+      |      WHEN k.doc_id <> k.keeper_id THEN 'exact_dedup'
+      |      WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> k.doc_id
+      |        THEN 'neardup'
+      |      WHEN k.source = 'src5' THEN 'eval_holdout'
+      |      WHEN ct.doc_id IS NOT NULL THEN 'decontaminated'
+      |      WHEN COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0) < 30
+      |        THEN 'too_short'
+      |      WHEN k.lang NOT IN ('en','de','es','fr') THEN 'lang_excluded'
+      |      WHEN (COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0)
+      |            - 2 - COALESCE(z.n, 0)) * 50 >
+      |           COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0) - 2
+      |        THEN 'repetitive'
+      |      WHEN k.lang = 'en' AND
+      |           ROUND(COALESCE(LEN(regexp_extract_all(LOWER(k.text),
+      |               '\b(the|a|of|and|to|in|is)\b')), 0)
+      |             / COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0),
+      |             4) < 0.05
+      |        THEN 'low_quality'
+      |      WHEN ('0x' || substr(md5('split:' || k.fingerprint), 1, 15))::BIGINT % 10 = 8
+      |        THEN 'val'
+      |      WHEN ('0x' || substr(md5('split:' || k.fingerprint), 1, 15))::BIGINT % 10 = 9
+      |        THEN 'test'
+      |      ELSE 'train' END AS verdict
+      |  FROM o137_keep k
+      |  LEFT JOIN clusters c ON c.doc_id = k.doc_id
+      |  LEFT JOIN o137_contam ct ON ct.doc_id = k.doc_id
+      |  LEFT JOIN sizes z ON z.doc_id = k.doc_id),
+      |o137_cnt AS MATERIALIZED (
+      |  SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM o137_lab GROUP BY 1),
+      |o137_tot AS MATERIALIZED (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total FROM o137_cnt),
+      |o137_train AS MATERIALIZED (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+      |    CAST(COUNT(DISTINCT
+      |      ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16)
+      |      AS BIGINT) AS n_shards,
+      |    CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(('0x' || substr(md5('fp:' || doc_id::VARCHAR), 1, 10))::BIGINT)
+      |      AS BIGINT) AS manifest_fp
+      |  FROM o137_lab WHERE verdict = 'train'),
+      |o137_funnel AS MATERIALIZED (
+      |  SELECT CAST(stage_seq AS BIGINT) AS stage_seq, stage,
+      |    CAST(total - COALESCE(SUM(dropped) OVER (ORDER BY stage_seq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS docs_in,
+      |    dropped AS docs_dropped,
+      |    CAST(total - SUM(dropped) OVER (ORDER BY stage_seq
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_out
+      |  FROM (SELECT s.stage_seq, s.stage, CAST(COALESCE(c.n, 0) AS BIGINT) AS dropped
+      |        FROM (SELECT * FROM (VALUES (2,'exact_dedup'),(3,'neardup'),
+      |                (4,'eval_holdout'),(5,'decontaminated'),(6,'too_short'),
+      |                (7,'lang_excluded'),(8,'repetitive'),(9,'low_quality'))
+      |              t(stage_seq, stage)) s
+      |        LEFT JOIN o137_cnt c ON c.verdict = s.stage) d, o137_tot)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_seq, 'input' AS stage,
+      |    total AS docs_in, CAST(0 AS BIGINT) AS docs_dropped,
+      |    total AS docs_out, CAST(NULL AS VARCHAR) AS detail
+      |  FROM o137_tot
+      |  UNION ALL
+      |  SELECT stage_seq, stage, docs_in, docs_dropped, docs_out,
+      |    CAST(NULL AS VARCHAR)
+      |  FROM o137_funnel
+      |  UNION ALL
+      |  SELECT CAST(10 AS BIGINT), 'split_holdout',
+      |    (SELECT docs_out FROM o137_funnel WHERE stage_seq = 9),
+      |    v + t,
+      |    (SELECT docs_out FROM o137_funnel WHERE stage_seq = 9) - v - t,
+      |    'val=' || v || ',test=' || t
+      |  FROM (SELECT
+      |    CAST(COALESCE((SELECT n FROM o137_cnt WHERE verdict = 'val'), 0) AS BIGINT) AS v,
+      |    CAST(COALESCE((SELECT n FROM o137_cnt WHERE verdict = 'test'), 0) AS BIGINT) AS t)
+      |  UNION ALL
+      |  SELECT CAST(11 AS BIGINT), 'shard_manifest', n_train,
+      |    CAST(0 AS BIGINT), n_train,
+      |    'shards=' || n_shards || ',total_tokens=' || total_tokens
+      |      || ',manifest_fp=' || manifest_fp
+      |  FROM o137_train)
+      |ORDER BY stage_seq""".stripMargin
+
   /** q31 — n-gram Jaccard near-dup, EXACT, via prefix filtering
     * (AllPairs/PPJoin): a naive shared-shingle join fans out
     * quadratically on frequent shingles (measured: 80 s of an
@@ -418,7 +666,7 @@ object DedupOps {
     * what pushed the q34/q117 recursive-reachability oracles past a
     * 256 MB cap (capwalk_r13: the only two fails at that cap; now
     * green). `tok` has one consumer and stays plain. */
-  private val oracleShingleCtes =
+  private lazy val oracleShingleCtes: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
       |  FROM documents),
@@ -697,14 +945,17 @@ object DedupOps {
         (col("id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
 
-  /** Recursive reachability over the same confirmed-pair graph; a
-    * node's cluster = min doc_id it can reach (including itself).
-    * Every pre-recursion stage is MATERIALIZED (round 14): with plain
-    * CTEs this was one of the two oracles that exceeded a 256 MB cap
-    * (capwalk_r13) because the shingle pipeline re-inlined per
-    * consumer; staged, it is 256 MB-green with identical output. */
-  val q34Oracle: String =
-    "WITH RECURSIVE " + oracleShingleCtes.stripPrefix("WITH ") +
+  /** Shared LSH → exact-Jaccard → recursive-reachability oracle
+    * prefix (q34, q117, q137): the full q32 candidate pipeline, the
+    * confirmed-pair edge list, transitive reachability, and the
+    * resolved `clusters(doc_id, cluster_id)` relation (cluster = min
+    * reachable doc_id). Every pre-recursion stage is MATERIALIZED
+    * (round 14): with plain CTEs the shingle pipeline re-inlined per
+    * consumer and pushed q34/q117 past a 256 MB cap (capwalk_r13's
+    * only fails at that cap); staged, the whole chain is 128 MB-green
+    * with identical output. Callers prepend "WITH RECURSIVE ". */
+  private lazy val oracleClusterCtes: String =
+    oracleShingleCtes.stripPrefix("WITH ") +
     """,
       |mh AS MATERIALIZED (
       |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
@@ -736,13 +987,20 @@ object DedupOps {
       |reach(src, dst) AS (
       |  SELECT src, dst FROM edges
       |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-      |SELECT n.src AS doc_id,
-      |  LEAST(n.src, MIN(r.dst)) AS cluster_id,
-      |  n.src = LEAST(n.src, MIN(r.dst)) AS is_keeper
-      |FROM (SELECT DISTINCT src FROM edges) n
-      |JOIN reach r ON r.src = n.src
-      |GROUP BY n.src ORDER BY doc_id""".stripMargin
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |clusters AS MATERIALIZED (
+      |  SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+      |  FROM (SELECT DISTINCT src FROM edges) n
+      |  JOIN reach r ON r.src = n.src
+      |  GROUP BY n.src)""".stripMargin
+
+  /** Recursive reachability over the confirmed-pair graph; a node's
+    * cluster = min doc_id it can reach (including itself). */
+  val q34Oracle: String =
+    "WITH RECURSIVE " + oracleClusterCtes +
+    """
+      |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+      |FROM clusters ORDER BY doc_id""".stripMargin
 
   /** Near-dup pairs TOUCHING a new batch, given the full array
     * relation (`arrays` = corpus index ∪ batch, or a refreshed index
@@ -1131,45 +1389,8 @@ object DedupOps {
     * MATERIALIZED treatment to every pre-recursion stage — same
     * 256 MB-cap clearance as q34, identical output. */
   val q117Oracle: String =
-    "WITH RECURSIVE " +
-    oracleShingleCtes.stripPrefix("WITH ") +
+    "WITH RECURSIVE " + oracleClusterCtes +
     """,
-      |mh AS MATERIALIZED (
-      |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
-      |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
-      |bands AS MATERIALIZED (
-      |  SELECT doc_id, s // 3 AS band,
-      |    md5(MAX(CASE WHEN s % 3 = 0 THEN mh END)
-      |     || MAX(CASE WHEN s % 3 = 1 THEN mh END)
-      |     || MAX(CASE WHEN s % 3 = 2 THEN mh END)) AS bh
-      |  FROM mh GROUP BY doc_id, s // 3),
-      |cand AS MATERIALIZED (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      |inter AS MATERIALIZED (
-      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-      |  FROM cand c
-      |  JOIN sh x ON x.doc_id = c.doc_a
-      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      |  GROUP BY 1, 2),
-      |pairs AS MATERIALIZED (
-      |  SELECT i.doc_a, i.doc_b
-      |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-      |  JOIN sizes sb ON sb.doc_id = i.doc_b
-      |  WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5),
-      |edges AS MATERIALIZED (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |reach(src, dst) AS (
-      |  SELECT src, dst FROM edges
-      |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      |o117_clusters AS MATERIALIZED (
-      |  SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
-      |  FROM (SELECT DISTINCT src FROM edges) n
-      |  JOIN reach r ON r.src = n.src
-      |  GROUP BY n.src),
       |o117_m AS MATERIALIZED (
       |  SELECT c.cluster_id, c.doc_id,
       |    LEN(string_split_regex(LOWER(TRIM(d.text)), '\s+')) AS n_tokens,
@@ -1177,7 +1398,7 @@ object DedupOps {
       |        '\b(the|a|of|and|to|in|is)\b'))
       |      / LEN(string_split_regex(LOWER(TRIM(d.text)), '\s+')), 4)
       |      AS stop_ratio
-      |  FROM o117_clusters c JOIN documents d ON d.doc_id = c.doc_id)
+      |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
       |SELECT g.cluster_id, g.n_members, g.cluster_tokens,
       |  k.doc_id AS keeper_doc, k.stop_ratio AS keeper_stop_ratio
       |FROM (SELECT cluster_id, COUNT(*) AS n_members,
@@ -1595,6 +1816,7 @@ object DedupOps {
       |ORDER BY doc_id, span_start""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q137_curation_pipeline" -> q137CurationPipeline,
     "q133_cleaned_text" -> q133CleanedText,
     "q132_span_excision" -> q132SpanExcision,
     "q131_substring_dedup" -> q131SubstringDedup,
@@ -1611,6 +1833,7 @@ object DedupOps {
     "q75_incremental_dedup" -> q75IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
+    "q137_curation_pipeline" -> q137Oracle,
     "q133_cleaned_text" -> q133Oracle,
     "q132_span_excision" -> q132Oracle,
     "q131_substring_dedup" -> q131Oracle,

@@ -591,4 +591,47 @@ class DedupSpec extends SparkSpec {
     // duplicated docs (the +100000 ids) inflate docs above groups
     assert(bySplit.values.map(_._1).sum > total)
   }
+
+  test("curation pipeline (q137): funnel conserves documents and its " +
+      "stages reconcile with the standalone operators") {
+    import org.apache.spark.sql.functions._
+    val rows = DedupOps.q137CurationPipeline(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length === 11)
+    assert(rows.map(_.getString(1)).toSeq === Seq("input", "exact_dedup",
+      "neardup", "eval_holdout", "decontaminated", "too_short",
+      "lang_excluded", "repetitive", "low_quality", "split_holdout",
+      "shard_manifest"))
+    // conservation: every stage's out = in - dropped, and it feeds the
+    // next stage's in (the manifest row restates the final train set)
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3), r.toString) }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) === a.getLong(4), s"funnel gap: $a -> $b") }
+    // stage 1/2 reconcile with the corpus arithmetic: input = docs +
+    // amplified copies; exact_dedup drops corpus - distinct texts
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val dup = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(rows(0).getLong(2) === n + dup)
+    val distinctFp = docs.select(
+      graft.operators.TextOps.normText(col("text"))).distinct().count()
+    assert(rows(1).getLong(3) === n + dup - distinctFp)
+    // stage 3 reconciles with q34: dropped = clustered non-keepers
+    // that survived exact dedup (= non-keepers whose id is a distinct-
+    // text keeper; on this fixture every base doc with distinct text)
+    val q34 = DedupOps.q34DedupClusters(spark, sf).collect()
+    val nonKeepers = q34.count(r => !r.getBoolean(2))
+    assert(rows(2).getLong(3) <= nonKeepers &&
+      rows(2).getLong(3) >= nonKeepers - (n + dup - distinctFp))
+    // manifest detail parses and restates the train row
+    val detail = rows(10).getString(5)
+    val kv = detail.split(",").map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+    assert(kv("shards") >= 1L && kv("shards") <= 16L)
+    assert(kv("total_tokens") > 0L)
+    assert(rows(10).getLong(2) === rows(9).getLong(4))
+    // split detail sums to the split_holdout casualties
+    val sd = rows(9).getString(5).split(",").map(_.split("=")(1).toLong).sum
+    assert(sd === rows(9).getLong(3))
+  }
 }
