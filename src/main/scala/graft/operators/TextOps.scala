@@ -652,6 +652,36 @@ object TextOps {
         sum(when(col("tok").contains(" "), 1L).otherwise(0L)).as("n_merged"))
       .orderBy("doc_id")
 
+  /** q138 — BPE DECODE round-trip ([EXT], round 14): the third leg of
+    * the tokenizer lifecycle (train q76 → encode q79 → DECODE), and
+    * the losslessness proof a tokenizer owner actually runs before
+    * shipping: decode(encode(doc)) must byte-equal the canonical
+    * normalized document for EVERY doc. Decode is structural here —
+    * a merged BPE token carries its constituent tokens joined by the
+    * single-space separator, so per doc the decoded text is the
+    * pos-ordered token stream re-joined on " " (the same bounded
+    * per-doc collect_list reconstruction q133 documents: grouped
+    * state ≤ the doc's own input row). Output is (doc_id, md5 of the
+    * decoded text, its length); the oracle computes both DIRECTLY
+    * from `documents` with no tokenizer at all — which is the point:
+    * a broken merge rewrite, a dropped position, or a lossy encode
+    * in the 10-round chain makes the hashes diverge, yet the oracle
+    * stays O(corpus scan) where q79's replays the full chain. Served
+    * off the staged trainer artifact (build-once-serve-many); one
+    * hash agg, no extra training work per call. */
+  val q138BpeRoundtrip: Q = (spark, dir) =>
+    stagedBpe(spark, dir)._2
+      .groupBy("doc_id")
+      .agg(
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ")).as("roundtrip_md5"),
+        (sum(length(col("tok"))) + count(lit(1)) - 1L)
+          .cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+
   /** One unrolled oracle round: argmax pair off toks{k-1}, run-parity
     * merge flags, rewritten toks{k}. Same windows, same tie-break.
     * History of the staging form: round 10's PLAIN CTEs re-opened the
@@ -740,6 +770,18 @@ object TextOps {
        |  FROM obpe_toks$BpeRounds GROUP BY doc_id)
        |SELECT * FROM obpe_enc ORDER BY doc_id""".stripMargin
   }
+
+  /** The q138 oracle deliberately knows NOTHING about BPE: if the
+    * engine's decode(encode(·)) is lossless, its per-doc output equals
+    * the canonical whitespace-normalized text — computable in one
+    * corpus scan. (Spark's `trim` and DuckDB's `TRIM` both strip
+    * ASCII spaces; the `\s+` re-join collapses interior runs the same
+    * way `tokens()` splits them.) */
+  val q138Oracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS roundtrip_md5,
+      |  LEN(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS n_chars_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q49 — FEATURE HASHING (the hashing trick): every doc mapped to a
     * 16-dimension signed-count vector with zero vocabulary state —
@@ -1234,7 +1276,73 @@ object TextOps {
       |FROM r LEFT JOIN kept k USING (source)
       |ORDER BY r.source""".stripMargin
 
+  /** q139 — PER-SOURCE CAP ([EXT], round 14): domain balancing, the
+    * C4/Gopher-style curation step q116/q121 reweight toward but
+    * nothing here enforces — keep at most N documents per source,
+    * preferring quality, so one giant crawl domain cannot dominate
+    * the training mix no matter how many documents it contributes.
+    * Keeper preference is (rounded stop-ratio DESC, doc_id) — ranking
+    * on the ROUNDED score (q35's discipline) so a last-ulp division
+    * difference can never flip a rank between engines, doc_id making
+    * the order total.
+    *
+    * Scale shape — the naive form is a skew-killer: ROW_NUMBER over
+    * PARTITION BY source puts an entire domain's documents in ONE
+    * window partition, and at 100 TB a hot domain holds billions of
+    * rows that AQE cannot split (skew handling does not apply to
+    * windows). So the cap runs as a SALTED TWO-STAGE TOP-N: stage 1
+    * ranks within (source, doc_id mod 8) and keeps ≤ N per salt —
+    * bounded partitions regardless of domain size — and stage 2
+    * re-ranks the ≤ 8·N survivors per source, which is now a
+    * constant-sized partition by construction. Any document in the
+    * true per-source top-N is in its salt's top-N (the order is
+    * total), so the two-stage cut is LOSSLESS — the spec pins
+    * equality with the single-window form, and the DuckDB oracle IS
+    * that naive single-window form. */
+  val q139SourceCap: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = 15
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+      .select(col("doc_id"), col("source"),
+        round(col("stop_hits") / col("n_tokens"), 4).as("stop_ratio"))
+    val order = Seq(col("stop_ratio").desc, col("doc_id"))
+    val wSalt = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(8)))
+      .orderBy(order: _*)
+    val wFull = Window.partitionBy("source").orderBy(order: _*)
+    scored
+      .withColumn("salt_rank", row_number().over(wSalt))
+      .filter(col("salt_rank") <= n)
+      .withColumn("cap_rank", row_number().over(wFull))
+      .filter(col("cap_rank") <= n)
+      .select("source", "doc_id", "cap_rank", "stop_ratio")
+      .orderBy("source", "cap_rank")
+  }
+
+  /** The oracle is the naive single-window form the salted plan must
+    * equal (losslessness is the claim under test). */
+  val q139Oracle: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    ROUND(LEN(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|in|is)\b')) /
+      |          LEN(string_split_regex(TRIM(LOWER(text)), '\s+')), 4) AS stop_ratio
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, stop_ratio,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY stop_ratio DESC, doc_id) AS cap_rank
+      |  FROM q)
+      |SELECT source, doc_id, cap_rank, stop_ratio
+      |FROM r WHERE cap_rank <= 15
+      |ORDER BY source, cap_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q138_bpe_roundtrip" -> q138BpeRoundtrip,
+    "q139_source_cap" -> q139SourceCap,
     "q119_lm_perplexity" -> q119LmPerplexity,
     "q120_shard_manifest" -> q120ShardManifest,
     "q121_temperature_mix" -> q121TemperatureMix,
@@ -1260,6 +1368,8 @@ object TextOps {
     "q25_bpe_tokens" -> q25BpeTokens)
 
   val oracles: Map[String, String] = Map(
+    "q138_bpe_roundtrip" -> q138Oracle,
+    "q139_source_cap" -> q139Oracle,
     "q119_lm_perplexity" -> q119Oracle,
     "q120_shard_manifest" -> q120Oracle,
     "q121_temperature_mix" -> q121Oracle,

@@ -365,4 +365,51 @@ class EventTextSpec extends SparkSpec {
     // weights are a distribution
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
   }
+
+  test("bpe roundtrip (q138): decode(encode(doc)) == canonical normalized text, every doc") {
+    import org.apache.spark.sql.functions._
+    // Direct canonical form computed WITHOUT the tokenizer — the same
+    // oracle-side claim, replayed in Spark so the spec stands alone.
+    val want = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("roundtrip_md5"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .cast("long").as("n_chars_norm"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = TextOps.q138BpeRoundtrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("source cap (q139): salted two-stage top-N == naive single window, cap binds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01" // 25 docs/source — the 15-cap binds
+    val got = TextOps.q139SourceCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // naive single-window replay (the oracle's form)
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+      .select(col("doc_id"), col("source"),
+        round(col("stop_hits") / col("n_tokens"), 4).as("stop_ratio"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("stop_ratio").desc, col("doc_id"))
+    val want = scored.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= 15)
+      .select("source", "doc_id", "cap_rank", "stop_ratio")
+      .orderBy("source", "cap_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq === want.toSeq)
+    // the cap binds: every source contributes exactly 15 of its 25 docs
+    val per = got.groupBy(_._1).view.mapValues(_.length)
+    assert(per.values.forall(_ == 15))
+    assert(got.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1 to 15) })
+  }
 }

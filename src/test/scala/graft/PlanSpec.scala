@@ -322,4 +322,29 @@ class PlanSpec extends SparkSpec {
       exchanges.forall(_.outputPartitioning.toString.contains("range")),
       s"chunking must not shuffle except the final sort:\n$p114")
   }
+
+  test("q139 per-source cap: the salted stage survives — two windows, salt first") {
+    // The naive single window puts an entire hot domain in ONE
+    // partition (the skew AQE cannot split); q139's scale claim IS
+    // the salted two-stage shape, so a refactor that collapses it
+    // back to one window must fail here, not a bench round.
+    val p = plan(
+      graft.operators.TextOps.queries("q139_source_cap")(spark, sf))
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 2,
+      s"expected the salted two-stage top-N (2 window nodes):\n$p")
+    // collect is root-first: wins(0) is the downstream re-rank (per
+    // source alone, 1 key), wins(1) the upstream salted stage (the
+    // pmod salt is pre-projected to a _w0 attribute, so assert the
+    // KEY COUNT, 2, not the expression text).
+    val specs = wins.map(_.partitionSpec)
+    assert(specs(0).size == 1 && specs(1).size == 2,
+      s"want re-rank window (1 key) over salted window (2 keys); " +
+        s"got ${specs.map(_.map(_.toString))}")
+    // and the salt really is the projected pmod, not a second column
+    assert(p.toString.toLowerCase.contains("pmod"),
+      s"the salted stage's partition key must derive from pmod:\n$p")
+  }
 }
