@@ -39,10 +39,17 @@ import org.apache.spark.sql.SparkSession
   *     and its reason are recorded under `skipped`.
   */
 object Bench {
-  /** First-run seconds above which a query is re-timed. Every quiet-run
-    * query sits either well under this (sub-second relational ops) or
-    * enough over it that one extra sample is cheap insurance. */
-  private val RetimeFloorSec = 3.0
+  /** First-run seconds above which a query is re-timed. Round 14
+    * lowered 3.0 → 1.0: a noisy host window inflates the 1–3 s
+    * mid-band (delta lifecycle + staged-index serves) by +0.4–1.5 s
+    * EACH, and with ~30 such queries the single-sample noise dominated
+    * the total (measured: the same commit booked 139.7 s and 145.1 s
+    * an hour apart while every >3 s query's min-of-2 stayed flat).
+    * The wider band costs ~40 s of extra bench wall-clock — the
+    * reported number is the min per query, the same interference
+    * rejection the 3.0 floor already applied, just no longer blind to
+    * where this host's noise actually lands. */
+  private val RetimeFloorSec = 1.0
 
   /** If min-of-2 samples still disagree by more than this factor, the
     * pair is flagged `unreliable` in the JSON: the reported min is then

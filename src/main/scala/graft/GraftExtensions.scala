@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomContains, BloomFilterAgg, CosineSimilarity, HyperplaneBits, RandomProjection, SimHashAgg, SortedOverlap, WordShingleSeq, WordShingles}
+import graft.functions.{AHash, BloomContains, BloomFilterAgg, CosineSimilarity, HyperplaneBits, RandomProjection, SimHashAgg, SortedOverlap, WordShingleSeq, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions first-class session citizens, so
@@ -111,6 +111,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_shingle_seq n must be an integer literal, got $other")
         }
         WordShingleSeq(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ahash"),
+      new ExpressionInfo(classOf[AHash].getName, "graft_ahash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"graft_ahash requires exactly 1 argument, got ${children.length}")
+        AHash(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_overlap"),

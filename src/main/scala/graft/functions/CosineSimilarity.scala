@@ -169,6 +169,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ahash",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_ahash requires exactly 1 argument, got ${exprs.length}")
+        AHash(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1,

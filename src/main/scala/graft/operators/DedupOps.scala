@@ -327,10 +327,11 @@ object DedupOps {
     * on the 16-byte fingerprint partition — the q30 shuffle; the
     * cluster/contamination joins are small-side joins against staged
     * index relations; quality bars are row-local codegen'd
-    * arithmetic) followed by one ~13-row hash agg; the report
-    * assembly collects that bounded aggregate (≤ |stages|+3 rows —
-    * the one-scalar-per-round license) and the train-side manifest
-    * sums are one more map-combined agg. No stage materializes an
+    * arithmetic) followed by ONE ~13-row hash agg carrying both the
+    * verdict histogram and the train manifest scalars (count /
+    * distinct shards / token sum / fingerprint sum per verdict); the
+    * report assembly collects that bounded aggregate (≤ |stages|+3
+    * rows — the one-scalar-per-round license). No stage materializes an
     * intermediate corpus copy; at 100 TB this is the same one-pass
     * cost as q89 plus the dedup shuffle.
     *
@@ -386,23 +387,30 @@ object DedupOps {
           .when(col("bucket") === 8, "val")
           .when(col("bucket") === 9, "test")
           .otherwise("train"))
-    // bounded driver traffic: one ≤13-row verdict histogram + one
-    // 4-scalar train manifest agg — the report itself is 11 rows
-    val cnt = lab.groupBy("verdict").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val m = lab.filter(col("verdict") === "train")
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok"),
+    // bounded driver traffic: the verdict histogram AND the train
+    // manifest scalars out of ONE ≤13-row hash agg — round 14 fused
+    // the two separate actions (histogram + train-filtered agg), each
+    // of which re-ran the whole labeled projection including the
+    // fingerprint window shuffle; the shard/fingerprint md5s now
+    // compute for every row instead of train-only, but that trades two
+    // narrow hashes per row for a second full corpus pass
+    val rep = lab
+      .select(col("verdict"), col("n_tokens").cast("long").as("n_tok"),
         (conv(substring(md5(concat(lit("shard:"),
           col("doc_id").cast("string"))), 1, 15), 16, 10)
           .cast("long") % 16).as("shard"),
         conv(substring(md5(concat(lit("fp:"),
           col("doc_id").cast("string"))), 1, 10), 16, 10)
           .cast("long").as("fph"))
+      .groupBy("verdict")
       .agg(count(lit(1)).as("n"), countDistinct(col("shard")).as("s"),
         sum("n_tok").cast("long").as("t"), sum("fph").cast("long").as("f"))
-      .head()
-    val (nTrain, nShards, totTok, manFp) =
-      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+      .collect()
+    val cnt = rep.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nTrain, nShards, totTok, manFp) = rep
+      .find(_.getString(0) == "train")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .getOrElse((0L, 0L, 0L, 0L))
     val total = cnt.values.sum
     val funnelStages = Seq("exact_dedup", "neardup", "eval_holdout",
       "decontaminated", "too_short", "lang_excluded", "repetitive",

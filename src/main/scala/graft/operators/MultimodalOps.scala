@@ -215,25 +215,19 @@ object MultimodalOps {
 
   /** 60-bit blocked-mean aHash per (media_id, text) row — the q136
     * fingerprint stage, exposed for the spec's invariance and
-    * lossless-banding proofs. */
+    * lossless-banding proofs. ONE codegen'd scan-stage projection via
+    * the native [[graft.functions.AHash]] expression (round 14 —
+    * replaces the per-character posexplode through two corpus-wide
+    * hash aggregates and a media_id self-join: ~1,500 char rows per
+    * item materialized and shuffled twice before a single fingerprint
+    * existed, 2.1 s of q136's sf0.1 time; the expression's scaladoc
+    * pins the bit-for-bit arithmetic contract with that grouped form
+    * and the DuckDB oracle, and MultimodalSpec's replay test holds the
+    * equality). Fingerprinting is now shuffle-free — q136's first
+    * exchange is the 4-chunk banding explode. */
   private[graft] def mediaAHash(m: DataFrame): DataFrame = {
-    // char signal: split('') emits a trailing "" under Java's
-    // limit=-1 semantics — filtered before the block math
-    val chars = m
-      .select(col("media_id"), length(col("text")).as("n"),
-        posexplode(split(col("text"), "")).as(Seq("i", "c")))
-      .filter(col("c") =!= "")
-      .select(col("media_id"), expr("(i * 60) div n").as("b"),
-        ascii(col("c")).cast("long").as("v"))
-    val blocks = chars.groupBy("media_id", "b")
-      .agg(expr("sum(v) div count(*)").as("bv"))
-    val means = blocks.groupBy("media_id")
-      .agg(expr("sum(bv) div 60").as("mu"))
-    blocks.join(means, "media_id")
-      .groupBy("media_id")
-      .agg(sum(when(col("bv") >= col("mu"),
-        expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
-        .as("ahash"))
+    graft.functions.GraftFunctions.register(m.sparkSession)
+    m.select(col("media_id"), expr("graft_ahash(text)").as("ahash"))
   }
 
   val q136MediaNeardup: Q = (spark, dir) => {

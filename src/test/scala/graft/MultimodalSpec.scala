@@ -65,6 +65,33 @@ class MultimodalSpec extends SparkSpec {
       "blocked-mean aHash must not move under a uniform code shift")
   }
 
+  test("q136 native graft_ahash == the declarative blocked-mean pipeline, bit for bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the grouped form the native expression replaced (and the shape
+    // the DuckDB oracle still replays) — any drift in the expression's
+    // arithmetic breaks this before it breaks a correctness round
+    val m = MultimodalOps.neardupMediaItems(spark, sf)
+    val chars = m
+      .select(col("media_id"), length(col("text")).as("n"),
+        posexplode(split(col("text"), "")).as(Seq("i", "c")))
+      .filter(col("c") =!= "")
+      .select(col("media_id"), expr("(i * 60) div n").as("b"),
+        ascii(col("c")).cast("long").as("v"))
+    val blocks = chars.groupBy("media_id", "b")
+      .agg(expr("sum(v) div count(*)").as("bv"))
+    val means = blocks.groupBy("media_id")
+      .agg(expr("sum(bv) div 60").as("mu"))
+    val grouped = blocks.join(means, "media_id")
+      .groupBy("media_id")
+      .agg(sum(when(col("bv") >= col("mu"),
+        expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L)).as("ahash"))
+      .as[(Long, Long)].collect().toMap
+    val native = MultimodalOps.mediaAHash(m)
+      .as[(Long, Long)].collect().toMap
+    assert(native.nonEmpty && native === grouped)
+  }
+
   test("q136 banding is lossless for the hamming<=3 cut") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
