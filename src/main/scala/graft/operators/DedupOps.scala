@@ -902,14 +902,27 @@ object DedupOps {
   /** Pointer-doubling label propagation over the confirmed-pair graph
     * (the q34 loop); returns the staged dir of the converged (id,
     * label) relation. */
-  private def buildClusterLabels(spark: SparkSession, dir: String): String = {
-    val pairs = minHashConfirmedPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val edgesDir = graft.Scratch.dir("graft-cc-edges").resolve("e").toString
+  private def buildClusterLabels(spark: SparkSession, dir: String): String =
+    propagateMinLabels(spark,
+      minHashConfirmedPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+      "cc")
+
+  /** The generic min-label pointer-doubling kernel behind q34's text
+    * clusters and q140's semantic clusters: takes ANY undirected pair
+    * relation (two id columns), returns the staged dir of the
+    * converged (id, label) relation — label = min reachable id. The
+    * loop's scale contract is documented on [[stagedClusterLabels]];
+    * `tag` keeps concurrent builders' scratch dirs disjoint. */
+  private[graft] def propagateMinLabels(spark: SparkSession,
+      pairs0: DataFrame, tag: String): String = {
+    val cols = pairs0.columns
+    val pairs = pairs0.toDF("doc_a", "doc_b")
+    require(cols.length == 2, s"pair relation must be 2 columns, got $cols")
+    val edgesDir = graft.Scratch.dir(s"graft-$tag-edges").resolve("e").toString
     pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").write.parquet(edgesDir)
     val edges = spark.read.parquet(edgesDir)
-    var labelsDir = graft.Scratch.dir("graft-cc-l0").resolve("l").toString
+    var labelsDir = graft.Scratch.dir(s"graft-$tag-l0").resolve("l").toString
     edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).write.parquet(labelsDir)
     var changed = 1L
@@ -932,7 +945,7 @@ object DedupOps {
         .select(col("id"), col("label").as("prev_label"),
           least(col("l1"), coalesce(col("rep_label"), col("l1")))
             .as("label"))
-      val nextDir = graft.Scratch.dir(s"graft-cc-l${iter + 1}")
+      val nextDir = graft.Scratch.dir(s"graft-$tag-l${iter + 1}")
         .resolve("l").toString
       next.write.parquet(nextDir)
       val staged = spark.read.parquet(nextDir)

@@ -456,7 +456,14 @@ object SimilarityOps {
     * sets). SimilaritySpec asserts output EQUALITY with exact q41 on
     * the fixtures; driver records a rows-only check (no SQL oracle —
     * k-means is engine-internal). */
-  val q43CellNearDup: Q = (spark, dir) => {
+  val q43CellNearDup: Q = (spark, dir) =>
+    cellNearDupPairs(spark, dir).orderBy("id_a", "id_b")
+
+  /** The q43 pair generator, extracted (round 14) so q140's semantic
+    * dedup clusters the SAME production-path pair relation q43 serves:
+    * (id_a, id_b, cosine) for every near-dup pair, unordered. */
+  private[graft] def cellNearDupPairs(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
@@ -499,8 +506,92 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"),
         round(cosine("va", "vb"), 4).as("cosine"))
       .filter(col("cosine") >= 0.45)
-      .orderBy("id_a", "id_b")
   }
+
+  /** q140 — SEMANTIC DEDUP ([EXT], round 14): the embedding-space
+    * analogue of q34's text clusters, the SemDeDup-shaped curation
+    * step (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): paraphrases and
+    * re-renderings that defeat every lexical detector (q30–q33, q115,
+    * q131) still land nearby in embedding space, so production
+    * pipelines cluster cosine near-dups and keep one representative
+    * per semantic cluster. Pairwise near-dup alone (q41/q43) is not a
+    * dedup decision — transitive chains a~b~c make "which to keep"
+    * ill-defined — so this resolves the q43 pair graph into connected
+    * components with the SAME pointer-doubling kernel q34 uses
+    * ([[graft.operators.DedupOps.propagateMinLabels]]) and emits one
+    * row per clustered vector: (vec_id, cluster_id, is_keeper),
+    * keeper = min vec_id (centroid-free — the paper keeps the vector
+    * farthest from the cluster centroid; the min-id rule makes the
+    * whole decision engine-replayable, and swapping the keeper rule
+    * is one window over the same labels).
+    *
+    * Scale shape: candidate pairs come from the q43 multi-probe cell
+    * path (never all-pairs — O(Σ|cell|²) with corpus-scaled cells);
+    * the CC loop is O(log diameter) rounds of small joins over the
+    * PAIR graph (a sliver of the corpus), labels staged per round,
+    * driver traffic = one changed-count scalar per round. Staged +
+    * memoized per (session, corpus, mtime) like every other index.
+    *
+    * Oracle: the celled pair relation is spec-pinned EQUAL to the
+    * exact q41 triangular join on the driver fixtures, so DuckDB
+    * replays exact pairs + recursive reachability — the whole
+    * cluster assignment, keeper choice included, is hash-verified. */
+  val q140SemanticDedup: Q = (spark, dir) =>
+    stagedSemanticLabels(spark, dir)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_keeper"))
+      .orderBy("vec_id")
+
+  /** Converged semantic cluster labels, STAGED and MEMOIZED per
+    * (session, corpus, mtime) — the q34 [[DedupOps.stagedClusterLabels]]
+    * pattern over the embedding pair graph. */
+  private val semCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)] // stateKey, labelsDir
+
+  private def stagedSemanticLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val pathKey = System.identityHashCode(spark).toString + ":semcc:" +
+      src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val entry = StagedCache.getOrBuild[(String, String)](
+      semCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => (stateKey, DedupOps.propagateMinLabels(spark,
+        cellNearDupPairs(spark, dir).select(col("id_a"), col("id_b")),
+        "semcc")))
+    spark.read.parquet(entry._2)
+  }
+
+  val q140Oracle: String =
+    """WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings),
+      |p AS MATERIALIZED (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id,
+      |       UNNEST(range(LEN(a.embedding))) g(i)
+      |  GROUP BY 1, 2
+      |  HAVING ROUND(SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)
+      |    / (sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i))
+      |     * sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i))), 4)
+      |    >= 0.45),
+      |sedges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p),
+      |sreach(src, dst) AS (
+      |  SELECT src, dst FROM sedges
+      |  UNION
+      |  SELECT r.src, e2.dst FROM sreach r JOIN sedges e2 ON r.dst = e2.src),
+      |sclusters AS MATERIALIZED (
+      |  SELECT n.src AS vec_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+      |  FROM (SELECT DISTINCT src FROM sedges) n
+      |  JOIN sreach r ON r.src = n.src
+      |  GROUP BY n.src)
+      |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
+      |FROM sclusters ORDER BY vec_id""".stripMargin
 
   /** q45 — random-HYPERPLANE (cosine) LSH near-dup: the third
     * candidate-generation family beside k-means cells (q43) and
@@ -1750,6 +1841,7 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "q129_contrastive_pairs" -> q129ContrastivePairs,
+    "q140_semantic_dedup" -> q140SemanticDedup,
     "q126_pq_ann" -> q126PqAnn,
     "q40_ann_bruteforce" -> q40AnnBruteForce,
     "q41_embed_neardup" -> q41EmbedNearDup,
@@ -1770,6 +1862,7 @@ object SimilarityOps {
     * SimilaritySpec instead of SQL equality. */
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" -> q40Oracle,
+    "q140_semantic_dedup" -> q140Oracle,
     "q41_embed_neardup" -> q41Oracle,
     "q44_label_centroids" -> q44Oracle,
     "q45_hyperplane_lsh" -> q45Oracle,

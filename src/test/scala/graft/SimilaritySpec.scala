@@ -735,4 +735,32 @@ class SimilaritySpec extends SparkSpec {
     assert(rebuilt.inputFiles.toSet.intersect(beforeFiles).isEmpty,
       "a rebuild must not mix old-codebook files into the new index")
   }
+
+  test("q140 semantic dedup == components of the exact pair graph, keeper = min id") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      // ground truth: driver-side union-find over the EXACT q41 pairs
+      // (a wholly independent clustering of an independently derived
+      // pair relation — the engine path goes celled pairs → staged
+      // pointer-doubling loop)
+      val pairs = SimilarityOps.queries("q41_embed_neardup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      val got = SimilarityOps.queries("q140_semantic_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(got.nonEmpty, s"no clustered vectors at $dir")
+      assert(got.map(r => r._1 -> r._2).toMap === want,
+        s"cluster assignment != exact-pair components at $dir")
+      assert(got.forall(r => r._3 == (r._1 == r._2)),
+        "keeper flag must mark exactly the min-id representative")
+    }
+  }
 }
