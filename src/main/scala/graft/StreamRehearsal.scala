@@ -29,6 +29,16 @@ object StreamRehearsal {
       finally s.close()
     }
 
+  /** Sentinel-row text for stream-source priming: 35 tokens that
+    * appear NOWHERE in any fixture (the corpus vocabulary is plain
+    * English data-words), so the sentinel can never shingle-match,
+    * window-hash-match, or near-dup-match a batch row — it exists
+    * only to give the delta stream source a version 0. 35 tokens
+    * keeps it above the 30-token exact-substring window so a
+    * sentinel-handling bug would surface as spans, loudly. */
+  private val sentinelText: String =
+    (0 until 35).map(i => s"sentineltok$i").mkString(" ")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft-sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,10 +80,14 @@ object StreamRehearsal {
           .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
             col("text"))
       }
-      // sentinel seed (doc_id -1, disjoint from every batch) — seeding
-      // with batches.head would re-ingest that doc on batch 0's append
+      // sentinel seed (doc_id -1, TEXT disjoint from the whole corpus —
+      // round-14 review: a sentinel carrying a real doc's text still
+      // near-dup-matched that doc's batch derivatives and polluted the
+      // per-batch deltas; synthetic tokens match nothing, and the row
+      // is deterministic where docs.limit(1) was not)
       DeltaTable.write(
-        docs.limit(1).select(lit(-1L).as("doc_id"), col("text")),
+        spark.range(1).select(lit(-1L).as("doc_id"),
+          lit(sentinelText).as("text")),
         src, "overwrite")
       val q = graft.streaming.StreamingOps.nearDupIngestPipeline(
         spark, sfDir, src, p("neardup-pairs"), p("neardup-ckpt"),
@@ -110,9 +124,13 @@ object StreamRehearsal {
           .select((col("vec_id") + 1000000L * (k + 1)).as("vec_id"),
             reverse(col("embedding")).as("embedding"))
       }
-      // sentinel seed (vec_id -1, disjoint from every batch)
+      // sentinel seed (vec_id -1, disjoint from every batch; the SQ8
+      // pipeline is quantize-only — the sentinel can never pair with
+      // batch rows — so a real embedding is inert here, but pick it
+      // deterministically (docs.limit(1)-style seeding varied by run)
       DeltaTable.write(
-        vecs.limit(1).select(lit(-1L).as("vec_id"), col("embedding")),
+        vecs.orderBy("vec_id").limit(1)
+          .select(lit(-1L).as("vec_id"), col("embedding")),
         src, "overwrite")
       val q = graft.streaming.StreamingOps.sqIngestPipeline(
         spark, sfDir, src, p("sq8-codes"), p("sq8-ckpt"), p("sq8-stage"))
@@ -153,9 +171,11 @@ object StreamRehearsal {
           .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
             col("text"))
       }
-      // sentinel seed (doc_id -1, disjoint from every batch)
+      // sentinel seed (doc_id -1, corpus-disjoint synthetic text —
+      // see the neardup sentinel note)
       DeltaTable.write(
-        docs.limit(1).select(lit(-1L).as("doc_id"), col("text")),
+        spark.range(1).select(lit(-1L).as("doc_id"),
+          lit(sentinelText).as("text")),
         src, "overwrite")
       val q = graft.streaming.StreamingOps.substrIngestPipeline(
         spark, sfDir, src, p("substr-spans"), p("substr-ckpt"),
@@ -201,7 +221,8 @@ object StreamRehearsal {
       // batches.head.limit(1) double-counted that doc's spans/rows in
       // the per-batch numbers (round-13 ADVICE).
       DeltaTable.write(
-        docs.limit(1).select(lit(-1L).as("doc_id"), col("text")),
+        spark.range(1).select(lit(-1L).as("doc_id"),
+          lit(sentinelText).as("text")),
         src, "overwrite")
       val q = graft.streaming.StreamingOps.substrCleanIngestPipeline(
         spark, sfDir, src, p("substrclean-spans"), p("substrclean-out"),

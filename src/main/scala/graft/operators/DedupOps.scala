@@ -367,26 +367,23 @@ object DedupOps {
         coalesce(size(expr("graft_shingles(text, 3)")), lit(0)))
       .withColumn("stop_hits",
         coalesce(size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))), lit(0)))
+          lit(TextOps.StopwordRegex), lit(0))), lit(0)))
       .withColumn("bucket",
         conv(substring(md5(concat(lit("split:"), col("fingerprint"))),
           1, 15), 16, 10).cast("long") % 10)
       .withColumn("verdict",
+        // the four quality bars are the SHARED q89 expressions
+        // (TextOps.qualityBarsThen) — the scaladoc's "identical to the
+        // standalone operators" is structural, not hand-synced
         when(col("doc_id") =!= col("keeper_id"), "exact_dedup")
           .when(col("cluster_id").isNotNull &&
             col("cluster_id") =!= col("doc_id"), "neardup")
           .when(col("source") === "src5", "eval_holdout")
           .when(coalesce(col("is_contam"), lit(false)), "decontaminated")
-          .when(col("n_tokens") < 30, "too_short")
-          .when(!col("lang").isin("en", "de", "es", "fr"), "lang_excluded")
-          .when((col("n_tokens") - 2 - col("n_distinct")) * 50 >
-            col("n_tokens") - 2, "repetitive")
-          .when(col("lang") === "en" &&
-            round(col("stop_hits") / col("n_tokens"), 4) < 0.05,
-            "low_quality")
-          .when(col("bucket") === 8, "val")
-          .when(col("bucket") === 9, "test")
-          .otherwise("train"))
+          .otherwise(TextOps.qualityBarsThen(
+            when(col("bucket") === 8, "val")
+              .when(col("bucket") === 9, "test")
+              .otherwise("train"))))
     // bounded driver traffic: the verdict histogram AND the train
     // manifest scalars out of ONE ≤13-row hash agg — round 14 fused
     // the two separate actions (histogram + train-filtered agg), each
@@ -506,9 +503,11 @@ object DedupOps {
       |    CAST(COUNT(DISTINCT
       |      ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16)
       |      AS BIGINT) AS n_shards,
-      |    CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
-      |    CAST(SUM(('0x' || substr(md5('fp:' || doc_id::VARCHAR), 1, 10))::BIGINT)
-      |      AS BIGINT) AS manifest_fp
+      |    CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT)), 0) AS BIGINT)
+      |      AS total_tokens,
+      |    CAST(COALESCE(
+      |      SUM(('0x' || substr(md5('fp:' || doc_id::VARCHAR), 1, 10))::BIGINT),
+      |      0) AS BIGINT) AS manifest_fp
       |  FROM o137_lab WHERE verdict = 'train'),
       |o137_funnel AS MATERIALIZED (
       |  SELECT CAST(stage_seq AS BIGINT) AS stage_seq, stage,
@@ -915,9 +914,9 @@ object DedupOps {
     * `tag` keeps concurrent builders' scratch dirs disjoint. */
   private[graft] def propagateMinLabels(spark: SparkSession,
       pairs0: DataFrame, tag: String): String = {
-    val cols = pairs0.columns
+    require(pairs0.columns.length == 2,
+      s"pair relation must be 2 columns, got ${pairs0.columns.mkString(", ")}")
     val pairs = pairs0.toDF("doc_a", "doc_b")
-    require(cols.length == 2, s"pair relation must be 2 columns, got $cols")
     val edgesDir = graft.Scratch.dir(s"graft-$tag-edges").resolve("e").toString
     pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").write.parquet(edgesDir)
@@ -1385,7 +1384,7 @@ object DedupOps {
       .select(col("doc_id"),
         size(split(lower(trim(col("text"))), "\\s+")).as("n_tokens"),
         size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+          lit(TextOps.StopwordRegex), lit(0))).as("stop_hits"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("stop_hits") / col("n_tokens"), 4).as("stop_ratio"))
     val members = clusters.join(quality, "doc_id")

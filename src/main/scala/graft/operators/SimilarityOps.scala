@@ -740,20 +740,26 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val k = 16
-    val pd = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), expr(s"graft_project(embedding, $k)").as("proj"))
-    val qd = pd.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("proj").as("qproj"))
     def fold(a: String, b: String) = expr(
       s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    // norms precomputed ONCE per side (round-14 review: folding
+    // qproj·qproj and proj·proj per (query, candidate) row redid the
+    // query norm |corpus| times and each candidate norm |Q| times —
+    // ~3x the hot-path arithmetic; same sqrt-of-ordered-fold values,
+    // so proj_cos is bit-identical)
+    val pd = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(s"graft_project(embedding, $k)").as("proj"))
+      .withColumn("pnorm", sqrt(fold("proj", "proj")))
+    val qd = pd.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("proj").as("qproj"),
+        col("pnorm").as("qnorm"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("proj_cos").desc, col("neighbor_id"))
     val shortlist = pd.crossJoin(broadcast(qd))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(fold("qproj", "proj") /
-          (sqrt(fold("qproj", "qproj")) * sqrt(fold("proj", "proj"))), 4)
+        round(fold("qproj", "proj") / (col("qnorm") * col("pnorm")), 4)
           .as("proj_cos"))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= 40)

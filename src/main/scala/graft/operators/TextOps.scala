@@ -31,6 +31,28 @@ object TextOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** The one stop-word marker list every quality consumer shares
+    * (q22, q89, q139, and the composed q137 funnel) — a single
+    * definition so the Scala sides can never drift apart; each
+    * consumer's DuckDB oracle replays it as a literal. */
+  private[graft] val StopwordRegex = "\\b(the|a|of|and|to|in|is)\\b"
+
+  /** The four q89 quality bars as a first-drop CASE over the scored
+    * columns (n_tokens, n_distinct, stop_hits, lang), falling through
+    * to `tail` for documents that pass every bar — SHARED by q89 and
+    * the composed q137 funnel (round-14 review: the funnel's scaladoc
+    * guarantees stage thresholds identical to the standalone
+    * operators, which hand-copied expressions cannot enforce). */
+  private[graft] def qualityBarsThen(tail: Column): Column =
+    when(col("n_tokens") < 30, "too_short")
+      .when(!col("lang").isin("en", "de", "es", "fr"), "lang_excluded")
+      .when((col("n_tokens") - 2 - col("n_distinct")) * 50 >
+        col("n_tokens") - 2, "repetitive")
+      .when(col("lang") === "en" &&
+        round(col("stop_hits") / col("n_tokens"), 4) < 0.05,
+        "low_quality")
+      .otherwise(tail)
+
   /** q20 — language histogram: corpus composition by declared lang.
     * Tiny-cardinality groupBy → partial agg moves ~5 rows per task. */
   val q20LangHistogram: Q = (spark, dir) =>
@@ -78,7 +100,7 @@ object TextOps {
         col("n_chars"),
         size(tokens(col("text"))).as("n_tokens"),
         size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+          lit(StopwordRegex), lit(0))).as("stop_hits"))
       .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 4))
       .withColumn("quality",
         when(col("stop_ratio") >= 0.10 && col("n_tokens") >= 30, "high")
@@ -225,7 +247,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).as("n_tokens"),
         size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+          lit(StopwordRegex), lit(0))).as("stop_hits"))
       .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 4))
       .withColumn("pr", round(percent_rank().over(w), 4))
       .filter(col("pr") >= 0.25)
@@ -846,17 +868,9 @@ object TextOps {
         coalesce(size(expr("graft_shingles(text, 3)")), lit(0))
           .as("n_distinct"),
         coalesce(size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))), lit(0))
+          lit(StopwordRegex), lit(0))), lit(0))
           .as("stop_hits"))
-    d.select(
-        when(col("n_tokens") < 30, "too_short")
-          .when(!col("lang").isin("en", "de", "es", "fr"), "lang_excluded")
-          .when((col("n_tokens") - 2 - col("n_distinct")) * 50 >
-            col("n_tokens") - 2, "repetitive")
-          .when(col("lang") === "en" &&
-            round(col("stop_hits") / col("n_tokens"), 4) < 0.05,
-            "low_quality")
-          .otherwise("kept").as("verdict"))
+    d.select(qualityBarsThen(lit("kept")).as("verdict"))
       .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
       .select(
         when(col("verdict") === "too_short", 1)
@@ -1306,7 +1320,7 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).as("n_tokens"),
         size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).as("stop_hits"))
+          lit(StopwordRegex), lit(0))).as("stop_hits"))
       .select(col("doc_id"), col("source"),
         round(col("stop_hits") / col("n_tokens"), 4).as("stop_ratio"))
     val order = Seq(col("stop_ratio").desc, col("doc_id"))

@@ -634,4 +634,25 @@ class DedupSpec extends SparkSpec {
     val sd = rows(9).getString(5).split(",").map(_.split("=")(1).toLong).sum
     assert(sd === rows(9).getLong(3))
   }
+
+  test("q137 funnel: a corpus with an empty train set emits the zero manifest, not nulls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every doc is too_short, so nothing reaches 'train' — the
+    // manifest row must read shards=0,total_tokens=0,manifest_fp=0 on
+    // BOTH engines (round-14 review: the oracle's un-COALESCEd SUMs
+    // returned NULL here and '||' nulled the whole detail string)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q137e").toString
+    Seq((0L, "a b c", "en", "src0", 5L), (1L, "d e f", "en", "src1", 5L),
+      (2L, "g h i", "de", "src2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.q137CurationPipeline(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length === 11)
+    assert(rows.find(_.getString(1) == "too_short").get.getLong(3) === 3L)
+    val manifest = rows.find(_.getString(1) == "shard_manifest").get
+    assert(manifest.getLong(2) === 0L)
+    assert(manifest.getString(5) === "shards=0,total_tokens=0,manifest_fp=0")
+  }
 }
