@@ -462,14 +462,28 @@ object SimilarityOps {
   /** The q43 pair generator, extracted (round 14) so q140's semantic
     * dedup clusters the SAME production-path pair relation q43 serves:
     * (id_a, id_b, cosine) for every near-dup pair, unordered. */
+  /** Multi-probe cell assignment against a (broadcast) centroid
+    * relation: (vec_id, embedding) → (vec_id, cell) with each vector
+    * in its top-[[NearDupProbes]] nearest cells. Extracted (round 14)
+    * so q141's incremental path assigns BATCH vectors against the
+    * corpus's FROZEN centroids — the q78 frozen-parameter stance. */
+  private def cellAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCells = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cell"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine("embedding", "centroid").as("sim"))
+      .withColumn("r", row_number().over(wCells))
+      .filter(col("r") <= NearDupProbes)
+      .select(col("vec_id"), col("cell"))
+  }
+
   private[graft] def cellNearDupPairs(spark: SparkSession,
       dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
     val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
-    val wCells = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cell"))
     // Stage the bucket assignment: the candidate generator self-joins
     // it, and Spark does not dedupe common subplans — unstaged, the
     // centroid cross-product AND the top-probes window execute twice.
@@ -481,13 +495,7 @@ object SimilarityOps {
     // once against broadcast array lookups (the jaccardFor shape the
     // text dedup uses).
     val bucketsDir = graft.Scratch.dir("graft-cells").resolve("b").toString
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine("embedding", "centroid").as("sim"))
-      .withColumn("r", row_number().over(wCells))
-      .filter(col("r") <= NearDupProbes)
-      .select(col("vec_id"), col("cell"))
-      .write.parquet(bucketsDir)
+    cellAssign(e, cent).write.parquet(bucketsDir)
     val buckets = spark.read.parquet(bucketsDir)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.cell") === col("b.cell") &&
@@ -572,6 +580,144 @@ object SimilarityOps {
       |p AS MATERIALIZED (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id,
+      |       UNNEST(range(LEN(a.embedding))) g(i)
+      |  GROUP BY 1, 2
+      |  HAVING ROUND(SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)
+      |    / (sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i))
+      |     * sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i))), 4)
+      |    >= 0.45),
+      |sedges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p),
+      |sreach(src, dst) AS (
+      |  SELECT src, dst FROM sedges
+      |  UNION
+      |  SELECT r.src, e2.dst FROM sreach r JOIN sedges e2 ON r.dst = e2.src),
+      |sclusters AS MATERIALIZED (
+      |  SELECT n.src AS vec_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+      |  FROM (SELECT DISTINCT src FROM sedges) n
+      |  JOIN sreach r ON r.src = n.src
+      |  GROUP BY n.src)
+      |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
+      |FROM sclusters ORDER BY vec_id""".stripMargin
+
+  /** q141 — INCREMENTAL SEMANTIC DEDUP ([EXT], round 14): the
+    * batch-vs-corpus twin of q140, completing the incremental family
+    * (q75 exact text, q78 SQ8 vectors, q83 aggregates — and now
+    * semantic clusters). At 100 TB semantic dedup runs exactly this
+    * way: a daily embedding batch lands, and the standing cluster
+    * index must absorb it WITHOUT re-clustering the corpus. The batch
+    * here is derived replayably from the fixture (the q78 stance):
+    * vec_id % 10 == 3 re-submitted verbatim under +1,000,000 (the
+    * re-crawl duplicate — must join its original's cluster) and
+    * vec_id % 10 == 7 negated under +2,000,000 (cosine −1 to its
+    * original, so it pairs with NO corpus vector, while the negated
+    * set mirrors its originals' pair structure among themselves —
+    * genuinely new clusters).
+    *
+    * Algorithm — CLUSTER CONTRACTION, the standard incremental-CC
+    * step: (1) batch vectors are cell-assigned against the corpus's
+    * FROZEN centroids (never a retrain — q78's frozen-parameter
+    * stance) and near-dup-paired batch-vs-corpus and batch-vs-batch;
+    * (2) every existing cluster contracts to its representative (each
+    * corpus endpoint maps through its q140 label; unclustered corpus
+    * vectors stay themselves), so the contracted graph holds only
+    * representatives + batch ids — a sliver of the corpus; (3) the
+    * SAME pointer-doubling kernel (propagateMinLabels) converges over
+    * that sliver; (4) corpus labels re-map through the contracted
+    * result (untouched clusters keep their labels by coalesce).
+    * Contraction is EXACT for connected components, and because every
+    * representative IS the min id of its old cluster and batch ids
+    * sort above all corpus ids, the min-label invariant survives —
+    * which is precisely what the oracle checks: a FROM-SCRATCH
+    * recursive-CC replay over the exact pair graph of corpus ∪ batch
+    * must hash-equal the incremental result (the q83 "old + delta ==
+    * recompute" argument applied to graph clustering). The merge case
+    * — one batch vector bridging two standing clusters — is pinned in
+    * SimilaritySpec on a crafted fixture. */
+  val q141IncrementalSemantic: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val batch = corpus.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(corpus.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    val labels = stagedSemanticLabels(spark, dir)
+    val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
+    val corpusCells = cellAssign(corpus, cent)
+    val batchCells = cellAssign(batch, cent)
+    def confirmed(cand: DataFrame, l: DataFrame, r: DataFrame): DataFrame = {
+      val x = l.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val y = r.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      cand.join(Hints.broadcastIfSmall(x), "id_a")
+        .join(Hints.broadcastIfSmall(y), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(cosine("va", "vb"), 4).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+        .select("id_a", "id_b")
+    }
+    // batch side is small by the incremental premise — its assignment
+    // broadcasts into the corpus-side candidate join (the q75 shape)
+    val bcCand = corpusCells.as("a")
+      .join(broadcast(batchCells.as("b")), col("a.cell") === col("b.cell"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val bbCand = batchCells.as("a").join(batchCells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val bcPairs = confirmed(bcCand, corpus, batch)
+    val bbPairs = confirmed(bbCand, batch, batch)
+    // contraction: corpus endpoints collapse to their representatives
+    val contractedPairs = bcPairs
+        .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"), "left")
+        .select(coalesce(col("label"), col("id_a")).as("id_a"), col("id_b"))
+      .unionByName(bbPairs)
+    if (contractedPairs.isEmpty) {
+      // no batch pair touches anything: the standing index IS the
+      // answer (and the propagation loop has no nodes to seed)
+      labels.select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+        .orderBy("vec_id")
+    } else {
+      val contracted = spark.read.parquet(
+          DedupOps.propagateMinLabels(spark, contractedPairs, "semcc-inc"))
+        .select("id", "label")
+      val merged = contracted
+        .select(col("id").as("label"), col("label").as("new_label"))
+      val corpusFinal = labels.join(merged, Seq("label"), "left")
+        .select(col("id").as("vec_id"),
+          coalesce(col("new_label"), col("label")).as("cluster_id"))
+      // corpus vectors that were UNCLUSTERED until a batch pair hit
+      // them appear in the contracted graph under their own id
+      val newlyClustered = contracted.filter(col("id") < 1000000L)
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      val batchFinal = contracted.filter(col("id") >= 1000000L)
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      corpusFinal.unionByName(newlyClustered).unionByName(batchFinal)
+        .select(col("vec_id"), col("cluster_id"),
+          (col("vec_id") === col("cluster_id")).as("is_keeper"))
+        .orderBy("vec_id")
+    }
+  }
+
+  /** From-scratch replay over corpus ∪ batch — the incremental path
+    * must reproduce it exactly (the q83 recompute-equality argument).
+    * Same pair CTE and recursion as q140's oracle, over the union. */
+  val q141Oracle: String =
+    """WITH RECURSIVE eu AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 3
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, list_transform(embedding, x -> -x)
+      |  FROM embeddings WHERE vec_id % 10 = 7),
+      |p AS MATERIALIZED (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM eu a JOIN eu b ON a.vec_id < b.vec_id,
       |       UNNEST(range(LEN(a.embedding))) g(i)
       |  GROUP BY 1, 2
       |  HAVING ROUND(SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)
@@ -1848,6 +1994,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "q129_contrastive_pairs" -> q129ContrastivePairs,
     "q140_semantic_dedup" -> q140SemanticDedup,
+    "q141_incremental_semantic" -> q141IncrementalSemantic,
     "q126_pq_ann" -> q126PqAnn,
     "q40_ann_bruteforce" -> q40AnnBruteForce,
     "q41_embed_neardup" -> q41EmbedNearDup,
@@ -1869,6 +2016,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q140_semantic_dedup" -> q140Oracle,
+    "q141_incremental_semantic" -> q141Oracle,
     "q41_embed_neardup" -> q41Oracle,
     "q44_label_centroids" -> q44Oracle,
     "q45_hyperplane_lsh" -> q45Oracle,

@@ -736,24 +736,31 @@ class SimilaritySpec extends SparkSpec {
       "a rebuild must not mix old-codebook files into the new index")
   }
 
+  /** Driver-side union-find (attach larger root under smaller, so the
+    * final root of every tree is the component's min id) — the
+    * independent ground truth for the q140/q141 clustering tests. */
+  private def minComponents(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
   test("q140 semantic dedup == components of the exact pair graph, keeper = min id") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       // ground truth: driver-side union-find over the EXACT q41 pairs
       // (a wholly independent clustering of an independently derived
       // pair relation — the engine path goes celled pairs → staged
       // pointer-doubling loop)
-      val pairs = SimilarityOps.queries("q41_embed_neardup")(spark, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val want = parent.keys.map(v => v -> find(v)).toMap
+      val want = minComponents(
+        SimilarityOps.queries("q41_embed_neardup")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
       val got = SimilarityOps.queries("q140_semantic_dedup")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       assert(got.nonEmpty, s"no clustered vectors at $dir")
@@ -762,5 +769,66 @@ class SimilaritySpec extends SparkSpec {
       assert(got.forall(r => r._3 == (r._1 == r._2)),
         "keeper flag must mark exactly the min-id representative")
     }
+  }
+
+  test("q141 incremental semantic dedup == from-scratch clustering of corpus + batch") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      // from-scratch ground truth: materialize corpus ∪ batch as its
+      // own fixture, take the EXACT q41 pairs over it, union-find —
+      // the incremental contraction path must reproduce it exactly
+      val corpus = Tables.load(spark, dir, "embeddings")
+      val batch = corpus.filter(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"), col("label"))
+        .unionByName(corpus.filter(col("vec_id") % 10 === 7)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"),
+            col("label")))
+      val udir = java.nio.file.Files.createTempDirectory("graft-q141u").toString
+      corpus.unionByName(batch).write.parquet(s"$udir/embeddings.parquet")
+      val want = minComponents(
+        SimilarityOps.queries("q41_embed_neardup")(spark, udir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val got = SimilarityOps.queries("q141_incremental_semantic")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(got.nonEmpty, s"no clustered vectors at $dir")
+      assert(got.map(r => r._1 -> r._2).toMap === want,
+        s"incremental labels != from-scratch components at $dir")
+      assert(got.forall(r => r._3 == (r._1 == r._2)))
+    }
+  }
+
+  test("q141 merge case: a batch vector bridging two standing clusters merges them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q141m").toString
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // clusters A={0,1} (e0-ish) and B={10,11} (e2-ish), cos(A,B)=0 —
+    // separate; id 7 points AWAY from both (no pair, unclustered);
+    // 20-22 orthogonal fillers. The batch negates id 7 (% 10 == 7)
+    // into +(e0+e2)/sqrt2: cosine 0.707 with BOTH clusters — the one
+    // shape that forces a cluster MERGE through the contraction.
+    Seq(
+      (0L, v(1, 0, 0, 0, 0, 0, 0, 0), 0),
+      (1L, v(0.999, 0.01, 0, 0, 0, 0, 0, 0), 0),
+      (10L, v(0, 0, 1, 0, 0, 0, 0, 0), 0),
+      (11L, v(0, 0, 0.999, 0.01, 0, 0, 0, 0), 0),
+      (7L, v(-0.707, 0, -0.707, 0, 0, 0, 0, 0), 0),
+      (20L, v(0, 0, 0, 0, 1, 0, 0, 0), 0),
+      (21L, v(0, 0, 0, 0, 0, 1, 0, 0), 0),
+      (22L, v(0, 0, 0, 0, 0, 0, 1, 0), 0),
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val standing = SimilarityOps.queries("q140_semantic_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(standing === Map(0L -> 0L, 1L -> 0L, 10L -> 10L, 11L -> 10L),
+      s"standing clusters wrong: $standing")
+    val got = SimilarityOps.queries("q141_incremental_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val m = got.map(r => (r._1, r._2)).toMap
+    assert(m === Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 11L -> 0L,
+      2000007L -> 0L), s"merge failed: $m")
+    assert(got.filter(_._3).map(_._1).toSeq === Seq(0L))
   }
 }
