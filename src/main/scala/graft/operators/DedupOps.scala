@@ -907,16 +907,25 @@ object DedupOps {
       "cc")
 
   /** The generic min-label pointer-doubling kernel behind q34's text
-    * clusters and q140's semantic clusters: takes ANY undirected pair
-    * relation (two id columns), returns the staged dir of the
+    * clusters and q140/q141's semantic clusters: takes ANY undirected
+    * pair relation (two id columns), returns the staged dir of the
     * converged (id, label) relation — label = min reachable id. The
     * loop's scale contract is documented on [[stagedClusterLabels]];
-    * `tag` keeps concurrent builders' scratch dirs disjoint. */
+    * `tag` keeps concurrent builders' scratch dirs disjoint. The
+    * input's lineage executes exactly ONCE: it is staged to parquet
+    * before the symmetrize-union (round-14 review — the former
+    * `pairs.union(pairs.select(b, a))` ran the caller's whole
+    * pair-confirm pipeline twice in the edge-write job, since Spark
+    * does not dedupe common subplans). Callers guarantee a NON-EMPTY
+    * pair relation (an AQE-empty write can stage zero data files,
+    * which a re-read cannot infer a schema from). */
   private[graft] def propagateMinLabels(spark: SparkSession,
       pairs0: DataFrame, tag: String): String = {
     require(pairs0.columns.length == 2,
       s"pair relation must be 2 columns, got ${pairs0.columns.mkString(", ")}")
-    val pairs = pairs0.toDF("doc_a", "doc_b")
+    val pairsDir = graft.Scratch.dir(s"graft-$tag-pairs").resolve("p").toString
+    pairs0.toDF("doc_a", "doc_b").write.parquet(pairsDir)
+    val pairs = spark.read.parquet(pairsDir)
     val edgesDir = graft.Scratch.dir(s"graft-$tag-edges").resolve("e").toString
     pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").write.parquet(edgesDir)

@@ -459,9 +459,6 @@ object SimilarityOps {
   val q43CellNearDup: Q = (spark, dir) =>
     cellNearDupPairs(spark, dir).orderBy("id_a", "id_b")
 
-  /** The q43 pair generator, extracted (round 14) so q140's semantic
-    * dedup clusters the SAME production-path pair relation q43 serves:
-    * (id_a, id_b, cosine) for every near-dup pair, unordered. */
   /** Multi-probe cell assignment against a (broadcast) centroid
     * relation: (vec_id, embedding) → (vec_id, cell) with each vector
     * in its top-[[NearDupProbes]] nearest cells. Extracted (round 14)
@@ -479,24 +476,48 @@ object SimilarityOps {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** The corpus's multi-probe bucket relation (vec_id, cell), STAGED
+    * and MEMOIZED per (session, corpus, mtime) — round 14 lifted the
+    * per-call staging out of [[cellNearDupPairs]] (a fresh scratch dir
+    * per invocation meant q141 recomputed the identical centroid
+    * cross-product the q140 build had just staged). The staging
+    * rationale is unchanged from round 5: the candidate generator
+    * self-joins this relation and Spark does not dedupe common
+    * subplans — unstaged, the centroid cross-product AND the
+    * top-probes window execute twice; NARROW (two longs) so the
+    * self-join shuffle never carries the 64-float embedding. */
+  private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)] // stateKey, bucketsDir
+
+  private def stagedCorpusCells(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val pathKey = System.identityHashCode(spark).toString + ":cells:" +
+      src.toAbsolutePath
+    val stateKey = pathKey + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val entry = StagedCache.getOrBuild[(String, String)](
+      bucketCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
+        val d = graft.Scratch.dir("graft-cells").resolve("b").toString
+        cellAssign(e, cent).write.parquet(d)
+        (stateKey, d)
+      })
+    spark.read.parquet(entry._2)
+  }
+
+  /** The q43 pair generator, extracted (round 14) so q140's semantic
+    * dedup clusters the SAME production-path pair relation q43 serves:
+    * (id_a, id_b, cosine) for every near-dup pair, unordered. */
   private[graft] def cellNearDupPairs(spark: SparkSession,
       dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-    val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
-    // Stage the bucket assignment: the candidate generator self-joins
-    // it, and Spark does not dedupe common subplans — unstaged, the
-    // centroid cross-product AND the top-probes window execute twice.
-    // NARROW since round 5: the staged relation is (vec_id, cell)
-    // longs only — the earlier shape carried the 64-float embedding
-    // through the self-join shuffle and computed the cosine once per
-    // SHARED CELL (up to 4× per pair) before distinct; now candidates
-    // deduplicate as bare id pairs and each pair's cosine runs exactly
-    // once against broadcast array lookups (the jaccardFor shape the
-    // text dedup uses).
-    val bucketsDir = graft.Scratch.dir("graft-cells").resolve("b").toString
-    cellAssign(e, cent).write.parquet(bucketsDir)
-    val buckets = spark.read.parquet(bucketsDir)
+    val buckets = stagedCorpusCells(spark, dir)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -643,9 +664,16 @@ object SimilarityOps {
       .unionByName(corpus.filter(col("vec_id") % 10 === 7)
         .select((col("vec_id") + 2000000L).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding")))
+    // the +1M/+2M batch id offsets and the contracted-node routing
+    // below assume corpus ids live strictly below 1,000,000 — refuse
+    // loudly on a corpus that breaks the convention instead of
+    // silently misrouting nodes (round-14 review)
+    require(corpus.agg(max(col("vec_id"))).head().getLong(0) < 1000000L,
+      "q141's batch id space (+1,000,000/+2,000,000) requires corpus " +
+        "vec_ids < 1,000,000")
     val labels = stagedSemanticLabels(spark, dir)
     val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
-    val corpusCells = cellAssign(corpus, cent)
+    val corpusCells = stagedCorpusCells(spark, dir)
     val batchCells = cellAssign(batch, cent)
     def confirmed(cand: DataFrame, l: DataFrame, r: DataFrame): DataFrame = {
       val x = l.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -670,11 +698,19 @@ object SimilarityOps {
       .distinct()
     val bcPairs = confirmed(bcCand, corpus, batch)
     val bbPairs = confirmed(bbCand, batch, batch)
-    // contraction: corpus endpoints collapse to their representatives
-    val contractedPairs = bcPairs
+    // contraction: corpus endpoints collapse to their representatives.
+    // STAGED once (round-14 review: this lineage holds both candidate
+    // joins and both cosine confirms — the former .isEmpty guard plus
+    // the kernel's symmetrize-union executed it three times); the
+    // empty guard then reads one tiny parquet, and the kernel's own
+    // staging pass re-copies a staged relation, not the pipeline.
+    val cpDir = graft.Scratch.dir("graft-semcc-incp").resolve("p").toString
+    bcPairs
         .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"), "left")
         .select(coalesce(col("label"), col("id_a")).as("id_a"), col("id_b"))
       .unionByName(bbPairs)
+      .write.parquet(cpDir)
+    val contractedPairs = spark.read.parquet(cpDir)
     if (contractedPairs.isEmpty) {
       // no batch pair touches anything: the standing index IS the
       // answer (and the propagation loop has no nodes to seed)
