@@ -916,9 +916,10 @@ object DedupOps {
     * before the symmetrize-union (round-14 review — the former
     * `pairs.union(pairs.select(b, a))` ran the caller's whole
     * pair-confirm pipeline twice in the edge-write job, since Spark
-    * does not dedupe common subplans). Callers guarantee a NON-EMPTY
-    * pair relation (an AQE-empty write can stage zero data files,
-    * which a re-read cannot infer a schema from). */
+    * does not dedupe common subplans). An EMPTY pair relation is
+    * tolerated — the staged write keeps its schema and the loop
+    * converges to an empty label relation (DegenerateDocsSpec pins a
+    * zero-pair corpus end-to-end through q140). */
   private[graft] def propagateMinLabels(spark: SparkSession,
       pairs0: DataFrame, tag: String): String = {
     require(pairs0.columns.length == 2,

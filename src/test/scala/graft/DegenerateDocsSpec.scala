@@ -224,4 +224,28 @@ class DegenerateDocsSpec extends SparkSpec {
     assert(rows.head.getDouble(3) === 0.5)
     assert(rows.head.getLong(4) <= rows.head.getLong(1))
   }
+
+  test("semantic dedup (q140): a corpus with ZERO near-dup pairs neither throws nor clusters") {
+    // all-orthogonal embeddings: every pairwise cosine is 0.0 < 0.45,
+    // so the pair graph is EMPTY — the pointer-doubling kernel must
+    // cope with staging an empty relation (or the caller must guard),
+    // and the output is zero clustered vectors, not an exception
+    val d = java.nio.file.Files.createTempDirectory("graft-nopair").toString
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (i == j) 1.0f else 0.0f)
+    Seq.tabulate(6)(i => (i.toLong, basis(i), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val out = graft.operators.SimilarityOps
+      .queries("q140_semantic_dedup")(spark, d).collect()
+    assert(out.isEmpty, s"orthogonal corpus must yield no clusters: ${out.toSeq}")
+    // and the incremental twin over the same corpus: batch copies of
+    // %10==3 (id 3) pair with their originals at cosine 1 — exactly
+    // one 2-member cluster appears, nothing else
+    val inc = graft.operators.SimilarityOps
+      .queries("q141_incremental_semantic")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(inc.toSet === Set((3L, 3L, true), (1000003L, 3L, false)),
+      s"got ${inc.toSeq}")
+  }
 }
