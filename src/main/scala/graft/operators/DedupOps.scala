@@ -112,7 +112,7 @@ object DedupOps {
     val pathKey = System.identityHashCode(spark) + ":" +
       src.toAbsolutePath + s":n=$gramN"
     (pathKey, pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+      StagedCache.fingerprint(src))
   }
 
   private[graft] def stagedShingleArrays(spark: SparkSession, dir: String,
@@ -438,115 +438,119 @@ object DedupOps {
   val q137Oracle: String =
     "WITH RECURSIVE " + oracleClusterCtes +
     """,
+      |g5 AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(GREATEST(LEN(tk)-4, 0)),
+      |      i -> ('0x' || substr(md5(tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]), 1, 15))::BIGINT))
+      |      AS gs
+      |  FROM t),
+      |ev AS MATERIALIZED (
+      |  SELECT flatten(list(gs)) AS egs FROM g5 WHERE source = 'src5'),
+      |o137_contam AS MATERIALIZED (
+      |  SELECT doc_id FROM g5, ev
+      |  WHERE source <> 'src5' AND LEN(list_intersect(gs, egs)) > 0),
       |o137_corpus AS MATERIALIZED (
-      |  SELECT doc_id, text, lang, source,
-      |    md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
-      |  FROM (SELECT doc_id, text, lang, source FROM documents
+      |  SELECT doc_id, lang, source,
+      |    md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |    COALESCE(LEN(tk), 0) AS n_tokens,
+      |    COALESCE(LEN(regexp_extract_all(LOWER(text),
+      |      '\b(the|a|of|and|to|in|is)\b')), 0) AS stop_n
+      |  FROM (SELECT doc_id, text, lang, source, tk FROM t
       |        UNION ALL
-      |        SELECT doc_id + 100000, text, lang, source
-      |        FROM documents WHERE doc_id % 2 = 0)),
+      |        SELECT doc_id + 100000, text, lang, source, tk
+      |        FROM t WHERE doc_id % 2 = 0)),
       |o137_keep AS MATERIALIZED (
-      |  SELECT doc_id, text, lang, source, fingerprint,
+      |  SELECT doc_id, lang, source, fingerprint, n_tokens, stop_n,
       |    MIN(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id
       |  FROM o137_corpus),
-      |o137_g AS MATERIALIZED (
-      |  SELECT DISTINCT doc_id, source,
-      |    ('0x' || substr(md5(t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]), 1, 15))::BIGINT AS shingle
-      |  FROM (SELECT doc_id, source, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
-      |        FROM documents),
-      |       UNNEST(range(GREATEST(LEN(t)-4, 0))) g(i)),
-      |o137_contam AS MATERIALIZED (
-      |  SELECT DISTINCT g.doc_id
-      |  FROM o137_g g
-      |  JOIN (SELECT DISTINCT shingle FROM o137_g WHERE source = 'src5') e
-      |    ON g.shingle = e.shingle
-      |  WHERE g.source <> 'src5'),
+      |luts AS MATERIALIZED (
+      |  SELECT
+      |    (SELECT map_from_entries(list({'k': doc_id, 'v': cluster_id}))
+      |     FROM clusters) AS cm,
+      |    (SELECT list(doc_id) FROM o137_contam) AS ctl),
       |o137_lab AS MATERIALIZED (
-      |  SELECT k.doc_id,
-      |    COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0)
-      |      AS n_tokens,
+      |  SELECT doc_id, n_tokens,
       |    CASE
-      |      WHEN k.doc_id <> k.keeper_id THEN 'exact_dedup'
-      |      WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> k.doc_id
+      |      WHEN doc_id <> keeper_id THEN 'exact_dedup'
+      |      WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
       |        THEN 'neardup'
-      |      WHEN k.source = 'src5' THEN 'eval_holdout'
-      |      WHEN ct.doc_id IS NOT NULL THEN 'decontaminated'
-      |      WHEN COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0) < 30
-      |        THEN 'too_short'
-      |      WHEN k.lang NOT IN ('en','de','es','fr') THEN 'lang_excluded'
-      |      WHEN (COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0)
-      |            - 2 - COALESCE(z.n, 0)) * 50 >
-      |           COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0) - 2
+      |      WHEN source = 'src5' THEN 'eval_holdout'
+      |      WHEN COALESCE(list_contains(ctl, doc_id), FALSE) THEN 'decontaminated'
+      |      WHEN n_tokens < 30 THEN 'too_short'
+      |      WHEN lang NOT IN ('en','de','es','fr') THEN 'lang_excluded'
+      |      WHEN (n_tokens - 2 - COALESCE(zn, 0)) * 50 > n_tokens - 2
       |        THEN 'repetitive'
-      |      WHEN k.lang = 'en' AND
-      |           ROUND(COALESCE(LEN(regexp_extract_all(LOWER(k.text),
-      |               '\b(the|a|of|and|to|in|is)\b')), 0)
-      |             / COALESCE(LEN(string_split_regex(LOWER(TRIM(k.text)), '\s+')), 0),
-      |             4) < 0.05
+      |      WHEN lang = 'en' AND ROUND(stop_n / n_tokens, 4) < 0.05
       |        THEN 'low_quality'
-      |      WHEN ('0x' || substr(md5('split:' || k.fingerprint), 1, 15))::BIGINT % 10 = 8
+      |      WHEN ('0x' || substr(md5('split:' || fingerprint), 1, 15))::BIGINT % 10 = 8
       |        THEN 'val'
-      |      WHEN ('0x' || substr(md5('split:' || k.fingerprint), 1, 15))::BIGINT % 10 = 9
+      |      WHEN ('0x' || substr(md5('split:' || fingerprint), 1, 15))::BIGINT % 10 = 9
       |        THEN 'test'
       |      ELSE 'train' END AS verdict
-      |  FROM o137_keep k
-      |  LEFT JOIN clusters c ON c.doc_id = k.doc_id
-      |  LEFT JOIN o137_contam ct ON ct.doc_id = k.doc_id
-      |  LEFT JOIN sizes z ON z.doc_id = k.doc_id),
-      |o137_cnt AS MATERIALIZED (
-      |  SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM o137_lab GROUP BY 1),
-      |o137_tot AS MATERIALIZED (
-      |  SELECT CAST(SUM(n) AS BIGINT) AS total FROM o137_cnt),
-      |o137_train AS MATERIALIZED (
-      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
-      |    CAST(COUNT(DISTINCT
+      |  FROM (SELECT k.*, l.ctl, l.cm[k.doc_id][1] AS cluster_id,
+      |          LEN(sm.m[k.doc_id][1]) AS zn
+      |        FROM o137_keep k, luts l, shmap sm)),
+      |o137_agg AS MATERIALIZED (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      |    CAST(COUNT(*) FILTER (verdict = 'exact_dedup') AS BIGINT) AS n_exact,
+      |    CAST(COUNT(*) FILTER (verdict = 'neardup') AS BIGINT) AS n_neardup,
+      |    CAST(COUNT(*) FILTER (verdict = 'eval_holdout') AS BIGINT) AS n_eval,
+      |    CAST(COUNT(*) FILTER (verdict = 'decontaminated') AS BIGINT) AS n_decon,
+      |    CAST(COUNT(*) FILTER (verdict = 'too_short') AS BIGINT) AS n_short,
+      |    CAST(COUNT(*) FILTER (verdict = 'lang_excluded') AS BIGINT) AS n_lang,
+      |    CAST(COUNT(*) FILTER (verdict = 'repetitive') AS BIGINT) AS n_rep,
+      |    CAST(COUNT(*) FILTER (verdict = 'low_quality') AS BIGINT) AS n_lowq,
+      |    CAST(COUNT(*) FILTER (verdict = 'val') AS BIGINT) AS n_val,
+      |    CAST(COUNT(*) FILTER (verdict = 'test') AS BIGINT) AS n_test,
+      |    CAST(COUNT(*) FILTER (verdict = 'train') AS BIGINT) AS n_train,
+      |    CAST(COALESCE(LEN(list_distinct(list(
       |      ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16)
-      |      AS BIGINT) AS n_shards,
-      |    CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT)), 0) AS BIGINT)
-      |      AS total_tokens,
-      |    CAST(COALESCE(
-      |      SUM(('0x' || substr(md5('fp:' || doc_id::VARCHAR), 1, 10))::BIGINT),
-      |      0) AS BIGINT) AS manifest_fp
-      |  FROM o137_lab WHERE verdict = 'train'),
-      |o137_funnel AS MATERIALIZED (
-      |  SELECT CAST(stage_seq AS BIGINT) AS stage_seq, stage,
-      |    CAST(total - COALESCE(SUM(dropped) OVER (ORDER BY stage_seq
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-      |      AS docs_in,
-      |    dropped AS docs_dropped,
-      |    CAST(total - SUM(dropped) OVER (ORDER BY stage_seq
-      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_out
-      |  FROM (SELECT s.stage_seq, s.stage, CAST(COALESCE(c.n, 0) AS BIGINT) AS dropped
-      |        FROM (SELECT * FROM (VALUES (2,'exact_dedup'),(3,'neardup'),
-      |                (4,'eval_holdout'),(5,'decontaminated'),(6,'too_short'),
-      |                (7,'lang_excluded'),(8,'repetitive'),(9,'low_quality'))
-      |              t(stage_seq, stage)) s
-      |        LEFT JOIN o137_cnt c ON c.verdict = s.stage) d, o137_tot)
-      |SELECT * FROM (
-      |  SELECT CAST(1 AS BIGINT) AS stage_seq, 'input' AS stage,
-      |    total AS docs_in, CAST(0 AS BIGINT) AS docs_dropped,
-      |    total AS docs_out, CAST(NULL AS VARCHAR) AS detail
-      |  FROM o137_tot
+      |      FILTER (verdict = 'train'))), 0) AS BIGINT) AS n_shards,
+      |    CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT))
+      |      FILTER (verdict = 'train'), 0) AS BIGINT) AS total_tokens,
+      |    CAST(COALESCE(SUM(('0x' || substr(md5('fp:' || doc_id::VARCHAR), 1, 10))::BIGINT)
+      |      FILTER (verdict = 'train'), 0) AS BIGINT) AS manifest_fp
+      |  FROM o137_lab)
+      |SELECT stage_seq, stage, docs_in, docs_dropped, docs_out, detail FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_seq, 'input' AS stage, total AS docs_in,
+      |    CAST(0 AS BIGINT) AS docs_dropped, total AS docs_out,
+      |    CAST(NULL AS VARCHAR) AS detail FROM o137_agg
       |  UNION ALL
-      |  SELECT stage_seq, stage, docs_in, docs_dropped, docs_out,
-      |    CAST(NULL AS VARCHAR)
-      |  FROM o137_funnel
+      |  SELECT 2, 'exact_dedup', total, n_exact, total - n_exact, NULL FROM o137_agg
       |  UNION ALL
-      |  SELECT CAST(10 AS BIGINT), 'split_holdout',
-      |    (SELECT docs_out FROM o137_funnel WHERE stage_seq = 9),
-      |    v + t,
-      |    (SELECT docs_out FROM o137_funnel WHERE stage_seq = 9) - v - t,
-      |    'val=' || v || ',test=' || t
-      |  FROM (SELECT
-      |    CAST(COALESCE((SELECT n FROM o137_cnt WHERE verdict = 'val'), 0) AS BIGINT) AS v,
-      |    CAST(COALESCE((SELECT n FROM o137_cnt WHERE verdict = 'test'), 0) AS BIGINT) AS t)
+      |  SELECT 3, 'neardup', total - n_exact, n_neardup,
+      |    total - n_exact - n_neardup, NULL FROM o137_agg
       |  UNION ALL
-      |  SELECT CAST(11 AS BIGINT), 'shard_manifest', n_train,
-      |    CAST(0 AS BIGINT), n_train,
+      |  SELECT 4, 'eval_holdout', total - n_exact - n_neardup, n_eval,
+      |    total - n_exact - n_neardup - n_eval, NULL FROM o137_agg
+      |  UNION ALL
+      |  SELECT 5, 'decontaminated', total - n_exact - n_neardup - n_eval, n_decon,
+      |    total - n_exact - n_neardup - n_eval - n_decon, NULL FROM o137_agg
+      |  UNION ALL
+      |  SELECT 6, 'too_short', total - n_exact - n_neardup - n_eval - n_decon,
+      |    n_short, total - n_exact - n_neardup - n_eval - n_decon - n_short,
+      |    NULL FROM o137_agg
+      |  UNION ALL
+      |  SELECT 7, 'lang_excluded',
+      |    total - n_exact - n_neardup - n_eval - n_decon - n_short, n_lang,
+      |    total - n_exact - n_neardup - n_eval - n_decon - n_short - n_lang,
+      |    NULL FROM o137_agg
+      |  UNION ALL
+      |  SELECT 8, 'repetitive',
+      |    total - n_exact - n_neardup - n_eval - n_decon - n_short - n_lang, n_rep,
+      |    total - n_exact - n_neardup - n_eval - n_decon - n_short - n_lang - n_rep,
+      |    NULL FROM o137_agg
+      |  UNION ALL
+      |  SELECT 9, 'low_quality',
+      |    total - n_exact - n_neardup - n_eval - n_decon - n_short - n_lang - n_rep,
+      |    n_lowq, n_train + n_val + n_test, NULL FROM o137_agg
+      |  UNION ALL
+      |  SELECT 10, 'split_holdout', n_train + n_val + n_test, n_val + n_test,
+      |    n_train, 'val=' || n_val || ',test=' || n_test FROM o137_agg
+      |  UNION ALL
+      |  SELECT 11, 'shard_manifest', n_train, CAST(0 AS BIGINT), n_train,
       |    'shards=' || n_shards || ',total_tokens=' || total_tokens
-      |      || ',manifest_fp=' || manifest_fp
-      |  FROM o137_train)
+      |      || ',manifest_fp=' || manifest_fp FROM o137_agg)
       |ORDER BY stage_seq""".stripMargin
 
   /** q31 — n-gram Jaccard near-dup, EXACT, via prefix filtering
@@ -624,8 +628,8 @@ object DedupOps {
     // q31's second-largest cost after the index build itself.
     val prefixKey = System.identityHashCode(spark) + ":" +
       java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath +
-      ":" + java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(s"$dir/documents.parquet")).toMillis +
+      ":" + StagedCache.fingerprint(
+        java.nio.file.Paths.get(s"$dir/documents.parquet")) +
       s":$tau:$cap"
     def buildPrefix(): String = {
       val t = graft.Scratch.dir("graft-prefix").resolve("p").toString
@@ -748,32 +752,17 @@ object DedupOps {
   }
 
   val q32Oracle: String =
-    oracleShingleCtes +
+    "WITH RECURSIVE " + oracleCandCtes +
     """,
-      |mh AS (
-      |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
-      |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
-      |bands AS (
-      |  SELECT doc_id, s // 3 AS band,
-      |    md5(MAX(CASE WHEN s % 3 = 0 THEN mh END)
-      |     || MAX(CASE WHEN s % 3 = 1 THEN mh END)
-      |     || MAX(CASE WHEN s % 3 = 2 THEN mh END)) AS bh
-      |  FROM mh GROUP BY doc_id, s // 3),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      |inter AS (
-      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-      |  FROM cand c
-      |  JOIN sh x ON x.doc_id = c.doc_a
-      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      |  GROUP BY 1, 2)
-      |SELECT i.doc_a, i.doc_b, i.inter, sa.n AS n_a, sb.n AS n_b,
-      |  ROUND(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
-      |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-      |JOIN sizes sb ON sb.doc_id = i.doc_b
-      |WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5
+      |jac AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, inter, n_a, n_b,
+      |    ROUND(inter / (n_a + n_b - inter), 4) AS jaccard
+      |  FROM (SELECT c.doc_a, c.doc_b,
+      |          LEN(list_intersect(sm.m[c.doc_a][1], sm.m[c.doc_b][1])) AS inter,
+      |          LEN(sm.m[c.doc_a][1]) AS n_a, LEN(sm.m[c.doc_b][1]) AS n_b
+      |        FROM cand c, shmap sm))
+      |SELECT doc_a, doc_b, inter, n_a, n_b, jaccard FROM jac
+      |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 60-bit token hash: first 15 hex chars of md5 → bigint. Identical
@@ -889,7 +878,7 @@ object DedupOps {
     val pathKey = System.identityHashCode(spark).toString + ":cc:" +
       src.toAbsolutePath
     val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      StagedCache.fingerprint(src)
     val entry = StagedCache.getOrBuild[(String, String)](
       clusterCache, pathKey,
       cur => cur._1 == stateKey &&
@@ -979,38 +968,64 @@ object DedupOps {
     * prefix (q34, q117, q137): the full q32 candidate pipeline, the
     * confirmed-pair edge list, transitive reachability, and the
     * resolved `clusters(doc_id, cluster_id)` relation (cluster = min
-    * reachable doc_id). Every pre-recursion stage is MATERIALIZED
-    * (round 14): with plain CTEs the shingle pipeline re-inlined per
-    * consumer and pushed q34/q117 past a 256 MB cap (capwalk_r13's
-    * only fails at that cap); staged, the whole chain is 128 MB-green
-    * with identical output. Callers prepend "WITH RECURSIVE ". */
-  private lazy val oracleClusterCtes: String =
-    oracleShingleCtes.stripPrefix("WITH ") +
-    """,
+    * reachable doc_id). Callers prepend "WITH RECURSIVE ".
+    *
+    * LIST-BASED
+    * (round 15): per-doc shingle/minhash/band LISTS (list_transform /
+    * list_distinct / list_intersect) replace the explode+DISTINCT+
+    * GROUP BY pipeline, and the band/pair joins run against one-row
+    * map relations — same md5 arithmetic, bit-identical clusters
+    * (replayed old-vs-new at sf0.01), but a fraction of the plan's
+    * hash operators. DuckDB reserves a fixed memory floor PER hash
+    * operator at plan init (~3 MB each, measured: 20 trivial joins
+    * OOM a 64 MB cap on 1000-row tables), so the deep composed
+    * oracles were floor-bound, not data-bound — this prefix moves
+    * q34/q117/q137 from a 96 MB floor to under 48 MB (capwalk). */
+  /** t → shingle lists → minhash bands → band-bucket candidates →
+    * the one-row shingle map (q32's surface; also the front half of
+    * the clustering prefix below). */
+  private lazy val oracleCandCtes: String =
+    """t AS MATERIALIZED (
+      |  SELECT doc_id, source, lang, text,
+      |    string_split_regex(LOWER(TRIM(text)), '\s+') AS tk
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(GREATEST(LEN(tk)-2, 0)),
+      |      i -> ('0x' || substr(md5(tk[i+1]||' '||tk[i+2]||' '||tk[i+3]), 1, 15))::BIGINT))
+      |      AS shingles
+      |  FROM t),
       |mh AS MATERIALIZED (
-      |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle::VARCHAR)) AS mh
-      |  FROM sh, UNNEST(range(12)) g(s) GROUP BY doc_id, s),
-      |bands AS MATERIALIZED (
-      |  SELECT doc_id, s // 3 AS band,
-      |    md5(MAX(CASE WHEN s % 3 = 0 THEN mh END)
-      |     || MAX(CASE WHEN s % 3 = 1 THEN mh END)
-      |     || MAX(CASE WHEN s % 3 = 2 THEN mh END)) AS bh
-      |  FROM mh GROUP BY doc_id, s // 3),
+      |  SELECT doc_id,
+      |    list_transform(range(4), b ->
+      |      md5(ml[b*3+1] || ml[b*3+2] || ml[b*3+3])) AS bands
+      |  FROM (SELECT doc_id,
+      |          list_transform(range(12), s ->
+      |            list_min(list_transform(shingles, g ->
+      |              md5(s::VARCHAR || ':' || g::VARCHAR)))) AS ml
+      |        FROM sh)),
+      |bkeys AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(range(4),
+      |      b -> b::VARCHAR || ':' || bands[b+1]), x -> x IS NOT NULL) AS bk
+      |  FROM mh),
       |cand AS MATERIALIZED (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      |inter AS MATERIALIZED (
-      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-      |  FROM cand c
-      |  JOIN sh x ON x.doc_id = c.doc_a
-      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      |  GROUP BY 1, 2),
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bkeys a, bkeys b
+      |  WHERE a.doc_id < b.doc_id AND LEN(list_intersect(a.bk, b.bk)) > 0),
+      |shmap AS MATERIALIZED (
+      |  SELECT map_from_entries(list({'k': doc_id, 'v': shingles})) AS m FROM sh)""".stripMargin
+
+  private lazy val oracleClusterCtes: String =
+    oracleCandCtes +
+    """,
       |pairs AS MATERIALIZED (
-      |  SELECT i.doc_a, i.doc_b
-      |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-      |  JOIN sizes sb ON sb.doc_id = i.doc_b
-      |  WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.5),
+      |  SELECT doc_a, doc_b
+      |  FROM (SELECT c.doc_a, c.doc_b,
+      |          LEN(list_intersect(sm.m[c.doc_a][1], sm.m[c.doc_b][1])) AS inter,
+      |          LEN(sm.m[c.doc_a][1]) AS na, LEN(sm.m[c.doc_b][1]) AS nb
+      |        FROM cand c, shmap sm)
+      |  WHERE ROUND(inter / (na + nb - inter), 4) >= 0.5),
       |edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1522,7 +1537,7 @@ object DedupOps {
     val pathKey =
       System.identityHashCode(spark) + ":substr:" + src.toAbsolutePath
     val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      StagedCache.fingerprint(src)
     def build(): (String, String) = {
       val t = graft.Scratch.dir("graft-substr").resolve("h").toString
       windowHashes(Tables.load(spark, dir, "documents"))
@@ -1566,7 +1581,7 @@ object DedupOps {
     val pathKey =
       System.identityHashCode(spark) + ":spans:" + src.toAbsolutePath
     val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      StagedCache.fingerprint(src)
     def build(): (String, String) = {
       val t = graft.Scratch.dir("graft-substr").resolve("spans").toString
       substringRemovalSpans(spark, dir).write.parquet(t)
@@ -1643,43 +1658,43 @@ object DedupOps {
   }
 
   val q132Oracle: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
       |  FROM documents),
-      |w AS (
+      |w AS MATERIALIZED (
       |  SELECT doc_id, i AS pos,
       |    ('0x' || substr(md5(array_to_string(toks[i+1:i+30], ' ')), 1, 15))::BIGINT AS h
       |  FROM t, UNNEST(range(GREATEST(LEN(toks) - 29, 0))) g(i)),
-      |dup AS (
+      |dup AS MATERIALIZED (
       |  SELECT h FROM w GROUP BY h
       |  HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(*) <= 4096),
-      |fl AS (
+      |fl AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
       |  FROM w JOIN dup USING (h)),
-      |gaps AS (
+      |gaps AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    CASE WHEN pos - COALESCE(LAG(pos) OVER
       |        (PARTITION BY doc_id ORDER BY pos), -31) > 30
       |      THEN 1 ELSE 0 END AS newi
       |  FROM fl WHERE rk > 1),
-      |isl AS (
+      |isl AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
       |                    ROWS UNBOUNDED PRECEDING) AS island
       |  FROM gaps),
-      |spans AS (
+      |spans AS MATERIALIZED (
       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 30 AS e
       |  FROM isl GROUP BY doc_id, island),
-      |tok AS (
+      |tok AS MATERIALIZED (
       |  SELECT t.doc_id, i AS pos, toks[i+1] AS tok
       |  FROM t JOIN (SELECT DISTINCT doc_id FROM spans) a USING (doc_id),
       |       UNNEST(range(LEN(toks))) g(i)),
-      |kept AS (
+      |kept AS MATERIALIZED (
       |  SELECT tok.doc_id, pos, tok FROM tok
       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
       |    WHERE sp.doc_id = tok.doc_id AND pos >= sp.s AND pos < sp.e)),
-      |ks AS (
+      |ks AS MATERIALIZED (
       |  SELECT doc_id, COUNT(*) AS n_kept,
       |    CAST(SUM(((pos + 1) % 1000003) *
       |      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003)
@@ -1761,44 +1776,44 @@ object DedupOps {
   }
 
   val q133Oracle: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
       |  FROM documents),
-      |w AS (
+      |w AS MATERIALIZED (
       |  SELECT doc_id, i AS pos,
       |    ('0x' || substr(md5(array_to_string(toks[i+1:i+30], ' ')), 1, 15))::BIGINT AS h
       |  FROM t, UNNEST(range(GREATEST(LEN(toks) - 29, 0))) g(i)),
-      |dup AS (
+      |dup AS MATERIALIZED (
       |  SELECT h FROM w GROUP BY h
       |  HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(*) <= 4096),
-      |fl AS (
+      |fl AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
       |  FROM w JOIN dup USING (h)),
-      |gaps AS (
+      |gaps AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    CASE WHEN pos - COALESCE(LAG(pos) OVER
       |        (PARTITION BY doc_id ORDER BY pos), -31) > 30
       |      THEN 1 ELSE 0 END AS newi
       |  FROM fl WHERE rk > 1),
-      |isl AS (
+      |isl AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
       |                    ROWS UNBOUNDED PRECEDING) AS island
       |  FROM gaps),
-      |spans AS (
+      |spans AS MATERIALIZED (
       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 30 AS e
       |  FROM isl GROUP BY doc_id, island),
       |aff AS (SELECT DISTINCT doc_id FROM spans),
-      |tok AS (
+      |tok AS MATERIALIZED (
       |  SELECT t.doc_id, i AS pos, toks[i+1] AS tok
       |  FROM t JOIN aff USING (doc_id),
       |       UNNEST(range(LEN(toks))) g(i)),
-      |kept AS (
+      |kept AS MATERIALIZED (
       |  SELECT tok.doc_id, pos, tok FROM tok
       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
       |    WHERE sp.doc_id = tok.doc_id AND pos >= sp.s AND pos < sp.e)),
-      |reb AS (
+      |reb AS MATERIALIZED (
       |  SELECT doc_id, COUNT(*) AS n_kept,
       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
       |  FROM kept GROUP BY doc_id)
@@ -1815,27 +1830,27 @@ object DedupOps {
       |ORDER BY d.doc_id""".stripMargin
 
   val q131Oracle: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
       |  FROM documents),
-      |w AS (
+      |w AS MATERIALIZED (
       |  SELECT doc_id, i AS pos,
       |    ('0x' || substr(md5(array_to_string(toks[i+1:i+30], ' ')), 1, 15))::BIGINT AS h
       |  FROM t, UNNEST(range(GREATEST(LEN(toks) - 29, 0))) g(i)),
-      |dup AS (
+      |dup AS MATERIALIZED (
       |  SELECT h FROM w GROUP BY h
       |  HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(*) <= 4096),
-      |fl AS (
+      |fl AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
       |  FROM w JOIN dup USING (h)),
-      |gaps AS (
+      |gaps AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    CASE WHEN pos - COALESCE(LAG(pos) OVER
       |        (PARTITION BY doc_id ORDER BY pos), -31) > 30
       |      THEN 1 ELSE 0 END AS newi
       |  FROM fl WHERE rk > 1),
-      |isl AS (
+      |isl AS MATERIALIZED (
       |  SELECT doc_id, pos,
       |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
       |                    ROWS UNBOUNDED PRECEDING) AS island

@@ -227,7 +227,15 @@ object MultimodalOps {
     * exchange is the 4-chunk banding explode. */
   private[graft] def mediaAHash(m: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(m.sparkSession)
-    m.select(col("media_id"), expr("graft_ahash(text)").as("ahash"))
+    // Degenerate guard (round-14 review): the replaced grouped
+    // pipeline emitted NO row for an empty payload (nothing to
+    // explode), while the native expression returns ahash=0 — so an
+    // unfiltered caller would silently diverge from the grouped
+    // replay and the oracle. Dropping empties here pins the grouped
+    // semantics at the boundary instead of relying on every caller's
+    // length cut (q136's only caller filters >= 60 anyway).
+    m.filter(length(col("text")) >= 1)
+      .select(col("media_id"), expr("graft_ahash(text)").as("ahash"))
   }
 
   val q136MediaNeardup: Q = (spark, dir) => {

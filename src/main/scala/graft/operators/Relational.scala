@@ -621,7 +621,12 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         grouping(col("c_mktsegment")).cast("int").as("g_seg"),
         grouping(col("nation_band")).cast("int").as("g_band"))
-      .orderBy("c_mktsegment", "nation_band", "g_seg", "g_band")
+      // Grouping flags FIRST: they are non-null and partition the rows
+      // into null classes (a key is null for a whole class iff its flag
+      // is 1), so Spark's NULLS FIRST vs DuckDB's NULLS LAST can never
+      // reorder — keys-first ordering was engine-fragile (round-14
+      // verdict §wrong #2).
+      .orderBy("g_seg", "g_band", "c_mktsegment", "nation_band")
 
   val q96Oracle: String =
     """SELECT c_mktsegment, nation_band, COUNT(*) AS n,
@@ -630,7 +635,7 @@ object Relational {
       |FROM (SELECT c_mktsegment, c_nationkey % 5 AS nation_band, c_acctbal
       |      FROM customer)
       |GROUP BY CUBE (c_mktsegment, nation_band)
-      |ORDER BY c_mktsegment, nation_band, g_seg, g_band""".stripMargin
+      |ORDER BY g_seg, g_band, c_mktsegment, nation_band""".stripMargin
 
   /** q97 — pivot ([EXT]): order counts per (month-of-year, status)
     * with statuses as columns — `groupBy.pivot` compiles to the same

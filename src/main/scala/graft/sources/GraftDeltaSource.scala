@@ -566,14 +566,15 @@ class GraftDeltaStreamSource(sqlContext: SQLContext, table: String,
         java.nio.file.Paths.get(rel).getFileName.toString -> v }.toMap)
     val live =
       if (dvs.isEmpty) raw
-      else {
-        val bc = spark.sparkContext.broadcast(dvs)
-        val dead = org.apache.spark.sql.functions.udf(
-          (file: String, idx: Long) => bc.value.deleted(file, idx))
-        raw.filter(!dead(
-          org.apache.spark.sql.functions.col("_metadata.file_path"),
-          org.apache.spark.sql.functions.col("_metadata.row_index")))
-      }
+      else
+        // the batch path's codegen'd bitmap probe (DvScanRewrite),
+        // injected into the analyzed scan plan — round 15 retires the
+        // per-row Scala UDF this branch carried (the one non-codegen
+        // probe left; the expression ships the log-sized DvMap as a
+        // task reference object, same footprint as the old broadcast)
+        org.apache.spark.sql.GraftSqlBridge.dataFrame(spark,
+          graft.plans.DvScanRewrite.filterDeleted(
+            raw.queryExecution.analyzed, dvs))
     val base =
       if (!mappedRead) live else ColumnMapping.toLogical(live, schema)
     val ordered = base

@@ -32,4 +32,21 @@ object GraftSqlBridge {
       rows: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = false)
+
+  /** A Column over a raw catalyst Expression (the public Column
+    * constructor from Expression was removed in Spark 4; classic
+    * sessions route through `ExpressionUtils.column`). Lets operator
+    * code apply a native codegen'd predicate like
+    * [[graft.plans.DvRowDeleted]] with ordinary DataFrame combinators. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Wrap a surgically built logical plan as a DataFrame
+    * (`Dataset.ofRows` is `private[sql]`). Used by the streaming
+    * source's deletion-vector rewrite, which injects the codegen'd
+    * dead-row filter into an already-analyzed scan plan. */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -778,11 +778,16 @@ class SimilaritySpec extends SparkSpec {
       // own fixture, take the EXACT q41 pairs over it, union-find —
       // the incremental contraction path must reproduce it exactly
       val corpus = Tables.load(spark, dir, "embeddings")
+      // same derivation as SimilarityOps.q141Batch (ids at +off/+2·off
+      // above the corpus max — the staged-metadata allocation), with
+      // the fixture's label column carried so the union parquet keeps
+      // the embeddings schema
+      val off = corpus.agg(max(col("vec_id"))).head().getLong(0) + 1L
       val batch = corpus.filter(col("vec_id") % 10 === 3)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+          .select((col("vec_id") + off).as("vec_id"),
             col("embedding"), col("label"))
         .unionByName(corpus.filter(col("vec_id") % 10 === 7)
-          .select((col("vec_id") + 2000000L).as("vec_id"),
+          .select((col("vec_id") + 2L * off).as("vec_id"),
             transform(col("embedding"), x => -x).as("embedding"),
             col("label")))
       val udir = java.nio.file.Files.createTempDirectory("graft-q141u").toString
@@ -827,8 +832,10 @@ class SimilaritySpec extends SparkSpec {
     val got = SimilarityOps.queries("q141_incremental_semantic")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val m = got.map(r => (r._1, r._2)).toMap
+    // batch ids allocate above the corpus max (22): off = 23, so the
+    // negated id-7 vector lands at 7 + 2*23 = 53
     assert(m === Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 11L -> 0L,
-      2000007L -> 0L), s"merge failed: $m")
+      53L -> 0L), s"merge failed: $m")
     assert(got.filter(_._3).map(_._1).toSeq === Seq(0L))
   }
 }
