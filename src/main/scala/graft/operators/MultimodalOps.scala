@@ -298,6 +298,153 @@ object MultimodalOps {
       |FROM o136_cand WHERE bit_count(xor(h_a, h_b)) <= 3
       |ORDER BY media_a, media_b""".stripMargin
 
+  /** q143 — TEMPORAL perceptual near-dup ([EXT], round 15): the VIDEO
+    * twin of q136's image near-dup, over q71's frame-sampling shape.
+    * Re-encoded or re-rendered videos defeat both byte hashes (q74)
+    * and any single whole-payload fingerprint once timing/container
+    * bytes move, so production video dedup fingerprints SAMPLED
+    * FRAMES and pairs items whose frame sequences stay close. Here a
+    * payload's "video" is its 4 evenly-spaced segments (q71's
+    * sampler: frame k = the k-th (n div 4)-char slice), each
+    * fingerprinted with q136's 60-bit blocked-mean aHash (the native
+    * [[graft.functions.AHash]] expression — one codegen'd projection,
+    * no decode dependency, integer arithmetic end to end), and a pair
+    * is a temporal near-dup iff EVERY aligned frame is within Hamming
+    * 3 — i.e. the reported distance is the MAX per-frame Hamming, the
+    * sequence-fold that makes one wildly different frame (a replaced
+    * scene) disqualify the pair even when the other frames agree.
+    *
+    * Candidates: the q136/q33 pigeonhole per FRAME — 4 chunks of 15
+    * bits; max-Hamming <= 3 implies every frame is <= 3, so frame 0
+    * alone guarantees a chunk collision — the (k, chunk, value)
+    * equi-join is lossless for the cut (MultimodalSpec proves
+    * banded == brute-force on the fixture). Variants: media_id%5==0
+    * re-rendered via upper() (+2,000,000 — a global edit that moves
+    * several bits in every frame: honest recall < 1), media_id%7==3
+    * with an adjacent-char swap INSIDE EACH FRAME (+4,000,000 — per-
+    * frame local noise, the temporal analogue of q136's single swap).
+    *
+    * 100 TB shape: per-item state is 4 longs (32 bytes/video); the
+    * band join touches |items|×16 rows; the confirm joins fetch 4
+    * fingerprint rows per side per candidate — never payloads. All
+    * hash aggs partial-combine; no all-pairs anywhere. */
+  private[graft] def temporalMediaItems(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) >= 240)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val bright = base.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 2000000L).as("media_id"),
+        upper(col("text")).as("text"))
+    // adjacent-char swap at offset 5/6 of EVERY quarter, tail kept so
+    // the length (and hence the frame grid) is unchanged
+    val noise = base.filter(col("media_id") % 7 === 3)
+      .select((col("media_id") + 4000000L).as("media_id"),
+        expr(
+          """concat(concat_ws('', transform(sequence(0, 3), k ->
+            |  concat(substring(text, k * (length(text) div 4) + 1, 4),
+            |         substring(text, k * (length(text) div 4) + 6, 1),
+            |         substring(text, k * (length(text) div 4) + 5, 1),
+            |         substring(text, k * (length(text) div 4) + 7,
+            |           (length(text) div 4) - 6)))),
+            |  substring(text, 4 * (length(text) div 4) + 1))"""
+            .stripMargin).as("text"))
+    base.unionByName(bright).unionByName(noise)
+  }
+
+  /** Per-(item, frame) 60-bit aHash — the q143 fingerprint stage,
+    * exposed for the spec's lossless-banding proof. */
+  private[graft] def frameAHash(m: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(m.sparkSession)
+    m.filter(length(col("text")) >= 4)
+      .select(col("media_id"), col("text"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .select(col("media_id"), col("k"),
+        expr("graft_ahash(substring(text, " +
+          "k * (length(text) div 4) + 1, length(text) div 4))").as("fh"))
+  }
+
+  val q143TemporalNeardup: Q = (spark, dir) => {
+    val fp = frameAHash(temporalMediaItems(spark, dir))
+    val chunks = fp
+      .select(col("media_id"), col("k"), col("fh"),
+        explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk", expr("(fh >> (c * 15)) & 32767"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.k") === col("b.k") && col("a.c") === col("b.c") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("media_id").as("media_a"), col("k"),
+        col("fh").as("fh_a")), Seq("media_a"))
+      .join(fp.select(col("media_id").as("media_b"), col("k"),
+        col("fh").as("fh_b")), Seq("media_b", "k"))
+      .groupBy("media_a", "media_b")
+      .agg(max(expr("bit_count(fh_a ^ fh_b)")).as("max_hamming"))
+      .filter(col("max_hamming") <= 3)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Replays frames + blocked-mean aHash + banding + max-Hamming fold
+    * in DuckDB — integer arithmetic end to end like q136's. */
+  val q143Oracle: String =
+    """WITH o143_m AS MATERIALIZED (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE LEN(text) >= 240
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, upper(text)
+      |  FROM documents WHERE LEN(text) >= 240 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    list_aggregate(list_transform(range(4), k ->
+      |      substring(text, (k * (LEN(text) // 4))::INT + 1, 4)
+      |      || substring(text, (k * (LEN(text) // 4))::INT + 6, 1)
+      |      || substring(text, (k * (LEN(text) // 4))::INT + 5, 1)
+      |      || substring(text, (k * (LEN(text) // 4))::INT + 7,
+      |           (LEN(text) // 4) - 6)), 'string_agg', '')
+      |    || substring(text, 4 * (LEN(text) // 4) + 1)
+      |  FROM documents WHERE LEN(text) >= 240 AND doc_id % 7 = 3),
+      |o143_f AS MATERIALIZED (
+      |  SELECT media_id, k,
+      |    substring(text, (k * (LEN(text) // 4))::INT + 1,
+      |      (LEN(text) // 4)::INT) AS frame
+      |  FROM o143_m, UNNEST(range(4)) g(k)),
+      |o143_blocks AS MATERIALIZED (
+      |  SELECT media_id, k, (i * 60) // n AS b, SUM(v) // COUNT(*) AS bv
+      |  FROM (SELECT media_id, k, i,
+      |          ord(substring(frame, i::INT + 1, 1)) AS v,
+      |          LEN(frame) AS n
+      |        FROM o143_f, UNNEST(range(LEN(frame))) g2(i))
+      |  GROUP BY 1, 2, 3),
+      |o143_means AS MATERIALIZED (
+      |  SELECT media_id, k, SUM(bv) // 60 AS mu
+      |  FROM o143_blocks GROUP BY 1, 2),
+      |o143_fp AS MATERIALIZED (
+      |  SELECT b.media_id, b.k,
+      |    CAST(SUM(CASE WHEN bv >= mu THEN (1::BIGINT << b) ELSE 0 END)
+      |      AS BIGINT) AS fh
+      |  FROM o143_blocks b
+      |  JOIN o143_means u ON u.media_id = b.media_id AND u.k = b.k
+      |  GROUP BY 1, 2),
+      |o143_chunks AS MATERIALIZED (
+      |  SELECT media_id, k, fh, c, (fh >> (c * 15)) & 32767 AS chunk
+      |  FROM o143_fp, UNNEST(range(4)) g(c)),
+      |o143_cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      |  FROM o143_chunks a JOIN o143_chunks b
+      |    ON a.k = b.k AND a.c = b.c AND a.chunk = b.chunk
+      |    AND a.media_id < b.media_id)
+      |SELECT media_a, media_b,
+      |  MAX(bit_count(xor(x.fh, y.fh))) AS max_hamming
+      |FROM o143_cand c
+      |JOIN o143_fp x ON x.media_id = c.media_a
+      |JOIN o143_fp y ON y.media_id = c.media_b AND y.k = x.k
+      |GROUP BY 1, 2
+      |HAVING MAX(bit_count(xor(x.fh, y.fh))) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
   // ------------------------------------------------------------------
   // Decode stub — the seam where a real codec would plug in.
   // ------------------------------------------------------------------
@@ -341,6 +488,7 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "q70_media_features" -> q70MediaFeatures,
     "q71_frame_sample" -> q71FrameSample,
+    "q143_temporal_neardup" -> q143TemporalNeardup,
     "q72_media_inventory" -> q72MediaInventory,
     "q73_media_decode" -> q73MediaDecode,
     "q74_media_dedup" -> q74MediaDedup,
@@ -349,6 +497,7 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     "q70_media_features" -> q70Oracle,
     "q71_frame_sample" -> q71Oracle,
+    "q143_temporal_neardup" -> q143Oracle,
     "q72_media_inventory" -> q72Oracle,
     "q74_media_dedup" -> q74Oracle,
     "q136_media_neardup" -> q136Oracle)

@@ -548,6 +548,61 @@ object Relational {
       |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+  /** q142 — EXISTS + NOT EXISTS + multi-join in ONE query (TPC-H Q21
+    * shape, [EXT], round 15): the classic "suppliers who kept orders
+    * waiting" pattern, the one subquery composition q28/q29 don't
+    * cover — BOTH polarities of RewritePredicateSubquery (EXISTS →
+    * LEFT SEMI, NOT EXISTS → LEFT ANTI) inside a 4-table join. The
+    * fixture lacks receipt/commit dates, so the per-lineitem "fault"
+    * flag is l_returnflag = 'R': per finished order, the supplier
+    * whose item came back while EVERY other supplier on the same
+    * multi-supplier order went un-returned — exactly Q21's
+    * correlation structure (l2: same order, different supplier; l3:
+    * same order, different supplier AND also faulty).
+    *
+    * 100 TB shape: both subqueries correlate ONLY on l_orderkey, so
+    * Catalyst plans each as one hash semi/anti join of lineitem
+    * against itself keyed by the order — two shuffles over the fact
+    * table, zero per-row re-scans (the naive reading is quadratic).
+    * PlanSpec asserts no subquery node survives and both a LeftSemi
+    * and a LeftAnti join appear in the physical plan. */
+  val q142ExistsNotExists: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n.n_name, s.s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY n.n_name, s.s_name
+        |ORDER BY numwait DESC, s.s_name""".stripMargin)
+  }
+
+  val q142Oracle: String =
+    """SELECT n.n_name, s.s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY n.n_name, s.s_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin
+
   /** q93 — semi/anti join ([EXT] beyond the reference's inner/left
     * surface): per segment, how many customers have at least one order
     * (LEFT SEMI = EXISTS) vs none (LEFT ANTI = NOT EXISTS). Both plan
@@ -775,6 +830,7 @@ object Relational {
     "q93_semi_anti_join" -> q93SemiAntiJoin,
     "q28_corr_subquery" -> q28CorrelatedSubquery,
     "q29_nested_subquery" -> q29NestedSubquery,
+    "q142_exists_not_exists" -> q142ExistsNotExists,
     "q90_range_source" -> q90RangeSource,
     "q91_inmem_source" -> q91InMemorySource,
     "q92_percentile_approx" -> q92PercentileApprox,
@@ -808,6 +864,7 @@ object Relational {
     "q93_semi_anti_join" -> q93Oracle,
     "q28_corr_subquery" -> q28Oracle,
     "q29_nested_subquery" -> q29Oracle,
+    "q142_exists_not_exists" -> q142Oracle,
     "q90_range_source" -> q90Oracle,
     "q91_inmem_source" -> q91Oracle,
     // q92 deliberately absent: approximate op, bounded in RelationalSpec

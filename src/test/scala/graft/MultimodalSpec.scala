@@ -109,6 +109,65 @@ class MultimodalSpec extends SparkSpec {
       s"banded pairs (${banded.size}) != brute-force pairs (${brute.size})")
   }
 
+  test("q143 banding is lossless for the max-hamming<=3 cut") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fp = MultimodalOps.frameAHash(
+        MultimodalOps.temporalMediaItems(spark, sf))
+      .as[(Long, Int, Long)].collect()
+    val byItem = fp.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.sortBy(_._2).map(_._3) }
+    val ids = byItem.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      hd = byItem(ids(i)).zip(byItem(ids(j)))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.max
+      if hd <= 3
+    } yield (ids(i), ids(j), hd.toLong)).toSet
+    val banded = MultimodalOps.q143TemporalNeardup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute,
+      s"banded pairs (${banded.size}) != brute-force pairs (${brute.size})")
+  }
+
+  test("q143 sequence fold: one replaced frame disqualifies an otherwise identical pair") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 240)
+      .select("text").as[String].head()
+    val q = t.length / 4
+    // frames 0,1,3 bit-identical; frame 2 replaced wholesale — the
+    // MAX fold must disqualify the pair (an any-frame or min fold
+    // would confirm it)
+    val replaced = t.substring(0, 2 * q) + "~" * q + t.substring(3 * q)
+    val fp = MultimodalOps.frameAHash(
+        Seq((0L, t), (1L, replaced)).toDF("media_id", "text"))
+      .as[(Long, Int, Long)].collect()
+    val a = fp.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val b = fp.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val hd = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }
+    assert(hd(0) == 0 && hd(1) == 0 && hd(3) == 0,
+      s"untouched aligned frames moved: ${hd.toSeq}")
+    assert(hd(2) > 3, s"replaced frame should exceed the cut: ${hd.toSeq}")
+  }
+
+  test("q143 frame hashes are invariant to a uniform +1 shift of the whole video") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 240).limit(10)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val shifted = texts.map { case (id, t) =>
+      (id, t.map(c => (c + 1).toChar)) }
+    val orig = MultimodalOps.frameAHash(texts.toSeq.toDF("media_id", "text"))
+      .as[(Long, Int, Long)].collect().toSet
+    val moved = MultimodalOps.frameAHash(shifted.toSeq.toDF("media_id", "text"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(orig.nonEmpty && orig === moved,
+      "per-frame blocked-mean aHash must not move under a uniform code shift")
+  }
+
   test("q136 confirms the local-noise variants against their originals") {
     import spark.implicits._
     val pairs = MultimodalOps.q136MediaNeardup(spark, sf)

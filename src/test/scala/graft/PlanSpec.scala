@@ -76,6 +76,20 @@ class PlanSpec extends SparkSpec {
       s"the IN predicate should plan as a left-semi join:\n$p")
   }
 
+  test("q142: EXISTS + NOT EXISTS plan as one semi and one anti join, no subquery") {
+    val p = plan(Relational.queries("q142_exists_not_exists")(spark, sf))
+      .toString
+    assert(!p.contains("Subquery"),
+      s"a subquery survived to the physical plan (per-row rescans):\n$p")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS should plan as a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS should plan as a left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q142 fell back to a nested-loop/cartesian join:\n$p")
+  }
+
   test("q01/q16/q86: dimension tables broadcast, fact side never shuffled for them") {
     for (name <- Seq("q01_flagship_left_join", "q16_shipping_priority",
         "q86_tpch_q5")) {
