@@ -466,7 +466,7 @@ object SimilarityOps {
     * in its top-[[NearDupProbes]] nearest cells. Extracted (round 14)
     * so q141's incremental path assigns BATCH vectors against the
     * corpus's FROZEN centroids — the q78 frozen-parameter stance. */
-  private def cellAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def cellAssign(e: DataFrame, cent: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCells = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell"))
@@ -515,9 +515,17 @@ object SimilarityOps {
       })
   }
 
-  private def stagedCorpusCells(spark: SparkSession,
+  private[graft] def stagedCorpusCells(spark: SparkSession,
       dir: String): DataFrame =
     spark.read.parquet(corpusCellsEntry(spark, dir)._2)
+
+  /** The seed corpus's FROZEN coarse centroids (built and memoized by
+    * the staged k-means; batches assign against these, never a
+    * retrain — the q78 frozen-parameter stance). For the streaming
+    * ingest twin. */
+  private[graft] def frozenCentroids(spark: SparkSession,
+      dir: String): DataFrame =
+    stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)._2
 
   /** Max corpus vec_id, staged with the cell index (None on an empty
     * corpus). */
@@ -593,7 +601,7 @@ object SimilarityOps {
   private val semCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String)] // stateKey, labelsDir
 
-  private def stagedSemanticLabels(spark: SparkSession,
+  private[graft] def stagedSemanticLabels(spark: SparkSession,
       dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val pathKey = System.identityHashCode(spark).toString + ":semcc:" +
@@ -688,21 +696,54 @@ object SimilarityOps {
     // id staged in the cell-index metadata — no fixed "+1M" convention
     // and no per-invocation full-corpus guard scan (round-14 verdict
     // §wrong #3): re-crawl duplicates land at +off, negated vectors at
-    // +2·off, so both ranges are disjoint and sort above every corpus
-    // id (the min-label invariant the contraction relies on). An empty
-    // corpus has no max (and an empty derived batch); off=1 keeps the
-    // arithmetic total and the result is the empty standing index.
+    // +2·off, so both ranges are disjoint from every corpus id. An
+    // empty corpus has no max (and an empty derived batch); off=1
+    // keeps the arithmetic total and the result is the empty standing
+    // index.
     val off = stagedCorpusMaxId(spark, dir).map(_ + 1L).getOrElse(1L)
     val batch = q141Batch(corpus, off)
-    val labels = stagedSemanticLabels(spark, dir)
     val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
-    val corpusCells = stagedCorpusCells(spark, dir)
     // Staged once: the batchCells lineage (centroid cross-join +
     // top-probes window) otherwise re-executes in bcCand and BOTH
     // sides of the bbCand self-join (round-14 review).
-    val bcDir = graft.Scratch.dir("graft-semcc-incb").resolve("bc").toString
-    cellAssign(batch, cent).write.parquet(bcDir)
-    val batchCells = spark.read.parquet(bcDir)
+    val bDir = graft.Scratch.dir("graft-semcc-incb").resolve("b").toString
+    cellAssign(batch, cent).join(batch, "vec_id").write.parquet(bDir)
+    absorbSemanticBatch(spark, stagedSemanticLabels(spark, dir),
+      corpus, stagedCorpusCells(spark, dir),
+      spark.read.parquet(bDir), "inc")
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
+  /** One semantic-index ABSORPTION step — the kernel shared by q141
+    * and the streaming ingest twin
+    * ([[graft.streaming.StreamingOps.semanticIngestPipeline]]):
+    * cluster-contraction incremental CC over the celled pair graph.
+    *
+    * Inputs: `labels` is the standing (id, label) min-label relation;
+    * `corpus` (vec_id, embedding) and `corpusCells` (vec_id, cell)
+    * cover everything already absorbed (seed ∪ prior batches);
+    * `batchStaged` is the NEW batch as an already-STAGED
+    * (vec_id, cell, embedding) relation, ids disjoint from the corpus
+    * (staged by the caller so the centroid cross-join + top-probes
+    * window lineage executes once, not per consumer — round-14
+    * review). Returns the UPDATED full (vec_id, cluster_id) relation.
+    *
+    * Output routing is by membership join against the batch's own ids
+    * — no id-ordering convention: the contraction stays exact because
+    * every standing label IS the min id of its cluster, so the min
+    * over a merged component's contracted nodes (representatives +
+    * batch ids) equals the min over all its original members. */
+  private[graft] def absorbSemanticBatch(spark: SparkSession,
+      labels: DataFrame, corpus: DataFrame, corpusCells: DataFrame,
+      batchStaged: DataFrame, tag: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val batchCells = batchStaged.select("vec_id", "cell")
+    // one embedding row per batch vector (the staged relation carries
+    // the multi-probe fanout); key-only dedup, never array equality
+    val batch = batchStaged.select("vec_id", "embedding")
+      .dropDuplicates(Seq("vec_id"))
     def confirmed(cand: DataFrame, l: DataFrame, r: DataFrame): DataFrame = {
       val x = l.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val y = r.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -732,7 +773,7 @@ object SimilarityOps {
     // the kernel's symmetrize-union executed it three times); the
     // empty guard then reads one tiny parquet, and the kernel's own
     // staging pass re-copies a staged relation, not the pipeline.
-    val cpDir = graft.Scratch.dir("graft-semcc-incp").resolve("p").toString
+    val cpDir = graft.Scratch.dir(s"graft-semcc-$tag-p").resolve("p").toString
     bcPairs
         .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"), "left")
         .select(coalesce(col("label"), col("id_a")).as("id_a"), col("id_b"))
@@ -742,29 +783,26 @@ object SimilarityOps {
     if (contractedPairs.isEmpty) {
       // no batch pair touches anything: the standing index IS the
       // answer (and the propagation loop has no nodes to seed)
-      labels.select(col("id").as("vec_id"), col("label").as("cluster_id"),
-          (col("id") === col("label")).as("is_keeper"))
-        .orderBy("vec_id")
+      labels.select(col("id").as("vec_id"), col("label").as("cluster_id"))
     } else {
       val contracted = spark.read.parquet(
-          DedupOps.propagateMinLabels(spark, contractedPairs, "semcc-inc"))
+          DedupOps.propagateMinLabels(spark, contractedPairs, s"semcc-$tag"))
         .select("id", "label")
       val merged = contracted
         .select(col("id").as("label"), col("label").as("new_label"))
       val corpusFinal = labels.join(merged, Seq("label"), "left")
         .select(col("id").as("vec_id"),
           coalesce(col("new_label"), col("label")).as("cluster_id"))
+      val batchIds = batchCells.select(col("vec_id").as("id")).distinct()
+      val batchFinal = contracted.join(Hints.broadcastIfSmall(batchIds), "id")
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       // corpus vectors that were UNCLUSTERED until a batch pair hit
       // them appear in the contracted graph under their own id
-      val newlyClustered = contracted.filter(col("id") < off)
+      val newlyClustered = contracted
+        .join(Hints.broadcastIfSmall(batchIds), Seq("id"), "left_anti")
         .join(labels.select(col("id")), Seq("id"), "left_anti")
         .select(col("id").as("vec_id"), col("label").as("cluster_id"))
-      val batchFinal = contracted.filter(col("id") >= off)
-        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       corpusFinal.unionByName(newlyClustered).unionByName(batchFinal)
-        .select(col("vec_id"), col("cluster_id"),
-          (col("vec_id") === col("cluster_id")).as("is_keeper"))
-        .orderBy("vec_id")
     }
   }
 

@@ -327,6 +327,81 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING INCREMENTAL SEMANTIC DEDUP — the embedding-space twin
+    * of [[nearDupIngestPipeline]], closing the incremental family
+    * (q75 exact text, q78 SQ8 vectors, q131 substrings, q133 cleaned
+    * emission — and now q141's semantic clusters). Tail a graft-delta
+    * embeddings table's feed; per micro-batch: (a) cell-assign ONLY
+    * the batch against the SEED corpus's frozen centroids (never a
+    * retrain) and stage (vec_id, cell, embedding) under a
+    * deterministic per-batchId dir; (b) pair batch-vs-(seed ∪
+    * previously staged batches) and batch-vs-batch through the celled
+    * candidate join; (c) contract every standing cluster to its
+    * representative and converge the pointer-doubling CC over the
+    * contracted sliver — the IDENTICAL kernel batch q141 runs
+    * ([[graft.operators.SimilarityOps.absorbSemanticBatch]]); (d)
+    * OVERWRITE the downstream labels table with the updated standing
+    * index under a SetTransaction keyed by (checkpoint, batchId).
+    *
+    * Overwrite, not append, on purpose: one batch vector can MERGE
+    * two standing clusters, relabeling corpus vectors committed long
+    * ago — the labels table is a materialized VIEW of the index (the
+    * [[incrementalViewPipeline]] stance); at lake scale the same step
+    * lands as a MERGE touching only changed labels. Exactly-once:
+    * replays short-circuit on the txn ledger, a replayed batch
+    * re-stages its own per-batchId dir (overwrite) and reads only
+    * dirs with id < its own as corpus. The standing min-label
+    * invariant is maintained inductively — each overwrite holds the
+    * pointer-doubled min labels, which is exactly what the next
+    * batch's contraction requires. */
+  def semanticIngestPipeline(spark: SparkSession, seedDir: String,
+      srcTable: String, labelsTable: String, ckptDir: String,
+      stageRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilarityOps
+    import graft.sources.{DeltaLog, DeltaTable}
+    val root = java.nio.file.Paths.get(stageRoot)
+    java.nio.file.Files.createDirectories(root)
+    def priorBatchDirs(before: Long): Seq[String] = batchDirs(root, before)
+    validateStageRoot(root, ckptDir, priorBatchDirs(Long.MaxValue).nonEmpty)
+    val q = spark.readStream.format("graft-delta").load(srcTable)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.select(col("vec_id"), col("embedding"))
+        val cent = SimilarityOps.frozenCentroids(spark, seedDir)
+        val bdir = root.resolve(s"batch-$batchId").toString
+        SimilarityOps.cellAssign(batch, cent).join(batch, "vec_id")
+          .write.mode("overwrite").parquet(bdir)
+        val prior = priorBatchDirs(batchId)
+        val priorStaged = prior.map(spark.read.parquet(_))
+        val corpus = priorStaged
+          .map(_.select(col("vec_id"), col("embedding")).distinct())
+          .foldLeft(graft.Tables.load(spark, seedDir, "embeddings")
+            .select("vec_id", "embedding"))(_ unionByName _)
+        val corpusCells = priorStaged
+          .map(_.select(col("vec_id"), col("cell")))
+          .foldLeft(SimilarityOps.stagedCorpusCells(spark, seedDir))(
+            _ unionByName _)
+        val labels =
+          if (DeltaLog.versions(labelsTable).isEmpty)
+            SimilarityOps.stagedSemanticLabels(spark, seedDir)
+              .select("id", "label")
+          else DeltaTable.read(spark, labelsTable)
+            .select(col("vec_id").as("id"), col("cluster_id").as("label"))
+        val updated = SimilarityOps.absorbSemanticBatch(spark, labels,
+          corpus, corpusCells, spark.read.parquet(bdir), s"ing$batchId")
+        DeltaTable.write(updated, labelsTable, "overwrite",
+          txn = Some((s"semcc:$ckptDir", batchId)))
+        ()
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+    java.nio.file.Files.write(root.resolve("_graft_checkpoint"),
+      q.id.toString.getBytes("UTF-8"))
+    q
+  }
+
   /** STREAMING INCREMENTAL SQ8 — the vector-side twin of
     * [[nearDupIngestPipeline]]: tail a graft-delta embeddings table
     * and, per micro-batch, quantize ONLY the batch against the seed

@@ -1024,6 +1024,91 @@ class StreamingSpec extends SparkSpec {
       "a window larger than the log must not cue")
   }
 
+  test("streaming incremental semantic dedup: labels == from-scratch " +
+      "clustering, cluster merge across a restart, exactly-once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-semcc")
+    val (src, labelsT, ckpt, stage) =
+      (s"$base/src", s"$base/labels", s"$base/ckpt", s"$base/stage")
+    val seedDir = s"$base/seed"
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // the q141 merge fixture's geometry: clusters A={0,1}, B={10,11},
+    // three orthogonal loners — celled pairing is exact on it
+    val seed = Seq(
+      (0L, v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (1L, v(0.999, 0.01, 0, 0, 0, 0, 0, 0)),
+      (10L, v(0, 0, 1, 0, 0, 0, 0, 0)),
+      (11L, v(0, 0, 0.999, 0.01, 0, 0, 0, 0)),
+      (20L, v(0, 0, 0, 0, 1, 0, 0, 0)),
+      (21L, v(0, 0, 0, 0, 0, 1, 0, 0)),
+      (22L, v(0, 0, 0, 0, 0, 0, 1, 0)))
+    seed.map { case (id, e) => (id, e, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$seedDir/embeddings.parquet")
+    val b1 = Seq(100L -> v(0.998, 0.02, 0, 0, 0, 0, 0, 0), // joins A
+      101L -> v(0, 0, 0, 0, 0, 0, 0, 1)) // novel
+    val b2 = Seq(200L -> v(0, 0, 0, 0, 0, 0, 0.01, 0.999)) // pairs w/ 101
+    val b3 = Seq(300L -> v(0.707, 0, 0.707, 0, 0, 0, 0, 0)) // bridges A+B
+    def appendVecs(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .write.format("graft-delta").mode("append").save(src)
+    def labelRows() = spark.read.format("graft-delta").load(labelsT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    appendVecs(b1)
+    val q1 = StreamingOps.semanticIngestPipeline(
+      spark, seedDir, src, labelsT, ckpt, stage)
+    q1.processAllAvailable()
+    val after1 = labelRows().toMap
+    assert(after1(100L) === 0L, s"re-crawl dup must join cluster A: $after1")
+    assert(!after1.contains(101L), "the novel vector has no cluster yet")
+    // batch 2 pairs with a PREVIOUS BATCH vector — findable only
+    // because the staged index grew; the seed is never re-assigned
+    appendVecs(b2)
+    q1.processAllAvailable()
+    q1.stop()
+    val after2 = labelRows().toMap
+    assert(after2(101L) === 101L && after2(200L) === 101L,
+      s"prior-batch pair must form a new cluster: $after2")
+    // kill/restart on the same checkpoint; batch 3 merges the two
+    // standing seed clusters THROUGH the restart
+    appendVecs(b3)
+    val q2 = StreamingOps.semanticIngestPipeline(
+      spark, seedDir, src, labelsT, ckpt, stage)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = labelRows()
+    assert(got.map(_._1).distinct.length === got.length,
+      s"exactly one label row per vector: $got")
+    // from-scratch ground truth: driver-side union-find over the
+    // exact cosine pair graph of seed ∪ every streamed vector — the
+    // q141 recompute-equality argument, across micro-batches and a
+    // restart here
+    val all = (seed ++ b1 ++ b2 ++ b3).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if BigDecimal(cos(all(i)._2, all(j)._2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.45
+    } {
+      val (ra, rb) = (find(all(i)._1), find(all(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.toMap === want,
+      s"streaming labels != from-scratch clustering: got=${got.toMap} want=$want")
+  }
+
   test("maintenance rehearsal e2e: drifting stream trips the cue, the " +
       "operator appends staged vectors + rebuilds BETWEEN batches, the " +
       "cue clears and drifted-region recall recovers — with a " +
