@@ -151,6 +151,51 @@ object StreamRehearsal {
       } finally q.stop()
     }
 
+    // ------ semantic-dedup ingest over the 20k-vector seed index ----
+    // the adversarial fixture: every seed vector sits in a 10-member
+    // near-identical cluster, and every batch vector is a verbatim
+    // re-crawl duplicate — so EVERY batch row pairs and every batch
+    // touches standing clusters (maximum contraction work)
+    if (enabled("semantic")) {
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      graft.operators.SimilarityOps.stagedSemanticLabels(spark, sfDir).count()
+      println(f"""{"pipeline":"semantic","seed_index_sec":${
+        (System.nanoTime() - t0) / 1e9}%.1f}""")
+      val src = p("sem-src")
+      val batches = (0 until 5).map { k =>
+        vecs.filter(pmod(col("vec_id"), lit(10)) === k)
+          .limit(2000)
+          .select((col("vec_id") + 1000000L * (k + 1)).as("vec_id"),
+            col("embedding"))
+      }
+      // sentinel seed (vec_id -1, id-disjoint from seed and batches; a
+      // real embedding — it may join a cluster in batch 0, which is
+      // inert for the latency measurement)
+      DeltaTable.write(
+        vecs.orderBy("vec_id").limit(1)
+          .select(lit(-1L).as("vec_id"), col("embedding")),
+        src, "overwrite")
+      val q = graft.streaming.StreamingOps.semanticIngestPipeline(
+        spark, sfDir, src, p("sem-labels"), p("sem-ckpt"), p("sem-stage"))
+      try {
+        q.processAllAvailable()
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val outRows = DeltaTable.read(spark, p("sem-labels")).count()
+          println(f"""{"pipeline":"semantic","batch":$k,"rows":$rows,""" +
+            f""""sec":$sec%.1f,"staged_bytes":${
+              dirBytes(scratch.resolve("sem-stage"))},""" +
+            f""""out_rows":$outRows}""")
+        }
+      } finally q.stop()
+    }
+
     // -------- exact-substring ingest over the 50k-doc seed corpus ---
     if (enabled("substr")) {
       val docs = Tables.load(spark, sfDir, "documents")

@@ -586,20 +586,32 @@ object Relational {
         |ORDER BY numwait DESC, s.s_name""".stripMargin)
   }
 
+  // The oracle replays the EXISTS / NOT EXISTS semantics through one
+  // per-order distinct-supplier aggregate — equivalent by definition
+  // (EXISTS other-supplier ⟺ n_supp > 1; NOT EXISTS other-faulty ⟺
+  // the order's faulty-supplier set is exactly {l1's}, i.e.
+  // n_faulty_supp = 1 since l1 itself is faulty; replayed equal to
+  // the literal-subquery form at sf0.01) — because DuckDB plans the
+  // literal form as two extra lineitem self-joins, which breaches the
+  // checker's 64 MB per-operator reservation floor (capwalk_r15.txt).
   val q142Oracle: String =
-    """SELECT n.n_name, s.s_name, COUNT(*) AS numwait
-      |FROM lineitem l1
+    """WITH l AS MATERIALIZED (
+      |  SELECT l_orderkey, l_suppkey, l_returnflag = 'R' AS faulty
+      |  FROM lineitem),
+      |ok AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT l_suppkey) FILTER (faulty) AS n_faulty_supp
+      |  FROM l GROUP BY 1)
+      |SELECT n.n_name, s.s_name, COUNT(*) AS numwait
+      |FROM l l1
+      |JOIN ok o2 ON o2.l_orderkey = l1.l_orderkey
       |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
       |JOIN orders o ON o.o_orderkey = l1.l_orderkey
       |JOIN nation n ON n.n_nationkey = s.s_nationkey
-      |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-      |  AND EXISTS (SELECT 1 FROM lineitem l2
-      |              WHERE l2.l_orderkey = l1.l_orderkey
-      |                AND l2.l_suppkey <> l1.l_suppkey)
-      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-      |                  WHERE l3.l_orderkey = l1.l_orderkey
-      |                    AND l3.l_suppkey <> l1.l_suppkey
-      |                    AND l3.l_returnflag = 'R')
+      |WHERE o.o_orderstatus = 'F' AND l1.faulty
+      |  AND o2.n_supp > 1
+      |  AND o2.n_faulty_supp = 1
       |GROUP BY n.n_name, s.s_name
       |ORDER BY numwait DESC, s.s_name""".stripMargin
 

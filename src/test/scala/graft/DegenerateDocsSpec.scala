@@ -241,11 +241,13 @@ class DegenerateDocsSpec extends SparkSpec {
     assert(out.isEmpty, s"orthogonal corpus must yield no clusters: ${out.toSeq}")
     // and the incremental twin over the same corpus: batch copies of
     // %10==3 (id 3) pair with their originals at cosine 1 — exactly
-    // one 2-member cluster appears, nothing else
+    // one 2-member cluster appears, nothing else. Batch ids allocate
+    // at off = max corpus id + 1 = 6, so the re-crawl copy of id 3
+    // lands at 3 + 6 = 9 (round 15: no fixed +1M convention)
     val inc = graft.operators.SimilarityOps
       .queries("q141_incremental_semantic")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    assert(inc.toSet === Set((3L, 3L, true), (1000003L, 3L, false)),
+    assert(inc.toSet === Set((3L, 3L, true), (9L, 3L, false)),
       s"got ${inc.toSeq}")
   }
 }
