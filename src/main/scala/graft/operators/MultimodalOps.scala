@@ -314,11 +314,13 @@ object MultimodalOps {
     * sequence-fold that makes one wildly different frame (a replaced
     * scene) disqualify the pair even when the other frames agree.
     *
-    * Candidates: the q136/q33 pigeonhole per FRAME — 4 chunks of 15
-    * bits; max-Hamming <= 3 implies every frame is <= 3, so frame 0
-    * alone guarantees a chunk collision — the (k, chunk, value)
-    * equi-join is lossless for the cut (MultimodalSpec proves
-    * banded == brute-force on the fixture). Variants: media_id%5==0
+    * Candidates: the q136/q33 pigeonhole applied to TWO frames at
+    * once — max-Hamming <= 3 implies every frame is <= 3, so frame 0
+    * AND frame 1 each guarantee a clean 15-bit chunk, and the
+    * combined (c0, c1, v0, v1) equi-join is lossless for the cut
+    * (MultimodalSpec proves banded == brute-force on the fixture)
+    * while false candidates need a simultaneous ~30-bit collision —
+    * see the inline bucket numbers. Variants: media_id%5==0
     * re-rendered via upper() (+2,000,000 — a global edit that moves
     * several bits in every frame: honest recall < 1), media_id%7==3
     * with an adjacent-char swap INSIDE EACH FRAME (+4,000,000 — per-
@@ -366,13 +368,32 @@ object MultimodalOps {
 
   val q143TemporalNeardup: Q = (spark, dir) => {
     val fp = frameAHash(temporalMediaItems(spark, dir))
-    val chunks = fp
-      .select(col("media_id"), col("k"), col("fh"),
-        explode(expr("sequence(0, 3)")).as("c"))
-      .withColumn("chunk", expr("(fh >> (c * 15)) & 32767"))
-    val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.k") === col("b.k") && col("a.c") === col("b.c") &&
-          col("a.chunk") === col("b.chunk") &&
+    // Candidates collide on a TWO-FRAME combined band key — a frame-0
+    // chunk AND a frame-1 chunk both equal. Still lossless for the
+    // max-Hamming <= 3 cut (every frame is <= 3, so frame 0 AND frame
+    // 1 each have a clean 15-bit chunk), but false candidates now
+    // need a simultaneous collision in ~30 bits instead of 15: on the
+    // sf1 heavy-duplication rehearsal the single-frame banding's
+    // bucket sum-of-squares was 67M candidate rows (max bucket 663 —
+    // cross-cluster chunk skew), the combined key books 6.8M (max 42)
+    // — same 16 keys/item, 10x fewer candidates, query 71 s -> ~7 s.
+    val f0 = fp.filter(col("k") === 0)
+      .select(col("media_id"), col("fh").as("fh0"))
+    val f1 = fp.filter(col("k") === 1)
+      .select(col("media_id"), col("fh").as("fh1"))
+    val keys = f0.join(f1, "media_id")
+      .select(col("media_id"), explode(expr(
+        """flatten(transform(sequence(0, 3), c0 ->
+          |  transform(sequence(0, 3), c1 -> named_struct(
+          |    'c0', c0, 'c1', c1,
+          |    'v0', (fh0 >> (c0 * 15)) & 32767,
+          |    'v1', (fh1 >> (c1 * 15)) & 32767))))""".stripMargin))
+        .as("bk"))
+      .select(col("media_id"), col("bk.c0").as("c0"), col("bk.c1").as("c1"),
+        col("bk.v0").as("v0"), col("bk.v1").as("v1"))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.c0") === col("b.c0") && col("a.c1") === col("b.c1") &&
+          col("a.v0") === col("b.v0") && col("a.v1") === col("b.v1") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"),
         col("b.media_id").as("media_b"))
@@ -428,13 +449,17 @@ object MultimodalOps {
       |  FROM o143_blocks b
       |  JOIN o143_means u ON u.media_id = b.media_id AND u.k = b.k
       |  GROUP BY 1, 2),
-      |o143_chunks AS MATERIALIZED (
-      |  SELECT media_id, k, fh, c, (fh >> (c * 15)) & 32767 AS chunk
-      |  FROM o143_fp, UNNEST(range(4)) g(c)),
+      |o143_keys AS MATERIALIZED (
+      |  SELECT f0.media_id, c0, c1,
+      |    (f0.fh >> (c0 * 15)) & 32767 AS v0,
+      |    (f1.fh >> (c1 * 15)) & 32767 AS v1
+      |  FROM o143_fp f0 JOIN o143_fp f1
+      |    ON f1.media_id = f0.media_id AND f0.k = 0 AND f1.k = 1,
+      |       UNNEST(range(4)) g0(c0), UNNEST(range(4)) g1(c1)),
       |o143_cand AS MATERIALIZED (
       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-      |  FROM o143_chunks a JOIN o143_chunks b
-      |    ON a.k = b.k AND a.c = b.c AND a.chunk = b.chunk
+      |  FROM o143_keys a JOIN o143_keys b
+      |    ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.v0 = b.v0 AND a.v1 = b.v1
       |    AND a.media_id < b.media_id)
       |SELECT media_a, media_b,
       |  MAX(bit_count(xor(x.fh, y.fh))) AS max_hamming
