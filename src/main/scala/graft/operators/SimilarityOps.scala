@@ -466,16 +466,23 @@ object SimilarityOps {
     * in its top-[[NearDupProbes]] nearest cells. Extracted (round 14)
     * so q141's incremental path assigns BATCH vectors against the
     * corpus's FROZEN centroids — the q78 frozen-parameter stance. */
-  private[graft] def cellAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def cellAssign(e: DataFrame, cent: DataFrame,
+      carryEmbedding: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCells = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell"))
-    e.crossJoin(broadcast(cent))
+    val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine("embedding", "centroid").as("sim"))
       .withColumn("r", row_number().over(wCells))
       .filter(col("r") <= NearDupProbes)
-      .select(col("vec_id"), col("cell"))
+    // carryEmbedding: the q141/streaming staging wants the batch's
+    // (vec_id, cell, embedding) in ONE pass — the window already has
+    // the vector in flight, so carrying it beats re-joining the batch
+    // lineage afterwards
+    if (carryEmbedding)
+      assigned.select(col("vec_id"), col("cell"), col("embedding"))
+    else assigned.select(col("vec_id"), col("cell"))
   }
 
   /** The corpus's multi-probe bucket relation (vec_id, cell), STAGED
@@ -707,7 +714,7 @@ object SimilarityOps {
     // top-probes window) otherwise re-executes in bcCand and BOTH
     // sides of the bbCand self-join (round-14 review).
     val bDir = graft.Scratch.dir("graft-semcc-incb").resolve("b").toString
-    cellAssign(batch, cent).join(batch, "vec_id").write.parquet(bDir)
+    cellAssign(batch, cent, carryEmbedding = true).write.parquet(bDir)
     absorbSemanticBatch(spark, stagedSemanticLabels(spark, dir),
       corpus, stagedCorpusCells(spark, dir),
       spark.read.parquet(bDir), "inc")

@@ -371,7 +371,7 @@ object StreamingOps {
         val batch = batch0.select(col("vec_id"), col("embedding"))
         val cent = SimilarityOps.frozenCentroids(spark, seedDir)
         val bdir = root.resolve(s"batch-$batchId").toString
-        SimilarityOps.cellAssign(batch, cent).join(batch, "vec_id")
+        SimilarityOps.cellAssign(batch, cent, carryEmbedding = true)
           .write.mode("overwrite").parquet(bdir)
         val prior = priorBatchDirs(batchId)
         val priorStaged = prior.map(spark.read.parquet(_))
