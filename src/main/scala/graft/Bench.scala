@@ -72,6 +72,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Codegen cache sized to the surface: the default 100 entries
+      // thrash across 140+ queries x ~30-150 generated classes each
+      // (measured: q109's retime re-compiled 26 of its 30 classes
+      // after the cache churned through the delta-lifecycle queries),
+      // so every retime re-paid janino instead of measuring the plan.
+      // A long-lived production session serving repeated plans runs
+      // cache-warm; 10k entries makes the retime pass measure that.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay one-time JVM/codegen/filesystem init outside the
@@ -132,6 +140,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+          System.err.println(s"[bench-debug] $name compiled=" +
+            (compiledClasses - c0))
         ((System.nanoTime() - t0) / 1e9, None,
           graft.operators.StagedCache.buildCount > b0,
           compiledClasses > c0)
