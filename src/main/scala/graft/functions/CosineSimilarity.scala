@@ -177,6 +177,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_nfc requires exactly 1 argument, got ${exprs.length}")
+        NfcNormalize(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1,

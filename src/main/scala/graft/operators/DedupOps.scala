@@ -230,6 +230,83 @@ object DedupOps {
       |      UNION ALL SELECT * FROM documents WHERE doc_id % 2 = 0)
       |GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
+  /** q145 — UNICODE CANONICAL-EQUIVALENCE dedup ([EXT], round 15):
+    * the encoding-level hole in byte-keyed exact dedup. A web crawl
+    * stores the SAME text under multiple Unicode renderings —
+    * precomposed "é" (U+00E9) vs decomposed "e"+U+0301, combining
+    * marks in either order — and md5/sha256 fingerprints (q30/q74)
+    * treat canonically equal strings as distinct, so every such pair
+    * sails through exact dedup. Production pipelines (CCNet,
+    * RefinedWeb) normalize to NFC before fingerprinting; this
+    * operator is that step, keyed on the native codegen'd
+    * [[graft.functions.NfcNormalize]] (Spark ships no normalization
+    * function; a Scala UDF would sever whole-stage codegen).
+    *
+    * Fixture (deterministic, the q30/q74 amplification pattern):
+    * docs %4==1 re-enter precomposed (every 'e' → U+00E9, +1M) AND
+    * decomposed (every 'e' → e+U+0301, +2M) — byte-distinct,
+    * canonically equal; docs %4==2 re-enter with both ORDERINGS of a
+    * two-mark cluster (a+U+0323+U+0301 vs a+U+0301+U+0323,
+    * +3M/+4M) — NFC must canonically reorder (combining classes
+    * 220 < 230) and compose both to the same U+1EA1+U+0301 cluster.
+    * Output =
+    * one row per CANONICAL fingerprint: keeper (min id), n_copies,
+    * and n_encodings = distinct RAW byte renderings unified — the
+    * quantity byte-keyed dedup gets wrong.
+    *
+    * 100 TB shape: NFC + md5 are one codegen'd scan projection (the
+    * all-ASCII common case short-circuits on isNormalized — no
+    * allocation), then ONE skew-free shuffle on the 16-byte canonical
+    * hash with partial-combining aggs — exactly q30's cost. DuckDB's
+    * nfc_normalize implements the same Unicode tables, so the whole
+    * operator is hash-verified (md5-over-NFC equality on both
+    * engines is pinned in DedupSpec on composed/decomposed/reordered
+    * inputs). */
+  val q145UnicodeDedup: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pre = docs.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("replace(text, 'e', '\u00e9')").as("text"))
+    val dec = docs.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("replace(text, 'e', 'e\u0301')").as("text"))
+    val marksA = docs.filter(col("doc_id") % 4 === 2)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("replace(text, 'a', 'a\u0323\u0301')").as("text"))
+    val marksB = docs.filter(col("doc_id") % 4 === 2)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        expr("replace(text, 'a', 'a\u0301\u0323')").as("text"))
+    docs.unionByName(pre).unionByName(dec)
+      .unionByName(marksA).unionByName(marksB)
+      .groupBy(md5(expr("graft_nfc(text)")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_encodings"))
+      .orderBy("keeper_id")
+  }
+
+  val q145Oracle: String =
+    """SELECT md5(nfc_normalize(text)) AS fingerprint,
+      |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_encodings
+      |FROM (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, replace(text, 'e', chr(233))
+      |  FROM documents WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, replace(text, 'e', 'e' || chr(769))
+      |  FROM documents WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, replace(text, 'a', 'a' || chr(803) || chr(769))
+      |  FROM documents WHERE doc_id % 4 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, replace(text, 'a', 'a' || chr(769) || chr(803))
+      |  FROM documents WHERE doc_id % 4 = 2)
+      |GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
   /** q127 — LEAKAGE-SAFE train/val/test split: the eval-hygiene twin
     * of decontamination (q36/q122). A naive per-document hash split
     * puts exact duplicates on BOTH sides of the train/test boundary —
@@ -1871,6 +1948,7 @@ object DedupOps {
     "q115_editdist_neardup" -> q115EditDistanceNearDup,
     "q36_decontamination" -> q36Decontamination,
     "q30_exact_dedup" -> q30ExactDedup,
+    "q145_unicode_dedup" -> q145UnicodeDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinHashLsh,
     "q33_simhash" -> q33SimHash,
@@ -1888,6 +1966,7 @@ object DedupOps {
     "q115_editdist_neardup" -> q115Oracle,
     "q36_decontamination" -> q36Oracle,
     "q30_exact_dedup" -> q30Oracle,
+    "q145_unicode_dedup" -> q145Oracle,
     "q31_ngram_jaccard" -> q31Oracle,
     "q32_minhash_lsh" -> q32Oracle,
     "q33_simhash" -> q33Oracle,

@@ -592,6 +592,45 @@ class DedupSpec extends SparkSpec {
     assert(bySplit.values.map(_._1).sum > total)
   }
 
+  test("q145: canonically equal renderings unify under one NFC fingerprint") {
+    import org.apache.spark.sql.functions._
+    // expression-level contract first: composition, decomposition and
+    // mark reordering all land on the same NFC form
+    graft.functions.GraftFunctions.register(spark)
+    val forms = Seq("\u00e9", "e\u0301").toDF("s")
+      .select(expr("graft_nfc(s)").as("n")).as[String].collect()
+    assert(forms.distinct.length === 1 && forms.head === "\u00e9",
+      s"NFC must compose e+COMBINING ACUTE to U+00E9: ${forms.toSeq}")
+    val marks = Seq("a\u0323\u0301", "a\u0301\u0323").toDF("s")
+      .select(expr("graft_nfc(s)").as("n")).as[String].collect()
+    assert(marks.distinct.length === 1 && marks.head === "\u1ea1\u0301",
+      s"NFC must reorder classes 220<230 and compose the dot-below " +
+        s"(U+1EA1 + the acute left combining): ${marks.toSeq}")
+    // operator-level: the derived variants pair with each other, never
+    // with their byte-plain base, and n_encodings counts the unified
+    // byte-distinct renderings
+    val d = java.nio.file.Files.createTempDirectory("graft-nfc-spec").toString
+    Seq(
+      (0L, "plain zero avocado", "en", "s", 18L),
+      (1L, "the letter e appears here", "en", "s", 25L), // %4==1: e-variants
+      (2L, "an apple a day", "en", "s", 14L), // %4==2: a-mark variants
+      (3L, "no vowel swap target", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = DedupOps.queries("q145_unicode_dedup")(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1's precomposed (+1M) and decomposed (+2M) copies: one group,
+    // 2 copies, 2 byte-distinct renderings, keeper = min variant id
+    assert(rows.contains((1000001L, 2L, 2L)), s"e-variants: ${rows.toSeq}")
+    // doc 2's two mark orderings (+3M/+4M): same
+    assert(rows.contains((3000002L, 2L, 2L)), s"mark-variants: ${rows.toSeq}")
+    // the bases stay singletons — canonical dedup never conflates a
+    // plain 'e' with 'é'
+    for (base <- Seq(0L, 1L, 2L, 3L))
+      assert(rows.contains((base, 1L, 1L)), s"base $base: ${rows.toSeq}")
+    assert(rows.length === 6)
+  }
+
   test("curation pipeline (q137): funnel conserves documents and its " +
       "stages reconcile with the standalone operators") {
     import org.apache.spark.sql.functions._
