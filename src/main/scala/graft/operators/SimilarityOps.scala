@@ -2043,6 +2043,64 @@ object SimilarityOps {
       |FROM embeddings, UNNEST(range(LEN(embedding))) g(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** q146 — EMBEDDING OUTLIER FLAGGING ([EXT], round 15): the quality
+    * complement of semantic dedup — q140 prunes the OVER-represented
+    * (near-duplicate clusters); this flags the UNDER-represented tail
+    * that points away from the corpus's mean direction, which in a
+    * crawl embedding space is disproportionately mojibake, OCR noise,
+    * truncated pages and mislabeled content (the embedding-space
+    * quality bar DataComp-style curation runs beside the q23 text
+    * heuristics). Score = cosine(v, global centroid), flagged below
+    * a fixed −0.15 (≈ the fixture's 5th percentile; a deployment
+    * tunes the bar per corpus). The per-CLUSTER variant — distance to
+    * the ASSIGNED k-means centroid, SemDeDup's keep-the-far-point
+    * rule — is the same scan against [[stagedKmeans]]'s relation;
+    * the global form is chosen here because its centroid is exact
+    * and engine-replayable, so the whole operator is hash-verified.
+    *
+    * 100 TB shape: the centroid is ONE partial+final hash agg over
+    * posexploded dims (dim rows out), a bounded dim-sized driver
+    * collect (the q42 centroid discipline — k×dim scalars, never
+    * data), re-broadcast as a literal; scoring is one codegen'd
+    * native-cosine scan, no joins, no shuffle beyond the dim agg.
+    * The driver-side means are quantized to FLOAT before broadcast:
+    * a float ULP (~6e-8) absorbs the ~1e-13 cross-engine/partition
+    * fold noise of an unordered double mean, so the rounded score
+    * cannot flip between engines (the q44 precedent, hardened). */
+  val q146CentroidOutliers: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1).toFloat)
+    val centSql = cent.map(f =>
+        s"cast(${java.lang.Float.toString(f)} as float)")
+      .mkString("array(", ", ", ")")
+    e.select(col("vec_id"),
+        round(expr(s"graft_cosine(embedding, $centSql)"), 4)
+          .as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < -0.15)
+      .orderBy("vec_id")
+  }
+
+  val q146Oracle: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT i, AVG(embedding[i+1]::DOUBLE)::FLOAT AS m
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)
+      |  GROUP BY i),
+      |cn AS MATERIALIZED (
+      |  SELECT sqrt(SUM(m::DOUBLE * m::DOUBLE ORDER BY i)) AS nrm FROM c),
+      |s AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    ROUND(SUM(embedding[i+1]::DOUBLE * m::DOUBLE ORDER BY i)
+      |      / (sqrt(SUM(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE ORDER BY i))
+      |         * (SELECT nrm FROM cn)), 4) AS cos_centroid
+      |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)
+      |  JOIN c USING (i)
+      |  GROUP BY vec_id)
+      |SELECT vec_id, cos_centroid, cos_centroid < -0.15 AS is_outlier
+      |FROM s ORDER BY vec_id""".stripMargin
+
   /** q81 — IVF index MAINTENANCE lifecycle, end-to-end: the policy
     * pieces ([[ivfDriftFraction]], [[refreshIvfIndex]],
     * [[maybeRebuildIvfIndex]]) driven as one production append
@@ -2136,6 +2194,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "q129_contrastive_pairs" -> q129ContrastivePairs,
     "q140_semantic_dedup" -> q140SemanticDedup,
+    "q146_centroid_outliers" -> q146CentroidOutliers,
     "q141_incremental_semantic" -> q141IncrementalSemantic,
     "q126_pq_ann" -> q126PqAnn,
     "q40_ann_bruteforce" -> q40AnnBruteForce,
@@ -2158,6 +2217,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q140_semantic_dedup" -> q140Oracle,
+    "q146_centroid_outliers" -> q146Oracle,
     "q141_incremental_semantic" -> q141Oracle,
     "q41_embed_neardup" -> q41Oracle,
     "q44_label_centroids" -> q44Oracle,

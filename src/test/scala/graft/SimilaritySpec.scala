@@ -26,6 +26,29 @@ class SimilaritySpec extends SparkSpec {
     assert(sims((0L, 3L)) === -1.0)  // anti-parallel
   }
 
+  test("q146 centroid outliers: crafted geometry flags exactly the anti-centroid vector") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-outl").toString
+    // 5 vectors clustered near +e0 (centroid ≈ +e0) and one pointing
+    // the other way: only the anti-aligned vector scores below −0.15
+    Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f), 0),
+      (1L, Array(1.0f, -0.1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.05f, 0f, 0f), 0),
+      (3L, Array(1.1f, 0f, 0.1f, 0f), 0),
+      (4L, Array(1.0f, 0f, -0.1f, 0f), 0),
+      (5L, Array(-1.0f, 0f, 0f, 0.01f), 0),
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SimilarityOps.queries("q146_centroid_outliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.length === 6)
+    assert(rows.forall(r => r._2 >= -1.0 && r._2 <= 1.0))
+    assert(rows.filter(_._3).map(_._1).toSeq === Seq(5L),
+      s"only the anti-centroid vector is an outlier: ${rows.toSeq}")
+    assert(rows.forall(r => r._3 == (r._2 < -0.15)),
+      "flag must derive from the published threshold")
+  }
+
   test("brute-force top-k returns k rows per query, ranked descending") {
     val rows = SimilarityOps.q40AnnBruteForce(spark, sf).collect()
     val byQuery = rows.groupBy(_.getLong(0))
