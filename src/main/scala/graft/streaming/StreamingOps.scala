@@ -327,6 +327,62 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING PERCEPTUAL MEDIA NEAR-DUP — the media-side twin of
+    * [[nearDupIngestPipeline]] (round 15; q136's aHash family gains
+    * the ingest form every other dedup family already has). Tail a
+    * graft-delta media table's feed; per micro-batch: (a) fingerprint
+    * ONLY the batch with the native 60-bit blocked-mean aHash (one
+    * codegen'd projection — the corpus is never re-hashed; items
+    * under the 60-char resize floor are dropped at the boundary like
+    * q136's gate) and stage (media_id, ahash) under a deterministic
+    * per-batchId dir — 8 BYTES of standing state per item; (b) pair
+    * the batch against seed-fingerprints ∪ previously staged batches
+    * through the q136 pigeonhole band join plus a within-batch pass
+    * ([[graft.operators.MultimodalOps.neardupFingerprintPairs]] — the
+    * batch side broadcasts, the q75 shape); (c) append surviving
+    * (media_a, media_b, hamming) pairs under a (checkpoint, batchId)
+    * SetTransaction. Staging, replay idempotence (a replayed batch
+    * overwrites its own dir, reads only ids < its own) and the
+    * checkpoint-identity stamp follow the other ingest pipelines. */
+  def mediaNeardupIngestPipeline(spark: SparkSession, seedDir: String,
+      srcTable: String, pairsTable: String, ckptDir: String,
+      stageRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.MultimodalOps
+    import graft.sources.{DeltaLog, DeltaTable}
+    val root = java.nio.file.Paths.get(stageRoot)
+    java.nio.file.Files.createDirectories(root)
+    def priorBatchDirs(before: Long): Seq[String] = batchDirs(root, before)
+    validateStageRoot(root, ckptDir, priorBatchDirs(Long.MaxValue).nonEmpty)
+    val q = spark.readStream.format("graft-delta").load(srcTable)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bdir = root.resolve(s"batch-$batchId").toString
+        MultimodalOps.mediaAHash(
+            batch.select(col("media_id"), col("text"))
+              .filter(length(col("text")) >= 60))
+          .write.mode("overwrite").parquet(bdir)
+        val bfp = spark.read.parquet(bdir)
+        val corpusFp = priorBatchDirs(batchId)
+          .map(spark.read.parquet(_))
+          .foldLeft(MultimodalOps.stagedMediaFingerprints(spark, seedDir))(
+            _ unionByName _)
+        val pairs = MultimodalOps.neardupFingerprintPairs(
+          bfp, corpusFp, selfPairs = true)
+        val mode =
+          if (DeltaLog.versions(pairsTable).isEmpty) "overwrite" else "append"
+        DeltaTable.write(pairs, pairsTable, mode,
+          txn = Some((s"mediadup:$ckptDir", batchId)))
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    java.nio.file.Files.write(root.resolve("_graft_checkpoint"),
+      q.id.toString.getBytes("UTF-8"))
+    q
+  }
+
   /** STREAMING INCREMENTAL SEMANTIC DEDUP — the embedding-space twin
     * of [[nearDupIngestPipeline]], closing the incremental family
     * (q75 exact text, q78 SQ8 vectors, q131 substrings, q133 cleaned

@@ -1024,6 +1024,73 @@ class StreamingSpec extends SparkSpec {
       "a window larger than the log must not cue")
   }
 
+  test("streaming perceptual media near-dup: batch pairs vs the growing " +
+      "fingerprint index, exactly-once across a restart") {
+    import graft.operators.MultimodalOps
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-media")
+    val (src, pairsT, ckpt, stage) =
+      (s"$base/src", s"$base/pairs", s"$base/ckpt", s"$base/stage")
+    val seedDir = s"$base/seed"
+    val seedText = "the quick brown fox jumps over the lazy dog near the " +
+      "old river bank while morning light filters through tall trees"
+    val novel = "completely different content describing broadcast joins " +
+      "partition pruning adaptive execution and shuffle services today"
+    def swap(t: String): String = // q136's local-noise edit
+      t.substring(0, 4) + t.charAt(5) + t.charAt(4) + t.substring(6)
+    val other = "numbers and letters arranged without any resemblance " +
+      "to either fixture string qqq www eee rrr ttt yyy uuu iii ooo ppp"
+    Seq((0L, seedText, "en", "s", seedText.length.toLong),
+      (1L, "short", "en", "s", 5L), // under the 60-char gate
+      (2L, other, "en", "s", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$seedDir/documents.parquet")
+    def appendMedia(rows: (Long, String)*): Unit = rows.toSeq
+      .toDF("media_id", "text")
+      .write.format("graft-delta").mode("append").save(src)
+    def pairRows() = spark.read.format("graft-delta").load(pairsT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch 1: a noisy re-encode of seed item 0 + a genuinely new item
+    appendMedia(100L -> swap(seedText), 101L -> novel)
+    val q1 = StreamingOps.mediaNeardupIngestPipeline(
+      spark, seedDir, src, pairsT, ckpt, stage)
+    q1.processAllAvailable()
+    val after1 = pairRows()
+    assert(after1.contains((0L, 100L)),
+      s"noisy re-encode must pair with its seed original: $after1")
+    assert(!after1.exists(p => p._1 == 101L || p._2 == 101L),
+      s"the novel item has no perceptual match yet: $after1")
+    // batch 2: a noisy copy of the PREVIOUS BATCH's novel item —
+    // findable only because the fingerprint index grew
+    appendMedia(200L -> swap(novel))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(pairRows().contains((101L, 200L)))
+    // restart on the same checkpoint; batch 3 pairs with item 200
+    appendMedia(300L -> (swap(novel).substring(0, novel.length - 6) + " extra"))
+    val q2 = StreamingOps.mediaNeardupIngestPipeline(
+      spark, seedDir, src, pairsT, ckpt, stage)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = pairRows()
+    assert(got.size === got.toSet.size, "replays must not duplicate pairs")
+    // ground truth: brute-force hamming<=3 over ALL fingerprints
+    // (seed + streamed), restricted to pairs whose LATER member is
+    // streamed (each pair lands in the batch bringing its later item)
+    import spark.implicits._
+    val allItems = Seq(0L -> seedText, 2L -> other,
+      100L -> swap(seedText), 101L -> novel, 200L -> swap(novel),
+      300L -> (swap(novel).substring(0, novel.length - 6) + " extra"))
+    val fps = MultimodalOps.mediaAHash(allItems.toDF("media_id", "text"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val expected = (for {
+      i <- fps.indices.iterator; j <- (i + 1) until fps.length
+      if java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2) <= 3
+      if fps(j)._1 >= 100L // later member is streamed
+    } yield (fps(i)._1, fps(j)._1)).toSet
+    assert(got.toSet === expected,
+      s"streamed pairs != brute-force ground truth: got=${got.toSet} want=$expected")
+  }
+
   test("streaming incremental semantic dedup: labels == from-scratch " +
       "clustering, cluster merge across a restart, exactly-once") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-semcc")
