@@ -151,6 +151,51 @@ object StreamRehearsal {
       } finally q.stop()
     }
 
+    // ------ perceptual media ingest over the 50k-doc seed corpus ----
+    // heavy-duplication worst case: every batch item is a near-copy of
+    // a corpus item, so every batch row pairs through the band join
+    if (enabled("media")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      graft.operators.MultimodalOps
+        .stagedMediaFingerprints(spark, sfDir).count()
+      println(f"""{"pipeline":"media","seed_index_sec":${
+        (System.nanoTime() - t0) / 1e9}%.1f}""")
+      val src = p("media-src")
+      val batches = (0 until 5).map { k =>
+        docs.filter(pmod(col("doc_id"), lit(10)) === k)
+          .filter(length(col("text")) >= 60).limit(2000)
+          .select((col("doc_id") + 1000000L * (k + 1)).as("media_id"),
+            // q136's local-noise edit: adjacent swap at offset 5/6
+            concat(substring(col("text"), 1, 4),
+              substring(col("text"), 6, 1), substring(col("text"), 5, 1),
+              expr("substring(text, 7)")).as("text"))
+      }
+      DeltaTable.write(
+        spark.range(1).select(lit(-1L).as("media_id"),
+          lit(sentinelText).as("text")),
+        src, "overwrite")
+      val q = graft.streaming.StreamingOps.mediaNeardupIngestPipeline(
+        spark, sfDir, src, p("media-pairs"), p("media-ckpt"),
+        p("media-stage"))
+      try {
+        q.processAllAvailable()
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val outRows = DeltaTable.read(spark, p("media-pairs")).count()
+          println(f"""{"pipeline":"media","batch":$k,"rows":$rows,""" +
+            f""""sec":$sec%.1f,"staged_bytes":${
+              dirBytes(scratch.resolve("media-stage"))},""" +
+            f""""out_rows":$outRows}""")
+        }
+      } finally q.stop()
+    }
+
     // ------ semantic-dedup ingest over the 20k-vector seed index ----
     // the adversarial fixture: every seed vector sits in a 10-member
     // near-identical cluster, and every batch vector is a verbatim
