@@ -406,17 +406,19 @@ object MultimodalOps {
         upper(col("text")).as("text"))
     // adjacent-char swap at offset 5/6 of EVERY quarter, tail kept so
     // the length (and hence the frame grid) is unchanged
+    // per-quarter swap spelled out per k (not a transform lambda:
+    // higher-order functions are CodegenFallback and PlanSpec sweeps
+    // this operator)
+    val q = "(length(text) div 4)"
+    def seg(k: Int): String =
+      s"substring(text, $k * $q + 1, 4) || " +
+        s"substring(text, $k * $q + 6, 1) || " +
+        s"substring(text, $k * $q + 5, 1) || " +
+        s"substring(text, $k * $q + 7, $q - 6)"
     val noise = base.filter(col("media_id") % 7 === 3)
       .select((col("media_id") + 4000000L).as("media_id"),
-        expr(
-          """concat(concat_ws('', transform(sequence(0, 3), k ->
-            |  concat(substring(text, k * (length(text) div 4) + 1, 4),
-            |         substring(text, k * (length(text) div 4) + 6, 1),
-            |         substring(text, k * (length(text) div 4) + 5, 1),
-            |         substring(text, k * (length(text) div 4) + 7,
-            |           (length(text) div 4) - 6)))),
-            |  substring(text, 4 * (length(text) div 4) + 1))"""
-            .stripMargin).as("text"))
+        expr((0 to 3).map(seg).mkString("", " || ",
+          s" || substring(text, 4 * $q + 1)")).as("text"))
     base.unionByName(bright).unionByName(noise)
   }
 
@@ -448,15 +450,12 @@ object MultimodalOps {
     val f1 = fp.filter(col("k") === 1)
       .select(col("media_id"), col("fh").as("fh1"))
     val keys = f0.join(f1, "media_id")
-      .select(col("media_id"), explode(expr(
-        """flatten(transform(sequence(0, 3), c0 ->
-          |  transform(sequence(0, 3), c1 -> named_struct(
-          |    'c0', c0, 'c1', c1,
-          |    'v0', (fh0 >> (c0 * 15)) & 32767,
-          |    'v1', (fh1 >> (c1 * 15)) & 32767))))""".stripMargin))
-        .as("bk"))
-      .select(col("media_id"), col("bk.c0").as("c0"), col("bk.c1").as("c1"),
-        col("bk.v0").as("v0"), col("bk.v1").as("v1"))
+      .select(col("media_id"), col("fh0"), col("fh1"),
+        explode(expr("sequence(0, 15)")).as("cc"))
+      .select(col("media_id"),
+        expr("cc div 4").as("c0"), expr("cc % 4").as("c1"),
+        expr("(fh0 >> ((cc div 4) * 15)) & 32767").as("v0"),
+        expr("(fh1 >> ((cc % 4) * 15)) & 32767").as("v1"))
     val cand = keys.as("a").join(keys.as("b"),
         col("a.c0") === col("b.c0") && col("a.c1") === col("b.c1") &&
           col("a.v0") === col("b.v0") && col("a.v1") === col("b.v1") &&

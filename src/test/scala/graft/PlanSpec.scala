@@ -42,7 +42,12 @@ class PlanSpec extends SparkSpec {
       "q33_simhash" -> DedupOps.queries("q33_simhash"),
       "q43_cell_neardup" -> SimilarityOps.queries("q43_cell_neardup"),
       "q45_hyperplane_lsh" -> SimilarityOps.queries("q45_hyperplane_lsh"),
-      "q89_curation_funnel" -> graft.operators.TextOps.queries("q89_curation_funnel"))
+      "q89_curation_funnel" -> graft.operators.TextOps.queries("q89_curation_funnel"),
+      "q143_temporal_neardup" ->
+        graft.operators.MultimodalOps.queries("q143_temporal_neardup"),
+      "q145_unicode_dedup" -> DedupOps.queries("q145_unicode_dedup"),
+      "q146_centroid_outliers" ->
+        SimilarityOps.queries("q146_centroid_outliers"))
     for ((name, q) <- hot) {
       val p = plan(q(spark, sf))
       val fb = fallbacks(p)
