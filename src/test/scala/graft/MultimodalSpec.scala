@@ -152,6 +152,25 @@ class MultimodalSpec extends SparkSpec {
     assert(hd(2) > 3, s"replaced frame should exceed the cut: ${hd.toSeq}")
   }
 
+  test("q143 confirms the per-frame noise variants against their originals") {
+    import spark.implicits._
+    val pairs = MultimodalOps.q143TemporalNeardup(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.forall(_._3 <= 3))
+    val noiseIds = MultimodalOps.temporalMediaItems(spark, sf)
+      .filter("media_id >= 4000000").select("media_id")
+      .as[Long].collect().toSet
+    assert(noiseIds.nonEmpty)
+    val confirmedNoise = pairs.count { case (a, b, _) =>
+      noiseIds.contains(b) && b - 4000000L == a }
+    // a per-frame adjacent swap wiggles at most a few block means per
+    // frame — most variants stay inside the per-frame Hamming cut;
+    // the residue is the honest recall tradeoff (q136's contract,
+    // applied per frame)
+    assert(confirmedNoise >= (noiseIds.size * 6) / 10,
+      s"only $confirmedNoise of ${noiseIds.size} noise variants confirmed")
+  }
+
   test("q143 frame hashes are invariant to a uniform +1 shift of the whole video") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
