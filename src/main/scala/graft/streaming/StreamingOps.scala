@@ -396,14 +396,19 @@ object StreamingOps {
     * representative and converge the pointer-doubling CC over the
     * contracted sliver — the IDENTICAL kernel batch q141 runs
     * ([[graft.operators.SimilarityOps.absorbSemanticBatch]]); (d)
-    * OVERWRITE the downstream labels table with the updated standing
-    * index under a SetTransaction keyed by (checkpoint, batchId).
+    * bring the downstream labels table to the updated standing index
+    * under a SetTransaction keyed by (checkpoint, batchId) — the
+    * first batch writes it whole, every later batch MERGEs only the
+    * labels it moved.
     *
-    * Overwrite, not append, on purpose: one batch vector can MERGE
-    * two standing clusters, relabeling corpus vectors committed long
-    * ago — the labels table is a materialized VIEW of the index (the
-    * [[incrementalViewPipeline]] stance); at lake scale the same step
-    * lands as a MERGE touching only changed labels. Exactly-once:
+    * Not append-only, on purpose: one batch vector can MERGE two
+    * standing clusters, relabeling corpus vectors committed long ago
+    * — the labels table is a materialized VIEW of the index (the
+    * [[incrementalViewPipeline]] stance). Labels never disappear
+    * (clusters only grow or merge), so upserting {new rows} ∪ {rows
+    * whose cluster changed} reconstructs the full index with write
+    * amplification O(batch + touched clusters), not O(index).
+    * Exactly-once:
     * replays short-circuit on the txn ledger, a replayed batch
     * re-stages its own per-batchId dir (overwrite) and reads only
     * dirs with id < its own as corpus. The standing min-label
@@ -447,8 +452,27 @@ object StreamingOps {
             .select(col("vec_id").as("id"), col("cluster_id").as("label"))
         val updated = SimilarityOps.absorbSemanticBatch(spark, labels,
           corpus, corpusCells, spark.read.parquet(bdir), s"ing$batchId")
-        DeltaTable.write(updated, labelsTable, "overwrite",
-          txn = Some((s"semcc:$ckptDir", batchId)))
+        if (DeltaLog.versions(labelsTable).isEmpty)
+          DeltaTable.write(updated, labelsTable, "overwrite",
+            txn = Some((s"semcc:$ckptDir", batchId)))
+        else {
+          // MERGE only the labels this batch actually moved (round 15
+          // closes the scaladoc's "at lake scale this is a MERGE"
+          // promise): labels never disappear — clusters only grow or
+          // merge — so upserting {new rows} ∪ {rows whose cluster_id
+          // changed} reconstructs the full standing index while the
+          // write amplification stays O(batch + touched clusters),
+          // not O(index). The diff join reads the same label relation
+          // the contraction already consumed this batch.
+          val changed = updated.as("u")
+            .join(labels.select(col("id").as("vec_id"),
+              col("label").as("old_label")).as("c"), Seq("vec_id"), "left")
+            .filter(col("old_label").isNull ||
+              col("old_label") =!= col("cluster_id"))
+            .select(col("vec_id"), col("cluster_id"))
+          DeltaTable.merge(spark, labelsTable, changed, Seq("vec_id"),
+            txn = Some((s"semcc:$ckptDir", batchId)))
+        }
         ()
       }
       .outputMode(OutputMode.Update())
