@@ -13,24 +13,28 @@ import org.apache.spark.sql.SparkSession
   * the bench):
   *   - failures are LOUD: a query that throws contributes its elapsed
   *     time AND an `errors` entry in the JSON (plus stderr);
-  *   - any query whose first run exceeds [[RetimeFloorSec]] is run a
-  *     second time and the MIN is reported (standard interference
-  *     rejection — a throttle spike is transient, the plan is not),
-  *     with both samples recorded under `retimed`. The round-4 lesson:
-  *     back-to-back samples share the same throttle window (q96 booked
-  *     15.7 s from samples 16.0/15.7 vs 1.16 s quiet), so retimes now
-  *     run as a separate pass at the END of the run — minutes of other
-  *     work separate the two samples, which a burst-credit window does
-  *     not survive. Samples that still disagree by more than
-  *     [[UnreliableRatio]] are listed under `unreliable` so the reader
-  *     knows the min is a bound, not a measurement — EXCEPT when the
-  *     first run demonstrably BUILT a session-memoized index
-  *     (StagedCache counts builds; the harness snapshots the counter
-  *     per query) and the retime served from staging: that pair is
-  *     expected build-vs-serve asymmetry, recorded under
-  *     `warm_asymmetry` with both samples, not noise (round-6 lesson:
-  *     q76's 10-round BPE trainer always books build≫serve and was
-  *     polluting the unreliable list every run);
+  *   - the whole measurement cycle (one pass over every query + an
+  *     end-of-cycle retime pass for queries > [[RetimeFloorSec]]) runs
+  *     SPARK_GRAFT_BENCH_RUNS times (default 2) and each query books
+  *     the MIN across all its clean samples — standard interference
+  *     rejection (a throttle spike is transient, the plan is not),
+  *     with cycles separating same-query samples by minutes so one
+  *     burst-credit window cannot contaminate them all (round-4
+  *     lesson: back-to-back samples share the window — q96 booked
+  *     15.7 s from samples 16.0/15.7 vs 1.16 s quiet). All samples
+  *     are recorded under `retimed`. A query is `unreliable` iff its
+  *     min was CONFIRMED by no second clean sample within
+  *     [[UnreliableRatio]] of it — the min is then a bound, not a
+  *     converged measurement. Round 15's cause-attributing
+  *     discriminator (first run compiled codegen classes, retime
+  *     didn't) is gone: every fresh plan compiles on its first run
+  *     and never on its retime, so it excused ANY slow-first pair,
+  *     including genuine throttle (round-15 ADVICE). Attribution
+  *     survives only as the informational `warm_asymmetry` list: a
+  *     converged query whose slow outlier samples all coincided with
+  *     a StagedCache index build or a codegen compile (build-vs-serve
+  *     asymmetry by design — q76's 10-round BPE trainer, q109's
+  *     janino-bound first compile);
   *   - the JSON line is also persisted to `bench_out.json` (truncated
   *     log tails lost the round-4 total);
   *   - the O(n²)-by-design exactness baseline q41 is benched only
@@ -132,9 +136,12 @@ object Bench {
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount
 
+    case class Sample(secs: Double, err: Option[String],
+        built: Boolean, compiled: Boolean)
+
     def run(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String], Boolean, Boolean) = {
+        : Sample = {
       val b0 = graft.operators.StagedCache.buildCount
       val c0 = compiledClasses
       val t0 = System.nanoTime()
@@ -143,7 +150,7 @@ object Bench {
         if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
           System.err.println(s"[bench-debug] $name compiled=" +
             (compiledClasses - c0))
-        ((System.nanoTime() - t0) / 1e9, None,
+        Sample((System.nanoTime() - t0) / 1e9, None,
           graft.operators.StagedCache.buildCount > b0,
           compiledClasses > c0)
       } catch {
@@ -151,57 +158,76 @@ object Bench {
           val msg = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")).take(300)
           System.err.println(s"[bench] $name FAILED: $msg")
-          ((System.nanoTime() - t0) / 1e9, Some(msg),
+          Sample((System.nanoTime() - t0) / 1e9, Some(msg),
             graft.operators.StagedCache.buildCount > b0,
             compiledClasses > c0)
       }
     }
 
-    // Pass 1: every query once, in name order.
-    val firstPass = selected.map { case (name, fn) => (name, run(name, fn)) }
-    // Pass 2 (time-separated retimes): queries whose clean first run
-    // exceeded the floor run again only after the WHOLE first pass —
-    // the two samples are minutes apart, so one sustained throttle
-    // window can't contaminate both.
-    val retimes: Map[String, (Double, Option[String], Boolean, Boolean)] =
-      selected.filter { case (name, _) =>
-        firstPass.exists { case (n, (t, err, _, _)) =>
-          n == name && err.isEmpty && t > RetimeFloorSec }
-      }.map { case (name, fn) => name -> run(name, fn) }.toMap
+    // CROSS-RUN MIN MERGE (round-15 verdict #7): the whole
+    // pass-1 + end-of-pass-retime cycle runs SPARK_GRAFT_BENCH_RUNS
+    // times (default 2) and every query reports the MIN across all its
+    // clean samples. One noisy machine window can contaminate one
+    // cycle's sample of a query; it cannot contaminate the same query
+    // in a cycle minutes away, so the merged min is a converged floor
+    // and the driver's single noisy execution stops producing false
+    // `unreliable` rows (round 15: q143/q15 flagged at 7.3/5.7 s from
+    // host noise the quiet record disproved at 1.95/1.09 s).
+    val cycles = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Sample]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to cycles) {
+      // Pass 1: every query once, in name order.
+      val firstPass = selected.map { case (name, fn) =>
+        val s = run(name, fn); samples(name) :+= s; (name, s) }
+      // Pass 2 (time-separated retimes): queries whose clean first run
+      // of THIS cycle exceeded the floor run again only after the
+      // whole first pass — the two samples are minutes apart, so one
+      // sustained throttle window can't contaminate both.
+      selected.foreach { case (name, fn) =>
+        if (firstPass.exists { case (n, s) =>
+            n == name && s.err.isEmpty && s.secs > RetimeFloorSec })
+          samples(name) :+= run(name, fn)
+      }
+    }
 
+    // HONEST FLAG SEMANTICS (round-15 ADVICE: the comp1&&!comp2
+    // codegen-warm discriminator was nearly vacuous — every fresh plan
+    // compiles on its first run and never on its retime, so ANY
+    // slow-first/fast-retime pair passed, including genuine throttle).
+    // The classifier no longer attributes CAUSES at all: a query is
+    // `unreliable` iff its reported min was seen only ONCE — no second
+    // clean sample lands within UnreliableRatio of it — so the min is
+    // an upper bound, not a converged measurement. Cause attribution
+    // (StagedCache build / codegen compile during a slow sample)
+    // survives only as the informational `warm_asymmetry` list
+    // explaining WHY a converged query's outlier samples were slow.
+    // Sub-floor queries keep their single-sample-per-cycle exemption:
+    // with min < RetimeFloorSec the absolute disagreement is noise
+    // grain, and the old harness never flagged them either.
     case class Res(name: String, secs: Double, err: Option[String],
-        samples: Option[Seq[Double]], unreliable: Boolean,
-        warmAsymmetry: Boolean)
-    val results = firstPass.map { case (name, (t1, err1, built1, comp1)) =>
-      retimes.get(name) match {
-        case Some((t2, err2, _, comp2)) if err2.isEmpty =>
-          val lo = math.min(t1, t2)
-          val hi = math.max(t1, t2)
-          val disagree = hi / lo > UnreliableRatio
-          // a first run that BUILT a session-memoized index (StagedCache
-          // counted it) is EXPECTED to dwarf its serve-from-staging
-          // retime: that pair documents build-vs-serve asymmetry, not
-          // measurement noise. Likewise a first run that COMPILED new
-          // whole-stage-codegen classes (Spark's public CodegenMetrics
-          // counter) against a retime that compiled none: Spark's
-          // codegen cache keys on generated source, so the retime of
-          // the identical plan is compile-free and the pair documents
-          // deterministic first-compile cost — q109's [≈3.0, ≈0.6]
-          // pair reproduces in EVERY machine window and a same-JVM
-          // fresh-plan replay (3.24/0.49 s) pins it to janino, not
-          // throttle. `unreliable` is reserved for pairs with neither
-          // attribution, including a slow RETIME after a warmed first
-          // run.
-          val warm = disagree && built1 && t2 < t1
-          val codegenWarm = disagree && !warm && comp1 && !comp2 && t2 < t1
-          Res(name, lo, err1, Some(Seq(t1, t2)),
-            unreliable = disagree && !warm && !codegenWarm,
-            warmAsymmetry = warm || codegenWarm)
-        case Some((_, err2, _, _)) => // retime threw: keep first sample, surface the error
-          Res(name, t1, err1.orElse(err2), Some(Seq(t1)),
-            unreliable = false, warmAsymmetry = false)
-        case None => Res(name, t1, err1, None,
-          unreliable = false, warmAsymmetry = false)
+        samples: Seq[Double], unreliable: Boolean, warmAsymmetry: Boolean)
+    val results = selected.map { case (name, _) =>
+      val ss = samples(name)
+      val clean = ss.filter(_.err.isEmpty)
+      val err = ss.flatMap(_.err).headOption
+      if (clean.isEmpty)
+        Res(name, ss.map(_.secs).min, err, ss.map(_.secs), unreliable = false,
+          warmAsymmetry = false)
+      else {
+        val lo = clean.map(_.secs).min
+        val confirms = clean.count(_.secs <= lo * UnreliableRatio)
+        val outliers = clean.filter(_.secs > lo * UnreliableRatio)
+        val unreliable = clean.size >= 2 && confirms < 2 &&
+          lo > RetimeFloorSec
+        // annotate only MATERIAL asymmetry (slow sample above the
+        // retime floor) — a 0.07-vs-0.02 s first-compile pair is noise
+        // grain, not a build story worth a ledger row
+        val warm = !unreliable &&
+          outliers.exists(_.secs > RetimeFloorSec) &&
+          outliers.forall(s => s.built || s.compiled)
+        Res(name, lo, err, ss.map(_.secs), unreliable, warm)
       }
     }
 
@@ -215,19 +241,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case r if r.err.nonEmpty =>
       jstr(r.name) + ":" + jstr(r.err.get) }.mkString("{", ",", "}")
-    val retimed = results.collect { case r if r.samples.nonEmpty =>
-      jstr(r.name) + ":" + r.samples.get.mkString("[", ",", "]")
+    val retimed = results.collect { case r if r.samples.size > 1 =>
+      jstr(r.name) + ":" + r.samples.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val unreliable = results.collect { case r if r.unreliable =>
-      jstr(r.name) + ":" + r.samples.get.mkString("[", ",", "]")
+      jstr(r.name) + ":" + r.samples.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val warmAsym = results.collect { case r if r.warmAsymmetry =>
-      jstr(r.name) + ":" + r.samples.get.mkString("[", ",", "]")
+      jstr(r.name) + ":" + r.samples.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val skips = skipped.toSeq.sortBy(_._1).map { case (k, v) =>
       jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_.secs).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"retimed":$retimed,"unreliable":$unreliable,"warm_asymmetry":$warmAsym,"timing":"min of 2 runs for queries > ${RetimeFloorSec}s first-run; retimes in a separate end-of-run pass; pairs disagreeing > ${UnreliableRatio}x flagged unreliable, or warm_asymmetry when the first run built a session-memoized index (StagedCache-counted) or compiled new codegen classes (CodegenMetrics-counted) while the retime did neither"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"retimed":$retimed,"unreliable":$unreliable,"warm_asymmetry":$warmAsym,"cycles":$cycles,"timing":"per-query MIN across $cycles full cycles (SPARK_GRAFT_BENCH_RUNS), each cycle retiming queries > ${RetimeFloorSec}s in a separate end-of-cycle pass; unreliable = the min was confirmed by no second clean sample within ${UnreliableRatio}x (and min > ${RetimeFloorSec}s); warm_asymmetry = converged, with every slow outlier sample attributed to a StagedCache index build or codegen compile"}"""
     println(line)
     // Persist alongside stdout: the driver captures a bounded log tail,
     // and round 4's official record lost its total to truncation.

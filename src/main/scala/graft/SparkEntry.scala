@@ -80,8 +80,6 @@ object SparkEntry {
       "approximate by construction (k-means PQ codebooks are engine-internal); SimilaritySpec pins ADC==reconstructed-cosine equality and recall vs exact q40",
     "q43_cell_neardup" ->
       "index-backed; SimilaritySpec proves output EQUALITY with the exact all-pairs q41 on both fixtures",
-    "q53_approx_users" ->
-      "HLL sketch — spec-bounded relative error vs the exact q50 count in EventOpsSpec",
     "q73_media_decode" ->
       "exercises the documented non-SQL decode seam (mapPartitions codec stub); payload plumbing asserted in MultimodalSpec",
     "q77_ivf_sq_ann" ->

@@ -31,8 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     block b exists and bv >= mu. Items shorter than 60 chars have
   *     empty blocks, which contribute nothing and set no bit —
   *     identical to the grouped form, where absent (media_id, b) rows
-  *     simply never exist (callers filter n >= 60 anyway; the
-  *     degenerate empty string hashes to 0).
+  *     simply never exist (callers filter n >= 60 anyway).
+  *   - the degenerate EMPTY string is NULL, not 0 (round-15 verdict
+  *     closes the contract): the grouped form emits NO row for an
+  *     empty payload (nothing to explode), so a total function here
+  *     would hand unfiltered callers a phantom ahash=0 fingerprint
+  *     the grouped replay and the oracle never produce. NULL makes
+  *     the degenerate row DROP under the standard isNotNull guard —
+  *     [[graft.operators.MultimodalOps.mediaAHash]] applies it at the
+  *     boundary, and MultimodalSpec pins empty-input row-set equality
+  *     between the native and grouped forms.
   * All integer arithmetic on non-negative operands, so floor == trunc
   * division on both engines and the hash is exactly reproducible
   * across partitionings, retries, and engines. */
@@ -46,11 +54,21 @@ case class AHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_ahash"
 
-  override protected def nullSafeEval(input: Any): Any =
-    AHashUtil.compute(input.asInstanceOf[UTF8String])
+  /** Nullable beyond the child's nullability: empty input → NULL. */
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (s.numBytes() == 0) null else AHashUtil.compute(s)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.AHashUtil.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numBytes() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.AHashUtil.compute($c);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): AHash =
     copy(child = newChild)
@@ -64,7 +82,7 @@ object AHashUtil {
   def compute(text: UTF8String): Long = {
     val s = text.toString
     val n = s.codePointCount(0, s.length).toLong
-    if (n == 0L) return 0L
+    if (n == 0L) return 0L // unreachable via AHash (empty → NULL there)
     val sums = new Array[Long](Blocks)
     val cnts = new Array[Long](Blocks)
     var i = 0L // code-point index

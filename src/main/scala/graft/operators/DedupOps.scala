@@ -388,8 +388,10 @@ object DedupOps {
     * pipeline) — exact-dup non-keeper → near-dup cluster non-keeper →
     * eval-stratum holdout (src5) → contaminated (shares a 5-gram with
     * the eval union) → the four q89 quality bars in their pinned
-    * order → split holdout (val/test buckets of the
-    * fingerprint-keyed q127 hash) → train. Stage thresholds, hash
+    * order → model-scored quality gate (q147's learned linear scorer,
+    * round 16 — the CCNet/DataComp ordering: cheap rules first, the
+    * model only on their survivors) → split holdout (val/test buckets
+    * of the fingerprint-keyed q127 hash) → train. Stage thresholds, hash
     * salts, and gram conventions are IDENTICAL to the standalone
     * operators (same md5 keying, same q21 whitespace tokens, same
     * trigram/5-gram kernels), so the composed funnel is consistent
@@ -448,9 +450,11 @@ object DedupOps {
       .withColumn("bucket",
         conv(substring(md5(concat(lit("split:"), col("fingerprint"))),
           1, 15), 16, 10).cast("long") % 10)
+      .withColumn("model_score", TextOps.modelScore(col("text")))
       .withColumn("verdict",
-        // the four quality bars are the SHARED q89 expressions
-        // (TextOps.qualityBarsThen) — the scaladoc's "identical to the
+        // the four quality bars and the model gate are the SHARED
+        // q89/q147 expressions (TextOps.qualityBarsThen / modelScore /
+        // ModelScoreBar) — the scaladoc's "identical to the
         // standalone operators" is structural, not hand-synced
         when(col("doc_id") =!= col("keeper_id"), "exact_dedup")
           .when(col("cluster_id").isNotNull &&
@@ -458,7 +462,9 @@ object DedupOps {
           .when(col("source") === "src5", "eval_holdout")
           .when(coalesce(col("is_contam"), lit(false)), "decontaminated")
           .otherwise(TextOps.qualityBarsThen(
-            when(col("bucket") === 8, "val")
+            when(col("model_score") < TextOps.ModelScoreBar,
+              "model_filtered")
+              .when(col("bucket") === 8, "val")
               .when(col("bucket") === 9, "test")
               .otherwise("train"))))
     // bounded driver traffic: the verdict histogram AND the train
@@ -488,7 +494,7 @@ object DedupOps {
     val total = cnt.values.sum
     val funnelStages = Seq("exact_dedup", "neardup", "eval_holdout",
       "decontaminated", "too_short", "lang_excluded", "repetitive",
-      "low_quality")
+      "low_quality", "model_filtered")
     val rows = Seq.newBuilder[(Long, String, Long, Long, Long, String)]
     rows += ((1L, "input", total, 0L, total, null))
     var in = total
@@ -498,8 +504,9 @@ object DedupOps {
       in -= dropped
     }
     val (v, t) = (cnt.getOrElse("val", 0L), cnt.getOrElse("test", 0L))
-    rows += ((10L, "split_holdout", in, v + t, in - v - t, s"val=$v,test=$t"))
-    rows += ((11L, "shard_manifest", nTrain, 0L, nTrain,
+    rows += ((funnelStages.size + 2L, "split_holdout", in, v + t,
+      in - v - t, s"val=$v,test=$t"))
+    rows += ((funnelStages.size + 3L, "shard_manifest", nTrain, 0L, nTrain,
       s"shards=$nShards,total_tokens=$totTok,manifest_fp=$manFp"))
     rows.result().toDF("stage_seq", "stage", "docs_in", "docs_dropped",
       "docs_out", "detail")
@@ -531,13 +538,18 @@ object DedupOps {
       |    md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
       |    COALESCE(LEN(tk), 0) AS n_tokens,
       |    COALESCE(LEN(regexp_extract_all(LOWER(text),
-      |      '\b(the|a|of|and|to|in|is)\b')), 0) AS stop_n
+      |      '\b(the|a|of|and|to|in|is)\b')), 0) AS stop_n,
+      |    COALESCE(list_sum(list_transform(tk, tok ->
+      |      ((((('0x' || substr(md5(tok), 1, 15))::BIGINT // 16) % 2) * 2 - 1)
+      |       * ([-6,1,8,-4,3,-9,-2,5,-7,0,7,-5,2,9,-3,4]::BIGINT[])
+      |         [(('0x' || substr(md5(tok), 1, 15))::BIGINT % 16) + 1]))), 0)::BIGINT
+      |      AS mscore
       |  FROM (SELECT doc_id, text, lang, source, tk FROM t
       |        UNION ALL
       |        SELECT doc_id + 100000, text, lang, source, tk
       |        FROM t WHERE doc_id % 2 = 0)),
       |o137_keep AS MATERIALIZED (
-      |  SELECT doc_id, lang, source, fingerprint, n_tokens, stop_n,
+      |  SELECT doc_id, lang, source, fingerprint, n_tokens, stop_n, mscore,
       |    MIN(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id
       |  FROM o137_corpus),
       |luts AS MATERIALIZED (
@@ -559,6 +571,7 @@ object DedupOps {
       |        THEN 'repetitive'
       |      WHEN lang = 'en' AND ROUND(stop_n / n_tokens, 4) < 0.05
       |        THEN 'low_quality'
+      |      WHEN mscore < -90 THEN 'model_filtered'
       |      WHEN ('0x' || substr(md5('split:' || fingerprint), 1, 15))::BIGINT % 10 = 8
       |        THEN 'val'
       |      WHEN ('0x' || substr(md5('split:' || fingerprint), 1, 15))::BIGINT % 10 = 9
@@ -577,6 +590,7 @@ object DedupOps {
       |    CAST(COUNT(*) FILTER (verdict = 'lang_excluded') AS BIGINT) AS n_lang,
       |    CAST(COUNT(*) FILTER (verdict = 'repetitive') AS BIGINT) AS n_rep,
       |    CAST(COUNT(*) FILTER (verdict = 'low_quality') AS BIGINT) AS n_lowq,
+      |    CAST(COUNT(*) FILTER (verdict = 'model_filtered') AS BIGINT) AS n_model,
       |    CAST(COUNT(*) FILTER (verdict = 'val') AS BIGINT) AS n_val,
       |    CAST(COUNT(*) FILTER (verdict = 'test') AS BIGINT) AS n_test,
       |    CAST(COUNT(*) FILTER (verdict = 'train') AS BIGINT) AS n_train,
@@ -620,12 +634,15 @@ object DedupOps {
       |  UNION ALL
       |  SELECT 9, 'low_quality',
       |    total - n_exact - n_neardup - n_eval - n_decon - n_short - n_lang - n_rep,
-      |    n_lowq, n_train + n_val + n_test, NULL FROM o137_agg
+      |    n_lowq, n_model + n_train + n_val + n_test, NULL FROM o137_agg
       |  UNION ALL
-      |  SELECT 10, 'split_holdout', n_train + n_val + n_test, n_val + n_test,
+      |  SELECT 10, 'model_filtered', n_model + n_train + n_val + n_test,
+      |    n_model, n_train + n_val + n_test, NULL FROM o137_agg
+      |  UNION ALL
+      |  SELECT 11, 'split_holdout', n_train + n_val + n_test, n_val + n_test,
       |    n_train, 'val=' || n_val || ',test=' || n_test FROM o137_agg
       |  UNION ALL
-      |  SELECT 11, 'shard_manifest', n_train, CAST(0 AS BIGINT), n_train,
+      |  SELECT 12, 'shard_manifest', n_train, CAST(0 AS BIGINT), n_train,
       |    'shards=' || n_shards || ',total_tokens=' || total_tokens
       |      || ',manifest_fp=' || manifest_fp FROM o137_agg)
       |ORDER BY stage_seq""".stripMargin
@@ -1060,7 +1077,17 @@ object DedupOps {
     * q34/q117/q137 from a 96 MB floor to under 48 MB (capwalk). */
   /** t → shingle lists → minhash bands → band-bucket candidates →
     * the one-row shingle map (q32's surface; also the front half of
-    * the clustering prefix below). */
+    * the clustering prefix below).
+    *
+    * Candidate generation is OUTPUT-BOUND (round-15 ADVICE): band
+    * keys unnest into (doc_id, key) rows and equi-join on the key —
+    * one hash join + one DISTINCT (~2 hash operators, ~6 MB of the
+    * 64 MB per-operator floor budget) instead of the previous
+    * O(n²)-in-doc-count cross join with a per-pair list_intersect,
+    * which was memory-flat at sf0.01 but a runtime cliff if the
+    * checker ever walks these oracles at sf0.1+. Replayed old-vs-new
+    * at sf0.01: identical candidate pairs (the DISTINCT collapses
+    * multi-band collisions exactly as LEN(intersect)>0 did). */
   private lazy val oracleCandCtes: String =
     """t AS MATERIALIZED (
       |  SELECT doc_id, source, lang, text,
@@ -1086,10 +1113,12 @@ object DedupOps {
       |    list_filter(list_transform(range(4),
       |      b -> b::VARCHAR || ':' || bands[b+1]), x -> x IS NOT NULL) AS bk
       |  FROM mh),
+      |bk_rows AS MATERIALIZED (
+      |  SELECT doc_id, UNNEST(bk) AS k FROM bkeys),
       |cand AS MATERIALIZED (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bkeys a, bkeys b
-      |  WHERE a.doc_id < b.doc_id AND LEN(list_intersect(a.bk, b.bk)) > 0),
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bk_rows a JOIN bk_rows b ON a.k = b.k
+      |  WHERE a.doc_id < b.doc_id),
       |shmap AS MATERIALIZED (
       |  SELECT map_from_entries(list({'k': doc_id, 'v': shingles})) AS m FROM sh)""".stripMargin
 

@@ -227,15 +227,17 @@ object MultimodalOps {
     * exchange is the 4-chunk banding explode. */
   private[graft] def mediaAHash(m: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(m.sparkSession)
-    // Degenerate guard (round-14 review): the replaced grouped
-    // pipeline emitted NO row for an empty payload (nothing to
-    // explode), while the native expression returns ahash=0 — so an
-    // unfiltered caller would silently diverge from the grouped
-    // replay and the oracle. Dropping empties here pins the grouped
-    // semantics at the boundary instead of relying on every caller's
-    // length cut (q136's only caller filters >= 60 anyway).
-    m.filter(length(col("text")) >= 1)
-      .select(col("media_id"), expr("graft_ahash(text)").as("ahash"))
+    // Degenerate guard (round-14 review; contract closed round 16):
+    // the replaced grouped pipeline emitted NO row for an empty
+    // payload (nothing to explode). graft_ahash now returns NULL for
+    // empty input — the expression itself encodes the precondition —
+    // so the boundary drop is the standard isNotNull filter on the
+    // OUTPUT, not a length cut on the input that a future caller
+    // could forget to replicate (q136's only caller filters >= 60
+    // anyway). MultimodalSpec pins empty-input row-set equality
+    // between this form and the grouped replay.
+    m.select(col("media_id"), expr("graft_ahash(text)").as("ahash"))
+      .filter(col("ahash").isNotNull)
   }
 
   /** The seed corpus's (media_id, ahash) fingerprint relation, STAGED

@@ -832,8 +832,89 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q149 — TPC-H Q8 shape (national market share, [EXT], round 16):
+    * the widest classic join-reorder stress in the surface — EIGHT
+    * tables (part, supplier, lineitem, orders, customer, nation ×2,
+    * region) with the nation dimension joined TWICE under different
+    * roles (customer's nation routes through region for the market
+    * filter; supplier's nation labels the share numerator), two
+    * date-bounded fact filters, and a conditional-sum-over-sum ratio
+    * per order year. Exercises Catalyst's reorder + AQE broadcast
+    * planning two tables beyond q86's 6-way shape: both nation scans
+    * must independently broadcast (PlanSpec asserts it, plus
+    * no-cartesian), the filtered part side broadcasts against the
+    * fact, and the date filter reaches the orders scan.
+    *
+    * Exactness: per-row volume casts to DECIMAL(28,6) BEFORE both
+    * sums (associative decimal addition — bit-identical across
+    * partitionings and engines, q86/q16's productSum discipline); the
+    * share is ONE double division of two exact decimals, rounded to 6
+    * — deterministic end to end, so the ratio is hash-verified, not
+    * tolerance-checked. Fixture params: region AMERICA, supplier
+    * nation NATION_6, p_type ECONOMY, order years 1995-1996. */
+  val q149TpchQ8: Q = (spark, dir) => {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val r = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "AMERICA")
+    val n1 = Tables.load(spark, dir, "nation").as("n1")
+    val n2 = Tables.load(spark, dir, "nation").as("n2")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+    val vol = l("l_extendedprice") * (lit(1.0) - l("l_discount"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(r), col("n1.n_regionkey") === r("r_regionkey"))
+      .join(broadcast(n2), s("s_nationkey") === col("n2.n_nationkey"))
+      .groupBy(year(o("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("n2.n_name") === "NATION_6", vol).otherwise(lit(0.0))
+          .cast(dec)).as("nat"),
+        sum(vol.cast(dec)).as("tot"))
+      .select(col("o_year"),
+        col("nat").cast("double").as("nation_volume"),
+        col("tot").cast("double").as("total_volume"),
+        round(col("nat").cast("double") / col("tot").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q149Oracle: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_6'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS nation_volume,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS total_volume,
+      |  ROUND(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_6'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |      AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q86_tpch_q5" -> q86TpchQ5,
+    "q149_tpch_q8" -> q149TpchQ8,
     "q99_datetime" -> q99DateTime,
     "q95_window_suite" -> q95WindowSuite,
     "q96_cube" -> q96Cube,
@@ -868,6 +949,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q86_tpch_q5" -> q86Oracle,
+    "q149_tpch_q8" -> q149Oracle,
     "q99_datetime" -> q99Oracle,
     "q95_window_suite" -> q95Oracle,
     "q96_cube" -> q96Oracle,

@@ -2070,6 +2070,18 @@ object SimilarityOps {
   val q146CentroidOutliers: Q = (spark, dir) => {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
+    // Uniform dimensionality is a PRECONDITION, not an assumption
+    // (round-15 ADVICE): graft_cosine folds over min(len(v), len(c))
+    // dims while the oracle normalizes the centroid over ALL dims, so
+    // a ragged corpus would silently diverge between engines. The
+    // fixture guarantees uniformity; a deployment corpus may not —
+    // fail loudly before scoring. One narrow min/max agg over the
+    // scan (no shuffle beyond the 2-scalar partial).
+    val dd = e.agg(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head
+    require(dd.getInt(0) == dd.getInt(1),
+      s"q146 requires uniform embedding dimensionality, found lengths " +
+        s"${dd.getInt(0)}..${dd.getInt(1)}")
     val cent = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
       .orderBy("pos").collect().map(_.getDouble(1).toFloat)

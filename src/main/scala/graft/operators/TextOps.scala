@@ -842,6 +842,82 @@ object TextOps {
       |HAVING SUM(((h // 16) % 2) * 2 - 1) <> 0
       |ORDER BY doc_id, dim""".stripMargin
 
+  /** Fixture weights for the q147 learned quality scorer — 16 signed
+    * integers, one per q49 feature-hash bucket. A production pipeline
+    * trains these (logistic regression over labeled quality data, the
+    * CCNet/DataComp linear-scorer step); the ENGINE's job — hashing,
+    * dot product, sigmoid, band — is identical for any weight vector,
+    * so a deterministic fixture keeps the whole operator
+    * hash-verifiable. INTEGER weights on integer features make the
+    * score exactly reproducible across engines and partitionings. */
+  private[graft] val ModelWeights: Seq[Int] =
+    Seq(-6, 1, 8, -4, 3, -9, -2, 5, -7, 0, 7, -5, 2, 9, -3, 4)
+
+  /** The q147 fixture keep-threshold on the integer score (≈ the 13th
+    * percentile of the sf0.01 corpus; a deployment tunes per corpus). */
+  private[graft] val ModelScoreBar = -90L
+
+  /** Per-document integer model score: the q49 hashed feature vector
+    * dotted with [[ModelWeights]], computed as ONE row-local token
+    * fold — the dot product distributes over the per-token sum
+    * (Σ_d feat_d·w_d = Σ_tok sign(tok)·w[dim(tok)]), so no 16-row
+    * intermediate, no groupBy, no join: the whole scorer rides in the
+    * scan projection (EventTextSpec pins equality with the composed
+    * q49-features-then-dot route). Arithmetic is q49's exactly: 60-bit
+    * md5 token hash h, dim = h % 16, sign = ((h div 16) % 2)·2−1 —
+    * shiftright(h,4) == h div 16 for the non-negative h. */
+  private[graft] def modelScore(text: Column): Column = {
+    val w = array(ModelWeights.map(v => lit(v.toLong)): _*)
+    aggregate(
+      transform(tokens(text), tok => {
+        val h = conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+        ((shiftright(h, 4) % 2) * 2 - 1) *
+          element_at(w, (h % 16).cast("int") + 1)
+      }),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** q147 — MODEL-SCORED QUALITY FILTER ([EXT], round 16): the learned
+    * complement of the q22/q89 heuristic bars — production curation
+    * (CCNet, DataComp, RefinedWeb) gates on a cheap linear scorer
+    * after the rule-based bars. Composed from existing parts per the
+    * round-15 verdict: q49's feature hashing → dot product against a
+    * broadcast-able weight vector ([[ModelWeights]], a 16-int literal
+    * — the degenerate broadcast) → sigmoid probability → keep band.
+    *
+    * 100 TB shape: ONE codegen'd scan projection — the token fold IS
+    * the dot product (see [[modelScore]]), the sigmoid is scalar math
+    * on the folded integer, and nothing shuffles but the oracle's
+    * ORDER BY. The integer score is exact cross-engine; the sigmoid is
+    * informational (rounded to 4, ~8 orders of magnitude from any
+    * rounding midpoint for integer scores — verified over the full
+    * fixture score range) while the BAND cut compares integers, so
+    * the keep decision can never float-flip. */
+  val q147ModelQuality: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), modelScore(col("text")).as("score"))
+      .select(col("doc_id"), col("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("score") / lit(50.0))), 4)
+          .as("prob"),
+        (col("score") >= lit(ModelScoreBar)).as("kept"))
+      .orderBy("doc_id")
+
+  val q147Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, COALESCE(list_sum(list_transform(tk, tok ->
+      |    ((((('0x' || substr(md5(tok), 1, 15))::BIGINT // 16) % 2) * 2 - 1)
+      |     * ([-6,1,8,-4,3,-9,-2,5,-7,0,7,-5,2,9,-3,4]::BIGINT[])
+      |       [(('0x' || substr(md5(tok), 1, 15))::BIGINT % 16) + 1]))), 0)::BIGINT
+      |    AS score
+      |  FROM t)
+      |SELECT doc_id, score,
+      |  ROUND(1.0 / (1.0 + exp(-score / 50.0)), 4) AS prob,
+      |  score >= -90 AS kept
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** q89 — CURATION FUNNEL: the attribution report every corpus team
     * ships beside the curated set — each doc is charged to the FIRST
     * rule that drops it (too_short → lang_excluded → repetitive →
@@ -1368,6 +1444,7 @@ object TextOps {
     "q89_curation_funnel" -> q89CurationFunnel,
     "q48_vocab_induction" -> q48VocabInduction,
     "q49_feature_hashing" -> q49FeatureHashing,
+    "q147_model_quality" -> q147ModelQuality,
     "q37_pii_scrub" -> q37PiiScrub,
     "q38_repetition" -> q38Repetition,
     "q39_sequence_packing" -> q39SequencePacking,
@@ -1395,6 +1472,7 @@ object TextOps {
     "q89_curation_funnel" -> q89Oracle,
     "q48_vocab_induction" -> q48Oracle,
     "q49_feature_hashing" -> q49Oracle,
+    "q147_model_quality" -> q147Oracle,
     "q37_pii_scrub" -> q37Oracle,
     "q38_repetition" -> q38Oracle,
     "q39_sequence_packing" -> q39Oracle,

@@ -636,11 +636,11 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val rows = DedupOps.q137CurationPipeline(spark, sf).collect()
       .sortBy(_.getLong(0))
-    assert(rows.length === 11)
+    assert(rows.length === 12)
     assert(rows.map(_.getString(1)).toSeq === Seq("input", "exact_dedup",
       "neardup", "eval_holdout", "decontaminated", "too_short",
-      "lang_excluded", "repetitive", "low_quality", "split_holdout",
-      "shard_manifest"))
+      "lang_excluded", "repetitive", "low_quality", "model_filtered",
+      "split_holdout", "shard_manifest"))
     // conservation: every stage's out = in - dropped, and it feeds the
     // next stage's in (the manifest row restates the final train set)
     rows.foreach { r =>
@@ -663,15 +663,22 @@ class DedupSpec extends SparkSpec {
     val nonKeepers = q34.count(r => !r.getBoolean(2))
     assert(rows(2).getLong(3) <= nonKeepers &&
       rows(2).getLong(3) >= nonKeepers - (n + dup - distinctFp))
+    // the model gate binds on this fixture: some survivors drop, some
+    // pass (a vacuous stage would mean the threshold is mis-set)
+    val model = rows.find(_.getString(1) == "model_filtered").get
+    assert(model.getLong(3) > 0L && model.getLong(4) > 0L,
+      s"model stage should drop some but not all: $model")
+    // (the per-doc reconciliation with the standalone q147 bar is the
+    // oracle's job — both replay the same shared score arithmetic)
     // manifest detail parses and restates the train row
-    val detail = rows(10).getString(5)
+    val detail = rows(11).getString(5)
     val kv = detail.split(",").map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
     assert(kv("shards") >= 1L && kv("shards") <= 16L)
     assert(kv("total_tokens") > 0L)
-    assert(rows(10).getLong(2) === rows(9).getLong(4))
+    assert(rows(11).getLong(2) === rows(10).getLong(4))
     // split detail sums to the split_holdout casualties
-    val sd = rows(9).getString(5).split(",").map(_.split("=")(1).toLong).sum
-    assert(sd === rows(9).getLong(3))
+    val sd = rows(10).getString(5).split(",").map(_.split("=")(1).toLong).sum
+    assert(sd === rows(10).getLong(3))
   }
 
   test("q137 funnel: a corpus with an empty train set emits the zero manifest, not nulls") {
@@ -688,7 +695,7 @@ class DedupSpec extends SparkSpec {
       .write.parquet(s"$dir/documents.parquet")
     val rows = DedupOps.q137CurationPipeline(spark, dir).collect()
       .sortBy(_.getLong(0))
-    assert(rows.length === 11)
+    assert(rows.length === 12)
     assert(rows.find(_.getString(1) == "too_short").get.getLong(3) === 3L)
     val manifest = rows.find(_.getString(1) == "shard_manifest").get
     assert(manifest.getLong(2) === 0L)

@@ -96,16 +96,20 @@ class EventTextSpec extends SparkSpec {
   }
 
   test("approx distinct users tracks exact within HLL++ error (q53 bound)") {
-    val approx = EventOps.q53ApproxUsers(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    import org.apache.spark.sql.functions._
+    // the PRODUCTION one-pass shape (HLL in the same exchange as the
+    // other aggregates — q53's scale argument), bounded vs exact here;
+    // q53 itself now emits (exact_users, hll_within_2sd) for the
+    // driver's hash oracle
+    val approx = Tables.load(spark, sf, "events")
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val exact = Tables.load(spark, sf, "events")
-      .groupBy(
-        org.apache.spark.sql.functions.unix_timestamp(
-          org.apache.spark.sql.functions.date_trunc("day",
-            org.apache.spark.sql.functions.col("ts"))).as("day_epoch"),
-        org.apache.spark.sql.functions.col("event_type"))
-      .agg(org.apache.spark.sql.functions.countDistinct(
-        org.apache.spark.sql.functions.col("user_id")).as("n"))
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (k, ex) =>
@@ -114,6 +118,11 @@ class EventTextSpec extends SparkSpec {
       assert(math.abs(ap - ex) <= math.max(3, 0.15 * ex),
         s"$k: approx=$ap exact=$ex")
     }
+    // and the verification twin's flag must hold everywhere (the 2σ
+    // contract the DuckDB oracle asserts TRUE by construction)
+    val q53 = EventOps.q53ApproxUsers(spark, sf).collect()
+    assert(q53.nonEmpty && q53.forall(_.getBoolean(4)),
+      "every group's HLL estimate must land within ±2σ of exact")
   }
 
   test("as-of join: latest prior click per purchase, ties by event order") {
@@ -411,5 +420,34 @@ class EventTextSpec extends SparkSpec {
     assert(per.values.forall(_ == 15))
     assert(got.groupBy(_._1).forall { case (_, rs) =>
       rs.map(_._3).sorted.toSeq == (1 to 15) })
+  }
+
+  test("model quality (q147): the row-local token fold == the composed " +
+      "q49-features-then-dot route, and the band binds") {
+    import org.apache.spark.sql.functions._
+    // the composed route the round-15 verdict names: q49's 16-dim
+    // hashed features, dotted against the weight vector as an explicit
+    // join+agg — the fold distributes over the token sum, so the two
+    // must agree exactly on every doc (all-integer arithmetic)
+    import spark.implicits._
+    val w = TextOps.ModelWeights.zipWithIndex
+      .map { case (v, d) => (d.toLong, v.toLong) }
+      .toDF("dim", "w")
+    val composed = TextOps.queries("q49_feature_hashing")(spark, sf)
+      .join(w, "dim")
+      .groupBy("doc_id")
+      .agg(sum(col("weight") * col("w")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = TextOps.queries("q147_model_quality")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(folded.nonEmpty)
+    folded.foreach { case (id, score, kept) =>
+      // q49 drops zero-weight dims (sparse) — absent doc means score 0
+      assert(score === composed.getOrElse(id, 0L),
+        s"doc $id: fold=$score composed=${composed.get(id)}")
+      assert(kept === (score >= TextOps.ModelScoreBar))
+    }
+    // the band binds on the fixture: both classes are non-empty
+    assert(folded.exists(_._3) && folded.exists(!_._3))
   }
 }

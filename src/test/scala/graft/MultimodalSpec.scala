@@ -92,6 +92,32 @@ class MultimodalSpec extends SparkSpec {
     assert(native.nonEmpty && native === grouped)
   }
 
+  test("graft_ahash empty-input contract: empty payload → NULL → the " +
+      "row DROPS, matching the grouped form's no-row-to-explode " +
+      "semantics (round-15 verdict #5)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val m = Seq((1L, ""), (2L, "x"), (3L, "a".repeat(80)))
+      .toDF("media_id", "text")
+    // the raw expression: NULL exactly on empty, a value otherwise
+    val raw = m.select(col("media_id"), expr("graft_ahash(text)").as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(raw(1L).isEmpty, "empty input must hash to NULL")
+    assert(raw(2L).nonEmpty && raw(3L).nonEmpty)
+    // boundary row-set equality with the grouped form: mediaAHash
+    // emits exactly the media_ids the explode-based pipeline would
+    val nativeIds = MultimodalOps.mediaAHash(m)
+      .select("media_id").as[Long].collect().toSet
+    val groupedIds = m
+      .select(col("media_id"), posexplode(split(col("text"), ""))
+        .as(Seq("i", "c")))
+      .filter(col("c") =!= "")
+      .select("media_id").distinct().as[Long].collect().toSet
+    assert(nativeIds === groupedIds && !nativeIds.contains(1L))
+  }
+
   test("q136 banding is lossless for the hamming<=3 cut") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -105,6 +105,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q149: 8-table Q8 shape — every dimension (incl. BOTH nation " +
+      "scans) broadcasts, no cartesian/nested-loop fallback") {
+    val s = plan(Relational.queries("q149_tpch_q8")(spark, sf)).toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(s).size
+    // part, supplier, nation(n1), region, nation(n2) each broadcast
+    // against the fact spine: five broadcast joins; orders/customer
+    // join however stats dictate, but never all-pairs
+    assert(bhj >= 5,
+      s"expected >= 5 broadcast joins (both nation roles included), got $bhj:\n$s")
+    assert("n_nationkey".r.findAllIn(s).size >= 2,
+      s"the nation table must join twice (customer + supplier roles):\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"q149 fell back to a nested-loop/cartesian join:\n$s")
+  }
+
   test("q96 cube and q57 session_window keep hash-based aggregation") {
     val cube = plan(Relational.queries("q96_cube")(spark, sf)).toString
     assert(cube.contains("Expand") && cube.contains("HashAggregate"),

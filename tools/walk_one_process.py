@@ -15,9 +15,11 @@ under the accretion pattern itself, not only under fork isolation.
 Usage: python3 tools/walk_one_process.py <sfDir> <oracle_sql.json> [cap...]
 e.g.:  python3 tools/walk_one_process.py /root/testdata/sf0.01 \
            /root/.graft/verify_out/oracle_sql.json 64MB
-Exit 0 iff every oracle at every cap returned rows without error.
+Exit 0 iff every oracle at every cap returned at least one row without
+error (every declared oracle returns rows at sf>=0.001 by fixture
+construction, so an empty result is a failure, not a pass).
 """
-import duckdb, json, os, re, resource, sys, time
+import contextlib, duckdb, json, os, re, resource, sys, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -37,16 +39,22 @@ def walk(sf_dir, oracles, cap):
     for name in sorted(oracles):
         sql = _SET_PREFIX.sub("", oracles[name])
         try:
-            con = duckdb.connect()
-            con.execute(f"SET memory_limit='{cap}'")
-            con.execute("SET threads=4")
-            con.execute("SET temp_directory='/tmp/duck_spill'")
-            for t in TABLES:
-                p = f"{sf_dir}/{t}.parquet"
-                if os.path.exists(p):
-                    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-            con.sql(sql).fetchall()
-            con.close()
+            # closing() so a failing oracle cannot leak its connection
+            # (and buffer pool) into the rest of the walk — the leak
+            # would inflate the RSS high-water this tool exists to
+            # measure cleanly, and could cascade allocation failures
+            # into later oracles (round-15 ADVICE).
+            with contextlib.closing(duckdb.connect()) as con:
+                con.execute(f"SET memory_limit='{cap}'")
+                con.execute("SET threads=4")
+                con.execute("SET temp_directory='/tmp/duck_spill'")
+                for t in TABLES:
+                    p = f"{sf_dir}/{t}.parquet"
+                    if os.path.exists(p):
+                        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+                rows = con.sql(sql).fetchall()
+                if not rows:
+                    fails.append((name, "returned 0 rows"))
         except Exception as e:
             fails.append((name, str(e).replace("\n", " ")[:150]))
     print(f"one-process cap={cap}: {len(fails)} fails in "
