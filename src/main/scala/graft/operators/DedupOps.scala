@@ -307,6 +307,134 @@ object DedupOps {
       |  FROM documents WHERE doc_id % 4 = 2)
       |GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
+  /** Canonical form of a URL, entirely in codegen'd string built-ins
+    * (no UDF): scheme and host lowercased, a default port stripped
+    * (:80 for http, :443 for https — non-default ports KEPT), trailing
+    * path slashes stripped, and `utm_*` tracking params dropped while
+    * every other param keeps its original order (reordering params is
+    * NOT safe canonicalization — servers may be order-sensitive).
+    * This is the crawl-side normalization that runs BEFORE text-level
+    * dedup: the same page arrives under scheme-case / host-case /
+    * default-port / trailing-slash / tracking-param variants, and
+    * byte-keyed URL dedup misses all of them. Regex syntax is the
+    * shared Java-regex/RE2 subset (anchors, char classes); both
+    * engines return '' on no-match, so the piecewise reassembly is
+    * engine-stable. DedupSpec pins the canonicalization table. */
+  private[graft] def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val port = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_join(
+      filter(split(query, "&"), p => !startswith(p, lit("utm_"))), "&")
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val queryPart = when(kept === "", lit(""))
+      .otherwise(concat(lit("?"), kept))
+    concat(scheme, lit("://"), host, portPart, path, queryPart)
+  }
+
+  /** q148 — URL CANONICALIZATION + URL-LEVEL DEDUP ([EXT], round 16):
+    * the crawl step BEFORE any text dedup — collapse scheme-case /
+    * host-case / default-port / trailing-slash / utm-param variants of
+    * the same page to one canonical URL and keep the min-doc_id
+    * occurrence (q30's keeper rule on the URL key). The documents
+    * fixture carries no URL column, so the query synthesizes a
+    * deterministic one per doc — page = doc_id div 5 (five docs per
+    * logical page), variant = doc_id % 5 cycling through exactly the
+    * noise dimensions [[canonicalUrl]] must collapse (v0 clean, v1
+    * scheme+host case + :80 + trailing slash, v2 pure-utm query, v3
+    * :80 + mixed params where only utm_ drops, v4 the kept param
+    * alone) — both engines replay the same synthesis, so the operator
+    * under test is the canonicalizer + keeper, not the fixture.
+    * Variants 0-2 collapse to the bare canonical URL and 3-4 to the
+    * ?id= form: group sizes 3 and 2, keepers the group-min ids.
+    *
+    * 100 TB shape: canonicalization is ONE codegen'd scan projection
+    * (regex piecewise + lambda filter, all row-local); dedup is ONE
+    * hash shuffle on the canonical string — the q30 posture, skew-free
+    * for web-scale URL sets (no host dominates the key space; a
+    * per-HOST rollup would salt, but the key here is the full URL). */
+  val q148UrlDedup: Q = (spark, dir) => {
+    val pageS = col("page").cast("string")
+    val urls = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr("doc_id div 5").as("page"),
+        (col("doc_id") % 5).as("v"))
+      .withColumn("hb",
+        concat(lit("site"), (col("page") % 20).cast("string"),
+          lit(".example.com")))
+      .select(col("doc_id"),
+        when(col("v") === 0,
+          concat(lit("http://"), col("hb"), lit("/doc/"), pageS))
+        .when(col("v") === 1,
+          concat(lit("HTTP://"), upper(col("hb")), lit(":80/doc/"), pageS,
+            lit("/")))
+        .when(col("v") === 2,
+          concat(lit("http://"), col("hb"), lit("/doc/"), pageS,
+            lit("?utm_source=feed&utm_campaign=x")))
+        .when(col("v") === 3,
+          concat(lit("http://"), col("hb"), lit(":80/doc/"), pageS,
+            lit("?id="), (col("page") % 9).cast("string"),
+            lit("&utm_medium=m")))
+        .otherwise(
+          concat(lit("http://"), col("hb"), lit("/doc/"), pageS,
+            lit("?id="), (col("page") % 9).cast("string")))
+        .as("url"))
+    urls
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
+      .groupBy("host", "canonical_url")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("canonical_url")
+  }
+
+  val q148Oracle: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'http://' || hb || '/doc/' || page
+      |      WHEN 1 THEN 'HTTP://' || UPPER(hb) || ':80/doc/' || page || '/'
+      |      WHEN 2 THEN 'http://' || hb || '/doc/' || page
+      |        || '?utm_source=feed&utm_campaign=x'
+      |      WHEN 3 THEN 'http://' || hb || ':80/doc/' || page
+      |        || '?id=' || (page % 9) || '&utm_medium=m'
+      |      ELSE 'http://' || hb || '/doc/' || page
+      |        || '?id=' || (page % 9) END AS url
+      |  FROM (SELECT doc_id, doc_id // 5 AS page,
+      |          'site' || ((doc_id // 5) % 20) || '.example.com' AS hb
+      |        FROM documents)),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |           OR (scheme = 'https' AND port = '443') THEN ''
+      |         ELSE ':' || port END ||
+      |    path ||
+      |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+      |  FROM (
+      |    SELECT doc_id,
+      |      LOWER(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |      LOWER(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+      |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+      |      regexp_replace(regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+      |      COALESCE(array_to_string(list_filter(string_split(
+      |        regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |        p -> NOT starts_with(p, 'utm_')), '&'), '') AS kept
+      |    FROM urls))
+      |SELECT regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+      |  canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+      |FROM canon GROUP BY 2 ORDER BY canonical_url""".stripMargin
+
   /** q127 — LEAKAGE-SAFE train/val/test split: the eval-hygiene twin
     * of decontamination (q36/q122). A naive per-document hash split
     * puts exact duplicates on BOTH sides of the train/test boundary —
@@ -1978,6 +2106,7 @@ object DedupOps {
     "q36_decontamination" -> q36Decontamination,
     "q30_exact_dedup" -> q30ExactDedup,
     "q145_unicode_dedup" -> q145UnicodeDedup,
+    "q148_url_dedup" -> q148UrlDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinHashLsh,
     "q33_simhash" -> q33SimHash,
@@ -1996,6 +2125,7 @@ object DedupOps {
     "q36_decontamination" -> q36Oracle,
     "q30_exact_dedup" -> q30Oracle,
     "q145_unicode_dedup" -> q145Oracle,
+    "q148_url_dedup" -> q148Oracle,
     "q31_ngram_jaccard" -> q31Oracle,
     "q32_minhash_lsh" -> q32Oracle,
     "q33_simhash" -> q33Oracle,

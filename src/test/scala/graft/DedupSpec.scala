@@ -631,6 +631,54 @@ class DedupSpec extends SparkSpec {
     assert(rows.length === 6)
   }
 
+  test("q148: the URL canonicalization table — scheme/case/port/slash/" +
+      "utm variants collapse, distinct paths and real params don't") {
+    import org.apache.spark.sql.functions._
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u").select(DedupOps.canonicalUrl(col("u")).as("c"))
+        .as[String].collect().toSeq
+    // collapsing variants: each group lands on ONE canonical form
+    assert(canon(
+      "http://www.example.com/a",
+      "HTTP://WWW.Example.COM/a",          // scheme + host case
+      "http://www.example.com:80/a",        // default port
+      "http://www.example.com/a/",          // trailing slash
+      "http://www.example.com/a?utm_source=x&utm_campaign=y" // pure utm
+    ).distinct === Seq("http://www.example.com/a"))
+    assert(canon(
+      "https://ex.com:443/p?id=1&utm_medium=m",
+      "HTTPS://EX.com/p?id=1"
+    ).distinct === Seq("https://ex.com/p?id=1"))
+    // NON-collapsing: distinct paths, kept params, non-default ports,
+    // different schemes, param ORDER (not safe to reorder)
+    assert(canon("http://ex.com/a", "http://ex.com/b").distinct.size === 2)
+    assert(canon("http://ex.com/a?id=1", "http://ex.com/a?id=2")
+      .distinct.size === 2)
+    assert(canon("http://ex.com:8080/a") === Seq("http://ex.com:8080/a"))
+    assert(canon("http://ex.com/a", "https://ex.com/a").distinct.size === 2)
+    assert(canon("http://ex.com/a?x=1&y=2") === Seq("http://ex.com/a?x=1&y=2"))
+    assert(canon("http://ex.com/a?y=2&x=1") === Seq("http://ex.com/a?y=2&x=1"))
+    // utm dropped from the middle keeps the others' order
+    assert(canon("http://ex.com/a?x=1&utm_source=s&y=2")
+      === Seq("http://ex.com/a?x=1&y=2"))
+    // host-only URL: empty path stays empty, no stray slash
+    assert(canon("HTTP://Ex.COM", "http://ex.com/").distinct
+      === Seq("http://ex.com"))
+    // end-to-end keeper semantics on the synthesized fixture: variant
+    // groups are {v0,v1,v2} (bare) and {v3,v4} (?id=), keeper = group min
+    val rows = DedupOps.queries("q148_url_dedup")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUrl = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.nonEmpty)
+    // page 1 (docs 5-9): site1.example.com/doc/1 — bare group keeper=5
+    // (v0), size 3; ?id=1 group keeper=8 (v3), size 2
+    assert(byUrl("http://site1.example.com/doc/1") === ((5L, 3L)))
+    assert(byUrl("http://site1.example.com/doc/1?id=1") === ((8L, 2L)))
+    // conservation: group sizes sum to the doc count
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum === nDocs)
+  }
+
   test("curation pipeline (q137): funnel conserves documents and its " +
       "stages reconcile with the standalone operators") {
     import org.apache.spark.sql.functions._
