@@ -29,6 +29,51 @@ object StreamRehearsal {
       finally s.close()
     }
 
+  /** Shared batch driver for the ingest pipelines: appends each batch
+    * to the source, drains it, and prints one JSON line with latency,
+    * staged bytes, and the pipeline's output counts. Knobs:
+    * SPARK_GRAFT_BATCHES (default 5) sizes the run;
+    * SPARK_GRAFT_COMPACT_AT=k stops the stream BEFORE batch k, runs
+    * [[graft.streaming.StreamingOps.compactStagedState]], restarts on
+    * the same checkpoint and keeps going — the round-16 rehearsal
+    * shape (>=10 batches, one compaction in the middle, per-batch
+    * latency must stay flat through and after the fold). */
+  private def drive(spark: SparkSession, name: String, src: String,
+      stage: Path, batches: Seq[DataFrame],
+      start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      outCounts: () => Seq[(String, Long)]): Unit = {
+    import graft.sources.DeltaTable
+    val compactAt = sys.env.get("SPARK_GRAFT_COMPACT_AT")
+      .flatMap(_.toIntOption)
+    var q = start()
+    try {
+      q.processAllAvailable() // drain the 1-row priming batch
+      batches.zipWithIndex.foreach { case (b, k) =>
+        if (compactAt.contains(k)) {
+          q.stop() // compaction contract: a STOPPED stream
+          val t = System.nanoTime()
+          val id = graft.streaming.StreamingOps
+            .compactStagedState(spark, stage.toString)
+          println(f"""{"pipeline":"$name","compact_before_batch":$k,""" +
+            f""""compact_id":${id.getOrElse(-1L)},"sec":${
+              (System.nanoTime() - t) / 1e9}%.1f,""" +
+            f""""staged_bytes":${dirBytes(stage)}}""")
+          q = start()
+          q.processAllAvailable()
+        }
+        val rows = b.count()
+        val t = System.nanoTime()
+        DeltaTable.write(b, src, "append")
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t) / 1e9
+        val outs = outCounts()
+          .map { case (c, v) => s""","$c":$v""" }.mkString
+        println(f"""{"pipeline":"$name","batch":$k,"rows":$rows,""" +
+          f""""sec":$sec%.1f,"staged_bytes":${dirBytes(stage)}$outs}""")
+      }
+    } finally q.stop()
+  }
+
   /** Sentinel-row text for stream-source priming: 35 tokens that
     * appear NOWHERE in any fixture (the corpus vocabulary is plain
     * English data-words), so the sentinel can never shingle-match,
@@ -59,6 +104,8 @@ object StreamRehearsal {
     val only = sys.env.get("SPARK_GRAFT_PIPELINES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def enabled(name: String): Boolean = only.forall(_.contains(name))
+    val nBatches = sys.env.get("SPARK_GRAFT_BATCHES")
+      .flatMap(_.toIntOption).getOrElse(5)
 
     // ---------------- near-dup ingest over 50k-doc seed corpus ------
     if (enabled("neardup")) {
@@ -74,7 +121,7 @@ object StreamRehearsal {
       // batches: 2k derived docs each — near-dup against the corpus by
       // construction (text reused, id shifted), the worst case for the
       // candidate join
-      val batches = (0 until 5).map { k =>
+      val batches = (0 until nBatches).map { k =>
         docs.filter(pmod(col("doc_id"), lit(25)) === k)
           .limit(2000)
           .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
@@ -89,24 +136,12 @@ object StreamRehearsal {
         spark.range(1).select(lit(-1L).as("doc_id"),
           lit(sentinelText).as("text")),
         src, "overwrite")
-      val q = graft.streaming.StreamingOps.nearDupIngestPipeline(
-        spark, sfDir, src, p("neardup-pairs"), p("neardup-ckpt"),
-        p("neardup-stage"))
-      try {
-        q.processAllAvailable() // drain the 1-row priming batch
-        batches.zipWithIndex.foreach { case (b, k) =>
-          val rows = b.count()
-          val t = System.nanoTime()
-          DeltaTable.write(b, src, "append")
-          q.processAllAvailable()
-          val sec = (System.nanoTime() - t) / 1e9
-          val outRows = DeltaTable.read(spark, p("neardup-pairs")).count()
-          println(f"""{"pipeline":"neardup","batch":$k,"rows":$rows,""" +
-            f""""sec":$sec%.1f,"staged_bytes":${
-              dirBytes(scratch.resolve("neardup-stage"))},""" +
-            f""""out_rows":$outRows}""")
-        }
-      } finally q.stop()
+      drive(spark, "neardup", src, scratch.resolve("neardup-stage"), batches,
+        () => graft.streaming.StreamingOps.nearDupIngestPipeline(
+          spark, sfDir, src, p("neardup-pairs"), p("neardup-ckpt"),
+          p("neardup-stage")),
+        () => Seq("out_rows" ->
+          DeltaTable.read(spark, p("neardup-pairs")).count()))
     }
 
     // ---------------- SQ8 ingest over 20k-vector seed index ---------
@@ -118,7 +153,7 @@ object StreamRehearsal {
       println(f"""{"pipeline":"sq8","seed_index_sec":${
         (System.nanoTime() - t0) / 1e9}%.1f}""")
       val src = p("sq8-src")
-      val batches = (0 until 5).map { k =>
+      val batches = (0 until nBatches).map { k =>
         vecs.filter(pmod(col("vec_id"), lit(10)) === k)
           .limit(2000)
           .select((col("vec_id") + 1000000L * (k + 1)).as("vec_id"),
@@ -132,23 +167,11 @@ object StreamRehearsal {
         vecs.orderBy("vec_id").limit(1)
           .select(lit(-1L).as("vec_id"), col("embedding")),
         src, "overwrite")
-      val q = graft.streaming.StreamingOps.sqIngestPipeline(
-        spark, sfDir, src, p("sq8-codes"), p("sq8-ckpt"), p("sq8-stage"))
-      try {
-        q.processAllAvailable()
-        batches.zipWithIndex.foreach { case (b, k) =>
-          val rows = b.count()
-          val t = System.nanoTime()
-          DeltaTable.write(b, src, "append")
-          q.processAllAvailable()
-          val sec = (System.nanoTime() - t) / 1e9
-          val outRows = DeltaTable.read(spark, p("sq8-codes")).count()
-          println(f"""{"pipeline":"sq8","batch":$k,"rows":$rows,""" +
-            f""""sec":$sec%.1f,"staged_bytes":${
-              dirBytes(scratch.resolve("sq8-stage"))},""" +
-            f""""out_rows":$outRows}""")
-        }
-      } finally q.stop()
+      drive(spark, "sq8", src, scratch.resolve("sq8-stage"), batches,
+        () => graft.streaming.StreamingOps.sqIngestPipeline(
+          spark, sfDir, src, p("sq8-codes"), p("sq8-ckpt"), p("sq8-stage")),
+        () => Seq("out_rows" ->
+          DeltaTable.read(spark, p("sq8-codes")).count()))
     }
 
     // ------ perceptual media ingest over the 50k-doc seed corpus ----
@@ -163,7 +186,7 @@ object StreamRehearsal {
       println(f"""{"pipeline":"media","seed_index_sec":${
         (System.nanoTime() - t0) / 1e9}%.1f}""")
       val src = p("media-src")
-      val batches = (0 until 5).map { k =>
+      val batches = (0 until nBatches).map { k =>
         docs.filter(pmod(col("doc_id"), lit(10)) === k)
           .filter(length(col("text")) >= 60).limit(2000)
           .select((col("doc_id") + 1000000L * (k + 1)).as("media_id"),
@@ -176,24 +199,12 @@ object StreamRehearsal {
         spark.range(1).select(lit(-1L).as("media_id"),
           lit(sentinelText).as("text")),
         src, "overwrite")
-      val q = graft.streaming.StreamingOps.mediaNeardupIngestPipeline(
-        spark, sfDir, src, p("media-pairs"), p("media-ckpt"),
-        p("media-stage"))
-      try {
-        q.processAllAvailable()
-        batches.zipWithIndex.foreach { case (b, k) =>
-          val rows = b.count()
-          val t = System.nanoTime()
-          DeltaTable.write(b, src, "append")
-          q.processAllAvailable()
-          val sec = (System.nanoTime() - t) / 1e9
-          val outRows = DeltaTable.read(spark, p("media-pairs")).count()
-          println(f"""{"pipeline":"media","batch":$k,"rows":$rows,""" +
-            f""""sec":$sec%.1f,"staged_bytes":${
-              dirBytes(scratch.resolve("media-stage"))},""" +
-            f""""out_rows":$outRows}""")
-        }
-      } finally q.stop()
+      drive(spark, "media", src, scratch.resolve("media-stage"), batches,
+        () => graft.streaming.StreamingOps.mediaNeardupIngestPipeline(
+          spark, sfDir, src, p("media-pairs"), p("media-ckpt"),
+          p("media-stage")),
+        () => Seq("out_rows" ->
+          DeltaTable.read(spark, p("media-pairs")).count()))
     }
 
     // ------ semantic-dedup ingest over the 20k-vector seed index ----
@@ -209,7 +220,7 @@ object StreamRehearsal {
       println(f"""{"pipeline":"semantic","seed_index_sec":${
         (System.nanoTime() - t0) / 1e9}%.1f}""")
       val src = p("sem-src")
-      val batches = (0 until 5).map { k =>
+      val batches = (0 until nBatches).map { k =>
         vecs.filter(pmod(col("vec_id"), lit(10)) === k)
           .limit(2000)
           .select((col("vec_id") + 1000000L * (k + 1)).as("vec_id"),
@@ -222,23 +233,11 @@ object StreamRehearsal {
         vecs.orderBy("vec_id").limit(1)
           .select(lit(-1L).as("vec_id"), col("embedding")),
         src, "overwrite")
-      val q = graft.streaming.StreamingOps.semanticIngestPipeline(
-        spark, sfDir, src, p("sem-labels"), p("sem-ckpt"), p("sem-stage"))
-      try {
-        q.processAllAvailable()
-        batches.zipWithIndex.foreach { case (b, k) =>
-          val rows = b.count()
-          val t = System.nanoTime()
-          DeltaTable.write(b, src, "append")
-          q.processAllAvailable()
-          val sec = (System.nanoTime() - t) / 1e9
-          val outRows = DeltaTable.read(spark, p("sem-labels")).count()
-          println(f"""{"pipeline":"semantic","batch":$k,"rows":$rows,""" +
-            f""""sec":$sec%.1f,"staged_bytes":${
-              dirBytes(scratch.resolve("sem-stage"))},""" +
-            f""""out_rows":$outRows}""")
-        }
-      } finally q.stop()
+      drive(spark, "semantic", src, scratch.resolve("sem-stage"), batches,
+        () => graft.streaming.StreamingOps.semanticIngestPipeline(
+          spark, sfDir, src, p("sem-labels"), p("sem-ckpt"), p("sem-stage")),
+        () => Seq("out_rows" ->
+          DeltaTable.read(spark, p("sem-labels")).count()))
     }
 
     // -------- exact-substring ingest over the 50k-doc seed corpus ---
@@ -255,7 +254,7 @@ object StreamRehearsal {
       // batches: 2k corpus-derived docs each — every window already in
       // the seed by construction, the worst case for flag volume AND
       // the span-merge windows
-      val batches = (0 until 5).map { k =>
+      val batches = (0 until nBatches).map { k =>
         docs.filter(pmod(col("doc_id"), lit(25)) === (k + 5))
           .limit(2000)
           .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
@@ -267,24 +266,12 @@ object StreamRehearsal {
         spark.range(1).select(lit(-1L).as("doc_id"),
           lit(sentinelText).as("text")),
         src, "overwrite")
-      val q = graft.streaming.StreamingOps.substrIngestPipeline(
-        spark, sfDir, src, p("substr-spans"), p("substr-ckpt"),
-        p("substr-stage"))
-      try {
-        q.processAllAvailable()
-        batches.zipWithIndex.foreach { case (b, k) =>
-          val rows = b.count()
-          val t = System.nanoTime()
-          DeltaTable.write(b, src, "append")
-          q.processAllAvailable()
-          val sec = (System.nanoTime() - t) / 1e9
-          val outRows = DeltaTable.read(spark, p("substr-spans")).count()
-          println(f"""{"pipeline":"substr","batch":$k,"rows":$rows,""" +
-            f""""sec":$sec%.1f,"staged_bytes":${
-              dirBytes(scratch.resolve("substr-stage"))},""" +
-            f""""out_rows":$outRows}""")
-        }
-      } finally q.stop()
+      drive(spark, "substr", src, scratch.resolve("substr-stage"), batches,
+        () => graft.streaming.StreamingOps.substrIngestPipeline(
+          spark, sfDir, src, p("substr-spans"), p("substr-ckpt"),
+          p("substr-stage")),
+        () => Seq("out_rows" ->
+          DeltaTable.read(spark, p("substr-spans")).count()))
     }
 
     // -------- substring ingest + cleaned-corpus emission twin -------
@@ -299,7 +286,7 @@ object StreamRehearsal {
       println(f"""{"pipeline":"substrclean","seed_index_sec":${
         (System.nanoTime() - t0) / 1e9}%.1f}""")
       val src = p("substrclean-src")
-      val batches = (0 until 5).map { k =>
+      val batches = (0 until nBatches).map { k =>
         docs.filter(pmod(col("doc_id"), lit(25)) === (k + 10))
           .limit(2000)
           .select((col("doc_id") + 1000000L * (k + 1)).as("doc_id"),
@@ -314,26 +301,14 @@ object StreamRehearsal {
         spark.range(1).select(lit(-1L).as("doc_id"),
           lit(sentinelText).as("text")),
         src, "overwrite")
-      val q = graft.streaming.StreamingOps.substrCleanIngestPipeline(
-        spark, sfDir, src, p("substrclean-spans"), p("substrclean-out"),
-        p("substrclean-ckpt"), p("substrclean-stage"))
-      try {
-        q.processAllAvailable()
-        batches.zipWithIndex.foreach { case (b, k) =>
-          val rows = b.count()
-          val t = System.nanoTime()
-          DeltaTable.write(b, src, "append")
-          q.processAllAvailable()
-          val sec = (System.nanoTime() - t) / 1e9
-          val spanRows =
-            DeltaTable.read(spark, p("substrclean-spans")).count()
-          val cleanRows =
-            DeltaTable.read(spark, p("substrclean-out")).count()
-          println(f"""{"pipeline":"substrclean","batch":$k,""" +
-            f""""rows":$rows,"sec":$sec%.1f,""" +
-            f""""span_rows":$spanRows,"clean_rows":$cleanRows}""")
-        }
-      } finally q.stop()
+      drive(spark, "substrclean", src, scratch.resolve("substrclean-stage"),
+        batches,
+        () => graft.streaming.StreamingOps.substrCleanIngestPipeline(
+          spark, sfDir, src, p("substrclean-spans"), p("substrclean-out"),
+          p("substrclean-ckpt"), p("substrclean-stage")),
+        () => Seq(
+          "span_rows" -> DeltaTable.read(spark, p("substrclean-spans")).count(),
+          "clean_rows" -> DeltaTable.read(spark, p("substrclean-out")).count()))
     }
 
     // -------- maxFilesPerTrigger admission over the 1M-event table --

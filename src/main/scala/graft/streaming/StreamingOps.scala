@@ -217,26 +217,172 @@ object StreamingOps {
     * expresses.
     *
     * A long-running pipeline accumulates one staged dir per batch and
-    * the corpus read becomes a widening union; the compaction path is
-    * the same one the batch indexes use — rebuild the seed index from
-    * the current corpus snapshot and clear the staging root (listing
-    * by batchId makes the swap a drop-in: new batches keep staging
-    * against the compacted seed). */
-  /** The staged per-batch dirs under an ingest pipeline's staging
-    * root, ids < `before` only (so a replaying batch never reads its
-    * own half-staged attempt as corpus), ascending. */
-  private def batchDirs(root: java.nio.file.Path, before: Long): Seq[String] =
-    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    * the corpus read becomes a widening union; [[compactStagedState]]
+    * folds the committed batch dirs into one compact dir between
+    * restarts — O(staged bytes), results bit-identical, the stream
+    * resumes on its original checkpoint (round 16; the former path —
+    * rebuild the seed index from a corpus snapshot and clear the
+    * staging root wholesale — was O(corpus) and remains legal but is
+    * no longer the maintenance default). */
+  /** (compact ids, batch ids) currently present under a staging root.
+    * Names that don't parse (a compactor's in-flight `compact-N.tmp`,
+    * the `_drift` metric dir, the `_graft_checkpoint` stamp) are
+    * skipped — the listing degrades to the state it can read. */
+  private def stagedIds(root: java.nio.file.Path): (Seq[Long], Seq[Long]) =
+    if (!java.nio.file.Files.isDirectory(root)) (Seq.empty, Seq.empty)
     else {
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator.asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("batch-") =>
-          n.stripPrefix("batch-").toLong }
-        .filter(_ < before).toSeq.sorted
-        .map(i => root.resolve(s"batch-$i").toString)
-    } finally s.close()
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        val names = s.iterator.asScala.map(_.getFileName.toString).toSeq
+        def ids(prefix: String): Seq[Long] = names
+          .filter(_.startsWith(prefix))
+          .flatMap(_.stripPrefix(prefix).toLongOption).sorted
+        (ids("compact-"), ids("batch-"))
+      } finally s.close()
+    }
+
+  /** The staged state dirs an ingest batch may read as corpus: the
+    * highest compact dir (holding every batch id <= its own — see
+    * [[compactStagedState]]) plus the per-batch dirs above it, ids <
+    * `before` only (so a replaying batch never reads its own
+    * half-staged attempt as corpus), ascending. Batch dirs at or below
+    * the compact id are SUBSUMED (a replayed batch re-staging a dir
+    * the compactor already folded) and are skipped, never
+    * double-counted. A compact dir at or above `before` is a CONTRACT
+    * VIOLATION — compaction folded a batch that could still replay
+    * (it ran against a live stream, or folded the newest batch) — and
+    * fails loudly rather than silently serving the replaying batch a
+    * corpus containing its own rows. */
+  private def batchDirs(root: java.nio.file.Path, before: Long): Seq[String] = {
+    val (compacts, batches) = stagedIds(root)
+    val c = compacts.lastOption
+    c.filter(_ >= before).foreach { cid =>
+      throw new IllegalStateException(
+        s"stage root $root holds compact-$cid but batch $before is " +
+          "replaying: compaction must only fold batches that can no " +
+          "longer replay (run it on a STOPPED stream; it always leaves " +
+          "the newest staged batch unfolded)")
+    }
+    val compactDir = c.map(i => root.resolve(s"compact-$i").toString).toSeq
+    compactDir ++ batches
+      .filter(i => i > c.getOrElse(-1L) && i < before)
+      .map(i => root.resolve(s"batch-$i").toString)
+  }
+
+  /** INCREMENTAL STAGED-STATE COMPACTION (round 16) — retires the
+    * "clear the staging root wholesale + rebuild the seed index"
+    * maintenance path, the last O(corpus) operation in the streaming
+    * ingest family. Folds every fully-committed staged batch dir,
+    * together with any previous compact dir, into ONE
+    * `compact-<maxFoldedId>` dir under the same staging root, in one
+    * pass over the STAGED state only: cost is O(bytes staged since
+    * the last compaction), never O(seed corpus), and afterwards each
+    * micro-batch's corpus plan folds ONE compact read plus the
+    * few batches staged since — lineage stops growing with total
+    * batch count (the round-15 verdict's O(#batches)-per-micro-batch
+    * finding at `StreamingOps` corpus folds).
+    *
+    * Safety rules, in order of importance:
+    *   - The NEWEST staged batch is never folded. It is the only
+    *     batch Structured Streaming can replay after a crash/restart
+    *     (offsets written, commit missing); a replay of batch M reads
+    *     corpus `ids < M`, which after folding M would be
+    *     unreconstructable — and reading the compact dir instead
+    *     would hand M its own rows as corpus. Leaving it out keeps a
+    *     replay's corpus BIT-IDENTICAL to its original run's.
+    *   - Run against a STOPPED stream (the restart boundary is the
+    *     natural compaction point). [[batchDirs]] fails loudly if a
+    *     live batch ever observes a compact id at/above itself.
+    *   - Crash-safe: the union is written to `compact-<id>.tmp` and
+    *     atomically renamed before the folded dirs are deleted. A
+    *     crash in between leaves overlapping state that readers
+    *     resolve deterministically (highest compact wins, batch ids
+    *     <= it are subsumed) and the next compaction retires.
+    *   - The `_graft_checkpoint` identity stamp, the `_drift` metric
+    *     log, and the checkpoint itself are untouched — the stream
+    *     restarts on its original checkpoint and simply finds fewer,
+    *     bigger corpus dirs.
+    *
+    * The SEED index is deliberately not the merge target (the
+    * wholesale path rebuilt it): the staged memos under Scratch are
+    * session-lifetime caches keyed on the seed corpus's content
+    * fingerprint — folding mutable stream state into them would break
+    * the fingerprint contract and corrupt every OTHER consumer of the
+    * seed index (the batch q31/q32/q36 family reads the same memo).
+    * The compact dir plays the same role durably: the serving corpus
+    * is seed ∪ compact ∪ recent batches, associative for every
+    * pipeline's staged payload (shingle arrays, SQ8 codes, media
+    * fingerprints, window-hash sets, cell assignments — all sets
+    * under union; `distinct()` on the fold keeps the hash-set
+    * pipelines minimal and is a no-op for the id-keyed ones).
+    * Semantic labels need no folding at all: the labels delta table
+    * IS the standing index (the staged dirs only carry cell
+    * assignments for pairing).
+    *
+    * Returns the new compact id, or None when fewer than two dirs are
+    * foldable (compacting one dir into one dir buys no lineage).
+    * Idempotent: a second call with no new batches is a no-op. */
+  def compactStagedState(spark: SparkSession, stageRoot: String)
+      : Option[Long] = {
+    val root = java.nio.file.Paths.get(stageRoot)
+    val (compacts, batches) = stagedIds(root)
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally w.close()
+    }
+    val cMax = compacts.lastOption.getOrElse(-1L)
+    // batches newer than the highest compact, oldest-excluded-last:
+    // everything here except the newest is foldable
+    val live = batches.filter(_ > cMax).dropRight(1)
+    if (live.isEmpty || (compacts.isEmpty && live.size < 2)) {
+      // nothing worth a fold pass; still retire crash leftovers (a
+      // lower compact or subsumed batch dirs a previous compaction
+      // crashed before deleting — the highest compact subsumes them)
+      (compacts.dropRight(1).map(i => root.resolve(s"compact-$i")) ++
+        batches.filter(_ <= cMax).map(i => root.resolve(s"batch-$i")))
+        .foreach(deleteTree)
+      return None
+    }
+    val foldDirs =
+      compacts.lastOption.map(i => root.resolve(s"compact-$i").toString).toSeq ++
+        live.map(i => root.resolve(s"batch-$i").toString)
+    val newId = live.max
+    val tmp = root.resolve(s"compact-$newId.tmp")
+    val dst = root.resolve(s"compact-$newId")
+    val folded = spark.read.parquet(foldDirs: _*).distinct()
+    // Two encoding-locality repairs, both measured on the round-16
+    // sf1 rehearsal where the naive distinct().write cost sq8 ~2x in
+    // compact bytes vs the parts it folded:
+    //  - size the output to ~128 MB files (the fold is maintenance,
+    //    not a query — 32 shuffle-partition files each pay their own
+    //    parquet dictionary/footer, which dominates at MB-scale
+    //    staged state and still wastes at TB scale);
+    //  - partition-local sort on the leading columns to restore the
+    //    key-ordered runs the per-batch writers emit (RLE/dict pages
+    //    compress runs, the distinct shuffle scatters them). Neither
+    //    adds an exchange.
+    val foldBytes = foldDirs.map(d => {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try w.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size).sum
+      finally w.close()
+    }).sum
+    val nFiles = math.max(1L, foldBytes / (128L << 20) + 1L).toInt
+    val keys = folded.columns.take(2).map(col)
+    folded.coalesce(nFiles).sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // delete the folded dirs (and any stale subsumed ones) only AFTER
+    // the rename landed — the only non-atomic window leaves extra
+    // subsumed dirs, which readers already ignore
+    (compacts.map(i => root.resolve(s"compact-$i")) ++
+      batches.filter(_ <= newId).map(i => root.resolve(s"batch-$i")))
+      .foreach(deleteTree)
+    Some(newId)
   }
 
   /** Guard the staging root against a checkpoint swap (round-6
@@ -249,9 +395,10 @@ object StreamingOps {
     * metadata id, stable across restarts); any id mismatch, and any
     * staged batches of unknown provenance, fail loudly BEFORE the
     * stream starts. An EMPTY staging root under a live checkpoint
-    * stays legal on purpose — that is the documented compaction path
+    * stays legal on purpose — the legacy wholesale-compaction path
     * (seed index rebuilt from the current snapshot, staging cleared)
-    * — and is restamped on start. */
+    * — and is restamped on start; [[compactStagedState]]'s compact
+    * dirs carry the SAME stamp and validate like staged batches. */
   private def validateStageRoot(root: java.nio.file.Path,
       ckptDir: String, staged: Boolean): Unit = {
     val marker = root.resolve("_graft_checkpoint")
@@ -504,8 +651,9 @@ object StreamingOps {
     * dirs rediscovered by listing), and the staging root carries the
     * same checkpoint-identity stamp as the near-dup pipeline: a
     * checkpoint reset cannot silently pair with stale staged codes.
-    * Compaction path: rebuild the seed index from the current corpus
-    * snapshot, clear the staging root wholesale, restart. */
+    * Compaction path: [[compactStagedState]] between restarts folds
+    * the committed code dirs into one compact dir in O(staged bytes)
+    * — [[sqServingRecon]] reads compact ∪ recent batches unchanged. */
   def sqIngestPipeline(spark: SparkSession, seedDir: String,
       srcTable: String, codesTable: String, ckptDir: String,
       stageRoot: String)

@@ -780,6 +780,97 @@ class StreamingSpec extends SparkSpec {
       assert(fileMtime(f) === m, s"seed index file rewritten: $f") }
   }
 
+  test("staged-state compaction: results unchanged across a mid-stream " +
+      "compaction + restart, lineage collapses to one compact dir, " +
+      "stamp preserved, idempotent") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-compact")
+    val (src, pairs, ckpt, stage) =
+      (s"$base/src", s"$base/pairs", s"$base/ckpt", s"$base/stage")
+    val seedDir = s"$base/seed"
+    val baseText = "the quick brown fox jumps over the lazy dog near the " +
+      "old river bank while morning light filters through tall green " +
+      "trees onto the quiet path"
+    val novel = "novel content sharing no phrasing with anything already indexed"
+    val other = "entirely separate passage describing watermarks state " +
+      "stores and checkpoint recovery in structured streaming pipelines"
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    Seq(doc(0, baseText), doc(1, other))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$seedDir/documents.parquet")
+    def appendDocs(rows: (Long, String)*): Unit = rows.toSeq
+      .map { case (i, t) => doc(i, t) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.format("graft-delta").mode("append").save(src)
+    def pairRows() = spark.read.format("graft-delta").load(pairs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stagedNames() = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("batch-") || n.startsWith("compact-"))
+          .toSeq.sorted
+      } finally s.close()
+    }
+    // three batches, one per processAllAvailable drain
+    appendDocs(100L -> (baseText + " tonight"), 101L -> novel)
+    val q1 = StreamingOps.nearDupIngestPipeline(
+      spark, seedDir, src, pairs, ckpt, stage)
+    q1.processAllAvailable()
+    appendDocs(200L -> (novel + " tonight"))
+    q1.processAllAvailable()
+    appendDocs(201L -> (other + " indeed"))
+    q1.processAllAvailable()
+    q1.stop()
+    val before = pairRows()
+    assert(stagedNames() === Seq("batch-0", "batch-1", "batch-2"))
+    val stamp = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stage, "_graft_checkpoint")).toSeq
+    // fold batches 0+1; the newest (2) must stay out — it is the only
+    // one a restart could replay
+    assert(StreamingOps.compactStagedState(spark, stage) === Some(1L))
+    assert(stagedNames() === Seq("batch-2", "compact-1"))
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stage, "_graft_checkpoint")).toSeq === stamp,
+      "compaction must preserve the checkpoint-identity stamp")
+    // compact content == the union of what batches 0+1 staged
+    val compacted = spark.read.parquet(s"$stage/compact-1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(compacted === Set(100L, 101L, 200L))
+    // idempotent: nothing new to fold
+    assert(StreamingOps.compactStagedState(spark, stage) === None)
+    assert(stagedNames() === Seq("batch-2", "compact-1"))
+    // restart on the SAME checkpoint; batch 3 near-dups docs from the
+    // seed, a COMPACTED batch, and the out-of-fold batch — all three
+    // corpus layers must serve
+    appendDocs(300L -> (novel + " tonight again"),
+      301L -> (other + " indeed truly"))
+    val q2 = StreamingOps.nearDupIngestPipeline(
+      spark, seedDir, src, pairs, ckpt, stage)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = pairRows()
+    assert(before.subsetOf(got), "compaction must not lose prior pairs")
+    // ground truth: the same batch recompute the uncompacted test pins
+    val combined = s"$base/combined"
+    spark.read.parquet(s"$seedDir/documents.parquet")
+      .unionByName(spark.read.format("graft-delta").load(src))
+      .write.parquet(s"$combined/documents.parquet")
+    val expected = DedupOps.q31NgramJaccard(spark, combined)
+      .filter(col("doc_b") >= 100L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"compaction changed results: got=$got want=$expected")
+    // a second compaction folds compact-1 + batch-2, keeps the newest
+    // batch-3 out (the replay-safety rule, every time)
+    assert(StreamingOps.compactStagedState(spark, stage) === Some(2L))
+    assert(stagedNames() === Seq("batch-3", "compact-2"))
+  }
+
   test("streaming exact-substring dedup: batch spans == the batch q131 " +
       "recompute on streamed docs, exactly-once across restarts") {
     import graft.operators.DedupOps
@@ -1135,6 +1226,11 @@ class StreamingSpec extends SparkSpec {
     val after2 = labelRows().toMap
     assert(after2(101L) === 101L && after2(200L) === 101L,
       s"prior-batch pair must form a new cluster: $after2")
+    // compact the staged cell assignments at the restart boundary
+    // (batches 0+1 exist; 1 stays out as the newest) — the restarted
+    // stream must read compact ∪ recent and produce IDENTICAL labels
+    assert(StreamingOps.compactStagedState(spark, stage) === None,
+      "one foldable batch and no compact: folding buys no lineage")
     // kill/restart on the same checkpoint; batch 3 merges the two
     // standing seed clusters THROUGH the restart
     appendVecs(b3)
@@ -1174,6 +1270,22 @@ class StreamingSpec extends SparkSpec {
     val want = parent.keys.map(k => k -> find(k)).toMap
     assert(got.toMap === want,
       s"streaming labels != from-scratch clustering: got=${got.toMap} want=$want")
+    // REAL compaction now (batches 0/1/2 staged → fold 0+1, keep 2)
+    // and one more batch through a restart: the pipeline must pair
+    // against compact ∪ recent and land the identical labels a
+    // never-compacted run would
+    assert(StreamingOps.compactStagedState(spark, stage) === Some(1L))
+    val b4 = Seq(400L -> v(0, 0, 0, 0, 0, 0, 0.02, 0.998)) // joins {101,200}
+    appendVecs(b4)
+    val q3 = StreamingOps.semanticIngestPipeline(
+      spark, seedDir, src, labelsT, ckpt, stage)
+    q3.processAllAvailable()
+    q3.stop()
+    val got2 = labelRows().toMap
+    assert(got2(400L) === 101L,
+      s"post-compaction batch must join the prior-batch cluster: $got2")
+    assert(got2 === want + (400L -> 101L),
+      s"compaction changed standing labels: got=$got2")
   }
 
   test("maintenance rehearsal e2e: drifting stream trips the cue, the " +
