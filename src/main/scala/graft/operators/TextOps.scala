@@ -857,15 +857,24 @@ object TextOps {
     * percentile of the sf0.01 corpus; a deployment tunes per corpus). */
   private[graft] val ModelScoreBar = -90L
 
-  /** Per-document integer model score: the q49 hashed feature vector
-    * dotted with [[ModelWeights]], computed as ONE row-local token
-    * fold — the dot product distributes over the per-token sum
+  /** Per-document integer model score as ONE row-local token fold —
+    * the dot product distributes over the per-token sum
     * (Σ_d feat_d·w_d = Σ_tok sign(tok)·w[dim(tok)]), so no 16-row
-    * intermediate, no groupBy, no join: the whole scorer rides in the
-    * scan projection (EventTextSpec pins equality with the composed
-    * q49-features-then-dot route). Arithmetic is q49's exactly: 60-bit
-    * md5 token hash h, dim = h % 16, sign = ((h div 16) % 2)·2−1 —
-    * shiftright(h,4) == h div 16 for the non-negative h. */
+    * intermediate, no groupBy, no join. Used by the q137 funnel,
+    * whose one-labeled-projection shape can't host an explode; the
+    * STANDALONE q147 uses the codegen'd explode route instead —
+    * Spark's higher-order ArrayTransform/ArrayAggregate lambdas
+    * evaluate interpreted, and at the sf1 rehearsal this fold booked
+    * 12.7 s standalone over 50k docs where the explode form books
+    * 3.1 s (the PlanSpec-scaladoc lesson: interpreted lambdas severed
+    * q31/q32's hot paths in round 1 too). Inside q137 the fold rides
+    * a projection that is a small fraction of the funnel's cost
+    * (sf1 serve 3.4 s on a 2.5× corpus) and buys keeping the funnel's
+    * single-pass shape. EventTextSpec pins fold == explode == the
+    * composed q49-features-then-dot route. Arithmetic is q49's
+    * exactly: 60-bit md5 token hash h, dim = h % 16,
+    * sign = ((h div 16) % 2)·2−1 — shiftright(h,4) == h div 16 for
+    * the non-negative h. */
   private[graft] def modelScore(text: Column): Column = {
     val w = array(ModelWeights.map(v => lit(v.toLong)): _*)
     aggregate(
@@ -885,22 +894,35 @@ object TextOps {
     * broadcast-able weight vector ([[ModelWeights]], a 16-int literal
     * — the degenerate broadcast) → sigmoid probability → keep band.
     *
-    * 100 TB shape: ONE codegen'd scan projection — the token fold IS
-    * the dot product (see [[modelScore]]), the sigmoid is scalar math
-    * on the folded integer, and nothing shuffles but the oracle's
-    * ORDER BY. The integer score is exact cross-engine; the sigmoid is
-    * informational (rounded to 4, ~8 orders of magnitude from any
-    * rounding midpoint for integer scores — verified over the full
-    * fixture score range) while the BAND cut compares integers, so
-    * the keep decision can never float-flip. */
-  val q147ModelQuality: Q = (spark, dir) =>
+    * 100 TB shape: q49's codegen'd explode kernel (one md5 per token,
+    * whole-stage codegen end to end — measured 4× over the row-local
+    * interpreted-lambda fold at sf1: 3.1 vs 12.7 s over 50k docs, see
+    * [[modelScore]]) feeding ONE
+    * partial-combining hash agg; tokens of a doc sit in the doc's own
+    * scan partition, so the map-side partial collapses to one row per
+    * doc before the exchange — the shuffle carries |docs| rows, not
+    * |tokens|. The sigmoid is scalar math on the folded integer
+    * (informational, rounded to 4 — ~8 orders of magnitude from any
+    * rounding midpoint for integer scores, verified over the fixture
+    * score range); the BAND cut compares exact integers, so the keep
+    * decision can never float-flip. */
+  val q147ModelQuality: Q = (spark, dir) => {
+    val w = array(ModelWeights.map(v => lit(v.toLong)): _*)
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), modelScore(col("text")).as("score"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"),
+        (((shiftright(col("h"), 4) % 2) * 2 - 1) *
+          element_at(w, (col("h") % 16).cast("int") + 1)).as("sw"))
+      .groupBy("doc_id")
+      .agg(sum(col("sw")).as("score"))
       .select(col("doc_id"), col("score"),
         round(lit(1.0) / (lit(1.0) + exp(-col("score") / lit(50.0))), 4)
           .as("prob"),
         (col("score") >= lit(ModelScoreBar)).as("kept"))
       .orderBy("doc_id")
+  }
 
   val q147Oracle: String =
     """WITH t AS (

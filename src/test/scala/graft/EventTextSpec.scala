@@ -422,13 +422,14 @@ class EventTextSpec extends SparkSpec {
       rs.map(_._3).sorted.toSeq == (1 to 15) })
   }
 
-  test("model quality (q147): the row-local token fold == the composed " +
-      "q49-features-then-dot route, and the band binds") {
+  test("model quality (q147): explode route == row-local fold == the " +
+      "composed q49-features-then-dot route, and the band binds") {
     import org.apache.spark.sql.functions._
-    // the composed route the round-15 verdict names: q49's 16-dim
-    // hashed features, dotted against the weight vector as an explicit
-    // join+agg — the fold distributes over the token sum, so the two
-    // must agree exactly on every doc (all-integer arithmetic)
+    // three formulations of the same integer dot product must agree
+    // exactly on every doc: the composed route the round-15 verdict
+    // names (q49's 16-dim hashed features joined against the weight
+    // vector), q147's codegen'd explode kernel, and the row-local
+    // interpreted fold the q137 funnel embeds (TextOps.modelScore)
     import spark.implicits._
     val w = TextOps.ModelWeights.zipWithIndex
       .map { case (v, d) => (d.toLong, v.toLong) }
@@ -438,16 +439,21 @@ class EventTextSpec extends SparkSpec {
       .groupBy("doc_id")
       .agg(sum(col("weight") * col("w")).as("score"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val folded = TextOps.queries("q147_model_quality")(spark, sf)
+    val folded = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.modelScore(col("text")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = TextOps.queries("q147_model_quality")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
-    assert(folded.nonEmpty)
-    folded.foreach { case (id, score, kept) =>
+    assert(exploded.nonEmpty)
+    exploded.foreach { case (id, score, kept) =>
       // q49 drops zero-weight dims (sparse) — absent doc means score 0
       assert(score === composed.getOrElse(id, 0L),
-        s"doc $id: fold=$score composed=${composed.get(id)}")
+        s"doc $id: explode=$score composed=${composed.get(id)}")
+      assert(score === folded(id),
+        s"doc $id: explode=$score fold=${folded(id)}")
       assert(kept === (score >= TextOps.ModelScoreBar))
     }
     // the band binds on the fixture: both classes are non-empty
-    assert(folded.exists(_._3) && folded.exists(!_._3))
+    assert(exploded.exists(_._3) && exploded.exists(!_._3))
   }
 }
