@@ -877,13 +877,19 @@ object TextOps {
     * the non-negative h. */
   private[graft] def modelScore(text: Column): Column = {
     val w = array(ModelWeights.map(v => lit(v.toLong)): _*)
-    aggregate(
-      transform(tokens(text), tok => {
-        val h = conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
-        ((shiftright(h, 4) % 2) * 2 - 1) *
-          element_at(w, (h % 16).cast("int") + 1)
-      }),
-      lit(0L), (acc, x) => acc + x)
+    // coalesce: a NULL text has no feature vector → the empty dot
+    // product is 0, same as q147's explode route and the oracle's
+    // COALESCE (q137's fixture never exposes it — too_short fires
+    // first — but the two formulations must agree on EVERY input)
+    coalesce(
+      aggregate(
+        transform(tokens(text), tok => {
+          val h = conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+          ((shiftright(h, 4) % 2) * 2 - 1) *
+            element_at(w, (h % 16).cast("int") + 1)
+        }),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
   }
 
   /** q147 — MODEL-SCORED QUALITY FILTER ([EXT], round 16): the learned
@@ -909,14 +915,19 @@ object TextOps {
   val q147ModelQuality: Q = (spark, dir) => {
     val w = array(ModelWeights.map(v => lit(v.toLong)): _*)
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      // explode_outer + null-tolerant sum: a NULL text has no feature
+      // vector, and the empty dot product is 0 — the doc scores
+      // sigmoid(0)=0.5 and passes the band, matching the oracle's
+      // COALESCE(list_sum(...), 0) exactly (DegenerateDocsSpec pins
+      // it; a bare explode would silently DROP the row instead)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
       .select(col("doc_id"),
         (((shiftright(col("h"), 4) % 2) * 2 - 1) *
           element_at(w, (col("h") % 16).cast("int") + 1)).as("sw"))
       .groupBy("doc_id")
-      .agg(sum(col("sw")).as("score"))
+      .agg(coalesce(sum(col("sw")), lit(0L)).as("score"))
       .select(col("doc_id"), col("score"),
         round(lit(1.0) / (lit(1.0) + exp(-col("score") / lit(50.0))), 4)
           .as("prob"),

@@ -250,4 +250,40 @@ class DegenerateDocsSpec extends SparkSpec {
     assert(inc.toSet === Set((3L, 3L, true), (9L, 3L, false)),
       s"got ${inc.toSeq}")
   }
+
+  test("model quality (q147): every degenerate doc scores — null text " +
+      "is the empty dot product (0, kept), never a dropped row") {
+    val rows = TextOps.queries("q147_model_quality")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    // one output row per input doc — explode_outer keeps null-text
+    // docs where a bare explode would silently drop them
+    assert(rows.keySet === (0L to 7L).toSet, s"got ${rows.keySet}")
+    // null text: no feature vector → score 0 → sigmoid 0.5 → kept
+    assert(rows(0L) === ((0L, 0.5, true)) && rows(5L) === ((0L, 0.5, true)))
+    // twins score identically; the fold formulation agrees on ALL
+    // degenerate classes (the q137 embedding of the same arithmetic)
+    assert(rows(6L) === rows(7L))
+    val folded = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextOps.modelScore(org.apache.spark.sql.functions.col("text"))
+          .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, (score, _, _)) =>
+      assert(folded(id) === score, s"doc $id: fold=${folded(id)} vs $score")
+    }
+  }
+
+  test("url dedup (q148): text-independent synthesis — null/blank docs " +
+      "group like any other, conservation holds") {
+    val out = DedupOps.queries("q148_url_dedup")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sum === 8L, s"all 8 docs must land: ${out.toSeq}")
+    // docs 0-4 share page 0: variants v0..v4 → canonical groups of 3
+    // (bare) and 2 (?id=0); docs 5-7 are page 1 v0/v1/v2 → one group
+    val byUrl = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byUrl("http://site0.example.com/doc/0") === ((0L, 3L)))
+    assert(byUrl("http://site0.example.com/doc/0?id=0") === ((3L, 2L)))
+    assert(byUrl("http://site1.example.com/doc/1") === ((5L, 3L)))
+  }
 }
