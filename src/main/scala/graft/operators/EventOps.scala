@@ -161,6 +161,60 @@ object EventOps {
       |  TRUE AS hll_within_2sd
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q150 — EVENT BURST DETECTION ([EXT], round 16): per-type daily
+    * z-scores over the event stream — the ingest-monitoring analytic
+    * a continuously-fed training-data lake runs beside its pipelines
+    * (a crawler source going hot, a bot flood, a dead feed all show
+    * up as |z| spikes on per-type volume long before they poison
+    * downstream dedup/mixing stats). Two-level shape: the q50-style
+    * day×type hash rollup REDUCES the stream to |days|×|types| rows
+    * (the only pass over raw events — partial+final agg, one
+    * exchange), then mean/stddev ride a whole-partition window over
+    * that tiny relation; at 100 TB the window input is still
+    * thousands of rows. Determinism: counts are exact integers; the
+    * z-score is ROUNDed to 4 (double fold noise ~1e-15 rel, the q44
+    * precedent) and the burst flag compares the ROUNDED score (q35's
+    * rank-on-the-rounded-value discipline), so the boolean cannot
+    * float-flip between engines; a zero/undefined stddev (constant or
+    * singleton type) pins z to 0 by CASE in both engines. */
+  val q150BurstDetection: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+    daily
+      .withColumn("mu", avg(col("n_events")).over(w))
+      .withColumn("sigma",
+        coalesce(stddev(col("n_events")).over(w), lit(0.0)))
+      .withColumn("z_score",
+        round(when(col("sigma") === 0.0, lit(0.0))
+          .otherwise((col("n_events") - col("mu")) / col("sigma")), 4))
+      .select(col("event_type"), col("day_epoch"), col("n_events"),
+        col("z_score"), (abs(col("z_score")) > 2.0).as("is_burst"))
+      .orderBy("event_type", "day_epoch")
+  }
+
+  val q150Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS day_epoch,
+      |    event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type, day_epoch, n_events,
+      |    ROUND(CASE
+      |      WHEN COALESCE(STDDEV(n_events) OVER (PARTITION BY event_type), 0) = 0
+      |        THEN 0
+      |      ELSE (n_events - AVG(n_events) OVER (PARTITION BY event_type))
+      |           / STDDEV(n_events) OVER (PARTITION BY event_type)
+      |      END, 4) AS z_score
+      |  FROM daily)
+      |SELECT event_type, day_epoch, n_events, z_score,
+      |  ABS(z_score) > 2.0 AS is_burst
+      |FROM z ORDER BY event_type, day_epoch""".stripMargin
+
   /** q54 — AS-OF JOIN: for every purchase, the user's latest click
     * strictly before it (attribution's core primitive; DuckDB ships it
     * as a dedicated `ASOF JOIN` operator). Spark-first formulation:
@@ -497,7 +551,8 @@ object EventOps {
     "q50_hourly_rollup" -> q50HourlyRollup,
     "q51_sessionize" -> q51Sessionize,
     "q52_daily_top_user" -> q52DailyTopUser,
-    "q53_approx_users" -> q53ApproxUsers)
+    "q53_approx_users" -> q53ApproxUsers,
+    "q150_burst_detection" -> q150BurstDetection)
 
   val oracles: Map[String, String] = Map(
     "q118_funnel" -> q118Oracle,
@@ -509,5 +564,6 @@ object EventOps {
     "q50_hourly_rollup" -> q50Oracle,
     "q51_sessionize" -> q51Oracle,
     "q52_daily_top_user" -> q52Oracle,
-    "q53_approx_users" -> q53Oracle)
+    "q53_approx_users" -> q53Oracle,
+    "q150_burst_detection" -> q150Oracle)
 }

@@ -323,6 +323,21 @@ object StreamingOps {
     * Returns the new compact id, or None when fewer than two dirs are
     * foldable (compacting one dir into one dir buys no lineage).
     * Idempotent: a second call with no new batches is a no-op. */
+  /** The BETWEEN-restarts compaction cue, the [[sustainedDrift]]
+    * pattern applied to lineage: true when the staging root holds
+    * more than `maxDirs` corpus dirs a micro-batch would have to read
+    * (highest compact + live batches). The operator's play on true:
+    * stop the stream at its next natural restart point, run
+    * [[compactStagedState]], restart — results are bit-identical
+    * (StreamingSpec) and the per-batch corpus plan folds back to
+    * one compact read + the recent batches. Kept OUT of foreachBatch
+    * on purpose, like the IVF rebuild: a Spark job inside the
+    * micro-batch would stall ingest, and the fold needs the stopped-
+    * stream replay-safety contract. */
+  def shouldCompact(stageRoot: String, maxDirs: Int = 8): Boolean =
+    batchDirs(java.nio.file.Paths.get(stageRoot), Long.MaxValue)
+      .size > maxDirs
+
   def compactStagedState(spark: SparkSession, stageRoot: String)
       : Option[Long] = {
     val root = java.nio.file.Paths.get(stageRoot)

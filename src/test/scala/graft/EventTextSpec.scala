@@ -95,6 +95,47 @@ class EventTextSpec extends SparkSpec {
       "q51's floored-seconds gap must merge both users")
   }
 
+  test("burst detection (q150): a constructed spike flags, steady and " +
+      "singleton series never do, zero-variance pins z to 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    // 'click': 9 quiet days of 2 events + day 10 with 20 (the burst);
+    // 'view': constant 3/day (stddev 0 → z 0 everywhere);
+    // 'ping': a single day (stddev undefined → z 0)
+    val rows = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    var id = 0L
+    for (d <- 1 to 9; k <- 1 to 2) {
+      rows += ((id, ts(f"2024-01-0$d%01d 10:0$k%01d:00".take(19)), 1L,
+        "click", 1.0, "{}")); id += 1
+    }
+    for (k <- 0 until 20) {
+      rows += ((id, ts(f"2024-01-10 10:${k}%02d:00"), 1L, "click", 1.0,
+        "{}")); id += 1
+    }
+    for (d <- 1 to 9; k <- 1 to 3) {
+      rows += ((id, ts(f"2024-01-0$d%01d 11:0$k%01d:00".take(19)), 2L,
+        "view", 1.0, "{}")); id += 1
+    }
+    rows += ((id, ts("2024-01-05 12:00:00"), 3L, "ping", 1.0, "{}"))
+    rows.result().toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir/events.parquet")
+    val out = EventOps.queries("q150_burst_detection")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val day10 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      .getTime / 1000
+    // the spike day flags; its z matches the hand computation
+    val (n, z, burst) = out(("click", day10))
+    assert(n === 20L && burst, s"spike must flag: $z")
+    // every quiet click day is below the bar (9×2 + 1×20: z ≈ -0.316)
+    assert(out.count { case ((t, _), (_, _, b)) => t == "click" && b } === 1)
+    // constant series: z exactly 0, never flagged
+    assert(out.filter(_._1._1 == "view").values
+      .forall { case (_, zz, b) => zz === 0.0 && !b })
+    // singleton series: stddev undefined → z pinned to 0
+    assert(out.filter(_._1._1 == "ping").values.toSeq ===
+      Seq((1L, 0.0, false)))
+  }
+
   test("approx distinct users tracks exact within HLL++ error (q53 bound)") {
     import org.apache.spark.sql.functions._
     // the PRODUCTION one-pass shape (HLL in the same exchange as the

@@ -829,9 +829,14 @@ class StreamingSpec extends SparkSpec {
     assert(stagedNames() === Seq("batch-0", "batch-1", "batch-2"))
     val stamp = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(stage, "_graft_checkpoint")).toSeq
+    // the operator cue fires on lineage, like sustainedDrift on drift
+    assert(StreamingOps.shouldCompact(stage, maxDirs = 2))
+    assert(!StreamingOps.shouldCompact(stage, maxDirs = 3))
     // fold batches 0+1; the newest (2) must stay out — it is the only
     // one a restart could replay
     assert(StreamingOps.compactStagedState(spark, stage) === Some(1L))
+    assert(!StreamingOps.shouldCompact(stage, maxDirs = 2),
+      "post-fold lineage is compact + newest = 2 dirs")
     assert(stagedNames() === Seq("batch-2", "compact-1"))
     assert(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(stage, "_graft_checkpoint")).toSeq === stamp,
