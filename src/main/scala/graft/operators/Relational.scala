@@ -704,6 +704,40 @@ object Relational {
       |GROUP BY CUBE (c_mktsegment, nation_band)
       |ORDER BY g_seg, g_band, c_mktsegment, nation_band""".stripMargin
 
+  /** q151 — explicit GROUPING SETS ([EXT], round 16): completes the
+    * grouping-variants trio (q18 ROLLUP = the hierarchical prefix
+    * chain, q96 CUBE = the full lattice) with the one shape only
+    * GROUPING SETS can express — a NON-hierarchical selection: two
+    * independent one-dimensional summaries (per returnflag, per
+    * linestatus) out of ONE pass over the fact table, the classic
+    * report-page pattern that would otherwise cost two scans + a
+    * union. Plans as a single Expand (×2) into one partial+final hash
+    * aggregate — same shuffle count as either summary alone. Grouping
+    * flags lead the ORDER BY (q96's NULLS FIRST/LAST lesson: the
+    * flags partition the null classes, so key nullability can never
+    * reorder across engines); the quantity sum is the exact-decimal
+    * moneySum. */
+  val q151GroupingSets: Q = (spark, dir) =>
+    graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+
+  val q151Oracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
   /** q97 — pivot ([EXT]): order counts per (month-of-year, status)
     * with statuses as columns — `groupBy.pivot` compiles to the same
     * conditional-aggregation hash agg the SQL CASE formulation uses
@@ -918,6 +952,7 @@ object Relational {
     "q99_datetime" -> q99DateTime,
     "q95_window_suite" -> q95WindowSuite,
     "q96_cube" -> q96Cube,
+    "q151_grouping_sets" -> q151GroupingSets,
     "q97_pivot" -> q97Pivot,
     "q98_set_ops" -> q98SetOps,
     "q93_semi_anti_join" -> q93SemiAntiJoin,
@@ -953,6 +988,7 @@ object Relational {
     "q99_datetime" -> q99Oracle,
     "q95_window_suite" -> q95Oracle,
     "q96_cube" -> q96Oracle,
+    "q151_grouping_sets" -> q151Oracle,
     "q97_pivot" -> q97Oracle,
     "q98_set_ops" -> q98Oracle,
     "q93_semi_anti_join" -> q93Oracle,

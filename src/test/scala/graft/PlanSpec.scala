@@ -47,7 +47,17 @@ class PlanSpec extends SparkSpec {
         graft.operators.MultimodalOps.queries("q143_temporal_neardup"),
       "q145_unicode_dedup" -> DedupOps.queries("q145_unicode_dedup"),
       "q146_centroid_outliers" ->
-        SimilarityOps.queries("q146_centroid_outliers"))
+        SimilarityOps.queries("q146_centroid_outliers"),
+      // round 16: the explode-route scorer must STAY codegen'd — its
+      // first formulation (HOF fold) was an interpreted-lambda 4x
+      // regression the sf1 rehearsal caught; q149's 8-way join spine
+      // guards the widest reorder. (q148 is deliberately absent: its
+      // utm-param filter is a row-local ArrayFilter lambda over a
+      // handful of query params — interpreted by design and benched
+      // linear at sf1.)
+      "q147_model_quality" ->
+        graft.operators.TextOps.queries("q147_model_quality"),
+      "q149_tpch_q8" -> Relational.queries("q149_tpch_q8"))
     for ((name, q) <- hot) {
       val p = plan(q(spark, sf))
       val fb = fallbacks(p)
