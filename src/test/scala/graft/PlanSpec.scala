@@ -135,6 +135,11 @@ class PlanSpec extends SparkSpec {
     val cube = plan(Relational.queries("q96_cube")(spark, sf)).toString
     assert(cube.contains("Expand") && cube.contains("HashAggregate"),
       s"CUBE should plan as Expand + hash aggregate:\n$cube")
+    val gs = plan(Relational.queries("q151_grouping_sets")(spark, sf))
+      .toString
+    assert(gs.contains("Expand") && gs.contains("HashAggregate"),
+      s"GROUPING SETS should plan as one Expand + hash aggregate " +
+        s"(one fact pass for both summaries):\n$gs")
     val sw = plan(EventOps.queries("q57_session_window")(spark, sf)).toString
     assert(sw.contains("SessionWindow") || sw.contains("session_window"),
       s"q57 should plan the native session-window operator:\n$sw")
