@@ -907,6 +907,94 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING BURST ALERTS — the online twin of the batch q150
+    * ([[graft.operators.EventOps.q150BurstDetection]]): tail a
+    * graft-delta events table, roll it into watermark-FINALIZED daily
+    * per-type counts (append-mode day windows — each day emits exactly
+    * once, when the watermark passes its end), and score every
+    * finalized day against the running per-type Welford state of all
+    * PRIOR days: z = (n − mean_prior)/std_prior, |z| > 2 alerts. The
+    * one semantic divergence from batch q150 is deliberate and
+    * documented: the batch form normalizes against GLOBAL stats (it
+    * can see the whole history), the stream against the PREFIX — the
+    * only stats an online monitor can possess; a type's first two
+    * days score z = 0 (std undefined). StreamingSpec pins alerts ==
+    * a driver-side prefix-Welford recompute in day order, plus
+    * exactly-once across a kill/restart.
+    *
+    * Shapes: the ONLY event-scale work is the windowed rollup (state
+    * = one row per open day×type, bounded by the watermark). The
+    * foreachBatch fold collects aggregate-scale rows by construction
+    * — the finalized day×type windows of this trigger plus one state
+    * row per event type (a monitoring taxonomy, not a data column) —
+    * the q137 bounded-collect license. Writes: alerts APPEND then
+    * state MERGE, each under its own (checkpoint, batchId)
+    * SetTransaction — a crash between them replays idempotently
+    * (alerts no-op on the ledger; the state merge recomputes from the
+    * unchanged prior state and completes). Days of one type finalize
+    * in day order because the watermark is monotonic, so the prefix
+    * fold is deterministic; multiple days finalizing in ONE trigger
+    * fold in (type, day) order. */
+  def burstAlertPipeline(spark: SparkSession, srcTable: String,
+      alertsTable: String, stateTable: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.{DeltaLog, DeltaTable}
+    spark.readStream.format("graft-delta").load(srcTable)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("day_epoch"),
+        col("event_type"), col("n_events"))
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val newDays = batch
+          .select(col("event_type"), col("day_epoch"), col("n_events"))
+          .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        if (newDays.nonEmpty) {
+          var st: Map[String, (Long, Double, Double)] =
+            if (DeltaLog.versions(stateTable).isEmpty) Map.empty
+            else DeltaTable.read(spark, stateTable)
+              .select(col("event_type"), col("n"), col("mean"), col("m2"))
+              .as[(String, Long, Double, Double)]
+              .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+          val alerts = newDays.map { case (t, day, n) =>
+            val (cn, mean, m2) = st.getOrElse(t, (0L, 0.0, 0.0))
+            val std = if (cn >= 2) math.sqrt(m2 / (cn - 1)) else 0.0
+            val z =
+              if (std == 0.0) 0.0
+              else BigDecimal((n - mean) / std)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val n1 = cn + 1
+            val d = n - mean
+            val mean1 = mean + d / n1
+            st += t -> ((n1, mean1, m2 + d * (n - mean1)))
+            (t, day, n, z, math.abs(z) > 2.0)
+          }.toSeq
+          val adf = alerts.toDF("event_type", "day_epoch", "n_events",
+            "z_score", "is_burst")
+          val amode =
+            if (DeltaLog.versions(alertsTable).isEmpty) "overwrite"
+            else "append"
+          DeltaTable.write(adf, alertsTable, amode,
+            txn = Some((s"burst:$ckptDir", batchId)))
+          val sdf = alerts.map(_._1).distinct
+            .map(t => (t, st(t)._1, st(t)._2, st(t)._3))
+            .toDF("event_type", "n", "mean", "m2")
+          if (DeltaLog.versions(stateTable).isEmpty)
+            DeltaTable.write(sdf, stateTable, "overwrite",
+              txn = Some((s"burststate:$ckptDir", batchId)))
+          else
+            DeltaTable.merge(spark, stateTable, sdf, Seq("event_type"),
+              txn = Some((s"burststate:$ckptDir", batchId)))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Emit-on-finalize sessionization: `flatMapGroupsWithState` with an
     * EVENT-TIME timeout — a session row is emitted exactly once, when
     * the watermark passes its gap horizon (start + events + 30-min gap

@@ -780,6 +780,76 @@ class StreamingSpec extends SparkSpec {
       assert(fileMtime(f) === m, s"seed index file rewritten: $f") }
   }
 
+  test("streaming burst alerts: finalized days score against the " +
+      "per-type PREFIX Welford state, spike flags, exactly-once " +
+      "across restart") {
+    import graft.sources.DeltaTable
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-burst")
+    val (src, alerts, state, ckpt) =
+      (s"$base/src", s"$base/alerts", s"$base/state", s"$base/ckpt")
+    var id = 0L
+    def dayEvents(day: Int, typ: String, n: Int): Unit = {
+      val rows = (0 until n).map { k =>
+        id += 1
+        Event(id, ts(f"2024-01-$day%02d 10:${k % 60}%02d:${k / 60}%02d"),
+          1L, typ, 1.0)
+      }
+      rows.toDF().write.format("graft-delta").mode("append").save(src)
+    }
+    def alertRows() = spark.read.format("graft-delta").load(alerts)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // days 1-4 for 'click' (2/3/2/3 events — a stable band), constant
+    // 'view' 2/day; all delivered before the stream starts so ONE
+    // batch finalizes days 1-3 when day-4 data advances the watermark
+    for (d <- 1 to 4) { dayEvents(d, "click", if (d % 2 == 1) 2 else 3)
+      dayEvents(d, "view", 2) }
+    val q1 = StreamingOps.burstAlertPipeline(spark, src, alerts, state, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    // day 5: the spike (20 click events) + day-6 filler to flush day 5
+    dayEvents(5, "click", 20); dayEvents(5, "view", 2)
+    val q2 = StreamingOps.burstAlertPipeline(spark, src, alerts, state, ckpt)
+    q2.processAllAvailable()
+    dayEvents(6, "click", 2); dayEvents(6, "view", 2)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = alertRows()
+    // driver-side ground truth: prefix Welford in day order
+    def prefixZ(counts: Seq[Long]): Seq[(Double, Boolean)] = {
+      var (cn, mean, m2) = (0L, 0.0, 0.0)
+      counts.map { n =>
+        val std = if (cn >= 2) math.sqrt(m2 / (cn - 1)) else 0.0
+        val z = if (std == 0.0) 0.0
+          else BigDecimal((n - mean) / std)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        cn += 1; val d = n - mean; mean += d / cn; m2 += d * (n - mean)
+        (z, math.abs(z) > 2.0)
+      }
+    }
+    val clickCounts = Seq(2L, 3L, 2L, 3L, 20L)
+    val wantClick = prefixZ(clickCounts)
+    for ((d, i) <- (1 to 5).zipWithIndex) {
+      val day = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+        .getTime / 1000
+      val (n, z, burst) = got(("click", day))
+      assert(n === clickCounts(i))
+      assert((z, burst) === wantClick(i),
+        s"click day $d: got ($z,$burst) want ${wantClick(i)}")
+    }
+    // the spike day is the only click alert; constant 'view' never flags
+    assert(got.count { case ((t, _), (_, _, b)) => t == "click" && b } === 1)
+    assert(got.filter(_._1._1 == "view").values.forall(v => !v._3))
+    // day 6 not finalized (watermark) → absent; no duplicate alerts
+    // across the restart (exactly-once ledgers)
+    val day6 = java.sql.Timestamp.valueOf("2024-01-06 00:00:00").getTime / 1000
+    assert(!got.contains(("click", day6)))
+    // state table: exactly one row per type, n == finalized day count
+    val st = DeltaTable.read(spark, state).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st === Map("click" -> 5L, "view" -> 5L))
+  }
+
   test("staged-state compaction: results unchanged across a mid-stream " +
       "compaction + restart, lineage collapses to one compact dir, " +
       "stamp preserved, idempotent") {
