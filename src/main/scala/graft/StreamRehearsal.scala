@@ -311,6 +311,38 @@ object StreamRehearsal {
           "clean_rows" -> DeltaTable.read(spark, p("substrclean-out")).count()))
     }
 
+    // -------- streaming burst alerts over the 1M-event table --------
+    // day-ordered arrival (a feed's real shape): 30 day-slices of the
+    // sf1 events table append one at a time; each drain finalizes the
+    // previous day's 5 type windows and scores them against the
+    // running Welford state — per-batch cost must stay flat at ~33k
+    // events/day regardless of how many days of state accrued
+    if (enabled("burst")) {
+      val events = Tables.load(spark, sfDir, "events")
+      val src = p("burst-src")
+      DeltaTable.write(events.filter(dayofmonth(col("ts")) === 1), src,
+        "overwrite")
+      val q = graft.streaming.StreamingOps.burstAlertPipeline(
+        spark, src, p("burst-alerts"), p("burst-state"), p("burst-ckpt"))
+      try {
+        q.processAllAvailable()
+        (2 to 30).foreach { d =>
+          val b = events.filter(dayofmonth(col("ts")) === d)
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val alerts = DeltaTable.read(spark, p("burst-alerts")).count()
+          println(f"""{"pipeline":"burst","batch":${d - 2},"rows":$rows,""" +
+            f""""sec":$sec%.1f,"alert_rows":$alerts}""")
+        }
+        val flagged = DeltaTable.read(spark, p("burst-alerts"))
+          .filter(col("is_burst")).count()
+        println(f"""{"pipeline":"burst","flagged_days":$flagged}""")
+      } finally q.stop()
+    }
+
     // -------- maxFilesPerTrigger admission over the 1M-event table --
     if (enabled("maxFilesPerTrigger")) {
       val events = Tables.load(spark, sfDir, "events")
