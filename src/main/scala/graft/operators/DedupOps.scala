@@ -307,6 +307,83 @@ object DedupOps {
       |  FROM documents WHERE doc_id % 4 = 2)
       |GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
+  /** q152 — CROSS-SOURCE DUPLICATION MATRIX ([EXT], round 16): the
+    * provenance report a corpus owner reads BEFORE deduping — for
+    * every pair of sources, how much exact content they share (a
+    * re-crawl that subsumes an older crawl, a mirror of a mirror, a
+    * dataset re-released under a new name: all show up as high
+    * pairwise overlap, and the answer decides which source to DROP
+    * wholesale rather than dedup row by row). The fixture's sources
+    * are disjoint by construction, so the query re-enters every
+    * doc_id % 3 == 0 doc under a synthetic 'recrawl' source and every
+    * % 5 == 0 doc under 'mirror' — two overlapping re-releases both
+    * engines replay identically (q30's injected-dups precedent).
+    *
+    * Shape at 100 TB: distinct (fingerprint, source) pairs — q30's
+    * one skew-free 16-byte-hash shuffle; the pair join is an
+    * equi-join on the fingerprint whose fan-out per fingerprint is
+    * bounded by C(|sources|, 2) (a provenance taxonomy, not a data
+    * column); per-source totals broadcast back (|sources| rows). The
+    * overlap coefficient divides exact longs and rounds to 4, so the
+    * whole matrix is hash-verified. */
+  val q152SourceOverlap: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          lit("recrawl").as("source")))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+          lit("mirror").as("source")))
+    val d = corpus
+      .select(md5(normText(col("text"))).as("fp"), col("source"))
+      .distinct()
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_fp"))
+    d.as("a")
+      .join(d.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_fp").as("n_a"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_fp").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4)
+          .as("overlap_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q152Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text, 'recrawl' FROM documents
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text, 'mirror' FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |d AS (
+      |  SELECT DISTINCT
+      |    md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+      |    source
+      |  FROM corpus),
+      |counts AS (SELECT source, COUNT(*) AS n_fp FROM d GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    COUNT(*) AS n_shared
+      |  FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_shared, ca.n_fp AS n_a, cb.n_fp AS n_b,
+      |  ROUND(n_shared / (ca.n_fp + cb.n_fp - n_shared), 4) AS overlap_jaccard
+      |FROM pairs
+      |JOIN counts ca ON ca.source = source_a
+      |JOIN counts cb ON cb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Canonical form of a URL, entirely in codegen'd string built-ins
     * (no UDF): scheme and host lowercased, a default port stripped
     * (:80 for http, :443 for https — non-default ports KEPT), trailing
@@ -2107,6 +2184,7 @@ object DedupOps {
     "q30_exact_dedup" -> q30ExactDedup,
     "q145_unicode_dedup" -> q145UnicodeDedup,
     "q148_url_dedup" -> q148UrlDedup,
+    "q152_source_overlap" -> q152SourceOverlap,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinHashLsh,
     "q33_simhash" -> q33SimHash,
@@ -2126,6 +2204,7 @@ object DedupOps {
     "q30_exact_dedup" -> q30Oracle,
     "q145_unicode_dedup" -> q145Oracle,
     "q148_url_dedup" -> q148Oracle,
+    "q152_source_overlap" -> q152Oracle,
     "q31_ngram_jaccard" -> q31Oracle,
     "q32_minhash_lsh" -> q32Oracle,
     "q33_simhash" -> q33Oracle,

@@ -679,6 +679,45 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._3).sum === nDocs)
   }
 
+  test("q152: the cross-source overlap matrix counts shared canonical " +
+      "content, not shared ids — disjoint sources never pair") {
+    import org.apache.spark.sql.functions._
+    // fixture sources are disjoint; the synthetic 'recrawl' (%3) and
+    // 'mirror' (%5) re-releases create known overlaps. Verify against
+    // first-principles set arithmetic on the corpus itself.
+    val rows = DedupOps.queries("q152_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(TextOps.normText(col("text"))).as("fp"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val fpBySrc = docs.groupBy(_._3).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recrawl = docs.filter(_._1 % 3 == 0).map(_._2).toSet
+    val mirror = docs.filter(_._1 % 5 == 0).map(_._2).toSet
+    // every original source × recrawl: shared = its own %3 fps
+    fpBySrc.foreach { case (src, fps) =>
+      val wantShared = (fps & recrawl).size.toLong
+      val got = rows.get(
+        if (src < "recrawl") (src, "recrawl") else ("recrawl", src))
+      if (wantShared == 0) assert(got.isEmpty, s"$src: $got")
+      else assert(got.get._1 === wantShared, s"$src: $got want $wantShared")
+    }
+    // mirror × recrawl: the %15 docs
+    val mr = rows(("mirror", "recrawl"))
+    assert(mr._1 === (mirror & recrawl).size.toLong)
+    assert(mr._2 === mirror.size.toLong && mr._3 === recrawl.size.toLong)
+    // jaccard recomputes from the counts, rounded
+    rows.values.foreach { case (s, na, nb, j) =>
+      assert(j === BigDecimal(s.toDouble / (na + nb - s))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // NO pair of two original (disjoint) sources appears
+    assert(rows.keys.forall { case (a, b) =>
+      Set(a, b).exists(s => s == "recrawl" || s == "mirror") })
+  }
+
   test("curation pipeline (q137): funnel conserves documents and its " +
       "stages reconcile with the standalone operators") {
     import org.apache.spark.sql.functions._
