@@ -336,9 +336,18 @@ object DedupOps {
       .unionByName(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
           lit("mirror").as("source")))
-    val d = corpus
+    // STAGE the distinct (fp, source) relation once (the q43 idiom):
+    // it feeds FOUR consumers (both self-join sides + both per-source
+    // count joins), and an unstaged plan re-executes the corpus scan +
+    // union + md5 + distinct per reference — the round-16 DevExplain
+    // showed 24 parquet scans / 28 hash aggregates. Staged, the
+    // corpus is read and fingerprinted exactly once at any scale.
+    val dPath = graft.Scratch.dir("graft-q152").resolve("d").toString
+    corpus
       .select(md5(normText(col("text"))).as("fp"), col("source"))
       .distinct()
+      .write.parquet(dPath)
+    val d = spark.read.parquet(dPath)
     val counts = d.groupBy("source").agg(count(lit(1)).as("n_fp"))
     d.as("a")
       .join(d.as("b"),
