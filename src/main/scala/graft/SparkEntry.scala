@@ -72,20 +72,28 @@ object SparkEntry {
     * real verification lives, so "no oracle" reads as a decision, not
     * a gap (the driver's correctness file otherwise records them as a
     * bare rows-only check). Exactly the `queries` keys absent from
-    * [[oracleSql]]; HarnessSpec pins the three sets consistent. */
-  def rowsOnlyByDesign: Map[String, String] = Map(
-    "q42_ann_ivf" ->
-      "approximate by construction (k-means IVF is engine-internal); verified by the recall-vs-brute-force bounds in SimilaritySpec",
-    "q126_pq_ann" ->
-      "approximate by construction (k-means PQ codebooks are engine-internal); SimilaritySpec pins ADC==reconstructed-cosine equality and recall vs exact q40",
-    "q43_cell_neardup" ->
-      "index-backed; SimilaritySpec proves output EQUALITY with the exact all-pairs q41 on both fixtures",
-    "q73_media_decode" ->
-      "exercises the documented non-SQL decode seam (mapPartitions codec stub); payload plumbing asserted in MultimodalSpec",
-    "q77_ivf_sq_ann" ->
-      "composed approximate index; recall + pushed-fetch plan bounds in SimilaritySpec/PlanSpec",
-    "q81_ivf_maintenance" ->
-      "index maintenance lifecycle (drift->rebuild->serve); flags, determinism and served-region membership pinned in SimilaritySpec",
-    "q92_percentile_approx" ->
-      "percentile_approx is spec-bounded by contract; its exact twin is hash-verified in q11")
+    * [[oracleSql]]; HarnessSpec pins the three sets consistent.
+    *
+    * Round 17 shrank this set 7→3: q43 now hash-verifies against the
+    * exact q41 pair SQL, q92 got the q53-style exact+bound-flag
+    * oracle, and q77's oracle is constructed at Verify-dump time from
+    * the staged cell assignment (so it appears here ONLY in a session
+    * where q77 has not run — in the driver's full Verify pass it is
+    * oracled; see SimilarityOps.q77OracleIfStaged). */
+  def rowsOnlyByDesign: Map[String, String] = {
+    val base = Map(
+      "q42_ann_ivf" ->
+        "approximate by construction (k-means IVF is engine-internal); verified by the recall-vs-brute-force bounds in SimilaritySpec",
+      "q126_pq_ann" ->
+        "approximate by construction (k-means PQ codebooks are engine-internal); SimilaritySpec pins ADC==reconstructed-cosine equality and recall vs exact q40",
+      "q73_media_decode" ->
+        "exercises the documented non-SQL decode seam (mapPartitions codec stub); payload plumbing asserted in MultimodalSpec",
+      "q81_ivf_maintenance" ->
+        "index maintenance lifecycle (drift->rebuild->serve); flags, determinism and served-region membership pinned in SimilaritySpec")
+    if (oracleSql.contains("q77_ivf_sq_ann")) base
+    else base + ("q77_ivf_sq_ann" ->
+      ("oracle is staged at Verify-dump time from the run's cell " +
+        "assignment (SimilarityOps.q77OracleIfStaged); q77 has not run " +
+        "in this session, so the driver would record rows-only"))
+  }
 }

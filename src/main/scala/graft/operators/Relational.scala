@@ -463,19 +463,71 @@ object Relational {
       |WHERE k >= 2 ORDER BY k""".stripMargin
 
   /** q92 — the reference's literal PERCENTILE_APPROX call
-    * (examples/example_lakesail_kerberos.py:223). Approximate by
-    * design (GK sketch, merge-order sensitive) → no SQL-equality
-    * oracle; the driver records rows-only and RelationalSpec bounds it
-    * against the exact percentile. q11 keeps the exact-PERCENTILE
-    * variant for hash equality. */
+    * (examples/example_lakesail_kerberos.py:223), HASH-VERIFIED since
+    * round 17 via the q53 pattern: a GK-sketch value is engine-internal
+    * (merge-order sensitive — no other engine can replay it), so
+    * instead of faking cross-engine sketch equality the query emits the
+    * EXACT nearest-rank percentiles (the k-th smallest element —
+    * ceil(p·n) via pure integer arithmetic, an actual data value, so no
+    * interpolation float path for engines to disagree in) alongside
+    * booleans asserting each approx value landed within its DOCUMENTED
+    * rank bound: an element whose rank interval [|{v<x}|+1, |{v<=x}|]
+    * intersects p·n ± (n/accuracy + 1), accuracy = 10000 (Spark's
+    * default; 1/accuracy is the documented relative rank error), the
+    * ±1 absorbing the ceil-vs-floor target convention and the floor at
+    * 1 covering tiny groups exactly like q53's. The oracle recomputes
+    * n and both exact percentiles and asserts the flags TRUE by
+    * construction — an out-of-bound sketch flips Spark's flag and
+    * hash-fails. The PRODUCTION call is still the one-pass approx agg
+    * (the whole point at 100 TB — the sketch merges in the same single
+    * exchange as COUNT); the rank-audit join is the verification
+    * scaffold, itself scale-shaped (one window + one grouped join, no
+    * collects). RelationalSpec additionally bounds the raw approx
+    * values against the exact percentile. */
   val q92PercentileApprox: Q = (spark, dir) => {
     Tables.registerAll(spark, dir)
     spark.sql(
-      """SELECT c_mktsegment, COUNT(*) AS n,
-        |  PERCENTILE_APPROX(c_acctbal, 0.5) AS approx_median,
-        |  PERCENTILE_APPROX(c_acctbal, 0.95) AS approx_p95
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      """WITH seg AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    PERCENTILE_APPROX(c_acctbal, 0.5) AS am,
+        |    PERCENTILE_APPROX(c_acctbal, 0.95) AS ap
+        |  FROM customer GROUP BY c_mktsegment),
+        |rnk AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal) AS rn
+        |  FROM customer)
+        |SELECT r.c_mktsegment, s.n,
+        |  MAX(CASE WHEN r.rn = (s.n + 1) DIV 2 THEN r.c_acctbal END) AS exact_median,
+        |  MAX(CASE WHEN r.rn = (19 * s.n + 19) DIV 20 THEN r.c_acctbal END) AS exact_p95,
+        |  (SUM(CASE WHEN r.c_acctbal < s.am THEN 1 ELSE 0 END) + 1
+        |     <= 0.5 * s.n + GREATEST(1.0, s.n / 10000.0) + 1
+        |   AND SUM(CASE WHEN r.c_acctbal <= s.am THEN 1 ELSE 0 END)
+        |     >= 0.5 * s.n - GREATEST(1.0, s.n / 10000.0) - 1) AS median_in_bound,
+        |  (SUM(CASE WHEN r.c_acctbal < s.ap THEN 1 ELSE 0 END) + 1
+        |     <= 0.95 * s.n + GREATEST(1.0, s.n / 10000.0) + 1
+        |   AND SUM(CASE WHEN r.c_acctbal <= s.ap THEN 1 ELSE 0 END)
+        |     >= 0.95 * s.n - GREATEST(1.0, s.n / 10000.0) - 1) AS p95_in_bound
+        |FROM rnk r JOIN seg s ON r.c_mktsegment = s.c_mktsegment
+        |GROUP BY r.c_mktsegment, s.n, s.am, s.ap
+        |ORDER BY r.c_mktsegment""".stripMargin)
   }
+
+  // Exact nearest-rank selection replayed with identical integer rank
+  // arithmetic; the bound flags are TRUE by construction (q53 pattern).
+  val q92Oracle: String =
+    """WITH seg AS (SELECT c_mktsegment, COUNT(*) AS n
+      |  FROM customer GROUP BY 1),
+      |rnk AS (SELECT c_mktsegment, c_acctbal,
+      |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal) AS rn
+      |  FROM customer)
+      |SELECT r.c_mktsegment, s.n,
+      |  MAX(CASE WHEN r.rn = (s.n + 1) // 2 THEN r.c_acctbal END) AS exact_median,
+      |  MAX(CASE WHEN r.rn = (19 * s.n + 19) // 20 THEN r.c_acctbal END) AS exact_p95,
+      |  TRUE AS median_in_bound, TRUE AS p95_in_bound
+      |FROM rnk r JOIN seg s ON r.c_mktsegment = s.c_mktsegment
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   /** q28 — correlated SCALAR subquery (TPC-H Q17 shape, [EXT]):
     * small-quantity lineitems — below 0.2× their own part's average
@@ -997,7 +1049,7 @@ object Relational {
     "q142_exists_not_exists" -> q142Oracle,
     "q90_range_source" -> q90Oracle,
     "q91_inmem_source" -> q91Oracle,
-    // q92 deliberately absent: approximate op, bounded in RelationalSpec
+    "q92_percentile_approx" -> q92Oracle,
     "q18_rollup" -> q18Oracle,
     "q19_running_window" -> q19Oracle,
     "q01_flagship_left_join" -> q01Oracle,

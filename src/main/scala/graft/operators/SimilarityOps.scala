@@ -1879,7 +1879,12 @@ object SimilarityOps {
     * code files (cell-pruned at the parquet-partition level —
     * PlanSpec asserts the PartitionFilters on this relation), cut to
     * a top-20 (query_id, neighbor_id) shortlist. */
-  private[graft] def ivfSqShortlist(spark: SparkSession, dir: String): DataFrame = {
+  /** q77's stage-1 probe pairs as a driver-side Seq — the |Q|×5
+    * (query, cell) collect (bounded scalar traffic). Shared by the
+    * shortlist and the staged-oracle builder so the two can never
+    * disagree on which cells were probed. */
+  private[graft] def ivfProbePairs(spark: SparkSession,
+      dir: String): Seq[(Long, Int)] = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
@@ -1888,13 +1893,19 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cell_sim").desc, col("cell"))
-    val probePairs = broadcast(q).crossJoin(broadcast(cent))
+    broadcast(q).crossJoin(broadcast(cent))
       .select(col("query_id"), col("cell"),
         cosine("qv", "centroid").as("cell_sim"))
       .withColumn("cell_rank", row_number().over(wProbe))
       .filter(col("cell_rank") <= 5)
       .select("query_id", "cell")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+  }
+
+  private[graft] def ivfSqShortlist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val probePairs = ivfProbePairs(spark, dir)
     val probedCells = probePairs.map(_._2).distinct
     import spark.implicits._
     val probeDf = probePairs.toDF("query_id", "cell")
@@ -1921,10 +1932,140 @@ object SimilarityOps {
       .select("query_id", "neighbor_id")
   }
 
-  val q77IvfSqAnn: Q = (spark, dir) =>
+  val q77IvfSqAnn: Q = (spark, dir) => {
     // stage 3: exact re-rank of the shortlist (q47's stage 2) —
     // id-pushed full-vector fetches, never a corpus scan
+    q77LastDir = Some(dir)
     exactRerank(spark, dir, ivfSqShortlist(spark, dir))
+  }
+
+  /** The sf dir of the most recent q77 run in this session — the only
+    * state [[q77OracleIfStaged]] needs (everything else re-reads the
+    * MEMOIZED staged index, so building the oracle stages nothing new
+    * and runs no Spark job beyond two bounded collects). */
+  @volatile private var q77LastDir: Option[String] = None
+  @volatile private var q77OracleBuilt: Option[(String, String)] = None // stateKey -> sql
+
+  /** Oracle-ization cap: past this corpus size the (vec_id, cell)
+    * VALUES embed would bloat oracle_sql.json for no verification gain
+    * (the driver checks at sf0.01 = 500 vectors); q77 then degrades to
+    * the pre-round-17 rows-only record. */
+  private val Q77OracleMaxCorpus = 20000
+
+  /** q77's DuckDB oracle, CONSTRUCTED AT VERIFY-DUMP TIME (round 17,
+    * verdict #3): the probed SQ8 search over frozen stats is a pure
+    * function of corpus bytes GIVEN the k-means cell assignment, and
+    * the assignment is the one irreducibly engine-internal ingredient
+    * (a float-argmax Lloyd fold no other engine can replay bit-stably).
+    * So the STAGED assignment — deterministic per corpus, spec-pinned
+    * in SimilaritySpec — is embedded as a VALUES relation (plus the
+    * |Q|×5 probe pairs), and DuckDB independently replays everything
+    * downstream of it exactly as q78's oracle already does for the
+    * staged codes: per-dim min/max stats from corpus bytes, the SQ8
+    * reconstruction grid, the fused dot+norms agg over ONLY the probed
+    * cells' members, the rounded top-20 shortlist cut, and the exact
+    * ordered-SUM cosine re-rank to top-10. What stays engine-trusted
+    * is exactly the assignment; what becomes driver-checkable is the
+    * entire search path — quantization math, candidate generation from
+    * the assignment, both ranking cuts, and the final ordering.
+    *
+    * Mechanics: `SparkEntry.oracleSql` is evaluated by graft.Verify
+    * AFTER all queries ran (session still live), so the builder reads
+    * the memoized staged k-means of the LAST q77 dir; the two bounded
+    * collects here (n×2-long assignment + |Q|×5 probes) are
+    * oracle-construction scaffolding at verify scale (n ≤ 500 driver /
+    * 20k cap), never part of the production query path. If q77 has not
+    * run in this session (dev SPARK_GRAFT_ONLY subsets, bare spec
+    * sessions) the entry is simply absent and the driver records the
+    * old rows-only check — graceful, never wrong. */
+  private[graft] def q77OracleIfStaged: Map[String, String] =
+    (for {
+      dir <- q77LastDir
+      spark <- SparkSession.getActiveSession
+      sql <- scala.util.Try(q77BuildOracle(spark, dir)).toOption.flatten
+    } yield Map("q77_ivf_sq_ann" -> sql)).getOrElse(Map.empty)
+
+  private def q77BuildOracle(spark: SparkSession,
+      dir: String): Option[String] = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val stateKey = src.toAbsolutePath.toString + ":" +
+      StagedCache.fingerprint(src)
+    q77OracleBuilt match {
+      case Some((k, sql)) if k == stateKey => Some(sql)
+      case _ =>
+        if (stagedCorpusMaxId(spark, dir).exists(_ > Q77OracleMaxCorpus))
+          None
+        else {
+          val (assign, _) =
+            stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
+          val cells = assign.select(col("vec_id"), col("cell"))
+            .collect().map(r => s"(${r.getLong(0)},${r.getInt(1)})")
+          val probes = ivfProbePairs(spark, dir)
+            .map { case (q, c) => s"($q,$c)" }
+          if (cells.isEmpty || probes.isEmpty) None
+          else {
+            val sql = q77OracleTemplate(cells.mkString(","),
+              probes.mkString(","))
+            q77OracleBuilt = Some((stateKey, sql))
+            Some(sql)
+          }
+        }
+    }
+  }
+
+  /** The replay SQL around the embedded assignment: q78's quantization
+    * stages + q47's exact re-rank tail, restricted to the probed
+    * cells' members. Engine twin: [[ivfSqShortlist]] + exactRerank. */
+  private def q77OracleTemplate(cellsValues: String,
+      probesValues: String): String =
+    s"""WITH o77_v AS MATERIALIZED (
+       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+       |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+       |o77_stats AS MATERIALIZED (
+       |  SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM o77_v GROUP BY pos),
+       |o77_recon AS MATERIALIZED (
+       |  SELECT vec_id, o77_v.pos,
+       |    dmin + (CASE WHEN dmax = dmin THEN 0.0
+       |            ELSE ROUND((v - dmin) / (dmax - dmin) * 255) END)
+       |         * (dmax - dmin) / 255.0 AS r
+       |  FROM o77_v JOIN o77_stats ON o77_v.pos = o77_stats.pos),
+       |o77_cells(vec_id, cell) AS (VALUES $cellsValues),
+       |o77_probes(query_id, cell) AS (VALUES $probesValues),
+       |o77_cand AS MATERIALIZED (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id
+       |  FROM o77_probes p JOIN o77_cells c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |o77_d AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    SUM(q.v * r.r) AS dot, SUM(q.v * q.v) AS nq, SUM(r.r * r.r) AS nr
+       |  FROM o77_v q
+       |  JOIN o77_cand cd ON cd.query_id = q.vec_id
+       |  JOIN o77_recon r ON r.vec_id = cd.neighbor_id AND r.pos = q.pos
+       |  WHERE q.vec_id < 5
+       |  GROUP BY 1, 2),
+       |o77_exact AS MATERIALIZED (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
+       |    sqrt(SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE ORDER BY i)) AS na,
+       |    sqrt(SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE ORDER BY i)) AS nb
+       |  FROM (SELECT query_id, neighbor_id
+       |        FROM (SELECT query_id, neighbor_id,
+       |                ROW_NUMBER() OVER (PARTITION BY query_id
+       |                  ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nr)), 4) DESC,
+       |                    neighbor_id) AS srank
+       |              FROM o77_d)
+       |        WHERE srank <= 20) s
+       |  JOIN embeddings a ON a.vec_id = s.query_id
+       |  JOIN embeddings b ON b.vec_id = s.neighbor_id,
+       |       UNNEST(range(LEN(a.embedding))) g(i)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, ROUND(dot / (na * nb), 4) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(dot / (na * nb), 4) DESC, neighbor_id) AS rank
+       |  FROM o77_exact)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q78 — INCREMENTAL SQ8 ANN: the vector-side append workflow, the
     * twin of q75's incremental dedup — search an appended batch WITH
@@ -2223,11 +2364,19 @@ object SimilarityOps {
     "q77_ivf_sq_ann" -> q77IvfSqAnn,
     "q78_incremental_sq8" -> q78IncrementalSqAnn)
 
-  /** q42/q43/q77/q81 are deliberately absent: approximate/index-backed
-    * ops, verified by recall + equality-vs-exact bounds in
-    * SimilaritySpec instead of SQL equality. */
-  val oracles: Map[String, String] = Map(
+  /** q42/q81 are deliberately absent: approximate/index-backed ops,
+    * verified by recall + equality-vs-exact bounds in SimilaritySpec
+    * instead of SQL equality. q43 is oracled by the EXACT q41 pair SQL
+    * (round 17): SimilaritySpec has pinned celled==exact equality on
+    * both fixtures since round 5, and q140's oracle already relies on
+    * that same equality to replay the celled pair graph with exact
+    * cosine — so the celled production path must hash-equal the exact
+    * triangular join, which is precisely the multi-probe recall claim
+    * made driver-checkable. q77's oracle is staged at Verify-dump time
+    * (see [[q77OracleIfStaged]]), hence `def`. */
+  def oracles: Map[String, String] = q77OracleIfStaged ++ Map(
     "q40_ann_bruteforce" -> q40Oracle,
+    "q43_cell_neardup" -> q41Oracle,
     "q140_semantic_dedup" -> q140Oracle,
     "q146_centroid_outliers" -> q146Oracle,
     "q141_incremental_semantic" -> q141Oracle,

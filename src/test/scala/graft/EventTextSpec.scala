@@ -140,7 +140,7 @@ class EventTextSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // the PRODUCTION one-pass shape (HLL in the same exchange as the
     // other aggregates — q53's scale argument), bounded vs exact here;
-    // q53 itself now emits (exact_users, hll_within_2sd) for the
+    // q53 itself now emits (exact_users, hll_within_3sd) for the
     // driver's hash oracle
     val approx = Tables.load(spark, sf, "events")
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
@@ -159,11 +159,11 @@ class EventTextSpec extends SparkSpec {
       assert(math.abs(ap - ex) <= math.max(3, 0.15 * ex),
         s"$k: approx=$ap exact=$ex")
     }
-    // and the verification twin's flag must hold everywhere (the 2σ
+    // and the verification twin's flag must hold everywhere (the 3σ
     // contract the DuckDB oracle asserts TRUE by construction)
     val q53 = EventOps.q53ApproxUsers(spark, sf).collect()
     assert(q53.nonEmpty && q53.forall(_.getBoolean(4)),
-      "every group's HLL estimate must land within ±2σ of exact")
+      "every group's HLL estimate must land within ±3σ of exact")
   }
 
   test("as-of join: latest prior click per purchase, ties by event order") {

@@ -861,4 +861,36 @@ class SimilaritySpec extends SparkSpec {
       53L -> 0L), s"merge failed: $m")
     assert(got.filter(_._3).map(_._1).toSeq === Seq(0L))
   }
+
+  test("q77's oracle is staged at dump time: present and well-formed " +
+      "after a q77 run, consistently declared before one") {
+    // Round 17 (verdict #3): the probed SQ8 search is a pure function
+    // of corpus bytes GIVEN the k-means cell assignment, so the staged
+    // assignment is embedded as a VALUES relation and everything
+    // downstream replays in DuckDB. Pin the lifecycle: after q77 runs,
+    // the oracle exists, is a single WITH statement, embeds exactly
+    // |corpus| assignment tuples and |Q|x5 probe tuples, and the
+    // SparkEntry three-set consistency holds in the oracled state
+    // (HarnessSpec pins it in whichever state its session sees).
+    val rows = SimilarityOps.q77IvfSqAnn(spark, sf).collect()
+    assert(rows.length === 50)
+    val oracle = SparkEntry.oracleSql.get("q77_ivf_sq_ann")
+    assert(oracle.isDefined, "q77 ran: its staged oracle must exist")
+    assert(!SparkEntry.rowsOnlyByDesign.contains("q77_ivf_sq_ann"))
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(SparkEntry.rowsOnlyByDesign.keySet === noOracle)
+    val sql = oracle.get
+    assert(sql.trim.startsWith("WITH") && !sql.contains(";"))
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    val cellsStart = sql.indexOf("o77_cells(vec_id, cell) AS (VALUES")
+    val probesStart = sql.indexOf("o77_probes(query_id, cell) AS (VALUES")
+    assert(cellsStart >= 0 && probesStart > cellsStart)
+    val cellTuples = sql.substring(cellsStart, probesStart).count(_ == '(')
+    assert(cellTuples.toLong === nVecs + 2,
+      s"expected one VALUES tuple per corpus vector ($nVecs), " +
+        s"got ${cellTuples - 2}")
+    val probeSeg = sql.substring(probesStart, sql.indexOf("o77_cand"))
+    assert(probeSeg.count(_ == '(') === 5 * 5 + 2,
+      "expected |Q|x5 probe tuples")
+  }
 }
