@@ -718,6 +718,22 @@ class DedupSpec extends SparkSpec {
       Set(a, b).exists(s => s == "recrawl" || s == "mirror") })
   }
 
+  test("q152 memoizes its staged (fp, source) relation per corpus " +
+      "fingerprint: a repeat invocation stages nothing") {
+    // round-16 verdict #6: each re-run of the provenance report was
+    // re-fingerprinting the whole corpus into a fresh Scratch dir;
+    // StagedCache now keys it on the documents fingerprint like every
+    // other index. First call may build or hit (other tests run q152
+    // too) — the SECOND call must be a pure cache hit either way.
+    val r1 = DedupOps.queries("q152_source_overlap")(spark, sf).collect()
+    val afterFirst = DedupOps.q152Stagings.get()
+    val r2 = DedupOps.queries("q152_source_overlap")(spark, sf).collect()
+    assert(DedupOps.q152Stagings.get() === afterFirst,
+      "repeat q152 invocation re-staged the corpus fingerprint relation")
+    assert(r1.map(_.toString).sorted.toSeq ===
+      r2.map(_.toString).sorted.toSeq)
+  }
+
   test("curation pipeline (q137): funnel conserves documents and its " +
       "stages reconcile with the standalone operators") {
     import org.apache.spark.sql.functions._

@@ -71,6 +71,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q137: the model-score fold is INLINED inside the verdict CASE " +
+      "(the stage-10 short-circuit is structural, not hoped-for)") {
+    // Round-17 verdict #4: the funnel keeps q147's scorer as a
+    // row-local interpreted fold (ArrayAggregate) because its single
+    // consumer — the verdict CaseWhen — makes CollapseProject inline
+    // it into the CASE branch, and CaseWhen evaluates branches
+    // sequentially (codegen emits early-returning ifs): the fold runs
+    // ONLY for rows surviving the nine prior bars. If a refactor adds
+    // a second consumer or blocks the collapse, the fold silently
+    // becomes per-row on the whole corpus (the 4x-slower q147 shape
+    // the sf1 rehearsal measured) — this pins the inlined structure.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen}
+    import org.apache.spark.sql.catalyst.expressions.ArrayAggregate
+    val opt = DedupOps.q137Labeled(spark, sf)
+      .groupBy("verdict").count().queryExecution.optimizedPlan
+    val exprs = opt.collect { case n => n.expressions }.flatten
+    val standalone = exprs.flatMap(_.collect {
+      case a: Alias if a.name == "model_score" => a })
+    assert(standalone.isEmpty,
+      "model_score survives as its own projected column - the fold " +
+        "would evaluate for EVERY row, not just post-bar survivors")
+    val folds = exprs.flatMap(_.collect { case a: ArrayAggregate => a })
+    assert(folds.size === 1,
+      s"expected exactly one inlined fold, found ${folds.size}")
+    val caseHosted = exprs.flatMap(_.collect { case c: CaseWhen => c })
+      .exists(_.collectFirst { case a: ArrayAggregate => a }.nonEmpty)
+    assert(caseHosted,
+      "the fold must sit INSIDE the verdict CaseWhen (sequential " +
+        "branch evaluation is the short-circuit)")
+  }
+
   test("q28: correlated scalar subquery is decorrelated into a join") {
     val p = plan(Relational.queries("q28_corr_subquery")(spark, sf)).toString
     // RewriteCorrelatedScalarSubquery must leave NO per-row subquery:
