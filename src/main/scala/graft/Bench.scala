@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   *     burst-credit window cannot contaminate them all (round-4
   *     lesson: back-to-back samples share the window — q96 booked
   *     15.7 s from samples 16.0/15.7 vs 1.16 s quiet). All samples
-  *     are recorded under `retimed`. A query is `unreliable` iff its
+  *     are recorded under `samples`. A query is `unreliable` iff its
   *     min was CONFIRMED by no second clean sample within
   *     [[UnreliableRatio]] of it — the min is then a bound, not a
   *     converged measurement. Round 15's cause-attributing
@@ -206,15 +206,21 @@ object Bench {
     // Sub-floor queries keep their single-sample-per-cycle exemption:
     // with min < RetimeFloorSec the absolute disagreement is noise
     // grain, and the old harness never flagged them either.
+    // Error semantics (round-17 ADVICE): `errors` carries only queries
+    // with NO clean sample — a stale cycle-1 failure beside a later
+    // clean converged min is a TRANSIENT, reported separately so a
+    // consumer parsing `errors` as "query broken" can't misread a
+    // valid timing; the exit code follows the same split.
     case class Res(name: String, secs: Double, err: Option[String],
-        samples: Seq[Double], unreliable: Boolean, warmAsymmetry: Boolean)
+        transientErr: Option[String], samples: Seq[Double],
+        unreliable: Boolean, warmAsymmetry: Boolean)
     val results = selected.map { case (name, _) =>
       val ss = samples(name)
       val clean = ss.filter(_.err.isEmpty)
-      val err = ss.flatMap(_.err).headOption
+      val firstErr = ss.flatMap(_.err).headOption
       if (clean.isEmpty)
-        Res(name, ss.map(_.secs).min, err, ss.map(_.secs), unreliable = false,
-          warmAsymmetry = false)
+        Res(name, ss.map(_.secs).min, firstErr, None, ss.map(_.secs),
+          unreliable = false, warmAsymmetry = false)
       else {
         val lo = clean.map(_.secs).min
         val confirms = clean.count(_.secs <= lo * UnreliableRatio)
@@ -227,7 +233,7 @@ object Bench {
         val warm = !unreliable &&
           outliers.exists(_.secs > RetimeFloorSec) &&
           outliers.forall(s => s.built || s.compiled)
-        Res(name, lo, err, ss.map(_.secs), unreliable, warm)
+        Res(name, lo, None, firstErr, ss.map(_.secs), unreliable, warm)
       }
     }
 
@@ -241,7 +247,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case r if r.err.nonEmpty =>
       jstr(r.name) + ":" + jstr(r.err.get) }.mkString("{", ",", "}")
-    val retimed = results.collect { case r if r.samples.size > 1 =>
+    val transients = results.collect { case r if r.transientErr.nonEmpty =>
+      jstr(r.name) + ":" + jstr(r.transientErr.get) }.mkString("{", ",", "}")
+    // `samples` (renamed from `retimed`, round-17 ADVICE): with the
+    // default 2 cycles every query has >=2 samples, so the field is
+    // the full per-query sample ledger, not a floor-exceeding subset —
+    // the name now says what it holds.
+    val allSamples = results.collect { case r if r.samples.size > 1 =>
       jstr(r.name) + ":" + r.samples.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val unreliable = results.collect { case r if r.unreliable =>
@@ -253,7 +265,7 @@ object Bench {
     val skips = skipped.toSeq.sortBy(_._1).map { case (k, v) =>
       jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_.secs).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"retimed":$retimed,"unreliable":$unreliable,"warm_asymmetry":$warmAsym,"cycles":$cycles,"timing":"per-query MIN across $cycles full cycles (SPARK_GRAFT_BENCH_RUNS), each cycle retiming queries > ${RetimeFloorSec}s in a separate end-of-cycle pass; unreliable = the min was confirmed by no second clean sample within ${UnreliableRatio}x (and min > ${RetimeFloorSec}s); warm_asymmetry = converged, with every slow outlier sample attributed to a StagedCache index build or codegen compile"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"transient_errors":$transients,"samples":$allSamples,"unreliable":$unreliable,"warm_asymmetry":$warmAsym,"cycles":$cycles,"timing":"per-query MIN across $cycles full cycles (SPARK_GRAFT_BENCH_RUNS), each cycle retiming queries > ${RetimeFloorSec}s in a separate end-of-cycle pass; unreliable = the min was confirmed by no second clean sample within ${UnreliableRatio}x (and min > ${RetimeFloorSec}s); errors = no clean sample at all, transient_errors = a failed sample beside a clean converged min; warm_asymmetry = converged, with every slow outlier sample attributed to a StagedCache index build or codegen compile"}"""
     println(line)
     // Persist alongside stdout: the driver captures a bounded log tail,
     // and round 4's official record lost its total to truncation.
@@ -265,7 +277,7 @@ object Bench {
     // to tail truncation (BENCH_r04 and r05 both did).
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_out_total.txt"),
-      f"$total%.2f sec / ${results.length} queries (${results.count(_.err.nonEmpty)} errors, ${results.count(_.unreliable)} unreliable, ${results.count(_.warmAsymmetry)} warm-asymmetry)%n"
+      f"$total%.2f sec / ${results.length} queries (${results.count(_.err.nonEmpty)} errors, ${results.count(_.transientErr.nonEmpty)} transient, ${results.count(_.unreliable)} unreliable, ${results.count(_.warmAsymmetry)} warm-asymmetry)%n"
         .getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write BENCH_out_total.txt: $e") }

@@ -37,7 +37,18 @@ object StreamRehearsal {
     * [[graft.streaming.StreamingOps.compactStagedState]], restarts on
     * the same checkpoint and keeps going — the round-16 rehearsal
     * shape (>=10 batches, one compaction in the middle, per-batch
-    * latency must stay flat through and after the fold). */
+    * latency must stay flat through and after the fold).
+    *
+    * Since round 17 compaction is ENGINE-TRIGGERED by default
+    * (verdict #7): between drains the loop asks
+    * [[graft.streaming.StreamingOps.maybeCompactStagedState]] — the
+    * shouldCompact cue composed with the fold — so a 12+-batch run
+    * carries ZERO operator-remembered compact calls and the staged dir
+    * count stays bounded at the cue's maxDirs+1. SPARK_GRAFT_COMPACT_AT
+    * remains as the explicit override for the targeted mid-fold
+    * equality rehearsal; SPARK_GRAFT_COMPACT_MAXDIRS (default 8) sizes
+    * the cue; SPARK_GRAFT_AUTO_COMPACT=0 disables the trigger to
+    * reproduce the unbounded-lineage baseline. */
   private def drive(spark: SparkSession, name: String, src: String,
       stage: Path, batches: Seq[DataFrame],
       start: () => org.apache.spark.sql.streaming.StreamingQuery,
@@ -45,6 +56,20 @@ object StreamRehearsal {
     import graft.sources.DeltaTable
     val compactAt = sys.env.get("SPARK_GRAFT_COMPACT_AT")
       .flatMap(_.toIntOption)
+    val autoCompact = sys.env.get("SPARK_GRAFT_AUTO_COMPACT")
+      .forall(_ != "0")
+    val maxDirs = sys.env.get("SPARK_GRAFT_COMPACT_MAXDIRS")
+      .flatMap(_.toIntOption).getOrElse(8)
+    def stagedDirCount: Int =
+      if (!Files.isDirectory(stage)) 0
+      else {
+        val l = Files.list(stage)
+        try l.filter(p => {
+          val n = p.getFileName.toString
+          n.startsWith("batch-") || n.startsWith("compact-")
+        }).count().toInt
+        finally l.close()
+      }
     var q = start()
     try {
       q.processAllAvailable() // drain the 1-row priming batch
@@ -60,6 +85,22 @@ object StreamRehearsal {
             f""""staged_bytes":${dirBytes(stage)}}""")
           q = start()
           q.processAllAvailable()
+        } else if (autoCompact && compactAt.isEmpty &&
+            graft.streaming.StreamingOps.shouldCompact(stage.toString,
+              maxDirs)) {
+          // engine-triggered: the cue fired between drains — stop,
+          // fold, restart on the same checkpoint
+          q.stop()
+          val t = System.nanoTime()
+          val id = graft.streaming.StreamingOps
+            .maybeCompactStagedState(spark, stage.toString, maxDirs)
+          println(f"""{"pipeline":"$name","auto_compact_before_batch":$k,""" +
+            f""""compact_id":${id.getOrElse(-1L)},"sec":${
+              (System.nanoTime() - t) / 1e9}%.1f,""" +
+            f""""staged_bytes":${dirBytes(stage)},""" +
+            f""""staged_dirs":$stagedDirCount}""")
+          q = start()
+          q.processAllAvailable()
         }
         val rows = b.count()
         val t = System.nanoTime()
@@ -69,7 +110,8 @@ object StreamRehearsal {
         val outs = outCounts()
           .map { case (c, v) => s""","$c":$v""" }.mkString
         println(f"""{"pipeline":"$name","batch":$k,"rows":$rows,""" +
-          f""""sec":$sec%.1f,"staged_bytes":${dirBytes(stage)}$outs}""")
+          f""""sec":$sec%.1f,"staged_bytes":${dirBytes(stage)},""" +
+          f""""staged_dirs":$stagedDirCount$outs}""")
       }
     } finally q.stop()
   }
