@@ -82,18 +82,20 @@ object SparkEntry {
     * oracled; see SimilarityOps.q77OracleIfStaged). */
   def rowsOnlyByDesign: Map[String, String] = {
     val base = Map(
-      "q42_ann_ivf" ->
-        "approximate by construction (k-means IVF is engine-internal); verified by the recall-vs-brute-force bounds in SimilaritySpec",
       "q126_pq_ann" ->
-        "approximate by construction (k-means PQ codebooks are engine-internal); SimilaritySpec pins ADC==reconstructed-cosine equality and recall vs exact q40",
+        "approximate by construction (k-means PQ codebooks are engine-internal, and replaying their float-argmax code assignment cross-engine would be tie-unstable); SimilaritySpec pins ADC==reconstructed-cosine equality and recall vs exact q40",
       "q73_media_decode" ->
         "exercises the documented non-SQL decode seam (mapPartitions codec stub); payload plumbing asserted in MultimodalSpec",
       "q81_ivf_maintenance" ->
-        "index maintenance lifecycle (drift->rebuild->serve); flags, determinism and served-region membership pinned in SimilaritySpec")
-    if (oracleSql.contains("q77_ivf_sq_ann")) base
-    else base + ("q77_ivf_sq_ann" ->
-      ("oracle is staged at Verify-dump time from the run's cell " +
-        "assignment (SimilarityOps.q77OracleIfStaged); q77 has not run " +
-        "in this session, so the driver would record rows-only"))
+        "index maintenance lifecycle (drift->rebuild->serve) over a DERIVED scratch corpus the oracle's fixture tables cannot express; flags, determinism and served-region membership pinned in SimilaritySpec")
+    val staged = Seq(
+      "q77_ivf_sq_ann" -> "SimilarityOps.q77OracleIfStaged",
+      "q42_ann_ivf" -> "SimilarityOps.q42OracleIfStaged")
+    base ++ staged.collect {
+      case (q, site) if !oracleSql.contains(q) =>
+        q -> (s"oracle is staged at Verify-dump time from the run's " +
+          s"cell assignment ($site); $q has not run in this session, " +
+          "so the driver would record rows-only")
+    }
   }
 }

@@ -444,9 +444,59 @@ object SimilarityOps {
 
   val q42AnnIvf: Q = (spark, dir) => {
     val e = Tables.load(spark, dir, "embeddings")
+    q42LastDir = Some(dir)
     ivfSearchFor(spark, dir, e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
   }
+
+  /** q42's oracle, staged at Verify-dump time exactly like q77's (see
+    * [[q77OracleIfStaged]] for the full rationale): GIVEN the embedded
+    * cell assignment, q42's probed search is pure exact cosine over
+    * the probed cells' members — DuckDB replays the candidate
+    * generation, the ordered-SUM cosine fold, and the rounded top-10
+    * cut. The round-16 verdict classed q42 as irreducibly k-means;
+    * the staged-assignment pattern reduces it the same way it did
+    * q77, leaving only q73 (decode seam), q81 (lifecycle over a
+    * derived scratch corpus the oracle tables cannot express) and
+    * q126 (float-argmax code assignment against embedded codebooks
+    * would be cross-engine tie-unstable) genuinely rows-only. */
+  @volatile private var q42LastDir: Option[String] = None
+  @volatile private var q42OracleBuilt: Option[(String, String)] = None
+
+  private[graft] def q42OracleIfStaged: Map[String, String] =
+    (for {
+      dir <- q42LastDir
+      spark <- SparkSession.getActiveSession
+      sql <- scala.util.Try(ivfStagedOracle(spark, dir, q42OracleBuilt,
+        built => q42OracleBuilt = Some(built),
+        q42OracleTemplate)).toOption.flatten
+    } yield Map("q42_ann_ivf" -> sql)).getOrElse(Map.empty)
+
+  private def q42OracleTemplate(cellsValues: String,
+      probesValues: String): String =
+    s"""WITH o42_cells(vec_id, cell) AS (VALUES $cellsValues),
+       |o42_probes(query_id, cell) AS (VALUES $probesValues),
+       |o42_cand AS MATERIALIZED (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id
+       |  FROM o42_probes p JOIN o42_cells c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |o42_d AS MATERIALIZED (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE ORDER BY i) AS dot,
+       |    sqrt(SUM(q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE ORDER BY i)) AS qn,
+       |    sqrt(SUM(c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE ORDER BY i)) AS cn
+       |  FROM o42_cand cd
+       |  JOIN embeddings q ON q.vec_id = cd.query_id
+       |  JOIN embeddings c ON c.vec_id = cd.neighbor_id,
+       |       UNNEST(range(LEN(q.embedding))) g(i)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, ROUND(dot / (qn * cn), 4) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, neighbor_id) AS rank
+       |  FROM o42_d)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q43 — cell-bucketed cosine near-dup: the PRODUCTION path for q41's
     * semantics. Every vector is assigned to its top-3 nearest k-means
@@ -1982,15 +2032,24 @@ object SimilarityOps {
     (for {
       dir <- q77LastDir
       spark <- SparkSession.getActiveSession
-      sql <- scala.util.Try(q77BuildOracle(spark, dir)).toOption.flatten
+      sql <- scala.util.Try(ivfStagedOracle(spark, dir, q77OracleBuilt,
+        built => q77OracleBuilt = Some(built),
+        q77OracleTemplate)).toOption.flatten
     } yield Map("q77_ivf_sq_ann" -> sql)).getOrElse(Map.empty)
 
-  private def q77BuildOracle(spark: SparkSession,
-      dir: String): Option[String] = {
+  /** Shared staged-oracle builder for the IVF-backed queries (q42,
+    * q77): embeds the memoized cell assignment + probe pairs into the
+    * caller's SQL template, cached per corpus fingerprint. The two
+    * collects are oracle-construction scaffolding at verify scale
+    * (capped), never the production query path. */
+  private def ivfStagedOracle(spark: SparkSession, dir: String,
+      cached: Option[(String, String)],
+      store: ((String, String)) => Unit,
+      template: (String, String) => String): Option[String] = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val stateKey = src.toAbsolutePath.toString + ":" +
       StagedCache.fingerprint(src)
-    q77OracleBuilt match {
+    cached match {
       case Some((k, sql)) if k == stateKey => Some(sql)
       case _ =>
         if (stagedCorpusMaxId(spark, dir).exists(_ > Q77OracleMaxCorpus))
@@ -2004,9 +2063,8 @@ object SimilarityOps {
             .map { case (q, c) => s"($q,$c)" }
           if (cells.isEmpty || probes.isEmpty) None
           else {
-            val sql = q77OracleTemplate(cells.mkString(","),
-              probes.mkString(","))
-            q77OracleBuilt = Some((stateKey, sql))
+            val sql = template(cells.mkString(","), probes.mkString(","))
+            store((stateKey, sql))
             Some(sql)
           }
         }
@@ -2364,7 +2422,8 @@ object SimilarityOps {
     "q77_ivf_sq_ann" -> q77IvfSqAnn,
     "q78_incremental_sq8" -> q78IncrementalSqAnn)
 
-  /** q42/q81 are deliberately absent: approximate/index-backed ops,
+  /** q81 is deliberately absent: its lifecycle runs over a derived
+    * scratch corpus the oracle's fixture tables cannot express —
     * verified by recall + equality-vs-exact bounds in SimilaritySpec
     * instead of SQL equality. q43 is oracled by the EXACT q41 pair SQL
     * (round 17): SimilaritySpec has pinned celled==exact equality on
@@ -2372,9 +2431,11 @@ object SimilarityOps {
     * that same equality to replay the celled pair graph with exact
     * cosine — so the celled production path must hash-equal the exact
     * triangular join, which is precisely the multi-probe recall claim
-    * made driver-checkable. q77's oracle is staged at Verify-dump time
-    * (see [[q77OracleIfStaged]]), hence `def`. */
-  def oracles: Map[String, String] = q77OracleIfStaged ++ Map(
+    * made driver-checkable. q77's and q42's oracles are staged at
+    * Verify-dump time (see [[q77OracleIfStaged]] /
+    * [[q42OracleIfStaged]]), hence `def`. */
+  def oracles: Map[String, String] =
+    q77OracleIfStaged ++ q42OracleIfStaged ++ Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q43_cell_neardup" -> q41Oracle,
     "q140_semantic_dedup" -> q140Oracle,

@@ -892,5 +892,14 @@ class SimilaritySpec extends SparkSpec {
     val probeSeg = sql.substring(probesStart, sql.indexOf("o77_cand"))
     assert(probeSeg.count(_ == '(') === 5 * 5 + 2,
       "expected |Q|x5 probe tuples")
+    // q42 rides the same staged-assignment machinery (round 17): after
+    // a run its exact-cosine-over-probed-cells replay must exist too
+    assert(SimilarityOps.q42AnnIvf(spark, sf).collect().length === 50)
+    val o42 = SparkEntry.oracleSql.get("q42_ann_ivf")
+    assert(o42.isDefined && o42.get.trim.startsWith("WITH") &&
+      !o42.get.contains(";"))
+    assert(!SparkEntry.rowsOnlyByDesign.contains("q42_ann_ivf"))
+    assert(SparkEntry.rowsOnlyByDesign.keySet ===
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
   }
 }

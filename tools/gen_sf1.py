@@ -20,7 +20,9 @@ Shape notes:
     schema (the engine's readers are sensitive to timestamp encodings
     — see TESTDATA.md).
 
-Usage: python3 tools/gen_sf1.py [/root/testdata/sf0.1] [/tmp/graft-sf1]
+Usage: python3 tools/gen_sf1.py [src_sf_dir] [dst_dir] [copies]
+(copies defaults to 10 = sf1; 30 = sf3, 50 = sf5 for the round-17
+spot rehearsals)
 """
 import os
 import shutil
@@ -30,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-COPIES = 10
+COPIES = 10  # default; override with the 3rd CLI arg (copies = 10*scale)
 
 # column -> key-domain tag; domains shared across tables stay aligned
 OFFSETS = {
@@ -52,7 +54,7 @@ DOMAIN_SOURCE = {  # domain -> (table, column) holding its full range
 COPY_AS_IS = ["region", "nation"]
 
 
-def main(src, dst):
+def main(src, dst, copies=COPIES):
     os.makedirs(dst, exist_ok=True)
     strides = {}
     for dom, (t, c) in DOMAIN_SOURCE.items():
@@ -66,7 +68,7 @@ def main(src, dst):
         tbl = pq.read_table(f"{src}/{t}.parquet").combine_chunks()
         schema = tbl.schema
         parts = []
-        for k in range(COPIES):
+        for k in range(copies):
             cols = []
             for name in schema.names:
                 col = tbl[name].combine_chunks()
@@ -88,6 +90,9 @@ def main(src, dst):
 
 
 if __name__ == "__main__":
+    # 3rd arg: replication count (round 17 - the sf3/sf5 spot
+    # rehearsals pass 30/50 for /tmp/graft-sf3 and /tmp/graft-sf5)
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-sf1"
-    main(src, dst)
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else COPIES
+    main(src, dst, copies)
