@@ -456,10 +456,10 @@ object SimilarityOps {
     * generation, the ordered-SUM cosine fold, and the rounded top-10
     * cut. The round-16 verdict classed q42 as irreducibly k-means;
     * the staged-assignment pattern reduces it the same way it did
-    * q77, leaving only q73 (decode seam), q81 (lifecycle over a
-    * derived scratch corpus the oracle tables cannot express) and
-    * q126 (float-argmax code assignment against embedded codebooks
-    * would be cross-engine tie-unstable) genuinely rows-only. */
+    * q77 — and q126's since-staged oracle (round 17,
+    * [[q126OracleIfStaged]]) reduces the PQ path too, leaving only
+    * q73 (decode seam) and q81 (lifecycle over a derived scratch
+    * corpus the oracle tables cannot express) genuinely rows-only. */
   @volatile private var q42LastDir: Option[String] = None
   @volatile private var q42OracleBuilt: Option[(String, String)] = None
 
@@ -1518,49 +1518,97 @@ object SimilarityOps {
     * products and centroid norms — |Q| × m × ksub rows, broadcast —
     * and each corpus vector's score is the SUM of m table lookups
     * along its codes. The corpus pass never touches a float vector:
-    * one narrow join of the codes table against the LUT + one hash
-    * agg, the plan that scans a 100 TB corpus as a ~1.5 TB codes
-    * table. The LUT broadcast is SIZE-CONDITIONAL (the q31/q43/q47
-    * precedent): at |Q| × m × ksub ≲ 1M rows it broadcasts and the
-    * corpus join is map-side; past the cap — a big offline query
-    * batch — the hint is withheld and the SAME equi-join degrades to
-    * a shuffle on (sub, code), graceful instead of a driver OOM
-    * (SimilaritySpec drives both paths bit-identical). Scoring is
-    * algebraically IDENTICAL to cosine against the
-    * concatenated-centroid reconstruction (SimilaritySpec pins the
-    * equality, plus recall vs exact q40); k-means codebooks are
-    * engine-internal → rows-only by design, like q42. */
-  val q126PqAnn: Q = (spark, dir) => pqAdcTopK(spark, dir)
+    * the codes relation is pivoted to ONE narrow row per vector
+    * (vec_id, c0..c3 — m ints; a map-side-combined hash agg over
+    * n×m int rows) and scored by m broadcast LUT lookups folded in a
+    * single projection — the plan that scans a 100 TB corpus as a
+    * ~1.5 TB codes table with NO corpus-wide (query × neighbor)
+    * aggregation at all (round 17: the previous shape joined the tall
+    * codes table and hash-agged n×m×|Q| rows back down; the wide
+    * shape never materializes them). Each per-sub LUT slice broadcast
+    * is SIZE-CONDITIONAL (the q31/q43/q47 precedent): at |Q| × ksub ≲
+    * 1M rows it broadcasts and the scoring joins are map-side; past
+    * the cap — a big offline query batch — the hint is withheld and
+    * the SAME equi-joins degrade to shuffles on the code keys,
+    * graceful instead of a driver OOM (SimilaritySpec drives both
+    * paths bit-identical). Scoring is algebraically IDENTICAL to
+    * cosine against the concatenated-centroid reconstruction
+    * (SimilaritySpec pins the equality, plus recall vs exact q40).
+    *
+    * ORACLED SINCE ROUND 17 via the q42/q77 staged-assignment
+    * pattern: every float fold on the path is a deterministic
+    * left-to-right double fold ([[dotOrdered]] for the bounded LUT,
+    * a fixed-parenthesization m-term add for the per-vector score),
+    * so GIVEN the staged codes + sub-codebooks (embedded as VALUES at
+    * Verify-dump time), DuckDB independently replays the LUT, the ADC
+    * fold, the rounded score and the top-10 cut bit-for-bit — see
+    * [[q126OracleIfStaged]]. What stays engine-trusted is exactly the
+    * k-means code training; the entire serving path is
+    * driver-checkable. */
+  val q126PqAnn: Q = (spark, dir) => {
+    q126LastDir = Some(dir)
+    pqAdcTopK(spark, dir)
+  }
+
+  /** Left-to-right ordered dot product of two float arrays in DOUBLE
+    * — the HOF (interpreted, CodegenFallback) twin of the native
+    * CosineSimilarity fold, used ONLY on bounded relations (the
+    * |Q|×m×ksub ADC LUT) where determinism matters and codegen does
+    * not: `aggregate` folds sequentially from 0.0, the exact sequence
+    * DuckDB's `SUM(x ORDER BY i)` replays. Never put this on a
+    * corpus-wide path — that is what the native expression is for. */
+  private def dotOrdered(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The corpus codes pivoted wide — one row per vector, one INT
+    * column per subspace. Shared by the serving path and the staged
+    * oracle so both read the identical relation. */
+  private def pqCodesWide(codes: DataFrame): DataFrame = {
+    val codeCols = (0 until PqM).map(s =>
+      max(when(col("sub") === s, col("code"))).as(s"c$s"))
+    codes.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+  }
 
   private[graft] def pqAdcTopK(spark: SparkSession, dir: String,
       lutCapBytes: Long = Hints.BroadcastCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = stagedPqCodes(spark, dir)
     val cents = stagedPqCents(spark, dir)
     val e = Tables.load(spark, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).head.getInt(0)
     val subDim = dim / PqM
-    val qv = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("query_id"), col("pos"), col("v").cast("double").as("v"))
-    // ADC lookup table: partial dot of each query sub-vector with each
-    // sub-codebook centroid, plus the centroid's own norm contribution
-    val cvals = cents.select(col("sub"), col("code"),
-        posexplode(col("centroid")).as(Seq("cpos", "cv")))
-      .select((col("sub") * subDim + col("cpos")).as("pos"),
-        col("sub"), col("code"), col("cv").cast("double").as("cv"))
-    val lut = qv.join(broadcast(cvals), "pos")
-      .groupBy(col("query_id"), col("sub"), col("code"))
-      .agg(sum(col("v") * col("cv")).as("qdot"),
-        sum(col("cv") * col("cv")).as("c2"))
-    val nq = qv.groupBy("query_id").agg(sum(col("v") * col("v")).as("nq"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // ADC lookup table: ordered-fold partial dot of each query
+    // sub-vector with each sub-codebook centroid + the centroid's own
+    // norm contribution. |Q| × m × ksub rows — bounded, off-corpus.
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("code"),
+        dotOrdered(slice(col("embedding"), col("sub") * subDim + 1,
+          lit(subDim)), col("centroid")).as("qdot"),
+        dotOrdered(col("centroid"), col("centroid")).as("c2"))
+    val nq = q.select(col("query_id"),
+      dotOrdered(col("embedding"), col("embedding")).as("nq"))
+    val lutS = (0 until PqM).map(s => lut.filter(col("sub") === s)
+      .select(col("query_id"), col("code").as(s"c$s"),
+        col("qdot").as(s"qd$s"), col("c2").as(s"r$s")))
+    // m lookup joins over the wide codes; fan-out to n×|Q| happens at
+    // the FIRST join (no query key yet), the rest are 1:1 on
+    // (query_id, code) — every row stays m ints + 2m doubles wide
+    val joined = (1 until PqM).foldLeft(
+      pqCodesWide(stagedPqCodes(spark, dir))
+        .join(Hints.broadcastIfSmall(lutS(0), lutCapBytes), Seq("c0"))) {
+      (acc, s) => acc.join(Hints.broadcastIfSmall(lutS(s), lutCapBytes),
+        Seq("query_id", s"c$s"))
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_pq").desc, col("neighbor_id"))
-    codes.join(Hints.broadcastIfSmall(lut, lutCapBytes), Seq("sub", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("qdot")).as("dot"), sum(col("c2")).as("r2"))
+    joined.filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        // fixed left-assoc parenthesization — the oracle mirrors it
+        (0 until PqM).map(s => col(s"qd$s")).reduce(_ + _).as("dot"),
+        (0 until PqM).map(s => col(s"r$s")).reduce(_ + _).as("r2"))
       .join(broadcast(nq), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(col("dot") / (sqrt(col("nq")) * sqrt(col("r2"))), 4)
@@ -1569,6 +1617,101 @@ object SimilarityOps {
       .filter(col("rank") <= 10)
       .orderBy("query_id", "rank")
   }
+
+  @volatile private var q126LastDir: Option[String] = None
+  @volatile private var q126OracleBuilt: Option[(String, String)] = None
+
+  /** q126's DuckDB oracle, constructed at Verify-dump time exactly
+    * like q42's/q77's ([[q77OracleIfStaged]] has the full
+    * rationale): the staged codes + sub-codebook centroid VALUES are
+    * the one engine-internal ingredient (k-means training); given
+    * them, the whole ADC serving path — LUT folds, per-vector m-term
+    * score, rounding, ranking — is replayed independently by DuckDB
+    * with ordered SUMs and the same fixed parenthesization. Centroid
+    * floats are embedded as 17-significant-digit scientific literals
+    * of their DOUBLE widening (lossless round-trip; e-notation
+    * parses as DOUBLE in DuckDB, never DECIMAL). Collects here are
+    * oracle-construction scaffolding at verify scale (n ≤ cap),
+    * never the production path. */
+  private[graft] def q126OracleIfStaged: Map[String, String] =
+    (for {
+      dir <- q126LastDir
+      spark <- SparkSession.getActiveSession
+      sql <- scala.util.Try(q126StagedOracle(spark, dir)).toOption.flatten
+    } yield Map("q126_pq_ann" -> sql)).getOrElse(Map.empty)
+
+  private def q126StagedOracle(spark: SparkSession,
+      dir: String): Option[String] = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val stateKey = src.toAbsolutePath.toString + ":" +
+      StagedCache.fingerprint(src)
+    q126OracleBuilt match {
+      case Some((k, sql)) if k == stateKey => Some(sql)
+      case _ =>
+        if (stagedCorpusMaxId(spark, dir).exists(_ > Q77OracleMaxCorpus))
+          None
+        else {
+          val e = Tables.load(spark, dir, "embeddings")
+          val dim = e.select(size(col("embedding"))).head.getInt(0)
+          val codeRows = pqCodesWide(stagedPqCodes(spark, dir)).collect()
+            .map(r => s"(${r.getLong(0)},${r.getInt(1)},${r.getInt(2)}," +
+              s"${r.getInt(3)},${r.getInt(4)})")
+          val centRows = stagedPqCents(spark, dir)
+            .select(col("sub"), col("code"),
+              posexplode(col("centroid")).as(Seq("pos", "cv")))
+            .collect()
+            .map(r => f"(${r.getInt(0)},${r.getInt(1)},${r.getInt(2)}," +
+              f"${r.getFloat(3).toDouble}%.17e)")
+          if (codeRows.isEmpty || centRows.isEmpty) None
+          else {
+            val sql = q126OracleTemplate(dim / PqM,
+              codeRows.mkString(","), centRows.mkString(","))
+            q126OracleBuilt = Some((stateKey, sql))
+            Some(sql)
+          }
+        }
+    }
+  }
+
+  /** The replay SQL around the embedded codes + codebooks. Engine
+    * twin: [[pqAdcTopK]] — same ordered LUT folds, same left-assoc
+    * m-term score, same round-then-rank. */
+  private def q126OracleTemplate(subDim: Int, codesValues: String,
+      centsValues: String): String =
+    s"""WITH o126_codes(vec_id, c0, c1, c2, c3) AS (VALUES $codesValues),
+       |o126_cents(sub, code, pos, cv) AS (VALUES $centsValues),
+       |o126_lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.sub, c.code,
+       |    SUM(q.embedding[c.sub * $subDim + c.pos + 1]::DOUBLE * c.cv::DOUBLE
+       |        ORDER BY c.pos) AS qdot,
+       |    SUM(c.cv::DOUBLE * c.cv::DOUBLE ORDER BY c.pos) AS c2
+       |  FROM embeddings q, o126_cents c
+       |  WHERE q.vec_id < 5
+       |  GROUP BY 1, 2, 3),
+       |o126_nq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id,
+       |    SUM(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE ORDER BY i) AS nq
+       |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)
+       |  WHERE vec_id < 5 GROUP BY 1),
+       |o126_scored AS MATERIALIZED (
+       |  SELECT l0.query_id, k.vec_id AS neighbor_id,
+       |    l0.qdot + l1.qdot + l2.qdot + l3.qdot AS dot,
+       |    l0.c2 + l1.c2 + l2.c2 + l3.c2 AS r2
+       |  FROM o126_codes k
+       |  JOIN o126_lut l0 ON l0.sub = 0 AND l0.code = k.c0
+       |  JOIN o126_lut l1 ON l1.sub = 1 AND l1.code = k.c1 AND l1.query_id = l0.query_id
+       |  JOIN o126_lut l2 ON l2.sub = 2 AND l2.code = k.c2 AND l2.query_id = l0.query_id
+       |  JOIN o126_lut l3 ON l3.sub = 3 AND l3.code = k.c3 AND l3.query_id = l0.query_id
+       |  WHERE l0.query_id <> k.vec_id)
+       |SELECT query_id, neighbor_id, cosine_pq, rank FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ROUND(s.dot / (sqrt(n.nq) * sqrt(s.r2)), 4) AS cosine_pq,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY ROUND(s.dot / (sqrt(n.nq) * sqrt(s.r2)), 4) DESC,
+       |        s.neighbor_id) AS rank
+       |  FROM o126_scored s JOIN o126_nq n ON n.query_id = s.query_id)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q129 — CONTRASTIVE PAIR MINING ([EXT], round 11): the embedding-
     * training prep step — for each anchor, a HARD POSITIVE (its top-1
@@ -2435,7 +2578,7 @@ object SimilarityOps {
     * Verify-dump time (see [[q77OracleIfStaged]] /
     * [[q42OracleIfStaged]]), hence `def`. */
   def oracles: Map[String, String] =
-    q77OracleIfStaged ++ q42OracleIfStaged ++ Map(
+    q77OracleIfStaged ++ q42OracleIfStaged ++ q126OracleIfStaged ++ Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q43_cell_neardup" -> q41Oracle,
     "q140_semantic_dedup" -> q140Oracle,

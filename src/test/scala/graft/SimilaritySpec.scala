@@ -902,4 +902,40 @@ class SimilaritySpec extends SparkSpec {
     assert(SparkEntry.rowsOnlyByDesign.keySet ===
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
   }
+
+  test("q126's oracle is staged at dump time: present and well-formed " +
+      "after a q126 run, embedding wide codes + sub-codebooks") {
+    // Round 17: every float fold on the ADC serving path is an
+    // ordered left-to-right double fold (dotOrdered LUT, fixed-assoc
+    // m-term score), so GIVEN the staged codes + codebooks the whole
+    // path replays in DuckDB. Pin the lifecycle: after q126 runs the
+    // oracle exists, embeds one wide-code tuple per corpus vector
+    // plus the exploded codebooks, and the SparkEntry three-set
+    // consistency holds in the oracled state.
+    val rows = SimilarityOps.q126PqAnn(spark, sf).collect()
+    assert(rows.length === 50)
+    val oracle = SparkEntry.oracleSql.get("q126_pq_ann")
+    assert(oracle.isDefined, "q126 ran: its staged oracle must exist")
+    assert(!SparkEntry.rowsOnlyByDesign.contains("q126_pq_ann"))
+    assert(SparkEntry.rowsOnlyByDesign.keySet ===
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+    val sql = oracle.get
+    assert(sql.trim.startsWith("WITH") && !sql.contains(";"))
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val codesStart =
+      sql.indexOf("o126_codes(vec_id, c0, c1, c2, c3) AS (VALUES")
+    val centsStart =
+      sql.indexOf("o126_cents(sub, code, pos, cv) AS (VALUES")
+    assert(codesStart >= 0 && centsStart > codesStart)
+    val codeTuples = sql.substring(codesStart, centsStart).count(_ == '(')
+    assert(codeTuples.toLong === n + 2,
+      s"expected one wide-code tuple per corpus vector ($n), " +
+        s"got ${codeTuples - 2}")
+    // centroid floats ride as scientific-notation literals — DOUBLE
+    // in DuckDB (a plain decimal VALUES literal would infer DECIMAL
+    // and silently lose the widened-float value)
+    val centSeg = sql.substring(centsStart, sql.indexOf("o126_lut"))
+    assert(centSeg.contains("e-") || centSeg.contains("e+"),
+      "centroid literals must be e-notation DOUBLEs")
+  }
 }
