@@ -74,23 +74,23 @@ object SparkEntry {
     * bare rows-only check). Exactly the `queries` keys absent from
     * [[oracleSql]]; HarnessSpec pins the three sets consistent.
     *
-    * Round 17 shrank this set 7→2: q43 now hash-verifies against the
+    * Round 17 shrank this set 7→1: q43 now hash-verifies against the
     * exact q41 pair SQL, q92 got the q53-style exact+bound-flag
-    * oracle, and q77/q42/q126's oracles are constructed at
+    * oracle, and q77/q42/q126/q81's oracles are constructed at
     * Verify-dump time from their staged index state (so they appear
     * here ONLY in a session where the query has not run — in the
     * driver's full Verify pass they are oracled; see
-    * SimilarityOps.q77OracleIfStaged and its siblings). */
+    * SimilarityOps.q77OracleIfStaged and its siblings). Only the q73
+    * decode seam remains irreducibly rows-only. */
   def rowsOnlyByDesign: Map[String, String] = {
     val base = Map(
       "q73_media_decode" ->
-        "exercises the documented non-SQL decode seam (mapPartitions codec stub); payload plumbing asserted in MultimodalSpec",
-      "q81_ivf_maintenance" ->
-        "index maintenance lifecycle (drift->rebuild->serve) over a DERIVED scratch corpus the oracle's fixture tables cannot express; flags, determinism and served-region membership pinned in SimilaritySpec")
+        "exercises the documented non-SQL decode seam (mapPartitions codec stub); payload plumbing asserted in MultimodalSpec")
     val staged = Seq(
       "q77_ivf_sq_ann" -> "SimilarityOps.q77OracleIfStaged",
       "q42_ann_ivf" -> "SimilarityOps.q42OracleIfStaged",
-      "q126_pq_ann" -> "SimilarityOps.q126OracleIfStaged")
+      "q126_pq_ann" -> "SimilarityOps.q126OracleIfStaged",
+      "q81_ivf_maintenance" -> "SimilarityOps.q81OracleIfStaged")
     base ++ staged.collect {
       case (q, site) if !oracleSql.contains(q) =>
         q -> (s"oracle is staged at Verify-dump time from the run's " +

@@ -456,10 +456,10 @@ object SimilarityOps {
     * generation, the ordered-SUM cosine fold, and the rounded top-10
     * cut. The round-16 verdict classed q42 as irreducibly k-means;
     * the staged-assignment pattern reduces it the same way it did
-    * q77 — and q126's since-staged oracle (round 17,
-    * [[q126OracleIfStaged]]) reduces the PQ path too, leaving only
-    * q73 (decode seam) and q81 (lifecycle over a derived scratch
-    * corpus the oracle tables cannot express) genuinely rows-only. */
+    * q77 — and the since-staged q126 ([[q126OracleIfStaged]]) and
+    * q81 ([[q81OracleIfStaged]]) oracles reduce the PQ and lifecycle
+    * paths too, leaving only the q73 decode seam genuinely
+    * rows-only. */
   @volatile private var q42LastDir: Option[String] = None
   @volatile private var q42OracleBuilt: Option[(String, String)] = None
 
@@ -2479,9 +2479,9 @@ object SimilarityOps {
     *
     * Output = the served top-k plus the policy observables as
     * literal columns (pre-drift high, rebuilt, post-drift back in
-    * distribution). Not SQL-oracled (k-means engine-internal, like
-    * q42/q43); SimilaritySpec pins the flags and that every served
-    * neighbor is a batch member; driver records rows-only. */
+    * distribution). ORACLED SINCE ROUND 17 via the staged pattern —
+    * see [[q81OracleIfStaged]]; SimilaritySpec additionally pins the
+    * flags and that every served neighbor is a batch member. */
   /** The q81 lifecycle's BUILD half (drift → append → refresh →
     * rebuild decision), STAGED and MEMOIZED per (session, fixture
     * fingerprint) — round 15, the warm-asymmetry pattern every other
@@ -2535,6 +2535,7 @@ object SimilarityOps {
 
   val q81IvfMaintenance: Q = (spark, dir) => {
     val (mdir, pre, rebuilt, post) = stagedMaintenance(spark, dir)
+    q81LastDir = Some(dir)
     val qDf = Tables.load(spark, mdir, "embeddings")
       .filter(col("vec_id") >= 1000000L && col("vec_id") < 1000005L)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -2544,6 +2545,123 @@ object SimilarityOps {
       .withColumn("drift_post_low", lit(post <= 0.3))
       .orderBy("query_id", "rank")
   }
+
+  @volatile private var q81LastDir: Option[String] = None
+  @volatile private var q81OracleBuilt: Option[(String, String)] = None
+
+  /** q81's DuckDB oracle, constructed at Verify-dump time (round 17,
+    * extending the q42/q77/q126 staged pattern to the LIFECYCLE
+    * query): the maintained corpus is original ∪ a batch whose
+    * derivation is pure SQL-expressible arithmetic (re-key
+    * +1,000,000; embedding[i] = one double multiply+add over integer
+    * pmod, cast to float — each step a single IEEE operation DuckDB
+    * replays bit-identically), and the serve is the q42 probed
+    * search. So GIVEN the maintained index's staged cell assignment
+    * + the |Q|×probes pairs (embedded as VALUES), DuckDB replays the
+    * batch derivation, candidate generation, the exact ordered-SUM
+    * cosine and the rounded top-10 cut. The three policy observables
+    * (drift_pre_high / rebuilt / drift_post_low) ride the q53
+    * precedent: the oracle emits the spec-pinned expected constants
+    * and the engine emits its measured flags — hash equality IS the
+    * policy verification; if the engine's flags ever leave the
+    * expected region the builder REFUSES (returns None, degrading to
+    * the old rows-only record) rather than staging a wrong oracle.
+    * What stays engine-trusted is exactly the k-means training and
+    * the drift measurement's internals; the append, the rebuild's
+    * served effect and the entire search path become
+    * driver-checkable. */
+  private[graft] def q81OracleIfStaged: Map[String, String] =
+    (for {
+      dir <- q81LastDir
+      spark <- SparkSession.getActiveSession
+      sql <- scala.util.Try(q81StagedOracle(spark, dir)).toOption.flatten
+    } yield Map("q81_ivf_maintenance" -> sql)).getOrElse(Map.empty)
+
+  private def q81StagedOracle(spark: SparkSession,
+      dir: String): Option[String] = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val stateKey = src.toAbsolutePath.toString + ":" +
+      StagedCache.fingerprint(src)
+    q81OracleBuilt match {
+      case Some((k, sql)) if k == stateKey => Some(sql)
+      case _ =>
+        if (stagedCorpusMaxId(spark, dir).exists(_ > Q77OracleMaxCorpus))
+          None
+        else {
+          val (mdir, pre, rebuilt, post) = stagedMaintenance(spark, dir)
+          // honest-constant gate: the TRUE-emitting oracle is only
+          // staged when the engine's measured flags ARE the expected
+          // constants — otherwise degrade to rows-only, never lie
+          if (!(pre > 0.5) || !rebuilt || !(post <= 0.3)) None
+          else {
+            val (assign, cent) =
+              stagedKmeans(spark, mdir, ivfK(spark, mdir), IvfIters)
+            val cells = assign.select(col("vec_id"), col("cell"))
+              .collect().map(r => s"(${r.getLong(0)},${r.getInt(1)})")
+            val qDf = Tables.load(spark, mdir, "embeddings")
+              .filter(col("vec_id") >= 1000000L &&
+                col("vec_id") < 1000005L)
+              .select(col("vec_id").as("query_id"),
+                col("embedding").as("qv"))
+            val wProbe = org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("cell_sim").desc, col("cell"))
+            val probes = broadcast(qDf).crossJoin(broadcast(cent))
+              .select(col("query_id"), col("cell"),
+                cosine("qv", "centroid").as("cell_sim"))
+              .withColumn("cell_rank", row_number().over(wProbe))
+              .filter(col("cell_rank") <= 5)
+              .select("query_id", "cell")
+              .collect().map(r => s"(${r.getLong(0)},${r.getInt(1)})")
+            if (cells.isEmpty || probes.isEmpty) None
+            else {
+              val sql = q81OracleTemplate(cells.mkString(","),
+                probes.mkString(","))
+              q81OracleBuilt = Some((stateKey, sql))
+              Some(sql)
+            }
+          }
+        }
+    }
+  }
+
+  /** The replay SQL: derived-batch union, q42-style candidate
+    * generation from the embedded assignment, exact ordered-SUM
+    * cosine, rounded top-10, plus the three expected policy
+    * constants. Engine twin: [[q81IvfMaintenance]]. */
+  private def q81OracleTemplate(cellsValues: String,
+      probesValues: String): String =
+    s"""WITH o81_corpus AS MATERIALIZED (
+       |  SELECT vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+       |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, i AS pos,
+       |    CAST(1.0 + 0.01 * ((vec_id * 31 + i) % 7 - 3) AS FLOAT)::DOUBLE AS v
+       |  FROM embeddings, UNNEST(range(LEN(embedding))) g(i)),
+       |o81_cells(vec_id, cell) AS (VALUES $cellsValues),
+       |o81_probes(query_id, cell) AS (VALUES $probesValues),
+       |o81_cand AS MATERIALIZED (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id
+       |  FROM o81_probes p JOIN o81_cells c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |o81_d AS MATERIALIZED (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    SUM(q.v * n.v ORDER BY q.pos) AS dot,
+       |    sqrt(SUM(q.v * q.v ORDER BY q.pos)) AS qn,
+       |    sqrt(SUM(n.v * n.v ORDER BY n.pos)) AS cn
+       |  FROM o81_cand cd
+       |  JOIN o81_corpus q ON q.vec_id = cd.query_id
+       |  JOIN o81_corpus n ON n.vec_id = cd.neighbor_id AND n.pos = q.pos
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, cosine, rank,
+       |  TRUE AS drift_pre_high, TRUE AS rebuilt, TRUE AS drift_post_low
+       |FROM (
+       |  SELECT query_id, neighbor_id, ROUND(dot / (qn * cn), 4) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(dot / (qn * cn), 4) DESC, neighbor_id) AS rank
+       |  FROM o81_d)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q129_contrastive_pairs" -> q129ContrastivePairs,
@@ -2578,7 +2696,8 @@ object SimilarityOps {
     * Verify-dump time (see [[q77OracleIfStaged]] /
     * [[q42OracleIfStaged]]), hence `def`. */
   def oracles: Map[String, String] =
-    q77OracleIfStaged ++ q42OracleIfStaged ++ q126OracleIfStaged ++ Map(
+    q77OracleIfStaged ++ q42OracleIfStaged ++ q126OracleIfStaged ++
+      q81OracleIfStaged ++ Map(
     "q40_ann_bruteforce" -> q40Oracle,
     "q43_cell_neardup" -> q41Oracle,
     "q140_semantic_dedup" -> q140Oracle,

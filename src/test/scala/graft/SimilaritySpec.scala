@@ -938,4 +938,41 @@ class SimilaritySpec extends SparkSpec {
     assert(centSeg.contains("e-") || centSeg.contains("e+"),
       "centroid literals must be e-notation DOUBLEs")
   }
+
+  test("q81's oracle is staged at dump time: maintained assignment + " +
+      "probes embedded, flags as honest expected constants") {
+    // Round 17: the lifecycle's served search replays in DuckDB GIVEN
+    // the maintained index's staged assignment (the batch derivation
+    // is pure SQL-expressible arithmetic), and the three policy flags
+    // ride the q53 TRUE-by-construction precedent — staged ONLY when
+    // the engine's measured flags are the expected constants. Pin the
+    // lifecycle: after q81 runs the oracle exists, embeds one
+    // assignment tuple per maintained vector (original + batch) and
+    // |Q|x5 probes, emits the three expected constants, and the
+    // three-set consistency holds.
+    val rows = SimilarityOps.q81IvfMaintenance(spark, sf).collect()
+    assert(rows.length === 50)
+    val oracle = SparkEntry.oracleSql.get("q81_ivf_maintenance")
+    assert(oracle.isDefined, "q81 ran: its staged oracle must exist")
+    assert(!SparkEntry.rowsOnlyByDesign.contains("q81_ivf_maintenance"))
+    assert(SparkEntry.rowsOnlyByDesign.keySet ===
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+    val sql = oracle.get
+    assert(sql.trim.startsWith("WITH") && !sql.contains(";"))
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val cellsStart = sql.indexOf("o81_cells(vec_id, cell) AS (VALUES")
+    val probesStart = sql.indexOf("o81_probes(query_id, cell) AS (VALUES")
+    assert(cellsStart >= 0 && probesStart > cellsStart)
+    val cellTuples = sql.substring(cellsStart, probesStart).count(_ == '(')
+    assert(cellTuples.toLong === 2 * n + 2,
+      s"expected one tuple per maintained vector (2x$n), " +
+        s"got ${cellTuples - 2}")
+    val probeSeg = sql.substring(probesStart, sql.indexOf("o81_cand"))
+    assert(probeSeg.count(_ == '(') === 5 * 5 + 2,
+      "expected |Q|x5 probe tuples")
+    assert(sql.contains("TRUE AS drift_pre_high") &&
+      sql.contains("TRUE AS rebuilt") &&
+      sql.contains("TRUE AS drift_post_low"),
+      "flags must be the spec-pinned expected constants")
+  }
 }
