@@ -473,9 +473,16 @@ object DedupOps {
     * hash shuffle on the canonical string — the q30 posture, skew-free
     * for web-scale URL sets (no host dominates the key space; a
     * per-HOST rollup would salt, but the key here is the full URL). */
-  val q148UrlDedup: Q = (spark, dir) => {
+  /** The deterministic per-doc URL synthesis q148 AND q153 share
+    * (extracted round 17): page = doc_id div 5 (five docs per logical
+    * page), host = site(page%20).example.com, variant = doc_id % 5
+    * cycling through exactly the noise dimensions [[canonicalUrl]]
+    * must collapse. Both engines replay the same synthesis, so the
+    * operators under test are the canonicalizer + rollups, never the
+    * fixture. */
+  private def syntheticUrls(spark: SparkSession, dir: String): DataFrame = {
     val pageS = col("page").cast("string")
-    val urls = Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .select(col("doc_id"), expr("doc_id div 5").as("page"),
         (col("doc_id") % 5).as("v"))
       .withColumn("hb",
@@ -498,7 +505,10 @@ object DedupOps {
           concat(lit("http://"), col("hb"), lit("/doc/"), pageS,
             lit("?id="), (col("page") % 9).cast("string")))
         .as("url"))
-    urls
+  }
+
+  val q148UrlDedup: Q = (spark, dir) =>
+    syntheticUrls(spark, dir)
       .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
       .withColumn("host",
         regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
@@ -506,10 +516,74 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_dups"))
       .orderBy("canonical_url")
+
+  /** q153 — HOST REPUTATION ROLLUP ([EXT], round 17): the host-level
+    * curation report crawl pipelines (C4/RefinedWeb-style) compute
+    * BEFORE any per-document work — per host: document count,
+    * distinct canonical pages, the duplication ratio (a dup-farm /
+    * mirror signal), and the host-level stopword quality — with a
+    * verdict band read off the ROUNDED metrics (the q22 lesson, so
+    * both engines band identically). Host-level filtering is the
+    * cheapest lever a crawl has: dropping one spam host removes
+    * millions of documents without scoring any of them.
+    *
+    * 100 TB shape: canonicalization + host extraction are ONE
+    * row-local codegen'd projection. The rollup aggregates are all
+    * ALGEBRAIC (counts and integer sums), and for algebraic
+    * aggregates Spark's partial map-side combine IS the salting —
+    * a hot host (one host can be 1% of a web corpus) contributes one
+    * partial row per input partition, never a hot reduce key with
+    * corpus-sized input (contrast q82, whose JOIN needed explicit
+    * salt because joins have no partial combine). The exact
+    * distinct-page count plans as Spark's standard two-phase
+    * aggregate: the first level keys on (host, canonical_url) — high
+    * cardinality, skew-free — and the second receives one row per
+    * DISTINCT page with partial counts. Quality ratios come from
+    * integer sums with ONE final rounded division each, so the
+    * output is bit-stable across engines and partitionings (no
+    * float-fold-order exposure at all). DedupSpec pins the verdict
+    * table on crafted hosts exercising all three bands. */
+  val q153HostReputation: Q = (spark, dir) => {
+    val canon = syntheticUrls(spark, dir)
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
+    val meta = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(TextOps.StopwordRegex), lit(0))).cast("long").as("stop_hits"))
+    hostReputation(canon, meta)
   }
 
-  val q148Oracle: String =
-    """WITH urls AS (
+  /** The rollup core over (doc_id, canonical_url, host) ⋈ (doc_id,
+    * n_tokens, stop_hits) — extracted so DedupSpec can drive crafted
+    * host profiles through every verdict band. */
+  private[graft] def hostReputation(canon: DataFrame,
+      meta: DataFrame): DataFrame = {
+    val pages = canon.groupBy("host")
+      .agg(countDistinct(col("canonical_url")).as("n_pages"))
+    val rolled = canon.join(meta, "doc_id")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tok"),
+        sum(col("stop_hits")).as("sum_stop"))
+    rolled.join(pages, "host")
+      .select(col("host"), col("n_docs"), col("n_pages"),
+        round(lit(1.0) - col("n_pages") / col("n_docs"), 4).as("dup_ratio"),
+        round(col("sum_stop") / col("sum_tok"), 4).as("host_quality"))
+      .withColumn("verdict",
+        when(col("dup_ratio") >= 0.5, lit("dup_farm"))
+          .when(col("host_quality") < 0.05, lit("low_quality"))
+          .otherwise(lit("ok")))
+      .orderBy("host")
+  }
+
+  /** The shared urls+canon CTE text (the oracle twin of
+    * [[syntheticUrls]] + [[canonicalUrl]]) — q148's and q153's
+    * oracles append different rollup tails. */
+  private val urlCanonSql: String =
+    """urls AS (
       |  SELECT doc_id,
       |    CASE doc_id % 5
       |      WHEN 0 THEN 'http://' || hb || '/doc/' || page
@@ -541,10 +615,44 @@ object DedupOps {
       |      COALESCE(array_to_string(list_filter(string_split(
       |        regexp_extract(url, '\?([^#]*)', 1), '&'),
       |        p -> NOT starts_with(p, 'utm_')), '&'), '') AS kept
-      |    FROM urls))
-      |SELECT regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+      |    FROM urls))""".stripMargin
+
+  // NB: the prefix is concatenated AFTER each part's own stripMargin —
+  // re-stripping interpolated text would eat the first pipe of any
+  // continuation line beginning with `||`
+  val q148Oracle: String =
+    "WITH " + urlCanonSql + "\n" +
+    """SELECT regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
       |  canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
       |FROM canon GROUP BY 2 ORDER BY canonical_url""".stripMargin
+
+  val q153Oracle: String =
+    "WITH " + urlCanonSql + ",\n" +
+    """hosted AS (
+      |  SELECT doc_id, canonical_url,
+      |    regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host
+      |  FROM canon),
+      |meta AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(LEN(regexp_extract_all(LOWER(text),
+      |      '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stop_hits
+      |  FROM documents),
+      |r AS (
+      |  SELECT h.host, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT h.canonical_url) AS n_pages,
+      |    SUM(m.n_tokens) AS sum_tok, SUM(m.stop_hits) AS sum_stop
+      |  FROM hosted h JOIN meta m USING (doc_id)
+      |  GROUP BY 1)
+      |SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_pages AS BIGINT) AS n_pages,
+      |  ROUND(1.0 - n_pages / n_docs, 4) AS dup_ratio,
+      |  ROUND(sum_stop / sum_tok, 4) AS host_quality,
+      |  CASE WHEN ROUND(1.0 - n_pages / n_docs, 4) >= 0.5 THEN 'dup_farm'
+      |       WHEN ROUND(sum_stop / sum_tok, 4) < 0.05 THEN 'low_quality'
+      |       ELSE 'ok' END AS verdict
+      |FROM r ORDER BY host""".stripMargin
 
   /** q127 — LEAKAGE-SAFE train/val/test split: the eval-hygiene twin
     * of decontamination (q36/q122). A naive per-document hash split
@@ -2253,6 +2361,7 @@ object DedupOps {
     "q30_exact_dedup" -> q30ExactDedup,
     "q145_unicode_dedup" -> q145UnicodeDedup,
     "q148_url_dedup" -> q148UrlDedup,
+    "q153_host_reputation" -> q153HostReputation,
     "q152_source_overlap" -> q152SourceOverlap,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinHashLsh,
@@ -2273,6 +2382,7 @@ object DedupOps {
     "q30_exact_dedup" -> q30Oracle,
     "q145_unicode_dedup" -> q145Oracle,
     "q148_url_dedup" -> q148Oracle,
+    "q153_host_reputation" -> q153Oracle,
     "q152_source_overlap" -> q152Oracle,
     "q31_ngram_jaccard" -> q31Oracle,
     "q32_minhash_lsh" -> q32Oracle,

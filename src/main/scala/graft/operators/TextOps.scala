@@ -29,7 +29,8 @@ object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Whitespace tokens of the lowercased, trimmed text. */
-  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+  private[graft] def tokens(c: Column): Column =
+    split(lower(trim(c)), "\\s+")
 
   /** The one stop-word marker list every quality consumer shares
     * (q22, q89, q139, and the composed q137 funnel) — a single
@@ -793,6 +794,65 @@ object TextOps {
        |SELECT * FROM obpe_enc ORDER BY doc_id""".stripMargin
   }
 
+  /** q154 — TOKENIZER FERTILITY by language ([EXT], round 17): the
+    * fourth leg of the tokenizer lifecycle (train q76 → encode q79 →
+    * decode q138 → MEASURE), and the metric that decides whether a
+    * tokenizer SHIPS: fertility (BPE tokens per whitespace word) and
+    * compression (normalized chars per token), broken out BY LANGUAGE
+    * — the standard fairness/efficiency audit, because a tokenizer
+    * trained on one language's distribution fragments the others
+    * (high fertility = more sequence length = more compute per
+    * sentence for those languages). Served off the SAME staged
+    * trainer artifact as q79/q138 (build-once-serve-many; no training
+    * work per call).
+    *
+    * Exactness: per-doc token counts and char totals are INTEGERS;
+    * the per-language rollup is integer sums with ONE final rounded
+    * double division per metric — no float fold order anywhere, so
+    * the whole measure is hash-verifiable even though the oracle must
+    * replay the full 10-round BPE chain to agree on what a token is.
+    * Scale shape: one hash agg over the token stream (map-side
+    * combined), one corpus-keyed equi-join on doc_id against the
+    * 3-column documents projection, one tiny per-lang agg. */
+  val q154TokenizerFertility: Q = (spark, dir) => {
+    val perDoc = stagedBpe(spark, dir)._2
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(length(col("tok"))) + count(lit(1)) - 1L)
+          .cast("long").as("n_chars"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_words"))
+    docs.join(perDoc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_words")).as("n_words"),
+        round(sum(col("n_tok")) / sum(col("n_words")), 4).as("fertility"),
+        round(sum(col("n_chars")) / sum(col("n_tok")), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val q154Oracle: String = {
+    s"""${bpeChainSql}obpe_pd AS MATERIALIZED (
+       |  SELECT doc_id, COUNT(*) AS n_tok,
+       |    CAST(SUM(LEN(tok)) + COUNT(*) - 1 AS BIGINT) AS n_chars
+       |  FROM obpe_toks$BpeRounds GROUP BY doc_id),
+       |obpe_docs AS (
+       |  SELECT doc_id, lang,
+       |    CAST(LEN(string_split_regex(TRIM(LOWER(text)), '\\s+')) AS BIGINT)
+       |      AS n_words
+       |  FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(d.n_words) AS BIGINT) AS n_words,
+       |  ROUND(SUM(p.n_tok) / SUM(d.n_words), 4) AS fertility,
+       |  ROUND(SUM(p.n_chars) / SUM(p.n_tok), 4) AS chars_per_token
+       |FROM obpe_docs d JOIN obpe_pd p USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** The q138 oracle deliberately knows NOTHING about BPE: if the
     * engine's decode(encode(·)) is lossless, its per-doc output equals
     * the canonical whitespace-normalized text — computable in one
@@ -1474,6 +1534,7 @@ object TextOps {
     "q109_json_metadata" -> q109JsonMetadata,
     "q76_bpe_trainer" -> q76BpeTrainer,
     "q79_bpe_encode" -> q79BpeEncode,
+    "q154_tokenizer_fertility" -> q154TokenizerFertility,
     "q89_curation_funnel" -> q89CurationFunnel,
     "q48_vocab_induction" -> q48VocabInduction,
     "q49_feature_hashing" -> q49FeatureHashing,
@@ -1502,6 +1563,7 @@ object TextOps {
     "q109_json_metadata" -> q109Oracle,
     "q76_bpe_trainer" -> q76Oracle,
     "q79_bpe_encode" -> q79Oracle,
+    "q154_tokenizer_fertility" -> q154Oracle,
     "q89_curation_funnel" -> q89Oracle,
     "q48_vocab_induction" -> q48Oracle,
     "q49_feature_hashing" -> q49Oracle,

@@ -679,6 +679,55 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._3).sum === nDocs)
   }
 
+  test("q153: host reputation bands — dup_farm / low_quality / ok, " +
+      "with dup_farm taking precedence on the rounded metrics") {
+    import org.apache.spark.sql.functions._
+    // crafted host profiles driving every verdict branch through the
+    // extracted rollup core (the fixture's uniform synthesis exercises
+    // only the dup_farm band end-to-end)
+    val canon = Seq(
+      // dupfarm.ex: 4 docs on 2 pages -> dup_ratio 0.5 (boundary IN)
+      (1L, "http://dupfarm.ex/a", "dupfarm.ex"),
+      (2L, "http://dupfarm.ex/a", "dupfarm.ex"),
+      (3L, "http://dupfarm.ex/b", "dupfarm.ex"),
+      (4L, "http://dupfarm.ex/b", "dupfarm.ex"),
+      // junk.ex: no dup, stopword ratio 1/100 = 0.01 < 0.05
+      (5L, "http://junk.ex/a", "junk.ex"),
+      (6L, "http://junk.ex/b", "junk.ex"),
+      // good.ex: no dup, healthy ratio
+      (7L, "http://good.ex/a", "good.ex"),
+      (8L, "http://good.ex/b", "good.ex"),
+      // both.ex: dup-farm AND junk-grade quality -> first branch wins
+      (9L, "http://both.ex/a", "both.ex"),
+      (10L, "http://both.ex/a", "both.ex"))
+      .toDF("doc_id", "canonical_url", "host")
+    val meta = Seq(
+      (1L, 50L, 10L), (2L, 50L, 10L), (3L, 50L, 10L), (4L, 50L, 10L),
+      (5L, 100L, 1L), (6L, 100L, 1L),
+      (7L, 100L, 20L), (8L, 100L, 20L),
+      (9L, 100L, 0L), (10L, 100L, 0L))
+      .toDF("doc_id", "n_tokens", "stop_hits")
+    val got = DedupOps.hostReputation(canon, meta).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getString(5)))).toMap
+    assert(got("dupfarm.ex") === ((4L, 2L, 0.5, 0.2, "dup_farm")))
+    assert(got("junk.ex") === ((2L, 2L, 0.0, 0.01, "low_quality")))
+    assert(got("good.ex") === ((2L, 2L, 0.0, 0.2, "ok")))
+    assert(got("both.ex") === ((2L, 1L, 0.5, 0.0, "dup_farm")))
+    // fixture end-to-end: every synthesized host carries 5 variants
+    // per page collapsing to 2 canonical pages -> dup_ratio 0.6, all
+    // dup_farm; host count = min(20, pages)
+    val fixture = DedupOps.queries("q153_host_reputation")(spark, sf)
+      .collect()
+    assert(fixture.nonEmpty && fixture.length <= 20)
+    assert(fixture.forall(_.getDouble(3) === 0.6))
+    assert(fixture.forall(_.getString(5) === "dup_farm"))
+    // conservation: per-host docs sum to the corpus
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(fixture.map(_.getLong(1)).sum === nDocs)
+  }
+
   test("q152: the cross-source overlap matrix counts shared canonical " +
       "content, not shared ids — disjoint sources never pair") {
     import org.apache.spark.sql.functions._

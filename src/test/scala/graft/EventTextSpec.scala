@@ -434,6 +434,30 @@ class EventTextSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("tokenizer fertility (q154): per-lang measures are consistent " +
+      "with the q79 encode and bounded by the merge semantics") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.q154TokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // one row per fixture language, every doc accounted for
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.map(_._2).sum === nDocs)
+    // word-merge BPE can only SHRINK the token stream: 0 < fertility
+    // <= 1 (a subword tokenizer would exceed 1 — the metric's sign is
+    // the tokenizer family, the per-lang SPREAD is the audit)
+    assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    // every token carries at least one char; merged tokens make the
+    // mean strictly exceed the corpus's min token length
+    assert(rows.forall(_._6 >= 1.0))
+    // cross-query consistency: per-lang token totals sum to q79's
+    // corpus-wide encoded token count
+    val q79Total = TextOps.q79BpeEncode(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows.map(_._3).sum === q79Total)
+  }
+
   test("source cap (q139): salted two-stage top-N == naive single window, cap binds") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
