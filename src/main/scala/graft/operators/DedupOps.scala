@@ -480,15 +480,16 @@ object DedupOps {
     * must collapse. Both engines replay the same synthesis, so the
     * operators under test are the canonicalizer + rollups, never the
     * fixture. */
-  private def syntheticUrls(spark: SparkSession, dir: String): DataFrame = {
+  private def syntheticUrls(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val pageS = col("page").cast("string")
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), expr("doc_id div 5").as("page"),
-        (col("doc_id") % 5).as("v"))
+      .select(col("doc_id") +: expr("doc_id div 5").as("page") +:
+        (col("doc_id") % 5).as("v") +: carry.map(col): _*)
       .withColumn("hb",
         concat(lit("site"), (col("page") % 20).cast("string"),
           lit(".example.com")))
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
         when(col("v") === 0,
           concat(lit("http://"), col("hb"), lit("/doc/"), pageS))
         .when(col("v") === 1,
@@ -504,7 +505,7 @@ object DedupOps {
         .otherwise(
           concat(lit("http://"), col("hb"), lit("/doc/"), pageS,
             lit("?id="), (col("page") % 9).cast("string")))
-        .as("url"))
+        .as("url") +: carry.map(col): _*)
   }
 
   val q148UrlDedup: Q = (spark, dir) =>
@@ -543,32 +544,39 @@ object DedupOps {
     * output is bit-stable across engines and partitionings (no
     * float-fold-order exposure at all). DedupSpec pins the verdict
     * table on crafted hosts exercising all three bands. */
-  val q153HostReputation: Q = (spark, dir) => {
-    val canon = syntheticUrls(spark, dir)
-      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
-      .withColumn("host",
-        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
-    val meta = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
+  val q153HostReputation: Q = (spark, dir) =>
+    // ONE corpus scan, no join: the synthesis CARRIES text through,
+    // so canonical_url/host and the quality counters come out of a
+    // single projection (a separate meta relation joined on doc_id
+    // would scan documents twice and — broadcast at fixture scale —
+    // ship a corpus-sized build side at 100 TB)
+    hostReputationCore(syntheticUrls(spark, dir, carry = Seq("text"))
+      .select(canonicalUrl(col("url")).as("canonical_url"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         size(regexp_extract_all(lower(col("text")),
           lit(TextOps.StopwordRegex), lit(0))).cast("long").as("stop_hits"))
-    hostReputation(canon, meta)
-  }
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1)))
 
-  /** The rollup core over (doc_id, canonical_url, host) ⋈ (doc_id,
-    * n_tokens, stop_hits) — extracted so DedupSpec can drive crafted
+  /** Two-relation wrapper so DedupSpec can drive crafted (canon, meta)
     * host profiles through every verdict band. */
   private[graft] def hostReputation(canon: DataFrame,
-      meta: DataFrame): DataFrame = {
-    val pages = canon.groupBy("host")
-      .agg(countDistinct(col("canonical_url")).as("n_pages"))
-    val rolled = canon.join(meta, "doc_id")
-      .groupBy("host")
+      meta: DataFrame): DataFrame =
+    hostReputationCore(canon.join(meta, "doc_id"))
+
+  /** The rollup core over (host, canonical_url, n_tokens, stop_hits).
+    * ONE aggregate carries the distinct-page count beside the
+    * algebraic sums: Spark rewrites the mixed distinct as the
+    * two-level (host, url)-keyed partial + host-keyed final — the
+    * input is consumed exactly ONCE (a separate pages aggregate
+    * would re-execute the whole producing subplan; Spark does not
+    * dedupe common subplans — the q152 lesson). */
+  private def hostReputationCore(rel: DataFrame): DataFrame = {
+    rel.groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_url")).as("n_pages"),
         sum(col("n_tokens")).as("sum_tok"),
         sum(col("stop_hits")).as("sum_stop"))
-    rolled.join(pages, "host")
       .select(col("host"), col("n_docs"), col("n_pages"),
         round(lit(1.0) - col("n_pages") / col("n_docs"), 4).as("dup_ratio"),
         round(col("sum_stop") / col("sum_tok"), 4).as("host_quality"))
