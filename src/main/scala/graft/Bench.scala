@@ -253,7 +253,10 @@ object Bench {
     // default 2 cycles every query has >=2 samples, so the field is
     // the full per-query sample ledger, not a floor-exceeding subset —
     // the name now says what it holds.
-    val allSamples = results.collect { case r if r.samples.size > 1 =>
+    // nonEmpty, not size > 1: under SPARK_GRAFT_BENCH_RUNS=1 a
+    // sub-floor query has exactly one sample and must still appear in
+    // the ledger the field's name promises
+    val allSamples = results.collect { case r if r.samples.nonEmpty =>
       jstr(r.name) + ":" + r.samples.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val unreliable = results.collect { case r if r.unreliable =>

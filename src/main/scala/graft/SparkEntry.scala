@@ -91,11 +91,18 @@ object SparkEntry {
       "q42_ann_ivf" -> "SimilarityOps.q42OracleIfStaged",
       "q126_pq_ann" -> "SimilarityOps.q126OracleIfStaged",
       "q81_ivf_maintenance" -> "SimilarityOps.q81OracleIfStaged")
+    // evaluate the oracle map ONCE: oracleSql is a def that re-runs
+    // every staged builder, and per-entry evaluation would both do 4x
+    // the work and risk an inconsistent view across entries if a
+    // builder's Try outcome flips between evaluations
+    val oracled = oracleSql.keySet
     base ++ staged.collect {
-      case (q, site) if !oracleSql.contains(q) =>
+      case (q, site) if !oracled.contains(q) =>
         q -> (s"oracle is staged at Verify-dump time from the run's " +
-          s"cell assignment ($site); $q has not run in this session, " +
-          "so the driver would record rows-only")
+          s"index state ($site); absent because $q has not run in " +
+          "this session OR its builder declined (corpus over the " +
+          "embed cap, or q81's honest-constant gate) — the driver " +
+          "records rows-only either way")
     }
   }
 }

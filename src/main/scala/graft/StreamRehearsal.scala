@@ -66,7 +66,11 @@ object StreamRehearsal {
         val l = Files.list(stage)
         try l.filter(p => {
           val n = p.getFileName.toString
-          n.startsWith("batch-") || n.startsWith("compact-")
+          // exclude crash-orphaned compact-*.tmp: the cue's batchDirs
+          // count ignores them, and counting them here would make the
+          // printed staged_dirs disagree with the maxDirs+1 contract
+          (n.startsWith("batch-") || n.startsWith("compact-")) &&
+            !n.endsWith(".tmp")
         }).count().toInt
         finally l.close()
       }

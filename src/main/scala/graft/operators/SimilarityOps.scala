@@ -586,9 +586,19 @@ object SimilarityOps {
 
   /** Max corpus vec_id, staged with the cell index (None on an empty
     * corpus). */
+  /** max(vec_id) straight off the embeddings parquet — a one-column
+    * agg answered from row-group stats. Deliberately NOT read through
+    * [[corpusCellsEntry]]: the staged-oracle size-cap checks call
+    * this, and routing them through the cells entry would BUILD the
+    * whole q43 multi-probe index as a side effect of a size probe
+    * (caught by the round-17 self-review). */
   private[graft] def stagedCorpusMaxId(spark: SparkSession,
       dir: String): Option[Long] =
-    Option(corpusCellsEntry(spark, dir)._3).map(_.longValue())
+    Tables.load(spark, dir, "embeddings")
+      .agg(max(col("vec_id"))).head.get(0) match {
+        case l: java.lang.Long => Some(l.longValue())
+        case _ => None
+      }
 
   /** The q43 pair generator, extracted (round 14) so q140's semantic
     * dedup clusters the SAME production-path pair relation q43 serves:
@@ -2076,14 +2086,20 @@ object SimilarityOps {
     * (query, cell) collect (bounded scalar traffic). Shared by the
     * shortlist and the staged-oracle builder so the two can never
     * disagree on which cells were probed. */
-  private[graft] def ivfProbePairs(spark: SparkSession,
-      dir: String): Seq[(Long, Int)] = {
+  /** The probed (query_id, cell) pairs for `queries` against `dir`'s
+    * staged centroids — the ONE collect-side copy of the probe stage
+    * (same window, same tiebreak as [[ivfSearchFor]]'s in-plan
+    * version), shared by the q42/q77 oracles and (round 17, with an
+    * explicit query set against the maintained corpus) q81's. Default
+    * query set = the vec_id < 5 convention. */
+  private[graft] def ivfProbePairs(spark: SparkSession, dir: String,
+      queries: Option[DataFrame] = None): Seq[(Long, Int)] = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
-    val e = Tables.load(spark, dir, "embeddings")
     val (_, cent) = stagedKmeans(spark, dir, ivfK(spark, dir), IvfIters)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val q = queries.getOrElse(Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cell_sim").desc, col("cell"))
     broadcast(q).crossJoin(broadcast(cent))
@@ -2135,7 +2151,8 @@ object SimilarityOps {
   /** The sf dir of the most recent q77 run in this session — the only
     * state [[q77OracleIfStaged]] needs (everything else re-reads the
     * MEMOIZED staged index, so building the oracle stages nothing new
-    * and runs no Spark job beyond two bounded collects). */
+    * and runs no Spark job beyond two bounded collects and the
+    * [[stagedCorpusMaxId]] row-group-stats probe). */
   @volatile private var q77LastDir: Option[String] = None
   @volatile private var q77OracleBuilt: Option[(String, String)] = None // stateKey -> sql
 
@@ -2594,7 +2611,7 @@ object SimilarityOps {
           // constants — otherwise degrade to rows-only, never lie
           if (!(pre > 0.5) || !rebuilt || !(post <= 0.3)) None
           else {
-            val (assign, cent) =
+            val (assign, _) =
               stagedKmeans(spark, mdir, ivfK(spark, mdir), IvfIters)
             val cells = assign.select(col("vec_id"), col("cell"))
               .collect().map(r => s"(${r.getLong(0)},${r.getInt(1)})")
@@ -2603,16 +2620,11 @@ object SimilarityOps {
                 col("vec_id") < 1000005L)
               .select(col("vec_id").as("query_id"),
                 col("embedding").as("qv"))
-            val wProbe = org.apache.spark.sql.expressions.Window
-              .partitionBy("query_id")
-              .orderBy(col("cell_sim").desc, col("cell"))
-            val probes = broadcast(qDf).crossJoin(broadcast(cent))
-              .select(col("query_id"), col("cell"),
-                cosine("qv", "centroid").as("cell_sim"))
-              .withColumn("cell_rank", row_number().over(wProbe))
-              .filter(col("cell_rank") <= 5)
-              .select("query_id", "cell")
-              .collect().map(r => s"(${r.getLong(0)},${r.getInt(1)})")
+            // the SHARED probe helper (not an inline copy): a future
+            // probe-count or tiebreak change desyncs oracle and
+            // engine only if someone edits ivfSearchFor alone
+            val probes = ivfProbePairs(spark, mdir, Some(qDf))
+              .map { case (q, c) => s"($q,$c)" }
             if (cells.isEmpty || probes.isEmpty) None
             else {
               val sql = q81OracleTemplate(cells.mkString(","),
@@ -2683,18 +2695,16 @@ object SimilarityOps {
     "q77_ivf_sq_ann" -> q77IvfSqAnn,
     "q78_incremental_sq8" -> q78IncrementalSqAnn)
 
-  /** q81 is deliberately absent: its lifecycle runs over a derived
-    * scratch corpus the oracle's fixture tables cannot express —
-    * verified by recall + equality-vs-exact bounds in SimilaritySpec
-    * instead of SQL equality. q43 is oracled by the EXACT q41 pair SQL
+  /** q43 is oracled by the EXACT q41 pair SQL
     * (round 17): SimilaritySpec has pinned celled==exact equality on
     * both fixtures since round 5, and q140's oracle already relies on
     * that same equality to replay the celled pair graph with exact
     * cosine — so the celled production path must hash-equal the exact
     * triangular join, which is precisely the multi-probe recall claim
-    * made driver-checkable. q77's and q42's oracles are staged at
-    * Verify-dump time (see [[q77OracleIfStaged]] /
-    * [[q42OracleIfStaged]]), hence `def`. */
+    * made driver-checkable. q77/q42/q126/q81's oracles are staged at
+    * Verify-dump time (see [[q77OracleIfStaged]] and its siblings —
+    * q81's replays the whole maintenance lifecycle's served search,
+    * round 17), hence `def`. */
   def oracles: Map[String, String] =
     q77OracleIfStaged ++ q42OracleIfStaged ++ q126OracleIfStaged ++
       q81OracleIfStaged ++ Map(
