@@ -357,6 +357,48 @@ object StreamRehearsal {
           "clean_rows" -> DeltaTable.read(spark, p("substrclean-out")).count()))
     }
 
+    // -------- streaming host-reputation MV over the doc corpus ------
+    // doc_id % n slices: every batch RE-SEES hosts and pages already
+    // in the view (the 5 URL variants of a page scatter across
+    // slices), so the (host, url)-grain merge's distinct handling is
+    // stressed on every drain; per-batch cost must track batch size +
+    // |view|, never corpus size
+    if (enabled("hostrep")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val n = 10
+      val src = p("hostrep-src")
+      DeltaTable.write(docs.filter(col("doc_id") % n === 0), src,
+        "overwrite")
+      val q = graft.streaming.StreamingOps.hostReputationIngestPipeline(
+        spark, src, p("hostrep-mv"), p("hostrep-ckpt"))
+      try {
+        q.processAllAvailable()
+        (1 until n).foreach { i =>
+          val b = docs.filter(col("doc_id") % n === i)
+          val rows = b.count()
+          val t = System.nanoTime()
+          DeltaTable.write(b, src, "append")
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t) / 1e9
+          val mvRows = DeltaTable.read(spark, p("hostrep-mv")).count()
+          println(f"""{"pipeline":"hostrep","batch":$i,"rows":$rows,""" +
+            f""""sec":$sec%.1f,"mv_rows":$mvRows}""")
+        }
+        // ground truth: the read-side report must equal the batch
+        // recompute over everything streamed
+        val rep = graft.streaming.StreamingOps
+          .hostReputationFromMv(spark, p("hostrep-mv"))
+          .collect().map(_.toString).toSeq
+        val truth = graft.operators.DedupOps.hostReputationCore(
+          graft.operators.DedupOps.hostUrlMetrics(
+            spark.read.format("graft-delta").load(src)))
+          .collect().map(_.toString).toSeq
+        println(s"""{"pipeline":"hostrep",""" +
+          s""""report_matches":${rep == truth},"hosts":${rep.length}}""")
+      } finally q.stop()
+    }
+
     // -------- streaming burst alerts over the 1M-event table --------
     // day-ordered arrival (a feed's real shape): 30 day-slices of the
     // sf1 events table append one at a time; each drain finalizes the

@@ -481,9 +481,15 @@ object DedupOps {
     * operators under test are the canonicalizer + rollups, never the
     * fixture. */
   private def syntheticUrls(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame =
+    synthesizeUrls(Tables.load(spark, dir, "documents"), carry)
+
+  /** DataFrame-level synthesis so the STREAMING twin can run it on a
+    * micro-batch (round 17): input needs doc_id (+ carried cols). */
+  private[graft] def synthesizeUrls(docs: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
     val pageS = col("page").cast("string")
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id") +: expr("doc_id div 5").as("page") +:
         (col("doc_id") % 5).as("v") +: carry.map(col): _*)
       .withColumn("hb",
@@ -550,13 +556,20 @@ object DedupOps {
     // single projection (a separate meta relation joined on doc_id
     // would scan documents twice and — broadcast at fixture scale —
     // ship a corpus-sized build side at 100 TB)
-    hostReputationCore(syntheticUrls(spark, dir, carry = Seq("text"))
+    hostReputationCore(
+      hostUrlMetrics(Tables.load(spark, dir, "documents")))
+
+  /** Per-row (host, canonical_url, n_tokens, stop_hits) from documents
+    * rows — ONE codegen'd projection. Shared by batch q153 and the
+    * streaming host-reputation MV's per-batch partials. */
+  private[graft] def hostUrlMetrics(docs: DataFrame): DataFrame =
+    synthesizeUrls(docs, carry = Seq("text"))
       .select(canonicalUrl(col("url")).as("canonical_url"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         size(regexp_extract_all(lower(col("text")),
           lit(TextOps.StopwordRegex), lit(0))).cast("long").as("stop_hits"))
       .withColumn("host",
-        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1)))
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?#]+)", 1))
 
   /** Two-relation wrapper so DedupSpec can drive crafted (canon, meta)
     * host profiles through every verdict band. */
@@ -571,12 +584,19 @@ object DedupOps {
     * input is consumed exactly ONCE (a separate pages aggregate
     * would re-execute the whole producing subplan; Spark does not
     * dedupe common subplans — the q152 lesson). */
-  private def hostReputationCore(rel: DataFrame): DataFrame = {
-    rel.groupBy("host")
+  private[graft] def hostReputationCore(rel: DataFrame): DataFrame =
+    hostVerdict(rel.groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("canonical_url")).as("n_pages"),
         sum(col("n_tokens")).as("sum_tok"),
-        sum(col("stop_hits")).as("sum_stop"))
+        sum(col("stop_hits")).as("sum_stop")))
+
+  /** The verdict arithmetic over a rolled (host, n_docs, n_pages,
+    * sum_tok, sum_stop) relation — ONE copy shared by batch q153 and
+    * the streaming MV's read-side report, so the band thresholds and
+    * rounding can never drift between the two. */
+  private[graft] def hostVerdict(rolled: DataFrame): DataFrame =
+    rolled
       .select(col("host"), col("n_docs"), col("n_pages"),
         round(lit(1.0) - col("n_pages") / col("n_docs"), 4).as("dup_ratio"),
         round(col("sum_stop") / col("sum_tok"), 4).as("host_quality"))
@@ -585,7 +605,6 @@ object DedupOps {
           .when(col("host_quality") < 0.05, lit("low_quality"))
           .otherwise(lit("ok")))
       .orderBy("host")
-  }
 
   /** The shared urls+canon CTE text (the oracle twin of
     * [[syntheticUrls]] + [[canonicalUrl]]) — q148's and q153's

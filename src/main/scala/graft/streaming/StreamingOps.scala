@@ -189,6 +189,75 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING HOST REPUTATION MV (round 17) — the incremental twin
+    * of batch q153, maintained over a documents change feed the way a
+    * crawl actually arrives. The key design point is the MV's GRAIN:
+    * the host report needs COUNT(DISTINCT canonical_url), which is
+    * NOT additive across batches — a batch may re-see a URL already
+    * counted — so the view is kept one level FINER, at
+    * (host, canonical_url), where every measure (n_docs, sum_tok,
+    * sum_stop) IS additive and the standard coalesce-add MERGE
+    * applies. The host report then falls out of a read-side rollup of
+    * the view ([[hostReputationFromMv]]): n_pages = the view's row
+    * count per host, everything else a sum — the classic
+    * incremental-distinct design (distinct maintained as keys, not as
+    * a number). View size is bounded by DISTINCT pages, not corpus
+    * rows. Exactly-once exactly like [[incrementalViewPipeline]]:
+    * additive merges are non-idempotent, so each batch commits under
+    * a (checkpoint, batchId) SetTransaction and replays
+    * short-circuit. */
+  def hostReputationIngestPipeline(spark: SparkSession, srcTable: String,
+      mvTable: String, ckptDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.DeltaTable
+    spark.readStream.format("graft-delta").load(srcTable)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partials = graft.operators.DedupOps.hostUrlMetrics(batch)
+          .groupBy("host", "canonical_url")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tok"),
+            sum(col("stop_hits")).as("sum_stop"))
+        val empty = graft.sources.DeltaLog.versions(mvTable).isEmpty
+        val cur =
+          if (empty) partials.filter(lit(false))
+          else DeltaTable.read(spark, mvTable)
+        val upserts = cur.as("o")
+          .join(partials.as("d"), Seq("host", "canonical_url"), "right")
+          .select(col("host"), col("canonical_url"),
+            (coalesce(col("o.n_docs"), lit(0L)) + col("d.n_docs"))
+              .as("n_docs"),
+            (coalesce(col("o.sum_tok"), lit(0L)) + col("d.sum_tok"))
+              .as("sum_tok"),
+            (coalesce(col("o.sum_stop"), lit(0L)) + col("d.sum_stop"))
+              .as("sum_stop"))
+        if (empty)
+          DeltaTable.write(upserts, mvTable, "overwrite",
+            txn = Some((s"hostrep:$ckptDir", batchId)))
+        else
+          DeltaTable.merge(spark, mvTable, upserts,
+            Seq("host", "canonical_url"),
+            txn = Some((s"hostrep:$ckptDir", batchId)))
+        ()
+      }
+      .outputMode(OutputMode.Update())
+      .start()
+  }
+
+  /** The host report off the maintained (host, canonical_url) view —
+    * shares [[graft.operators.DedupOps.hostVerdict]]'s arithmetic
+    * with batch q153, so thresholds/rounding can never drift. */
+  def hostReputationFromMv(spark: SparkSession,
+      mvTable: String): DataFrame =
+    graft.operators.DedupOps.hostVerdict(
+      graft.sources.DeltaTable.read(spark, mvTable)
+        .groupBy("host")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_pages"),
+          sum(col("sum_tok")).as("sum_tok"),
+          sum(col("sum_stop")).as("sum_stop")))
+
   /** STREAMING INCREMENTAL NEAR-DUP — the whole production ingestion
     * pipeline composed from pieces the batch path already proves: tail
     * a graft-delta documents table's change feed, and for each

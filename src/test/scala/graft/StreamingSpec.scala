@@ -486,6 +486,54 @@ class StreamingSpec extends SparkSpec {
     assert(viewRows() === recompute())
   }
 
+  test("streaming host reputation MV: (host,url)-grain merge equals " +
+      "batch q153 recompute across batches, restarts and replays") {
+    import graft.sources.DeltaTable
+    import graft.operators.DedupOps
+    val base = java.nio.file.Files.createTempDirectory("graft-hostrep")
+    val (src, mv, ckpt) = (s"$base/src", s"$base/mv", s"$base/ckpt")
+    def srcDocs(rows: (Long, String)*): Unit = rows.toSeq
+      .toDF("doc_id", "text")
+      .write.format("graft-delta").mode("append").save(src)
+    def report(): Seq[String] = graft.streaming.StreamingOps
+      .hostReputationFromMv(spark, mv).collect().map(_.toString).toSeq
+    def recompute(): Seq[String] = DedupOps.hostReputationCore(
+      DedupOps.hostUrlMetrics(
+        spark.read.format("graft-delta").load(src)))
+      .collect().map(_.toString).toSeq
+    // ids span pages/hosts and all five URL variants; texts vary the
+    // stopword quality so host_quality differs across hosts
+    srcDocs((0L, "the a of plain words"), (1L, "alpha beta gamma"),
+      (2L, "the of to and in is"), (7L, "some the words of note"))
+    val q1 = graft.streaming.StreamingOps
+      .hostReputationIngestPipeline(spark, src, mv, ckpt)
+    q1.processAllAvailable()
+    assert(report() === recompute()) // snapshot batch landed
+    // the next batch RE-SEES page 0's canonical forms (more variants
+    // of the same pages): the distinct-page count must not double —
+    // the reason the MV is kept at (host, url) grain
+    srcDocs((3L, "the quick brown fox of lore"), (4L, "x y z"),
+      (10L, "of the and to in"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(report() === recompute())
+    // restart on the same checkpoint: replays must not double-add
+    srcDocs((5L, "entirely fresh page text the of"))
+    val q2 = graft.streaming.StreamingOps
+      .hostReputationIngestPipeline(spark, src, mv, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(report() === recompute())
+    // explicit replay of a committed batch: no-op under the ledger
+    val before = DeltaTable.latestVersion(mv)
+    val replay = Seq(("hostX", "http://hostX/u", 99L, 9L, 9L))
+      .toDF("host", "canonical_url", "n_docs", "sum_tok", "sum_stop")
+    DeltaTable.merge(spark, mv, replay, Seq("host", "canonical_url"),
+      txn = Some((s"hostrep:$ckpt", 0L)))
+    assert(DeltaTable.latestVersion(mv) === before)
+    assert(report() === recompute())
+  }
+
   test("delta stream source serves a shallow clone: snapshot, own tail, source isolation") {
     import graft.sources.DeltaTable
     val base = java.nio.file.Files.createTempDirectory("graft-stream-clone")
