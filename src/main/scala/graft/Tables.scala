@@ -18,9 +18,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred fixture schemas, memoized per (path, content
+    * fingerprint): schema inference opens parquet footers on the
+    * DRIVER on every `spark.read.parquet` call, and the engine loads
+    * the same static fixture tables hundreds of times per session
+    * (every SQL query's registerAll is 10 loads). Round 17 measured
+    * ~15-40 ms per inference; with the schema supplied explicitly the
+    * reader skips inference entirely. Keyed by content fingerprint so
+    * a regenerated fixture re-infers — never a stale schema. The plan
+    * (scan, pushdown, pruning) is otherwise IDENTICAL: .schema(s) on
+    * a parquet read changes where the schema comes from, not the
+    * relation. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir)
-    else normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+    else {
+      val path = s"$dir/$name.parquet"
+      val key = path + ":" + graft.operators.StagedCache.fingerprint(
+        java.nio.file.Paths.get(path))
+      val schema = schemaCache.computeIfAbsent(key,
+        _ => spark.read.parquet(path).schema)
+      normalizeTimestamps(spark.read.schema(schema).parquet(path))
+    }
 
   /** Cast every TIMESTAMP_NTZ column to session-zoned TimestampType.
     * The driver's fixtures write timestamps as parquet
@@ -70,6 +91,25 @@ object Tables {
     * a global conf it didn't set.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val cacheKey = path + ":" + graft.operators.StagedCache.fingerprint(
+      java.nio.file.Paths.get(path))
+    // the memoized-schema fast path serves the two MODERN encodings
+    // (micros-NTZ / micros-LTZ) without the legacy-conf window or a
+    // fresh inference; the nanos-as-long encoding keeps the full
+    // conf-scoped inference per call (the legacy conf gates the READ
+    // of TIMESTAMP(NANOS), not just inference, so it cannot ride an
+    // explicit schema), which only ever costs on pre-round-7 fixtures
+    val cached = schemaCache.get(cacheKey)
+    if (cached != null &&
+        cached("ts").dataType != org.apache.spark.sql.types.LongType) {
+      val df = spark.read.schema(cached).parquet(path)
+      return df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          normalizeTimestamps(df)
+        case _ => df
+      }
+    }
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     // synchronized: the set/restore window mutates session-global conf;
     // two concurrent loads on one session could otherwise race the
@@ -77,12 +117,14 @@ object Tables {
     val df = Tables.synchronized {
       val before = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try spark.read.parquet(s"$dir/events.parquet")
+      try spark.read.parquet(path)
       finally before match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     }
+    if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      schemaCache.putIfAbsent(cacheKey, df.schema)
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

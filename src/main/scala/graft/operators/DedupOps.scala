@@ -129,7 +129,7 @@ object DedupOps {
       cur => cur._1 == stateKey && cur._2.forall(d =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
       () => build())
-    spark.read.parquet(entry._2: _*)
+    StagedCache.readStaged(spark, entry._2: _*)
   }
 
   /** Incremental index refresh — the append workflow a 100 TB corpus
@@ -372,7 +372,7 @@ object DedupOps {
         q152Stagings.incrementAndGet()
         (stateKey, dPath)
       })
-    val d = spark.read.parquet(entry._2)
+    val d = StagedCache.readStaged(spark, entry._2)
     val counts = d.groupBy("source").agg(count(lit(1)).as("n_fp"))
     d.as("a")
       .join(d.as("b"),
@@ -1387,7 +1387,7 @@ object DedupOps {
       cur => cur._1 == stateKey &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
       () => (stateKey, buildClusterLabels(spark, dir)))
-    spark.read.parquet(entry._2)
+    StagedCache.readStaged(spark, entry._2)
   }
 
   /** Pointer-doubling label propagation over the confirmed-pair graph
@@ -1412,26 +1412,71 @@ object DedupOps {
     * tolerated — the staged write keeps its schema and the loop
     * converges to an empty label relation (DegenerateDocsSpec pins a
     * zero-pair corpus end-to-end through q140). */
+  private val CcDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+  @inline private def ccTimed[A](what: => String)(f: => A): A =
+    if (!CcDebug) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[cc-prof] $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+  /** `alreadyStaged`: the caller guarantees `pairs0` is a plain scan
+    * of an already-materialized relation (e.g. it just wrote it to
+    * scratch parquet), so the kernel's own staging pass — which exists
+    * to run a LIVE pair-confirm pipeline exactly once — would only
+    * re-copy bytes; skipped (round 17, measured 0.11-0.15 s of pure
+    * overhead per q141/streaming absorb). */
   private[graft] def propagateMinLabels(spark: SparkSession,
-      pairs0: DataFrame, tag: String): String = {
+      pairs0: DataFrame, tag: String,
+      alreadyStaged: Boolean = false): String = {
     require(pairs0.columns.length == 2,
       s"pair relation must be 2 columns, got ${pairs0.columns.mkString(", ")}")
-    val pairsDir = graft.Scratch.dir(s"graft-$tag-pairs").resolve("p").toString
-    pairs0.toDF("doc_a", "doc_b").write.parquet(pairsDir)
-    val pairs = spark.read.parquet(pairsDir)
-    val edgesDir = graft.Scratch.dir(s"graft-$tag-edges").resolve("e").toString
-    pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").write.parquet(edgesDir)
-    val edges = spark.read.parquet(edgesDir)
+    // schemas of every staged relation in this kernel are KNOWN at
+    // write time — provide them on the read-backs so the reader never
+    // re-infers from footers on the driver (one inference per round
+    // otherwise; round 17)
+    val pairsSchema = pairs0.toDF("doc_a", "doc_b").schema
+    val pairs =
+      if (alreadyStaged) pairs0.toDF("doc_a", "doc_b")
+      else {
+        val pairsDir = graft.Scratch.dir(s"graft-$tag-pairs")
+          .resolve("p").toString
+        ccTimed(s"$tag pairs-stage") {
+          pairs0.toDF("doc_a", "doc_b").write.parquet(pairsDir) }
+        spark.read.schema(pairsSchema).parquet(pairsDir)
+      }
+    // the symmetrized edge view stays UNMATERIALIZED: each per-round
+    // reference plans as two scans of the staged pairs file — the same
+    // bytes per round as scanning a staged 2x-size edges file, minus
+    // the up-front write of those 2x bytes (round 17; the round-14
+    // staging lesson only required the LIVE pair pipeline to run once,
+    // which the pairs staging above already guarantees)
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
     var labelsDir = graft.Scratch.dir(s"graft-$tag-l0").resolve("l").toString
-    edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).write.parquet(labelsDir)
+    // SEED = one hop, not the identity: label(v) = min(v, min nbr) —
+    // the same one-shuffle class as the old distinct(src) seed (both
+    // hash-agg on src), but the loop starts one propagation step
+    // ahead, which at log-diameter round counts is a whole staged
+    // round saved (round 17; labels stay node ids, so the
+    // pointer-doubling self-join below is unchanged)
+    ccTimed(s"$tag seed-stage") {
+      edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"),
+          least(col("src"), col("mn")).as("label"))
+        .write.parquet(labelsDir) }
+    val idType = pairsSchema.head.dataType
+    val labelsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
       // staged schema: (id, [prev_label,] label) — `label` is always
-      // the CURRENT value (the first round's seed file has no prev)
-      val labels = spark.read.parquet(labelsDir).select("id", "label")
+      // the CURRENT value (the first round's seed file has no prev);
+      // the explicit 2-column read schema IS the projection (parquet
+      // clips the round files' prev_label away at the scan)
+      val labels = spark.read.schema(labelsSchema).parquet(labelsDir)
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src")).agg(min(col("label")).as("nbr_label"))
       val l1 = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
@@ -1448,9 +1493,18 @@ object DedupOps {
             .as("label"))
       val nextDir = graft.Scratch.dir(s"graft-$tag-l${iter + 1}")
         .resolve("l").toString
-      next.write.parquet(nextDir)
-      val staged = spark.read.parquet(nextDir)
-      changed = staged.filter(col("label") < col("prev_label")).count()
+      // the convergence scalar rides the WRITE job as an observed
+      // metric — the former separate count() job re-read the (tiny)
+      // staged file and paid one full job of fixed overhead per round
+      // (round 17: 0.06-0.12 s each at fixture scale)
+      val obs = org.apache.spark.sql.Observation(s"cc-$tag-$iter")
+      ccTimed(s"$tag round-$iter write") {
+        next.observe(obs, org.apache.spark.sql.functions.sum(
+            when(col("label") < col("prev_label"), 1L).otherwise(0L))
+          .as("changed"))
+          .write.parquet(nextDir) }
+      changed = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labelsDir = nextDir
       iter += 1
     }
@@ -1712,7 +1766,7 @@ object DedupOps {
       cur => cur._1 == stateKey && cur._2.forall(d =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
       () => build())
-    spark.read.parquet(entry._2: _*)
+    StagedCache.readStaged(spark, entry._2: _*)
   }
 
   val q36Decontamination: Q = (spark, dir) => {
@@ -1770,7 +1824,9 @@ object DedupOps {
     * needs to model the filter. m auto-scales with the eval set
     * (16 bits/gram, clamped to [2^16, 2^27] — ~0.04% FPR at design
     * load, the q42/q45 corpus-scaled-parameter lesson), sized by one
-    * bounded driver count of the eval gram relation.
+    * bounded driver count of the eval gram ROWS (an upper bound of
+    * the distinct grams — overshoot only widens m, never changes the
+    * exact result).
     *
     * Shape at 100 TB: the train side stays a narrow scan → probe →
     * confirm pipeline with NO shuffle before the per-doc hit agg; the
@@ -1782,7 +1838,13 @@ object DedupOps {
     val evalSrc = "src7"
     val g = stagedDeconGrams(spark, dir)
     val ev = g.filter(col("source") === evalSrc).select("shingle").distinct()
-    val nEv = ev.count() // one bounded driver scalar, sizes the filter
+    // one bounded driver scalar sizes the filter: the RAW eval gram
+    // row count (per-doc-distinct rows; >= the cross-doc distinct
+    // count) — an upper bound is all the sizing needs, since m only
+    // rounds UP to the next power of two and a wider filter only
+    // lowers the FPR; the former exact-distinct count paid a full
+    // shuffle per invocation just to size a perf knob (round 17)
+    val nEv = g.filter(col("source") === evalSrc).count()
     val mBits = {
       val want = 16L * math.max(nEv, 1L)
       var m = 1L << 16
@@ -2064,7 +2126,7 @@ object DedupOps {
       cur => cur._1 == stateKey &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
       () => build())
-    spark.read.parquet(entry._2)
+    StagedCache.readStaged(spark, entry._2)
   }
 
   private[graft] def substringRemovalSpans(spark: SparkSession,
@@ -2107,7 +2169,7 @@ object DedupOps {
       cur => cur._1 == stateKey &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
       () => build())
-    spark.read.parquet(entry._2)
+    StagedCache.readStaged(spark, entry._2)
   }
 
   val q131SubstringDedup: Q = (spark, dir) =>

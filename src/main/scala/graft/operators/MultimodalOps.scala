@@ -267,7 +267,7 @@ object MultimodalOps {
           .write.parquet(d)
         (stateKey, d)
       })
-    spark.read.parquet(entry._2)
+    StagedCache.readStaged(spark, entry._2)
   }
 
   /** Banded Hamming<=3 pairs between a (media_id, ahash) probe

@@ -256,8 +256,8 @@ object SimilarityOps {
       new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toDouble
     else {
       val e = Tables.load(spark, dir, "embeddings")
-      val cent = spark.read.parquet(entry._3)
-      val p10 = spark.read.parquet(entry._2.head).join(e, "vec_id")
+      val cent = StagedCache.readStaged(spark, entry._3)
+      val p10 = StagedCache.readStaged(spark, entry._2.head).join(e, "vec_id")
         .join(broadcast(cent), "cell")
         .select(cosine("embedding", "centroid").as("c"))
         .agg(expr("percentile_approx(c, 0.1)")).head().getDouble(0)
@@ -284,7 +284,7 @@ object SimilarityOps {
   private def stagedKmeans(spark: SparkSession, dir: String, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val e = kmeansIndexEntry(spark, dir, k, iters)
-    (spark.read.parquet(e._2: _*), spark.read.parquet(e._3))
+    (StagedCache.readStaged(spark, e._2: _*), StagedCache.readStaged(spark, e._3))
   }
 
   /** Assign vectors to the nearest FROZEN centroid — the kmeans assign
@@ -349,7 +349,7 @@ object SimilarityOps {
     val entry = kmeansIndexEntry(spark, dir, kk, iters)
     val p10 = ivfQualityBaseline(spark, dir, entry)
     val row = newVecs
-      .crossJoin(broadcast(spark.read.parquet(entry._3)))
+      .crossJoin(broadcast(StagedCache.readStaged(spark, entry._3)))
       .select(col("vec_id"),
         struct(cosine("embedding", "centroid").as("sim"),
           col("cell").as("cell")).as("sc"))
@@ -574,7 +574,7 @@ object SimilarityOps {
 
   private[graft] def stagedCorpusCells(spark: SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(corpusCellsEntry(spark, dir)._2)
+    StagedCache.readStaged(spark, corpusCellsEntry(spark, dir)._2)
 
   /** The seed corpus's FROZEN coarse centroids (built and memoized by
     * the staged k-means; batches assign against these, never a
@@ -682,7 +682,7 @@ object SimilarityOps {
       () => (stateKey, DedupOps.propagateMinLabels(spark,
         cellNearDupPairs(spark, dir).select(col("id_a"), col("id_b")),
         "semcc")))
-    spark.read.parquet(entry._2)
+    StagedCache.readStaged(spark, entry._2)
   }
 
   // Pair CTE = q41's list_cosine_similarity form (see q41Oracle's
@@ -774,10 +774,12 @@ object SimilarityOps {
     // top-probes window) otherwise re-executes in bcCand and BOTH
     // sides of the bbCand self-join (round-14 review).
     val bDir = graft.Scratch.dir("graft-semcc-incb").resolve("b").toString
-    cellAssign(batch, cent, carryEmbedding = true).write.parquet(bDir)
+    val bStaged = cellAssign(batch, cent, carryEmbedding = true)
+    bStaged.write.parquet(bDir)
     absorbSemanticBatch(spark, stagedSemanticLabels(spark, dir),
       corpus, stagedCorpusCells(spark, dir),
-      spark.read.parquet(bDir), "inc")
+      // read-back with the just-written schema: no footer re-inference
+      spark.read.schema(bStaged.schema).parquet(bDir), "inc")
       .select(col("vec_id"), col("cluster_id"),
         (col("vec_id") === col("cluster_id")).as("is_keeper"))
       .orderBy("vec_id")
@@ -841,20 +843,26 @@ object SimilarityOps {
     // empty guard then reads one tiny parquet, and the kernel's own
     // staging pass re-copies a staged relation, not the pipeline.
     val cpDir = graft.Scratch.dir(s"graft-semcc-$tag-p").resolve("p").toString
-    bcPairs
+    val cpStaged = bcPairs
         .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"), "left")
         .select(coalesce(col("label"), col("id_a")).as("id_a"), col("id_b"))
       .unionByName(bbPairs)
-      .write.parquet(cpDir)
-    val contractedPairs = spark.read.parquet(cpDir)
+    cpStaged.write.parquet(cpDir)
+    val contractedPairs = spark.read.schema(cpStaged.schema).parquet(cpDir)
     if (contractedPairs.isEmpty) {
       // no batch pair touches anything: the standing index IS the
       // answer (and the propagation loop has no nodes to seed)
       labels.select(col("id").as("vec_id"), col("label").as("cluster_id"))
     } else {
-      val contracted = spark.read.parquet(
-          DedupOps.propagateMinLabels(spark, contractedPairs, s"semcc-$tag"))
-        .select("id", "label")
+      // explicit (id, label) read schema: the projection AND no footer
+      // re-inference (id type = the pair relation's endpoint type)
+      val idT = cpStaged.schema.head.dataType
+      val contracted = spark.read.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idT),
+            org.apache.spark.sql.types.StructField("label", idT))))
+        .parquet(DedupOps.propagateMinLabels(spark, contractedPairs,
+          s"semcc-$tag", alreadyStaged = true))
       val merged = contracted
         .select(col("id").as("label"), col("label").as("new_label"))
       val corpusFinal = labels.join(merged, Seq("label"), "left")
@@ -1262,13 +1270,13 @@ object SimilarityOps {
   }
 
   private[graft] def stagedSqRecon(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(sqIndexEntry(spark, dir)._3: _*)
+    StagedCache.readStaged(spark, sqIndexEntry(spark, dir)._3: _*)
 
   /** The frozen per-dimension scale params the staged codes were built
     * with — read back from staging, NOT recomputed, so the incremental
     * path quantizes against exactly the serving codebook. */
   private[graft] def stagedSqStats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(sqIndexEntry(spark, dir)._2)
+    StagedCache.readStaged(spark, sqIndexEntry(spark, dir)._2)
 
   /** Quantize a batch of (vec_id, embedding) rows against `dir`'s
     * FROZEN staged scale params — the serving-codebook contract
@@ -1454,9 +1462,9 @@ object SimilarityOps {
   }
 
   private[graft] def stagedPqCodes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(pqIndexEntry(spark, dir)._2: _*)
+    StagedCache.readStaged(spark, pqIndexEntry(spark, dir)._2: _*)
   private[graft] def stagedPqCents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(pqIndexEntry(spark, dir)._3)
+    StagedCache.readStaged(spark, pqIndexEntry(spark, dir)._3)
 
   /** Incremental PQ index refresh — the product-quantization member of
     * the refresh family ([[refreshSqIndex]] scalar codes,
@@ -2010,7 +2018,7 @@ object SimilarityOps {
       cur => cur._1 == stateKey && cur._2.forall(d =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
       () => build())
-    entry._2.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    entry._2.map(StagedCache.readStaged(spark, _)).reduce(_.unionByName(_))
   }
 
   /** Incremental refresh of the COMPOSED serving index — the full
@@ -2054,8 +2062,8 @@ object SimilarityOps {
           null
         } else {
           val d = graft.Scratch.dir("graft-ivfsq").resolve("delta").toString
-          spark.read.parquet(sqDelta.get)
-            .join(spark.read.parquet(ivfDelta.get), "vec_id")
+          StagedCache.readStaged(spark, sqDelta.get)
+            .join(StagedCache.readStaged(spark, ivfDelta.get), "vec_id")
             .write.partitionBy("cell").parquet(d)
           (stateKey, cur._2 :+ d, curN)
         }

@@ -560,7 +560,7 @@ object TextOps {
         Seq(cur._2, cur._3).forall(d =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(d))),
       () => { val (m, t) = trainBpe(spark, dir); (stateKey, m, t) })
-    (spark.read.parquet(entry._2), spark.read.parquet(entry._3))
+    (StagedCache.readStaged(spark, entry._2), StagedCache.readStaged(spark, entry._3))
   }
 
   /** Runs the trainer loop and stages (merges dir, final-tokens dir). */
@@ -1295,7 +1295,7 @@ object TextOps {
       cur => cur._1 == stateKey &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
       () => build())
-    (spark.read.parquet(entry._2), entry._3.longValue)
+    (StagedCache.readStaged(spark, entry._2), entry._3.longValue)
   }
 
   val q119LmPerplexity: Q = (spark, dir) => {

@@ -42,6 +42,16 @@ final class SchemaEvolutionException(val kind: String, msg: String)
 
 object DeltaTable {
 
+  /** Dev-only stage timing for the write path (SPARK_GRAFT_DELTA_DEBUG
+    * set → per-stage seconds on stderr); zero cost when unset. */
+  private val DebugTiming = sys.env.contains("SPARK_GRAFT_DELTA_DEBUG")
+  @inline private def timed[A](what: => String)(f: => A): A =
+    if (!DebugTiming) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[delta-prof] $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Write `df` to `table` with the given mode ("overwrite"|"append").
     *
     * Concurrency: optimistic. The data files are staged and moved in
@@ -123,9 +133,10 @@ object DeltaTable {
     // generation/identity contracts, partition layout, mapping,
     // constraints) — each DeltaLog.snapshot call is a full log replay,
     // and the commit retry loop re-snapshots for freshness anyway
-    val entrySnap: Option[DeltaLog.Snapshot] =
+    val entrySnap: Option[DeltaLog.Snapshot] = timed(s"entry-snapshot $table") {
       if (DeltaLog.versions(table).isEmpty) None
       else Some(DeltaLog.snapshot(table))
+    }
     for ((appId, version) <- txn; snap <- entrySnap)
       if (snap.txns.get(appId).exists(_ >= version)) return snap.version
     // GENERATED COLUMNS: resolve the generation contract this write
@@ -468,7 +479,8 @@ object DeltaTable {
       // writer-side protocol gate (a fresh table, prior=None, has no
       // protocol to violate yet — its first commit writes one)
       prior.foreach(p => DeltaLog.assertWritable(table, p, actions))
-      try return DeltaLog.commit(table, readVersion, actions, prior)
+      try return timed(s"log-commit $table") {
+        DeltaLog.commit(table, readVersion, actions, prior) }
       catch {
         case _: IllegalStateException if attempt < maxAttempts =>
           // lost the race — re-read the log and re-derive the commit
@@ -1507,12 +1519,27 @@ object DeltaTable {
     val tableDir = Paths.get(table)
     Files.createDirectories(tableDir)
     val staging = tableDir.resolve(s".staging-${UUID.randomUUID()}")
-    if (partitionBy.isEmpty) df.write.parquet(staging.toString)
-    else df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
+    timed(s"stage-write $table") {
+      // graft-delta data files store timestamps as standard INT64
+      // micros, not Spark's legacy INT96 default: INT96 is deprecated
+      // in the parquet spec, stock Delta writes INT64, and only the
+      // standard encoding carries ordered footer statistics — which
+      // [[collectStats]] reads in place of re-scanning staged bytes.
+      // Set/restore around the one write; a racing writer in the same
+      // session at worst re-lands the same value (both writers want it).
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.get(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try {
+        if (partitionBy.isEmpty) df.write.parquet(staging.toString)
+        else df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
+      } finally spark.conf.set(tsKey, prevTs)
+    }
     val commitTag = UUID.randomUUID().toString.take(8)
     // per-file min/max stats (Delta-paper data skipping): ONE job over
     // the staged files, grouped by physical file — not a per-file pass
-    val statsByFile = collectStats(spark, staging.toString, df.schema)
+    val statsByFile = timed(s"collect-stats $table") {
+      collectStats(spark, staging.toString, df.schema) }
     val stagedStream = Files.walk(staging)
     val staged =
       try stagedStream.iterator.asScala
@@ -3430,8 +3457,12 @@ object DeltaTable {
     * skipping compare is bytewise sound. min floors to the second and
     * max CEILS, so the truncation only ever widens the range
     * (conservative). */
-  private def canonTsStat(t: java.sql.Timestamp, isMin: Boolean): String = {
-    val us = org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+  private def canonTsStat(t: java.sql.Timestamp, isMin: Boolean): String =
+    canonTsStatMicros(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t),
+      isMin)
+
+  private def canonTsStatMicros(us: Long, isMin: Boolean): String = {
     val floor = Math.floorDiv(us, 1000000L) * 1000000L
     val sec = if (isMin || us == floor) floor else floor + 1000000L
     java.time.Instant.EPOCH.plus(sec, java.time.temporal.ChronoUnit.MICROS)
@@ -3440,55 +3471,212 @@ object DeltaTable {
         .ofPattern("uuuu-MM-dd HH:mm:ss"))
   }
 
+  /** Footer-based stats (round 17): the min/max/rowcount of every
+    * staged file comes from its parquet FOOTER — O(KB) driver-side
+    * metadata reads — instead of the former distributed
+    * groupBy(input_file_name) agg, which RE-READ every staged byte
+    * right after writing it (2x the write path's data I/O at any
+    * scale; 0.15-0.28 s of fixed job cost per commit at fixture
+    * scale, measured round 17). Parquet chunk statistics are exact
+    * for the types we stat — they are what stock Delta's
+    * convert-to-delta trusts — with two documented degradations, both
+    * CONSERVATIVE (a file without a column's stats is always kept by
+    * [[liveFilesAfterSkipping]]):
+    *   - a column whose min+max exceed parquet-mr's 4 KB footer-stats
+    *     cap (very long strings) carries no stats;
+    *   - INT96 timestamps carry no usable stats, so [[stageIn]] writes
+    *     the standard TIMESTAMP_MICROS encoding whenever the schema
+    *     has a timestamp column (INT96 is deprecated in the parquet
+    *     spec; stock Delta writes INT64 micros too). Foreign INT96
+    *     files (convert-to-delta) simply forfeit timestamp stats.
+    * Values render EXACTLY as the old agg path rendered them (same
+    * JVM toString per type; temporal stats keep the canonical
+    * whole-second/ISO encodings [[canonValue]] compares against), so
+    * committed stats are byte-compatible across the change. Keys are
+    * paths RELATIVE to `staging` — the same render the callers'
+    * file walks produce, closing the old URI-substring fragility. */
   private def collectStats(spark: SparkSession, staging: String,
       schema: StructType): Map[String, Map[String, String]] = {
-    val statCols = schema.fields.filter(f => f.dataType match {
-      case _: NumericType | StringType | DateType | TimestampType => true
-      case _ => false
-    })
-    val aggs = count(lit(1)).as("n") +: statCols.flatMap(f => Seq(
-      min(col(f.name)).as(s"min.${f.name}"),
-      max(col(f.name)).as(s"max.${f.name}")))
-    val rows =
-      try spark.read.parquet(staging)
-        .groupBy(input_file_name().as("_file"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-      catch { // stats are best-effort, but only for ANALYSIS failures
-        // (e.g. a column type min/max can't handle); don't swallow
-        // fatal errors or interrupts that signal a real problem.
-        case scala.util.control.NonFatal(_) => return Map.empty
-      }
-    val stagingUri = Paths.get(staging).toUri.getPath.stripSuffix("/")
-    rows.map { r =>
-      // key by the path RELATIVE to the staging root so partitioned
-      // layouts (col=value/part-N.parquet) key consistently with the
-      // staged-file walk; a URI-escaping mismatch on exotic partition
-      // values only loses that file's stats (skipping is conservative)
-      val full = new java.net.URI(r.getString(0)).getPath
-      val idx = full.indexOf(stagingUri)
-      val file =
-        if (idx >= 0) full.substring(idx + stagingUri.length + 1)
-        else full.split('/').last
-      val kv = (1 until r.length).flatMap { i =>
-        Option(r.get(i)).map { v =>
-          val name = r.schema(i).name
-          val rendered = v match {
-            // temporal stats store the canonical skipping encodings
-            // (see canonValue); java.sql toString is JVM-zone-dependent
-            // and Timestamp appends ".0", both of which would break the
-            // bytewise compare
-            case t: java.sql.Timestamp =>
-              canonTsStat(t, isMin = name.startsWith("min."))
-            case d: java.sql.Date => java.time.LocalDate.ofEpochDay(
-              org.apache.spark.sql.catalyst.util.DateTimeUtils
-                .fromJavaDate(d).toLong).toString
-            case other => other.toString
-          }
-          name -> rendered
-        }
-      }.toMap
-      file -> kv
+    val root = Paths.get(staging)
+    if (!Files.exists(root)) return Map.empty
+    val statTypes: Map[String, DataType] = schema.fields.iterator.collect {
+      case f if (f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType => true
+        case _ => false
+      }) => f.name -> f.dataType
     }.toMap
+    val walk = Files.walk(root)
+    val files =
+      try walk.iterator.asScala.filter { p =>
+        p.getFileName.toString.endsWith(".parquet") && {
+          val rel = root.relativize(p)
+          // same visibility rules as Spark's reader (and the old agg
+          // path): _delta_log, hidden and _-prefixed entries excluded
+          (0 until rel.getNameCount).forall { i =>
+            val s = rel.getName(i).toString
+            !s.startsWith(".") && !s.startsWith("_")
+          }
+        }
+      }.toSeq.sortBy(_.toString)
+      finally walk.close()
+    val conf = spark.sessionState.newHadoopConf()
+    // footer opens are independent ~ms-scale metadata reads; a small
+    // bounded pool keeps a many-file commit (partitioned staging,
+    // convert-to-delta) at listing-latency rather than files x latency
+    val perFile: Seq[(Path, Option[Map[String, String]])] =
+      if (files.size < 8) files.map(p => p -> footerStats(p, conf, statTypes))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.size))
+        try files.map { p =>
+          p -> pool.submit(new java.util.concurrent.Callable[
+            Option[Map[String, String]]] {
+            def call(): Option[Map[String, String]] =
+              footerStats(p, conf, statTypes)
+          })
+        }.map { case (p, f) => p -> f.get() }
+        finally pool.shutdown()
+      }
+    perFile.flatMap { case (p, st) =>
+      st.map(kv => root.relativize(p).toString -> kv)
+    }.toMap
+  }
+
+  /** One file's stats map from its parquet footer: exact "n" plus
+    * "min."/"max." entries for every statted column whose chunk
+    * statistics are present and trusted across ALL row groups.
+    * Returns None only when the footer itself cannot be read (the
+    * caller then falls back to [[stagedRowCount]] semantics). */
+  private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration,
+      statTypes: Map[String, DataType]): Option[Map[String, String]] =
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val n = blocks.map(_.getRowCount).sum
+        val base = Map("n" -> n.toString)
+        if (n == 0L) return Some(base)
+        val cols = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.size == 1)
+          .groupBy(_.getPath.toDotString)
+        val minMax = statTypes.toSeq.flatMap { case (name, dt) =>
+          cols.get(name).toSeq.flatMap { chunks =>
+            // every row group must carry trusted, non-empty stats for
+            // the column, else the column forfeits stats (conservative;
+            // all-null chunks have no min/max and are skipped, but if
+            // EVERY chunk is all-null the column is genuinely unstatted
+            // — the old agg path rendered NULL min/max the same way)
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || s.isEmpty))
+              Nil
+            else {
+              val nonNull = stats.filter(_.hasNonNullValue)
+              if (nonNull.isEmpty) Nil
+              else try renderFooterMinMax(name, dt, nonNull)
+              catch { // an encoding surprise costs ONE column's stats,
+                // never the file's row count (skipping is conservative)
+                case scala.util.control.NonFatal(_) => Nil
+              }
+            }
+          }
+        }
+        Some(base ++ minMax)
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Merge per-row-group parquet statistics into the engine's
+    * canonical "min.col"/"max.col" string renderings — the SAME
+    * renderings the former Spark-agg path produced (JVM toString per
+    * type; [[canonTsStat]] / ISO date for temporals). An encoding the
+    * schema type can't interpret (e.g. INT96 under TimestampType, or
+    * NaN float bounds) yields no entries. */
+  private def renderFooterMinMax(name: String, dt: DataType,
+      stats: Seq[org.apache.parquet.column.statistics.Statistics[_]])
+      : Seq[(String, String)] = {
+    import org.apache.parquet.column.statistics._
+    import org.apache.parquet.io.api.Binary
+    import org.apache.spark.sql.types._
+    def entries(minS: String, maxS: String) =
+      Seq(s"min.$name" -> minS, s"max.$name" -> maxS)
+    dt match {
+      case ByteType | ShortType | IntegerType =>
+        val vs = stats.map { case s: IntStatistics => (s.getMin, s.getMax) }
+        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
+      case LongType =>
+        val vs = stats.map { case s: LongStatistics => (s.getMin, s.getMax) }
+        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
+      case FloatType =>
+        val vs = stats.map { case s: FloatStatistics => (s.getMin, s.getMax) }
+        val (lo, hi) = (vs.map(_._1).min, vs.map(_._2).max)
+        if (lo.isNaN || hi.isNaN) Nil else entries(lo.toString, hi.toString)
+      case DoubleType =>
+        val vs = stats.map { case s: DoubleStatistics => (s.getMin, s.getMax) }
+        val (lo, hi) = (vs.map(_._1).min, vs.map(_._2).max)
+        if (lo.isNaN || hi.isNaN) Nil else entries(lo.toString, hi.toString)
+      case d: DecimalType =>
+        def dec(v: Any): java.math.BigDecimal = v match {
+          case i: java.lang.Integer =>
+            java.math.BigDecimal.valueOf(i.longValue, d.scale)
+          case l: java.lang.Long =>
+            java.math.BigDecimal.valueOf(l.longValue, d.scale)
+          case b: Binary => new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), d.scale)
+          case _ => throw new IllegalStateException(
+            s"unexpected decimal stat ${v.getClass}")
+        }
+        val vs = stats.map(s =>
+          (dec(s.genericGetMin.asInstanceOf[Any]),
+            dec(s.genericGetMax.asInstanceOf[Any])))
+        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
+      case StringType =>
+        // merge row-group bounds in parquet's UNSIGNED byte order — the
+        // same order Spark's UTF8String min/max uses (java.lang.String
+        // compareTo is UTF-16 code-unit order, which DIVERGES above the
+        // BMP, so merging rendered strings would be wrong)
+        val cmp = org.apache.parquet.schema.PrimitiveComparator
+          .UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
+        val bs = stats.map(s => (s.genericGetMin.asInstanceOf[Binary],
+          s.genericGetMax.asInstanceOf[Binary]))
+        val lo = bs.map(_._1).reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
+        val hi = bs.map(_._2).reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+        entries(lo.toStringUsingUTF8, hi.toStringUsingUTF8)
+      case DateType =>
+        val vs = stats.map { case s: IntStatistics => (s.getMin, s.getMax) }
+        entries(
+          java.time.LocalDate.ofEpochDay(vs.map(_._1).min.toLong).toString,
+          java.time.LocalDate.ofEpochDay(vs.map(_._2).max.toLong).toString)
+      case TimestampType =>
+        // only the standard INT64 micros/millis encodings carry
+        // ordered stats; INT96 (legacy) and anything else forfeits
+        val units = stats.map(_.`type`).map { pt =>
+          pt.getLogicalTypeAnnotation match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation => Some(t.getUnit)
+            case _ => None
+          }
+        }
+        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+        if (units.exists(_.isEmpty)) Nil
+        else {
+          def micros(v: Long, u: TimeUnit): Option[Long] = u match {
+            case TimeUnit.MICROS => Some(v)
+            case TimeUnit.MILLIS => Some(Math.multiplyExact(v, 1000L))
+            case _ => None // NANOS would truncate; forfeit
+          }
+          val vs = stats.zip(units).map { case (s, u) =>
+            val ls = s.asInstanceOf[LongStatistics]
+            (micros(ls.getMin, u.get), micros(ls.getMax, u.get))
+          }
+          if (vs.exists(v => v._1.isEmpty || v._2.isEmpty)) Nil
+          else entries(
+            canonTsStatMicros(vs.map(_._1.get).min, isMin = true),
+            canonTsStatMicros(vs.map(_._2.get).max, isMin = false))
+        }
+      case _ => Nil
+    }
   }
 
   /** Files that MAY satisfy the conjunction of `filters` given their
