@@ -135,6 +135,54 @@ object Tables {
     }
   }
 
+  /** Exact row count of a fixture table from its parquet FOOTER(S) —
+    * driver-side metadata reads, zero Spark jobs — memoized per (path,
+    * content fingerprint). Several operators size corpus-scaled
+    * parameters (IVF cell count, LSH band bits) or validate
+    * staged-index registrations by the corpus row count; each used to
+    * pay a full count() job PER INVOCATION for a number that is
+    * constant per corpus state (round 17). Falls back to a Spark count
+    * if a footer cannot be read. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    val p = java.nio.file.Paths.get(path)
+    val key = path + ":" + graft.operators.StagedCache.fingerprint(p)
+    countCache.computeIfAbsent(key, _ => java.lang.Long.valueOf(
+      footerRowCount(spark, p)
+        .getOrElse(load(spark, dir, name).count()))).longValue
+  }
+
+  private def footerRowCount(spark: SparkSession,
+      root: java.nio.file.Path): Option[Long] =
+    try {
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.Files
+      if (!Files.exists(root)) return None
+      val walk = Files.walk(root)
+      val files =
+        try walk.iterator.asScala.filter { q =>
+          Files.isRegularFile(q) &&
+            q.getFileName.toString.endsWith(".parquet") &&
+            !q.getFileName.toString.startsWith(".") &&
+            !q.getFileName.toString.startsWith("_")
+        }.toSeq
+        finally walk.close()
+      if (files.isEmpty) return None
+      val conf = spark.sessionState.newHadoopConf()
+      var n = 0L
+      files.foreach { q =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(q.toUri), conf))
+        try n += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Register every fixture table as a temp view so `spark.sql` works the
     * way the reference's scripts do (createOrReplaceTempView + SQL string,
     * examples/read_deltalake_hdfs.py:95-118). Lazy: registering a view

@@ -105,6 +105,10 @@ object DedupOps {
   private val shingleIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[String], Long)] // state, dirs, nDocs
 
+  /** Staged-arrays row counts per index state — see prefixCandidates. */
+  private val arraysCountCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]
+
   /** (corpus identity key, corpus state key) — state adds the mtime. */
   private def shingleIndexKeys(spark: SparkSession, dir: String,
       gramN: Int): (String, String) = {
@@ -157,7 +161,7 @@ object DedupOps {
           java.nio.file.Files.exists(java.nio.file.Paths.get(d))))
         null // staging purged: clear, next consumer full-rebuilds
       else {
-        val curN = Tables.load(spark, dir, "documents").count()
+        val curN = Tables.rowCount(spark, dir, "documents")
         if (cur._1 == stateKey) {
           if (cur._3 == curN) cur // replay / already current
           else null // corpus changed without an mtime advance: rebuild
@@ -1104,7 +1108,16 @@ object DedupOps {
       tau: Double, dfCap: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val arrays = stagedShingleArrays(spark, dir)
-    val cap = dfCap.getOrElse(skewDfCap(arrays.count()))
+    // the arrays row count (docs with >=1 shingle) sizes the skew cap;
+    // it is a pure function of the staged index state — memoized per
+    // stateKey so serving q31 does not pay a count job per invocation
+    // (round 17). NOT Tables.rowCount: empty docs shingle to nothing,
+    // so this count can be below the documents row count.
+    val cap = dfCap.getOrElse {
+      val stateKey = shingleIndexKeys(spark, dir, 3)._2
+      skewDfCap(arraysCountCache.computeIfAbsent(stateKey,
+        _ => java.lang.Long.valueOf(arrays.count())).longValue)
+    }
     val sh = shingleRows(arrays)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
