@@ -571,12 +571,15 @@ object StreamingOps {
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bdir = root.resolve(s"batch-$batchId").toString
-        DedupOps.shingleArrays(batch.select(col("doc_id"), col("text")))
-          .write.mode("overwrite").parquet(bdir)
-        val newArrays = spark.read.parquet(bdir)
+        // read-backs carry the just-written schema (all dirs under one
+        // stage root share it): no per-micro-batch footer re-inference
+        val sh = DedupOps.shingleArrays(batch.select(col("doc_id"), col("text")))
+        sh.write.mode("overwrite").parquet(bdir)
+        val newArrays = spark.read.schema(sh.schema).parquet(bdir)
         val corpus = priorBatchDirs(batchId)
           .foldLeft(DedupOps.stagedShingleArrays(spark, seedDir))(
-            (acc, d) => acc.unionByName(spark.read.parquet(d)))
+            (acc, d) => acc.unionByName(
+              spark.read.schema(sh.schema).parquet(d)))
         val pairs = DedupOps.incrementalNearDupsFrom(
           corpus.unionByName(newArrays), newArrays, 0.5)
         val mode =
@@ -626,13 +629,13 @@ object StreamingOps {
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bdir = root.resolve(s"batch-$batchId").toString
-        MultimodalOps.mediaAHash(
+        val fp = MultimodalOps.mediaAHash(
             batch.select(col("media_id"), col("text"))
               .filter(length(col("text")) >= 60))
-          .write.mode("overwrite").parquet(bdir)
-        val bfp = spark.read.parquet(bdir)
+        fp.write.mode("overwrite").parquet(bdir)
+        val bfp = spark.read.schema(fp.schema).parquet(bdir)
         val corpusFp = priorBatchDirs(batchId)
-          .map(spark.read.parquet(_))
+          .map(spark.read.schema(fp.schema).parquet(_))
           .foldLeft(MultimodalOps.stagedMediaFingerprints(spark, seedDir))(
             _ unionByName _)
         val pairs = MultimodalOps.neardupFingerprintPairs(
@@ -699,10 +702,11 @@ object StreamingOps {
         val batch = batch0.select(col("vec_id"), col("embedding"))
         val cent = SimilarityOps.frozenCentroids(spark, seedDir)
         val bdir = root.resolve(s"batch-$batchId").toString
-        SimilarityOps.cellAssign(batch, cent, carryEmbedding = true)
-          .write.mode("overwrite").parquet(bdir)
+        val assigned = SimilarityOps.cellAssign(batch, cent,
+          carryEmbedding = true)
+        assigned.write.mode("overwrite").parquet(bdir)
         val prior = priorBatchDirs(batchId)
-        val priorStaged = prior.map(spark.read.parquet(_))
+        val priorStaged = prior.map(spark.read.schema(assigned.schema).parquet(_))
         val corpus = priorStaged
           .map(_.select(col("vec_id"), col("embedding")).distinct())
           .foldLeft(graft.Tables.load(spark, seedDir, "embeddings")
@@ -718,7 +722,8 @@ object StreamingOps {
           else DeltaTable.read(spark, labelsTable)
             .select(col("vec_id").as("id"), col("cluster_id").as("label"))
         val updated = SimilarityOps.absorbSemanticBatch(spark, labels,
-          corpus, corpusCells, spark.read.parquet(bdir), s"ing$batchId")
+          corpus, corpusCells,
+          spark.read.schema(assigned.schema).parquet(bdir), s"ing$batchId")
         if (DeltaLog.versions(labelsTable).isEmpty)
           DeltaTable.write(updated, labelsTable, "overwrite",
             txn = Some((s"semcc:$ckptDir", batchId)))
@@ -789,9 +794,9 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bdir = root.resolve(s"batch-$batchId").toString
         val vecs = batch.select(col("vec_id"), col("embedding"))
-        SimilarityOps.quantizeBatchFrozen(spark, seedDir, vecs)
-          .write.mode("overwrite").parquet(bdir)
-        val codes = spark.read.parquet(bdir)
+        val quantized = SimilarityOps.quantizeBatchFrozen(spark, seedDir, vecs)
+        quantized.write.mode("overwrite").parquet(bdir)
+        val codes = spark.read.schema(quantized.schema).parquet(bdir)
         val mode =
           if (DeltaLog.versions(codesTable).isEmpty) "overwrite" else "append"
         DeltaTable.write(codes, codesTable, mode,
@@ -910,11 +915,12 @@ object StreamingOps {
             .select("h", "nd"), "h")
         // stage this batch's distinct hashes for LATER batches
         // (overwrite -> replay-idempotent)
-        bw.select("h").distinct()
-          .write.mode("overwrite").parquet(bdir)
+        val bh = bw.select("h").distinct()
+        bh.write.mode("overwrite").parquet(bdir)
         val corpusH = batchDirs(root, batchId)
           .foldLeft(DedupOps.stagedWindowHashSet(spark, seedDir))(
-            (acc, d) => acc.unionByName(spark.read.parquet(d)))
+            (acc, d) => acc.unionByName(
+              spark.read.schema(bh.schema).parquet(d)))
         val vsCorpus = bw.join(corpusH, Seq("h"), "left_semi")
           .select("doc_id", "pos")
         // within-batch: cross-document hashes only (nd > 1, the batch
