@@ -243,7 +243,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map(r => jstr(r.name) + ":" + r.secs)
+    // Per-query seconds on STDOUT are rounded to 6 decimals (µs grain —
+    // far below the bench's noise floor): the driver captures a bounded
+    // log tail, and round 17's full-precision line plus the samples
+    // ledger outgrew it (~13.7 KB), losing ALL round-over-round
+    // per-query visibility (PERF_r17 `prev_bench_ok: false`). The
+    // measurement itself is unchanged; full precision and the complete
+    // sample ledgers live in bench_out.json.
+    val qs = results.map(r => jstr(r.name) + ":" + f"${r.secs}%.6f")
       .mkString("{", ",", "}")
     val errs = results.collect { case r if r.err.nonEmpty =>
       jstr(r.name) + ":" + jstr(r.err.get) }.mkString("{", ",", "}")
@@ -268,12 +275,29 @@ object Bench {
     val skips = skipped.toSeq.sortBy(_._1).map { case (k, v) =>
       jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_.secs).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"transient_errors":$transients,"samples":$allSamples,"unreliable":$unreliable,"warm_asymmetry":$warmAsym,"cycles":$cycles,"timing":"per-query MIN across $cycles full cycles (SPARK_GRAFT_BENCH_RUNS), each cycle retiming queries > ${RetimeFloorSec}s in a separate end-of-cycle pass; unreliable = the min was confirmed by no second clean sample within ${UnreliableRatio}x (and min > ${RetimeFloorSec}s); errors = no clean sample at all, transient_errors = a failed sample beside a clean converged min; warm_asymmetry = converged, with every slow outlier sample attributed to a StagedCache index build or codegen compile"}"""
+    // STDOUT gets a COMPACT line (round-17 verdict #1): total,
+    // per-query seconds, errors/skips/transients, the unreliable
+    // NAMES, cycles — plus `cpus` and `master` so the driver can
+    // verify the core-count contract directly instead of inferring it
+    // from scaling ratios. The bulky per-sample ledgers (`samples`,
+    // `warm_asymmetry`, the `timing` prose) moved to bench_out.json
+    // only: at 152 queries they pushed the stdout line to ~13.7 KB and
+    // the driver's bounded log-tail capture truncated it mid-line,
+    // losing the round's entire per-query record (PERF_r17). Same
+    // queries, same methodology, same measurement — only WHERE the
+    // verbose fields are reported changed.
+    val unreliableNames = results.collect { case r if r.unreliable =>
+      jstr(r.name) }.mkString("[", ",", "]")
+    val compactFields = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"transient_errors":$transients,"unreliable_names":$unreliableNames,"cycles":$cycles,"cpus":$cpus,"master":${jstr(s"local[$cpus]")}"""
+    val line = "{" + compactFields + "}"
+    val qsFull = results.map(r => jstr(r.name) + ":" + r.secs)
+      .mkString("{", ",", "}")
+    val fullLine = "{" + compactFields + s""","queries_full":$qsFull,"samples":$allSamples,"unreliable":$unreliable,"warm_asymmetry":$warmAsym,"timing":"per-query MIN across $cycles full cycles (SPARK_GRAFT_BENCH_RUNS), each cycle retiming queries > ${RetimeFloorSec}s in a separate end-of-cycle pass; unreliable = the min was confirmed by no second clean sample within ${UnreliableRatio}x (and min > ${RetimeFloorSec}s); errors = no clean sample at all, transient_errors = a failed sample beside a clean converged min; warm_asymmetry = converged, with every slow outlier sample attributed to a StagedCache index build or codegen compile; stdout line carries per-query seconds rounded to 6 decimals, this file carries full precision and the ledgers"}"""
     println(line)
     // Persist alongside stdout: the driver captures a bounded log tail,
     // and round 4's official record lost its total to truncation.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench_out.json: $e") }
     // One-number headline in its own file: no log capture can lose it

@@ -29,17 +29,20 @@ object Tables {
     * (scan, pushdown, pruning) is otherwise IDENTICAL: .schema(s) on
     * a parquet read changes where the schema comes from, not the
     * relation. */
+  // keyed by PATH with the content fingerprint in the entry (round-17
+  // ADVICE): a regenerated fixture overwrites its entry instead of
+  // stranding the old fingerprint's forever
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]
+    String, (String, org.apache.spark.sql.types.StructType)]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir)
     else {
       val path = s"$dir/$name.parquet"
-      val key = path + ":" + graft.operators.StagedCache.fingerprint(
+      val fp = graft.operators.StagedCache.fingerprint(
         java.nio.file.Paths.get(path))
-      val schema = schemaCache.computeIfAbsent(key,
-        _ => spark.read.parquet(path).schema)
+      val schema = graft.operators.StagedCache.memoByPath(
+        schemaCache, path, fp, () => spark.read.parquet(path).schema)
       normalizeTimestamps(spark.read.schema(schema).parquet(path))
     }
 
@@ -92,7 +95,7 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val cacheKey = path + ":" + graft.operators.StagedCache.fingerprint(
+    val fp = graft.operators.StagedCache.fingerprint(
       java.nio.file.Paths.get(path))
     // the memoized-schema fast path serves the two MODERN encodings
     // (micros-NTZ / micros-LTZ) without the legacy-conf window or a
@@ -100,7 +103,9 @@ object Tables {
     // conf-scoped inference per call (the legacy conf gates the READ
     // of TIMESTAMP(NANOS), not just inference, so it cannot ride an
     // explicit schema), which only ever costs on pre-round-7 fixtures
-    val cached = schemaCache.get(cacheKey)
+    val cachedEntry = schemaCache.get(path)
+    val cached = if (cachedEntry != null && cachedEntry._1 == fp)
+      cachedEntry._2 else null
     if (cached != null &&
         cached("ts").dataType != org.apache.spark.sql.types.LongType) {
       val df = spark.read.schema(cached).parquet(path)
@@ -124,7 +129,7 @@ object Tables {
       }
     }
     if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-      schemaCache.putIfAbsent(cacheKey, df.schema)
+      schemaCache.put(path, (fp, df.schema))
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
@@ -144,14 +149,14 @@ object Tables {
     * constant per corpus state (round 17). Falls back to a Spark count
     * if a footer cannot be read. */
   private val countCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.Long]
+    String, (String, java.lang.Long)]
 
   def rowCount(spark: SparkSession, dir: String, name: String): Long = {
     val path = s"$dir/$name.parquet"
     val p = java.nio.file.Paths.get(path)
-    val key = path + ":" + graft.operators.StagedCache.fingerprint(p)
-    countCache.computeIfAbsent(key, _ => java.lang.Long.valueOf(
-      footerRowCount(spark, p)
+    val fp = graft.operators.StagedCache.fingerprint(p)
+    graft.operators.StagedCache.memoByPath(countCache, path, fp,
+      () => java.lang.Long.valueOf(footerRowCount(spark, p)
         .getOrElse(load(spark, dir, name).count()))).longValue
   }
 

@@ -54,9 +54,16 @@ object DedupOps {
     * q31+q32+q34+q36+q38 subset drops ~17 s → ~14.5-16 s, with
     * q32/q34/q36 the clear winners and q31 flat — its cost is the
     * prefix relation + candidate join, not the raw shingling.) */
-  private[graft] def shingleArrays(docs: DataFrame, gramN: Int = 3): DataFrame = {
+  /** `spread = false` (round 18) for INLINE consumers — q75's derived
+    * batch lineage executes inside every job that references it (the
+    * candidate probe plus each verify broadcast build), so the
+    * build-parallelism repartition below became 3-4 redundant
+    * exchanges per invocation; a ~300-doc batch shingles fine on its
+    * scan partitions. Staged-write callers keep the spread. */
+  private[graft] def shingleArrays(docs: DataFrame, gramN: Int = 3,
+      spread: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
+    (if (!spread) docs else docs
       // The fixture corpus is one parquet file = one input partition;
       // without a repartition the per-doc hashing runs single-threaded
       // (the old window pipeline got 32-way parallelism as a side
@@ -64,7 +71,7 @@ object DedupOps {
       // parquet write, so the round-1 "repartition starves AQE of scan
       // stats" regression doesn't apply — downstream joins plan off
       // the staged files' own stats.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism))
       // 60-bit hashes, NOT strings: every downstream stage (freq
       // groupBy, prefix window, candidate equi-join, array_intersect
       // verify) runs on fixed-width longs — measured 9× on the verify
@@ -105,9 +112,11 @@ object DedupOps {
   private val shingleIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[String], Long)] // state, dirs, nDocs
 
-  /** Staged-arrays row counts per index state — see prefixCandidates. */
+  /** Staged-arrays row counts, keyed by corpus path with the index
+    * state in the entry (bounded across regenerations, round-17
+    * ADVICE) — see prefixCandidates. */
   private val arraysCountCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.Long]
+    String, (String, java.lang.Long)]
 
   /** (corpus identity key, corpus state key) — state adds the mtime. */
   private def shingleIndexKeys(spark: SparkSession, dir: String,
@@ -188,7 +197,7 @@ object DedupOps {
     * (~16M-row shuffle join for 310k candidates at sf0.1); sets of
     * this size (~50 shingles) are far cheaper intersected in-row.
     * Inputs are distinct sets, so the intersect size IS |A ∩ B|. */
-  private def jaccardFor(cand: DataFrame, arrays: DataFrame): DataFrame =
+  private[graft] def jaccardFor(cand: DataFrame, arrays: DataFrame): DataFrame =
     cand
       // the array index is |docs| × ~50 shingle hashes (MBs at sf0.1)
       // → broadcast both sides of the verify join while the size
@@ -780,17 +789,22 @@ object DedupOps {
     * never disconnects a component, so clusters over the survivor set
     * equal clusters over the base set restricted to survivors.
     *
-    * Scale shape: ONE labeled projection over the corpus (window min
-    * on the 16-byte fingerprint partition — the q30 shuffle; the
-    * cluster/contamination joins are small-side joins against staged
-    * index relations; quality bars are row-local codegen'd
-    * arithmetic) followed by ONE ~13-row hash agg carrying both the
-    * verdict histogram and the train manifest scalars (count /
-    * distinct shards / token sum / fingerprint sum per verdict); the
-    * report assembly collects that bounded aggregate (≤ |stages|+3
-    * rows — the one-scalar-per-round license). No stage materializes an
+    * Scale shape (round 18): ONE labeled projection over the corpus
+    * with ZERO corpus-wide shuffles — the exact-dedup keeper, cluster
+    * and contamination relations are all STAGED per corpus state and
+    * broadcast into the scan (the former window-min shuffled every
+    * corpus row, text included, by fingerprint per invocation; the
+    * keeper index shuffles (fingerprint, doc_id) pairs once at build
+    * time — the §2.3 shape: decisions travel as keys, payloads never
+    * move); quality bars are row-local codegen'd arithmetic. That
+    * projection feeds ONE ~13-row hash agg carrying both the verdict
+    * histogram and the train manifest scalars (count / distinct
+    * shards / token sum / fingerprint sum per verdict); the report
+    * assembly collects that bounded aggregate (≤ |stages|+3 rows —
+    * the one-scalar-per-round license). No stage materializes an
     * intermediate corpus copy; at 100 TB this is the same one-pass
-    * cost as q89 plus the dedup shuffle.
+    * cost as q89, with the dedup shuffle amortized into the index
+    * build.
     *
     * All-deterministic components ⇒ the ENTIRE funnel, split sizes,
     * and manifest fingerprint are hash-verified by one DuckDB oracle
@@ -823,22 +837,87 @@ object DedupOps {
     * fold, hosted inside the CaseWhen); the sf1 profile in BASELINE.md
     * pins the cost (fold-in-CASE ≈ no-model; fold-forced-per-row pays
     * the full lambda cost). */
-  private[graft] def q137Labeled(spark: SparkSession, dir: String,
-      withModelGate: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(spark)
+  /** q137's DERIVED corpus (docs ∪ even-id clones at +100000) with its
+    * dedup fingerprint — the relation both the labeled projection and
+    * the staged keeper index derive from. */
+  private def q137Corpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val corpus = docs.unionByName(docs.filter(col("doc_id") % 2 === 0)
+    docs.unionByName(docs.filter(col("doc_id") % 2 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L))
       .withColumn("fingerprint", md5(normText(col("text"))))
+  }
+
+  /** q137's exact-dedup KEEPER relation (fingerprint, keeper_id =
+    * min doc_id per fingerprint group) and its CONTAMINATION doc list,
+    * STAGED and MEMOIZED per corpus state (round 18) — both are pure
+    * functions of the corpus, and the labeled projection previously
+    * recomputed them per invocation: the keeper via a window-min that
+    * shuffled the ENTIRE corpus (text included) by fingerprint, the
+    * contamination via two distinct shuffles over the gram index. With
+    * the keeper staged, serving q137 shuffles NO corpus bytes at all —
+    * the keeper/label/contam relations broadcast into one wide scan
+    * (the §2.3 shape: group decisions travel as keys, payloads never
+    * move). Keeper-min over a staged groupBy is bit-identical to the
+    * window-min: same groups, same MIN. */
+  private val q137KeeperCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]
+  private val q137ContamCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]
+
+  private def q137Keepers(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val pathKey = System.identityHashCode(spark) + ":q137k:" +
+      src.toAbsolutePath
+    val stateKey = pathKey + ":" + StagedCache.fingerprint(src)
+    val entry = StagedCache.getOrBuild[(String, String)](
+      q137KeeperCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => {
+        val t = graft.Scratch.dir("graft-q137k").resolve("k").toString
+        q137Corpus(spark, dir)
+          .groupBy("fingerprint").agg(min("doc_id").as("keeper_id"))
+          .write.parquet(t)
+        (stateKey, t)
+      })
+    StagedCache.readStaged(spark, entry._2)
+  }
+
+  private def q137Contam(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val pathKey = System.identityHashCode(spark) + ":q137c:" +
+      src.toAbsolutePath
+    val stateKey = pathKey + ":" + StagedCache.fingerprint(src)
+    val entry = StagedCache.getOrBuild[(String, String)](
+      q137ContamCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => {
+        val t = graft.Scratch.dir("graft-q137c").resolve("c").toString
+        val g = stagedDeconGrams(spark, dir)
+        val ev = g.filter(col("source") === "src5")
+          .select("shingle").distinct()
+        g.filter(col("source") =!= "src5")
+          .join(broadcast(ev), "shingle")
+          .select("doc_id").distinct()
+          .write.parquet(t)
+        (stateKey, t)
+      })
+    StagedCache.readStaged(spark, entry._2)
+  }
+
+  private[graft] def q137Labeled(spark: SparkSession, dir: String,
+      withModelGate: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // explicit spread (Hints.spreadIfCompact): the per-row text
+    // kernels below (shingling, stopword regex, md5 keying, the fold)
+    // are q137's dominant compute and otherwise run on the 2-partition
+    // union scan at fixture scale (round 18; measured 1.55 → 0.50 s)
+    val corpus = Hints.spreadIfCompact(q137Corpus(spark, dir))
     val labels = stagedClusterLabels(spark, dir)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    val g = stagedDeconGrams(spark, dir)
-    val ev = g.filter(col("source") === "src5").select("shingle").distinct()
-    val contam = g.filter(col("source") =!= "src5")
-      .join(broadcast(ev), "shingle")
-      .select("doc_id").distinct()
+    val contam = q137Contam(spark, dir)
       .withColumn("is_contam", lit(true))
     val modelGate =
       if (withModelGate)
@@ -846,8 +925,13 @@ object DedupOps {
           "model_filtered")
       else when(lit(false), "model_filtered")
     corpus
-      .withColumn("keeper_id",
-        min("doc_id").over(Window.partitionBy("fingerprint")))
+      // keeper via the STAGED (fingerprint → min doc_id) index
+      // broadcast into the scan — the former window-min shuffled every
+      // corpus row (text included) by fingerprint per invocation;
+      // inner join: every corpus row's fingerprint is in the index by
+      // construction, so row count and values are identical
+      .join(Hints.broadcastIfSmall(q137Keepers(spark, dir)),
+        Seq("fingerprint"))
       .join(labels, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("n_tokens",
@@ -1098,88 +1182,142 @@ object DedupOps {
   private[graft] val SkewDfCapFloor = 50L
   private def skewDfCap(nDocs: Long): Long = math.max(SkewDfCapFloor, nDocs / 10)
 
+  /** Staged prefix-relation dirs keyed by (corpus path, tau, cap) with
+    * the content fingerprint in the entry (round-17 ADVICE: bounded
+    * across fixture regenerations). */
   private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
 
-  /** Prefix-filtered candidate pairs (doc_a, doc_b) for [[q31NgramJaccard]].
-    * `dfCap` = None → the relative [[skewDfCap]] default; Some(x) pins
-    * it (DedupSpec uses Long.MaxValue to diff capped vs uncapped). */
-  private[graft] def prefixCandidates(spark: SparkSession, dir: String,
-      tau: Double, dfCap: Option[Long] = None): DataFrame = {
+  /** The skew df cap for `dir`'s 3-gram index — the arrays row count
+    * (docs with >=1 shingle) sizes it; a pure function of the staged
+    * index state, memoized per corpus path (round 17). NOT
+    * Tables.rowCount: empty docs shingle to nothing, so this count can
+    * be below the documents row count. */
+  private def defaultDfCap(spark: SparkSession, dir: String): Long = {
+    val (pathKey, stateKey) = shingleIndexKeys(spark, dir, 3)
+    skewDfCap(StagedCache.memoByPath(arraysCountCache, pathKey, stateKey,
+      () => java.lang.Long.valueOf(
+        stagedShingleArrays(spark, dir).count())).longValue)
+  }
+
+  /** The STAGED rarity-ordered prefix relation
+    * (doc_id, n, shingle, pos): each doc's first n - ⌈τ·n⌉ + 1
+    * shingles under the global (df, shingle) order, hyper-common
+    * (df > cap) shingles dropped, `pos` = the shingle's 1-based rank in
+    * the doc's FULL rarity order (the positional filter's input —
+    * round 18). The candidate generator self-joins this relation and
+    * Spark does not dedupe common subplans — unstaged, the freq
+    * shuffle AND the rarity window would execute twice.
+    *
+    * The df cap applies AFTER the rarity positions are assigned:
+    * rarest-first ordering puts hyper-common shingles at the TAIL of
+    * each prefix, so dropping them never shifts a rare shingle out of
+    * its slot — any pair sharing at least one sub-cap prefix shingle
+    * is still found. A pair is lost only when its ONLY shared prefix
+    * shingles are boilerplate-grade (df > 10% of the corpus): with
+    * rarest-first prefixes that means essentially all the pair's
+    * less-common shingles are disjoint, which pins its Jaccard far
+    * below any useful τ — the verify stage would reject it anyway.
+    * DedupSpec proves results unchanged on a fixture where every doc
+    * shares a boilerplate header.
+    *
+    * Like the shingle arrays it derives from, the prefix relation is
+    * MEMOIZED per (session, corpus, mtime, tau, cap): it is a pure
+    * function of those keys, and the freq shuffle + rarity window are
+    * q31's second-largest cost after the index build itself. */
+  private[graft] def stagedPrefix(spark: SparkSession, dir: String,
+      tau: Double, cap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val arrays = stagedShingleArrays(spark, dir)
-    // the arrays row count (docs with >=1 shingle) sizes the skew cap;
-    // it is a pure function of the staged index state — memoized per
-    // stateKey so serving q31 does not pay a count job per invocation
-    // (round 17). NOT Tables.rowCount: empty docs shingle to nothing,
-    // so this count can be below the documents row count.
-    val cap = dfCap.getOrElse {
-      val stateKey = shingleIndexKeys(spark, dir, 3)._2
-      skewDfCap(arraysCountCache.computeIfAbsent(stateKey,
-        _ => java.lang.Long.valueOf(arrays.count())).longValue)
-    }
     val sh = shingleRows(arrays)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
-    // Stage the prefix relation too: the candidate generator self-joins
-    // it, and Spark does not dedupe common subplans — unstaged, the
-    // freq shuffle AND the rarity window would execute twice.
-    //
-    // The df cap applies AFTER the rarity positions are assigned:
-    // rarest-first ordering puts hyper-common shingles at the TAIL of
-    // each prefix, so dropping them never shifts a rare shingle out of
-    // its slot — any pair sharing at least one sub-cap prefix shingle
-    // is still found. A pair is lost only when its ONLY shared prefix
-    // shingles are boilerplate-grade (df > 10% of the corpus): with
-    // rarest-first prefixes that means essentially all the pair's
-    // less-common shingles are disjoint, which pins its Jaccard far
-    // below any useful τ — the verify stage would reject it anyway.
-    // DedupSpec proves results unchanged on a fixture where every doc
-    // shares a boilerplate header (candidates collapse ~1770 → 1).
-    //
-    // Like the shingle arrays it derives from, the prefix relation is
-    // MEMOIZED per (session, corpus, mtime, tau, cap): it is a pure
-    // function of those keys, and the freq shuffle + rarity window are
-    // q31's second-largest cost after the index build itself.
     val prefixKey = System.identityHashCode(spark) + ":" +
       java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath +
-      ":" + StagedCache.fingerprint(
-        java.nio.file.Paths.get(s"$dir/documents.parquet")) +
       s":$tau:$cap"
+    val prefixFp = StagedCache.fingerprint(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
     def buildPrefix(): String = {
       val t = graft.Scratch.dir("graft-prefix").resolve("p").toString
       sh.join(freq, "shingle")
         .withColumn("pos", row_number().over(byRarity))
         .filter(col("pos") <= col("n") - ceil(col("n") * tau) + 1 &&
           col("df") <= cap)
-        .select("doc_id", "n", "shingle")
+        .select("doc_id", "n", "shingle", "pos")
         .write.parquet(t)
       t
     }
-    var prefixDir = prefixCache.computeIfAbsent(prefixKey, _ => buildPrefix())
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(prefixDir))) {
-      prefixCache.remove(prefixKey)
-      prefixDir = prefixCache.computeIfAbsent(prefixKey, _ => buildPrefix())
-    }
-    val prefix = spark.read.parquet(prefixDir)
-    // Candidate pairs must also pass the AllPairs LENGTH filter:
-    // J(A,B) >= τ forces min(|A|,|B|) >= τ·max(|A|,|B|) (the overlap
-    // can't exceed the smaller set), so mismatched-size pairs are
-    // pruned HERE — before the intersection-count join fans each
-    // surviving pair out by |A| shingle rows. Lossless like the prefix
-    // filter; the naive oracle proves it.
+    val prefixEntry = prefixCache.get(prefixKey)
+    val prefixDir =
+      if (prefixEntry != null && prefixEntry._1 == prefixFp &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(prefixEntry._2))) prefixEntry._2
+      else {
+        val d = buildPrefix()
+        prefixCache.put(prefixKey, (prefixFp, d))
+        d
+      }
+    StagedCache.readStaged(spark, prefixDir)
+  }
+
+  /** Prefix-filtered candidate pairs (doc_a, doc_b) for [[q31NgramJaccard]].
+    * `dfCap` = None → the relative [[skewDfCap]] default; Some(x) pins
+    * it (DedupSpec uses Long.MaxValue to diff capped vs uncapped). */
+  private[graft] def prefixCandidates(spark: SparkSession, dir: String,
+      tau: Double, dfCap: Option[Long] = None): DataFrame = {
+    val cap = dfCap.getOrElse(defaultDfCap(spark, dir))
+    prefixCandidatesFrom(stagedPrefix(spark, dir, tau, cap), tau).distinct()
+  }
+
+  /** The raw (pre-dedup) candidate match rows off a prefix relation —
+    * split out so callers can place the dedup's exchange deliberately.
+    *
+    * Three LOSSLESS prunes run inside the join condition, before any
+    * row leaves it (every survivor is exactness-verified by
+    * [[jaccardFor]], and the naive oracle proves the composition):
+    *   - the AllPairs LENGTH filter: J(A,B) >= τ forces
+    *     min(|A|,|B|) >= τ·max(|A|,|B|) (overlap can't exceed the
+    *     smaller set);
+    *   - the PPJoin POSITIONAL filter (round 18): a match row joining
+    *     rank i of A to rank j of B can support at most
+    *     1 + min(|A|-i, |B|-j) overlapping shingles, and J >= τ needs
+    *     overlap >= τ·(|A|+|B|)/(1+τ). For a true pair, its globally
+    *     FIRST shared shingle w is in both capped prefixes (any shared
+    *     shingle ordered before w would be rarer-or-equal, hence
+    *     uncapped and inside both prefixes — contradicting w first),
+    *     and every other shared shingle orders after w in BOTH docs,
+    *     so w's own match row satisfies the bound: true pairs always
+    *     survive via at least that row. False fan-out rows — a
+    *     boilerplate-grade shingle near the prefix tail is the classic
+    *     case — die HERE instead of flooding the dedup and the
+    *     verify's array joins. The 1e-9 slack makes float rounding
+    *     err toward KEEPING a row, never pruning it.
+    */
+  private[graft] def prefixCandidatesFrom(prefix: DataFrame,
+      tau: Double): DataFrame =
     prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) >= ceil(greatest(col("a.n"), col("b.n")) * tau))
+          least(col("a.n"), col("b.n")) >= ceil(greatest(col("a.n"), col("b.n")) * tau) &&
+          (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")))
+            * (1.0 + tau) >= (col("a.n") + col("b.n")) * tau - 1e-9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+
+  /** prefixCandidates minus its final distinct (profiling hook). */
+  private[graft] def prefixCandidatesRaw(spark: SparkSession, dir: String,
+      tau: Double): DataFrame =
+    prefixCandidatesFrom(
+      stagedPrefix(spark, dir, tau, defaultDfCap(spark, dir)), tau)
 
   val q31NgramJaccard: Q = (spark, dir) => {
     val tau = 0.5
     val arrays = stagedShingleArrays(spark, dir)
-    jaccardFor(prefixCandidates(spark, dir, tau), arrays)
+    // candidate dedup on a pinned-width exchange (Hints.spreadDedupPairs)
+    // so the sorted-overlap verify runs at full parallelism — measured
+    // 1.52 → 0.63 s at sf0.1 beside the positional filter (round 18)
+    val cand = Hints.spreadDedupPairs(
+      prefixCandidatesRaw(spark, dir, tau), Seq("doc_a", "doc_b"))
+    jaccardFor(cand, arrays)
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
   }
@@ -1258,6 +1396,11 @@ object DedupOps {
         max(when(col("seed") % 3 === 0, col("mh"))),
         max(when(col("seed") % 3 === 1, col("mh"))),
         max(when(col("seed") % 3 === 2, col("mh"))))).as("bh"))
+    // plain distinct, NOT spreadDedupPairs (round 18, measured): an
+    // identical band signature means near-identical docs, so this
+    // candidate set is just the true-dup pairs — a few thousand rows
+    // at sf0.1 — and pinning 32 partitions through the verify cost
+    // +0.28 s over letting AQE run the tiny verify narrow
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1516,8 +1659,20 @@ object DedupOps {
             when(col("label") < col("prev_label"), 1L).otherwise(0L))
           .as("changed"))
           .write.parquet(nextDir) }
-      changed = Option(obs.get("changed"))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // BOUNDED wait (round-17 ADVICE): `Observation.get` blocks
+      // forever, so a dropped observed-metrics event (the listener bus
+      // sheds under load) would hang the loop — a failure mode the old
+      // count() job could not produce. The write above is synchronous,
+      // so the event is either in flight (ms) or lost; wait briefly on
+      // the observation's future, then fall back to the old count over
+      // the just-written round file — same scalar, one extra job.
+      changed = StagedCache.observedScalar(obs).getOrElse {
+        val roundSchema = org.apache.spark.sql.types.StructType(
+          labelsSchema :+ org.apache.spark.sql.types.StructField(
+            "prev_label", idType))
+        spark.read.schema(roundSchema).parquet(nextDir)
+          .filter(col("label") < col("prev_label")).count()
+      }
       labelsDir = nextDir
       iter += 1
     }
@@ -1649,14 +1804,15 @@ object DedupOps {
       newArrays: DataFrame, tau: Double): DataFrame = {
     val probe = shingleRows(arrays)
     val batch = shingleRows(newArrays)
-    val cand = probe.as("s").join(broadcast(batch.as("b")),
-        col("s.shingle") === col("b.shingle") &&
-          col("s.doc_id") =!= col("b.doc_id") &&
-          least(col("s.n"), col("b.n")) >=
-            ceil(greatest(col("s.n"), col("b.n")) * tau))
-      .select(least(col("s.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("s.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = Hints.spreadDedupPairs(
+      probe.as("s").join(broadcast(batch.as("b")),
+          col("s.shingle") === col("b.shingle") &&
+            col("s.doc_id") =!= col("b.doc_id") &&
+            least(col("s.n"), col("b.n")) >=
+              ceil(greatest(col("s.n"), col("b.n")) * tau))
+        .select(least(col("s.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("s.doc_id"), col("b.doc_id")).as("doc_b")),
+      Seq("doc_a", "doc_b"))
     jaccardFor(cand, arrays).filter(col("jaccard") >= tau)
   }
 
@@ -1679,7 +1835,7 @@ object DedupOps {
       .filter(col("doc_id") % 17 === 3)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zz9 qq8")).as("text"))
-    val newArrays = shingleArrays(newDocs)
+    val newArrays = shingleArrays(newDocs, spread = false)
     val corpus = stagedShingleArrays(spark, dir)
     incrementalNearDupsFrom(corpus.unionByName(newArrays), newArrays, tau)
       .orderBy("doc_a", "doc_b")
@@ -1856,15 +2012,31 @@ object DedupOps {
     // count) — an upper bound is all the sizing needs, since m only
     // rounds UP to the next power of two and a wider filter only
     // lowers the FPR; the former exact-distinct count paid a full
-    // shuffle per invocation just to size a perf knob (round 17)
-    val nEv = g.filter(col("source") === evalSrc).count()
+    // shuffle per invocation just to size a perf knob (round 17), and
+    // the raw count is itself a pure function of the staged gram index
+    // state — memoized, so serving q122 pays no count job either
+    // (round 18)
+    val nEv = {
+      val (pathKey, stateKey) = shingleIndexKeys(spark, dir, 5)
+      StagedCache.memoByPath(arraysCountCache,
+        pathKey + s":evcount:$evalSrc", stateKey,
+        () => java.lang.Long.valueOf(
+          g.filter(col("source") === evalSrc).count())).longValue
+    }
     val mBits = {
       val want = 16L * math.max(nEv, 1L)
       var m = 1L << 16
       while (m < want && m < (1L << 27)) m <<= 1
       m.toInt
     }
-    val bloom = ev.agg(expr(s"graft_bloom_agg(shingle, $mBits, 7)").as("bloom"))
+    // the bloom builds straight off the per-doc-distinct gram rows —
+    // inserts are idempotent (duplicate grams set the same bits), so
+    // the bitset is identical to the distinct-fed one minus that
+    // build's dedup shuffle (round 18); the exact-confirm join below
+    // still consumes the DISTINCT relation (duplicate eval rows there
+    // would double-count hits)
+    val bloom = g.filter(col("source") === evalSrc)
+      .agg(expr(s"graft_bloom_agg(shingle, $mBits, 7)").as("bloom"))
     val train = g.filter(col("source") =!= evalSrc)
     val candidates = train.crossJoin(broadcast(bloom))
       .filter(expr("graft_bloom_contains(bloom, shingle, 7)"))

@@ -458,6 +458,10 @@ object MultimodalOps {
         expr("cc div 4").as("c0"), expr("cc % 4").as("c1"),
         expr("(fh0 >> ((cc div 4) * 15)) & 32767").as("v0"),
         expr("(fh1 >> ((cc % 4) * 15)) & 32767").as("v1"))
+    // plain distinct, NOT spreadDedupPairs (round 18, measured +0.16 s
+    // with the pinned spread): the combined two-frame band key already
+    // collapses candidates to near-true pairs, and the max-Hamming
+    // verify is integer bit_count — no per-pair array work to spread
     val cand = keys.as("a").join(keys.as("b"),
         col("a.c0") === col("b.c0") && col("a.c1") === col("b.c1") &&
           col("a.v0") === col("b.v0") && col("a.v1") === col("b.v1") &&

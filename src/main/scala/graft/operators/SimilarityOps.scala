@@ -600,20 +600,22 @@ object SimilarityOps {
     // per invocation — the agg job (row-group-stats-answered, but
     // still a job) now runs once per corpus state (round 17)
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-    val key = src.toAbsolutePath + ":" + StagedCache.fingerprint(src)
-    corpusMaxIdCache.computeIfAbsent(key, _ =>
-      Tables.load(spark, dir, "embeddings")
-        .agg(max(col("vec_id"))).head.get(0) match {
-          case l: java.lang.Long => Some(l.longValue())
-          case _ => None
-        })
+    StagedCache.memoByPath(corpusMaxIdCache, src.toAbsolutePath.toString,
+      StagedCache.fingerprint(src), () =>
+        Tables.load(spark, dir, "embeddings")
+          .agg(max(col("vec_id"))).head.get(0) match {
+            case l: java.lang.Long => Some(l.longValue())
+            case _ => None
+          })
   }
 
+  // both keyed by PATH with the fingerprint in the entry (round-17
+  // ADVICE): regeneration overwrites, never strands
   private val corpusMaxIdCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[Long]]
+    String, (String, Option[Long])]
 
   private val corpusDimCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Integer]
+    String, (String, Integer)]
 
   /** The q43 pair generator, extracted (round 14) so q140's semantic
     * dedup clusters the SAME production-path pair relation q43 serves:
@@ -623,11 +625,15 @@ object SimilarityOps {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
     val buckets = stagedCorpusCells(spark, dir)
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct() // a pair can share up to 4 cells
+    // a pair can share up to 4 cells — dedup on a pinned-width
+    // exchange so the cosine verify runs at full parallelism (the q31
+    // round-18 lesson; AQE coalesced the old distinct to ~1 task)
+    val cand = Hints.spreadDedupPairs(
+      buckets.as("a").join(buckets.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")),
+      Seq("id_a", "id_b"))
     // verify: fetch both sides' vectors by id. Size-conditioned hint
     // (Hints.broadcastIfSmall): at sf0.1 the 780 KiB embedding table
     // broadcasts and candidates stream map-side; past the cap the
@@ -840,6 +846,10 @@ object SimilarityOps {
     }
     // batch side is small by the incremental premise — its assignment
     // broadcasts into the corpus-side candidate join (the q75 shape)
+    // plain distincts, NOT spreadDedupPairs (round 18, measured): the
+    // incremental premise makes these batch-scaled candidate sets tiny,
+    // and pinning 32 partitions through the absorb's many small jobs
+    // cost q141 +0.39 s at sf0.1
     val bcCand = corpusCells.as("a")
       .join(broadcast(batchCells.as("b")), col("a.cell") === col("b.cell"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
@@ -868,7 +878,11 @@ object SimilarityOps {
     val cpObs = org.apache.spark.sql.Observation(s"semcc-$tag-n")
     cpStaged.observe(cpObs, count(lit(1)).as("n")).write.parquet(cpDir)
     val contractedPairs = spark.read.schema(cpStaged.schema).parquet(cpDir)
-    if (Option(cpObs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L) == 0L) {
+    // bounded wait + count fallback (round-17 ADVICE): a shed
+    // observed-metrics event must degrade to one extra job, not hang
+    val nPairs = StagedCache.observedScalar(cpObs)
+      .getOrElse(contractedPairs.count())
+    if (nPairs == 0L) {
       // no batch pair touches anything: the standing index IS the
       // answer (and the propagation loop has no nodes to seed)
       labels.select(col("id").as("vec_id"), col("label").as("cluster_id"))
@@ -993,11 +1007,12 @@ object SimilarityOps {
       .select(col("vec_id"), col("band"),
         expr(s"shiftright(sig, CAST(band * $bits AS INT)) & $mask")
           .as("bsig"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
+    val cand = Hints.spreadDedupPairs(
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b")),
+      Seq("id_a", "id_b"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     cand.join(broadcast(a), "id_a").join(broadcast(b), "id_b")
@@ -1615,11 +1630,10 @@ object SimilarityOps {
     val e = Tables.load(spark, dir, "embeddings")
     // dim probe memoized per corpus state (a head() job per q126
     // invocation otherwise; round 17)
-    val dimKey = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-      .toAbsolutePath + ":" + StagedCache.fingerprint(
-        java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
-    val dim = corpusDimCache.computeIfAbsent(dimKey,
-      _ => Integer.valueOf(
+    val dimSrc = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val dim = StagedCache.memoByPath(corpusDimCache,
+      dimSrc.toAbsolutePath.toString, StagedCache.fingerprint(dimSrc),
+      () => Integer.valueOf(
         e.select(size(col("embedding"))).head.getInt(0))).intValue
     val subDim = dim / PqM
     val q = e.filter(col("vec_id") < 5)

@@ -1525,15 +1525,21 @@ object DeltaTable {
       // in the parquet spec, stock Delta writes INT64, and only the
       // standard encoding carries ordered footer statistics — which
       // [[collectStats]] reads in place of re-scanning staged bytes.
-      // Set/restore around the one write; a racing writer in the same
-      // session at worst re-lands the same value (both writers want it).
+      // Set/restore around the one write, FENCED on the same monitor
+      // Tables.loadEvents uses for its nanosAsLong window (round-17
+      // ADVICE): unsynchronized, two interleaved writers could leak
+      // TIMESTAMP_MICROS into the session conf permanently, or a
+      // concurrent writer could capture the restored INT96 value
+      // mid-window and forfeit its timestamp footer stats.
       val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prevTs = spark.conf.get(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try {
-        if (partitionBy.isEmpty) df.write.parquet(staging.toString)
-        else df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
-      } finally spark.conf.set(tsKey, prevTs)
+      graft.Tables.synchronized {
+        val prevTs = spark.conf.get(tsKey)
+        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+        try {
+          if (partitionBy.isEmpty) df.write.parquet(staging.toString)
+          else df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
+        } finally spark.conf.set(tsKey, prevTs)
+      }
     }
     val commitTag = UUID.randomUUID().toString.take(8)
     // per-file min/max stats (Delta-paper data skipping): ONE job over
@@ -3458,18 +3464,9 @@ object DeltaTable {
     * max CEILS, so the truncation only ever widens the range
     * (conservative). */
   private def canonTsStat(t: java.sql.Timestamp, isMin: Boolean): String =
-    canonTsStatMicros(
+    FooterStats.canonTsStatMicros(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t),
       isMin)
-
-  private def canonTsStatMicros(us: Long, isMin: Boolean): String = {
-    val floor = Math.floorDiv(us, 1000000L) * 1000000L
-    val sec = if (isMin || us == floor) floor else floor + 1000000L
-    java.time.Instant.EPOCH.plus(sec, java.time.temporal.ChronoUnit.MICROS)
-      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
-      .format(java.time.format.DateTimeFormatter
-        .ofPattern("uuuu-MM-dd HH:mm:ss"))
-  }
 
   /** Footer-based stats (round 17): the min/max/rowcount of every
     * staged file comes from its parquet FOOTER — O(KB) driver-side
@@ -3522,162 +3519,66 @@ object DeltaTable {
     val conf = spark.sessionState.newHadoopConf()
     // footer opens are independent ~ms-scale metadata reads; a small
     // bounded pool keeps a many-file commit (partitioned staging,
-    // convert-to-delta) at listing-latency rather than files x latency
+    // convert-to-delta) at listing-latency rather than files x latency.
+    // Past [[DistributedStatsFileFloor]] files the reads move INTO a
+    // Spark job (round-18, verdict #3): at a 100 TB commit the staged
+    // file count scales with the write's task count, and serializing
+    // tens of thousands of ~ms opens through one driver pool would
+    // make the driver the write path's bottleneck — the executors read
+    // the footers where the files are, the driver only collects the
+    // O(files) stat maps it must embed in the log anyway. Same reader,
+    // same renderings, zero data I/O either way.
     val perFile: Seq[(Path, Option[Map[String, String]])] =
-      if (files.size < 8) files.map(p => p -> footerStats(p, conf, statTypes))
-      else {
+      if (files.size < 8)
+        files.map(p => p -> FooterStats.read(p.toString, conf, statTypes))
+      else if (files.size <= distributedStatsFileFloor(spark)) {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, files.size))
         try files.map { p =>
           p -> pool.submit(new java.util.concurrent.Callable[
             Option[Map[String, String]]] {
             def call(): Option[Map[String, String]] =
-              footerStats(p, conf, statTypes)
+              FooterStats.read(p.toString, conf, statTypes)
           })
         }.map { case (p, f) => p -> f.get() }
         finally pool.shutdown()
+      } else {
+        import scala.jdk.CollectionConverters._
+        // a Hadoop Configuration is not serializable: ship its entries
+        // and rebuild per task (defaults off — the entries are the
+        // session's full resolved view)
+        val confEntries = conf.iterator().asScala
+          .map(e => e.getKey -> e.getValue).toArray
+        val st = statTypes
+        val names = files.map(_.toString)
+        val slices = math.max(1, math.min(names.size / 32 + 1,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.setJobDescription(
+          s"graft-delta: footer stats, ${names.size} staged files")
+        try {
+          val read = spark.sparkContext.parallelize(names, slices)
+            .map { p =>
+              val c = new org.apache.hadoop.conf.Configuration(false)
+              confEntries.foreach { case (k, v) => c.set(k, v) }
+              p -> FooterStats.read(p, c, st)
+            }.collect()
+          read.map { case (p, s) => Paths.get(p) -> s }.toSeq
+        } finally spark.sparkContext.setJobDescription(null)
       }
     perFile.flatMap { case (p, st) =>
       st.map(kv => root.relativize(p).toString -> kv)
     }.toMap
   }
 
-  /** One file's stats map from its parquet footer: exact "n" plus
-    * "min."/"max." entries for every statted column whose chunk
-    * statistics are present and trusted across ALL row groups.
-    * Returns None only when the footer itself cannot be read (the
-    * caller then falls back to [[stagedRowCount]] semantics). */
-  private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration,
-      statTypes: Map[String, DataType]): Option[Map[String, String]] =
-    try {
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri), conf))
-      try {
-        val blocks = r.getFooter.getBlocks.asScala.toSeq
-        val n = blocks.map(_.getRowCount).sum
-        val base = Map("n" -> n.toString)
-        if (n == 0L) return Some(base)
-        val cols = blocks.flatMap(_.getColumns.asScala)
-          .filter(_.getPath.size == 1)
-          .groupBy(_.getPath.toDotString)
-        val minMax = statTypes.toSeq.flatMap { case (name, dt) =>
-          cols.get(name).toSeq.flatMap { chunks =>
-            // every row group must carry trusted, non-empty stats for
-            // the column, else the column forfeits stats (conservative;
-            // all-null chunks have no min/max and are skipped, but if
-            // EVERY chunk is all-null the column is genuinely unstatted
-            // — the old agg path rendered NULL min/max the same way)
-            val stats = chunks.map(_.getStatistics)
-            if (stats.exists(s => s == null || s.isEmpty))
-              Nil
-            else {
-              val nonNull = stats.filter(_.hasNonNullValue)
-              if (nonNull.isEmpty) Nil
-              else try renderFooterMinMax(name, dt, nonNull)
-              catch { // an encoding surprise costs ONE column's stats,
-                // never the file's row count (skipping is conservative)
-                case scala.util.control.NonFatal(_) => Nil
-              }
-            }
-          }
-        }
-        Some(base ++ minMax)
-      } finally r.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
-
-  /** Merge per-row-group parquet statistics into the engine's
-    * canonical "min.col"/"max.col" string renderings — the SAME
-    * renderings the former Spark-agg path produced (JVM toString per
-    * type; [[canonTsStat]] / ISO date for temporals). An encoding the
-    * schema type can't interpret (e.g. INT96 under TimestampType, or
-    * NaN float bounds) yields no entries. */
-  private def renderFooterMinMax(name: String, dt: DataType,
-      stats: Seq[org.apache.parquet.column.statistics.Statistics[_]])
-      : Seq[(String, String)] = {
-    import org.apache.parquet.column.statistics._
-    import org.apache.parquet.io.api.Binary
-    import org.apache.spark.sql.types._
-    def entries(minS: String, maxS: String) =
-      Seq(s"min.$name" -> minS, s"max.$name" -> maxS)
-    dt match {
-      case ByteType | ShortType | IntegerType =>
-        val vs = stats.map { case s: IntStatistics => (s.getMin, s.getMax) }
-        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
-      case LongType =>
-        val vs = stats.map { case s: LongStatistics => (s.getMin, s.getMax) }
-        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
-      case FloatType =>
-        val vs = stats.map { case s: FloatStatistics => (s.getMin, s.getMax) }
-        val (lo, hi) = (vs.map(_._1).min, vs.map(_._2).max)
-        if (lo.isNaN || hi.isNaN) Nil else entries(lo.toString, hi.toString)
-      case DoubleType =>
-        val vs = stats.map { case s: DoubleStatistics => (s.getMin, s.getMax) }
-        val (lo, hi) = (vs.map(_._1).min, vs.map(_._2).max)
-        if (lo.isNaN || hi.isNaN) Nil else entries(lo.toString, hi.toString)
-      case d: DecimalType =>
-        def dec(v: Any): java.math.BigDecimal = v match {
-          case i: java.lang.Integer =>
-            java.math.BigDecimal.valueOf(i.longValue, d.scale)
-          case l: java.lang.Long =>
-            java.math.BigDecimal.valueOf(l.longValue, d.scale)
-          case b: Binary => new java.math.BigDecimal(
-            new java.math.BigInteger(b.getBytes), d.scale)
-          case _ => throw new IllegalStateException(
-            s"unexpected decimal stat ${v.getClass}")
-        }
-        val vs = stats.map(s =>
-          (dec(s.genericGetMin.asInstanceOf[Any]),
-            dec(s.genericGetMax.asInstanceOf[Any])))
-        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
-      case StringType =>
-        // merge row-group bounds in parquet's UNSIGNED byte order — the
-        // same order Spark's UTF8String min/max uses (java.lang.String
-        // compareTo is UTF-16 code-unit order, which DIVERGES above the
-        // BMP, so merging rendered strings would be wrong)
-        val cmp = org.apache.parquet.schema.PrimitiveComparator
-          .UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
-        val bs = stats.map(s => (s.genericGetMin.asInstanceOf[Binary],
-          s.genericGetMax.asInstanceOf[Binary]))
-        val lo = bs.map(_._1).reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
-        val hi = bs.map(_._2).reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
-        entries(lo.toStringUsingUTF8, hi.toStringUsingUTF8)
-      case DateType =>
-        val vs = stats.map { case s: IntStatistics => (s.getMin, s.getMax) }
-        entries(
-          java.time.LocalDate.ofEpochDay(vs.map(_._1).min.toLong).toString,
-          java.time.LocalDate.ofEpochDay(vs.map(_._2).max.toLong).toString)
-      case TimestampType =>
-        // only the standard INT64 micros/millis encodings carry
-        // ordered stats; INT96 (legacy) and anything else forfeits
-        val units = stats.map(_.`type`).map { pt =>
-          pt.getLogicalTypeAnnotation match {
-            case t: org.apache.parquet.schema.LogicalTypeAnnotation
-                .TimestampLogicalTypeAnnotation => Some(t.getUnit)
-            case _ => None
-          }
-        }
-        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-        if (units.exists(_.isEmpty)) Nil
-        else {
-          def micros(v: Long, u: TimeUnit): Option[Long] = u match {
-            case TimeUnit.MICROS => Some(v)
-            case TimeUnit.MILLIS => Some(Math.multiplyExact(v, 1000L))
-            case _ => None // NANOS would truncate; forfeit
-          }
-          val vs = stats.zip(units).map { case (s, u) =>
-            val ls = s.asInstanceOf[LongStatistics]
-            (micros(ls.getMin, u.get), micros(ls.getMax, u.get))
-          }
-          if (vs.exists(v => v._1.isEmpty || v._2.isEmpty)) Nil
-          else entries(
-            canonTsStatMicros(vs.map(_._1.get).min, isMin = true),
-            canonTsStatMicros(vs.map(_._2.get).max, isMin = false))
-        }
-      case _ => Nil
-    }
-  }
+  /** Staged-file count above which [[collectStats]] reads footers in a
+    * distributed job instead of a driver thread pool. Parameterised
+    * (spark.graft.stats.distributedFileFloor) with a local default
+    * sized so every fixture-scale commit keeps the zero-job driver
+    * path — the bench's per-commit cost is unchanged — while a
+    * many-thousand-file production commit scales with the cluster. */
+  private def distributedStatsFileFloor(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stats.distributedFileFloor")
+      .flatMap(_.toIntOption).getOrElse(64)
 
   /** Files that MAY satisfy the conjunction of `filters` given their
     * min/max stats; a file without stats for a referenced column is
@@ -3810,4 +3711,169 @@ object DeltaTable {
       try s.iterator.asScala.toSeq.reverse.foreach(Files.delete)
       finally s.close()
     }
+}
+
+
+/** The per-file parquet-footer stats reader behind
+  * [[DeltaTable.collectStats]] — a SEPARATE serializable object so the
+  * distributed branch can run it inside executor tasks (round 18;
+  * `object DeltaTable` itself is not serializable and must not be
+  * captured in a task closure). Driver pool and Spark job call the
+  * identical code, so renderings cannot diverge between the paths. */
+private[sources] object FooterStats extends Serializable {
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.types._
+
+  /** One file's stats map from its parquet footer: exact "n" plus
+    * "min."/"max." entries for every statted column whose chunk
+    * statistics are present and trusted across ALL row groups.
+    * Returns None only when the footer itself cannot be read (the
+    * caller then falls back to stagedRowCount semantics). */
+  def read(p: String, conf: org.apache.hadoop.conf.Configuration,
+      statTypes: Map[String, DataType]): Option[Map[String, String]] =
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          java.nio.file.Paths.get(p).toUri), conf))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val n = blocks.map(_.getRowCount).sum
+        val base = Map("n" -> n.toString)
+        if (n == 0L) return Some(base)
+        val cols = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.size == 1)
+          .groupBy(_.getPath.toDotString)
+        val minMax = statTypes.toSeq.flatMap { case (name, dt) =>
+          cols.get(name).toSeq.flatMap { chunks =>
+            // every row group must carry trusted, non-empty stats for
+            // the column, else the column forfeits stats (conservative;
+            // all-null chunks have no min/max and are skipped, but if
+            // EVERY chunk is all-null the column is genuinely unstatted
+            // — the old agg path rendered NULL min/max the same way)
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || s.isEmpty))
+              Nil
+            else {
+              val nonNull = stats.filter(_.hasNonNullValue)
+              if (nonNull.isEmpty) Nil
+              else try renderFooterMinMax(name, dt, nonNull)
+              catch { // an encoding surprise costs ONE column's stats,
+                // never the file's row count (skipping is conservative)
+                case scala.util.control.NonFatal(_) => Nil
+              }
+            }
+          }
+        }
+        Some(base ++ minMax)
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Merge per-row-group parquet statistics into the engine's
+    * canonical "min.col"/"max.col" string renderings — the SAME
+    * renderings the former Spark-agg path produced (JVM toString per
+    * type; [[canonTsStat]] / ISO date for temporals). An encoding the
+    * schema type can't interpret (e.g. INT96 under TimestampType, or
+    * NaN float bounds) yields no entries. */
+  private def renderFooterMinMax(name: String, dt: DataType,
+      stats: Seq[org.apache.parquet.column.statistics.Statistics[_]])
+      : Seq[(String, String)] = {
+    import org.apache.parquet.column.statistics._
+    import org.apache.parquet.io.api.Binary
+    import org.apache.spark.sql.types._
+    def entries(minS: String, maxS: String) =
+      Seq(s"min.$name" -> minS, s"max.$name" -> maxS)
+    dt match {
+      case ByteType | ShortType | IntegerType =>
+        val vs = stats.map { case s: IntStatistics => (s.getMin, s.getMax) }
+        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
+      case LongType =>
+        val vs = stats.map { case s: LongStatistics => (s.getMin, s.getMax) }
+        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
+      case FloatType =>
+        val vs = stats.map { case s: FloatStatistics => (s.getMin, s.getMax) }
+        val (lo, hi) = (vs.map(_._1).min, vs.map(_._2).max)
+        if (lo.isNaN || hi.isNaN) Nil else entries(lo.toString, hi.toString)
+      case DoubleType =>
+        val vs = stats.map { case s: DoubleStatistics => (s.getMin, s.getMax) }
+        val (lo, hi) = (vs.map(_._1).min, vs.map(_._2).max)
+        if (lo.isNaN || hi.isNaN) Nil else entries(lo.toString, hi.toString)
+      case d: DecimalType =>
+        def dec(v: Any): java.math.BigDecimal = v match {
+          case i: java.lang.Integer =>
+            java.math.BigDecimal.valueOf(i.longValue, d.scale)
+          case l: java.lang.Long =>
+            java.math.BigDecimal.valueOf(l.longValue, d.scale)
+          case b: Binary => new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), d.scale)
+          case _ => throw new IllegalStateException(
+            s"unexpected decimal stat ${v.getClass}")
+        }
+        val vs = stats.map(s =>
+          (dec(s.genericGetMin.asInstanceOf[Any]),
+            dec(s.genericGetMax.asInstanceOf[Any])))
+        entries(vs.map(_._1).min.toString, vs.map(_._2).max.toString)
+      case StringType =>
+        // merge row-group bounds in parquet's UNSIGNED byte order — the
+        // same order Spark's UTF8String min/max uses (java.lang.String
+        // compareTo is UTF-16 code-unit order, which DIVERGES above the
+        // BMP, so merging rendered strings would be wrong)
+        val cmp = org.apache.parquet.schema.PrimitiveComparator
+          .UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
+        val bs = stats.map(s => (s.genericGetMin.asInstanceOf[Binary],
+          s.genericGetMax.asInstanceOf[Binary]))
+        val lo = bs.map(_._1).reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
+        val hi = bs.map(_._2).reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+        entries(lo.toStringUsingUTF8, hi.toStringUsingUTF8)
+      case DateType =>
+        val vs = stats.map { case s: IntStatistics => (s.getMin, s.getMax) }
+        entries(
+          java.time.LocalDate.ofEpochDay(vs.map(_._1).min.toLong).toString,
+          java.time.LocalDate.ofEpochDay(vs.map(_._2).max.toLong).toString)
+      case TimestampType =>
+        // only the standard INT64 micros/millis encodings carry
+        // ordered stats; INT96 (legacy) and anything else forfeits
+        val units = stats.map(_.`type`).map { pt =>
+          pt.getLogicalTypeAnnotation match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation => Some(t.getUnit)
+            case _ => None
+          }
+        }
+        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+        if (units.exists(_.isEmpty)) Nil
+        else {
+          def micros(v: Long, u: TimeUnit): Option[Long] = u match {
+            case TimeUnit.MICROS => Some(v)
+            case TimeUnit.MILLIS => Some(Math.multiplyExact(v, 1000L))
+            case _ => None // NANOS would truncate; forfeit
+          }
+          val vs = stats.zip(units).map { case (s, u) =>
+            val ls = s.asInstanceOf[LongStatistics]
+            (micros(ls.getMin, u.get), micros(ls.getMax, u.get))
+          }
+          if (vs.exists(v => v._1.isEmpty || v._2.isEmpty)) Nil
+          else entries(
+            canonTsStatMicros(vs.map(_._1.get).min, isMin = true),
+            canonTsStatMicros(vs.map(_._2.get).max, isMin = false))
+        }
+      case _ => Nil
+    }
+  }
+
+
+  /** Canonical whole-second UTC rendering for timestamp stats — min
+    * floors to the second and max CEILS, so the truncation only ever
+    * widens the range (conservative). Lives here so both the driver
+    * pool and the distributed reader render identically. */
+  private[sources] def canonTsStatMicros(us: Long, isMin: Boolean): String = {
+    val floor = Math.floorDiv(us, 1000000L) * 1000000L
+    val sec = if (isMin || us == floor) floor else floor + 1000000L
+    java.time.Instant.EPOCH.plus(sec, java.time.temporal.ChronoUnit.MICROS)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("uuuu-MM-dd HH:mm:ss"))
+  }
+
 }

@@ -48,14 +48,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("skew cap: boilerplate shingle stops generating candidates, results unchanged") {
-    // 60 docs, every one opening with the same 6-token boilerplate
-    // header (4 hyper-common shingles, df = 60 > the cap floor of 50)
-    // and a 3-token unique tail — short enough that the common
-    // shingles land INSIDE each doc's rarity-ordered prefix, so the
-    // uncapped candidate join fans out all-pairs on the boilerplate
-    // bucket. Docs 58/59 share their tail: the one TRUE near-dup pair,
+    // 60 docs, every one opening with the same 18-token boilerplate
+    // header (17 hyper-common shingles, df = 60 > the cap floor of 50)
+    // and a 3-token unique tail. The header is LONG relative to the
+    // tail so the common shingles both land INSIDE each doc's
+    // rarity-ordered prefix AND sit early enough that the round-18
+    // PPJoin positional bound cannot prune them (each doc has n = 20
+    // shingles; the first shared boilerplate shingle sits at rank 4,
+    // and 1 + (20-4) = 17 >= ⌈τ/(1+τ)·40⌉ = 14): the uncapped
+    // candidate join genuinely fans out all-pairs on the boilerplate
+    // bucket, which is exactly the skew the df cap exists to stop.
+    // (The previous 9-token fixture put its boilerplate at the prefix
+    // TAIL, where the positional filter alone now kills the fan-out —
+    // the right outcome for q31, but no longer a test of the cap.)
+    // Docs 58/59 share their tail: the one TRUE near-dup pair,
     // reachable through rare (df=2) prefix shingles the cap keeps.
-    val header = "terms of service apply to"
+    val header = "terms of service apply to all users and content " +
+      "provided by this site under the following conditions herein"
     val docs = (0 until 59).map { i =>
       (i.toLong, s"$header item u${i}a u${i}b u${i}c", "en", "src", 40L)
     } :+ (59L, s"$header item u58a u58b u58c", "en", "src", 40L)
@@ -74,6 +83,35 @@ class DedupSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5)))
     assert(cappedPairs.map(_._1).toSeq === Seq((58L, 59L)))
     assert(cappedPairs.head._2 === 1.0)
+  }
+
+  test("positional filter: prefix-tail boilerplate rows pruned even uncapped, true pairs survive") {
+    // The round-18 PPJoin positional bound: a match row at ranks (i, j)
+    // supports at most 1 + min(n_a-i, n_b-j) overlap. Short docs whose
+    // ONLY shared shingles are boilerplate sitting at the prefix TAIL
+    // (rarest-first order pushes df=60 shingles there) can never reach
+    // τ=0.5, so their match rows die inside the join — even with the
+    // df cap disabled. Docs 58/59 share rare tail shingles at rank 1-3
+    // and must survive: the filter is lossless for true pairs.
+    val header = "terms of service apply to" // 5 tokens: n=7, prefix=4
+    val docs = (0 until 59).map { i =>
+      (i.toLong, s"$header item u${i}a u${i}b u${i}c", "en", "src", 40L)
+    } :+ (59L, s"$header item u58a u58b u58c", "en", "src", 40L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-posf").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // uncapped: the boilerplate bucket would fan out C(60,2) = 1770
+    // pairs under the pre-round-18 prefix filter; the positional bound
+    // alone collapses it (the shared boilerplate shingle ranks 4th of
+    // n=7 — 1 + (7-4) = 4 < ⌈τ/(1+τ)·14⌉ = 5)
+    val uncapped = DedupOps.prefixCandidates(spark, dir, 0.5,
+      Some(Long.MaxValue)).count()
+    assert(uncapped < 60, s"positional filter must prune the tail-only fan-out (got $uncapped)")
+    // ...and the final result still finds exactly the one true pair
+    val pairs = DedupOps.q31NgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5)))
+    assert(pairs.map(_._1).toSeq === Seq((58L, 59L)))
+    assert(pairs.head._2 === 1.0)
   }
 
   test("minhash LSH finds the same high-jaccard pairs as the exact pass") {

@@ -34,6 +34,37 @@ class DeltaSpec extends SparkSpec {
     assert(df.select("id").as[Int].collect().sorted === Array(1, 2, 3, 4))
   }
 
+  test("distributed footer stats past the file floor match the driver path") {
+    // round 18: collectStats reads footers in a Spark job once a commit
+    // stages more than spark.graft.stats.distributedFileFloor files
+    // (the driver pool would serialize a 100 TB commit's many-thousand
+    // footer opens). Pin the floor low to force the distributed branch
+    // and assert the committed stats are complete and exact.
+    val key = "spark.graft.stats.distributedFileFloor"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4")
+    try {
+      val t = freshTable()
+      DeltaTable.write(
+        spark.range(200).select(col("id"), (col("id") % 7).as("k"))
+          .repartition(10), t, "overwrite")
+      val snap = DeltaLog.snapshot(t)
+      assert(snap.files.length > 4, s"need > floor files, got ${snap.files.length}")
+      snap.files.foreach { f =>
+        assert(f.stats.get("n").exists(_.toLong > 0L), s"${f.path}: ${f.stats}")
+        assert(f.stats.contains("min.id") && f.stats.contains("max.id"),
+          s"${f.path}: ${f.stats}")
+      }
+      assert(snap.files.map(_.stats("n").toLong).sum === 200L)
+      assert(snap.files.map(_.stats("min.id").toLong).min === 0L)
+      assert(snap.files.map(_.stats("max.id").toLong).max === 199L)
+      assert(DeltaTable.read(spark, t).count() === 200)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("overwrite replaces prior contents entirely") {
     val t = freshTable()
     DeltaTable.write(employees3, t, "overwrite")
