@@ -853,25 +853,38 @@ object SimilarityOps {
     val bcCand = corpusCells.as("a")
       .join(broadcast(batchCells.as("b")), col("a.cell") === col("b.cell"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
     val bbCand = batchCells.as("a").join(batchCells.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    val bcPairs = confirmed(bcCand, corpus, batch)
-    val bbPairs = confirmed(bbCand, batch, batch)
-    // contraction: corpus endpoints collapse to their representatives.
+    // ONE confirm over the unioned candidates (round 18): bc and bb
+    // pairs are disjoint kinds (corpus×batch vs batch×batch with
+    // disjoint id ranges), so one distinct over the union equals the
+    // two separate distincts, and one embedding lookup relation
+    // (corpus ∪ batch) serves both sides of the cosine join — the
+    // former two confirm pipelines built four broadcast relations and
+    // two dedup exchanges per absorb where one pair suffices (and the
+    // identical x/y build plans reuse one exchange at runtime).
+    val cand = bcCand.unionByName(bbCand).distinct()
+    // project to the lookup columns BEFORE the union: the corpus
+    // fixture carries extra columns (e.g. a class label) the batch
+    // never has
+    val everything = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(batch.select(col("vec_id"), col("embedding")))
+    val pairs = confirmed(cand, everything, everything)
+    // contraction: corpus endpoints collapse to their representatives —
+    // the label left join no-ops on batch ids (labels hold corpus ids
+    // only, and every pair's id_b is a batch id), so applying it to
+    // the unioned pairs is exactly the old bc-only contraction.
     // STAGED once (round-14 review: this lineage holds both candidate
-    // joins and both cosine confirms — the former .isEmpty guard plus
+    // joins and the cosine confirm — the former .isEmpty guard plus
     // the kernel's symmetrize-union executed it three times); the
     // empty guard then reads one tiny parquet, and the kernel's own
     // staging pass re-copies a staged relation, not the pipeline.
     val cpDir = graft.Scratch.dir(s"graft-semcc-$tag-p").resolve("p").toString
-    val cpStaged = bcPairs
-        .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"), "left")
-        .select(coalesce(col("label"), col("id_a")).as("id_a"), col("id_b"))
-      .unionByName(bbPairs)
+    val cpStaged = pairs
+      .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"), "left")
+      .select(coalesce(col("label"), col("id_a")).as("id_a"), col("id_b"))
     // the empty-graph guard's scalar rides the staging write as an
     // observed row count — the former isEmpty re-read the staged file
     // in its own job (round 17, the CC-kernel Observation pattern)
