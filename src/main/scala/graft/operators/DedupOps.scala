@@ -924,14 +924,20 @@ object DedupOps {
         when(TextOps.modelScore(col("text")) < TextOps.ModelScoreBar,
           "model_filtered")
       else when(lit(false), "model_filtered")
+    val keepers = q137Keepers(spark, dir)
+      .withColumnRenamed("fingerprint", "k_fingerprint")
     corpus
       // keeper via the STAGED (fingerprint → min doc_id) index
       // broadcast into the scan — the former window-min shuffled every
       // corpus row (text included) by fingerprint per invocation;
-      // inner join: every corpus row's fingerprint is in the index by
-      // construction, so row count and values are identical
-      .join(Hints.broadcastIfSmall(q137Keepers(spark, dir)),
-        Seq("fingerprint"))
+      // inner NULL-SAFE join: every corpus row's fingerprint is in the
+      // index by construction (groupBy groups a null fingerprint like
+      // the window partition did, and <=> matches it back), so row
+      // count and values are identical to the window form on ANY
+      // corpus, null texts included
+      .join(Hints.broadcastIfSmall(keepers),
+        col("fingerprint") <=> col("k_fingerprint"))
+      .drop("k_fingerprint")
       .join(labels, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("n_tokens",
