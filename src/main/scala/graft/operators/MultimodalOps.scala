@@ -436,8 +436,37 @@ object MultimodalOps {
           "k * (length(text) div 4) + 1, length(text) div 4))").as("fh"))
   }
 
+  /** q143's per-(item, frame) fingerprint relation, STAGED and
+    * MEMOIZED per corpus state (round 18): unstaged, the derived-item
+    * union + per-quarter string surgery + graft_ahash lineage
+    * re-executed in EVERY plan branch that references it — both sides
+    * of the band-key build, both sides of the candidate self-join
+    * (through the keys join) and both verify joins — because Spark
+    * does not dedupe common subplans. The staged relation is
+    * items × 4 rows of (media_id, k, fh) — two longs and an int. */
+  private val frameFpCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]
+
+  private def stagedFrameFingerprints(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val pathKey = System.identityHashCode(spark) + ":framefp:" +
+      src.toAbsolutePath
+    val stateKey = pathKey + ":" + StagedCache.fingerprint(src)
+    val entry = StagedCache.getOrBuild[(String, String)](
+      frameFpCache, pathKey,
+      cur => cur._1 == stateKey &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cur._2)),
+      () => {
+        val d = graft.Scratch.dir("graft-framefp").resolve("fp").toString
+        frameAHash(temporalMediaItems(spark, dir)).write.parquet(d)
+        (stateKey, d)
+      })
+    StagedCache.readStaged(spark, entry._2)
+  }
+
   val q143TemporalNeardup: Q = (spark, dir) => {
-    val fp = frameAHash(temporalMediaItems(spark, dir))
+    val fp = stagedFrameFingerprints(spark, dir)
     // Candidates collide on a TWO-FRAME combined band key — a frame-0
     // chunk AND a frame-1 chunk both equal. Still lossless for the
     // max-Hamming <= 3 cut (every frame is <= 3, so frame 0 AND frame
