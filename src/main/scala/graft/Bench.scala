@@ -288,7 +288,11 @@ object Bench {
     // verbose fields are reported changed.
     val unreliableNames = results.collect { case r if r.unreliable =>
       jstr(r.name) }.mkString("[", ",", "]")
-    val compactFields = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"transient_errors":$transients,"unreliable_names":$unreliableNames,"cycles":$cycles,"cpus":$cpus,"master":${jstr(s"local[$cpus]")}"""
+    // `cpus` as a JSON number when the env var is numeric (the driver
+    // contract), quoted otherwise — never an invalid token
+    val cpusJson = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus
+      else jstr(cpus)
+    val compactFields = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"skipped":$skips,"transient_errors":$transients,"unreliable_names":$unreliableNames,"cycles":$cycles,"cpus":$cpusJson,"master":${jstr(s"local[$cpus]")}"""
     val line = "{" + compactFields + "}"
     val qsFull = results.map(r => jstr(r.name) + ":" + r.secs)
       .mkString("{", ",", "}")
